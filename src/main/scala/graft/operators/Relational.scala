@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytical operators over the star schema (SURVEY §2.2).
+  *
+  * Design rules (100 TB):
+  *  - dimension tables are broadcast (explicit `broadcast()` hint so
+  *    the plan never degrades to a shuffled join on a small side);
+  *  - every aggregate is a single shuffle on its group key with
+  *    map-side partial aggregation (free with DataFrame groupBy);
+  *  - floating outputs are round(x, 2) so the DuckDB oracle hashes
+  *    identically (both engines round to the nearest double of the
+  *    same decimal);
+  *  - no LIMIT without a total order that includes a unique key.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: pricing summary. Filter + pruning push into the
+    * parquet scan; one shuffle on the 6-ish distinct flag pairs.
+    */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame = {
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Q3 shape: revenue of orders in a market segment. customer is
+    * broadcast; orders⋈lineitem shuffles once on the order key; the
+    * aggregate reuses that partitioning (no extra exchange).
+    */
+  def q3JoinAgg(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    orders
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Q5 shape: revenue by nation through a fully-broadcast dimension
+    * chain region→nation→customer; only the orders⋈lineitem edge
+    * shuffles.
+    */
+  def q5StarJoin(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                 orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    orders
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** EXISTS: customers having at least one high-value order.
+    * left_semi never multiplies rows and broadcasts the probe side
+    * when small.
+    */
+  def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > 100000.0).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** NOT EXISTS: customers with no orders at all. */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Top-k orders per customer by price; row_number with a unique-key
+    * tiebreak (o_orderkey) keeps the result deterministic for the
+    * oracle. One shuffle on o_custkey.
+    */
+  def topKPerKey(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rk"))
+  }
+
+  /** Running revenue per supplier ordered by ship date (unique
+    * tiebreaks so frame contents are deterministic).
+    */
+  def runningSum(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical totals in one
+    * pass (Spark expands grouping sets; still one shuffle).
+    */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Exact + approximate distinct: the oracle checks the exact column;
+    * approx_count_distinct is the HLL path you'd actually run at
+    * 100 TB (no per-key state explosion).
+    */
+  def distinctAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Time-bucketed event aggregation (batch twin of the streaming
+    * window in graft.streaming).
+    */
+  def eventsWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Gap-based sessionization via windows: a new session starts when
+    * the gap to the previous event of the same user exceeds
+    * `gapMinutes`. Pure window plan — DuckDB runs the identical
+    * algorithm, and at scale it is one shuffle on user_id (no
+    * per-session state held anywhere).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = gapMinutes * 60L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prevTs.isNull.or(
+      unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapSec), 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+}

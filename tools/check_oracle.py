@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (development aid only;
+the shipped Scala library does not depend on this).
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet written by graft.Verify, runs the matching
+SQL from oracle_sql.json in DuckDB over the sf_dir tables, and compares
+schema-insensitively: columns sorted by name, rows sorted, values
+compared exactly (floats to 1e-9 relative, and also reported if not
+bit-equal, since the real driver may hash exact values).
+"""
+import json, math, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def rows_of(cols, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [cols[i] for i in order]
+    return sorted(zip(*[[norm(v) for v in c] for c in cols]), key=lambda r: tuple(str(x) for x in r)), [names[i] for i in order]
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+        st = pq.read_table(files[0])
+        try:
+            dt = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}");  n_fail += 1;  continue
+        s_rows, s_names = rows_of([c.to_pylist() for c in st.columns], list(st.schema.names))
+        d_rows, d_names = rows_of([c.to_pylist() for c in dt.columns], list(dt.schema.names))
+        if s_names != d_names:
+            print(f"FAIL {name}: columns {s_names} vs {d_names}");  n_fail += 1;  continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount {len(s_rows)} vs {len(d_rows)}");  n_fail += 1;  continue
+        bad = exact = 0
+        first = None
+        for a, b in zip(s_rows, d_rows):
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    if x != y:
+                        exact += 1
+                        if not (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):
+                            bad += 1
+                            first = first or (a, b)
+                elif x != y:
+                    bad += 1
+                    first = first or (a, b)
+        if bad:
+            print(f"FAIL {name}: {bad} mismatched cells; first {first}")
+            n_fail += 1
+        elif exact:
+            print(f"WARN {name}: values close but {exact} float cells not bit-equal")
+            n_pass += 1
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows exact")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
