@@ -24,7 +24,20 @@ object SparkEntry {
     "mr_grep" -> ((s, dir) => TextOps.grep(Tables.documents(s, dir), "th[ei]")),
     "mr_sort" -> ((s, dir) => TextOps.sortedWordCount(Tables.documents(s, dir))),
     // §2.2 relational
-    "q1_agg" -> ((s, dir) => Relational.q1PricingSummary(Tables.lineitem(s, dir)))
+    "q1_agg" -> ((s, dir) => Relational.q1PricingSummary(Tables.lineitem(s, dir))),
+    "q3_join_agg" -> ((s, dir) => Relational.q3JoinAgg(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q5_star_join" -> ((s, dir) => Relational.q5StarJoin(
+      Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+      Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_semi_join" -> ((s, dir) => Relational.semiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_anti_join" -> ((s, dir) => Relational.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_topk_per_key" -> ((s, dir) => Relational.topKPerKey(Tables.orders(s, dir), 3)),
+    "q_running_sum" -> ((s, dir) => Relational.runningSum(Tables.lineitem(s, dir))),
+    "q_rollup" -> ((s, dir) => Relational.rollupAgg(Tables.lineitem(s, dir))),
+    "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
+    "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
+    "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -54,14 +67,92 @@ object SparkEntry {
         |GROUP BY word ORDER BY cnt DESC, word ASC""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2)                          AS sum_qty,
-        |  round(sum(l_extendedprice), 2)                     AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-        |  round(avg(l_quantity), 2)                          AS avg_qty,
-        |  round(avg(l_extendedprice), 2)                     AS avg_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)      AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2)      AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
         |  count(*)                                           AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority""".stripMargin,
+    "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_topk_per_key" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_rev
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |gapped AS (
+        |  SELECT user_id, event_id, value, tns,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |         OR tns - lag(tns) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM flagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gapped)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
   )
 }

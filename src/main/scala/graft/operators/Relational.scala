@@ -17,21 +17,34 @@ import org.apache.spark.sql.functions._
   *  - no LIMIT without a total order that includes a unique key.
   */
 object Relational {
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Money/measure columns are physically doubles holding exact
+    * 2-decimal values. Summing them as doubles is order-dependent
+    * (parallel partial aggregation), so a rounded result can straddle
+    * a rounding boundary differently between runs/engines. Casting to
+    * decimal first makes every sum EXACT and therefore identical to
+    * the DuckDB oracle bit-for-bit; the final cast back to double is
+    * deterministic.
+    */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def sumMoney(c: Column): Column = round(sum(dec2(c)), 2).cast("double")
 
   /** TPC-H Q1 shape: pricing summary. Filter + pruning push into the
     * parquet scan; one shuffle on the 6-ish distinct flag pairs.
     */
   def q1PricingSummary(lineitem: DataFrame): DataFrame = {
-    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val revenue = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
     lineitem
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(revenue), 2).cast("double").as("sum_disc_price"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 2).as("avg_qty"),
+        round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 2).as("avg_price"),
         count(lit(1)).as("count_order"))
   }
 
@@ -44,8 +57,11 @@ object Relational {
     orders
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(lineitem, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"),
+        col("o_orderpriority"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
   }
 
   /** Q5 shape: revenue by nation through a fully-broadcast dimension
@@ -63,7 +79,8 @@ object Relational {
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
   }
 
   /** EXISTS: customers having at least one high-value order.
@@ -76,10 +93,13 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
-  /** NOT EXISTS: customers with no orders at all. */
+  /** NOT EXISTS: customers with no urgent high-value order (a
+    * non-empty anti-join on this data, unlike "no orders at all").
+    */
   def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
-      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.filter(col("o_totalprice") > 300000.0).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   /** Top-k orders per customer by price; row_number with a unique-key
@@ -93,7 +113,7 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"), col("rk"))
+        round(col("o_totalprice"), 2).as("price"), col("rk").cast("long").as("rk"))
   }
 
   /** Running revenue per supplier ordered by ship date (unique
@@ -105,7 +125,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+        round(sum(dec2(col("l_extendedprice"))).over(w), 2).cast("double").as("running_rev"))
   }
 
   /** ROLLUP over (returnflag, linestatus): hierarchical totals in one
@@ -114,7 +134,7 @@ object Relational {
   def rollupAgg(lineitem: DataFrame): DataFrame =
     lineitem
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
   /** Exact + approximate distinct: the oracle checks the exact column;
     * approx_count_distinct is the HLL path you'd actually run at
@@ -132,8 +152,11 @@ object Relational {
     */
   def eventsWindow(events: DataFrame): DataFrame =
     events
-      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("value"))), 2).cast("double").as("total_value"))
 
   /** Gap-based sessionization via windows: a new session starts when
     * the gap to the previous event of the same user exceeds
@@ -142,18 +165,20 @@ object Relational {
     * per-session state held anywhere).
     */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    // Order and gap on exact epoch-nanos (ts_ns from Tables.events):
+    // the µs-truncated timestamp would be lossy and engine-dependent.
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val gapSec = gapMinutes * 60L
-    val prevTs = lag(col("ts"), 1).over(byUser)
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val gapNs = gapMinutes * 60000L * 1000000L
+    val prevTs = lag(col("ts_ns"), 1).over(byUser)
     val newSession = when(prevTs.isNull.or(
-      unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapSec), 1).otherwise(0)
+      col("ts_ns") - prevTs > gapNs), 1).otherwise(0)
     events
       .withColumn("new_s", newSession)
       .withColumn("session_id", sum(col("new_s")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"))
+        round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
 }

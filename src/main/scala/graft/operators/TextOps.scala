@@ -62,7 +62,7 @@ object TextOps {
     documents
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_matches"))
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
 
   /** Distributed sort of the wordcount output — the MapReduce "sort"

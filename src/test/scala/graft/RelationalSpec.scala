@@ -17,6 +17,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("semi and anti join partition the customers") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    import org.apache.spark.sql.functions._
+    val semi = c.join(o.filter(col("o_totalprice") > 300000.0).select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.antiJoin(c, o).count()
+    assert(semi + anti == c.count())
+    assert(anti > 0)
+  }
+
+  test("topKPerKey returns at most k rows per key, ranked") {
+    val got = Relational.topKPerKey(Tables.orders(spark, sf), 3)
+    import org.apache.spark.sql.functions._
+    val maxPerKey = got.groupBy("o_custkey").count().agg(max("count")).head.getLong(0)
+    assert(maxPerKey <= 3)
+    assert(got.filter(col("rk") > 3).count() == 0)
+  }
+
+  test("sessionize: session count bounded by event count; gaps respected") {
+    val ev = Tables.events(spark, sf)
+    val sess = Relational.sessionize(ev, 30)
+    import org.apache.spark.sql.functions._
+    val totalEvents = sess.agg(sum("n_events")).head.getLong(0)
+    assert(totalEvents == ev.count())
+  }
+
+  test("rollup has grand total row equal to full count") {
+    val r = Relational.rollupAgg(Tables.lineitem(spark, sf))
+    import org.apache.spark.sql.functions._
+    val grand = r.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .head.getLong(3)
+    assert(grand == Tables.lineitem(spark, sf).count())
+  }
+
   test("q1 count_order sums to the filtered row count") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)

@@ -33,8 +33,8 @@ class TextOpsSpec extends AnyFunSuite {
   test("grep matches count and filters non-matching docs") {
     import spark.implicits._
     val df = Seq((1L, "the thing"), (2L, "zzz")).toDF("doc_id", "text")
-    val got = TextOps.grep(df, "th[ei]").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(1L -> 2))
+    val got = TextOps.grep(df, "th[ei]").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
   }
 
   test("sortedWordCount is ordered by cnt desc, word asc") {
