@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SharedSpark {
   lazy val spark: SparkSession = {
+    // local[4,4]: 4 threads AND maxFailures=4, so the crash-recovery
+    // contract spec can observe a task retry succeed (default local
+    // mode fails the job on first task failure).
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
