@@ -37,7 +37,27 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.rollupAgg(Tables.lineitem(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
-    "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30))
+    "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
+    "q_global_topk" -> ((s, dir) => graft.functions.TopK.globalTopK(
+      Tables.orders(s, dir), "o_orderkey", "o_totalprice", 100)),
+    // §2.3 deduplication
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+    // threshold 0.4: the synthetic embeddings have no true near-dups
+    // (max pairwise cosine ≈0.48), so a production 0.9 cut would make
+    // the driver's rows-only check vacuous; specs verify 0.9 on
+    // planted near-dups.
+    "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
+    // §2.4 similarity search
+    "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
+    "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
+    // §2.5 text analysis
+    "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
+    "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,6 +173,93 @@ object SparkEntry {
         |  FROM gapped)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q_global_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS score, rk FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 100""".stripMargin,
+    "dedup_exact" ->
+      """SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |  FROM documents)
+        |GROUP BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
+        |  )) AS shingle FROM norm),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON ca.doc_id = doc_a
+        |JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS corpus_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |              FOR i IN generate_series(1, len(qe))]) /
+        |    (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1, len(qe))])) *
+        |     sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1, len(qe))]))) AS cosine
+        |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+    "ta_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las|un|una|por)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|von|mit|den|des|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|des|une|dans|est|pour|que)\b')) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+    "ta_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS alpha_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |  round(CAST(length(text) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len
+        |FROM documents""".stripMargin,
+    "ta_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min([md5(substr(text, CAST(i AS INT), 8))
+        |            FOR i IN generate_series(1, length(text) - 7)]) AS fingerprint
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, Encoder}
+
+/** Global top-k without a global sort (SURVEY §2.2 row 21).
+  *
+  * Each partition keeps a k-bounded buffer; partial buffers merge
+  * pairwise on the driver-side combine tree. At 100 TB this moves
+  * k·numPartitions rows over the wire instead of range-partitioning
+  * the whole dataset the way orderBy().limit() at scale would —
+  * and unlike `TakeOrderedAndProject` it composes as an aggregate
+  * (usable per-group too).
+  *
+  * Ordering: score DESC, then id ASC — the unique id tiebreak keeps
+  * results deterministic for oracle comparison.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def order(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+
+  /** Keep the buffer loosely bounded (trim at 4k) so reduce is O(1)
+    * amortized; exact top-k is enforced on finish/merge.
+    */
+  private def trim(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    if (buf.length <= 4 * k) buf else buf.sortBy(order).take(k)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] =
+    trim(buf :+ ((a._2, a._1)))
+
+  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (b1 ++ b2).sortBy(order).take(k)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    buf.sortBy(order).take(k)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}
+
+object TopK {
+  import org.apache.spark.sql.functions._
+
+  /** Top-k rows of `df` by `scoreCol` (desc, unique `idCol` tiebreak),
+    * returned as (id, score, rk) — computed with the bounded-buffer
+    * aggregator, no global sort.
+    */
+  def globalTopK(df: DataFrame, idCol: String, scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(scoreCol).cast("double"))
+      .as[(Long, Double)]
+    val topk = ds.select(new TopKAggregator(k).toColumn.name("topk"))
+    topk
+      .select(posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("entry._2").as(idCol), round(col("entry._1"), 2).as("score"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+}

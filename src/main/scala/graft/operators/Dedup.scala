@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §2.3),
+  * over the `documents` table.
+  *
+  * Scale design: none of these ever forms an O(n²) cross product.
+  * Candidate pairs come only from equality joins on content keys
+  * (exact hash, shared shingle, LSH band bucket), so the shuffle is
+  * bounded by actual collisions; exact verification runs per
+  * candidate pair.
+  */
+object Dedup {
+
+  /** Whitespace-normalized, lowercased content. */
+  private def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup: md5 of normalized content → keep the smallest
+    * doc_id per group. One shuffle on the hash; md5 hex is identical
+    * across engines so this is fully SQL-checkable.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(normalized(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def wordShingles(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"),
+        split(trim(normalized(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(ws, i, $n), ' ')))")).as("shingle"))
+
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    * The shared-shingle equality join bounds candidates; set sizes
+    * come from a pre-aggregated per-doc count. SQL-expressible, so
+    * fully oracle-checked.
+    */
+  def ngramJaccard(documents: DataFrame, n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val sh = wordShingles(documents, n)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val j = col("shared").cast("double") /
+      (col("ca.n_sh") + col("cb.n_sh") - col("shared"))
+    shared
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: k seeded min-hashes over the doc's shingle
+    * set. `xxhash64(shingle, seed_i)` gives k independent-enough hash
+    * families entirely inside codegen (no UDF).
+    */
+  def minhashSignatures(documents: DataFrame, n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = wordShingles(documents, n)
+    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: signatures → b bands of r rows →
+    * band-bucket equality self-join → exact Jaccard verification of
+    * the candidates only. At 100 TB the only shuffles are the
+    * signature aggregation and the band-key join; no pair is ever
+    * formed except via a bucket collision.
+    */
+  def minhashLsh(documents: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                 minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatures(documents, n, k)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(documents, candidates, n, minJaccard)
+  }
+
+  /** Exact Jaccard for given candidate pairs, via per-doc distinct
+    * shingle-hash sets (array_intersect on bounded per-doc arrays).
+    */
+  private def verifyJaccard(documents: DataFrame, candidates: DataFrame, n: Int,
+                            minJaccard: Double): DataFrame = {
+    val sets = wordShingles(documents, n)
+      .groupBy("doc_id")
+      .agg(collect_set(xxhash64(col("shingle"))).as("sh_set"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    candidates
+      .join(sets.select(col("doc_id"), col("sh_set").as("sa")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh_set").as("sb")), col("doc_b") === col("doc_id"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: each token's hash votes ±1 on each
+    * bit, weighted by its in-doc count; bit i of the simhash is 1 iff
+    * the vote sum is positive. All 64 bit-votes are codegen'd sums in
+    * ONE aggregation pass (no UDF, no per-bit shuffle).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(trim(normalized(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v_$i")
+    }
+    val bits = (0 until 64).map(i =>
+      when(col(s"v_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L)))
+    words
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits — any pair within
+    * Hamming distance ≤3 must agree exactly on ≥1 band (pigeonhole),
+    * so the band equality join finds all of them without O(n²).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

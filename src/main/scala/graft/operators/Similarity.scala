@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{vecCosine, vecDot}
+
+/** Similarity search over the `embeddings` table (SURVEY §2.4) and
+  * embedding-based near-dup detection (§2.3 row 26).
+  *
+  * Scale contract:
+  *  - the QUERY set is always small and broadcast; the corpus is
+  *    scanned once and never shuffled for brute force;
+  *  - the ANN path only ever joins on LSH band buckets, so candidate
+  *    generation is an equality join, not a cross product;
+  *  - cosine/dot run in the native codegen kernel
+  *    ([[graft.functions.VectorFunctions]]), not a UDF.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seeded), as literal columns —
+    * broadcast as plan constants, never shuffled.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-bucket of an embedding under the planes: bit p = 1 iff
+    * dot(v, plane_p) > 0. A 16-plane signature = 16-bit bucket id.
+    */
+  def signBucket(emb: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(vecDot(emb, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, band, bucket) rows: the signature split into `bands` equal
+    * bit-slices; near neighbors agree on ≥1 slice with high
+    * probability (multi-probe LSH).
+    */
+  def lshBands(df: DataFrame, idCol: String, embCol: String,
+               planes: Seq[Seq[Float]], bands: Int): DataFrame = {
+    val bitsPerBand = planes.size / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sig = signBucket(col(embCol), planes)
+    df.select(col(idCol), col(embCol), sig.as("sig"))
+      .select(col(idCol), col(embCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col(embCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Brute-force cosine top-k: exact baseline. Queries (vec_id <
+    * numQueries) are broadcast; one corpus pass computes cosine in
+    * codegen; per-query top-k via window with unique tiebreak.
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.as("c")
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates only from band-bucket
+    * collisions, exact re-rank inside the candidate set. The scale
+    * path — corpus join key is (band, bucket), never the embedding.
+    */
+  def annTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+              numPlanes: Int = 24, bands: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim)
+    val corpus = lshBands(embeddings, "vec_id", "embedding", planes, bands)
+    val queries = lshBands(
+      embeddings.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", planes, bands)
+    val candidates = corpus.as("c")
+      .join(broadcast(queries).as("q"),
+        col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        col("q_emb"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    candidates
+      .withColumn("cosine", vecCosine(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Embedding cosine near-dup pairs (§2.3 row 26): LSH candidates →
+    * exact cosine filter. Both sides shuffle only on (band, bucket).
+    */
+  def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.9,
+                       numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val banded = lshBands(embeddings, "vec_id", "embedding", planes, bands)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        vecCosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2.5),
+  * over the `documents` table.
+  *
+  * Everything here is pure `functions._` — whole-stage codegen'd
+  * scalar expressions over one scan, no shuffle at all (per-document
+  * results) or one bounded shuffle (corpus aggregates). That is the
+  * 100 TB shape: these ops stream through the corpus at scan speed.
+  */
+object TextAnalysis {
+
+  /** Stopword regexes per language; scores are whole-word match
+    * counts. Tiny fixed lists — the point is the engine shape
+    * (codegen'd regex count + argmax), not linguistic accuracy.
+    */
+  val StopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|for|with|was)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|las|un|una|por)\\b",
+    "de" -> "\\b(der|die|und|das|ist|von|mit|den|des|ein)\\b",
+    "fr" -> "\\b(le|la|et|les|des|une|dans|est|pour|que)\\b")
+
+  private def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Language ID: per-language stopword hit counts + deterministic
+    * argmax (first language in fixed order wins ties).
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val scored = StopwordPatterns.foldLeft(documents.select(col("doc_id"), col("text"))) {
+      case (df, (lang, pat)) => df.withColumn(s"s_$lang", matchCount(col("text"), pat))
+    }
+    val langs = StopwordPatterns.map(_._1)
+    // argmax with fixed tie order: lang L wins iff its score >= every later score
+    // and > every earlier score (equivalently: first max in list order).
+    val best = langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, _), rest) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(col(s"s_$lang") > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+    scored.select(
+      col("doc_id") +: langs.map(l => col(s"s_$l")) :+ best.as("lang_pred"): _*)
+  }
+
+  /** Quality scoring: length, punctuation density, stopword ratio,
+    * alphabetic ratio — the standard cheap pre-filters before
+    * expensive pipeline stages. All ratios are exact-int divisions
+    * rounded to 4 (bit-identical across engines).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nPunct = matchCount(col("text"), "[.,!?;:]")
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val nStop = matchCount(col("text"), StopwordPatterns.head._2)
+    documents.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      nPunct.as("n_punct"),
+      round(nAlpha.cast("double") / nChars, 4).as("alpha_ratio"),
+      round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
+      round(nChars.cast("double") / nWords, 4).as("mean_word_len"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish lexer count
+    * (letter runs / digit runs / single other non-space), per doc and
+    * with a corpus total the pipeline budgets against.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      matchCount(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_bpe_tokens"))
+
+  /** Corpus-level token budget (single bounded aggregate). */
+  def corpusTokenTotals(documents: DataFrame): DataFrame =
+    tokenCounts(documents).agg(
+      sum(col("n_ws_tokens")).as("total_ws_tokens"),
+      sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+      count(lit(1)).as("n_docs"))
+
+  /** Document fingerprint: minimum md5 over all k-char shingles (a
+    * winnowing-style rolling fingerprint). md5 hex compares
+    * identically across engines, so this one is exactly
+    * SQL-checkable, unlike the seeded minhash signatures.
+    */
+  def fingerprint(documents: DataFrame, k: Int = 8): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr(s"array_min(transform(sequence(1, char_length(text) - ${k - 1}), i -> md5(substr(text, i, $k))))")
+        .as("fingerprint"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** §2.3: planted exact and near duplicates must be found; unrelated
+  * documents must not pair up.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  /** 0/1 near-identical (one word changed), 2 identical to 0 modulo
+    * whitespace/case, 3 unrelated.
+    */
+  private def planted: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")),
+      (2L, "  THE   quick brown fox jumps over the lazy dog and runs far away into the green forest tonight "),
+      (3L, "completely different content about spark query engines and shuffles with many unique words here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups whitespace/case-normalized copies") {
+    val groups = Dedup.exact(planted).collect()
+      .map(r => r.getLong(r.fieldIndex("keep_doc_id")) -> r.getLong(r.fieldIndex("n_copies"))).toMap
+    assert(groups(0L) == 2L, "docs 0 and 2 share a normalized hash")
+    assert(groups(1L) == 1L && groups(3L) == 1L)
+  }
+
+  test("ngram jaccard finds the near-pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccard(planted, 3, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact jaccard") {
+    val viaLsh = Dedup.minhashLsh(planted, 3, 32, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.contains((0L, 2L)), "identical docs always collide in every band")
+    assert(viaLsh.contains((0L, 1L)), "one-word-changed doc shares most shingles")
+    assert(!viaLsh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates on real docs are verified-jaccard subsets of exact ngram pairs") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val lsh = Dedup.minhashLsh(docs, 3, 32, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccard(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every LSH-verified pair IS an exact pair (the verification step
+    // guarantees no false positives); recall on >=0.5 pairs is high
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash: identical docs have distance 0; near docs small; unrelated large") {
+    val pairs = Dedup.simhashPairs(planted, 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 2L)) == 0L, "normalized-identical docs get the same simhash")
+    assert(pairs.get((0L, 1L)).forall(_ <= 16L))
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("languageId picks the language with the most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "der hund und die katze ist von den"),
+      (4L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("qualityScore ratios are consistent") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, world! abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df).head
+    assert(r.getLong(r.fieldIndex("n_chars")) == 17L)
+    assert(r.getLong(r.fieldIndex("n_words")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_punct")) == 2L)
+    val alpha = r.getDouble(r.fieldIndex("alpha_ratio"))
+    assert(alpha > 0.7 && alpha < 0.8) // 13 letters / 17 chars
+  }
+
+  test("tokenCounts: ws tokens vs lexer tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "ab1 cd-ef 23")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).head
+    assert(r.getLong(r.fieldIndex("n_ws_tokens")) == 3L)
+    // ab,1,cd,-,ef,23
+    assert(r.getLong(r.fieldIndex("n_bpe_tokens")) == 6L)
+  }
+
+  test("corpus totals equal the sum of per-doc counts") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    import org.apache.spark.sql.functions._
+    val perDoc = TextAnalysis.tokenCounts(docs).agg(sum("n_ws_tokens")).head.getLong(0)
+    val corpus = TextAnalysis.corpusTokenTotals(docs).head
+    assert(corpus.getLong(corpus.fieldIndex("total_ws_tokens")) == perDoc)
+    assert(corpus.getLong(corpus.fieldIndex("n_docs")) == docs.count())
+  }
+
+  test("fingerprint: equal for identical text, different for disjoint text") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zyxwvutsrq")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L), "no shared shingles -> different min-hash fingerprint")
+  }
+}
