@@ -57,7 +57,12 @@ object SparkEntry {
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
-    "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8))
+    "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
+    // §2.6 multimodal
+    "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
+    "mm_features" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir), 16)),
+    // §2.7 streaming
+    "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,6 +265,18 @@ object SparkEntry {
       """SELECT doc_id,
         |  list_min([md5(substr(text, CAST(i AS INT), 8))
         |            FOR i IN generate_series(1, length(text) - 7)]) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "mm_metadata" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  source AS kind
+        |FROM documents""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
   )
 }

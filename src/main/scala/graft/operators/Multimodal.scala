@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary-payload) columns for a training-data pipeline
+  * (SURVEY §2.6).
+  *
+  * Model: media lives as an opaque `binary` column plus a typed
+  * metadata struct; heavy per-item work (decode, resize,
+  * feature-extract, frame-sample) runs BATCHED per partition via
+  * `mapPartitions` — the genuinely imperative hot loop where a
+  * declarative plan adds nothing. The decode itself is STUBBED with a
+  * deterministic byte-level transform because no image/audio codecs
+  * ship in this environment; the Spark-side plumbing (schema,
+  * batching, partition balance) is real and is what the 100 TB design
+  * stands on. Real deployments swap `decodeStub` for a codec and keep
+  * every plan shape.
+  */
+object Multimodal {
+
+  /** Attach the opaque payload + typed metadata. The payload here is
+    * the utf-8 text bytes (the container has no media files); schema
+    * and plumbing are what matter.
+    */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("meta", struct(
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("source").as("kind")))
+
+  /** Per-item metadata extraction — runs entirely in codegen, no
+    * decode. This is the cheap pre-filter pass a real pipeline runs
+    * before paying for decode.
+    */
+  def metadata(documents: DataFrame): DataFrame =
+    withPayload(documents).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.payload_md5").as("payload_md5"),
+      col("meta.kind").as("kind"))
+
+  /** STUB decode: deterministic fixed-size feature vector from raw
+    * bytes (a folded byte histogram, L1-normalized). Stands in for
+    * image decode + embed; same signature: bytes -> float[dim].
+    */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      hist(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1f
+      i += 1
+    }
+    val total = math.max(payload.length, 1).toFloat
+    hist.map(_ / total)
+  }
+
+  /** Batched feature extraction: one `mapPartitions` pass, items
+    * processed in fixed-size batches (the shape a GPU/codec library
+    * wants). Partition count is sized by total payload bytes so
+    * batches stay balanced even when item sizes skew.
+    */
+  def features(documents: DataFrame, dim: Int = 16, batchSize: Int = 64,
+               targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val payloads = withPayload(documents)
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+    // balance: total bytes / target -> partition count (min 1)
+    val totalBytes = payloads.agg(sum("n_bytes")).head.getLong(0)
+    val nParts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    payloads
+      .repartition(nParts, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // batch the iterator: a real decoder amortizes setup per batch
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) => (id, decodeStub(bytes, dim)) }
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Frame-sample shape: emit every `stride`-th fixed-width slice of
+    * the payload (video frame-sampling plumbing; slices are "frames").
+    */
+  def frameSample(documents: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).map { f =>
+          (id, f.toLong, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY §2.7).
+  *
+  * The batch twins live in [[graft.operators.Relational]]
+  * (`eventsWindow`, `sessionize`); these streaming versions must agree
+  * with them on a finite source — that parity is the correctness
+  * gate (oracle SQL for the windowed agg, spec for sessionization).
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded by
+  * (windows in flight × event types); sessionization state is one
+  * small record per active user, evicted on timeout in a real
+  * always-on stream.
+  */
+object EventStreams {
+
+  /** events.parquet physical schema — ts is TIMESTAMP(NANOS), read as
+    * long (see graft.Tables.events for why).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table with the same ts_ns/ts
+    * convention as the batch loader.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory basePath; the glob keeps
+    // the basePath at $dir while matching only the events table file.
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark; runs the finite source
+    * to completion (AvailableNow) and returns the materialized result
+    * shaped exactly like the batch twin / oracle SQL.
+    *
+    * Complete mode because the source is finite: append mode would
+    * hold back the final window past the last watermark. An always-on
+    * deployment would use append + a sink supporting upserts.
+    */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_stream_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double").as("total_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Per-user session accumulator carried across micro-batches. */
+  case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
+
+  /** One emitted session row. */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: state is
+    * ONE small record per user (last event time + open-session
+    * accumulator), not the events themselves. Emits every session
+    * (closed and still-open) each update — parity with the batch
+    * sessionizer on a finite source is asserted in the spec.
+    */
+  def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapNs = gapMinutes * 60000L * 1000000L
+
+    def updateFn(userId: Long, events: Iterator[(Long, Long, Double)],
+                 state: GroupState[SessionBuf]): Iterator[SessionOut] = {
+      // (ts_ns, event_id, value) sorted by event time within the group
+      val sorted = events.toSeq.sortBy(e => (e._1, e._2))
+      var closed = List.empty[SessionOut]
+      var buf = state.getOption.orNull
+      sorted.foreach { case (tsNs, _, value) =>
+        val micros = BigDecimal(value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000L)).toLongExact
+        if (buf == null) {
+          buf = SessionBuf(tsNs, 1L, 1L, micros)
+        } else if (tsNs - buf.lastTsNs > gapNs) {
+          closed ::= SessionOut(userId, buf.sessionId,
+            buf.nEvents, microsToValue(buf.valueMicros))
+          buf = SessionBuf(tsNs, buf.sessionId + 1, 1L, micros)
+        } else {
+          buf = SessionBuf(tsNs, buf.sessionId, buf.nEvents + 1, buf.valueMicros + micros)
+        }
+      }
+      if (buf != null) state.update(buf)
+      // emit closed sessions plus the currently-open one (finite-source
+      // semantics; an always-on stream would emit open sessions on
+      // timeout instead)
+      (closed.reverse ++ state.getOption.map(b =>
+        SessionOut(userId, b.sessionId, b.nEvents, microsToValue(b.valueMicros)))).iterator
+    }
+
+    val qname = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = readEventStream(spark, dir)
+      .select(col("user_id").as[Long], col("ts_ns").as[Long],
+        col("event_id").as[Long], col("value").as[Double])
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (k: Long, it: Iterator[(Long, Long, Long, Double)], s: GroupState[SessionBuf]) =>
+          updateFn(k, it.map(e => (e._2, e._3, e._4)), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
+  private def microsToValue(micros: Long): Double =
+    (BigDecimal(micros) / BigDecimal(1000000L))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
