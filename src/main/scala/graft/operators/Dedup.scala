@@ -120,15 +120,16 @@ object Dedup {
     * ONE aggregation pass (no UDF, no per-bit shuffle).
     */
   def simhash(documents: DataFrame): DataFrame = {
+    // Vote per token OCCURRENCE (sum of ±1 ≡ count-weighted voting),
+    // so one exploded pass + ONE aggregation — no (doc, word) count
+    // pre-shuffle. Map-side partial aggregation carries 64 longs per
+    // (partition, doc), not per token.
     val words = documents
       .select(col("doc_id"),
         explode(split(trim(normalized(col("text"))), "\\s+")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
     val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"v_$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$i")
     }
     val bits = (0 until 64).map(i =>
       when(col(s"v_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L)))

@@ -85,17 +85,20 @@ object Similarity {
       embeddings.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", planes, bands)
+    // Compute cosine BEFORE dedup so the dedup key is scalar
+    // (query_id, corpus_id, cosine) — never shuffle float arrays as
+    // grouping keys. Multi-band duplicates collapse because cosine is
+    // deterministic per pair.
     val candidates = corpus.as("c")
       .join(broadcast(queries).as("q"),
         col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("corpus_id"),
-        col("q_emb"), col("embedding"))
+        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     candidates
-      .withColumn("cosine", vecCosine(col("q_emb"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("corpus_id"),

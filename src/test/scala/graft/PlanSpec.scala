@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §5): the 100 TB design claims —
+  * pushdown, pruning, broadcast, map-side partial aggregation,
+  * whole-stage codegen — must be visible in the physical plan, not
+  * just intended.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  lazy val sf = SharedSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // executes THIS QueryExecution so AQE finalizes it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: filter pushed to parquet, columns pruned, partial agg before exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "unused columns must not be read")
+    assert(p.contains("partial_sum"), "map-side partial aggregation")
+    assert(p.split("Exchange").length - 1 <= 2, "one logical shuffle (plus AQE wrapper)")
+  }
+
+  test("q3_join_agg: dimension filter pushed and customer side broadcast") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter reaches the scan")
+    assert(p.contains("BroadcastHashJoin"), "broadcast join for the dimension")
+  }
+
+  test("q5_star_join: entire dimension chain broadcasts; no dimension shuffle") {
+    val p = plan("q5_star_join")
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+    assert(p.contains("BroadcastHashJoin"))
+    // region/nation/customer never hash-partition: the only allowed
+    // Exchange is the final aggregate's
+    val exchanges = p.split("\n").count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"dimension chain must not shuffle (found $exchanges hash exchanges)")
+  }
+
+  test("mr_wordcount: tokenize+count runs in whole-stage codegen with partial agg") {
+    val p = executedPlan("mr_wordcount")
+    // whole-stage codegen spans print as "*(n) Operator" in simple mode
+    assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"))
+    assert(p.contains("partial_count"))
+    assert(p.contains("ReadSchema: struct<text:string>"), "only the text column is read")
+  }
+
+  test("sim_bruteforce_topk: corpus scanned once, queries broadcast, no corpus shuffle before scoring") {
+    val p = plan("sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(p.contains("vec_cosine"), "native codegen cosine in the plan")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan (no row multiplication)") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}
