@@ -40,6 +40,16 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
     "q_global_topk" -> ((s, dir) => graft.functions.TopK.globalTopK(
       Tables.orders(s, dir), "o_orderkey", "o_totalprice", 100)),
+    "q_topk_per_key_agg" -> ((s, dir) => graft.functions.TopK.perKeyTopK(
+      Tables.orders(s, dir), "o_custkey", "o_orderkey", "o_totalprice", 3)),
+    "q_cube" -> ((s, dir) => Relational.cubeAgg(Tables.lineitem(s, dir))),
+    "q_pivot" -> ((s, dir) => Relational.pivotEvents(Tables.events(s, dir))),
+    "q_percentile" -> ((s, dir) => Relational.percentiles(Tables.orders(s, dir))),
+    "q_setops" -> ((s, dir) => Relational.setOpsIntersect(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
+    "q_corr_subquery" -> ((s, dir) => Relational.orderCountPerCustomer(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
     // §2.3 deduplication
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
@@ -185,6 +195,47 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 100""".stripMargin,
+    "q_topk_per_key_agg" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS score, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer""".stripMargin,
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM (
         |  SELECT doc_id,

@@ -45,6 +45,21 @@ class TopKAggregator(k: Int)
 object TopK {
   import org.apache.spark.sql.functions._
 
+  /** Per-key top-k via the same bounded-buffer aggregator, exposed as
+    * a UDAF: one shuffle carrying k-bounded buffers per (partition,
+    * key) — at scale this beats the window row_number() plan, which
+    * must sort every partition's full data.
+    */
+  def perKeyTopK(df: DataFrame, keyCol: String, idCol: String, scoreCol: String,
+                 k: Int): DataFrame = {
+    val topkUdaf = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
+    df.groupBy(col(keyCol))
+      .agg(topkUdaf(col(idCol).cast("long"), col(scoreCol).cast("double")).as("topk"))
+      .select(col(keyCol), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col(keyCol), col("entry._2").as(idCol),
+        round(col("entry._1"), 2).as("score"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Top-k rows of `df` by `scoreCol` (desc, unique `idCol` tiebreak),
     * returned as (id, score, rk) — computed with the bounded-buffer
     * aggregator, no global sort.

@@ -158,6 +158,77 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         round(sum(dec6(col("value"))), 2).cast("double").as("total_value"))
 
+  /** CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    * pass/shuffle (Spark expands grouping sets map-side).
+    */
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumMoney(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+
+  /** Pivot event counts per user: one shuffle on user_id; the pivot
+    * values are declared (never inferred — inference is an extra
+    * pass at scale).
+    */
+  val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+  def pivotEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  /** Exact interpolated percentiles of order totals per order status.
+    * At 100 TB you'd flip `percentile` to `percentile_approx` (fixed
+    *-size sketch, mergeable); the oracle pins the exact variant.
+    */
+  def percentiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        count(lit(1)).as("n"))
+
+  /** Set operation: BUILDING-segment customers ∩ customers with a
+    * high-value order. INTERSECT is a distinct-respecting equality
+    * op — Spark plans it as a semi join after aggregation, no row
+    * multiplication.
+    */
+  def setOpsIntersect(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(orders.filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("c_custkey")))
+
+  /** Two-stage salted aggregation: stage 1 groups on (key, salt) so a
+    * hot key's rows spread over `saltBuckets` reducers; stage 2
+    * combines the partials. Result is identical to a direct groupBy —
+    * the oracle runs the plain GROUP BY. This is the pattern for keys
+    * whose row count exceeds one executor's memory/CPU (AQE skew-join
+    * handling covers joins; this covers aggregations with huge
+    * per-key state, e.g. exact distinct counts).
+    */
+  def saltedAgg(events: DataFrame, saltBuckets: Int = 16): DataFrame =
+    events
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(saltBuckets)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(dec6(col("value"))).as("partial_sum"), count(lit(1)).as("partial_n"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("partial_sum")), 2).cast("double").as("total_value"),
+        sum(col("partial_n")).as("n"))
+
+  /** Correlated-scalar-subquery shape (order count per customer,
+    * including zero) — decorrelated into a left join + aggregate, the
+    * plan Catalyst itself rewrites correlated subqueries into.
+    */
+  def orderCountPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.as("c")
+      .join(orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt")).as("o"),
+        col("c.c_custkey") === col("o.o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+
   /** Gap-based sessionization via windows: a new session starts when
     * the gap to the previous event of the same user exceeds
     * `gapMinutes`. Pure window plan — DuckDB runs the identical

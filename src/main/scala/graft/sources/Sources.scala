@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Input/output surface (SURVEY §2 sources/sinks).
+  *
+  * The reference consumes whole text files (data/pg-*.txt, one map
+  * task per file — core/coordinator.go hands out one file per task);
+  * [[readTextCorpus]] reproduces that contract distributed. The rest
+  * is the source/sink set a pipeline needs around the parquet star
+  * schema.
+  *
+  * 100 TB rules encoded here:
+  *  - NEVER infer schemas: inference is a full extra pass over the
+  *    data. Every reader takes an explicit StructType and FAILFAST
+  *    so bad rows stop the job instead of silently nulling.
+  *  - Writes go through the committing parquet writer (atomic
+  *    visibility, spec'd in FrameworkContractSpec) with explicit
+  *    partitioning; bucketed tables pre-materialize the join/agg
+  *    hash partitioning so downstream joins on the bucket key skip
+  *    their shuffle entirely.
+  */
+object Sources {
+
+  /** (file name, whole contents) — the reference's input shape, one
+    * row per file, read in parallel (one task per file).
+    */
+  def readTextCorpus(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(pathGlob)
+      .select(input_file_name().as("doc_name"), col("value").as("text"))
+
+  /** Line-oriented text (one row per line, with source file). */
+  def readTextLines(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.text(pathGlob)
+      .select(input_file_name().as("doc_name"), col("value").as("line"))
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON Lines with explicit schema (jsonl is the interchange format
+    * of most LLM-data tooling).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def readParquetTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Hive-style partitioned parquet: the layout that makes partition
+    * pruning work (WHERE on a partition column never touches other
+    * directories).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed managed table: pre-hashes rows into `numBuckets` by
+    * `bucketCol` so equi-joins/aggregations on that key read
+    * co-located buckets instead of shuffling — the standard answer to
+    * "this fact-fact join shuffles 100 TB every run".
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(tableName)
+  }
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

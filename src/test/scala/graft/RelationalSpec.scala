@@ -52,6 +52,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand == Tables.lineitem(spark, sf).count())
   }
 
+  test("salted aggregation equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val salted = Relational.saltedAgg(ev, 16).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = ev.groupBy(col("event_type"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2).cast("double"), count(lit(1)))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("per-key topk via aggregator equals window row_number plan") {
+    val viaAgg = graft.functions.TopK.perKeyTopK(
+      Tables.orders(spark, sf), "o_custkey", "o_orderkey", "o_totalprice", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaWindow = Relational.topKPerKey(Tables.orders(spark, sf), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("cube contains rollup's grouping sets plus the linestatus-only sets") {
+    import org.apache.spark.sql.functions._
+    val cube = Relational.cubeAgg(Tables.lineitem(spark, sf))
+    val rollupN = Relational.rollupAgg(Tables.lineitem(spark, sf)).count()
+    val statusOnly = cube.filter(col("l_returnflag").isNull && col("l_linestatus").isNotNull).count()
+    assert(cube.count() == rollupN + statusOnly)
+  }
+
   test("q1 count_order sums to the filtered row count") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)

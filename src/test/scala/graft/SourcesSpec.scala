@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("readTextCorpus: one row per file with whole contents (reference input shape)") {
+    val dir = Files.createTempDirectory("graft-corpus-")
+    Files.writeString(dir.resolve("a.txt"), "line one\nline two")
+    Files.writeString(dir.resolve("b.txt"), "second file")
+    val df = Sources.readTextCorpus(spark, dir.toString + "/*.txt")
+    val rows = df.collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(rows == Map("a.txt" -> "line one\nline two", "b.txt" -> "second file"))
+  }
+
+  test("csv and jsonl round-trip with explicit schema") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.5), (2L, "y", -0.25)).toDF("id", "name", "score")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val base = Files.createTempDirectory("graft-io-").toString
+    df.write.option("header", "true").csv(s"$base/csv")
+    Sources.writeJsonl(df, s"$base/jsonl")
+    val viaCsv = Sources.readCsv(spark, s"$base/csv", schema).collect().toSet
+    val viaJson = Sources.readJsonl(spark, s"$base/jsonl", schema).collect().toSet
+    assert(viaCsv == df.collect().toSet)
+    assert(viaJson == df.collect().toSet)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val base = Files.createTempDirectory("graft-part-").toString
+    val events = Tables.events(spark, SharedSpark.sf).select("event_id", "event_type", "value")
+    Sources.writePartitioned(events, s"$base/events", Seq("event_type"))
+    val one = spark.read.parquet(s"$base/events").filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), "partition pruning in scan")
+    assert(one.count() == events.filter(col("event_type") === "click").count())
+  }
+
+  test("bucketed table join avoids the shuffle on the bucket key") {
+    val orders = Tables.orders(spark, SharedSpark.sf)
+    Sources.writeBucketed(orders, "orders_bucketed", "o_custkey", 8, Some("o_custkey"))
+    try {
+      val t = spark.table("orders_bucketed")
+      val agg = t.groupBy("o_custkey").count()
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "aggregation on the bucket key must reuse bucketing, not shuffle")
+    } finally spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+  }
+}
