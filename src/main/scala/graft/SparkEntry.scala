@@ -50,6 +50,33 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
     "q_corr_subquery" -> ((s, dir) => Relational.orderCountPerCustomer(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_id").as("click_event_id"),
+          round(col("value").cast("decimal(18,6)"), 2).cast("double").as("click_value"))
+      graft.plans.TemporalJoins.asofJoin(purchases, clicks,
+        "user_id", "ts_ns", "event_id", Seq("click_event_id", "click_value"))
+        .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val halfHourNs = 30L * 60 * 1000 * 1000 * 1000
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"))
+      graft.plans.TemporalJoins.rangeJoin(errors, clicks, "user_id", "ts_ns",
+        before = halfHourNs, after = halfHourNs, binWidth = halfHourNs,
+        leftProject = Seq("event_id"), rightProject = Seq("ts_ns"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby_clicks"))
+    }),
     // §2.3 deduplication
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
@@ -236,6 +263,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_event_id, epoch_ns(ts) AS tns,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, c.click_event_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tns <= p.tns""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, count(*) AS n_nearby_clicks
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.tns >= e.tns - 1800000000000 AND c.tns <= e.tns + 1800000000000
+        |GROUP BY e.event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM (
         |  SELECT doc_id,

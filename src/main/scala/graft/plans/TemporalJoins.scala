@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Whole-operator temporal joins Spark lacks natively (SURVEY §2.9).
+  *
+  * Both are built by COMPOSING existing operators (the survey's
+  * preference (a)): Spark would execute a naive `a.ts >= b.ts`
+  * inequality join as a broadcast-nested-loop — O(|A|·|B|) — so the
+  * composition below is not a convenience, it IS the scale design:
+  *
+  *  - as-of join: union both sides, one sort-within-partition per
+  *    user, carry the latest right-side row forward with
+  *    `last(ignoreNulls)` — one shuffle on the key, zero row
+  *    multiplication, any skew handled like any window;
+  *  - range join: bin time into fixed buckets, equi-join on
+  *    (key, bin) with each left interval exploded to the bins it
+  *    covers, then exact filter — the inequality never reaches the
+  *    join operator.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the single latest right row of
+    * the same `keyCol` with `right.timeCol <= left.timeCol` (DuckDB
+    * `ASOF LEFT JOIN` semantics; ties on time resolved to the
+    * larger `tieCol` — the last row in (time, tie) order).
+    *
+    * Columns `rightCols` from the matched right row are appended
+    * (null when no match).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+               tieCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", col(tieCol))
+    // Right carries ONLY key/time/tie + payload (renamed) so
+    // unionByName can never alias an unrelated same-named column.
+    val rightTagged = right
+      .select(Seq(col(keyCol), col(timeCol), lit(0).as("_side"), col(tieCol).as("_tie")) ++
+        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // Right rows sort BEFORE left rows at the same timestamp, so a
+    // right row with ts == left ts is visible to it (<= semantics).
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    val out = carried.filter(col("_side") === 1)
+    rightCols.foldLeft(out) { (df, c) =>
+      df.withColumn(c, col(s"_asof_$c"))
+    }.select(left.columns.map(col) ++ rightCols.map(col): _*)
+  }
+
+  /** Range join: all (left, right) pairs of the same `keyCol` with
+    * `right.timeCol` in `[left.timeCol - before, left.timeCol +
+    * after]`. Implemented as a binned equi-join: left intervals
+    * explode to the bins they span (bounded by interval/binWidth),
+    * right rows land in one bin, the exact predicate filters after
+    * the hash join.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+                before: Long, after: Long, binWidth: Long,
+                leftProject: Seq[String], rightProject: Seq[String]): DataFrame = {
+    require(binWidth > 0)
+    val lo = col(s"l.$timeCol") - before
+    val hi = col(s"l.$timeCol") + after
+    val binned = left.alias("l")
+      .withColumn("_bin", explode(sequence(
+        floor((col(s"l.$timeCol") - before) / binWidth),
+        floor((col(s"l.$timeCol") + after) / binWidth))))
+    val rightBinned = right.alias("r")
+      .withColumn("_bin", floor(col(s"r.$timeCol") / binWidth))
+    binned
+      .join(rightBinned,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          binned("_bin") === rightBinned("_bin") &&
+          col(s"r.$timeCol") >= lo && col(s"r.$timeCol") <= hi)
+      .select(leftProject.map(c => col(s"l.$c")) ++
+        rightProject.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("uid", "t", "id")
+    val right = Seq((1L, 90L, 20L, "a"), (1L, 150L, 21L, "b"), (1L, 201L, 22L, "c"),
+      (2L, 60L, 23L, "d"))
+      .toDF("uid", "t", "id", "v")
+    val got = TemporalJoins.asofJoin(left, right, "uid", "t", "id", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, 100L, Some("a")), // 90 <= 100, latest
+      (1L, 200L, Some("b")), // 150 <= 200; 201 is in the future
+      (2L, 50L, None)        // no right row at or before 50
+    ))
+  }
+
+  test("asofJoin: right row at exactly the left time matches (<= semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L)).toDF("uid", "t", "id")
+    val right = Seq((1L, 100L, 2L, "exact")).toDF("uid", "t", "id", "v")
+    val got = TemporalJoins.asofJoin(left, right, "uid", "t", "id", Seq("v")).head
+    assert(got.getString(3) == "exact")
+  }
+
+  test("rangeJoin finds exactly the rows inside the window, across bin edges") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L, 1L)).toDF("uid", "t", "id")
+    val right = Seq(
+      (1L, 899L), (1L, 900L), (1L, 1100L), (1L, 1101L), // edges of [900,1100]
+      (2L, 1000L) // other key
+    ).toDF("uid", "t")
+    val got = TemporalJoins.rangeJoin(left, right, "uid", "t",
+      before = 100L, after = 100L, binWidth = 64L,
+      leftProject = Seq("id"), rightProject = Seq("t"))
+      .collect().map(r => r.getLong(1)).sorted
+    assert(got.toSeq == Seq(900L, 1100L))
+  }
+
+  test("rangeJoin equals the naive inequality join on real events") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SharedSpark.sf)
+    val halfHourNs = 1800000000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts_ns").as("c_ts"))
+    val binned = TemporalJoins.rangeJoin(errors, clicks.select(col("c_uid").as("user_id"),
+        col("c_ts").as("ts_ns")), "user_id", "ts_ns",
+        halfHourNs, halfHourNs, halfHourNs, Seq("event_id"), Seq("ts_ns"))
+      .groupBy("event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = errors
+      .join(clicks, errors("user_id") === col("c_uid") &&
+        col("c_ts") >= col("ts_ns") - halfHourNs && col("c_ts") <= col("ts_ns") + halfHourNs)
+      .groupBy("event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == naive)
+  }
+}
