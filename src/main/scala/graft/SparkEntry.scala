@@ -13,9 +13,12 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end corpus-cleaning pipeline exercises scan-stage
+    * quality/language gates, hash dedup, and token accounting in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_clean_corpus")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 MapReduce core applications
@@ -99,7 +102,10 @@ object SparkEntry {
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir), 16)),
     // §2.7 streaming
-    "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir))
+    "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
+    "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
+    // flagship composition
+    "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -375,6 +381,32 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_unique
+        |FROM events GROUP BY event_type""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las|un|una|por)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|von|mit|den|des|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|des|une|dans|est|pour|que)\b')) AS s_fr
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, n_ws_tokens FROM m
+        |  WHERE alpha_ratio >= 0.5 AND n_ws_tokens >= 10
+        |    AND s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr),
+        |hashed AS (
+        |  SELECT doc_id, n_ws_tokens,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM kept)
+        |SELECT doc_id, n_ws_tokens FROM (
+        |  SELECT doc_id, n_ws_tokens, min(doc_id) OVER (PARTITION BY h) AS keep
+        |  FROM hashed)
+        |WHERE doc_id = keep""".stripMargin
   )
 }

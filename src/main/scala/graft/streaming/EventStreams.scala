@@ -71,6 +71,28 @@ object EventStreams {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming exact dedup + aggregation: dropDuplicates inside the
+    * watermark (state = one key per event inside the watermark
+    * horizon, evicted as the watermark advances), then counts per
+    * type. The streaming face of §2.3's exact dedup.
+    */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 

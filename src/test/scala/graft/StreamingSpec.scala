@@ -21,6 +21,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops planted duplicate events") {
+    import org.apache.spark.sql.functions._
+    // plant duplicates: write events twice into one stream directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dup-").toString
+    val raw = spark.read
+      .parquet(s"$sf/events.parquet")
+    raw.write.parquet(s"$dir/events.parque[t]".replace("[t]", "t")) // dir/events.parquet part files
+    raw.limit(100).write.mode("append").parquet(s"$dir/events.parquet")
+    val got = EventStreams.dedupCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("event_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "duplicated first 100 events must be deduped")
+  }
+
   test("stateful sessionization == batch sessionize") {
     val streamed = EventStreams.sessionizeStateful(spark, sf, 30).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
