@@ -53,6 +53,10 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
     "q_corr_subquery" -> ((s, dir) => Relational.orderCountPerCustomer(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_moving_hourly" -> ((s, dir) => Relational.movingHourlyValue(Tables.events(s, dir))),
+    "q_moving_avg" -> ((s, dir) => Relational.movingAvg(Tables.lineitem(s, dir))),
+    "q_ntile_rank" -> ((s, dir) => Relational.ntileRank(Tables.orders(s, dir))),
+    "q_argmax" -> ((s, dir) => Relational.argMaxOrder(Tables.orders(s, dir))),
     "q_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(s, dir)
@@ -185,7 +189,7 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_rev
         |FROM lineitem""".stripMargin,
     "q_rollup" ->
@@ -269,6 +273,36 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer""".stripMargin,
+    "q_moving_hourly" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS hour_value
+        |FROM events""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg4
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+        |                      l_extendedprice ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_ntile_rank" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q_argmax" ->
+      """WITH mx AS (
+        |  SELECT o_orderstatus AS st, max(o_totalprice) AS mp FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, round(max(mp), 2) AS max_price,
+        |  min(o_orderkey) AS argmax_orderkey
+        |FROM orders JOIN mx ON o_orderstatus = st AND o_totalprice = mp
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events

@@ -116,12 +116,15 @@ object Relational {
         round(col("o_totalprice"), 2).as("price"), col("rk").cast("long").as("rk"))
   }
 
-  /** Running revenue per supplier ordered by ship date (unique
-    * tiebreaks so frame contents are deterministic).
+  /** Running revenue per supplier ordered by ship date. The synthetic
+    * data does NOT keep (l_orderkey, l_linenumber) unique, so
+    * l_extendedprice joins the sort key: rows that still tie are
+    * fully identical and order-insensitive for a prefix sum.
     */
   def runningSum(lineitem: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -157,6 +160,58 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(dec6(col("value"))), 2).cast("double").as("total_value"))
+
+  /** Event-time RANGE frame: per user, total value of events in the
+    * trailing hour (peers at the same timestamp included — RANGE, not
+    * ROWS). One shuffle on user_id.
+    */
+  def movingHourlyValue(events: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      .rangeBetween(-hourNs, Window.currentRow)
+    events.select(col("user_id"), col("event_id"),
+      round(sum(dec6(col("value"))).over(w), 2).cast("double").as("hour_value"))
+  }
+
+  /** ROWS-frame moving average (last 4 line items per supplier). */
+  def movingAvg(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_extendedprice").asc)
+      .rowsBetween(-3, Window.currentRow)
+    // No rounding: the decimal sum is exact and decimal→double cast +
+    // IEEE division are bit-identical across engines, while rounding a
+    // double is NOT (Spark rounds the shortest decimal representation,
+    // DuckDB the scaled binary value — they disagree near boundaries).
+    lineitem.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      (sum(dec2(col("l_extendedprice"))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("avg4"))
+  }
+
+  /** Decile + percent_rank of order value within status (unique
+    * orderkey tiebreak keeps tied prices deterministic).
+    */
+  def ntileRank(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.select(col("o_orderstatus"), col("o_orderkey"),
+      ntile(10).over(w).cast("long").as("decile"),
+      round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
+  /** Deterministic arg-max: the smallest orderkey among the rows
+    * achieving the per-status maximum price (a bare max_by/arg_max is
+    * nondeterministic under price ties — this formulation is not).
+    */
+  def argMaxOrder(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+    orders
+      .withColumn("max_price", max(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") === col("max_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(max(col("max_price")), 2).as("max_price"),
+        min(col("o_orderkey")).as("argmax_orderkey"))
+  }
 
   /** CUBE over (returnflag, linestatus): all 4 grouping sets in one
     * pass/shuffle (Spark expands grouping sets map-side).
