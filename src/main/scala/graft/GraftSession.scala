@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the engine's deployment configuration.
+  *
+  * One place for the settings SURVEY §5 relies on, so library users
+  * (and the Verify/Bench mains) build identical sessions:
+  *
+  *  - AQE on, with skew-join splitting and partition coalescing: the
+  *    static shuffle.partitions value stops mattering at scale
+  *    because AQE resizes post-shuffle partitions to target bytes;
+  *  - 128 MB scan partitions (`files.maxPartitionBytes` default kept
+  *    explicit): right for parquet row-group granularity;
+  *  - broadcast threshold left at 10 MB — dimension tables in this
+  *    engine are broadcast EXPLICITLY (`broadcast()` hints), so plans
+  *    do not silently degrade if statistics are stale;
+  *  - UTC session timezone: required for oracle-parity on timestamp
+  *    bucketing, and the only sane cluster default;
+  *  - vec_dot/vec_cosine registered for SQL users.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from the environment (the driver contract:
+    * SPARK_GRAFT_CPUS threads, that many shuffle partitions).
+    */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graftvec.GraftFunctionRegistration.registerAll(spark)
+    spark
+  }
+}

@@ -102,6 +102,8 @@ object SparkEntry {
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
+    "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
+    "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir), 16)),
@@ -403,6 +405,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  list_min([md5(substr(text, CAST(i AS INT), 8))
         |            FOR i IN generate_series(1, length(text) - 7)]) AS fingerprint
+        |FROM documents""".stripMargin,
+    "ta_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        |       THEN 'valid' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,

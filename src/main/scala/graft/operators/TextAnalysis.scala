@@ -84,6 +84,42 @@ object TextAnalysis {
       sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
       count(lit(1)).as("n_docs"))
 
+  /** Deterministic train/validation split by content-stable hash:
+    * the assignment depends only on doc_id, so it is reproducible
+    * across runs, engines, and repartitions — the property a held-out
+    * split must have at 100 TB (no RNG state, no sampling drift).
+    * First md5 byte < 0x29 → "valid" (~16%).
+    */
+  def trainValidSplit(documents: DataFrame, validHexThreshold: String = "29"): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < validHexThreshold, lit("valid"))
+        .otherwise(lit("train")).as("split"))
+
+  /** TF-IDF top terms per document: tf · ln(N/df), one aggregation
+    * for term frequencies, one bounded aggregation for document
+    * frequencies (vocabulary-sized, broadcast back), top-3 via
+    * window. ln() is evaluated on the executor (1-ulp libm
+    * differences across engines make this rows-only + spec-checked).
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), TextOps.TokenPattern)).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(countDistinct(col("doc_id"))).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("word"), round(col("score"), 4).as("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Document fingerprint: minimum md5 over all k-char shingles (a
     * winnowing-style rolling fingerprint). md5 hex compares
     * identically across engines, so this one is exactly

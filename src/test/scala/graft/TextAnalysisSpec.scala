@@ -48,6 +48,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus.getLong(corpus.fieldIndex("n_docs")) == docs.count())
   }
 
+  test("trainValidSplit is deterministic and covers every doc exactly once") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val s1 = TextAnalysis.trainValidSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextAnalysis.trainValidSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "same assignment on re-run")
+    assert(s1.size == docs.count())
+    val validFrac = s1.values.count(_ == "valid").toDouble / s1.size
+    assert(validFrac > 0.05 && validFrac < 0.35, s"~16% expected, got $validFrac")
+  }
+
+  test("tfidf ranks a doc-distinctive term above corpus-common terms") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common common zebra zebra zebra zebra"),
+      (2L, "common common words here"),
+      (3L, "common words there there")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "zebra", "'common' appears in every doc -> idf 0")
+  }
+
   test("fingerprint: equal for identical text, different for disjoint text") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zyxwvutsrq")).toDF("doc_id", "text")
