@@ -68,8 +68,9 @@ object Multimodal {
     import spark.implicits._
     val payloads = withPayload(documents)
       .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
-    // balance: total bytes / target -> partition count (min 1)
-    val totalBytes = payloads.agg(sum("n_bytes")).head.getLong(0)
+    // balance: total bytes / target -> partition count (min 1);
+    // coalesce(0) because sum over zero rows is null
+    val totalBytes = payloads.agg(coalesce(sum("n_bytes"), lit(0L))).head.getLong(0)
     val nParts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     payloads
       .repartition(nParts, col("doc_id"))

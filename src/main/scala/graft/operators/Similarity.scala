@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{vecCosine, vecDot}
 
+/** Mean of float vectors with an O(dim) buffer: (running sum, count).
+  * Associative + commutative, so Spark runs it map-side.
+  */
+class VectorMeanAggregator
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    var i = 0
+    while (i < v.length && i < acc.length) { acc(i) += v(i); i += 1 }
+    (acc, b._2 + 1)
+  }
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._1.isEmpty) b
+    else if (b._1.isEmpty) a
+    else {
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+  }
+  override def finish(r: (Array[Double], Long)): Seq[Double] =
+    if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** Similarity search over the `embeddings` table (SURVEY §2.4) and
   * embedding-based near-dup detection (§2.3 row 26).
   *
@@ -104,6 +133,29 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
   }
+
+  /** Per-label centroids: mean embedding per label via a typed
+    * [[org.apache.spark.sql.expressions.Aggregator]] whose buffer is
+    * ONE dim-sized vector — true map-side partial aggregation, state
+    * O(labels × dim), never a per-group list of vectors.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroidUdaf = udaf(new VectorMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    embeddings
+      .groupBy(col("label"))
+      .agg(centroidUdaf(col("embedding")).as("centroid"), count(lit(1)).as("n"))
+  }
+
+  /** Label-balanced downsampling (class rebalancing before training):
+    * seeded stratified sample, deterministic for a fixed seed +
+    * partitioning of the input.
+    */
+  def balancedSample(embeddings: DataFrame, fractions: Map[Int, Double],
+                     seed: Long = 42L): DataFrame =
+    embeddings.stat.sampleBy("label", fractions, seed)
 
   /** Embedding cosine near-dup pairs (§2.3 row 26): LSH candidates →
     * exact cosine filter. Both sides shuffle only on (band, bucket).

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Operators must be total on empty inputs (a 100 TB pipeline always
+  * has some empty partition/day/source): no exceptions, empty output.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private def emptyEmb: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+
+  test("text/dedup/analysis operators return empty on empty documents") {
+    assert(TextOps.wordCount(emptyDocs).count() == 0)
+    assert(TextOps.invertedIndex(emptyDocs).count() == 0)
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(TextAnalysis.languageId(emptyDocs).count() == 0)
+    assert(TextAnalysis.fingerprint(emptyDocs).count() == 0)
+    assert(Pipeline.cleanCorpus(emptyDocs).count() == 0)
+    assert(Multimodal.metadata(emptyDocs).count() == 0)
+    assert(Multimodal.features(emptyDocs).count() == 0)
+  }
+
+  test("similarity operators return empty on empty embeddings") {
+    assert(Similarity.bruteForceTopK(emptyEmb).count() == 0)
+    assert(Similarity.annTopK(emptyEmb).count() == 0)
+    assert(Similarity.embeddingNearDup(emptyEmb).count() == 0)
+    assert(Similarity.labelCentroids(emptyEmb).count() == 0)
+  }
+}

@@ -51,6 +51,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall")
   }
 
+  test("labelCentroids: mean of planted vectors, one row per label") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0),
+      (3L, Array(10f, 20f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df).collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(got(0)._1 == Seq(2.0, 4.0) && got(0)._2 == 2L)
+    assert(got(1)._1 == Seq(10.0, 20.0) && got(1)._2 == 1L)
+  }
+
+  test("labelCentroids on real embeddings: 10 labels, 64 dims, bounded values") {
+    val got = Similarity.labelCentroids(Tables.embeddings(spark, SharedSpark.sf)).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val c = r.getSeq[Double](1)
+      assert(c.length == 64)
+      assert(c.forall(x => math.abs(x) < 1.0))
+    }
+  }
+
+  test("balancedSample is deterministic for a fixed seed and respects strata") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val fr = (0 until 10).map(l => l -> (if (l < 5) 0.2 else 1.0)).toMap
+    val a = Similarity.balancedSample(emb, fr, 7L).collect().map(_.getLong(0)).sorted
+    val b = Similarity.balancedSample(emb, fr, 7L).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    val byLabel = Similarity.balancedSample(emb, fr, 7L).groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val full = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (5 until 10).foreach(l => assert(byLabel(l) == full(l), "fraction 1.0 keeps all"))
+    (0 until 5).foreach(l => assert(byLabel(l) < full(l), "fraction 0.2 drops rows"))
+  }
+
+  test("approx_count_distinct (HLL, the 100 TB path) is within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("embedding near-dup finds planted duplicates at 0.9 and nothing else") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -37,6 +37,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "duplicated first 100 events must be deduped")
   }
 
+  test("streaming restart from checkpoint processes only new files, result stays correct") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.limit(400).write.parquet(srcDir)
+
+    def runOnce(qname: String): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val q = spark.readStream
+        .schema(EventStreams.eventsSchema)
+        .parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce("ckpt_run1")
+    val firstTotal = spark.table("ckpt_run1").agg(sum("n")).head.getLong(0)
+    assert(firstTotal == 400L)
+    // new data arrives; restart from the same checkpoint
+    ev.limit(500).write.mode("append").parquet(srcDir)
+    runOnce("ckpt_run2")
+    val secondTotal = spark.table("ckpt_run2").agg(sum("n")).head.getLong(0)
+    assert(secondTotal == 900L, "resumed query must count old state + only-new files")
+  }
+
   test("stateful sessionization == batch sessionize") {
     val streamed = EventStreams.sessionizeStateful(spark, sf, 30).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
