@@ -70,6 +70,19 @@ object SparkEntry {
         "user_id", "ts_ns", "event_id", Seq("click_event_id", "click_value"))
         .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
     }),
+    "q_asof_join_native" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"),
+          col("event_id").as("click_event_id"),
+          round(col("value").cast("decimal(18,6)"), 2).cast("double").as("click_value"))
+      org.apache.spark.sql.graftplan.AsofJoinNative.asofJoin(
+        purchases, clicks, "user_id", "ts_ns", Seq("click_event_id", "click_value"))
+        .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
+    }),
     "q_range_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(s, dir)
@@ -309,6 +322,16 @@ object SparkEntry {
         |FROM orders JOIN mx ON o_orderstatus = st AND o_totalprice = mp
         |GROUP BY o_orderstatus""".stripMargin,
     "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_event_id, epoch_ns(ts) AS tns,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, c.click_event_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tns <= p.tns""".stripMargin,
+    "q_asof_join_native" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
         |  WHERE event_type = 'purchase'),
