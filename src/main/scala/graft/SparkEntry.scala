@@ -119,6 +119,9 @@ object SparkEntry {
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
+    "ta_scrub" -> ((s, dir) => TextAnalysis.scrub(Tables.documents(s, dir))),
+    "ta_passages" -> ((s, dir) => TextAnalysis.passages(Tables.documents(s, dir), 20)),
+    "ta_pack" -> ((s, dir) => TextAnalysis.packIntoShards(Tables.documents(s, dir), 2000L)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
@@ -437,6 +440,33 @@ object SparkEntry {
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
         |       THEN 'valid' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+    "ta_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_digit_runs,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "ta_passages" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id, CAST(r['idx'] AS BIGINT) AS passage_idx, r['s'] AS passage FROM (
+        |  SELECT doc_id,
+        |    unnest([{'idx': i - 1, 's': array_to_string(ws[(i-1)*20+1 : i*20], ' ')}
+        |            FOR i IN generate_series(1, (len(ws) - 1) // 20 + 1)]) AS r
+        |  FROM w)""".stripMargin,
+    "ta_pack" ->
+      """WITH sized AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM sized""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

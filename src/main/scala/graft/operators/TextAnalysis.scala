@@ -107,8 +107,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), TextOps.TokenPattern)).as("word"))
       .filter(col("word") =!= "")
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df derives from tf (rows of tf ARE distinct (doc, word) pairs):
+    // one tokenize+explode pass total, not two
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = documents.select(countDistinct(col("doc_id"))).head.getLong(0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
@@ -118,6 +119,79 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("word"), round(col("score"), 4).as("score"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** PII/URL scrubbing: redact emails, URLs, and long digit runs —
+    * the standard cheap sanitization pass before training. Pure
+    * codegen regexp_replace chain; flags count what was redacted.
+    */
+  def scrub(documents: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlPat = "https?://[^\\s]+"
+    val digitPat = "[0-9]{9,}"
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).cast("long").as("n_digit_runs"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), urlPat, "<URL>"),
+          emailPat, "<EMAIL>"),
+        digitPat, "<NUM>").as("scrubbed"))
+  }
+
+  /** Passage splitting: one row per fixed-size word window (stride =
+    * window, i.e. non-overlapping) with its index — the doc→passage
+    * explosion feeding embedding/indexing stages. posexplode keeps
+    * the (doc, passage_idx) identity stable.
+    */
+  def passages(documents: DataFrame, wordsPerPassage: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(ws) - 1) div $wordsPerPassage), " +
+            s"i -> array_join(slice(ws, i * $wordsPerPassage + 1, $wordsPerPassage), ' '))"))
+          .as(Seq("passage_idx", "passage")))
+      .select(col("doc_id"), col("passage_idx").cast("long").as("passage_idx"), col("passage"))
+
+  /** Context-window packing: assign docs (in stable doc_id order) to
+    * training shards by cumulative token budget — shard = running
+    * token total BEFORE this doc, integer-divided by the budget.
+    *
+    * NOT a global window (a partition-less window would funnel
+    * everything through one task): two-phase distributed prefix sum —
+    * range-partition by doc_id, sum tokens per partition, prefix the
+    * tiny per-partition totals on the driver, then one partition-local
+    * pass with the broadcast offsets. Semantics identical to the
+    * sequential definition, so the SQL oracle is an exact check.
+    */
+  def packIntoShards(documents: DataFrame, tokensPerShard: Long = 2000L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val sized = documents
+      .select(col("doc_id").cast("long"), nTokens.as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+    val perPartition = sized.rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((idx, s))
+      }
+      .collect().sortBy(_._1)
+    val offsets = perPartition.map(_._2).scanLeft(0L)(_ + _)
+    sized.rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        var running = offsets(idx)
+        it.map { case (id, n) =>
+          val shard = running / tokensPerShard
+          running += n
+          (id, n, shard)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard")
   }
 
   /** Document fingerprint: minimum md5 over all k-char shingles (a

@@ -71,6 +71,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top(1L) == "zebra", "'common' appears in every doc -> idf 0")
   }
 
+  test("scrub redacts emails, urls, and long digit runs") {
+    import spark.implicits._
+    val df = Seq((1L, "mail me@example.com or visit https://x.io/page id 123456789 ok"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(df).head
+    assert(r.getLong(r.fieldIndex("n_emails")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_urls")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_digit_runs")) == 1L)
+    assert(r.getString(r.fieldIndex("scrubbed")) == "mail <EMAIL> or visit <URL> id <NUM> ok")
+  }
+
+  test("passages cover the whole doc in order without overlap") {
+    import spark.implicits._
+    val words = (1 to 45).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words)).toDF("doc_id", "text")
+    val rows = TextAnalysis.passages(df, 20).collect().sortBy(_.getLong(1))
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(2)).mkString(" ") == words, "concatenation restores the doc")
+  }
+
+  test("packIntoShards: shards are contiguous in doc order and respect the budget") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val packed = TextAnalysis.packIntoShards(docs, 500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(packed.length == docs.count())
+    // shard ids non-decreasing in doc order
+    packed.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3); case _ => }
+    // recompute sequentially and compare
+    var running = 0L
+    packed.foreach { case (_, n, shard) =>
+      assert(shard == running / 500L)
+      running += n
+    }
+  }
+
   test("fingerprint: equal for identical text, different for disjoint text") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zyxwvutsrq")).toDF("doc_id", "text")
