@@ -110,6 +110,7 @@ object SparkEntry {
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
+    "sim_ann_ivf" -> ((s, dir) => Similarity.annTopKIvf(Tables.embeddings(s, dir), 8, 10)),
     "sim_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "sim_balanced_sample" -> ((s, dir) => Similarity.balancedSample(
       Tables.embeddings(s, dir), (0 until 10).map(l => l -> (if (l < 5) 0.5 else 1.0)).toMap)),

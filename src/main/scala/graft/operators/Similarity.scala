@@ -157,6 +157,51 @@ object Similarity {
                      seed: Long = 42L): DataFrame =
     embeddings.stat.sampleBy("label", fractions, seed)
 
+  /** IVF cell assignment: nearest seed vector (deterministic seeds =
+    * the first `nCells` corpus vectors, broadcast) per row. One
+    * corpus pass against a broadcast seed table — the coarse
+    * quantizer of an IVF index without an iterative k-means fit.
+    */
+  def ivfCells(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
+               probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    df.join(broadcast(seeds))
+      .select(col(idCol), col(embCol),
+        col("cell"), vecCosine(col(embCol), col("cell_emb")).as("cell_cos"))
+      .withColumn("cell_rk", row_number().over(w))
+      .filter(col("cell_rk") <= probes)
+      .select(col(idCol), col(embCol), col("cell"))
+  }
+
+  /** IVF-bucketed ANN top-k (the prompt's "IVF variant as the scale
+    * path"): corpus rows live in their single nearest cell; each
+    * query probes its `probes` nearest cells; exact re-rank inside
+    * the probed cells only. The corpus join key is the cell id.
+    */
+  def annTopKIvf(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                 nCells: Int = 16, probes: Int = 4): DataFrame = {
+    val seeds = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
+    val corpus = ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
+    val queries = ivfCells(
+      embeddings.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", seeds, probes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    corpus.as("c")
+      .join(broadcast(queries).as("q"),
+        col("c.cell") === col("q.cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
   /** Embedding cosine near-dup pairs (§2.3 row 26): LSH candidates →
     * exact cosine filter. Both sides shuffle only on (band, bucket).
     */

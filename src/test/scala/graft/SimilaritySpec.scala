@@ -51,6 +51,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall")
   }
 
+  test("IVF ANN: k rows per query, recall vs brute force is usable") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annTopKIvf(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall (4/16 cells probed)")
+    val perQuery = ivf.groupBy(_._1).values.map(_.size)
+    assert(perQuery.forall(_ <= 10))
+  }
+
   test("labelCentroids: mean of planted vectors, one row per label") {
     import spark.implicits._
     val df = Seq(
