@@ -71,4 +71,14 @@ object TextOps {
     */
   def sortedWordCount(documents: DataFrame): DataFrame =
     wordCount(documents).orderBy(desc("cnt"), asc("word"))
+
+  /** The reference's exact output shape: one `"key value"` line per
+    * key, sorted by key (core/worker.go writes `%v %v` lines to
+    * mr-out-R; mrsequential.go sorts globally). Returns the lines as
+    * a single-column DataFrame ready for a text sink.
+    */
+  def mrOutLines(counts: DataFrame, keyCol: String = "word", valCol: String = "cnt"): DataFrame =
+    counts
+      .orderBy(asc(keyCol))
+      .select(concat_ws(" ", col(keyCol), col(valCol)).as("line"))
 }

@@ -80,6 +80,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(cube.count() == rollupN + statusOnly)
   }
 
+  test("percentile_approx (the 100 TB sketch path) lands near exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf)
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx")).head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("q1 count_order sums to the filtered row count") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)

@@ -37,6 +37,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L))
   }
 
+  test("mrOutLines produces the reference's sorted 'key value' lines") {
+    import spark.implicits._
+    val df = Seq((1L, "b a b")).toDF("doc_id", "text")
+    val lines = TextOps.mrOutLines(TextOps.wordCount(df)).collect().map(_.getString(0))
+    assert(lines.toSeq == Seq("a 1", "b 2"))
+  }
+
   test("sortedWordCount is ordered by cnt desc, word asc") {
     val rows = TextOps.sortedWordCount(docs).limit(100).collect()
       .map(r => (r.getLong(1), r.getString(0)))
