@@ -24,14 +24,14 @@ object Pipeline {
     val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
     val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
       length(col("text"))
-    val scored = TextAnalysis.languageId(documents)
-      .select(col("doc_id").as("lid_doc_id"), col("lang_pred"))
+    // all three gates are scalar expressions on the SAME scan — no
+    // join back by doc_id, rejected docs never leave the scan stage
     val kept = documents
       .withColumn("n_ws_tokens", nWords)
       .withColumn("alpha_ratio", alphaRatio)
-      .filter(col("alpha_ratio") >= minAlphaRatio && col("n_ws_tokens") >= minWords)
-      .join(scored, col("doc_id") === col("lid_doc_id"))
-      .filter(col("lang_pred") === keepLang)
+      .withColumn("lang_pred", TextAnalysis.langPred(col("text")))
+      .filter(col("alpha_ratio") >= minAlphaRatio && col("n_ws_tokens") >= minWords &&
+        col("lang_pred") === keepLang)
     val hashed = kept.withColumn("content_hash",
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
     hashed

@@ -26,24 +26,28 @@ object TextAnalysis {
   private def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** The language-ID argmax as a single scalar Column over a text
+    * column — usable inline in any scan (no join needed to attach a
+    * language to a row). First language in fixed order wins ties.
+    */
+  def langPred(text: Column): Column = {
+    val scores = StopwordPatterns.map { case (lang, pat) => lang -> matchCount(text, pat) }
+    val langs = scores.map(_._1)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
+      val isMax = scores.filter(_._1 != lang).map(o => s >= o._2).reduce(_ && _)
+      when(s > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+  }
+
   /** Language ID: per-language stopword hit counts + deterministic
     * argmax (first language in fixed order wins ties).
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val scored = StopwordPatterns.foldLeft(documents.select(col("doc_id"), col("text"))) {
-      case (df, (lang, pat)) => df.withColumn(s"s_$lang", matchCount(col("text"), pat))
+    val scoreCols = StopwordPatterns.map { case (lang, pat) =>
+      matchCount(col("text"), pat).as(s"s_$lang")
     }
-    val langs = StopwordPatterns.map(_._1)
-    // argmax with fixed tie order: lang L wins iff its score >= every later score
-    // and > every earlier score (equivalently: first max in list order).
-    val best = langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, _), rest) =>
-      val isMax = langs.filter(_ != lang)
-        .map(o => col(s"s_$lang") >= col(s"s_$o"))
-        .reduce(_ && _)
-      when(col(s"s_$lang") > 0 && isMax, lit(lang)).otherwise(rest)
-    }
-    scored.select(
-      col("doc_id") +: langs.map(l => col(s"s_$l")) :+ best.as("lang_pred"): _*)
+    documents.select(
+      col("doc_id") +: scoreCols :+ langPred(col("text")).as("lang_pred"): _*)
   }
 
   /** Quality scoring: length, punctuation density, stopword ratio,
