@@ -434,7 +434,7 @@ object SparkEntry {
     "ta_fingerprint" ->
       """SELECT doc_id,
         |  list_min([md5(substr(text, CAST(i AS INT), 8))
-        |            FOR i IN generate_series(1, length(text) - 7)]) AS fingerprint
+        |            FOR i IN generate_series(1, greatest(length(text) - 7, 1))]) AS fingerprint
         |FROM documents""".stripMargin,
     "ta_split" ->
       """SELECT doc_id,

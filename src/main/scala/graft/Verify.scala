@@ -9,6 +9,13 @@ object Verify {
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // pre-delete so a failing query can never leave a stale result
+      // from an earlier run for the comparator to "pass" against
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(target).deleteRecursively()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Whitespace-normalized, lowercased content. */
-  private def normalized(text: Column): Column =
+  private[operators] def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** The exact-dedup identity: md5 of normalized content. Shared by
+    * [[exact]] and the cleaning pipeline so the key (and its SQL
+    * oracle twin) is defined once.
+    */
+  def contentHash(text: Column): Column = md5(normalized(text))
 
   /** Exact dedup: md5 of normalized content → keep the smallest
     * doc_id per group. One shuffle on the hash; md5 hex is identical
@@ -24,7 +30,7 @@ object Dedup {
     */
   def exact(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), md5(normalized(col("text"))).as("content_hash"))
+      .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 

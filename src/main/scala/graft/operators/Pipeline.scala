@@ -32,8 +32,7 @@ object Pipeline {
       .withColumn("lang_pred", TextAnalysis.langPred(col("text")))
       .filter(col("alpha_ratio") >= minAlphaRatio && col("n_ws_tokens") >= minWords &&
         col("lang_pred") === keepLang)
-    val hashed = kept.withColumn("content_hash",
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val hashed = kept.withColumn("content_hash", Dedup.contentHash(col("text")))
     hashed
       .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
       .filter(col("doc_id") === col("keep"))

@@ -139,9 +139,10 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
-  /** Exact + approximate distinct: the oracle checks the exact column;
-    * approx_count_distinct is the HLL path you'd actually run at
-    * 100 TB (no per-key state explosion).
+  /** Exact distinct count per group. The output stays exact-only so
+    * the oracle can hash it; the HLL path you'd run at 100 TB
+    * (approx_count_distinct — engine-specific sketch, not
+    * oracle-comparable) is accuracy-spec'd in SimilaritySpec.
     */
   def distinctAgg(lineitem: DataFrame): DataFrame =
     lineitem

@@ -107,9 +107,7 @@ object TextAnalysis {
     * differences across engines make this rows-only + spec-checked).
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), explode(split(col("text"), TextOps.TokenPattern)).as("word"))
-      .filter(col("word") =!= "")
+    val toks = TextOps.tokens(documents)
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     // df derives from tf (rows of tf ARE distinct (doc, word) pairs):
     // one tokenize+explode pass total, not two
@@ -204,8 +202,11 @@ object TextAnalysis {
     * SQL-checkable, unlike the seeded minhash signatures.
     */
   def fingerprint(documents: DataFrame, k: Int = 8): DataFrame =
+    // greatest(..., 1): a doc shorter than k chars fingerprints its
+    // whole text — without the clamp, Spark's sequence(1, n<1) counts
+    // DOWN and hashes nonsense positions while the oracle returns NULL
     documents.select(
       col("doc_id"),
-      expr(s"array_min(transform(sequence(1, char_length(text) - ${k - 1}), i -> md5(substr(text, i, $k))))")
-        .as("fingerprint"))
+      expr(s"array_min(transform(sequence(1, greatest(char_length(text) - ${k - 1}, 1)), " +
+        s"i -> md5(substr(text, i, $k))))").as("fingerprint"))
 }

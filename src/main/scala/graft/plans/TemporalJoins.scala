@@ -35,23 +35,26 @@ object TemporalJoins {
     val leftTagged = left
       .withColumn("_side", lit(1))
       .withColumn("_tie", col(tieCol))
-    // Right carries ONLY key/time/tie + payload (renamed) so
-    // unionByName can never alias an unrelated same-named column.
+    // Right carries its payload as ONE struct (non-null whenever a
+    // right row exists, even if every field is null), so the carry
+    // below can never mix fields from different right rows the way a
+    // per-column last(ignoreNulls) would when a payload value is null.
+    // Selecting only key/time/tie+struct also keeps unionByName from
+    // aliasing an unrelated same-named column.
     val rightTagged = right
-      .select(Seq(col(keyCol), col(timeCol), lit(0).as("_side"), col(tieCol).as("_tie")) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+      .select(col(keyCol), col(timeCol), lit(0).as("_side"), col(tieCol).as("_tie"),
+        struct(rightCols.map(col): _*).as("_r_payload"))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     // Right rows sort BEFORE left rows at the same timestamp, so a
     // right row with ts == left ts is visible to it (<= semantics).
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_asof", last(col("_r_payload"), ignoreNulls = true).over(w))
     val out = carried.filter(col("_side") === 1)
     rightCols.foldLeft(out) { (df, c) =>
-      df.withColumn(c, col(s"_asof_$c"))
+      df.withColumn(c, col(s"_asof.$c"))
     }.select(left.columns.map(col) ++ rightCols.map(col): _*)
   }
 

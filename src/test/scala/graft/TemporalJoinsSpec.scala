@@ -31,6 +31,18 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got.getString(3) == "exact")
   }
 
+  test("asofJoin with a null payload field keeps the matched row's other fields (no column mixing)") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, 1L)).toDF("uid", "t", "id")
+    val right = Seq(
+      (1L, 10L, 10L, Some("a"), Some(1.5)),
+      (1L, 20L, 11L, Some("b"), None) // latest match: v2 is NULL
+    ).toDF("uid", "t", "id", "v1", "v2")
+    val r = TemporalJoins.asofJoin(left, right, "uid", "t", "id", Seq("v1", "v2")).head
+    assert(r.getString(3) == "b", "v1 must come from the t=20 row")
+    assert(r.isNullAt(4), "v2 must be the matched row's NULL, not carried from t=10")
+  }
+
   test("rangeJoin finds exactly the rows inside the window, across bin edges") {
     import spark.implicits._
     val left = Seq((1L, 1000L, 1L)).toDF("uid", "t", "id")

@@ -106,6 +106,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint of a doc shorter than k hashes the whole text (no descending sequence)") {
+    import spark.implicits._
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, 8).head.getString(1)
+    // substr(text, 1, 8) on a 3-char doc is the doc itself
+    assert(fp == java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes).map("%02x".format(_)).mkString)
+  }
+
   test("fingerprint: equal for identical text, different for disjoint text") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zyxwvutsrq")).toDF("doc_id", "text")

@@ -29,10 +29,17 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
+def sort_key(v):
+    # floats sort by a rounded representation so rows differing only in
+    # low float bits pair up with the right partner across engines
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
 def rows_of(cols, names):
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [cols[i] for i in order]
-    return sorted(zip(*[[norm(v) for v in c] for c in cols]), key=lambda r: tuple(str(x) for x in r)), [names[i] for i in order]
+    return sorted(zip(*[[norm(v) for v in c] for c in cols]), key=lambda r: tuple(sort_key(x) for x in r)), [names[i] for i in order]
 
 def main(outdir, sfdir):
     con = duckdb.connect()
