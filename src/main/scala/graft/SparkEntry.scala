@@ -107,6 +107,8 @@ object SparkEntry {
     // the driver's rows-only check vacuous; specs verify 0.9 on
     // planted near-dups.
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
+    "dedup_components" -> ((s, dir) => Dedup.connectedComponents(
+      Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
@@ -381,6 +383,31 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = doc_a
         |JOIN cnt cb ON cb.doc_id = doc_b
         |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
+        |  )) AS shingle FROM norm),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+        |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -120,6 +120,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: the transitive-closure
+    * step of dedup (if A~B and B~C, keep ONE of {A,B,C}). Iterative
+    * min-label propagation — each round every node takes the min
+    * component id among itself and its neighbors; converges in
+    * O(graph diameter) rounds. This is the standard distributed CC
+    * (GraphFrames/Pregel shape): per round one join + one aggregate,
+    * labels cached, previous iteration unpersisted.
+    *
+    * Output: (doc_id, component_id = min doc_id in the component) for
+    * every doc that appears in at least one pair.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .cache()
+    // min-propagation strictly decreases the label sum until the
+    // fixpoint, so convergence is a scalar checksum, not a join
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("n_comp"))
+      val next = labels
+        .join(viaNeighbors, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .cache()
+      val newSum = next.agg(sum(col("comp"))).head.getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
   /** 64-bit SimHash per document: each token's hash votes ±1 on each
     * bit, weighted by its in-doc count; bit i of the simhash is 1 iff
     * the vote sum is positive. All 64 bit-votes are codegen'd sums in

@@ -62,6 +62,15 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: transitive closure with min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}; singletons don't appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs have distance 0; near docs small; unrelated large") {
     val pairs = Dedup.simhashPairs(planted, 16).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
