@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's smoke contract: SparkEntry.entry returns rows, and
+  * every declared query has either an oracle or a documented
+  * rows-only role.
+  */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("entry() returns a non-empty flagship result on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("rows-only queries (no oracle) are the documented non-SQL-expressible set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set(
+      "dedup_minhash", "dedup_simhash", "dedup_embedding", // seeded xxhash64 not in DuckDB
+      "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
+      "sim_centroids", "sim_balanced_sample",              // float-sum order / seeded sample
+      "ta_tfidf",                                          // ln() 1-ulp engine variance
+      "mm_features")                                       // stubbed decode output
+    assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
+  }
+}
