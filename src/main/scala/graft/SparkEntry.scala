@@ -136,6 +136,33 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir)))
   )
 
+  /** Shared CTE block producing verified n-gram Jaccard pairs `jp`
+    * (doc_a, doc_b, jaccard) — the SQL twin of
+    * `Dedup.ngramJaccard(documents, 3, 0.2)`, defined ONCE so the
+    * pair-set and components oracles can never drift apart.
+    */
+  private val NgramPairsCte: String =
+    """norm AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
+      |  )) AS shingle FROM norm),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = doc_a
+      |  JOIN cnt cb ON cb.doc_id = doc_b
+      |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
       """WITH toks AS (
@@ -364,44 +391,10 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY content_hash""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH norm AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
-        |  )) AS shingle FROM norm),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
-        |FROM pairs
-        |JOIN cnt ca ON ca.doc_id = doc_a
-        |JOIN cnt cb ON cb.doc_id = doc_b
-        |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2""".stripMargin,
+      s"""WITH $NgramPairsCte
+        |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
     "dedup_components" ->
-      """WITH RECURSIVE norm AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
-        |  )) AS shingle FROM norm),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  JOIN cnt ca ON ca.doc_id = doc_a
-        |  JOIN cnt cb ON cb.doc_id = doc_b
-        |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2),
+      s"""WITH RECURSIVE $NgramPairsCte,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges

@@ -140,8 +140,11 @@ object Dedup {
       .withColumn("comp", col("id"))
       .cache()
     // min-propagation strictly decreases the label sum until the
-    // fixpoint, so convergence is a scalar checksum, not a join
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    // fixpoint, so convergence is a scalar checksum, not a join;
+    // coalesce(0) keeps the empty-graph case total (sum of no rows is null)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -153,7 +156,7 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
         .cache()
-      val newSum = next.agg(sum(col("comp"))).head.getLong(0)
+      val newSum = labelSum(next)
       converged = newSum == prevSum
       prevSum = newSum
       labels.unpersist()

@@ -33,6 +33,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(emptyDocs).count() == 0)
     assert(Dedup.minhashLsh(emptyDocs).count() == 0)
     assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.connectedComponents(Dedup.ngramJaccard(emptyDocs)).count() == 0)
     assert(TextAnalysis.languageId(emptyDocs).count() == 0)
     assert(TextAnalysis.fingerprint(emptyDocs).count() == 0)
     assert(Pipeline.cleanCorpus(emptyDocs).count() == 0)
