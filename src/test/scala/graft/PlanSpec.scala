@@ -65,4 +65,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("no dedup/ANN plan ever contains a cross product or nested-loop join (the no-O(n²) claim)") {
+    // sim_ann_ivf is exempt from the BNLJ check: its coarse quantizer
+    // deliberately scores every row against the CONSTANT-size broadcast
+    // seed table (n × nCells, not n²) — the candidate join itself is
+    // still an equality join on the cell id.
+    for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_embedding", "sim_ann_lsh", "sim_ann_ivf")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_embedding", "sim_ann_lsh")) {
+      assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("range join is a hash join on (key, bin), not an inequality nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Join") && p.contains("_bin"))
+  }
 }
