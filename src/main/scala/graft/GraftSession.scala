@@ -30,6 +30,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      // events.parquet stores TIMESTAMP(NANOS); set globally at build
+      // time so reads don't depend on which loader ran first (the
+      // loaders also set it for user-supplied sessions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from the environment (the driver contract:
