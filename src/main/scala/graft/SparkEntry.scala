@@ -53,6 +53,8 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
     "q_corr_subquery" -> ((s, dir) => Relational.orderCountPerCustomer(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_latest_per_key" -> ((s, dir) => Relational.latestPerKey(Tables.events(s, dir))),
+    "q_histogram" -> ((s, dir) => Relational.histogram(Tables.orders(s, dir))),
     "q_moving_hourly" -> ((s, dir) => Relational.movingHourlyValue(Tables.events(s, dir))),
     "q_moving_avg" -> ((s, dir) => Relational.movingAvg(Tables.lineitem(s, dir))),
     "q_ntile_rank" -> ((s, dir) => Relational.ntileRank(Tables.orders(s, dir))),
@@ -324,6 +326,22 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS value
+        |FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice / 30000.0), 0), 19) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     "q_moving_hourly" ->
       """SELECT user_id, event_id,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (

@@ -214,6 +214,36 @@ object Relational {
         min(col("o_orderkey")).as("argmax_orderkey"))
   }
 
+  /** Latest record per key (SCD "current version wins"): one shuffle
+    * on the key, deterministic via unique-id tiebreak. The mutable-
+    * table compaction primitive of every incremental pipeline.
+    */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    events
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(dec6(col("value")), 2).cast("double").as("value"))
+  }
+
+  /** Fixed-width histogram of order totals: bucket index from explicit
+    * floor arithmetic (identical IEEE ops in any engine — DuckDB 1.0
+    * lacks width_bucket), values clamped into [0, nBuckets-1].
+    */
+  def histogram(orders: DataFrame, lo: Double = 0.0, hi: Double = 600000.0,
+                nBuckets: Int = 20): DataFrame = {
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(floor((col("o_totalprice") - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    orders
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
   /** CUBE over (returnflag, linestatus): all 4 grouping sets in one
     * pass/shuffle (Spark expands grouping sets map-side).
     */
