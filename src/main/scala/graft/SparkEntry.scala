@@ -111,6 +111,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
     "dedup_components" -> ((s, dir) => Dedup.connectedComponents(
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
+    "dedup_apply" -> ((s, dir) => Dedup.applyNearDupDedup(Tables.documents(s, dir),
+      Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
@@ -419,6 +421,17 @@ object SparkEntry {
         |  UNION
         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
         |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+        |comp AS (SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id)""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -166,6 +166,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /** Apply near-dup dedup to the corpus: drop every doc whose
+    * component id is not itself (the canonical member is the min
+    * doc_id per component, so exactly one survivor per cluster;
+    * docs in no cluster survive untouched). left_anti against the
+    * small non-canonical set — no row multiplication.
+    */
+  def applyNearDupDedup(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val dropList = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("drop_id"))
+    documents
+      .join(dropList, col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** 64-bit SimHash per document: each token's hash votes ±1 on each
     * bit, weighted by its in-doc count; bit i of the simhash is 1 iff
     * the vote sum is positive. All 64 bit-votes are codegen'd sums in
