@@ -117,8 +117,16 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annTopKIvf(Tables.embeddings(s, dir), 8, 10)),
-    "sim_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
-    "sim_balanced_sample" -> ((s, dir) => Similarity.balancedSample(
+    // the driver's rows-only comparator can't hash raw array columns,
+    // so the centroid projects to count + first-8-elements scalars —
+    // which also makes it fully SQL-oracle-checkable (per-element avg)
+    "sim_centroids" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .select(col("label") +: col("n") +: (0 until 8).map(i =>
+          round(element_at(col("centroid"), i + 1), 6).as(s"c$i")): _*)
+    }),
+    "sim_balanced_sample" -> ((s, dir) => Similarity.balancedSampleByHash(
       Tables.embeddings(s, dir), (0 until 10).map(l => l -> (if (l < 5) 0.5 else 1.0)).toMap)),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
@@ -132,7 +140,7 @@ object SparkEntry {
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
-    "mm_features" -> ((s, dir) => Multimodal.features(Tables.documents(s, dir), 16)),
+    "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
@@ -450,6 +458,57 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rk
         |FROM ranked WHERE rk <= 10""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+        |  round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1,
+        |  round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c2,
+        |  round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c3,
+        |  round(avg(CAST(embedding[5] AS DOUBLE)), 6) AS c4,
+        |  round(avg(CAST(embedding[6] AS DOUBLE)), 6) AS c5,
+        |  round(avg(CAST(embedding[7] AS DOUBLE)), 6) AS c6,
+        |  round(avg(CAST(embedding[8] AS DOUBLE)), 6) AS c7
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "sim_balanced_sample" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE (label >= 5 AND label < 10)
+        |   OR (label >= 0 AND label < 5
+        |       AND substr(md5('bs:' || CAST(vec_id AS VARCHAR)), 1, 4) < '8000')""".stripMargin,
+    "mm_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest([ord(substr(text, CAST(i AS INT), 1)) % 16
+        |            FOR i IN generate_series(1, length(text))]) AS bin
+        |  FROM documents)
+        |SELECT doc_id,
+        |  count(*) FILTER (bin = 0) AS f0,   count(*) FILTER (bin = 1) AS f1,
+        |  count(*) FILTER (bin = 2) AS f2,   count(*) FILTER (bin = 3) AS f3,
+        |  count(*) FILTER (bin = 4) AS f4,   count(*) FILTER (bin = 5) AS f5,
+        |  count(*) FILTER (bin = 6) AS f6,   count(*) FILTER (bin = 7) AS f7,
+        |  count(*) FILTER (bin = 8) AS f8,   count(*) FILTER (bin = 9) AS f9,
+        |  count(*) FILTER (bin = 10) AS f10, count(*) FILTER (bin = 11) AS f11,
+        |  count(*) FILTER (bin = 12) AS f12, count(*) FILTER (bin = 13) AS f13,
+        |  count(*) FILTER (bin = 14) AS f14, count(*) FILTER (bin = 15) AS f15
+        |FROM b GROUP BY doc_id""".stripMargin,
+    "ta_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> ''
+        |  GROUP BY doc_id, word),
+        |d AS (SELECT word, count(*) AS df FROM t GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.df,
+        |    round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS score
+        |  FROM t JOIN d USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, word ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
     "ta_langid" ->
       """WITH s AS (
         |  SELECT doc_id,

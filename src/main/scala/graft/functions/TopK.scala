@@ -49,15 +49,18 @@ object TopK {
     * a UDAF: one shuffle carrying k-bounded buffers per (partition,
     * key) — at scale this beats the window row_number() plan, which
     * must sort every partition's full data.
+    *
+    * `roundScale` controls the decimal rounding of the emitted score
+    * (rounding happens AFTER ranking, so it never perturbs the order).
     */
   def perKeyTopK(df: DataFrame, keyCol: String, idCol: String, scoreCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, roundScale: Int = 2): DataFrame = {
     val topkUdaf = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
     df.groupBy(col(keyCol))
       .agg(topkUdaf(col(idCol).cast("long"), col(scoreCol).cast("double")).as("topk"))
       .select(col(keyCol), posexplode(col("topk")).as(Seq("pos", "entry")))
       .select(col(keyCol), col("entry._2").as(idCol),
-        round(col("entry._1"), 2).as("score"), (col("pos") + 1).cast("long").as("rk"))
+        round(col("entry._1"), roundScale).as("score"), (col("pos") + 1).cast("long").as("rk"))
   }
 
   /** Top-k rows of `df` by `scoreCol` (desc, unique `idCol` tiebreak),

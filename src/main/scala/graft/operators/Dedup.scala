@@ -47,12 +47,29 @@ object Dedup {
     * The shared-shingle equality join bounds candidates; set sizes
     * come from a pre-aggregated per-doc count. SQL-expressible, so
     * fully oracle-checked.
+    *
+    * `maxShingleDf` caps the join's fan-out: shingles appearing in
+    * more than that many documents are dropped (semi-join against the
+    * df-bounded vocabulary) BEFORE the self-join. Without the cap the
+    * join costs O(Σ_shingle df²) — one ubiquitous stop-word shingle
+    * at corpus scale makes a single join key quadratic. With it, the
+    * worst key costs df ≤ cap, so candidate volume is ≤ cap·|distinct
+    * shingles| regardless of corpus size. The cap affects RECALL
+    * only, conservatively: a pair is missed (or its `shared` count
+    * undercounted) only through shingles so common they carry no
+    * near-dup signal; at the shipped cap (100 ≫ the sf0.1 max df of
+    * 25) results are bit-identical to the uncapped computation.
     */
-  def ngramJaccard(documents: DataFrame, n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+  def ngramJaccard(documents: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
+                   maxShingleDf: Int = 100): DataFrame = {
     val sh = wordShingles(documents, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("a")
-      .join(sh.as("b"),
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val capped = sh.join(rare, Seq("shingle"), "left_semi")
+    val shared = capped.as("a")
+      .join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -132,8 +149,11 @@ object Dedup {
     * every doc that appears in at least one pair.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // pairs feeds BOTH union branches below: cache it so an expensive
+    // candidate generator (the ngram/LSH joins) runs once, not twice
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -162,8 +182,19 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    // Materialize the (small: one row per doc that appears in a pair)
+    // result and truncate its lineage, then free every iteration
+    // cache. Without this the returned frame would either leak the
+    // last round's cache for the session's lifetime or, if unpersisted,
+    // re-run the ENTIRE iterative loop on the consumer's next action.
+    // localCheckpoint is the local-mode stand-in; a cluster deployment
+    // with executor churn would use a reliable checkpoint dir instead.
+    val out = labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+    p.unpersist()
+    out
   }
 
   /** Apply near-dup dedup to the corpus: drop every doc whose
@@ -173,52 +204,79 @@ object Dedup {
     * small non-canonical set — no row multiplication.
     */
   def applyNearDupDedup(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    // connectedComponents returns a materialized, lineage-truncated
+    // frame, so the drop list below is a cheap scan of it — the
+    // pair-generation + iterative CC work is paid exactly once, not
+    // re-run inside this query's lineage.
     val dropList = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("drop_id"))
+    // The non-canonical set is bounded by the duplicated fraction of
+    // the corpus; broadcast it so the corpus-side anti join is
+    // shuffle-free. A pipeline expecting dup fractions beyond the
+    // broadcast budget would drop the hint and let AQE plan the join.
     documents
-      .join(dropList, col("doc_id") === col("drop_id"), "left_anti")
+      .join(broadcast(dropList), col("doc_id") === col("drop_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
   }
 
   /** 64-bit SimHash per document: each token's hash votes ±1 on each
     * bit, weighted by its in-doc count; bit i of the simhash is 1 iff
-    * the vote sum is positive. All 64 bit-votes are codegen'd sums in
-    * ONE aggregation pass (no UDF, no per-bit shuffle).
+    * the vote sum is positive.
+    *
+    * ONE typed aggregation pass over the exploded tokens with an
+    * Array[Long](64) vote buffer ([[SimhashVoteAggregator]]) — true
+    * map-side partial aggregation, 64 longs of state per (partition,
+    * doc). The obvious alternative — 64 separate `sum(when(...))`
+    * columns — generates a multi-thousand-line aggregate that blows
+    * past Janino/JIT method limits and cost ~6 s at sf0.1; the typed
+    * buffer is a tight primitive loop instead.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    // Vote per token OCCURRENCE (sum of ±1 ≡ count-weighted voting),
-    // so one exploded pass + ONE aggregation — no (doc, word) count
-    // pre-shuffle. Map-side partial aggregation carries 64 longs per
-    // (partition, doc), not per token.
     val words = documents
       .select(col("doc_id"),
         explode(split(trim(normalized(col("text"))), "\\s+")).as("word"))
-      .withColumn("h", xxhash64(col("word")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$i")
-    }
-    val bits = (0 until 64).map(i =>
-      when(col(s"v_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L)))
-    words
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val voteUdaf = udaf(new SimhashVoteAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    words.groupBy("doc_id").agg(voteUdaf(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4 bands of 16 bits — any pair within
-    * Hamming distance ≤3 must agree exactly on ≥1 band (pigeonhole),
-    * so the band equality join finds all of them without O(n²).
+  /** SimHash near-dup pairs via banding: splitting 64 bits into `bands`
+    * equal slices guarantees (pigeonhole) that any pair within Hamming
+    * distance ≤ bands-1 agrees exactly on ≥1 band, so the band
+    * equality join finds all of them without O(n²). Defaults: 4 bands
+    * of 16 bits ⇒ full recall for the default maxHamming=3.
+    *
+    * Band width is the recall/cost dial: more bands (narrower slices)
+    * cover a larger Hamming radius but collide more. At 10⁹+ docs a
+    * 16-bit band has only 65,536 buckets — every bucket would hold
+    * ~15k docs and the self-join turns quadratic-per-bucket. The
+    * `bucketCap` bounds that: buckets holding more than `bucketCap`
+    * docs are dropped from candidate generation (a bucket that full
+    * is pure hash-collision noise, not near-dup signal — the same
+    * conservative-recall argument as [[ngramJaccard]]'s df cap). The
+    * exact Hamming filter after the join keeps precision exact either
+    * way.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                   bucketCap: Int = 100000): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sh = simhash(documents)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+          shiftright(col("simhash"), b * bits).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val smallBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= bucketCap)
+      .select("band", "bucket")
+    val bounded = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    bounded.as("a")
+      .join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -226,4 +284,35 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+}
+
+/** Vote buffer for [[Dedup.simhash]]: 64 signed counters, one per
+  * bit; each token-occurrence hash adds +1 to counter i when its bit
+  * i is set, else −1. Associative and commutative, so Spark runs it
+  * as a map-side partial aggregate; `finish` folds the counters into
+  * the 64-bit simhash.
+  */
+class SimhashVoteAggregator
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
+  override def zero: Array[Long] = new Array[Long](64)
+  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < 64) { b(i) += ((h >>> i) & 1L) * 2L - 1L; i += 1 }
+    b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def finish(b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < 64) { if (b(i) > 0) s |= 1L << i; i += 1 }
+    s
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
 }

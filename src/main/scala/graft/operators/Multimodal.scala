@@ -85,6 +85,23 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  /** [[features]] re-projected to driver-comparable scalars: the
+    * L1-normalized float vector un-normalized back to the integer
+    * byte-histogram counts (f0..f{dim-1} columns). Exercises the
+    * identical mapPartitions decode path — the float→count round-trip
+    * is exact because counts ≤ payload bytes sit far inside float32
+    * precision — while producing a schema a SQL oracle can verify
+    * bit-for-bit (the rows-only comparator cannot hash raw arrays).
+    */
+  def featureCounts(documents: DataFrame, dim: Int = 16): DataFrame = {
+    val nb = withPayload(documents).select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+    features(documents, dim)
+      .join(nb, "doc_id")
+      .select(col("doc_id") +: (0 until dim).map(i =>
+        round(element_at(col("features"), i + 1) * col("n_bytes"))
+          .cast("long").as(s"f$i")): _*)
+  }
+
   /** Frame-sample shape: emit every `stride`-th fixed-width slice of
     * the payload (video frame-sampling plumbing; slices are "frames").
     */

@@ -81,9 +81,21 @@ object Similarity {
       .select(col(idCol), col(embCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Embedding dimensionality, read from the first row (an O(1)
+    * action). Deriving — rather than hardcoding — means a corpus with
+    * a different dim can never silently degrade recall through the
+    * kernels' common-prefix semantics; an empty corpus returns 0 and
+    * every caller degrades to an empty result.
+    */
+  private def embDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Brute-force cosine top-k: exact baseline. Queries (vec_id <
     * numQueries) are broadcast; one corpus pass computes cosine in
-    * codegen; per-query top-k via window with unique tiebreak.
+    * codegen; per-query top-k via the k-bounded [[TopKAggregator]] —
+    * NOT a window, which would make each of the (few) query tasks
+    * sort the full corpus's scored rows. The shuffle carries one
+    * k-bounded buffer per (partition, query), nothing else.
     */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10): DataFrame = {
     val q = embeddings.filter(col("vec_id") < numQueries)
@@ -92,13 +104,9 @@ object Similarity {
       .join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("corpus_id"),
         vecCosine(col("q_emb"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
+    graft.functions.TopK.perKeyTopK(scored, "query_id", "corpus_id", "cosine", k,
+        roundScale = 6)
+      .select(col("query_id"), col("corpus_id"), col("score").as("cosine"), col("rk"))
   }
 
   /** LSH-bucketed ANN top-k: candidates only from band-bucket
@@ -107,7 +115,7 @@ object Similarity {
     */
   def annTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
               numPlanes: Int = 24, bands: Int = 8): DataFrame = {
-    val dim = 64
+    val dim = embDim(embeddings, "embedding")
     val planes = hyperplanes(numPlanes, dim)
     val corpus = lshBands(embeddings, "vec_id", "embedding", planes, bands)
     val queries = lshBands(
@@ -157,21 +165,66 @@ object Similarity {
                      seed: Long = 42L): DataFrame =
     embeddings.stat.sampleBy("label", fractions, seed)
 
-  /** IVF cell assignment: nearest seed vector (deterministic seeds =
-    * the first `nCells` corpus vectors, broadcast) per row. One
-    * corpus pass against a broadcast seed table — the coarse
-    * quantizer of an IVF index without an iterative k-means fit.
+  /** Content-keyed stratified sample: keep a row iff the first 16 bits
+    * of md5(salt ‖ vec_id), read as a hex string, fall below
+    * ⌊fraction·2¹⁶⌋ for its label. Unlike [[balancedSample]]'s RNG
+    * path (whose output depends on the input's partitioning), this is
+    * a pure per-row predicate — reproducible across runs, engines AND
+    * repartitionings, which is what a 100 TB pipeline actually needs
+    * from a training split. Labels absent from `fractions` drop
+    * (sampleBy semantics). Output: (vec_id, label).
+    */
+  def balancedSampleByHash(embeddings: DataFrame, fractions: Map[Int, Double],
+                           salt: String = "bs:"): DataFrame = {
+    val hex4 = substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 4)
+    val keep = fractions.toSeq.sortBy(_._1).map { case (label, f) =>
+      val labelKeeps =
+        if (f >= 1.0) lit(true)
+        else hex4 < lit(f"${math.max(0, (f * 65536).floor.toInt)}%04x")
+      col("label") === lit(label) && labelKeeps
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    embeddings.filter(keep).select(col("vec_id"), col("label"))
+  }
+
+  /** IVF cell assignment: each row's `probes` nearest seed vectors
+    * (cosine desc, cell-id-asc tiebreak).
+    *
+    * The seeds (a handful of rows — the coarse quantizer of an IVF
+    * index without an iterative k-means fit) are collected once and
+    * inlined as PLAN LITERALS, so assignment is a pure projection:
+    * per row, score the seed array, sort its `nCells` structs, keep
+    * `probes`. ZERO shuffle and zero join — the previous design
+    * (cross-join with a broadcast seed table + row_number window)
+    * inflated the corpus `nCells`× and shuffled it on the row id just
+    * to take an argmax. At 100 TB the corpus side never leaves its
+    * scan stage here.
+    *
+    * For a large quantizer (thousands of cells) inlining one
+    * expression per seed would blow up the plan; that regime should
+    * use a broadcast join + `max_by` aggregation instead — the seed
+    * count here is the survey's nCells=16 scale knob.
     */
   def ivfCells(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
                probes: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cell_cos").desc, col("cell").asc)
-    df.join(broadcast(seeds))
-      .select(col(idCol), col(embCol),
-        col("cell"), vecCosine(col(embCol), col("cell_emb")).as("cell_cos"))
-      .withColumn("cell_rk", row_number().over(w))
-      .filter(col("cell_rk") <= probes)
-      .select(col(idCol), col(embCol), col("cell"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seedRows = seeds.select(col("cell").cast("long"), col("cell_emb"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    if (seedRows.isEmpty) {
+      return df.select(col(idCol), col(embCol), lit(0L).as("cell")).limit(0)
+    }
+    val cellStructs = seedRows.map { case (cell, emb) =>
+      struct(vecCosine(col(embCol), typedlit(emb)).as("c"), lit(cell).as("cell"))
+    }
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    val nearest = slice(array_sort(array(cellStructs: _*), cmp), 1, probes)
+    df.select(col(idCol), col(embCol),
+      explode(transform(nearest, x => x.getField("cell"))).as("cell"))
   }
 
   /** IVF-bucketed ANN top-k (the prompt's "IVF variant as the scale
@@ -207,7 +260,7 @@ object Similarity {
     */
   def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.9,
                        numPlanes: Int = 16, bands: Int = 4): DataFrame = {
-    val planes = hyperplanes(numPlanes, 64)
+    val planes = hyperplanes(numPlanes, embDim(embeddings, "embedding"))
     val banded = lshBands(embeddings, "vec_id", "embedding", planes, bands)
     banded.as("a")
       .join(banded.as("b"),

@@ -102,9 +102,18 @@ object TextAnalysis {
 
   /** TF-IDF top terms per document: tf · ln(N/df), one aggregation
     * for term frequencies, one bounded aggregation for document
-    * frequencies (vocabulary-sized, broadcast back), top-3 via
-    * window. ln() is evaluated on the executor (1-ulp libm
-    * differences across engines make this rows-only + spec-checked).
+    * frequencies (vocabulary-sized, broadcast back), top-k via
+    * window.
+    *
+    * Oracle-parity design: ln() is not IEEE-pinned, so engines may
+    * disagree by ~1 ulp — and real-equal scores from DIFFERENT
+    * (tf, df) pairs exist (tf=1,N/df=100 vs tf=2,N/df=10), where a
+    * 1-ulp flip would reorder ranks between engines. Ranking
+    * therefore orders by the score ROUNDED to 6 decimals (absorbing
+    * libm noise; a disagreement now needs a score within 1 ulp of a
+    * .5×10⁻⁶ boundary — vanishing for these irrational values) with
+    * the term as an exact tiebreak, and emits integer tf/df beside
+    * the rounded score.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     val toks = TextOps.tokens(documents)
@@ -116,10 +125,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
     tf.join(broadcast(df), "word")
-      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("doc_id"), col("word"), round(col("score"), 4).as("score"),
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"),
         col("rk").cast("long").as("rk"))
   }
 
