@@ -82,7 +82,8 @@ object SparkEntry {
           col("event_id").as("click_event_id"),
           round(col("value").cast("decimal(18,6)"), 2).cast("double").as("click_value"))
       org.apache.spark.sql.graftplan.AsofJoinNative.asofJoin(
-        purchases, clicks, "user_id", "ts_ns", Seq("click_event_id", "click_value"))
+        purchases, clicks, "user_id", "ts_ns", "click_event_id",
+        Seq("click_event_id", "click_value"))
         .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
     }),
     "q_range_join" -> ((s, dir) => {
@@ -151,7 +152,10 @@ object SparkEntry {
   /** Shared CTE block producing verified n-gram Jaccard pairs `jp`
     * (doc_a, doc_b, jaccard) — the SQL twin of
     * `Dedup.ngramJaccard(documents, 3, 0.2)`, defined ONCE so the
-    * pair-set and components oracles can never drift apart.
+    * pair-set and components oracles can never drift apart. The
+    * `keep`/`capped` CTEs mirror the operator's maxShingleDf=100
+    * candidate cap, so the oracle pins the CAPPED semantics even on
+    * data whose max shingle df exceeds the cap.
     */
   private val NgramPairsCte: String =
     """norm AS (
@@ -163,9 +167,11 @@ object SparkEntry {
       |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
       |  )) AS shingle FROM norm),
       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+      |capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |jp AS (
       |  SELECT doc_a, doc_b,
@@ -475,12 +481,16 @@ object SparkEntry {
         |   OR (label >= 0 AND label < 5
         |       AND substr(md5('bs:' || CAST(vec_id AS VARCHAR)), 1, 4) < '8000')""".stripMargin,
     "mm_features" ->
+      // LEFT JOIN back to documents so an empty-text doc (whose unnest
+      // yields no rows) still produces an all-zero row, matching the
+      // operator's all-zero histogram — count(*) FILTER over the null
+      // bin of an unmatched left row is 0, not null
       """WITH b AS (
         |  SELECT doc_id,
         |    unnest([ord(substr(text, CAST(i AS INT), 1)) % 16
         |            FOR i IN generate_series(1, length(text))]) AS bin
         |  FROM documents)
-        |SELECT doc_id,
+        |SELECT d.doc_id,
         |  count(*) FILTER (bin = 0) AS f0,   count(*) FILTER (bin = 1) AS f1,
         |  count(*) FILTER (bin = 2) AS f2,   count(*) FILTER (bin = 3) AS f3,
         |  count(*) FILTER (bin = 4) AS f4,   count(*) FILTER (bin = 5) AS f5,
@@ -489,7 +499,8 @@ object SparkEntry {
         |  count(*) FILTER (bin = 10) AS f10, count(*) FILTER (bin = 11) AS f11,
         |  count(*) FILTER (bin = 12) AS f12, count(*) FILTER (bin = 13) AS f13,
         |  count(*) FILTER (bin = 14) AS f14, count(*) FILTER (bin = 15) AS f15
-        |FROM b GROUP BY doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
     "ta_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word

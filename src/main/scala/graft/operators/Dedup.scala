@@ -34,45 +34,70 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** SQL for the distinct word-n-gram shingle array over a pre-split
+    * token array column `ws` — defined once so the exploded shingle
+    * table ([[wordShingles]]) and the zero-shuffle per-doc set-size
+    * projection in [[ngramJaccard]] can never disagree.
+    */
+  private def shingleArraySql(n: Int): String =
+    s"array_distinct(transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), " +
+      s"i -> array_join(slice(ws, i, $n), ' ')))"
+
+  private def tokenArray(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      split(trim(normalized(col("text"))), "\\s+").as("ws"))
+
   /** Distinct word n-gram shingles per document: (doc_id, shingle). */
   def wordShingles(documents: DataFrame, n: Int = 3): DataFrame =
-    documents
-      .select(col("doc_id"),
-        split(trim(normalized(col("text"))), "\\s+").as("ws"))
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), " +
-          s"i -> array_join(slice(ws, i, $n), ' ')))")).as("shingle"))
+    tokenArray(documents)
+      .select(col("doc_id"), explode(expr(shingleArraySql(n))).as("shingle"))
 
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
     * The shared-shingle equality join bounds candidates; set sizes
     * come from a pre-aggregated per-doc count. SQL-expressible, so
     * fully oracle-checked.
     *
-    * `maxShingleDf` caps the join's fan-out: shingles appearing in
-    * more than that many documents are dropped (semi-join against the
-    * df-bounded vocabulary) BEFORE the self-join. Without the cap the
-    * join costs O(Σ_shingle df²) — one ubiquitous stop-word shingle
-    * at corpus scale makes a single join key quadratic. With it, the
-    * worst key costs df ≤ cap, so candidate volume is ≤ cap·|distinct
-    * shingles| regardless of corpus size. The cap affects RECALL
-    * only, conservatively: a pair is missed (or its `shared` count
-    * undercounted) only through shingles so common they carry no
-    * near-dup signal; at the shipped cap (100 ≫ the sf0.1 max df of
-    * 25) results are bit-identical to the uncapped computation.
+    * `maxShingleDf` caps candidate fan-out: per-shingle posting lists
+    * longer than the cap are dropped before pair expansion. Without
+    * the cap, candidate generation costs O(Σ_shingle df²) — one
+    * ubiquitous stop-word shingle at corpus scale is quadratic on its
+    * own. With it, the worst shingle emits ≤ cap² pairs, so candidate
+    * volume is ≤ cap²·|distinct shingles| regardless of corpus size.
+    * The cap affects RECALL only, conservatively: a pair is missed
+    * (or its `shared` count undercounted) only through shingles so
+    * common they carry no near-dup signal; at the shipped cap
+    * (100 ≫ the sf0.1 max df of 25) results are bit-identical to the
+    * uncapped computation. The SQL oracle mirrors the cap so the gate
+    * pins the capped semantics, not just today's data.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleDf: Int = 100): DataFrame = {
-    val sh = wordShingles(documents, n)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val capped = sh.join(rare, Seq("shingle"), "left_semi")
-    val shared = capped.as("a")
-      .join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    // Per-doc set sizes as a pure scalar projection — zero shuffle and,
+    // crucially, NOT a second pass over the exploded shingle table.
+    // The denominator always uses the FULL set size, so Jaccard stays
+    // exact for every pair the cap lets through.
+    val counts = tokenArray(documents)
+      .select(col("doc_id"), size(expr(shingleArraySql(n))).cast("long").as("n_sh"))
+    // ONE pass over the exploded shingles: per-shingle sorted posting
+    // list, df-capped by dropping lists longer than maxShingleDf. Each
+    // kept row is ≤ cap doc_ids, so the pair expansion below is ≤
+    // cap·(cap−1)/2 structs per shingle — bounded per row regardless
+    // of corpus size.
+    val postings = wordShingles(documents, n)
+      .groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+    // Candidate pairs straight off each posting list (all i < j
+    // combinations; the sort makes doc_a < doc_b). This replaces the
+    // previous capped SELF-JOIN: the shingle table is now computed
+    // once and shuffled once, instead of being recomputed for the
+    // df-filter and for both join sides (~5× the map-side work and a
+    // join shuffle that carried every capped shingle row twice).
+    val pairs = postings.select(explode(expr(
+      "flatten(transform(docs, (d, i) -> transform(slice(docs, i + 2, size(docs)), " +
+        "e -> named_struct('doc_a', d, 'doc_b', e))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val shared = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val j = col("shared").cast("double") /
       (col("ca.n_sh") + col("cb.n_sh") - col("shared"))
     shared
@@ -262,6 +287,11 @@ object Dedup {
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    bucketCap: Int = 100000): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    // pigeonhole recall guarantee: a pair within maxHamming differs in
+    // at most maxHamming bands, so it agrees on ≥1 band only if there
+    // are MORE bands than differing bits
+    require(bands > maxHamming,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for full recall")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sh = simhash(documents)

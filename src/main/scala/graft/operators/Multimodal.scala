@@ -42,28 +42,36 @@ object Multimodal {
       col("meta.payload_md5").as("payload_md5"),
       col("meta.kind").as("kind"))
 
+  /** The exact integer byte-histogram behind [[decodeStub]] — kept as
+    * longs so counts stay exact at any payload size (a float32
+    * histogram is only exact below 2^24 per bucket; a multi-GB
+    * payload concentrated in one bucket would round).
+    */
+  def histStub(payload: Array[Byte], dim: Int): Array[Long] = {
+    val hist = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      hist(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1L
+      i += 1
+    }
+    hist
+  }
+
   /** STUB decode: deterministic fixed-size feature vector from raw
     * bytes (a folded byte histogram, L1-normalized). Stands in for
     * image decode + embed; same signature: bytes -> float[dim].
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val hist = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      hist(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1f
-      i += 1
-    }
     val total = math.max(payload.length, 1).toFloat
-    hist.map(_ / total)
+    histStub(payload, dim).map(_ / total)
   }
 
-  /** Batched feature extraction: one `mapPartitions` pass, items
-    * processed in fixed-size batches (the shape a GPU/codec library
-    * wants). Partition count is sized by total payload bytes so
-    * batches stay balanced even when item sizes skew.
+  /** Payloads repartitioned so each partition carries roughly
+    * `targetPartitionBytes` of payload — batches stay balanced even
+    * when item sizes skew. Shared by every decode-shaped pass.
     */
-  def features(documents: DataFrame, dim: Int = 16, batchSize: Int = 64,
-               targetPartitionBytes: Long = 64L << 20): DataFrame = {
+  private def balancedPayloads(documents: DataFrame,
+                               targetPartitionBytes: Long): Dataset[(Long, Array[Byte])] = {
     val spark = documents.sparkSession
     import spark.implicits._
     val payloads = withPayload(documents)
@@ -76,6 +84,18 @@ object Multimodal {
       .repartition(nParts, col("doc_id"))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
+  }
+
+  /** Batched feature extraction: one `mapPartitions` pass, items
+    * processed in fixed-size batches (the shape a GPU/codec library
+    * wants). Partition count is sized by total payload bytes so
+    * batches stay balanced even when item sizes skew.
+    */
+  def features(documents: DataFrame, dim: Int = 16, batchSize: Int = 64,
+               targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    balancedPayloads(documents, targetPartitionBytes)
       .mapPartitions { it =>
         // batch the iterator: a real decoder amortizes setup per batch
         it.grouped(batchSize).flatMap { batch =>
@@ -85,21 +105,27 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
-  /** [[features]] re-projected to driver-comparable scalars: the
-    * L1-normalized float vector un-normalized back to the integer
-    * byte-histogram counts (f0..f{dim-1} columns). Exercises the
-    * identical mapPartitions decode path — the float→count round-trip
-    * is exact because counts ≤ payload bytes sit far inside float32
-    * precision — while producing a schema a SQL oracle can verify
-    * bit-for-bit (the rows-only comparator cannot hash raw arrays).
+  /** The decode pass projected to driver-comparable scalars: exact
+    * integer byte-histogram counts (f0..f{dim-1} columns), computed
+    * directly in the same balanced/batched mapPartitions shape as
+    * [[features]] via [[histStub]] — no float round-trip, so counts
+    * are exact at ANY payload size, and the schema is one a SQL
+    * oracle can verify bit-for-bit (the rows-only comparator cannot
+    * hash raw arrays).
     */
-  def featureCounts(documents: DataFrame, dim: Int = 16): DataFrame = {
-    val nb = withPayload(documents).select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
-    features(documents, dim)
-      .join(nb, "doc_id")
+  def featureCounts(documents: DataFrame, dim: Int = 16, batchSize: Int = 64,
+                    targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    balancedPayloads(documents, targetPartitionBytes)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) => (id, histStub(bytes, dim)) }
+        }
+      }
+      .toDF("doc_id", "counts")
       .select(col("doc_id") +: (0 until dim).map(i =>
-        round(element_at(col("features"), i + 1) * col("n_bytes"))
-          .cast("long").as(s"f$i")): _*)
+        element_at(col("counts"), i + 1).as(s"f$i")): _*)
   }
 
   /** Frame-sample shape: emit every `stride`-th fixed-width slice of

@@ -71,16 +71,23 @@ object EventStreams {
       col("event_type"), col("n"), col("total_value"))
   }
 
-  /** Streaming exact dedup + aggregation: dropDuplicates inside the
-    * watermark (state = one key per event inside the watermark
-    * horizon, evicted as the watermark advances), then counts per
-    * type. The streaming face of §2.3's exact dedup.
+  /** Streaming exact dedup + aggregation: dropDuplicatesWithinWatermark
+    * then counts per type. The streaming face of §2.3's exact dedup.
+    *
+    * WithinWatermark matters for an always-on deployment: plain
+    * `dropDuplicates("event_id")` keeps one state row per event id
+    * FOREVER (watermark eviction only applies when the event-time
+    * column is among the dedup keys), so state grows without bound.
+    * The WithinWatermark variant evicts each key once the watermark
+    * passes its event time — state is bounded by events inside the
+    * watermark horizon, which is exactly the replay window a
+    * source-retry duplicate can arrive in.
     */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val qname = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = readEventStream(spark, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
       .writeStream
@@ -152,7 +159,20 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Update-mode emissions APPEND to the memory sink, so when
+    // AvailableNow splits the source into >1 micro-batch a session can
+    // appear twice: once open (early batch), once grown/closed (later
+    // batch). n_events grows monotonically within a session, so the
+    // final emission per (user_id, session_id) is the max-n_events row
+    // — keep exactly that one. (Equal-n_events re-emissions carry
+    // identical values, so the tie-break is value-stable.)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("n_events").desc, col("session_value").desc)
     spark.table(qname)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
   }
 
   private def microsToValue(micros: Long): Double =

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.LongType
   * side and AQE still manages them. Each co-partition pair then
   * merges in one streaming pass: for every left row, the latest
   * right row of the same key with time ≤ left time (`<=` semantics,
-  * matching DuckDB ASOF LEFT JOIN). State is ONE buffered right row —
+  * matching DuckDB ASOF LEFT JOIN; (key, time) ties resolved to the
+  * max `tieCol` row, matching the compositional asofJoin). State is
+  * ONE buffered right row —
   * against the window-based composition this trades a second
   * sort-of-union for never materializing both sides in one frame.
   *
@@ -35,6 +37,7 @@ case class AsofJoinPlan(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
+    rightTie: Attribute,
     rightPayload: Seq[Attribute]) extends BinaryNode {
   require(leftKey.dataType == LongType && rightKey.dataType == LongType &&
     leftTime.dataType == LongType && rightTime.dataType == LongType,
@@ -47,8 +50,8 @@ case class AsofJoinPlan(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, payload) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, payload) :: Nil
     case _ => Nil
   }
 }
@@ -60,6 +63,7 @@ case class AsofJoinExec(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
+    rightTie: Attribute,
     rightPayload: Seq[Attribute]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -68,9 +72,15 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
+  // The tie column in the right-side ordering makes the merge
+  // deterministic under (key, time) duplicates: "keep the last row
+  // consumed" then always lands on the max-tie row, independent of
+  // partitioning — same contract as the compositional asofJoin's
+  // tieCol. Without it the surviving payload depends on shuffle order.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
 
   override def outputPartitioning = left.outputPartitioning
 
@@ -137,7 +147,7 @@ object AsofJoinNative {
     }
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-               payloadCols: Seq[String]): DataFrame = {
+               tieCol: String, payloadCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -151,7 +161,7 @@ object AsofJoinNative {
     def rAttr(n: String): Attribute = rOutput.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"right column $n not found"))
     val node = AsofJoinPlan(lPlan, rAliased,
-      lAttr(keyCol), rAttr(keyCol), lAttr(timeCol), rAttr(timeCol),
+      lAttr(keyCol), rAttr(keyCol), lAttr(timeCol), rAttr(timeCol), rAttr(tieCol),
       payloadCols.map(rAttr))
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }

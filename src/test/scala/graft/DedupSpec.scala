@@ -72,7 +72,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs have distance 0; near docs small; unrelated large") {
-    val pairs = Dedup.simhashPairs(planted, 16).collect()
+    // maxHamming=16 needs >16 bands for the pigeonhole recall
+    // guarantee (the operator now rejects the silently-lossy default)
+    val pairs = Dedup.simhashPairs(planted, 16, bands = 32).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs((0L, 2L)) == 0L, "normalized-identical docs get the same simhash")
     assert(pairs.get((0L, 1L)).forall(_ <= 16L))

@@ -22,10 +22,7 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "dedup_minhash", "dedup_simhash", "dedup_embedding", // seeded xxhash64 not in DuckDB
-      "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
-      "sim_centroids", "sim_balanced_sample",              // float-sum order / seeded sample
-      "ta_tfidf",                                          // ln() 1-ulp engine variance
-      "mm_features")                                       // stubbed decode output
+      "sim_ann_lsh", "sim_ann_ivf")                        // LSH/IVF candidate sets
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }

@@ -68,6 +68,70 @@ class FrameworkContractSpec extends AnyFunSuite {
     assert(result == (1 to 100).sum, "retried task re-executed idempotently")
   }
 
+  test("parallelism: reduce (post-shuffle) tasks actually overlap (rtiming contract)") {
+    import FrameworkContractSpec._
+    inFlight.set(0); maxInFlight.set(0)
+    // keys 0..3 hash across the 4 reduce partitions; the overlap
+    // counter runs INSIDE the post-shuffle stage (reference
+    // plugin/rtiming/rtiming.go probes exactly this: reduce workers
+    // running concurrently, not serialized)
+    val counted = spark.sparkContext.parallelize(1 to 400, 4)
+      .map(i => (i % 4, 1))
+      .reduceByKey(_ + _, 4)
+      .mapPartitions { it =>
+        val rows = it.toList
+        if (rows.nonEmpty) {
+          val now = inFlight.incrementAndGet()
+          maxInFlight.updateAndGet(m => math.max(m, now))
+          Thread.sleep(300)
+          inFlight.decrementAndGet()
+        }
+        rows.iterator
+      }
+      .collect()
+    assert(counted.toMap == Map(0 -> 100, 1 -> 100, 2 -> 100, 3 -> 100))
+    assert(maxInFlight.get() >= 2, s"reduce tasks never overlapped (max=${maxInFlight.get()})")
+  }
+
+  test("crash recovery: first attempt of a post-shuffle task dies, job still correct") {
+    import FrameworkContractSpec._
+    attempts.set(0)
+    // the crash happens AFTER the exchange (reference core/worker.go
+    // reduceTask: a reduce worker dying mid-reduce must be reassigned
+    // and re-read its shuffle inputs idempotently)
+    val result = spark.sparkContext.parallelize(1 to 100, 4)
+      .map(i => (i % 5, i.toLong))
+      .reduceByKey(_ + _)
+      .mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+          attempts.incrementAndGet()
+          throw new RuntimeException("simulated reduce-worker crash (crash.go contract)")
+        }
+        it
+      }
+      .map(_._2).sum()
+    assert(attempts.get() == 1, "the reduce-side crash branch ran")
+    assert(result == (1 to 100).sum, "retried reduce task re-read its shuffle input idempotently")
+  }
+
+  test("mr-out text sink: 'key value' lines survive a write/read round-trip in oracle order") {
+    // the reference's user-visible artifact is the sorted "key value"
+    // line file (core/worker.go:202-214 writes "%v %v" lines;
+    // main_test/mrsequential.go:63-83 is the sorted sequential oracle)
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val counts = graft.operators.TextOps.wordCount(docs)
+    val out = java.nio.file.Files.createTempDirectory("graft-mrout-").toString + "/mr-out"
+    graft.operators.TextOps.mrOutLines(counts).coalesce(1).write.text(out)
+    val lines = spark.read.textFile(out).collect()
+    val expected = counts.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      .map { case (w, c) => s"$w $c" }
+    assert(lines.length == expected.length)
+    assert(lines.sameElements(expected), "sink lines differ from the sequential oracle")
+  }
+
   test("atomic output: committed parquet has _SUCCESS and no temp files") {
     val out = java.nio.file.Files.createTempDirectory("graft-commit-").toString + "/t"
     Tables.nation(spark, SharedSpark.sf).write.parquet(out)
