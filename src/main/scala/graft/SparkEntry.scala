@@ -129,6 +129,7 @@ object SparkEntry {
     }),
     "sim_balanced_sample" -> ((s, dir) => Similarity.balancedSampleByHash(
       Tables.embeddings(s, dir), (0 until 10).map(l => l -> (if (l < 5) 0.5 else 1.0)).toMap)),
+    "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -139,6 +140,8 @@ object SparkEntry {
     "ta_passages" -> ((s, dir) => TextAnalysis.passages(Tables.documents(s, dir), 20)),
     "ta_pack" -> ((s, dir) => TextAnalysis.packIntoShards(Tables.documents(s, dir), 2000L)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
+    "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
+    "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
@@ -520,6 +523,58 @@ object SparkEntry {
         |                       ORDER BY score DESC, word ASC) AS rk
         |  FROM scored)
         |SELECT doc_id, word, tf, df, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    "ta_contamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |tsh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+        |  )) AS shingle FROM norm WHERE doc_id % 50 <> 0),
+        |esh AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+        |  )) AS shingle FROM norm WHERE doc_id % 50 = 0),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_c FROM tsh
+        |        WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
+        |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
+        |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin,
+    "ta_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq_words FROM w),
+        |bg AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |                         FOR i IN generate_series(1, len(ws) - 1)]) AS bigram
+        |  FROM w WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT s.doc_id, n_words, n_uniq_words,
+        |  round(1.0 - CAST(n_uniq_words AS DOUBLE) / n_words, 4) AS dup_word_frac,
+        |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  round(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+        |             ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END, 4) AS top_bigram_frac
+        |FROM s LEFT JOIN bs USING (doc_id)""".stripMargin,
+    "sim_quantize" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS amax
+        |  FROM embeddings)
+        |SELECT vec_id, round(amax, 6) AS amax,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[1] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q0,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[2] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q1,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[3] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q2,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[4] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q3,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[5] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q4,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[6] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q5,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[7] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q6,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(CAST(embedding[8] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END AS q7
+        |FROM a""".stripMargin,
     "ta_langid" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -52,6 +52,14 @@ object Dedup {
     tokenArray(documents)
       .select(col("doc_id"), explode(expr(shingleArraySql(n))).as("shingle"))
 
+  /** Per-doc distinct-shingle set sizes as a pure scalar projection —
+    * zero shuffle, no pass over the exploded shingle table. Shared by
+    * [[ngramJaccard]] and [[TextAnalysis.contamination]].
+    */
+  def shingleSetSizes(documents: DataFrame, n: Int = 3): DataFrame =
+    tokenArray(documents)
+      .select(col("doc_id"), size(expr(shingleArraySql(n))).cast("long").as("n_sh"))
+
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
     * The shared-shingle equality join bounds candidates; set sizes
     * come from a pre-aggregated per-doc count. SQL-expressible, so
@@ -72,12 +80,10 @@ object Dedup {
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleDf: Int = 100): DataFrame = {
-    // Per-doc set sizes as a pure scalar projection — zero shuffle and,
-    // crucially, NOT a second pass over the exploded shingle table.
-    // The denominator always uses the FULL set size, so Jaccard stays
-    // exact for every pair the cap lets through.
-    val counts = tokenArray(documents)
-      .select(col("doc_id"), size(expr(shingleArraySql(n))).cast("long").as("n_sh"))
+    // The denominator always uses the FULL set size (zero-shuffle
+    // scalar projection), so Jaccard stays exact for every pair the
+    // cap lets through.
+    val counts = shingleSetSizes(documents, n)
     // ONE pass over the exploded shingles: per-shingle sorted posting
     // list, df-capped by dropping lists longer than maxShingleDf. Each
     // kept row is ≤ cap doc_ids, so the pair expansion below is ≤

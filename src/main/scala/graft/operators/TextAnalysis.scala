@@ -218,4 +218,67 @@ object TextAnalysis {
       col("doc_id"),
       expr(s"array_min(transform(sequence(1, greatest(char_length(text) - ${k - 1}, 1)), " +
         s"i -> md5(substr(text, i, $k))))").as("fingerprint"))
+
+  /** Benchmark-contamination check: for every train document, the
+    * fraction of its word-n-gram shingles that also appear in the
+    * held-out eval set (here `doc_id % evalMod == 0` — a stand-in for
+    * a real benchmark table, which would arrive as its own small
+    * DataFrame).
+    *
+    * Scale design: the eval shingle vocabulary is BROADCAST (eval
+    * sets are megabytes against a 100 TB corpus), so the train side
+    * is ONE scan + one semi-join with no corpus shuffle; per-doc hit
+    * counts aggregate with map-side combine, and set sizes come from
+    * the zero-shuffle scalar projection. The 100 TB cost is one pass
+    * over the corpus — the floor for any contamination audit.
+    */
+  def contamination(documents: DataFrame, evalMod: Int = 50, n: Int = 5): DataFrame = {
+    val train = documents.filter(col("doc_id") % evalMod =!= 0)
+    val evalDocs = documents.filter(col("doc_id") % evalMod === 0)
+    val evalSh = Dedup.wordShingles(evalDocs, n).select("shingle").distinct()
+    val hits = Dedup.wordShingles(train, n)
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    Dedup.shingleSetSizes(train, n)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_sh"), 4)
+          .as("contamination"))
+  }
+
+  /** Repetition statistics (the Gopher-style quality signals for
+    * machine-generated/boilerplate text): duplicate-word fraction and
+    * the most-frequent-bigram share per document.
+    *
+    * Scale design: the word stats are a scalar projection (zero
+    * shuffle); the bigram mode needs a (doc_id, bigram) aggregation,
+    * which Spark runs with map-side partial aggregation — the shuffle
+    * carries one row per distinct (doc, bigram), bounded by document
+    * length, and both aggregations partition by doc_id so the second
+    * reuses the first's clustering.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+    val scalar = toks.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      size(array_distinct(col("ws"))).cast("long").as("n_uniq_words"))
+    // guard size >= 2: sequence(1, 0) counts DOWN in Spark, it is not empty
+    val bigrams = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bigram"))
+    val bigramStats = bigrams
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    scalar.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
+        round(lit(1.0) - col("n_uniq_words").cast("double") / col("n_words"), 4)
+          .as("dup_word_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")), 4)
+          .as("top_bigram_frac"))
+  }
 }

@@ -121,4 +121,17 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("quantizeInt8: known vector quantizes exactly; zero vector guards to zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, -2f, 4f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, nShow = 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // amax=4: 1*127/4=31.75 -> floor(32.25)=32; -2 -> -63.5 -> floor(-63.0)=-63; 4 -> 127
+    assert(got(1L) == ((4.0, 32L, -63L, 127L, 0L)))
+    assert(got(2L) == ((0.0, 0L, 0L, 0L, 0L)))
+  }
 }

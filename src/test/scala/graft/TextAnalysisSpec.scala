@@ -123,4 +123,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L), "no shared shingles -> different min-hash fingerprint")
   }
+
+  test("contamination: exact eval copy scores 1.0, disjoint doc scores 0.0") {
+    import spark.implicits._
+    // doc 50 is the eval doc (50 % 50 == 0); doc 1 copies it verbatim,
+    // doc 2 shares nothing with it
+    val df = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(df, 50, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("contamination"))).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.0), s"got $got")
+  }
+
+  test("contamination: eval docs themselves are excluded from the output") {
+    import spark.implicits._
+    val df = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    val ids = TextAnalysis.contamination(df, 50, 5).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
+  test("repetitionStats: planted repeated doc vs all-distinct doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),   // 1 uniq word of 4; bigram "spam spam" 3/3
+      (2L, "a b c d")).toDF("doc_id", "text") // all distinct; each bigram once
+    val got = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (
+        r.getDouble(r.fieldIndex("dup_word_frac")),
+        r.getLong(r.fieldIndex("top_bigram_n")),
+        r.getLong(r.fieldIndex("n_bigrams")),
+        r.getDouble(r.fieldIndex("top_bigram_frac")))).toMap
+    assert(got(1L) == ((0.75, 3L, 3L, 1.0)))
+    assert(got(2L) == ((0.0, 1L, 3L, 0.3333)))
+  }
+
+  test("repetitionStats: single-word doc has zero bigrams and zero fractions") {
+    import spark.implicits._
+    val r = TextAnalysis.repetitionStats(Seq((1L, "word")).toDF("doc_id", "text")).head
+    assert(r.getLong(r.fieldIndex("n_words")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_bigrams")) == 0L)
+    assert(r.getDouble(r.fieldIndex("top_bigram_frac")) == 0.0)
+  }
 }
