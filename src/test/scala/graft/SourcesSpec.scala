@@ -57,4 +57,32 @@ class SourcesSpec extends AnyFunSuite {
         "aggregation on the bucket key must reuse bucketing, not shuffle")
     } finally spark.sql("DROP TABLE IF EXISTS orders_bucketed")
   }
+
+  test("co-bucketed fact-fact join runs with ZERO exchange on either side") {
+    // the 100 TB story for a recurring fact-fact join: pay the shuffle
+    // once at write time (bucketBy on the join key, equal bucket
+    // counts) and every subsequent join reads co-located buckets
+    val orders = Tables.orders(spark, SharedSpark.sf)
+    val customer = Tables.customer(spark, SharedSpark.sf)
+    Sources.writeBucketed(orders, "orders_cob", "o_custkey", 8, Some("o_custkey"))
+    Sources.writeBucketed(customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_cob", "o_custkey", 8, Some("o_custkey"))
+    try {
+      // disable auto-broadcast so the join genuinely exercises the
+      // co-partitioned path rather than shipping the small side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_cob")
+        .join(spark.table("customer_cob"), "o_custkey")
+      val n = j.count()
+      assert(n == orders.join(customer,
+        orders("o_custkey") === customer("c_custkey")).count())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-bucketed join must not shuffle either side")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_cob")
+      spark.sql("DROP TABLE IF EXISTS customer_cob")
+    }
+  }
 }
