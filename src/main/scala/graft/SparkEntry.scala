@@ -51,6 +51,8 @@ object SparkEntry {
     "q_setops" -> ((s, dir) => Relational.setOpsIntersect(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
+    "q_salted_join" -> ((s, dir) => Relational.saltedJoinAgg(
+      Tables.orders(s, dir), Tables.customer(s, dir), 16)),
     "q_corr_subquery" -> ((s, dir) => Relational.orderCountPerCustomer(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_latest_per_key" -> ((s, dir) => Relational.latestPerKey(Tables.events(s, dir))),
@@ -112,6 +114,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
     "dedup_components" -> ((s, dir) => Dedup.connectedComponents(
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
+    "dedup_components_fast" -> ((s, dir) => Dedup.connectedComponentsAlternating(
+      Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     "dedup_apply" -> ((s, dir) => Dedup.applyNearDupDedup(Tables.documents(s, dir),
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
@@ -148,6 +152,7 @@ object SparkEntry {
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
+    "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir)))
   )
@@ -341,6 +346,16 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_corr_subquery" ->
       """SELECT c_custkey, c_name,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
@@ -431,6 +446,14 @@ object SparkEntry {
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
     "dedup_components" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+        |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
+    "dedup_components_fast" ->
       s"""WITH RECURSIVE $NgramPairsCte,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
@@ -659,6 +682,24 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type""".stripMargin,
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |gapped AS (
+        |  SELECT user_id, event_id, value, tns,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |         OR tns - lag(tns) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM flagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gapped)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH m AS (
         |  SELECT doc_id, text,

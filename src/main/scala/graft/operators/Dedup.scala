@@ -206,7 +206,15 @@ object Dedup {
         .join(viaNeighbors, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
-        .cache()
+        // localCheckpoint, not cache: `labels` appears TWICE in this
+        // round's plan (directly and via viaNeighbors), so without
+        // lineage truncation the LOGICAL plan doubles every round —
+        // 2^rounds tree nodes. A cache bounds recomputation but
+        // Catalyst still re-analyzes the full tree each round: on a
+        // diameter-20 chain that is a million-node plan and an OOM
+        // before the first task launches. Eager checkpoint makes each
+        // round's plan constant-size.
+        .localCheckpoint(true)
       val newSum = labelSum(next)
       converged = newSum == prevSum
       prevSum = newSum
@@ -224,6 +232,87 @@ object Dedup {
       .localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
+    p.unpersist()
+    out
+  }
+
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce-native CC family; see Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SOCC'14): converges in
+    * O(log² n) rounds on ANY topology, vs [[connectedComponents]]'s
+    * O(diameter) min-label propagation — on the long chain shapes a
+    * real near-dup graph contains (doc A ~ B ~ C ~ ... through
+    * successive edits), that is the difference between ~10 rounds and
+    * hundreds at 10⁹ nodes. Same output contract as
+    * [[connectedComponents]]: (doc_id, component_id = min doc_id in
+    * the component) for every doc appearing in ≥1 pair.
+    *
+    * Per round: large-star points every node's larger neighbors at
+    * the min of its neighborhood (breaking up hubs and long tails in
+    * parallel), then small-star rewires each node and its smaller
+    * neighbors to that min. Each step is one aggregation + one join
+    * on the edge set; edges only ever decrease their endpoint labels,
+    * and at the fixpoint the graph is a union of stars whose centers
+    * are the component minima. Convergence is detected by an
+    * order-insensitive edge-set checksum (a scalar agg, not a plan
+    * comparison).
+    */
+  def connectedComponentsAlternating(pairs: DataFrame): DataFrame = {
+    val p = pairs.cache()
+    // canonical undirected edge set: (hi > lo), distinct, self-loops out
+    var und = p.select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .cache()
+    def directed(e: DataFrame): DataFrame =
+      e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+    // m(u) = min over Γ(u) ∪ {u}
+    def mins(dir: DataFrame): DataFrame =
+      dir.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("hi") =!= col("lo")).distinct()
+    // order-insensitive edge-set fingerprint; materializes the frame,
+    // so each round's work is paid exactly once
+    def checksum(e: DataFrame): Long =
+      // bit_xor: order-insensitive set fingerprint that cannot
+      // overflow (ANSI mode makes a sum of hashes throw on long
+      // overflow); edges are distinct so xor-cancellation cannot occur
+      e.agg(coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head.getLong(0)
+    var prev = checksum(und)
+    var converged = prev == 0L && und.isEmpty
+    while (!converged) {
+      // large-star: every edge (u, v>u) becomes (v, m(u)) — hubs and
+      // chain tails collapse toward local minima in parallel
+      val dirL = directed(und)
+      val ls = canonical(
+        dirL.join(mins(dirL), "u").filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo")))
+        .cache()
+      // small-star: every edge (u, v<u) becomes (v, m(u)), and u
+      // itself links to m(u)
+      val dirS = directed(ls)
+      val mS = mins(dirS)
+      val ss = canonical(
+        dirS.join(mS, "u").filter(col("v") < col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .union(mS.select(col("u").as("hi"), col("m").as("lo"))))
+        .localCheckpoint(true) // truncate lineage across rounds
+      val cur = checksum(ss)
+      converged = cur == prev
+      prev = cur
+      ls.unpersist()
+      und.unpersist()
+      und = ss
+    }
+    // fixpoint = union of stars: every hi is a leaf of exactly one
+    // center lo; centers label themselves
+    val out = und.select(col("hi").as("doc_id"), col("lo").as("component_id"))
+      .union(und.select(col("lo").as("doc_id"), col("lo").as("component_id")))
+      .distinct()
+      .localCheckpoint(true)
     p.unpersist()
     out
   }

@@ -304,6 +304,42 @@ object Relational {
       .agg(round(sum(col("partial_sum")), 2).cast("double").as("total_value"),
         sum(col("partial_n")).as("n"))
 
+  /** Manually salted equi-join — the skew-join pattern for when one
+    * key's rows exceed a single reduce task (AQE's skew-join split is
+    * the automatic version; this is the explicit one you reach for
+    * when the skew is in the JOIN KEY itself and the small side fits
+    * a bounded replication factor, or when AQE is off in a stateful
+    * job). The big side scatters each row to one of `saltBuckets`
+    * sub-keys by a deterministic hash of the whole row; the small
+    * side replicates into every bucket; the join runs on (key, salt),
+    * so the hot key occupies `saltBuckets` reduce tasks instead of
+    * one. Result is row-identical to the plain join — the oracle runs
+    * the plain SQL join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val smallSalted = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+    bigSalted.join(smallSalted, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** [[saltedJoin]] driven end-to-end: orders (big, potentially
+    * key-skewed) joined to customer segments (small, replicated) and
+    * aggregated — row-identical to the plain join+group, which is
+    * exactly what the SQL oracle runs.
+    */
+  def saltedJoinAgg(orders: DataFrame, customer: DataFrame,
+                    saltBuckets: Int = 16): DataFrame = {
+    val segments = customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    saltedJoin(orders, segments, "o_custkey", saltBuckets)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_price"))
+  }
+
   /** Correlated-scalar-subquery shape (order count per customer,
     * including zero) — decorrelated into a left join + aggregate, the
     * plan Catalyst itself rewrites correlated subqueries into.

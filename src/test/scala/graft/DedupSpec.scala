@@ -71,6 +71,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("alternating large-star/small-star CC equals min-label propagation on varied topologies") {
+    import spark.implicits._
+    val graphs = Seq(
+      // long chain — the O(diameter) worst case propagation is slow on
+      Seq.tabulate(19)(i => (i.toLong, i.toLong + 1)),
+      // triangle + separate pair + larger ids first
+      Seq((3L, 2L), (2L, 1L), (1L, 3L), (9L, 7L)),
+      // star already + bridge merging two stars
+      Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 2L), (11L, 21L)),
+      // duplicate/reversed edges and a self-contained component
+      Seq((5L, 6L), (6L, 5L), (5L, 6L), (100L, 50L)))
+    for ((edges, gi) <- graphs.zipWithIndex) {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val prop = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val alt = Dedup.connectedComponentsAlternating(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt == prop, s"graph $gi: alternating=$alt propagation=$prop")
+    }
+  }
+
+  test("alternating CC on an empty pair set returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsAlternating(empty).count() == 0)
+  }
+
   test("simhash: identical docs have distance 0; near docs small; unrelated large") {
     // maxHamming=16 needs >16 bands for the pigeonhole recall
     // guarantee (the operator now rejects the silently-lossy default)

@@ -63,6 +63,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted join equals plain join, including under a planted hot key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10k rows on ONE key (the skew) + a spread of normal keys
+    val big = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong))).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "tag")
+    val salted = Relational.saltedJoin(big, small, "k", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    // the hot key really is spread: >1 distinct salt among its rows
+    val salts = big.filter(col("k") === 1L)
+      .withColumn("_salt", pmod(xxhash64(big.columns.map(col): _*), lit(8L)))
+      .select("_salt").distinct().count()
+    assert(salts > 1, "deterministic row-hash salt must spread the hot key")
+  }
+
   test("per-key topk via aggregator equals window row_number plan") {
     val viaAgg = graft.functions.TopK.perKeyTopK(
       Tables.orders(spark, sf), "o_custkey", "o_orderkey", "o_totalprice", 3)
