@@ -145,6 +145,8 @@ object SparkEntry {
     "ta_pack" -> ((s, dir) => TextAnalysis.packIntoShards(Tables.documents(s, dir), 2000L)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
+    "ta_shuffle" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
+    "ta_surprisal" -> ((s, dir) => TextAnalysis.surprisal(Tables.documents(s, dir))),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
@@ -565,6 +567,52 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
         |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
         |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin,
+    "ta_shuffle" ->
+      """SELECT doc_id,
+        |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
+    "ta_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
+        |freq AS (SELECT word, count(*) AS wc FROM t GROUP BY word),
+        |n AS (SELECT sum(wc) AS n_total FROM freq),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(n_total AS DOUBLE) / CAST(wc AS DOUBLE))
+        |               * 1000000.0 + 0.5) AS BIGINT) AS micros
+        |  FROM t JOIN freq USING (word) CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
+        |    AS surprisal
+        |FROM scored GROUP BY doc_id""".stripMargin,
+    "ta_shuffle" ->
+      """SELECT doc_id,
+        |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
+    "ta_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
+        |freq AS (SELECT word, count(*) AS wc FROM t GROUP BY word),
+        |n AS (SELECT sum(wc) AS n_total FROM freq),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(n_total AS DOUBLE) / CAST(wc AS DOUBLE))
+        |               * 1000000.0 + 0.5) AS BIGINT) AS micros
+        |  FROM t JOIN freq USING (word) CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
+        |    AS surprisal
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "ta_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),

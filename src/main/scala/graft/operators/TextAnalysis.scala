@@ -247,6 +247,64 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** Deterministic corpus shuffle: the reproducible global training
+    * order every run must agree on (seeded hash of the doc id, unique
+    * tiebreak). The sort is Spark's sample-based range-partitioned
+    * orderBy — no single reducer ever holds the corpus — and the
+    * dense 1-based rank comes from the same two-phase prefix-sum as
+    * [[packIntoShards]]: per-partition counts → driver offsets (one
+    * long per partition) → partition-local scan.
+    */
+  def shuffleOrder(documents: DataFrame, seed: String = "shuf"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val keyed = documents
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .as[(Long, String)]
+    val perPartition = keyed.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size)) }
+      .collect().sortBy(_._1)
+    val offsets = perPartition.map(_._2.toLong).scanLeft(1L)(_ + _)
+    keyed.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var rank = offsets(i)
+        it.map { case (id, key) => val out = (id, key, rank); rank += 1; out }
+      }
+      .toDF("doc_id", "shuffle_key", "shuffle_rank")
+  }
+
+  /** Unigram-LM surprisal score: mean −ln P(word) per token, with
+    * P estimated from the corpus itself — the cheapest "how unusual
+    * is this text" quality signal (high = rare-word soup / noise,
+    * low = common-word boilerplate).
+    *
+    * Determinism design: each token's surprisal is fixed to integer
+    * MICROS (floor(x·1e6 + 0.5)) before the per-doc sum, so the sum
+    * is exact integer arithmetic — no float accumulation-order
+    * dependence between Spark's partial aggregates and any oracle.
+    * Scale: one token→frequency join (hash; broadcastable when the
+    * vocabulary fits) and two map-side-combined aggregations.
+    */
+  def surprisal(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), lower(col("w")).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = freq.agg(coalesce(sum(col("wc")), lit(0L)).as("n_total"))
+    val scored = toks.join(freq, "word").crossJoin(total)
+      .select(col("doc_id"),
+        floor(log(col("n_total").cast("double") / col("wc").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("micros"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micros")).as("sum_m"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_m").cast("double") / col("n_tokens").cast("double")
+          / lit(1000000.0), 4).as("surprisal"))
+  }
+
   /** Repetition statistics (the Gopher-style quality signals for
     * machine-generated/boilerplate text): duplicate-word fraction and
     * the most-frequent-bigram share per document.

@@ -146,6 +146,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("shuffleOrder: ranks are a 1..n permutation, invariant to input partitioning") {
+    import spark.implicits._
+    val docs = (1L to 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextAnalysis.shuffleOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val b = TextAnalysis.shuffleOrder(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.map(_._2).sorted.sameElements(1L to 97L), "dense 1..n ranks")
+    assert(a.toMap == b.toMap, "same order under any input partitioning")
+    // and the order really is the seeded-hash order, not doc order
+    assert(a.sortBy(_._2).map(_._1).take(10).toSeq != (1L to 10L).toSeq)
+  }
+
+  test("surprisal: common-word doc scores below rare-word doc, exact micros arithmetic") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the the the"), (2L, "the zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // freq: the=5, zzz=1, total=6
+    // doc1: 4 tokens of ln(6/5)=0.18232156 -> 0.1823
+    // doc2: (ln(6/5) + ln(6))/2 = (0.182322 + 1.791759)/2 -> 0.9870
+    assert(got(1L) == ((4L, 0.1823)))
+    assert(got(2L)._1 == 2L)
+    assert(got(2L)._2 == 0.987)
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("repetitionStats: planted repeated doc vs all-distinct doc") {
     import spark.implicits._
     val df = Seq(
