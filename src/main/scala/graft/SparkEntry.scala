@@ -53,6 +53,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
     "q_salted_join" -> ((s, dir) => Relational.saltedJoinAgg(
       Tables.orders(s, dir), Tables.customer(s, dir), 16)),
+    "q_json_extract" -> ((s, dir) => Relational.jsonPropsAgg(Tables.events(s, dir))),
     "q_corr_subquery" -> ((s, dir) => Relational.orderCountPerCustomer(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_latest_per_key" -> ((s, dir) => Relational.latestPerKey(Tables.events(s, dir))),
@@ -348,11 +349,13 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
-    "q_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price

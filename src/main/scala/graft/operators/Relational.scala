@@ -304,6 +304,28 @@ object Relational {
       .agg(round(sum(col("partial_sum")), 2).cast("double").as("total_value"),
         sum(col("partial_n")).as("n"))
 
+  /** Typed JSON property extraction + aggregate over the events
+    * `props` column. `from_json` with an EXPLICIT schema parses each
+    * row exactly once into a typed struct inside codegen — the
+    * Spark-first shape for semi-structured columns at scale, vs
+    * `get_json_object` which re-parses the string once per extracted
+    * field, or schema inference which needs an extra corpus pass.
+    * Malformed rows yield nulls (counted separately) instead of
+    * failing the job.
+    */
+  def jsonPropsAgg(events: DataFrame): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .getField("k")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        coalesce(sum(col("k")), lit(0L)).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
   /** Manually salted equi-join — the skew-join pattern for when one
     * key's rows exceed a single reduce task (AQE's skew-join split is
     * the automatic version; this is the explicit one you reach for

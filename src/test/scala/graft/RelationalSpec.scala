@@ -63,6 +63,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("jsonPropsAgg: typed extraction; malformed json yields nulls, not failures") {
+    import spark.implicits._
+    val ev = Seq(
+      ("click", """{"k": 5}"""),
+      ("click", """{"k": 7}"""),
+      ("view", "not json"),
+      ("view", """{"other": 1}""")).toDF("event_type", "props")
+    val got = Relational.jsonPropsAgg(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("click") == ((2L, 12L)))
+    assert(got("view") == ((0L, 0L)), "malformed/missing k counts as absent, job survives")
+  }
+
   test("salted join equals plain join, including under a planted hot key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
