@@ -46,5 +46,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.annTopK(emptyEmb).count() == 0)
     assert(Similarity.embeddingNearDup(emptyEmb).count() == 0)
     assert(Similarity.labelCentroids(emptyEmb).count() == 0)
+    assert(Similarity.quantizeInt8(emptyEmb).count() == 0)
+  }
+
+  test("round-3 operators return empty on empty inputs") {
+    import spark.implicits._
+    assert(Dedup.connectedComponentsAlternating(Dedup.ngramJaccard(emptyDocs)).count() == 0)
+    assert(Dedup.applyNearDupDedup(emptyDocs, Dedup.ngramJaccard(emptyDocs)).count() == 0)
+    assert(TextAnalysis.contamination(emptyDocs).count() == 0)
+    assert(TextAnalysis.repetitionStats(emptyDocs).count() == 0)
+    assert(TextAnalysis.shuffleOrder(emptyDocs).count() == 0)
+    assert(TextAnalysis.surprisal(emptyDocs).count() == 0)
+    val emptyEvents = Seq.empty[(String, String)].toDF("event_type", "props")
+    assert(Relational.jsonPropsAgg(emptyEvents).count() == 0)
+    val emptyPairsSmall = Seq.empty[(Long, String)].toDF("k", "tag")
+    val emptyPairsBig = Seq.empty[(Long, Long)].toDF("k", "payload")
+    assert(Relational.saltedJoin(emptyPairsBig, emptyPairsSmall, "k", 4).count() == 0)
   }
 }

@@ -51,6 +51,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall")
   }
 
+  test("ANN recall tuning sweep: more bands (smaller buckets per band, more probes) never collapses recall; band count is the recall/cost dial") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(planes: Int, bands: Int): Double = {
+      val ann = Similarity.annTopK(emb, 8, 10, planes, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect ann).size.toDouble / exact.size
+    }
+    // wide sweep of the two dials; candidate volume (cost) grows as
+    // bands go up and bucket width (planes/bands) goes down
+    val coarse = recallAt(24, 4)   // 6-bit buckets, few probes: cheapest
+    val mid = recallAt(24, 8)      // 3-bit buckets: the shipped default
+    val fine = recallAt(32, 16)    // 2-bit buckets, many probes: most recall
+    assert(mid >= coarse - 0.1, s"mid=$mid coarse=$coarse")
+    assert(fine >= mid - 0.05, s"fine=$fine mid=$mid")
+    assert(fine >= 0.8, s"high-probe config should approach exact: $fine")
+  }
+
   test("IVF ANN: k rows per query, recall vs brute force is usable") {
     val emb = Tables.embeddings(spark, SharedSpark.sf)
     val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
