@@ -33,6 +33,9 @@ object SparkEntry {
     "q5_star_join" -> ((s, dir) => Relational.q5StarJoin(
       Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
       Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q9_profit_shape" -> ((s, dir) => Relational.q9ProfitShape(
+      Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+      Tables.lineitem(s, dir))),
     "q_semi_join" -> ((s, dir) => Relational.semiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_anti_join" -> ((s, dir) => Relational.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_topk_per_key" -> ((s, dir) => Relational.topKPerKey(Tables.orders(s, dir), 3)),
@@ -146,6 +149,7 @@ object SparkEntry {
     "ta_pack" -> ((s, dir) => TextAnalysis.packIntoShards(Tables.documents(s, dir), 2000L)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
+    "ta_langid_eval" -> ((s, dir) => TextAnalysis.languageIdEval(Tables.documents(s, dir))),
     "ta_shuffle" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
     "ta_surprisal" -> ((s, dir) => TextAnalysis.surprisal(Tables.documents(s, dir))),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
@@ -249,6 +253,17 @@ object SparkEntry {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q9_profit_shape" ->
+      """SELECT n_name, p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 20
+        |GROUP BY n_name, p_brand""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -570,29 +585,22 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
         |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
         |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin,
-    "ta_shuffle" ->
-      """SELECT doc_id,
-        |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-        |  CAST(row_number() OVER (
-        |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
-        |    AS shuffle_rank
-        |FROM documents""".stripMargin,
-    "ta_surprisal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
-        |  FROM documents),
-        |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
-        |freq AS (SELECT word, count(*) AS wc FROM t GROUP BY word),
-        |n AS (SELECT sum(wc) AS n_total FROM freq),
-        |scored AS (
-        |  SELECT doc_id,
-        |    CAST(floor(ln(CAST(n_total AS DOUBLE) / CAST(wc AS DOUBLE))
-        |               * 1000000.0 + 0.5) AS BIGINT) AS micros
-        |  FROM t JOIN freq USING (word) CROSS JOIN n)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
-        |    AS surprisal
-        |FROM scored GROUP BY doc_id""".stripMargin,
+    "ta_langid_eval" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las|un|una|por)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|von|mit|den|des|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|des|une|dans|est|pour|que)\b')) AS s_fr
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |       ELSE 'und' END AS lang_pred,
+        |  count(*) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "ta_shuffle" ->
       """SELECT doc_id,
         |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

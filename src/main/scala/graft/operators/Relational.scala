@@ -304,6 +304,26 @@ object Relational {
       .agg(round(sum(col("partial_sum")), 2).cast("double").as("total_value"),
         sum(col("partial_n")).as("n"))
 
+  /** TPC-H Q9-shaped profit rollup over the part/supplier side of the
+    * star (the tables the Q3/Q5 shapes don't touch): lineitem ⋈ part
+    * ⋈ supplier ⋈ nation, revenue by (nation, brand). The part filter
+    * pushes into its scan; supplier→nation broadcast explicitly; the
+    * part join is left to the planner — at warehouse scale `part`
+    * grows with the fact table (it may exceed any broadcast budget),
+    * and AQE picks broadcast vs shuffle from actual runtime sizes.
+    */
+  def q9ProfitShape(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                    lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(part.filter(col("p_size") <= 20), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(
+        round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Typed JSON property extraction + aggregate over the events
     * `props` column. `from_json` with an EXPLICIT schema parses each
     * row exactly once into a typed struct inside codegen — the

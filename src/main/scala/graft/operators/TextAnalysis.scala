@@ -50,6 +50,20 @@ object TextAnalysis {
       col("doc_id") +: scoreCols :+ langPred(col("text")).as("lang_pred"): _*)
   }
 
+  /** Language-ID evaluation against the corpus's ground-truth `lang`
+    * column: the (truth, prediction) confusion counts. Zero joins —
+    * the prediction is the same inline scalar [[langPred]], so this
+    * is one scan + one tiny aggregate at any corpus size. (Languages
+    * with no stopword list — e.g. zh here — land in 'und', which the
+    * confusion table makes visible instead of hiding in an accuracy
+    * scalar.)
+    */
+  def languageIdEval(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), langPred(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** Quality scoring: length, punctuation density, stopword ratio,
     * alphabetic ratio — the standard cheap pre-filters before
     * expensive pipeline stages. All ratios are exact-int divisions
