@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.plans.TemporalJoins
+
+/** Randomized (seeded, deterministic) equivalence checks between
+  * independent implementations of the same operator — the strongest
+  * cheap oracle we have for operators whose SQL twin is a different
+  * algorithm entirely. Seeds are fixed: failures reproduce exactly.
+  */
+class RandomizedEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("alternating CC == propagation CC on 12 seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val prop = Dedup.connectedComponents(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val alt = Dedup.connectedComponentsAlternating(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(alt == prop, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("native as-of join == compositional as-of join on 6 seeded random event sets") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      // small key space + coarse timestamps force (key, time) ties so
+      // the tie-break path is genuinely exercised; the tie column
+      // (eid, a unique id) exists on BOTH sides, as the compositional
+      // join's union-based carry requires
+      def rows(n: Int) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(8).toLong * 10L, i.toLong, i.toLong + 1000L))
+      val left = rows(40).toDF("k", "t", "eid", "lpay")
+      val right = rows(40).toDF("k", "t", "eid", "rpay")
+      val native = org.apache.spark.sql.graftplan.AsofJoinNative
+        .asofJoin(left.select("k", "t", "eid"), right, "k", "t", "eid", Seq("rpay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val composed = TemporalJoins.asofJoin(left.select("k", "t", "eid"), right,
+        "k", "t", "eid", Seq("rpay"))
+        .select(col("k"), col("t"), col("eid"), col("rpay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(native == composed, s"seed=$seed")
+    }
+  }
+}
