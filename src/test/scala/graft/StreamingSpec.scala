@@ -71,6 +71,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(secondTotal == 900L, "resumed query must count old state + only-new files")
   }
 
+  test("append-mode windowed agg: watermark-closed windows emit, the open tail is held back") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // the always-on deployment shape windowCounts' Complete-mode
+    // comment points at: append emits each window exactly once, when
+    // the watermark passes its end — so the sink only ever sees
+    // finalized rows (what an upsert-free sink needs)
+    val qname = "graft_stream_append_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.readEventStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table(qname).select(
+      col("window.start").cast("long").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Relational.eventsWindow(Tables.events(spark, sf))
+    val batchAll = batch.select(
+      unix_timestamp(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+      col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every emitted window is final and exactly matches the batch count
+    emitted.foreach { case (k, n) =>
+      assert(batchAll(k) == n, s"window $k emitted non-final count")
+    }
+    // the held-back tail is exactly the windows the last watermark
+    // (max event time - 1h) had not passed yet
+    val maxWs = batchAll.keys.map(_._1).max
+    val held = batchAll.keySet -- emitted.keySet
+    assert(held.nonEmpty, "an open tail window must exist on a finite source")
+    assert(held.forall(_._1 >= maxWs - 3600L),
+      s"only windows inside the watermark horizon may be held: $held")
+  }
+
   test("stateful sessionization == batch sessionize") {
     val streamed = EventStreams.sessionizeStateful(spark, sf, 30).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
