@@ -34,6 +34,29 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join == naive inequality join on 8 seeded random configs") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(200 + seed)
+      val before = rnd.nextInt(50).toLong
+      val after = rnd.nextInt(50).toLong
+      val binWidth = 1L + rnd.nextInt(40)  // bins misaligned with the interval on purpose
+      def rows(n: Int) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong, i.toLong))
+      val left = rows(30).toDF("k", "t", "lid")
+      val right = rows(30).toDF("k", "t", "rid")
+      val binned = TemporalJoins.rangeJoin(left, right, "k", "t",
+        before, after, binWidth, Seq("lid"), Seq("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.t") >= col("l.t") - before && col("r.t") <= col("l.t") + after)
+        .select(col("l.lid"), col("r.rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"seed=$seed before=$before after=$after bin=$binWidth")
+    }
+  }
+
   test("native as-of join == compositional as-of join on 6 seeded random event sets") {
     import spark.implicits._
     for (seed <- 1 to 6) {
