@@ -86,4 +86,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("Join") && p.contains("_bin"))
   }
+
+  test("q9_profit_shape: part filter pushed, supplier/nation broadcast, no cartesian") {
+    val p = plan("q9_profit_shape")
+    assert(p.contains("LessThanOrEqual(p_size,20"), "p_size filter must reach the part scan")
+    assert(p.contains("BroadcastHashJoin"), "dimension sides must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ta_contamination: eval vocabulary broadcast; train side joins without a full shuffle") {
+    val p = plan("ta_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval shingles must arrive as a broadcast semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_salted_join: the join runs on (key, salt) and never broadcasts the salted big side") {
+    val p = plan("q_salted_join")
+    assert(p.contains("_salt"), "salt must be a join key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
