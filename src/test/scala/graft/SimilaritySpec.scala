@@ -82,6 +82,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.forall(_ <= 10))
   }
 
+  test("IVF probe sweep: recall grows with probes; probing every cell recovers brute force") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(probes: Int): Double = {
+      val ivf = Similarity.annTopKIvf(emb, 8, 10, nCells = 16, probes = probes).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    assert(r4 >= r1 - 1e-9, s"recall must not drop with more probes: p1=$r1 p4=$r4")
+    assert(r16 >= r4 - 1e-9, s"p4=$r4 p16=$r16")
+    // probing ALL cells = scanning every corpus partition exactly once
+    // per query — the IVF candidate set becomes the whole corpus, so
+    // recall is exact by construction
+    assert(r16 == 1.0, s"full-probe recall must be exact, got $r16")
+  }
+
   test("labelCentroids: mean of planted vectors, one row per label") {
     import spark.implicits._
     val df = Seq(
