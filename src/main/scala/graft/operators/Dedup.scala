@@ -39,9 +39,18 @@ object Dedup {
     * table ([[wordShingles]]) and the zero-shuffle per-doc set-size
     * projection in [[ngramJaccard]] can never disagree.
     */
-  private def shingleArraySql(n: Int): String =
+  private def shingleArraySql(n: Int): String = {
+    // try_element_at per offset, NOT slice(ws, i, n): slice copies an
+    // n-element array per position — O(words·n) allocations per doc —
+    // while n fixed element lookups are allocation-free. try_ (not
+    // element_at) because the one clamped position of a doc shorter
+    // than n words reads past the end, which ANSI mode makes fatal;
+    // concat_ws skips the resulting nulls, matching slice's
+    // truncation byte-for-byte.
+    val parts = (0 until n).map(j => s"try_element_at(ws, CAST(i + $j AS INT))").mkString(", ")
     s"array_distinct(transform(sequence(1, greatest(size(ws) - ${n - 1}, 1)), " +
-      s"i -> array_join(slice(ws, i, $n), ' ')))"
+      s"i -> concat_ws(' ', $parts)))"
+  }
 
   private def tokenArray(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
