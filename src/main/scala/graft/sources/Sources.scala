@@ -84,4 +84,19 @@ object Sources {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Compacting writer — the answer to the small-files problem (a
+    * 100 TB pipeline that writes one file per post-shuffle partition
+    * per run drowns its metastore and its next scan in tiny files).
+    * Range-repartition on `sortCol` to `numFiles` output partitions:
+    * each file holds one contiguous, internally-sorted key range, so
+    * downstream range predicates on `sortCol` prune whole files via
+    * parquet min/max stats, and file count is an explicit knob
+    * instead of an accident of the previous shuffle.
+    */
+  def writeCompacted(df: DataFrame, path: String, sortCol: String,
+                     numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

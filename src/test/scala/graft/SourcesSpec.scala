@@ -58,6 +58,29 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS orders_bucketed")
   }
 
+  test("compacting writer: explicit file count, disjoint sorted key ranges per file") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-").toString + "/t"
+    val orders = Tables.orders(spark, SharedSpark.sf).repartition(13) // messy input layout
+    Sources.writeCompacted(orders, out, "o_orderkey", 4)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"file count must be the explicit knob, got ${files.length}")
+    // each file holds a contiguous range: per-file [min, max] intervals
+    // must not overlap — this is what makes parquet min/max stats
+    // prune whole files for range predicates
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // nothing lost
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
   test("co-bucketed fact-fact join runs with ZERO exchange on either side") {
     // the 100 TB story for a recurring fact-fact join: pay the shuffle
     // once at write time (bucketBy on the join key, equal bucket
