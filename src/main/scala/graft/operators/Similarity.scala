@@ -282,9 +282,10 @@ object Similarity {
     * guard: amax = 0 quantizes to all zeros.
     *
     * Pure scalar projection — zero shuffle at any corpus size. The
-    * first `nShow` quantized values are emitted as typed columns so
-    * the driver comparator can hash them; the full int8 array rides
-    * along for consumers.
+    * output is the scale plus the first `nShow` quantized values as
+    * typed columns (the driver comparator cannot hash array columns);
+    * a consumer wanting the full int8 array applies the same
+    * transform expression over every index.
     */
   def quantizeInt8(embeddings: DataFrame, nShow: Int = 8): DataFrame = {
     val amax = expr(

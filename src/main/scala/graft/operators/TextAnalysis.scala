@@ -299,7 +299,12 @@ object TextAnalysis {
     * is exact integer arithmetic — no float accumulation-order
     * dependence between Spark's partial aggregates and any oracle.
     * Scale: one token→frequency join (hash; broadcastable when the
-    * vocabulary fits) and two map-side-combined aggregations.
+    * vocabulary fits) and two map-side-combined aggregations. The
+    * join key is the word itself, so stop words make it the most
+    * skewed join in this library — AQE skew-join splitting (on in
+    * GraftSession) splits those partitions at runtime, and the
+    * broadcast variant removes the shuffle entirely when the
+    * vocabulary fits the broadcast budget.
     */
   def surprisal(documents: DataFrame): DataFrame = {
     val toks = documents
