@@ -200,8 +200,9 @@ object Similarity {
     * scan stage here.
     *
     * For a large quantizer (thousands of cells) inlining one
-    * expression per seed would blow up the plan; that regime should
-    * use a broadcast join + `max_by` aggregation instead — the seed
+    * expression per seed would blow up the plan; that regime is
+    * [[ivfCellsBroadcast]] (broadcast join + bounded top-probes
+    * aggregation, row-identical output — spec-pinned). The seed
     * count here is the survey's nCells=16 scale knob.
     */
   def ivfCells(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
@@ -225,6 +226,38 @@ object Similarity {
     val nearest = slice(array_sort(array(cellStructs: _*), cmp), 1, probes)
     df.select(col(idCol), col(embCol),
       explode(transform(nearest, x => x.getField("cell"))).as("cell"))
+  }
+
+  /** Cell assignment for the LARGE-quantizer regime (thousands of
+    * cells, where [[ivfCells]]' one-plan-literal-per-seed inlining
+    * would blow up the plan): the seed table arrives as a broadcast
+    * join, each row scores its nCells candidates, and a single
+    * map-side-combined aggregation keeps the top `probes` cells per
+    * row (collect_list is bounded by nCells, sorted by the same
+    * (cosine desc, cell asc) comparator as the inline variant, so the
+    * two paths are row-identical — spec-pinned). Cost model: one
+    * shuffle keyed on `idCol` carrying ≤ nCells entries per row —
+    * the price of not inlining; the inline variant stays the
+    * zero-shuffle choice for small quantizers.
+    */
+  def ivfCellsBroadcast(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
+                        probes: Int): DataFrame = {
+    val scored = df.join(broadcast(seeds.select(col("cell").cast("long").as("cell"),
+        col("cell_emb"))))
+      .select(col(idCol), col(embCol),
+        struct(vecCosine(col(embCol), col("cell_emb")).as("c"),
+          col("cell").as("cell")).as("sc"))
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    scored.groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol),
+        slice(array_sort(collect_list(col("sc")), cmp), 1, probes).as("top"))
+      .select(col(idCol), col(embCol),
+        explode(expr("transform(top, x -> x.cell)")).as("cell"))
   }
 
   /** IVF-bucketed ANN top-k (the prompt's "IVF variant as the scale

@@ -102,6 +102,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r16 == 1.0, s"full-probe recall must be exact, got $r16")
   }
 
+  test("large-quantizer broadcast cell assignment == inline plan-literal assignment") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
+    for (probes <- Seq(1, 4)) {
+      val inline = Similarity.ivfCells(emb, "vec_id", "embedding", seeds, probes)
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bcast = Similarity.ivfCellsBroadcast(emb, "vec_id", "embedding", seeds, probes)
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bcast == inline, s"probes=$probes")
+    }
+  }
+
   test("labelCentroids: mean of planted vectors, one row per label") {
     import spark.implicits._
     val df = Seq(
