@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling aid: time named queries in the given order within one
+  * session, after an optional warmup, printing per-run times (not just
+  * min-of-2) so cold-start vs steady-state is visible.
+  *
+  * Usage: runMain graft.BenchOne <sfDir> [--warmup] name1 name2 ...
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val warmup = args.contains("--warmup")
+    val names = args.drop(1).filterNot(_ == "--warmup")
+    val spark = GraftSession.local()
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (warmup) {
+      val t = timeOnce(SparkEntry.queries("q1_agg"))
+      println(f"[benchone] warmup q1_agg: $t%.2f s")
+    }
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val a = timeOnce(fn); val b = timeOnce(fn); val c = timeOnce(fn)
+      println(f"[benchone] $n%-28s run1=$a%6.2f run2=$b%6.2f run3=$c%6.2f min=${math.min(a, math.min(b, c))}%6.2f s")
+    }
+    spark.stop()
+  }
+}

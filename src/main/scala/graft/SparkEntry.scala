@@ -367,7 +367,7 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-        |  COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS sum_k,
+        |  CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
@@ -637,8 +637,8 @@ object SparkEntry {
         |bs AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM bc GROUP BY 1)
         |SELECT s.doc_id, n_words, n_uniq_words,
         |  round(1.0 - CAST(n_uniq_words AS DOUBLE) / n_words, 4) AS dup_word_frac,
-        |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
-        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  round(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
         |             ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END, 4) AS top_bigram_frac
         |FROM s LEFT JOIN bs USING (doc_id)""".stripMargin,

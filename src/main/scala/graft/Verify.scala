@@ -5,10 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional trailing args: run only these query names (dev aid; the
+    // driver always passes exactly two args so this is a no-op for it)
+    val only = args.drop(2).toSet
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       // pre-delete so a failing query can never leave a stale result
       // from an earlier run for the comparator to "pass" against
       val target = new java.io.File(s"$outDir/$name")

@@ -69,6 +69,13 @@ def main(outdir, sfdir):
         first = None
         for a, b in zip(s_rows, d_rows):
             for x, y in zip(a, b):
+                # the driver hashes typed values: DuckDB decimal128 (e.g.
+                # from sum(BIGINT)) vs Spark int64 mismatches even when
+                # numerically equal — flag any cross-type cell pair
+                if x is not None and y is not None and type(x) is not type(y):
+                    bad += 1
+                    first = first or ((a, b), f"type {type(x).__name__} vs {type(y).__name__}")
+                    continue
                 if isinstance(x, float) and isinstance(y, float):
                     if x != y:
                         exact += 1
