@@ -138,6 +138,7 @@ object SparkEntry {
     "sim_balanced_sample" -> ((s, dir) => Similarity.balancedSampleByHash(
       Tables.embeddings(s, dir), (0 until 10).map(l => l -> (if (l < 5) 0.5 else 1.0)).toMap)),
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    "sim_kmeans" -> ((s, dir) => Similarity.kmeans(Tables.embeddings(s, dir), 16, 3)),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -153,6 +154,8 @@ object SparkEntry {
     "ta_shuffle" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
     "ta_surprisal" -> ((s, dir) => TextAnalysis.surprisal(Tables.documents(s, dir))),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
+    "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
@@ -160,6 +163,7 @@ object SparkEntry {
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
+    "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir)))
   )
@@ -642,6 +646,24 @@ object SparkEntry {
         |  round(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
         |             ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END, 4) AS top_bigram_frac
         |FROM s LEFT JOIN bs USING (doc_id)""".stripMargin,
+    "ta_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
+    "ta_ngram_lm" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |bg AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i+1]
+        |                 FOR i IN generate_series(1, len(ws) - 1)]) AS ngram
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT ngram, count(*) AS n FROM bg GROUP BY 1)
+        |SELECT ngram, n, CAST(row_number() OVER (ORDER BY n DESC, ngram ASC) AS BIGINT) AS rk
+        |FROM c ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
     "sim_quantize" ->
       """WITH a AS (
         |  SELECT vec_id, embedding,
@@ -759,6 +781,13 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+        |  (epoch_us(r.ts) - epoch_us(l.ts)) // 1000 AS lag_ms
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND epoch_us(r.ts) > epoch_us(l.ts)
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH m AS (
         |  SELECT doc_id, text,

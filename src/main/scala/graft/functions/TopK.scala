@@ -42,6 +42,37 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
 }
 
+/** k-smallest (key, id) pairs by (key asc, id asc) with a bounded
+  * buffer — the ascending, string-keyed twin of [[TopKAggregator]],
+  * for quota-style selection where the ordering key is a hash string
+  * (e.g. a per-source md5 rank). The shuffle carries k-bounded
+  * buffers per (partition, group), never whole groups — so one giant
+  * group cannot skew a reduce task the way a window row_number()
+  * plan (which sorts every group's full data) would.
+  */
+class MinKPairAggregator(k: Int)
+    extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+
+  /** Loosely bounded buffer (trim at 4k) so reduce is O(1) amortized;
+    * exact min-k enforced on merge/finish.
+    */
+  private def trim(buf: Seq[(String, Long)]): Seq[(String, Long)] =
+    if (buf.length <= 4 * k) buf else buf.sorted.take(k)
+
+  override def zero: Seq[(String, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
+    trim(buf :+ a)
+
+  override def merge(b1: Seq[(String, Long)], b2: Seq[(String, Long)]): Seq[(String, Long)] =
+    (b1 ++ b2).sorted.take(k)
+
+  override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf.sorted.take(k)
+
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+}
+
 object TopK {
   import org.apache.spark.sql.functions._
 

@@ -332,4 +332,58 @@ object Similarity {
       col("vec_id") +: round(col("_amax"), 6).as("amax") +:
         (0 until nShow).map(i => q(i).as(s"q$i")): _*)
   }
+
+  /** Lloyd k-means over the embedding corpus — the TRAINING step for
+    * the IVF coarse quantizer ([[annTopKIvf]]'s raw seed centroids
+    * are iteration zero of exactly this). Deterministic end to end:
+    * seeds are the first `nCells` rows by vec_id; each iteration is
+    * (a) zero-shuffle plan-literal cell assignment via [[ivfCells]]
+    * — the quantizer lives in the plan, the corpus never shuffles
+    * for scoring — then (b) ONE shuffle on cell id into the
+    * O(dim)-buffer [[VectorMeanAggregator]]. Centroids round-trip
+    * through the driver between rounds (O(nCells·dim) — a coarse
+    * quantizer fits there by definition); a large-quantizer
+    * deployment swaps assignment to [[ivfCellsBroadcast]] unchanged.
+    * Empty cells retain their previous centroid.
+    *
+    * Cosine assignment + arithmetic-mean update IS spherical
+    * k-means: cosine is scale-invariant, so scoring against the mean
+    * equals scoring against the normalized mean, and the
+    * sum-of-cosines objective is non-decreasing per iteration — the
+    * monotonicity the spec pins.
+    *
+    * Output: (cell, n, c0..c7) — per-cell population and the first 8
+    * trained-centroid elements rounded (the driver-hashable scalar
+    * projection, like [[labelCentroids]]). Rows-only at the driver
+    * gate: ITERATED float means are not bit-reproducible across
+    * engines (summation order compounds per round), so the spec gate
+    * pins semantics instead — planted clusters recovered intact,
+    * trained centroids on the planted axes, partitioning invariance.
+    */
+  def kmeans(embeddings: DataFrame, nCells: Int = 16, iters: Int = 3,
+             nShow: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroidUdaf = udaf(new VectorMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    var centroids: Seq[(Long, Seq[Float])] = embeddings
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    def seedsDf(c: Seq[(Long, Seq[Float])]) = c.toDF("cell", "cell_emb")
+    for (_ <- 0 until iters) {
+      val updated = ivfCells(embeddings, "vec_id", "embedding", seedsDf(centroids), probes = 1)
+        .groupBy(col("cell"))
+        .agg(centroidUdaf(col("embedding")).as("c"))
+        .as[(Long, Seq[Double])].collect().toMap
+      centroids = centroids.map { case (cell, old) =>
+        (cell, updated.get(cell).map(_.map(_.toFloat).toSeq).getOrElse(old))
+      }
+    }
+    ivfCells(embeddings, "vec_id", "embedding", seedsDf(centroids), probes = 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), centroidUdaf(col("embedding")).as("c"))
+      .select(col("cell") +: col("n") +:
+        (0 until nShow).map(i => round(element_at(col("c"), i + 1), 6).as(s"c$i")): _*)
+  }
 }

@@ -358,4 +358,66 @@ object TextAnalysis {
           .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")), 4)
           .as("top_bigram_frac"))
   }
+
+  /** Per-source quota cap (the RefinedWeb/CCNet-style domain
+    * balancing step): keep at most `cap` documents per source,
+    * survivors picked by a content-stable md5 rank — reproducible
+    * across runs, engines, and partitionings, no RNG state (the same
+    * argument as [[trainValidSplit]]).
+    *
+    * Scale design: selection runs through the k-bounded
+    * [[graft.functions.MinKPairAggregator]], so the shuffle carries
+    * ≤cap entries per (partition, source) — NEVER the whole group.
+    * That is the difference at 100 TB: a window row_number() plan
+    * sorts every source's full row set in one task, and the one
+    * giant source every web corpus has (the common-crawl bucket)
+    * becomes a straggler; the bounded aggregator caps that task's
+    * input at cap·numPartitions entries.
+    *
+    * Output: (doc_id, source, rk) for survivors, rk = 1-based rank in
+    * md5 order — matching the SQL oracle's row_number() exactly.
+    */
+  def sourceCap(documents: DataFrame, cap: Int = 15): DataFrame = {
+    val mink = udaf(new graft.functions.MinKPairAggregator(cap),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long)]())
+    documents
+      .select(col("source"),
+        md5(concat_ws(":", col("source"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(mink(col("h"), col("doc_id")).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "entry")))
+      .select(col("entry._2").as("doc_id"), col("source"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Corpus n-gram language-model counts, top-k (the count table
+    * behind [[surprisal]]-style scoring and n-gram contamination
+    * checks, kept as its own operator because a real pipeline
+    * materializes it once and reuses it).
+    *
+    * Scale design: one tokenize pass, map-side-combined count per
+    * n-gram (the wordcount shuffle shape — bounded by distinct
+    * n-grams, not corpus size), then `orderBy().limit(k)`, which
+    * Spark plans as TakeOrderedAndProject: per-partition bounded
+    * top-k merged on the driver, NOT a global sort. (count DESC,
+    * ngram ASC) is a total order — ngrams are distinct — so ranks
+    * are deterministic and the oracle can hash them.
+    */
+  def ngramLmCounts(documents: DataFrame, n: Int = 2, k: Int = 100): DataFrame = {
+    require(n >= 2, "unigram counts are mr_wordcount; use n >= 2")
+    val toks = documents.select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+    val parts = (0 until n).map(j => s"element_at(ws, CAST(i + $j AS INT))").mkString(", ")
+    val ngrams = toks.filter(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', $parts))"))
+        .as("ngram"))
+    val counts = ngrams.groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+    // rank the k survivors (tiny — the window runs over k rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("ngram").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+  }
 }

@@ -175,6 +175,56 @@ object EventStreams {
       .drop("_rk")
   }
 
+  /** Stream-stream interval join (the attribution shape: each left
+    * event joined to right events of the same user within
+    * (left, left+within]). BOTH sides carry watermarks and the join
+    * condition bounds event time on both sides — that is what lets
+    * the engine EVICT buffered rows (left state older than
+    * watermark−within, right state older than the watermark); without
+    * a time bound a stream-stream join must buffer both streams
+    * forever. Append mode: the only mode stream-stream inner joins
+    * support — matches emit in the micro-batch they occur.
+    *
+    * The join predicate stays ENTIRELY on the watermarked
+    * TimestampType columns: that is what `StreamingJoinHelper`
+    * derives both sides' state-eviction bounds from. Long (epoch
+    * nanos) terms in the condition instead make the helper throw per
+    * micro-batch (caught but stack-logged — observed flooding the
+    * log at sf0.1), and a post-join nanos filter gets pushed back
+    * into the condition by the optimizer, so the operator is defined
+    * at microsecond resolution end to end — TimestampType's native
+    * precision — and the oracle compares on `epoch_us` likewise.
+    */
+  def intervalJoin(spark: SparkSession, dir: String, leftType: String = "click",
+                   rightType: String = "purchase", withinMinutes: Int = 30): DataFrame = {
+    val left = readEventStream(spark, dir)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id").as("left_user"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", "1 hour")
+    val right = readEventStream(spark, dir)
+      .filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("right_user"),
+        col("ts").as("right_ts"))
+      .withWatermark("right_ts", "1 hour")
+    val qname = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = left.join(right,
+        col("left_user") === col("right_user") &&
+          col("right_ts") > col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("left_user").as("user_id"), col("left_id").as("click_id"),
+        col("right_id").as("purchase_id"),
+        expr("(unix_micros(right_ts) - unix_micros(left_ts)) div 1000").as("lag_ms"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   private def microsToValue(micros: Long): Double =
     (BigDecimal(micros) / BigDecimal(1000000L))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble

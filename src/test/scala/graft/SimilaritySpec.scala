@@ -187,4 +187,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) == ((4.0, 32L, -63L, 127L, 0L)))
     assert(got(2L) == ((0.0, 0L, 0L, 0L, 0L)))
   }
+
+  test("kmeans recovers planted clusters and is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    // 3 orthogonal-axis clusters of distinct sizes 6/10/17; vec_ids
+    // 0,1,2 (the seeds) are one member of each cluster
+    def point(cluster: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.05f * rnd.nextGaussian().toFloat)
+      a(cluster) += 1f
+      a
+    }
+    val sizes = Seq(6, 10, 17)
+    val rows = Seq.tabulate(3)(c => (c.toLong, point(c))) ++
+      sizes.zipWithIndex.flatMap { case (sz, c) =>
+        (1 until sz).map(j => ((3 + c * 20 + j).toLong, point(c)))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, nCells = 3, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // every planted cluster is recovered intact (sizes are distinct on purpose)
+    assert(got.map(_._2).sorted.toSeq == Seq(6L, 10L, 17L))
+    // cell j's trained centroid points along axis j (seed j came from cluster j)
+    got.foreach { case (cell, _, c0, c1, c2) =>
+      val axes = Seq(c0, c1, c2)
+      assert(axes(cell.toInt) > 0.8, s"cell $cell centroid $axes not on its axis")
+      axes.zipWithIndex.filter(_._2 != cell.toInt).foreach { case (v, _) => assert(math.abs(v) < 0.2) }
+    }
+    // double-summing float32s is exact at these magnitudes, so the
+    // rounded output is bit-identical under any partitioning
+    val rep = Similarity.kmeans(df.repartition(7), nCells = 3, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rep.toSet == got.toSet)
+  }
 }

@@ -117,4 +117,25 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(r.fieldIndex("n_events")), r.getDouble(r.fieldIndex("session_value")))).toSet
     assert(streamed == batch)
   }
+
+  test("stream-stream interval join == batch interval join on exact nanos") {
+    import org.apache.spark.sql.functions._
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = asSet(EventStreams.intervalJoin(spark, sf).collect())
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts_ns div 1000").as("lus"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts_ns div 1000").as("rus"))
+    val batch = l.join(r, "user_id")
+      .filter(col("rus") > col("lus") &&
+        col("rus") <= col("lus") + lit(30L * 60L * 1000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(rus - lus) div 1000").as("lag_ms"))
+    assert(got == asSet(batch.collect()))
+    assert(got.nonEmpty)
+  }
 }

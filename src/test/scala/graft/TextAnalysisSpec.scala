@@ -195,4 +195,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_bigrams")) == 0L)
     assert(r.getDouble(r.fieldIndex("top_bigram_frac")) == 0.0)
   }
+
+  test("sourceCap == window row_number reference and is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("rk")))).toSet
+    val got = asSet(TextAnalysis.sourceCap(docs, 5))
+    // the straightforward (unbounded-sort) window plan as the oracle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(concat_ws(":", col("source"), col("doc_id").cast("string"))))
+    val ref = asSet(docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5))
+    assert(got == ref)
+    assert(got.groupBy(_._2).forall(_._2.size <= 5))
+    assert(asSet(TextAnalysis.sourceCap(docs.repartition(7), 5)) == got)
+  }
+
+  test("ngramLmCounts: known bigram counts with deterministic tie-broken ranks") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLmCounts(df, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // counts: "a b"->3, then ties ("b a","b c","b x" all 1) rank by ngram asc
+    assert(got == List(("a b", 3L, 1L), ("b a", 1L, 2L), ("b c", 1L, 3L)))
+  }
 }
