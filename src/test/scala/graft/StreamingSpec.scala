@@ -118,7 +118,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("stream-stream interval join == batch interval join on exact nanos") {
+  test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
