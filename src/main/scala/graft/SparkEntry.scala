@@ -108,6 +108,14 @@ object SparkEntry {
     }),
     // §2.3 deduplication
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      // deterministic corpus/batch split: last decimal digit of doc_id
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(10L)) >= 3),
+        docs.filter(pmod(col("doc_id"), lit(10L)) < 3))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
@@ -159,6 +167,13 @@ object SparkEntry {
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
+    "mm_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // frames projected to driver-hashable scalars (md5 + length)
+      Multimodal.frameSample(Tables.documents(s, dir), 32, 4)
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).cast("long").as("n_bytes"))
+    }),
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
@@ -466,6 +481,18 @@ object SparkEntry {
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
         |  FROM documents)
         |GROUP BY content_hash""".stripMargin,
+    "dedup_incremental" ->
+      """WITH b AS (
+        |  SELECT min(doc_id) AS doc_id, content_hash FROM (
+        |    SELECT doc_id,
+        |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |    FROM documents WHERE doc_id % 10 < 3)
+        |  GROUP BY content_hash),
+        |c AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |  FROM documents WHERE doc_id % 10 >= 3)
+        |SELECT doc_id, content_hash FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.content_hash = b.content_hash)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
@@ -551,6 +578,18 @@ object SparkEntry {
         |  count(*) FILTER (bin = 14) AS f14, count(*) FILTER (bin = 15) AS f15
         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "mm_frames" ->
+      // char-substr mirrors the operator's BYTE slicing because this
+      // corpus is pure ASCII (verified at every SF); a non-ASCII doc
+      // would fail the gate visibly rather than silently diverge
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, length(text) // 32 - 1, 4)) AS frame_idx
+        |  FROM documents WHERE length(text) >= 32)
+        |SELECT doc_id, frame_idx,
+        |  md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5,
+        |  CAST(32 AS BIGINT) AS n_bytes
+        |FROM f""".stripMargin,
     "ta_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word

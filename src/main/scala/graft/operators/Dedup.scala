@@ -34,6 +34,29 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the daily-ingest shape: survivors of
+    * `batch` are its first copy per content hash ([[contentHash]],
+    * the same identity as [[exact]]) that does not already appear
+    * anywhere in `corpus`.
+    *
+    * Scale design: within-batch dedup is one shuffle on the hash
+    * (map-side combined min); the corpus check is a hash-partitioned
+    * LEFT ANTI join on the same key — at 100 TB the corpus side is
+    * far too large to broadcast, and an anti join ships only
+    * (hash) pairs, never payloads. A real deployment would keep the
+    * corpus's hash table materialized (bucketed by content_hash) so
+    * daily runs skip re-hashing history; the join shape is unchanged.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val firstInBatch = batch
+      .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val corpusHashes = corpus.select(contentHash(col("text")).as("content_hash"))
+    firstInBatch.join(corpusHashes, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** SQL for the distinct word-n-gram shingle array over a pre-split
     * token array column `ws` — defined once so the exploded shingle
     * table ([[wordShingles]]) and the zero-shuffle per-doc set-size

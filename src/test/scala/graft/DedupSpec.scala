@@ -32,6 +32,20 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(1L) == 1L && groups(3L) == 1L)
   }
 
+  test("incrementalDedup: batch survivors are first-in-batch AND absent from corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "already ingested text"), (2L, "other history")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Already   ingested TEXT"), // normalized dup of corpus doc 1 -> dropped
+      (11L, "brand new content"),       // survivor
+      (12L, "brand  NEW content"),      // within-batch dup of 11 -> dropped (11 is min id)
+      (13L, "another fresh doc")        // survivor
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    assert(got == Set(11L, 13L))
+  }
+
   test("ngram jaccard finds the near-pair and not the unrelated doc") {
     val pairs = Dedup.ngramJaccard(planted, 3, 0.2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
