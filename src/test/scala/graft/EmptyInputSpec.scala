@@ -63,4 +63,17 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyPairsBig = Seq.empty[(Long, Long)].toDF("k", "payload")
     assert(Relational.saltedJoin(emptyPairsBig, emptyPairsSmall, "k", 4).count() == 0)
   }
+
+  test("round-4 operators return empty (or survive) on empty inputs") {
+    import spark.implicits._
+    assert(TextAnalysis.sourceCap(emptyDocs).count() == 0)
+    assert(TextAnalysis.ngramLmCounts(emptyDocs).count() == 0)
+    assert(Multimodal.frameSample(emptyDocs).count() == 0)
+    // empty batch -> no survivors; empty corpus -> batch survives intact
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedup(docs, emptyDocs.select($"doc_id", $"text")).count() == 0)
+    assert(Dedup.incrementalDedup(emptyDocs.select($"doc_id", $"text"), docs).count() == 1)
+    // kmeans on an empty corpus: no seeds, no cells — empty output
+    assert(Similarity.kmeans(emptyEmb, nCells = 4, iters = 2).count() == 0)
+  }
 }

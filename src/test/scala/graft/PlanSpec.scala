@@ -106,4 +106,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("_salt"), "salt must be a join key")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("ta_source_cap: k-bounded aggregation, never a window sort over whole groups") {
+    val p = plan("ta_source_cap")
+    assert(p.contains("ObjectHashAggregate"), "MinK aggregator must drive selection")
+    assert(!p.contains("Window"), "a window row_number plan would sort every group's full rows")
+  }
+
+  test("ta_ngram_lm: top-k via TakeOrderedAndProject, not a global Sort") {
+    val p = plan("ta_ngram_lm")
+    assert(p.contains("TakeOrderedAndProject"), "limit-k must plan as bounded per-partition top-k")
+  }
 }

@@ -34,6 +34,29 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceCap == window row_number on 8 seeded skewed source distributions") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(100 + seed)
+      val cap = 1 + rnd.nextInt(6)
+      // zipf-ish skew: source 's0' holds ~half the docs (the
+      // common-crawl-bucket shape the bounded aggregator exists for)
+      val docs = (0 until 120).map { i =>
+        val src = if (rnd.nextBoolean()) "s0" else s"s${1 + rnd.nextInt(9)}"
+        (i.toLong, src)
+      }.toDF("doc_id", "source")
+      val got = graft.operators.TextAnalysis.sourceCap(docs, cap).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(concat_ws(":", col("source"), col("doc_id").cast("string"))))
+      val ref = docs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= cap)
+        .select(col("doc_id"), col("source"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == ref, s"seed=$seed cap=$cap")
+    }
+  }
+
   test("binned range join == naive inequality join on 8 seeded random configs") {
     import spark.implicits._
     for (seed <- 1 to 8) {
