@@ -179,6 +179,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
+    "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir)))
   )
@@ -827,6 +828,11 @@ object SparkEntry {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND epoch_us(r.ts) > epoch_us(l.ts)
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH m AS (
         |  SELECT doc_id, text,

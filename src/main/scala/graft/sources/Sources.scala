@@ -85,6 +85,17 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC round-trip — the other columnar format large warehouses
+    * standardize on; same pushdown/pruning contract as parquet
+    * (predicate pushdown via ORC stripe stats, column projection via
+    * ReadSchema), verified in the source spec.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Compacting writer — the answer to the small-files problem (a
     * 100 TB pipeline that writes one file per post-shuffle partition
     * per run drowns its metastore and its next scan in tiny files).

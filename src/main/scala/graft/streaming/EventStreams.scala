@@ -100,6 +100,34 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Stream-static enrichment join + aggregate: the streaming face of
+    * the broadcast dimension join (each micro-batch joins against the
+    * STATIC customer dimension — stateless, no join state at all,
+    * unlike the stream-stream [[intervalJoin]]). The dimension is
+    * explicitly `broadcast()` so every executor holds it once and the
+    * stream side never shuffles for the join; at 100 TB/day of events
+    * the only shuffle is the final segment aggregate. Complete mode
+    * for finite-source parity, as [[windowCounts]].
+    */
+  def enrichCounts(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dim = broadcast(graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    val q = readEventStream(spark, dir)
+      .join(dim, "user_id")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double").as("total_value"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 

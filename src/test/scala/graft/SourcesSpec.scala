@@ -35,6 +35,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaJson == df.collect().toSet)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val base = Files.createTempDirectory("graft-orc-").toString
+    val orders = Tables.orders(spark, SharedSpark.sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Sources.writeOrc(orders, s"$base/orders")
+    val back = Sources.readOrcTable(spark, s"$base/orders")
+    assert(back.schema == orders.schema)
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_totalprice") > 200000.0).select("o_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"ORC scan must push the predicate: $plan")
+    assert(filtered.count() ==
+      orders.filter(col("o_totalprice") > 200000.0).count())
+  }
+
   test("partitioned write prunes partitions on read") {
     val base = Files.createTempDirectory("graft-part-").toString
     val events = Tables.events(spark, SharedSpark.sf).select("event_id", "event_type", "value")

@@ -118,6 +118,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join == batch broadcast join + aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.enrichCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val batch = Tables.events(spark, sf).join(dim, "user_id")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+          .cast("double").as("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
