@@ -96,6 +96,30 @@ object Sources {
   def readOrcTable(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Idempotent partition overwrite — the re-run contract a daily
+    * pipeline needs: INSERT OVERWRITE semantics scoped to only the
+    * partitions present in `df` (dynamic mode), so re-running one
+    * day's job replaces exactly that day's directory and never
+    * touches — or worse, deletes — the other 364. Static mode (the
+    * default) would truncate EVERY partition first; at 100 TB that
+    * is the difference between an idempotent retry and a data-loss
+    * incident.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Compacting writer — the answer to the small-files problem (a
     * 100 TB pipeline that writes one file per post-shuffle partition
     * per run drowns its metastore and its next scan in tiny files).

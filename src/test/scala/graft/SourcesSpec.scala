@@ -35,6 +35,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaJson == df.collect().toSet)
   }
 
+  test("overwritePartitions replaces only the partitions in the new batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-dynpart-").toString
+    val day1 = Seq((1L, "d1", 10.0), (2L, "d1", 11.0), (3L, "d2", 12.0))
+      .toDF("id", "day", "v")
+    Sources.overwritePartitions(day1, s"$base/t", Seq("day"))
+    // re-run of day d2 with corrected rows must not touch d1
+    val rerun = Seq((30L, "d2", 99.0)).toDF("id", "day", "v")
+    Sources.overwritePartitions(rerun, s"$base/t", Seq("day"))
+    val got = spark.read.parquet(s"$base/t")
+      .select("id", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "d1", 10.0), (2L, "d1", 11.0), (30L, "d2", 99.0)))
+  }
+
   test("orc round-trip preserves rows and pushes filters to the scan") {
     val base = Files.createTempDirectory("graft-orc-").toString
     val orders = Tables.orders(spark, SharedSpark.sf)

@@ -118,6 +118,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("restart from a real checkpoint reprocesses nothing (committed source offsets)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    def runOnce(qn: String): Long = {
+      val q = EventStreams.readEventStream(spark, sf)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+    }
+    assert(runOnce("graft_ckpt_run_a") > 0, "first run must consume the source")
+    // the second run shares the checkpoint: offsets are committed, so
+    // an idempotent retry/restart must read zero new rows
+    assert(runOnce("graft_ckpt_run_b") == 0L, "restart reprocessed committed offsets")
+  }
+
   test("stream-static enrichment join == batch broadcast join + aggregate") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.enrichCounts(spark, sf).collect()
