@@ -61,6 +61,8 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_latest_per_key" -> ((s, dir) => Relational.latestPerKey(Tables.events(s, dir))),
     "q_histogram" -> ((s, dir) => Relational.histogram(Tables.orders(s, dir))),
+    "q_profile" -> ((s, dir) => Relational.tableProfile(Tables.orders(s, dir),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
     "q_moving_hourly" -> ((s, dir) => Relational.movingHourlyValue(Tables.events(s, dir))),
     "q_moving_avg" -> ((s, dir) => Relational.movingAvg(Tables.lineitem(s, dir))),
     "q_ntile_rank" -> ((s, dir) => Relational.ntileRank(Tables.orders(s, dir))),
@@ -416,6 +418,16 @@ object SparkEntry {
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |  count(DISTINCT o_totalprice) FROM orders""".stripMargin,
     "q_moving_hourly" ->
       """SELECT user_id, event_id,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (

@@ -416,4 +416,28 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
+
+  /** Table profiling (the ANALYZE-stats shape that feeds a cost-based
+    * optimizer and any data-quality dashboard): per column, row count,
+    * non-null count, and EXACT distinct count, in ONE aggregation
+    * pass — Spark plans multi-distinct aggregates via Expand (each
+    * input row fans out once per distinct column, partial-aggregated
+    * map-side), so the table is scanned once regardless of how many
+    * columns are profiled, not once per column. The single wide
+    * result row is unpivoted driver-side to one row per column
+    * (O(columns) — trivially driver-safe).
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    cols.map(c => (c,
+        row.getLong(row.fieldIndex("n_rows")),
+        row.getLong(row.fieldIndex(s"nn_$c")),
+        row.getLong(row.fieldIndex(s"nd_$c"))))
+      .toDF("column_name", "n_rows", "n_nonnull", "n_distinct")
+  }
 }

@@ -130,4 +130,16 @@ class RelationalSpec extends AnyFunSuite {
     val expected = li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00"))).count()
     assert(total == expected)
   }
+
+  test("tableProfile counts rows, non-nulls, and exact distincts per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a"))
+    ).toDF("k", "s")
+    val got = Relational.tableProfile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("k") == ((4L, 3L, 2L)))
+    assert(got("s") == ((4L, 3L, 2L)))
+  }
 }
