@@ -16,58 +16,53 @@ import org.apache.spark.sql.{DataFrame, Encoder}
   * Ordering: score DESC, then id ASC — the unique id tiebreak keeps
   * results deterministic for oracle comparison.
   */
+/** Shared k-bounded buffer mechanics: keep the buffer loosely bounded
+  * (trim at 4k) so reduce is O(1) amortized; exact k-smallest under
+  * `Ordering[E]` is enforced on merge/finish. Subclasses supply only
+  * the input→element mapping, the ordering, and concrete encoders
+  * (encoders can't be derived generically — `ExpressionEncoder`
+  * needs the concrete element type).
+  */
+abstract class KBoundedAggregator[I, E](k: Int)(implicit ord: Ordering[E])
+    extends Aggregator[I, Seq[E], Seq[E]] {
+
+  protected def element(a: I): E
+
+  private def trim(buf: Seq[E]): Seq[E] =
+    if (buf.length <= 4 * k) buf else buf.sorted.take(k)
+
+  override def zero: Seq[E] = Vector.empty
+
+  override def reduce(buf: Seq[E], a: I): Seq[E] = trim(buf :+ element(a))
+
+  override def merge(b1: Seq[E], b2: Seq[E]): Seq[E] = (b1 ++ b2).sorted.take(k)
+
+  override def finish(buf: Seq[E]): Seq[E] = buf.sorted.take(k)
+}
+
 class TopKAggregator(k: Int)
-    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    extends KBoundedAggregator[(Long, Double), (Double, Long)](k)(
+      // score DESC, id ASC
+      Ordering.by((e: (Double, Long)) => (-e._1, e._2))) {
 
-  private def order(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
-
-  /** Keep the buffer loosely bounded (trim at 4k) so reduce is O(1)
-    * amortized; exact top-k is enforced on finish/merge.
-    */
-  private def trim(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    if (buf.length <= 4 * k) buf else buf.sortBy(order).take(k)
-
-  override def zero: Seq[(Double, Long)] = Vector.empty
-
-  override def reduce(buf: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] =
-    trim(buf :+ ((a._2, a._1)))
-
-  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (b1 ++ b2).sortBy(order).take(k)
-
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    buf.sortBy(order).take(k)
+  override protected def element(a: (Long, Double)): (Double, Long) = (a._2, a._1)
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
 }
 
-/** k-smallest (key, id) pairs by (key asc, id asc) with a bounded
-  * buffer — the ascending, string-keyed twin of [[TopKAggregator]],
-  * for quota-style selection where the ordering key is a hash string
-  * (e.g. a per-source md5 rank). The shuffle carries k-bounded
-  * buffers per (partition, group), never whole groups — so one giant
-  * group cannot skew a reduce task the way a window row_number()
-  * plan (which sorts every group's full data) would.
+/** k-smallest (key, id) pairs by (key asc, id asc) — the ascending,
+  * string-keyed twin of [[TopKAggregator]], for quota-style selection
+  * where the ordering key is a hash string (e.g. a per-source md5
+  * rank). The shuffle carries k-bounded buffers per (partition,
+  * group), never whole groups — so one giant group cannot skew a
+  * reduce task the way a window row_number() plan (which sorts every
+  * group's full data) would.
   */
 class MinKPairAggregator(k: Int)
-    extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    extends KBoundedAggregator[(String, Long), (String, Long)](k) {
 
-  /** Loosely bounded buffer (trim at 4k) so reduce is O(1) amortized;
-    * exact min-k enforced on merge/finish.
-    */
-  private def trim(buf: Seq[(String, Long)]): Seq[(String, Long)] =
-    if (buf.length <= 4 * k) buf else buf.sorted.take(k)
-
-  override def zero: Seq[(String, Long)] = Vector.empty
-
-  override def reduce(buf: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
-    trim(buf :+ a)
-
-  override def merge(b1: Seq[(String, Long)], b2: Seq[(String, Long)]): Seq[(String, Long)] =
-    (b1 ++ b2).sorted.take(k)
-
-  override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf.sorted.take(k)
+  override protected def element(a: (String, Long)): (String, Long) = a
 
   override def bufferEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()

@@ -423,21 +423,20 @@ object Relational {
     * pass — Spark plans multi-distinct aggregates via Expand (each
     * input row fans out once per distinct column, partial-aggregated
     * map-side), so the table is scanned once regardless of how many
-    * columns are profiled, not once per column. The single wide
-    * result row is unpivoted driver-side to one row per column
-    * (O(columns) — trivially driver-safe).
+    * columns are profiled, not once per column. The wide stats row is
+    * unpivoted with a LAZY explode-of-structs (O(columns) rows), so
+    * the whole profile stays one deferred plan — nothing executes at
+    * construction time.
     */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
       countDistinct(col(c)).as(s"nd_$c")))
-    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
-    cols.map(c => (c,
-        row.getLong(row.fieldIndex("n_rows")),
-        row.getLong(row.fieldIndex(s"nn_$c")),
-        row.getLong(row.fieldIndex(s"nd_$c"))))
-      .toDF("column_name", "n_rows", "n_nonnull", "n_distinct")
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_rows"),
+        col("p.n_nonnull"), col("p.n_distinct"))
   }
 }

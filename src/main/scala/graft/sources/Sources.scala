@@ -106,19 +106,15 @@ object Sources {
     * incident.
     */
   def overwritePartitions(df: DataFrame, path: String,
-                          partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write
+                          partitionCols: Seq[String]): Unit =
+    df.write
       .mode(SaveMode.Overwrite)
+      // writer-level option, NOT a session-conf mutation: scoped to
+      // exactly this write, so concurrent writes on the session can
+      // never observe (or race the restore of) the dynamic mode
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
 
   /** Compacting writer — the answer to the small-files problem (a
     * 100 TB pipeline that writes one file per post-shuffle partition
