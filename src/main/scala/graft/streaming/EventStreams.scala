@@ -128,6 +128,33 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Production ingest sink: stream → `foreachBatch` → idempotent
+    * dynamic-partition overwrite, partitioned by event hour. A
+    * replayed batch (crash before checkpoint commit, or a full
+    * re-run over the same input) REWRITES its hours' directories
+    * instead of appending duplicate rows — the built-in append file
+    * sink is exactly-once only while its own checkpoint+manifest
+    * survive; partition-overwrite idempotency also holds across
+    * fresh checkpoints and manifest loss, which is what a 100 TB
+    * backfill actually relies on. Requires what it states: the
+    * batch→partition mapping must be deterministic (event-time hours
+    * are; batch ids are not).
+    */
+  def ingestPartitioned(spark: SparkSession, dir: String, outPath: String,
+                        checkpoint: String): Unit = {
+    val q = readEventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd-HH").as("event_hour"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.Sources.overwritePartitions(batch, outPath, Seq("event_hour"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 

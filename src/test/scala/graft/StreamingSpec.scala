@@ -138,6 +138,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(runOnce("graft_ckpt_run_b") == 0L, "restart reprocessed committed offsets")
   }
 
+  test("ingestPartitioned: full replay with a fresh checkpoint does not duplicate rows") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-").toString
+    val out = s"$base/events_by_hour"
+    EventStreams.ingestPartitioned(spark, sf, out, s"$base/ckpt1")
+    val once = spark.read.parquet(out).count()
+    assert(once == Tables.events(spark, sf).count())
+    // replay the whole source with a FRESH checkpoint (manifest lost /
+    // backfill re-run): dynamic overwrite rewrites the same hour
+    // partitions, so the row count must be unchanged
+    EventStreams.ingestPartitioned(spark, sf, out, s"$base/ckpt2")
+    assert(spark.read.parquet(out).count() == once, "replay duplicated rows")
+    // and the partition layout is the event-hour directories
+    assert(spark.read.parquet(out).select("event_hour").distinct().count() > 1)
+  }
+
   test("stream-static enrichment join == batch broadcast join + aggregate") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.enrichCounts(spark, sf).collect()
