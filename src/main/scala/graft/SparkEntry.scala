@@ -41,6 +41,8 @@ object SparkEntry {
     "q_topk_per_key" -> ((s, dir) => Relational.topKPerKey(Tables.orders(s, dir), 3)),
     "q_running_sum" -> ((s, dir) => Relational.runningSum(Tables.lineitem(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupAgg(Tables.lineitem(s, dir))),
+    "q_grouping_sets" -> ((s, dir) => Relational.groupingSetsAgg(Tables.lineitem(s, dir))),
+    "q_hourly_active" -> ((s, dir) => Relational.hourlyActive(Tables.events(s, dir))),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
@@ -314,6 +316,18 @@ object SparkEntry {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_hourly_active" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

@@ -139,6 +139,31 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** Explicit GROUPING SETS — the shape cube/rollup can't express:
+    * exactly the requested groupings (here each single dimension plus
+    * the grand total, NOT the cross product). `grouping_id` labels
+    * which set each row came from, disambiguating a genuine NULL
+    * dimension value from "aggregated over this dimension". Same
+    * Expand-based single-pass plan as cube/rollup.
+    */
+  def groupingSetsAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Hourly active users (the DAU/WAU shape at hour grain): exact
+    * distinct users + event volume per event-time hour. One
+    * Expand-based multi-distinct pass, one shuffle on the bucket.
+    */
+  def hourlyActive(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
   /** Exact distinct count per group. The output stays exact-only so
     * the oracle can hash it; the HLL path you'd run at 100 TB
     * (approx_count_distinct — engine-specific sketch, not

@@ -131,6 +131,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("groupingSetsAgg emits exactly the requested sets, gid-labeled") {
+    import spark.implicits._
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val got = Relational.groupingSetsAgg(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(r.fieldIndex("gid")), r.getLong(r.fieldIndex("n")))).toSet
+    // one row per returnflag (gid 1: linestatus aggregated), one per
+    // linestatus (gid 2), one grand total (gid 3) — no cross product
+    assert(got == Set(
+      (Some("A"), None, 1L, 2L), (Some("B"), None, 1L, 1L),
+      (None, Some("x"), 2L, 2L), (None, Some("y"), 2L, 1L),
+      (None, None, 3L, 3L)))
+  }
+
   test("tableProfile counts rows, non-nulls, and exact distincts per column") {
     import spark.implicits._
     val df = Seq(
