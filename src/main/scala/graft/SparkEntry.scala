@@ -43,6 +43,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.rollupAgg(Tables.lineitem(s, dir))),
     "q_grouping_sets" -> ((s, dir) => Relational.groupingSetsAgg(Tables.lineitem(s, dir))),
     "q_hourly_active" -> ((s, dir) => Relational.hourlyActive(Tables.events(s, dir))),
+    "q_funnel" -> ((s, dir) => Relational.funnel(Tables.events(s, dir))),
+    "q_retention" -> ((s, dir) => Relational.retention(Tables.events(s, dir), 3)),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
@@ -328,6 +330,33 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t_click GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
+    "q_retention" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |f AS (SELECT user_id, min(h) AS h0 FROM uh GROUP BY 1)
+        |SELECT h0 AS cohort_hour, (h - h0) AS offset_h, count(*) AS n_users
+        |FROM uh JOIN f USING (user_id)
+        |WHERE h - h0 <= 3
+        |GROUP BY 1, 2""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

@@ -442,6 +442,56 @@ object Relational {
         round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
 
+  /** Ordered funnel (view → click → purchase): per user, the stage
+    * reached with strict event-time ordering — a click only counts
+    * AFTER the first view, a purchase only after that first qualifying
+    * click. Three conditional-min aggregates chained by joins, ALL
+    * keyed on user_id: after the first shuffle every later join/agg is
+    * co-partitioned, so at 100 TB this is one wide shuffle plus
+    * narrow stages (AQE reuses the partitioning), never a window over
+    * each user's full event list. Exact epoch-nanos comparisons keep
+    * the oracle bit-exact.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_ns") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_ns").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_ns") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_ns").as("t_purchase"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).cast("long").as("stage"))
+  }
+
+  /** Cohort retention at hour grain: cohort = a user's first active
+    * hour; for offsets 0..maxOffsetHours, how many of that cohort were
+    * active again offset hours later. The (user, hour) activity set is
+    * deduplicated FIRST (bounding everything downstream by active
+    * user-hours, not raw event volume), then one agg + one
+    * co-partitioned join on user_id. Hours are exact integer
+    * epoch-hour divisions — no timezone or float hazards.
+    */
+  def retention(events: DataFrame, maxOffsetHours: Int = 3): DataFrame = {
+    val uh = events
+      .select(col("user_id"), expr("ts_ns div 3600000000000").as("h"))
+      .distinct()
+    val f = uh.groupBy("user_id").agg(min("h").as("h0"))
+    uh.join(f, "user_id")
+      .filter(col("h") - col("h0") <= maxOffsetHours)
+      .groupBy(col("h0").as("cohort_hour"), (col("h") - col("h0")).as("offset_h"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Table profiling (the ANALYZE-stats shape that feeds a cost-based
     * optimizer and any data-quality dashboard): per column, row count,
     * non-null count, and EXACT distinct count, in ONE aggregation

@@ -146,6 +146,39 @@ class RelationalSpec extends AnyFunSuite {
       (None, None, 3L, 3L)))
   }
 
+  test("funnel enforces strict view→click→purchase ordering per user") {
+    import spark.implicits._
+    val H = 3600000000000L
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 1 * H), (1L, "click", 2 * H), (1L, "purchase", 3 * H),
+      // user 2: click BEFORE the first view — stage stops at view
+      (2L, "click", 1 * H), (2L, "view", 2 * H),
+      // user 3: purchase before the qualifying click — stage 2
+      (3L, "view", 1 * H), (3L, "purchase", 2 * H), (3L, "click", 3 * H),
+      // user 4: never viewed
+      (4L, "signup", 1 * H)
+    ).toDF("user_id", "event_type", "ts_ns")
+    val got = Relational.funnel(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("retention: cohort = first active hour, offsets count returning users") {
+    import spark.implicits._
+    val H = 3600000000000L
+    val ev = Seq(
+      (1L, 0 * H), (1L, 1 * H), (1L, 1 * H + 7), // user 1: hours 0,1 (dup in 1)
+      (2L, 0 * H), (2L, 2 * H),                  // user 2: hours 0,2
+      (3L, 1 * H)                                // user 3: hour 1 only
+    ).toDF("user_id", "ts_ns")
+    val got = Relational.retention(ev, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, // cohort 0: both day-0; u1 at +1, u2 at +2
+      (1L, 0L) -> 1L))                                 // cohort 1: user 3
+  }
+
   test("tableProfile counts rows, non-nulls, and exact distincts per column") {
     import spark.implicits._
     val df = Seq(
