@@ -72,7 +72,8 @@ class PlanSpec extends AnyFunSuite {
     // seed table (n × nCells, not n²) — the candidate join itself is
     // still an equality join on the cell id.
     for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-      "dedup_embedding", "sim_ann_lsh", "sim_ann_ivf")) {
+      "dedup_embedding", "sim_ann_lsh", "sim_ann_ivf", "sim_kmeans",
+      "dedup_incremental")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
     for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
@@ -116,5 +117,11 @@ class PlanSpec extends AnyFunSuite {
   test("ta_ngram_lm: top-k via TakeOrderedAndProject, not a global Sort") {
     val p = plan("ta_ngram_lm")
     assert(p.contains("TakeOrderedAndProject"), "limit-k must plan as bounded per-partition top-k")
+  }
+
+  test("q_funnel: stage joins, never a per-user window or cross product") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"), "funnel must not sort each user's full event list")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 }
