@@ -57,6 +57,36 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel == independent per-user fold on 10 seeded random event sets") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(300 + seed)
+      val types = Seq("view", "click", "purchase", "signup")
+      val events = Seq.fill(150)((rnd.nextInt(12).toLong,
+        types(rnd.nextInt(types.length)), rnd.nextInt(1000).toLong * 1000000L))
+      val df = events.toDF("user_id", "event_type", "ts_ns")
+      val got = graft.operators.Relational.funnel(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent implementation: per-user time-ordered fold through
+      // the stage machine (ties broken by input order, which cannot
+      // matter: stage transitions require STRICTLY greater timestamps)
+      val expected = events.groupBy(_._1).map { case (u, evs) =>
+        var stage = 0
+        var tPrev = Long.MinValue
+        for (target <- Seq("view", "click", "purchase")) {
+          val hits = evs.filter(e => e._2 == target &&
+            (if (stage == 0) true else e._3 > tPrev)).map(_._3)
+          if (stage == Seq("view", "click", "purchase").indexOf(target) && hits.nonEmpty) {
+            tPrev = hits.min
+            stage += 1
+          }
+        }
+        u -> stage.toLong
+      }
+      assert(got == expected.toMap, s"seed=$seed")
+    }
+  }
+
   test("binned range join == naive inequality join on 8 seeded random configs") {
     import spark.implicits._
     for (seed <- 1 to 8) {
