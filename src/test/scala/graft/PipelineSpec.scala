@@ -25,6 +25,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!kept.contains(4L), "short doc rejected")
   }
 
+  test("end-to-end export: clean -> pack -> compacted shards round-trips losslessly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val cleaned = Pipeline.cleanCorpus(docs)
+    // pack the SURVIVORS (join back to text by doc_id), then write the
+    // shard assignment compacted by shard id and read it back
+    val survivors = docs.join(cleaned.select("doc_id"), "doc_id")
+    val packed = graft.operators.TextAnalysis.packIntoShards(survivors, 2000L)
+    val out = java.nio.file.Files.createTempDirectory("graft-export-").toString + "/shards"
+    graft.sources.Sources.writeCompacted(packed, out, "shard", 4)
+    val back = spark.read.parquet(out)
+    // lossless: every survivor exactly once, same shard assignment
+    assert(back.count() == survivors.count())
+    assert(back.select("doc_id").distinct().count() == survivors.count())
+    val a = back.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(2 - 1))).toSet
+    val b = packed.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // shard budget holds: a prefix-sum shard can overshoot the budget
+    // by at most one document (the one that crosses the boundary)
+    val maxDoc = back.agg(max("n_tokens")).head.getLong(0)
+    val shardTotals = back.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(1))
+    assert(shardTotals.forall(_ <= 2000L + maxDoc), "shard exceeded budget + one doc")
+    assert(shardTotals.sum == packed.agg(sum("n_tokens")).head.getLong(0))
+  }
+
   test("cleanCorpus survivors on real docs are nonempty and unique") {
     val out = Pipeline.cleanCorpus(Tables.documents(spark, SharedSpark.sf)).collect()
     assert(out.nonEmpty)
