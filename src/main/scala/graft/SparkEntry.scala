@@ -538,15 +538,17 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY content_hash""".stripMargin,
     "dedup_incremental" ->
+      // ((x % 10) + 10) % 10 mirrors Spark's pmod (always >= 0), so
+      // the split cannot diverge if doc_ids were ever negative
       """WITH b AS (
         |  SELECT min(doc_id) AS doc_id, content_hash FROM (
         |    SELECT doc_id,
         |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
-        |    FROM documents WHERE doc_id % 10 < 3)
+        |    FROM documents WHERE ((doc_id % 10) + 10) % 10 < 3)
         |  GROUP BY content_hash),
         |c AS (
         |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
-        |  FROM documents WHERE doc_id % 10 >= 3)
+        |  FROM documents WHERE ((doc_id % 10) + 10) % 10 >= 3)
         |SELECT doc_id, content_hash FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.content_hash = b.content_hash)""".stripMargin,
     "dedup_ngram_jaccard" ->
@@ -742,11 +744,15 @@ object SparkEntry {
         |             ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END, 4) AS top_bigram_frac
         |FROM s LEFT JOIN bs USING (doc_id)""".stripMargin,
     "ta_source_cap" ->
+      // the CASE mirrors concat_ws's null-skip semantics (a NULL
+      // source hashes as just the doc_id, no leading separator), so
+      // the oracle cannot diverge on null-source data
       """SELECT doc_id, source, rk FROM (
         |  SELECT doc_id, source,
         |    CAST(row_number() OVER (
         |      PARTITION BY source
-        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+        |      ORDER BY md5(CASE WHEN source IS NULL THEN CAST(doc_id AS VARCHAR)
+        |                        ELSE source || ':' || CAST(doc_id AS VARCHAR) END)) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 15""".stripMargin,
     "ta_ngram_lm" ->
