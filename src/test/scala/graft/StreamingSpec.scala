@@ -118,6 +118,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful aggregation state carries across restarts as new files arrive") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-contin-").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    def addFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val staging = s"$base/stage_$name"
+      rows.toDF("k", "v").coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(qn: String): Map[String, Long] = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy("k").agg(sum("v").as("total"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(qn).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    addFile("b1", Seq(("a", 1L), ("a", 2L), ("b", 10L)))
+    assert(runOnce("graft_contin_1") == Map("a" -> 3L, "b" -> 10L))
+    // new data arrives while the query is down; the restarted query
+    // must MERGE restored state with the new batch, not recompute or
+    // double-count the old files
+    addFile("b2", Seq(("a", 4L), ("c", 100L)))
+    assert(runOnce("graft_contin_2") == Map("a" -> 7L, "b" -> 10L, "c" -> 100L))
+  }
+
   test("restart from a real checkpoint reprocesses nothing (committed source offsets)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
