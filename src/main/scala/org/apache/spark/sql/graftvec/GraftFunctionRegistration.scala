@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctionRegistration.injectables.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the native as-of join plans through this strategy; without it a
+    // spark.sql.extensions deployment would silently lack the operator
+    // (the imperative path registers it via experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplan.AsofJoinStrategy)
   }
 }
 
