@@ -38,4 +38,46 @@ object Pipeline {
       .filter(col("doc_id") === col("keep"))
       .select(col("doc_id"), col("n_ws_tokens"))
   }
+
+  /** [[cleanCorpus]] with pipeline telemetry: per-stage row and token
+    * counts observed from the SAME job via `Dataset.observe`
+    * (CollectMetrics). At 100 TB this is the difference between free
+    * metrics and re-running the pipeline once per gate just to count
+    * drops — the observe points are accumulator-backed, add no
+    * shuffle and no extra pass, and `Observation.get` blocks until
+    * the action that consumed the frame completes.
+    *
+    * Returns the cleaned frame plus (input, post-gates, post-dedup)
+    * observations, each carrying `n` (rows) and post-gate ones
+    * `tokens` (surviving token volume — the number a training run
+    * budgets against).
+    */
+  def cleanCorpusObserved(documents: DataFrame,
+                          minAlphaRatio: Double = 0.5,
+                          minWords: Int = 10,
+                          keepLang: String = "en")
+      : (DataFrame, org.apache.spark.sql.Observation,
+         org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val obsIn = org.apache.spark.sql.Observation("graft_in")
+    val obsGates = org.apache.spark.sql.Observation("graft_gates")
+    val obsOut = org.apache.spark.sql.Observation("graft_out")
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+      length(col("text"))
+    val kept = documents
+      .observe(obsIn, count(lit(1)).as("n"))
+      .withColumn("n_ws_tokens", nWords)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("lang_pred", TextAnalysis.langPred(col("text")))
+      .filter(col("alpha_ratio") >= minAlphaRatio && col("n_ws_tokens") >= minWords &&
+        col("lang_pred") === keepLang)
+      .observe(obsGates, count(lit(1)).as("n"), sum(col("n_ws_tokens")).as("tokens"))
+    val cleaned = kept
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") === col("keep"))
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .observe(obsOut, count(lit(1)).as("n"), sum(col("n_ws_tokens")).as("tokens"))
+    (cleaned, obsIn, obsGates, obsOut)
+  }
 }

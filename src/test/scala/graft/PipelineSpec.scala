@@ -51,6 +51,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(shardTotals.sum == packed.agg(sum("n_tokens")).head.getLong(0))
   }
 
+  test("cleanCorpusObserved: per-stage metrics from ONE job match independent counts") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val (cleaned, obsIn, obsGates, obsOut) = Pipeline.cleanCorpusObserved(docs)
+    val survivors = cleaned.count()   // the single action that fires all observe points
+    assert(obsIn.get("n") == docs.count())
+    assert(obsOut.get("n") == survivors)
+    // gate survivors must sit between dedup output and input
+    val gateN = obsGates.get("n").asInstanceOf[Long]
+    assert(gateN >= survivors && gateN <= docs.count())
+    // observed token volume equals the frame's own sum
+    import org.apache.spark.sql.functions._
+    assert(obsOut.get("tokens") ==
+      cleaned.agg(sum("n_ws_tokens")).head.getLong(0))
+    // and the observed frame is row-identical to the plain pipeline
+    assert(cleaned.collect().map(_.getLong(0)).toSet ==
+      Pipeline.cleanCorpus(docs).collect().map(_.getLong(0)).toSet)
+  }
+
   test("cleanCorpus survivors on real docs are nonempty and unique") {
     val out = Pipeline.cleanCorpus(Tables.documents(spark, SharedSpark.sf)).collect()
     assert(out.nonEmpty)
