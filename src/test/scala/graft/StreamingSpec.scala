@@ -155,6 +155,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(runOnce("graft_contin_2") == Map("a" -> 7L, "b" -> 10L, "c" -> 100L))
   }
 
+  test("maxFilesPerTrigger=1 splits the source into micro-batches; state still exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-mbatch-").toString
+    val src = s"$base/src"
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    def addFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val staging = s"$base/stage_$name"
+      rows.toDF("k", "v").coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    addFile("f1", Seq(("a", 1L), ("b", 10L)))
+    addFile("f2", Seq(("a", 2L), ("c", 5L)))
+    val qn = "graft_mbatch"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .groupBy("k").agg(sum("v").as("total"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2, s"rate limit must force multiple micro-batches, saw $dataBatches")
+    val got = spark.table(qn).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 10L, "c" -> 5L))
+  }
+
   test("restart from a real checkpoint reprocesses nothing (committed source offsets)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
