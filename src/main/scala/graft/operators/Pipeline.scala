@@ -20,23 +20,42 @@ object Pipeline {
   def cleanCorpus(documents: DataFrame,
                   minAlphaRatio: Double = 0.5,
                   minWords: Int = 10,
-                  keepLang: String = "en"): DataFrame = {
+                  keepLang: String = "en"): DataFrame =
+    build(documents, minAlphaRatio, minWords, keepLang, hooks = None)
+
+  /** The ONE pipeline definition both entry points share — the
+    * observed variant differs only in the three optional observe
+    * points, so the gates/dedup logic cannot drift between them.
+    */
+  private def build(documents: DataFrame, minAlphaRatio: Double, minWords: Int,
+                    keepLang: String,
+                    hooks: Option[(org.apache.spark.sql.Observation,
+                      org.apache.spark.sql.Observation,
+                      org.apache.spark.sql.Observation)]): DataFrame = {
+    def tap(df: DataFrame, pick: ((org.apache.spark.sql.Observation,
+              org.apache.spark.sql.Observation,
+              org.apache.spark.sql.Observation)) => org.apache.spark.sql.Observation,
+            metrics: Seq[org.apache.spark.sql.Column]): DataFrame =
+      hooks.fold(df)(h => df.observe(pick(h), metrics.head, metrics.tail: _*))
     val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
     val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
       length(col("text"))
     // all three gates are scalar expressions on the SAME scan — no
     // join back by doc_id, rejected docs never leave the scan stage
-    val kept = documents
+    val kept = tap(documents, _._1, Seq(count(lit(1)).as("n")))
       .withColumn("n_ws_tokens", nWords)
       .withColumn("alpha_ratio", alphaRatio)
       .withColumn("lang_pred", TextAnalysis.langPred(col("text")))
       .filter(col("alpha_ratio") >= minAlphaRatio && col("n_ws_tokens") >= minWords &&
         col("lang_pred") === keepLang)
-    val hashed = kept.withColumn("content_hash", Dedup.contentHash(col("text")))
-    hashed
+    val gated = tap(kept, _._2,
+      Seq(count(lit(1)).as("n"), sum(col("n_ws_tokens")).as("tokens")))
+    val hashed = gated.withColumn("content_hash", Dedup.contentHash(col("text")))
+    val out = hashed
       .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
       .filter(col("doc_id") === col("keep"))
       .select(col("doc_id"), col("n_ws_tokens"))
+    tap(out, _._3, Seq(count(lit(1)).as("n"), sum(col("n_ws_tokens")).as("tokens")))
   }
 
   /** [[cleanCorpus]] with pipeline telemetry: per-stage row and token
@@ -61,23 +80,8 @@ object Pipeline {
     val obsIn = org.apache.spark.sql.Observation("graft_in")
     val obsGates = org.apache.spark.sql.Observation("graft_gates")
     val obsOut = org.apache.spark.sql.Observation("graft_out")
-    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
-    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
-      length(col("text"))
-    val kept = documents
-      .observe(obsIn, count(lit(1)).as("n"))
-      .withColumn("n_ws_tokens", nWords)
-      .withColumn("alpha_ratio", alphaRatio)
-      .withColumn("lang_pred", TextAnalysis.langPred(col("text")))
-      .filter(col("alpha_ratio") >= minAlphaRatio && col("n_ws_tokens") >= minWords &&
-        col("lang_pred") === keepLang)
-      .observe(obsGates, count(lit(1)).as("n"), sum(col("n_ws_tokens")).as("tokens"))
-    val cleaned = kept
-      .withColumn("content_hash", Dedup.contentHash(col("text")))
-      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
-      .filter(col("doc_id") === col("keep"))
-      .select(col("doc_id"), col("n_ws_tokens"))
-      .observe(obsOut, count(lit(1)).as("n"), sum(col("n_ws_tokens")).as("tokens"))
+    val cleaned = build(documents, minAlphaRatio, minWords, keepLang,
+      hooks = Some((obsIn, obsGates, obsOut)))
     (cleaned, obsIn, obsGates, obsOut)
   }
 }

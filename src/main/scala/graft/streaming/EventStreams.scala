@@ -128,32 +128,60 @@ object EventStreams {
     spark.table(qname)
   }
 
-  /** Production ingest sink: stream → `foreachBatch` → idempotent
-    * dynamic-partition overwrite, partitioned by event hour. A
-    * replayed batch (crash before checkpoint commit, or a full
-    * re-run over the same input) REWRITES its hours' directories
-    * instead of appending duplicate rows — the built-in append file
-    * sink is exactly-once only while its own checkpoint+manifest
-    * survive; partition-overwrite idempotency also holds across
-    * fresh checkpoints and manifest loss, which is what a 100 TB
-    * backfill actually relies on. Requires what it states: the
-    * batch→partition mapping must be deterministic (event-time hours
-    * are; batch ids are not).
+  /** Production ingest sink: stream → `foreachBatch` → MERGE-on-write
+    * into hour-partitioned parquet. Each batch upserts by event_id
+    * into exactly the hour partitions it touches: prior rows of those
+    * hours are kept unless the batch re-delivers their event_id, then
+    * the whole hour directory is dynamic-overwritten with the merged
+    * set. That makes the sink idempotent at EVENT level — safe under
+    * replayed batches (crash before checkpoint commit, fresh
+    * checkpoints, full backfill re-runs) AND under an event hour
+    * spanning multiple batches or runs, where a bare
+    * partition-overwrite of only the batch's rows would silently
+    * delete the hour's earlier events. Untouched hours are never
+    * read or rewritten (partition pruning on the read-back); the
+    * merged frame is localCheckpoint-ed before the write so its
+    * lineage cannot depend on the files being overwritten. This is
+    * the no-table-format MERGE pattern; a real deployment with
+    * Delta/Iceberg available would express the same thing as MERGE
+    * INTO.
     */
-  def ingestPartitioned(spark: SparkSession, dir: String, outPath: String,
+  def ingestPartitioned(events: DataFrame, outPath: String,
                         checkpoint: String): Unit = {
-    val q = readEventStream(spark, dir)
+    val q = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd-HH").as("event_hour"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sources.Sources.overwritePartitions(batch, outPath, Seq("event_hour"))
+        val b = batch.persist()
+        try {
+          val hours = b.select("event_hour").distinct().collect().map(_.getString(0))
+          val merged =
+            if (hours.isEmpty) b
+            else if (!new java.io.File(outPath).exists()) b
+            else {
+              val existing = b.sparkSession.read.parquet(outPath)
+                .filter(col("event_hour").isin(hours.toSeq: _*))
+              existing
+                .join(b.select("event_id").distinct(), Seq("event_id"), "left_anti")
+                .unionByName(b)
+            }
+          if (hours.nonEmpty) {
+            graft.sources.Sources.overwritePartitions(
+              merged.localCheckpoint(true), outPath, Seq("event_hour"))
+          }
+        } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** [[ingestPartitioned]] over the standard events source. */
+  def ingestPartitioned(spark: SparkSession, dir: String, outPath: String,
+                        checkpoint: String): Unit =
+    ingestPartitioned(readEventStream(spark, dir), outPath, checkpoint)
 
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)

@@ -227,6 +227,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("event_hour").distinct().count() > 1)
   }
 
+  test("ingestPartitioned merges late arrivals into an already-written hour (no loss, no dups)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def addFile(name: String, rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)]): Unit = {
+      val staging = s"$base/stage_$name"
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit = EventStreams.ingestPartitioned(
+      spark.readStream.schema(schema).parquet(src), out, ckpt)
+    // run 1: hour 10 gets events 1 and 2
+    addFile("f1", Seq(
+      (1L, 7L, "click", 1.0, ts("2024-01-01 10:00:01")),
+      (2L, 7L, "view", 2.0, ts("2024-01-01 10:30:00"))))
+    runOnce()
+    // run 2: MORE hour-10 events arrive (3), plus event 2 re-delivered
+    // — the already-written hour must keep 1, dedupe 2, and gain 3
+    addFile("f2", Seq(
+      (2L, 7L, "view", 2.0, ts("2024-01-01 10:30:00")),
+      (3L, 8L, "purchase", 9.0, ts("2024-01-01 10:59:59"))))
+    runOnce()
+    val got = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L), s"hour partition lost or duplicated rows: ${got.toSeq}")
+  }
+
   test("stream-static enrichment join == batch broadcast join + aggregate") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.enrichCounts(spark, sf).collect()

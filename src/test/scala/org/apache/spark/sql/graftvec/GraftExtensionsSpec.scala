@@ -20,10 +20,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val strategies = ext.buildPlannerStrategies(spark)
     assert(strategies.contains(AsofJoinStrategy),
       "extensions deployment must plan the native as-of join")
-    // resolve an injected function through a fresh registry clone
-    val registry = spark.sessionState.functionRegistry.clone()
-    val withFns = ext.registerFunctions(registry)
+    // resolve the injected functions through an EMPTY registry — a
+    // clone of the shared session's registry would already contain
+    // them (registerAll runs elsewhere in this JVM), making the
+    // assertion vacuous
+    val registry = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
     import org.apache.spark.sql.catalyst.FunctionIdentifier
+    assert(!registry.functionExists(FunctionIdentifier("vec_dot")))
+    val withFns = ext.registerFunctions(registry)
     assert(withFns.functionExists(FunctionIdentifier("vec_dot")))
     assert(withFns.functionExists(FunctionIdentifier("vec_cosine")))
   }
