@@ -119,6 +119,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "limit-k must plan as bounded per-partition top-k")
   }
 
+  test("q_topk_per_key: rank filter infers pre-shuffle WindowGroupLimit (bounded shuffle)") {
+    val p = plan("q_topk_per_key")
+    // Spark 4's InferWindowGroupLimit must place a partial group limit
+    // BEFORE the exchange — the shuffle then carries at most k rows
+    // per (partition, key) instead of every key's full row set
+    assert(p.contains("WindowGroupLimit"), "rank filter must infer a window group limit")
+    val firstLimit = p.indexOf("WindowGroupLimit", p.indexOf("WindowGroupLimit") + 1)
+    assert(firstLimit > 0 && firstLimit > p.indexOf("Exchange"),
+      "a partial WindowGroupLimit must sit below the exchange")
+  }
+
   test("q_funnel: stage joins, never a per-user window or cross product") {
     val p = plan("q_funnel")
     assert(!p.contains("Window"), "funnel must not sort each user's full event list")
