@@ -134,6 +134,8 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     "dedup_components_fast" -> ((s, dir) => Dedup.connectedComponentsAlternating(
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
+    "dedup_apply_central" -> ((s, dir) => Dedup.applyNearDupDedupCentral(
+      Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     "dedup_apply" -> ((s, dir) => Dedup.applyNearDupDedup(Tables.documents(s, dir),
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
@@ -581,6 +583,30 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id)""".stripMargin,
+    "dedup_apply_central" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+        |comp AS (SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)
+        |  GROUP BY 1),
+        |best AS (
+        |  SELECT component_id, max(degree) AS dmax
+        |  FROM comp JOIN deg USING (doc_id) GROUP BY 1),
+        |surv AS (
+        |  SELECT component_id, min(doc_id) AS survivor
+        |  FROM comp JOIN deg USING (doc_id) JOIN best USING (component_id)
+        |  WHERE degree = dmax GROUP BY 1),
+        |dropped AS (
+        |  SELECT c.doc_id FROM comp c JOIN surv s
+        |    ON c.component_id = s.component_id AND c.doc_id <> s.survivor)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

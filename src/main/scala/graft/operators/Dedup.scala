@@ -372,6 +372,44 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Centrality-weighted dedup application: like
+    * [[applyNearDupDedup]], but the survivor per cluster is the doc
+    * with the highest DEGREE in the near-dup graph (ties → min
+    * doc_id) — the "keep the most-connected copy" policy: the copy
+    * similar to the most other copies is usually the complete one,
+    * where min-id keeps whichever crawl happened to arrive first.
+    * Degree is an integer edge count, so unlike PageRank-style float
+    * centrality this stays bit-exact against the SQL oracle.
+    *
+    * Cost over [[applyNearDupDedup]]: one extra aggregate over the
+    * (already materialized) pair set and one small join per cluster
+    * member — both bounded by the duplicated fraction, never the
+    * corpus.
+    */
+  def applyNearDupDedupCentral(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    // pair generation is paid exactly once, shared by CC and the
+    // degree count (this family of builders runs eagerly, like the
+    // iterative CC itself — documented in PlanNotes)
+    val p = pairs.localCheckpoint(true)
+    val comps = connectedComponents(p)
+    // symmetric directed edge list (input pairs are distinct with
+    // doc_a < doc_b, so the union has no duplicates): degree = count
+    val degrees = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val ranked = comps.join(degrees, Seq("doc_id"))
+    val best = ranked.groupBy("component_id").agg(max("degree").as("dmax"))
+    val survivors = ranked.join(best, "component_id")
+      .filter(col("degree") === col("dmax"))
+      .groupBy("component_id").agg(min("doc_id").as("survivor"))
+    val dropList = comps.join(survivors, "component_id")
+      .filter(col("doc_id") =!= col("survivor"))
+      .select(col("doc_id").as("drop_id"))
+    documents
+      .join(broadcast(dropList), col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** 64-bit SimHash per document: each token's hash votes ±1 on each
     * bit, weighted by its in-doc count; bit i of the simhash is 1 iff
     * the vote sum is positive.

@@ -32,6 +32,20 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(1L) == 1L && groups(3L) == 1L)
   }
 
+  test("applyNearDupDedupCentral keeps the most-connected copy, not the min id") {
+    import spark.implicits._
+    // star cluster: doc 5 is the center (degree 3), leaves 1,2,3 have
+    // degree 1 — min-id dedup would keep 1, centrality keeps 5
+    val pairs = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 6L).map(i => (i, 100L + i)).toDF("doc_id", "n_chars")
+    val central = Dedup.applyNearDupDedupCentral(docs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(central == Set(4L, 5L, 6L), s"got $central")
+    val minId = Dedup.applyNearDupDedup(docs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L, 6L), s"got $minId")
+  }
+
   test("incrementalDedup: batch survivors are first-in-batch AND absent from corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "already ingested text"), (2L, "other history")).toDF("doc_id", "text")
