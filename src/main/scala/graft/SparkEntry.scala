@@ -182,6 +182,11 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"),
           octet_length(col("frame")).cast("long").as("n_bytes"))
     }),
+    // §2.10 sketch / synopsis operators
+    "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir), 10, 512)),
+    "q_bloom_semi_join" -> ((s, dir) => Sketches.bloomPrunedOrderItems(
+      Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q_approx_distinct_hll" -> ((s, dir) => Sketches.hllDistinctUsers(Tables.events(s, dir))),
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
@@ -942,6 +947,26 @@ object SparkEntry {
         |SELECT doc_id, n_ws_tokens FROM (
         |  SELECT doc_id, n_ws_tokens, min(doc_id) OVER (PARTITION BY h) AS keep
         |  FROM hashed)
-        |WHERE doc_id = keep""".stripMargin
+        |WHERE doc_id = keep""".stripMargin,
+    // §2.10 sketch / synopsis operators. q_heavy_hitters' two-pass MG
+    // candidate generation is invisible to the oracle on purpose: the
+    // emitted top-k is EXACT (candidate superset is spec-pinned), so
+    // the oracle is the plain frequency top-k under the same
+    // (cnt DESC, word ASC) total order. q_bloom_semi_join's bloom
+    // probe only pre-prunes fact rows ahead of the exact semi join,
+    // so its oracle is the plain semi join.
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS cnt FROM toks WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice >= 480000.0)
+        |GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch / synopsis operators (SURVEY §2.10): bounded-memory
+  * summaries that replace a full shuffle with a small mergeable
+  * state — the difference between "works at sf0.1" and "works at
+  * 100 TB" for frequency, membership, and cardinality questions.
+  *
+  * Reference scope note: the reference's wordcount/top-k plugins
+  * (plugin/word_count/wc.go) answer these questions by full
+  * aggregation; these operators answer the same questions with
+  * bounded state, which is the form a 1000-executor deployment needs.
+  */
+object Sketches {
+
+  /** Exact top-k most frequent words via the two-pass heavy-hitters
+    * pattern:
+    *
+    * Pass 1 — [[graft.functions.MisraGriesAggregator]] summarizes the
+    * token stream into ≤ `capacity` candidate words with O(capacity)
+    * memory per task and a single tiny combine (no shuffle of the
+    * vocabulary). Any word with frequency > N/(capacity+1) is
+    * guaranteed to survive.
+    *
+    * Pass 2 — only rows matching a candidate (an `InSet` evaluated in
+    * the scan stage) reach an exact count; the top-k under the total
+    * order (cnt DESC, word ASC) is then exact whenever the k-th
+    * frequency clears the MG threshold — true for any Zipf-shaped
+    * corpus with sane capacity (spec-verified superset property, and
+    * the oracle pins exactness on the test corpora).
+    *
+    * vs `wordCount().orderBy().limit(k)`: that plan shuffles every
+    * distinct token; at a 10M-term vocabulary the two-pass form
+    * shuffles `capacity` strings and then counts ~k hot terms.
+    * Tokenization matches [[TextOps.tokens]] so the oracle shares
+    * `mr_wordcount`'s CTE.
+    */
+  def heavyHitters(documents: DataFrame, k: Int, capacity: Int = 512): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = TextOps.tokens(documents).select(col("word")).as[String]
+    val candidates: Seq[String] =
+      words.select(new graft.functions.MisraGriesAggregator(capacity).toColumn).head()
+    words.toDF("word")
+      .filter(col("word").isin(candidates: _*))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+  }
+
+  /** Bloom-pruned semi join + aggregate: lineitem rows of high-value
+    * orders, with non-matching fact rows killed in the scan stage by
+    * a bloom filter built over the filtered dim keys
+    * ([[org.apache.spark.sql.graftfilter.BloomPrune]]).
+    *
+    * The exact left-semi join after the probe removes bloom false
+    * positives, so the result is IDENTICAL to the plain semi join —
+    * the bloom only changes how many fact rows pay the shuffle
+    * (~4% of lineitem at the default cut on this data, fpp-bounded
+    * false positives on top). `expectedDimKeys` sizes the filter for
+    * the dim cardinality you'd see at target scale: 1M keys at 1%
+    * fpp is ~1.2 MB shipped once per executor.
+    */
+  def bloomPrunedOrderItems(lineitem: DataFrame, orders: DataFrame,
+      minTotalPrice: Double = 480000.0,
+      expectedDimKeys: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val hot = orders.filter(col("o_totalprice") >= minTotalPrice).select("o_orderkey")
+    val bloom = org.apache.spark.sql.graftfilter.BloomPrune.buildOver(
+      hot, "o_orderkey", expectedDimKeys, fpp)
+    lineitem
+      .filter(org.apache.spark.sql.graftfilter.BloomPrune.mightContain(bloom, col("l_orderkey")))
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+
+  /** Approximate distinct users per event type via a DataSketches
+    * HLL sketch (`hll_sketch_agg`). The 100 TB story is the sketch's
+    * mergeability — see [[hllSketchByHour]] / [[hllUnionEstimate]]:
+    * materialize one ~KB sketch per (bucket) and answer any coarser
+    * distinct question later WITHOUT rescanning, which exact
+    * count-distinct fundamentally cannot do (distinct doesn't sum).
+    *
+    * No SQL oracle by design: the estimate is DataSketches-specific
+    * (DuckDB's approx_distinct is a different sketch); the spec pins
+    * a ±2% envelope vs exact and estimator determinism.
+    */
+  def hllDistinctUsers(events: DataFrame, lgK: Int = 14): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgK)).as("approx_users"))
+
+  /** One mergeable HLL sketch per event-hour — the materialized
+    * rollup-building-block layout (a few KB per bucket, unionable
+    * across any bucket subset).
+    */
+  def hllSketchByHour(events: DataFrame, lgK: Int = 14): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sketch"))
+
+  /** Union previously materialized sketches to a single estimate —
+    * the "incremental distinct" read path: daily sketches in,
+    * monthly distinct out, no rescan of the raw events.
+    */
+  def hllUnionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
+      .as("approx_users"))
+}

@@ -23,7 +23,8 @@ class EntrySpec extends AnyFunSuite {
     val expected = Set(
       "dedup_minhash", "dedup_simhash", "dedup_embedding", // seeded xxhash64 not in DuckDB
       "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
-      "sim_kmeans")   // iterated float means: not bit-reproducible across engines
+      "sim_kmeans",   // iterated float means: not bit-reproducible across engines
+      "q_approx_distinct_hll") // DataSketches HLL estimate; DuckDB ships a different sketch
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sketches, TextOps}
+
+/** Sketch/synopsis operators (SURVEY §2.10): Misra-Gries heavy
+  * hitters, bloom-pruned semi join, HLL distinct sketches.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  private def docs = Tables.documents(spark, SharedSpark.sf)
+
+  // ---- Misra-Gries candidate sketch ----
+
+  test("MG candidates form a ≤capacity superset of all items above N/(cap+1)") {
+    import spark.implicits._
+    // 2000 singleton tails force constant eviction at capacity 64;
+    // 20 hot items sit far above the guarantee threshold.
+    val items: Seq[String] =
+      (1 to 2000).map(i => s"tail$i") ++
+        (1 to 20).flatMap(i => Seq.fill(400 + i)(s"hot$i"))
+    val cap = 64
+    val cands = items.toDS().repartition(7)
+      .select(new graft.functions.MisraGriesAggregator(cap).toColumn).head()
+    assert(cands.size <= cap)
+    val n = items.size
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size }
+    val mustSurvive = exact.collect { case (k, c) if c > n / (cap + 1) => k }.toSet
+    assert(mustSurvive.subsetOf(cands.toSet),
+      s"evicted guaranteed heavy hitters: ${mustSurvive -- cands.toSet}")
+  }
+
+  test("heavyHitters equals the exact frequency top-k on the corpus") {
+    val expect = TextOps.wordCount(docs)
+      .orderBy(desc("cnt"), asc("word")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Sketches.heavyHitters(docs, 10, 512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("heavyHitters stays exact under eviction pressure and any input partitioning") {
+    import spark.implicits._
+    // vocabulary (520) ≫ capacity (32): the sketch must evict tails
+    // and trim on merge, yet the two-pass result stays exact because
+    // the hot frequencies clear N/(cap+1) ≈ 640.
+    val corpus = ((1 to 20).map(i => (i.toLong, List.fill(1000 + i)(s"hot$i").mkString(" "))) ++
+      (1 to 500).map(i => (1000L + i, s"tail$i"))).toDF("doc_id", "text")
+    val expect = TextOps.wordCount(corpus)
+      .orderBy(desc("cnt"), asc("word")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (parts <- Seq(1, 13)) {
+      val got = Sketches.heavyHitters(corpus.repartition(parts), 10, 32)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expect, s"divergence at $parts partitions")
+    }
+  }
+
+  // ---- Bloom-pruned semi join ----
+
+  test("bloom probe has no false negatives and prunes the fact side hard") {
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val hot = Tables.orders(spark, SharedSpark.sf)
+      .filter(col("o_totalprice") >= 480000.0).select("o_orderkey")
+    val bloom = org.apache.spark.sql.graftfilter.BloomPrune.buildOver(
+      hot, "o_orderkey", 1L << 20, 0.01)
+    val pruned = li.filter(
+      org.apache.spark.sql.graftfilter.BloomPrune.mightContain(bloom, col("l_orderkey")))
+    val trueMatches = li.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // every true match survives the probe (bloom can't false-negative)
+    assert(trueMatches.select("l_orderkey").distinct()
+      .except(pruned.select("l_orderkey").distinct()).isEmpty)
+    // and the probe kills the overwhelming majority of fact rows
+    // before any shuffle (~4% dim selectivity + ≤1% fp)
+    assert(pruned.count() < li.count() / 5)
+  }
+
+  test("bloomPrunedOrderItems is identical to the plain semi-join aggregate") {
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val ord = Tables.orders(spark, SharedSpark.sf)
+    val plain = li
+      .join(ord.filter(col("o_totalprice") >= 480000.0).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Sketches.bloomPrunedOrderItems(li, ord)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain)
+  }
+
+  // ---- HLL distinct sketches ----
+
+  test("hllDistinctUsers lands within 2% of exact distinct per event type") {
+    val ev = Tables.events(spark, SharedSpark.sf)
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.hllDistinctUsers(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((t, n) <- exact) {
+      assert(math.abs(approx(t) - n) <= math.max(1L, (n * 0.02).toLong),
+        s"$t: approx ${approx(t)} vs exact $n")
+    }
+  }
+
+  test("per-hour sketches survive parquet and union to the whole-corpus estimate") {
+    val ev = Tables.events(spark, SharedSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-").toString
+    Sketches.hllSketchByHour(ev).write.mode("overwrite").parquet(dir)
+    val merged = Sketches.hllUnionEstimate(spark.read.parquet(dir))
+      .head().getLong(0)
+    val whole = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("approx_users"))
+      .head().getLong(0)
+    // same value set, same lgK ⇒ identical register state ⇒ identical
+    // estimate: mergeability is lossless, not merely approximate
+    assert(merged == whole)
+  }
+}
