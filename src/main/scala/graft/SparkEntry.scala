@@ -123,6 +123,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10L)) < 3))
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
+    "dedup_fuzzy" -> ((s, dir) => Dedup.fuzzyPairs(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // threshold 0.4: the synthetic embeddings have no true near-dups
@@ -561,6 +562,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
+    // blk/cap CTEs mirror fuzzyPairs' blocking + bucketCap exactly;
+    // dist is exact within the threshold in both engines, so the
+    // compare is hash-exact
+    "dedup_fuzzy" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS title, substr(text, 1, 8) AS blk
+        |  FROM documents),
+        |keep AS (SELECT blk FROM t GROUP BY blk HAVING count(*) BETWEEN 2 AND 200)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |JOIN keep k ON k.blk = a.blk
+        |WHERE levenshtein(a.title, b.title) <= 8""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $NgramPairsCte,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),

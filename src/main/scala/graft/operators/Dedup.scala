@@ -479,6 +479,52 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs via prefix blocking —
+    * the entity-resolution staple for "same record, small typo"
+    * duplicates that token-set measures miss (a one-char edit inside a
+    * word changes the whole shingle neighborhood but costs edit
+    * distance 1).
+    *
+    * Blocking: docs compare only within the same `blockLen`-char title
+    * prefix bucket, so candidate generation is an equality join on the
+    * block key — never O(n²). The documented recall trade-off of any
+    * blocking scheme: an edit inside the first `blockLen` chars splits
+    * the pair into different blocks and it is missed (raise recall by
+    * unioning a second pass blocked on a suffix or sorted-neighborhood
+    * key; same plan shape).
+    *
+    * `bucketCap` bounds the per-block self-join exactly like
+    * [[simhashPairs]]'s cap: a block with more than `bucketCap` members
+    * is boilerplate (shared headers, templates), not dup signal, and
+    * would otherwise cost cap² pairs × an O(titleLen·maxDist) distance
+    * check each.
+    *
+    * The distance itself runs through Spark's threshold form
+    * `levenshtein(a, b, maxDist)` — banded O(titleLen·maxDist) with
+    * early exit instead of the full O(titleLen²) table, returning the
+    * exact distance iff it is ≤ maxDist (else −1, filtered). Exact
+    * distances within the threshold are engine-portable, so the SQL
+    * oracle (DuckDB `levenshtein` + the mirrored block/cap CTEs) checks
+    * this operator hash-exactly.
+    */
+  def fuzzyPairs(documents: DataFrame, maxDist: Int = 8, titleLen: Int = 80,
+                 blockLen: Int = 8, bucketCap: Int = 200): DataFrame = {
+    require(blockLen <= titleLen, "block prefix must lie inside the compared title")
+    val t = documents.select(col("doc_id"),
+      substring(col("text"), 1, titleLen).as("title"),
+      substring(col("text"), 1, blockLen).as("blk"))
+    val keep = t.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, bucketCap))
+      .select("blk")
+    val bounded = t.join(keep, Seq("blk"), "left_semi")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        levenshtein(col("a.title"), col("b.title"), maxDist).cast("long").as("dist"))
+      .filter(col("dist").between(0, maxDist))
+  }
 }
 
 /** Vote buffer for [[Dedup.simhash]]: 64 signed counters, one per

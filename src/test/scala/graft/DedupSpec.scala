@@ -126,6 +126,63 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsAlternating(empty).count() == 0)
   }
 
+  test("fuzzyPairs: typo pairs found with exact distances; blocking and cap bound the search") {
+    import spark.implicits._
+    val head = "Document header: " // 17 chars — pairs share the 8-char block prefix
+    val tail = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (0L, head + tail),
+      (1L, head + tail.replace("quick", "quack")), // one substitution → dist 1
+      (2L, "Dacument header: " + tail), // dist 1 from doc 0, but the edit is INSIDE the block prefix
+      (3L, head + "completely unrelated text about spark shuffles and query planning engines")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(corpus, maxDist = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 0↔1 found with the exact distance; 2 is ALSO within distance 1 of
+    // doc 0 but its edit sits inside the first 8 chars, so blocking
+    // splits the pair (the documented trade-off); 3 is beyond maxDist
+    assert(got == Set((0L, 1L, 1L)), s"got $got")
+  }
+
+  test("fuzzyPairs drops over-cap boilerplate blocks but keeps normal blocks") {
+    import spark.implicits._
+    val boiler = (0 until 12).map(i => (100L + i, s"TEMPLATE page $i of something generated"))
+    val real = Seq((0L, "unique text one fine pair here"), (1L, "unique text one fine pair hers"))
+    val corpus = (boiler ++ real).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(corpus, maxDist = 8, bucketCap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"over-cap TEMPLATE block leaked pairs: $got")
+  }
+
+  test("fuzzyPairs matches a brute-force DP levenshtein under any partitioning (seeded fuzz)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val base = "shared-block " + rnd.alphanumeric.take(60).mkString
+    val docs = (0 until 30).map { i =>
+      val chars = base.toCharArray
+      for (_ <- 0 until rnd.nextInt(6)) chars(13 + rnd.nextInt(60)) = ('a' + rnd.nextInt(26)).toChar
+      (i.toLong, new String(chars))
+    }
+    val titles = docs.map { case (id, t) => id -> t.take(80) }.toMap
+    val expect = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      d = lev(titles(a), titles(b)) if d <= 8
+    } yield (a, b, d.toLong)).toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Dedup.fuzzyPairs(docs.toDF("doc_id", "text").repartition(parts),
+        maxDist = 8, bucketCap = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"divergence at $parts partitions")
+    }
+  }
+
   test("simhash: identical docs have distance 0; near docs small; unrelated large") {
     // maxHamming=16 needs >16 bands for the pigeonhole recall
     // guarantee (the operator now rejects the silently-lossy default)
