@@ -153,12 +153,23 @@ object EventStreams {
         date_format(col("ts"), "yyyy-MM-dd-HH").as("event_hour"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val b = batch.persist()
+        // Dedupe re-deliveries WITHIN the batch first: a source that
+        // hands the same event_id twice in one micro-batch must still
+        // write it once, or event-level idempotence only holds across
+        // batches, not inside one.
+        val b = batch.dropDuplicates("event_id").persist()
         try {
           val hours = b.select("event_hour").distinct().collect().map(_.getString(0))
+          // Existence of prior output resolved through the Hadoop
+          // FileSystem API, not java.io.File — the sink targets HDFS/
+          // S3/local alike; a local-only check would make every remote
+          // replay silently overwrite touched hours with batch rows.
+          val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
+          val fs = hadoopPath.getFileSystem(
+            b.sparkSession.sparkContext.hadoopConfiguration)
           val merged =
             if (hours.isEmpty) b
-            else if (!new java.io.File(outPath).exists()) b
+            else if (!fs.exists(hadoopPath)) b
             else {
               val existing = b.sparkSession.read.parquet(outPath)
                 .filter(col("event_hour").isin(hours.toSeq: _*))

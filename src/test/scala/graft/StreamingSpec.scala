@@ -266,6 +266,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L), s"hour partition lost or duplicated rows: ${got.toSeq}")
   }
 
+  test("ingestPartitioned writes an event_id delivered twice in ONE batch exactly once") {
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inbatch-").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one source file = one micro-batch; event 5 appears twice in it
+    new java.io.File(src).mkdirs()
+    Seq(
+      (5L, 7L, "click", 1.0, ts("2024-01-01 10:00:01")),
+      (5L, 7L, "click", 1.0, ts("2024-01-01 10:00:01")),
+      (6L, 8L, "view", 2.0, ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.ingestPartitioned(
+      spark.readStream.schema(schema).parquet(src), out, ckpt)
+    val got = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(5L, 6L), s"within-batch duplicate not collapsed: ${got.toSeq}")
+  }
+
   test("stream-static enrichment join == batch broadcast join + aggregate") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.enrichCounts(spark, sf).collect()
