@@ -44,6 +44,10 @@ object GraftSession {
     val spark = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graftvec.GraftFunctionRegistration.registerAll(spark)
+    // rank-filter → bounded top-k rewrite live in the deployment
+    // session: the driver's oracle gate re-proves hash-exactness of
+    // q_topk_per_key THROUGH the rewrite every round
+    org.apache.spark.sql.grafttopk.RewriteRowNumberTopK.register(spark)
     spark
   }
 }

@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions deployment would silently lack the operator
     // (the imperative path registers it via experimental.extraStrategies)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplan.AsofJoinStrategy)
+    // rank-filter → bounded top-k aggregate rewrite (the
+    // injectOptimizerRule tier; imperative twin:
+    // RewriteRowNumberTopK.register via experimental.extraOptimizations)
+    ext.injectOptimizerRule(session =>
+      org.apache.spark.sql.grafttopk.RewriteRowNumberTopK(session))
   }
 }
 
