@@ -21,20 +21,40 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Static deployment settings applied by [[builder]] — exposed as a
+    * map so the framework-contract spec can pin them.
+    *
+    * The speculation trio is the Spark-native analogue of the
+    * reference coordinator's fixed 10-second task reassignment
+    * (reference `core/coordinator.go`, SURVEY §2.1 row 8b): any task
+    * slower than `multiplier`× the stage median is re-launched once
+    * `quantile` of the stage has finished, and the task-commit
+    * protocol keeps only the first copy's output — re-running only
+    * statistical outliers, where a fixed timeout would also re-run
+    * tasks that are merely big.
+    */
+  val deploymentConf: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L << 20).toString,
+    // events.parquet stores TIMESTAMP(NANOS); set globally at build
+    // time so reads don't depend on which loader ran first (the
+    // loaders also set it for user-supplied sessions)
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.speculation" -> "true",
+    "spark.speculation.multiplier" -> "3",
+    "spark.speculation.quantile" -> "0.75",
+    "spark.ui.enabled" -> "false")
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
-      // events.parquet stores TIMESTAMP(NANOS); set globally at build
-      // time so reads don't depend on which loader ran first (the
-      // loaders also set it for user-supplied sessions)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    deploymentConf.foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 
   /** Local session sized from the environment (the driver contract:
     * SPARK_GRAFT_CPUS threads, that many shuffle partitions).

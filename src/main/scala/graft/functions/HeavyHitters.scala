@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.Encoder
@@ -20,50 +22,69 @@ import org.apache.spark.sql.Encoder
   * [[graft.operators.Sketches.heavyHitters]] re-counts the surviving
   * candidates exactly in a second pass, so the emitted top-k is
   * exact whenever the k-th frequency clears the threshold — the
-  * standard two-pass heavy-hitters pattern at warehouse scale.
+  * standard two-pass heavy-hitters pattern at warehouse scale (the
+  * guard in pass 2 makes a threshold violation loud, not silent).
   *
-  * Cost: an insert is O(1) map update; the decrement-all path
-  * rebuilds the map in O(capacity), but each rebuild removes
-  * `capacity` units of counter mass while each row adds one, so
-  * rebuilds happen at most N/(capacity+1) times — amortized O(1)
-  * per row.
+  * The declared buffer type is the generic `scala.collection.Map` so
+  * the encoder round-trip (shuffle) stays a plain map; at runtime the
+  * hot path mutates ONE `mutable.HashMap` in place (the
+  * SimhashVoteAggregator pattern) — a deserialized immutable map is
+  * converted once on first touch, then every row is an O(1) in-place
+  * update with no per-row allocation. At 10¹² tokens the
+  * rebuild-a-HAMT-per-row cost of an immutable buffer is a real
+  * constant factor; the decrement path uses `mapValuesInPlace` +
+  * `filterInPlace`, amortized O(1) per row as before.
   */
 class MisraGriesAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[String]] {
+    extends Aggregator[String, scala.collection.Map[String, Long], Seq[String]] {
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
-  override def zero: Map[String, Long] = Map.empty
+  private def toMutable(m: scala.collection.Map[String, Long]): mutable.HashMap[String, Long] =
+    m match {
+      case mm: mutable.HashMap[String, Long] @unchecked => mm
+      case other => mutable.HashMap.from(other)
+    }
 
-  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
-    buf.get(item) match {
-      case Some(c)                    => buf.updated(item, c + 1L)
-      case None if buf.size < capacity => buf.updated(item, 1L)
+  override def zero: scala.collection.Map[String, Long] = new mutable.HashMap[String, Long]()
+
+  override def reduce(buf: scala.collection.Map[String, Long], item: String): scala.collection.Map[String, Long] = {
+    val m = toMutable(buf)
+    m.get(item) match {
+      case Some(c) => m.update(item, c + 1L)
+      case None if m.size < capacity => m.update(item, 1L)
       case None =>
         // Buffer full and `item` unseen: decrement every counter by
         // one (the new item's single unit cancels against one unit of
         // each survivor) and drop the zeros.
-        buf.collect { case (k, c) if c > 1L => k -> (c - 1L) }
+        m.mapValuesInPlace((_, c) => c - 1L)
+        m.filterInPlace((_, c) => c > 0L)
     }
+    m
+  }
 
   /** Sum counters, then restore the size bound by subtracting the
     * (capacity+1)-th largest count from every counter — the merge
     * rule that keeps the total undercount ≤ N/(capacity+1) across
     * arbitrary partition trees.
     */
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
-    if (sum.size <= capacity) sum
-    else {
-      val threshold = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(capacity)
-      sum.collect { case (k, c) if c > threshold => k -> (c - threshold) }
+  override def merge(a: scala.collection.Map[String, Long],
+                     b: scala.collection.Map[String, Long]): scala.collection.Map[String, Long] = {
+    val m = toMutable(a)
+    b.foreach { case (k, c) => m.update(k, m.getOrElse(k, 0L) + c) }
+    if (m.size > capacity) {
+      val threshold = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(capacity)
+      m.mapValuesInPlace((_, c) => c - threshold)
+      m.filterInPlace((_, c) => c > 0L)
     }
+    m
   }
 
   /** Sorted for a deterministic candidate list regardless of map
     * iteration order.
     */
-  override def finish(buf: Map[String, Long]): Seq[String] = buf.keysIterator.toSeq.sorted
+  override def finish(buf: scala.collection.Map[String, Long]): Seq[String] =
+    buf.keysIterator.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[scala.collection.Map[String, Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
 }

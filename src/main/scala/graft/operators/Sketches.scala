@@ -37,18 +37,52 @@ object Sketches {
     * Tokenization matches [[TextOps.tokens]] so the oracle shares
     * `mr_wordcount`'s CTE.
     */
-  def heavyHitters(documents: DataFrame, k: Int, capacity: Int = 512): DataFrame = {
+  def heavyHitters(documents: DataFrame, k: Int, capacity: Int = 512,
+                   strict: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val words = TextOps.tokens(documents).select(col("word")).as[String]
-    val candidates: Seq[String] =
-      words.select(new graft.functions.MisraGriesAggregator(capacity).toColumn).head()
-    words.toDF("word")
+    // one pass-1 job yields the MG candidates AND the stream length N
+    // (needed by the exactness guard below)
+    val mgUdaf = udaf(new graft.functions.MisraGriesAggregator(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    val pass1 = words.toDF("word")
+      .agg(mgUdaf(col("word")).as("cands"), count(lit(1)).as("n")).head()
+    val candidates: Seq[String] = pass1.getSeq[String](0)
+    val n: Long = pass1.getLong(1)
+    // pass 2: exact counts for the ≤capacity candidates (bounded
+    // driver round-trip, like the candidate list itself)
+    val counts = words.toDF("word")
       .filter(col("word").isin(candidates: _*))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc)
-      .limit(k)
+      .collect()
+    val top = counts.sortBy(r => (-r.getLong(1), r.getString(0))).take(k)
+    // Exactness guard: the MG survival bound only promises the sketch
+    // kept every item with frequency > N/(capacity+1). The top-k is
+    // provably exact iff (a) the candidates cover every token (the
+    // sketch never evicted, so these ARE the full exact counts), or
+    // (b) k candidates exist and the k-th count clears the bound (no
+    // evicted item can out-rank it). Otherwise a true top-k item may
+    // be missing — say so loudly instead of answering quietly (a
+    // flatter-than-Zipf distribution at another scale would otherwise
+    // pass unnoticed).
+    val bound = n / (capacity + 1L)
+    val fullCoverage = counts.iterator.map(_.getLong(1)).sum == n
+    val kthClears = top.length == k && top.last.getLong(1) > bound
+    if (!fullCoverage && !kthClears) {
+      val kth = if (top.isEmpty) 0L else top.last.getLong(1)
+      val msg = s"heavyHitters(k=$k, capacity=$capacity) is not provably exact: " +
+        s"k-th count $kth <= N/(capacity+1) = $bound over N=$n tokens and candidates " +
+        "do not cover the stream; raise capacity or treat the result as approximate"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(top.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Bloom-pruned semi join + aggregate: lineitem rows of high-value

@@ -132,6 +132,19 @@ class FrameworkContractSpec extends AnyFunSuite {
     assert(lines.sameElements(expected), "sink lines differ from the sequential oracle")
   }
 
+  test("straggler reassignment: deployment conf pins speculative execution (coordinator 10s analogue)") {
+    // reference core/coordinator.go re-queues any task not finished in
+    // a fixed 10 s; the Spark-native analogue (SURVEY §2.1 row 8b) is
+    // speculation — re-launch only statistical outliers, first commit
+    // wins. The deployment builder must actually carry the configs.
+    val c = GraftSession.deploymentConf
+    assert(c("spark.speculation") == "true", "speculative execution must be on in deployment")
+    assert(c("spark.speculation.multiplier").toDouble > 1.0,
+      "multiplier must exceed the stage median")
+    val q = c("spark.speculation.quantile").toDouble
+    assert(q > 0.0 && q < 1.0, "quantile must wait for a fraction of the stage, not all of it")
+  }
+
   test("atomic output: committed parquet has _SUCCESS and no temp files") {
     val out = java.nio.file.Files.createTempDirectory("graft-commit-").toString + "/t"
     Tables.nation(spark, SharedSpark.sf).write.parquet(out)

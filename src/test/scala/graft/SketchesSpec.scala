@@ -58,6 +58,25 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters guard trips when the k-th count cannot clear the MG bound") {
+    import spark.implicits._
+    // 600 distinct words, each exactly twice: N=1200, bound at cap 32
+    // is 1200/33 = 36 >> 2 — the sketch may have evicted true top-k
+    // items, so the operator must say so instead of answering quietly
+    def word(i: Int): String = {
+      var n = i; val sb = new StringBuilder
+      (0 until 4).foreach { _ => sb.append(('a' + n % 26).toChar); n /= 26 }
+      sb.toString
+    }
+    val flat = (1 to 600).map(i => (i.toLong, s"${word(i)} ${word(i)}")).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] { Sketches.heavyHitters(flat, 10, 32) }
+    assert(ex.getMessage.contains("not provably exact"))
+    // non-strict mode degrades to a logged warning and returns the
+    // (approximate) survivor top-k — possibly empty on fully flat
+    // data, where constant decrement cycles can wipe the sketch
+    assert(Sketches.heavyHitters(flat, 10, 32, strict = false).count() <= 10)
+  }
+
   // ---- Bloom-pruned semi join ----
 
   test("bloom probe has no false negatives and prunes the fact side hard") {
