@@ -357,6 +357,12 @@ object SparkEntry {
         |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |  LEFT JOIN p USING (user_id)""".stripMargin,
+    // Integer-division semantics note: Spark's `div` truncates toward
+    // zero, DuckDB's `//` floors — they agree only on non-negative
+    // operands. The events table's ts is generated >= epoch (ts_ns >
+    // 0), so the hour bucketing here cannot diverge; pre-1970
+    // timestamps would need an explicit floor on the Spark side
+    // (mirroring the pmod care taken in dedup_incremental).
     "q_retention" ->
       """WITH uh AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h FROM events),

@@ -41,14 +41,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("ANN recall vs brute force is usable (>= 0.5 at 24 planes / 8 bands)") {
+  test("ANN shipped defaults (48 planes / 16 bands) hold >= 0.9 recall vs brute force") {
+    // gate for the committed SURVEY §5 recall table: the defaults were
+    // chosen from the sf0.1/sf0.001 sweep (0.96–0.99 measured); a
+    // regression in planes/bands/signature logic must fail here
     val emb = Tables.embeddings(spark, SharedSpark.sf)
     val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Similarity.annTopK(emb, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ann).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ANN recall $recall")
+    assert(recall >= 0.9, s"ANN recall $recall at shipped defaults")
   }
 
   test("ANN recall tuning sweep: more bands (smaller buckets per band, more probes) never collapses recall; band count is the recall/cost dial") {
@@ -63,7 +66,7 @@ class SimilaritySpec extends AnyFunSuite {
     // wide sweep of the two dials; candidate volume (cost) grows as
     // bands go up and bucket width (planes/bands) goes down
     val coarse = recallAt(24, 4)   // 6-bit buckets, few probes: cheapest
-    val mid = recallAt(24, 8)      // 3-bit buckets: the shipped default
+    val mid = recallAt(24, 8)      // 3-bit buckets, 8 bands
     val fine = recallAt(32, 16)    // 2-bit buckets, many probes: most recall
     assert(mid >= coarse - 0.1, s"mid=$mid coarse=$coarse")
     assert(fine >= mid - 0.05, s"fine=$fine mid=$mid")
@@ -77,7 +80,9 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.annTopKIvf(emb, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall $recall (4/16 cells probed)")
+    // shipped defaults (16 cells, 4 probes) measured 0.900 at sf0.001
+    // and 0.988 at sf0.1 in the SURVEY §5 sweep — gate at the bar
+    assert(recall >= 0.9, s"IVF recall $recall (4/16 cells probed)")
     val perQuery = ivf.groupBy(_._1).values.map(_.size)
     assert(perQuery.forall(_ <= 10))
   }
