@@ -211,7 +211,15 @@ object Dedup {
     * Output: (doc_id, component_id = min doc_id in the component) for
     * every doc that appears in at least one pair.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsCounted(pairs)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * ran — the O(diameter) cost driver (the scale-rehearsal main and
+    * the complexity spec read it; production callers use the plain
+    * variant).
+    */
+  def connectedComponentsCounted(pairs: DataFrame): (DataFrame, Int) = {
     // pairs feeds BOTH union branches below: cache it so an expensive
     // candidate generator (the ngram/LSH joins) runs once, not twice
     val p = pairs.cache()
@@ -229,7 +237,9 @@ object Dedup {
       df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val viaNeighbors = edges
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src"))
@@ -265,7 +275,7 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     p.unpersist()
-    out
+    (out, rounds)
   }
 
   /** Alternating large-star/small-star connected components (the
@@ -289,7 +299,13 @@ object Dedup {
     * order-insensitive edge-set checksum (a scalar agg, not a plan
     * comparison).
     */
-  def connectedComponentsAlternating(pairs: DataFrame): DataFrame = {
+  def connectedComponentsAlternating(pairs: DataFrame): DataFrame =
+    connectedComponentsAlternatingCounted(pairs)._1
+
+  /** [[connectedComponentsAlternating]] plus its round count — the
+    * O(log² n) claim made measurable.
+    */
+  def connectedComponentsAlternatingCounted(pairs: DataFrame): (DataFrame, Int) = {
     val p = pairs.cache()
     // canonical undirected edge set: (hi > lo), distinct, self-loops out
     var und = p.select(greatest(col("doc_a"), col("doc_b")).as("hi"),
@@ -315,7 +331,9 @@ object Dedup {
       e.agg(coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head.getLong(0)
     var prev = checksum(und)
     var converged = prev == 0L && und.isEmpty
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       // large-star: every edge (u, v>u) becomes (v, m(u)) — hubs and
       // chain tails collapse toward local minima in parallel
       val dirL = directed(und)
@@ -346,7 +364,7 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     p.unpersist()
-    out
+    (out, rounds)
   }
 
   /** Apply near-dup dedup to the corpus: drop every doc whose

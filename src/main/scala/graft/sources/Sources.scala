@@ -58,6 +58,40 @@ object Sources {
   def readParquetTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Backpressure knobs for [[rateLimitedStream]] — the file-source
+    * analogue of a Kafka consumer's `maxOffsetsPerTrigger`: bound how
+    * much of a (possibly huge) backlog each micro-batch admits, so a
+    * restart after downtime drains at a stable, state-store-sized pace
+    * instead of one giant catch-up batch that OOMs the stateful
+    * operators downstream. At least one bound must be set; both
+    * together mean "whichever limit hits first" (Spark semantics).
+    */
+  final case class RateLimit(maxFilesPerTrigger: Option[Int] = Some(1),
+                             maxBytesPerTrigger: Option[Long] = None) {
+    require(maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty,
+      "a rate limit needs at least one bound")
+  }
+
+  /** Rate-limited streaming read over a file directory — the named
+    * source abstraction for "Kafka-shaped" ingestion without a broker:
+    * files arrive in a landing directory (the offset log is the file
+    * listing), each trigger admits a bounded slice, and exactly-once
+    * accounting comes from the checkpoint's committed offsets exactly
+    * as with a broker source. Stateful aggregates downstream stay
+    * EXACT across the induced micro-batch boundaries (spec-pinned:
+    * state merges across triggers; the throttled run equals the
+    * single-batch run row for row).
+    */
+  def rateLimitedStream(spark: SparkSession, path: String, schema: StructType,
+                        limit: RateLimit = RateLimit()): DataFrame = {
+    val base = spark.readStream.schema(schema)
+    val withFiles = limit.maxFilesPerTrigger.fold(base)(n =>
+      base.option("maxFilesPerTrigger", n.toString))
+    val withBytes = limit.maxBytesPerTrigger.fold(withFiles)(b =>
+      withFiles.option("maxBytesPerTrigger", b.toString))
+    withBytes.parquet(path)
+  }
+
   /** Hive-style partitioned parquet: the layout that makes partition
     * pruning work (WHERE on a partition column never touches other
     * directories).

@@ -120,6 +120,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("round-count complexity: propagation pays O(diameter), alternating stays logarithmic") {
+    import spark.implicits._
+    // one 64-node chain: diameter 63. Min-label propagation moves the
+    // min ONE hop per round; alternating-star must finish in ~log²
+    // rounds — the measurable form of the SURVEY §2.3 complexity claim
+    // (the CcRehearsal main records the same at 10⁶ nodes).
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (pl, propRounds) = Dedup.connectedComponentsCounted(chain)
+    val (al, altRounds) = Dedup.connectedComponentsAlternatingCounted(chain)
+    assert(pl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      al.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(al.select("component_id").distinct().count() == 1)
+    assert(propRounds >= 30, s"propagation should track chain diameter, got $propRounds")
+    assert(altRounds <= 12, s"alternating should be ~log² rounds, got $altRounds")
+  }
+
   test("alternating CC on an empty pair set returns no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -112,6 +112,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == orders.count())
   }
 
+  test("rate-limited source: throttled micro-batches drain the backlog with EXACT state") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-rate-").toString
+    val src = s"$base/src"
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    def addFile(name: String, rows: Seq[(String, Long)]): Unit = {
+      val staging = s"$base/stage_$name"
+      rows.toDF("k", "v").coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // a "backlog": three files already sitting in the landing dir
+    addFile("f1", Seq(("a", 1L), ("b", 10L)))
+    addFile("f2", Seq(("a", 2L), ("c", 5L)))
+    addFile("f3", Seq(("b", 3L), ("c", 7L)))
+    val qn = "graft_rate_limited"
+    val q = Sources.rateLimitedStream(spark, src, schema,
+        Sources.RateLimit(maxFilesPerTrigger = Some(1)))
+      .groupBy("k").agg(sum("v").as("total"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // backpressure: the 3-file backlog must NOT collapse into one
+    // catch-up batch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"rate limit must admit one file per trigger, saw $dataBatches")
+    // and state is exact across the induced micro-batch boundaries
+    val got = spark.table(qn).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 13L, "c" -> 12L))
+  }
+
   test("co-bucketed fact-fact join runs with ZERO exchange on either side") {
     // the 100 TB story for a recurring fact-fact join: pay the shuffle
     // once at write time (bucketBy on the join key, equal bucket
