@@ -45,6 +45,7 @@ object SparkEntry {
     "q_hourly_active" -> ((s, dir) => Relational.hourlyActive(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => Relational.funnel(Tables.events(s, dir))),
     "q_retention" -> ((s, dir) => Relational.retention(Tables.events(s, dir), 3)),
+    "q_gap_fill" -> ((s, dir) => Relational.gapFillHourly(Tables.events(s, dir), 100L)),
     "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
@@ -139,6 +140,12 @@ object SparkEntry {
       Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     "dedup_apply" -> ((s, dir) => Dedup.applyNearDupDedup(Tables.documents(s, dir),
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
+    // rows-only by design: the survivor score is iterative integer
+    // PageRank — deterministic (spec-pinned exactly against a local
+    // implementation), but a 10-round recursive join is not expressible
+    // as a practical DuckDB oracle; DedupSpec carries the oracle
+    "dedup_apply_pagerank" -> ((s, dir) => Dedup.applyNearDupDedupPagerank(
+      Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
@@ -371,6 +378,18 @@ object SparkEntry {
         |FROM uh JOIN f USING (user_id)
         |WHERE h - h0 <= 3
         |GROUP BY 1, 2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, count(*) AS n,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT g.user_id, g.h,
+        |  CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
+        |  COALESCE(hourly.total_value, 0.0) AS total_value
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

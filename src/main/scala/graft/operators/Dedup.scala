@@ -428,6 +428,76 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Deterministic fixed-point PageRank over the (undirected) near-dup
+    * graph, in integer micro-units: pr₀ = 1_000_000 per node; each of
+    * `iters` rounds computes
+    * pr'(v) = 150_000 + (85 · Σ_{u∈Γ(v)} (pr(u) div deg(u))) div 100
+    * — damping 0.85 in percent arithmetic. EVERY operation is 64-bit
+    * integer (div, sum, multiply), so the result is bit-identical
+    * under any partitioning or reduction order — the property float
+    * PageRank fundamentally lacks (summation order varies per run) and
+    * the reason this variant can be spec-pinned against an independent
+    * local implementation exactly, not within an epsilon.
+    *
+    * Cost per round: one broadcast-sized? no — one hash join of the
+    * edge list against the pr table on src + one aggregate on dst —
+    * both shuffles keyed on node id, the same shape as one
+    * [[connectedComponents]] round; `localCheckpoint` per round keeps
+    * the logical plan constant-size (the iterative-lineage lesson from
+    * CC). Undirected near-dup graphs have no dangling nodes (every
+    * node has degree ≥ 1), so no mass-leak correction term is needed;
+    * totals stay bounded by nodes·10⁶, far inside Long.
+    */
+  def pagerankMicros(pairs: DataFrame, iters: Int = 10): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(degrees, "src").localCheckpoint(true)
+    var pr = degrees.select(col("src").as("doc_id"), lit(1000000L).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      pr = withDeg.join(pr, col("src") === col("doc_id"))
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("doc_id"),
+          (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** PageRank-weighted dedup application: like
+    * [[applyNearDupDedupCentral]] but the survivor per cluster is the
+    * doc with the highest [[pagerankMicros]] score (ties → min
+    * doc_id). Degree centrality counts only direct edges; PageRank
+    * also weighs how central the neighbors are — on chain-of-edits
+    * clusters it picks the "hub" revision rather than whichever copy
+    * happened to collide with the most others. Integer fixed-point
+    * scores keep the argmax deterministic (the reason bare float
+    * PageRank was rejected for [[applyNearDupDedupCentral]] no longer
+    * applies).
+    */
+  def applyNearDupDedupPagerank(documents: DataFrame, pairs: DataFrame,
+                                iters: Int = 10): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val comps = connectedComponents(p)
+    val pr = pagerankMicros(p, iters)
+    val ranked = comps.join(pr, Seq("doc_id"))
+    val best = ranked.groupBy("component_id").agg(max("pr").as("pmax"))
+    val survivors = ranked.join(best, "component_id")
+      .filter(col("pr") === col("pmax"))
+      .groupBy("component_id").agg(min("doc_id").as("survivor"))
+    val dropList = comps.join(survivors, "component_id")
+      .filter(col("doc_id") =!= col("survivor"))
+      .select(col("doc_id").as("drop_id"))
+    documents
+      .join(broadcast(dropList), col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** 64-bit SimHash per document: each token's hash votes ±1 on each
     * bit, weighted by its in-doc count; bit i of the simhash is 1 iff
     * the vote sum is positive.

@@ -371,6 +371,36 @@ object Relational {
         max(col("k")).as("max_k"))
   }
 
+  /** Time-series gap filling (resample to an hourly grid): per-user
+    * hourly counts/totals with every missing hour between the user's
+    * first and last activity emitted as an explicit zero row — the
+    * densification step rate/trend models need (a silent gap reads as
+    * "no data", a zero row as "measured zero").
+    *
+    * Shape: one (user, hour) aggregate, a per-user span aggregate,
+    * then `sequence + explode` builds each user's hour grid and a
+    * co-partitioned left join fills it. Output volume is bounded by
+    * users × time-horizon hours — independent of event volume, so the
+    * explode cannot amplify a 100 TB event table; both joins key on
+    * user_id and reuse the same hash partitioning. Exact integer
+    * epoch-hour arithmetic (ts ≥ epoch in this schema — see the
+    * division-semantics note at the q_retention oracle).
+    */
+  def gapFillHourly(events: DataFrame, maxUsers: Long = 100L): DataFrame = {
+    val hourly = events.filter(col("user_id") < maxUsers)
+      .select(col("user_id"), expr("ts_ns div 3600000000000").as("h"), col("value"))
+      .groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double").as("total_value"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
   /** Manually salted equi-join — the skew-join pattern for when one
     * key's rows exceed a single reduce task (AQE's skew-join split is
     * the automatic version; this is the explicit one you reach for

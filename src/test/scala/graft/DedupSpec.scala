@@ -120,6 +120,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("integer PageRank matches an independent local implementation EXACTLY") {
+    import spark.implicits._
+    // star (0 — 1..5), chain 10-11-12-13, triangle {20,21,22}
+    val pairSeq = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (20L, 22L), (21L, 22L))
+    val got = Dedup.pagerankMicros(pairSeq.toDF("doc_a", "doc_b"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent local fixed-point implementation (same integer ops)
+    val adj = (pairSeq ++ pairSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).distinct }
+    var pr = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 0 until 10) {
+      val contribs = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, ns) <- adj; share = pr(u) / ns.size; v <- ns) contribs(v) += share
+      pr = adj.keys.map(v => v -> (150000L + (85L * contribs(v)) / 100L)).toMap
+    }
+    assert(got == pr, s"distributed and local fixed-point PageRank diverged")
+    // structural sanity: star center dominates its leaves; chain
+    // middle beats its end
+    assert(got(0L) > got(1L))
+    assert(got(11L) > got(10L))
+  }
+
+  test("applyNearDupDedupPagerank keeps the PageRank hub per cluster (ties -> min id)") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val docs = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L, 20L, 21L, 22L, 99L))
+      .map(id => (id, 100L)).toDF("doc_id", "n_chars")
+    val survivors = Dedup.applyNearDupDedupPagerank(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    // star -> center 0; chain -> symmetric middles 11/12 tie -> 11;
+    // triangle -> all tie -> 20; doc 99 is in no cluster and survives
+    assert(survivors == Set(0L, 11L, 20L, 99L), s"got $survivors")
+  }
+
   test("round-count complexity: propagation pays O(diameter), alternating stays logarithmic") {
     import spark.implicits._
     // one 64-node chain: diameter 63. Min-label propagation moves the

@@ -24,7 +24,9 @@ class EntrySpec extends AnyFunSuite {
       "dedup_minhash", "dedup_simhash", "dedup_embedding", // seeded xxhash64 not in DuckDB
       "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
       "sim_kmeans",   // iterated float means: not bit-reproducible across engines
-      "q_approx_distinct_hll") // DataSketches HLL estimate; DuckDB ships a different sketch
+      "q_approx_distinct_hll", // DataSketches HLL estimate; DuckDB ships a different sketch
+      "dedup_apply_pagerank") // 10-round recursive integer PageRank: deterministic but
+                              // impractical as a DuckDB oracle; spec pins exact equality
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }
