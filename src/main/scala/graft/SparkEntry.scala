@@ -113,6 +113,7 @@ object SparkEntry {
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_nearby_clicks"))
     }),
+    "q_triangles" -> ((s, dir) => Graph.coPurchaseTriangles(Tables.lineitem(s, dir))),
     // §2.3 deduplication
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_incremental" -> ((s, dir) => {
@@ -180,6 +181,9 @@ object SparkEntry {
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
+    "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
+      Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
+    "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
@@ -390,6 +394,22 @@ object SparkEntry {
         |  CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
         |  COALESCE(hourly.total_value, 0.0) AS total_value
         |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin,
+    // Orientation-free oracle: the a<b<c three-way join counts each
+    // triangle exactly once, independently of the degree-ordered
+    // wedge plan the Spark side uses — a genuinely different
+    // algorithm agreeing on every integer is the strongest check.
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+        |t AS (SELECT count(*) AS triangles
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       triangles FROM t""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
@@ -835,6 +855,46 @@ object SparkEntry {
         |c AS (SELECT ngram, count(*) AS n FROM bg GROUP BY 1)
         |SELECT ngram, n, CAST(row_number() OVER (ORDER BY n DESC, ngram ASC) AS BIGINT) AS rk
         |FROM c ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+    // Per-(doc, term) BM25 weights floor to integer micros BEFORE the
+    // per-doc sum (ta_surprisal pattern): the sum is then exact in any
+    // reduction order and ranking compares integers only.
+    "ta_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
+        |       WHERE word IN ('spark', 'window', 'vector') GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS w_micros
+        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT doc_id, sum(w_micros) AS micros, count(*) AS n_terms
+        |        FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_terms,
+        |  round(CAST(micros AS DOUBLE) / 1000000.0, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rk
+        |FROM agg ORDER BY micros DESC, doc_id LIMIT 20""".stripMargin,
+    // u = (48-bit md5 prefix + 0.5) / 2^48; sort key u^(1/weight)
+    // floored to integer nanos so libm pow() noise cannot flip ranks.
+    "ta_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |    CAST(floor(pow(
+        |      (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE) + 0.5)
+        |        / 281474976710656.0,
+        |      1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS key_nanos
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight, key_nanos,
+        |  CAST(row_number() OVER (ORDER BY key_nanos DESC, doc_id) AS BIGINT) AS rk
+        |FROM w ORDER BY key_nanos DESC, doc_id LIMIT 50""".stripMargin,
     "sim_quantize" ->
       """WITH a AS (
         |  SELECT vec_id, embedding,

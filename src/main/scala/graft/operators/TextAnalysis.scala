@@ -420,4 +420,88 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram").asc)
     counts.withColumn("rk", row_number().over(w).cast("long"))
   }
+
+  /** BM25 top-k retrieval (Robertson-Spärck Jones / Okapi — public
+    * formula) for a literal query-term set: the relevance-ranking
+    * primitive behind "find training docs about X".
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale design: the corpus-wide pieces (dl per doc, N, avgdl) are
+    * one token-count aggregation; the per-term pieces (tf, df) come
+    * from a scan-stage `IN` filter on the literal term set — only
+    * query-term postings ever shuffle, which is the scatter-gather a
+    * search engine does, not a corpus-wide score of everything. df is
+    * derived from tf (its rows ARE distinct (doc, term) pairs) and
+    * broadcast. Final top-k is TakeOrderedAndProject (per-partition
+    * bounded heads merged on the driver), never a global sort.
+    *
+    * Oracle-parity: per-(doc, term) weights are floored to integer
+    * micros BEFORE the per-doc sum (the [[unigramSurprisal]] pattern)
+    * so the sum is exact integer arithmetic in any reduction order;
+    * ranking compares (micros, doc_id) — total order, engine-stable.
+    */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val toks = TextOps.tokens(documents)
+      .select(col("doc_id"), lower(col("word")).as("word"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val tf = toks.filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val weight = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = tf.join(broadcast(df), "word").join(dl, "doc_id")
+      .select(col("doc_id"),
+        floor(weight * lit(1e6) + lit(0.5)).cast("long").as("w_micros"))
+    val agg = scored.groupBy("doc_id")
+      .agg(sum("w_micros").as("micros"), count(lit(1)).as("n_terms"))
+    val top = agg.orderBy(col("micros").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("micros").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("micros") / lit(1e6), 6).as("score"), col("rk"))
+  }
+
+  /** Weighted sample without replacement (Efraimidis-Spirakis, IPL
+    * 2006 — public algorithm): keep the k items with the largest
+    * u^(1/w), where u is a per-item uniform and w its weight — each
+    * item's inclusion probability is proportional to its weight.
+    *
+    * u derives from md5(seed:doc_id) (48 bits → (h+0.5)/2^48), NOT
+    * `rand()`: the sample is a pure function of content, so it is
+    * reproducible across retries/partitionings (the property
+    * [[trainValidSplit]]/[[shuffleOrder]] already pin) and the DuckDB
+    * oracle can recompute it exactly. The sort key is floored to
+    * integer nanos so engine libm noise in pow() cannot flip a rank.
+    *
+    * Scale design: one scan, zero shuffles — the top-k is
+    * TakeOrderedAndProject (bounded per-partition heads merged on the
+    * driver). This is the one-pass distributed weighted reservoir: at
+    * 100 TB the alternative "sum weights then second prefix pass"
+    * costs two scans and a prefix-sum shuffle.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 50,
+                     seed: String = "wsamp"): DataFrame = {
+    val h = conv(substring(
+      md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    val keyed = documents.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        floor(key * lit(1e9) + lit(0.5)).cast("long").as("key_nanos"))
+    val top = keyed.orderBy(col("key_nanos").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_nanos").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+  }
 }

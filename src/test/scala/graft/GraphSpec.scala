@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Degree-ordered triangle counting (SURVEY §2.2 row 21w). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def edgeDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  test("triangle count on known small graphs") {
+    // Triangle + pendant: {1-2, 2-3, 1-3, 3-4} has exactly 1 triangle.
+    assert(Graph.triangleCount(edgeDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))))
+      .head().getLong(2) === 1L)
+    // K4 has C(4,3) = 4 triangles.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(Graph.triangleCount(edgeDf(k4)).head().getLong(2) === 4L)
+    // A 4-cycle has none.
+    assert(Graph.triangleCount(edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))))
+      .head().getLong(2) === 0L)
+  }
+
+  test("star graph (worst naive case) closes zero wedges after orientation") {
+    // Hub 0 with 200 leaves: naive wedge generation at the hub emits
+    // C(200,2)=19900 candidates; degree orientation points every edge
+    // leaf->hub, so out-degree ≤ 1 everywhere and zero wedges form.
+    val star = (1L to 200L).map(i => (0L, i))
+    val res = Graph.triangleCount(edgeDf(star)).head()
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) === ((201L, 200L, 0L)))
+  }
+
+  test("matches a brute-force local count on a pseudo-random graph, any partitioning") {
+    // Deterministic edge set: (i, j) present iff (i*31 + j*17) % 7 < 2.
+    val n = 60L
+    val pairs = for {
+      i <- 1L until n; j <- (i + 1) to n
+      if (i * 31 + j * 17) % 7 < 2
+    } yield (i, j)
+    val adj = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var expect = 0L
+    for {
+      a <- nodes; b <- nodes if a < b && adj((a, b))
+      c <- nodes if b < c && adj((a, c)) && adj((b, c))
+    } expect += 1
+    val res = Graph.triangleCount(edgeDf(pairs).repartition(13)).head()
+    assert(res.getLong(2) === expect)
+    assert(res.getLong(1) === pairs.size.toLong)
+  }
+
+  test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val e = Graph.coPurchaseEdges(li).cache()
+    try {
+      assert(e.filter(col("u") >= col("v")).isEmpty)
+      assert(e.count() === e.distinct().count())
+      // Fan-out bound: edges ≤ sum over orders of C(parts-in-order, 2).
+      val bound = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+        .select(sum(col("k") * (col("k") - 1))).head().getLong(0) / 2
+      assert(e.count() <= bound)
+    } finally e.unpersist()
+  }
+}

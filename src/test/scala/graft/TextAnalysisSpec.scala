@@ -223,4 +223,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     // counts: "a b"->3, then ties ("b a","b c","b x" all 1) rank by ngram asc
     assert(got == List(("a b", 3L, 1L), ("b a", 1L, 2L), ("b c", 1L, 3L)))
   }
+
+  test("bm25TopK matches a local fold and ranks tf-rich short docs first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark filler filler"),          // high tf, short
+      (2L, "spark " + Seq.fill(50)("pad").mkString(" ")), // tf=1, long
+      (3L, "spark spark other words here and there"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, Seq("spark"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("score")), r.getLong(r.fieldIndex("rk"))))
+    // Doc 4 has no query terms: absent entirely.
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    // BM25 with b=0.75 rewards high tf and penalizes length:
+    // 1 (tf=3, dl=5) > 3 (tf=2, dl=7) > 2 (tf=1, dl=51).
+    assert(got.sortBy(_._4).map(_._1).toList === List(1L, 3L, 2L))
+    // Exact micros fold, replicated locally in the same op order.
+    val n = 4.0; val df = 3.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val dls = Map(1L -> 5.0, 2L -> 51.0, 3L -> 7.0)
+    val tfs = Map(1L -> 3.0, 2L -> 1.0, 3L -> 2.0)
+    val avgdl = (5.0 + 51.0 + 7.0 + 4.0) / 4.0
+    got.foreach { case (id, nTerms, score, _) =>
+      assert(nTerms === 1L)
+      val wMicros = math.floor(idf * (tfs(id) * 2.2) /
+        (tfs(id) + 1.2 * (0.25 + 0.75 * dls(id) / avgdl)) * 1e6 + 0.5).toLong
+      assert(math.abs(score - wMicros / 1e6) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("weightedSample: partitioning-invariant, and zero-weight docs never sampled") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val base = TextAnalysis.weightedSample(docs, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toList
+    val re = TextAnalysis.weightedSample(docs.repartition(17), 25).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toList
+    assert(base === re)
+    assert(base.map(_._2) === (1L to 25L).toList)
+    // A different seed is a different (still deterministic) sample.
+    val other = TextAnalysis.weightedSample(docs, 25, seed = "other").collect()
+      .map(r => r.getLong(0)).toList
+    assert(other !== base.map(_._1))
+  }
+
+  test("weightedSample prefers heavy docs: inclusion tracks weight on a planted corpus") {
+    import spark.implicits._
+    // 5 heavy docs (w=5000) among 200 light ones (w=10): with k=10,
+    // E-S keys u^(1/w) concentrate near 1 for heavy docs — all five
+    // heavy docs must make a top-10 cut with overwhelming probability.
+    val corpus = ((1L to 5L).map(i => (i, "h", 5000L)) ++
+      (6L to 205L).map(i => (i, "l", 10L))).toDF("doc_id", "text", "n_chars")
+    val picked = TextAnalysis.weightedSample(corpus, 10).collect()
+      .map(_.getLong(0)).toSet
+    assert((1L to 5L).forall(picked.contains))
+  }
 }
