@@ -114,6 +114,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nearby_clicks"))
     }),
     "q_triangles" -> ((s, dir) => Graph.coPurchaseTriangles(Tables.lineitem(s, dir))),
+    "q_zorder" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val z = graft.sources.Sources.zValue(col("l_partkey"), col("l_suppkey"), 21)
+      Tables.lineitem(s, dir).select(z.as("zv"))
+        .groupBy(shiftright(col("zv"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zv")).as("z_min"), max(col("zv")).as("z_max"))
+    }),
     // §2.3 deduplication
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_incremental" -> ((s, dir) => {
@@ -394,6 +402,18 @@ object SparkEntry {
         |  CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
         |  COALESCE(hourly.total_value, 0.0) AS total_value
         |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin,
+    // The Morton interleave as explicit bit arithmetic — generated
+    // term-by-term so the oracle exercises the same 21-bit interleave
+    // the Sources.zValue fold builds, in DuckDB's own operators.
+    "q_zorder" -> {
+      val terms = (0 until 21).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH z AS (SELECT ($terms) AS zv FROM lineitem)
+         |SELECT (zv >> 10) AS bucket, count(*) AS n,
+         |  min(zv) AS z_min, max(zv) AS z_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
     // Orientation-free oracle: the a<b<c three-way join counts each
     // triangle exactly once, independently of the degree-ordered
     // wedge plan the Spark side uses — a genuinely different

@@ -448,9 +448,12 @@ object TextAnalysis {
     val toks = TextOps.tokens(documents)
       .select(col("doc_id"), lower(col("word")).as("word"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
+    val stats = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("tot")).head()
     val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
+    // empty corpus: every downstream frame is empty regardless of
+    // avgdl; any finite value keeps the plan total
+    val avgdl = if (nDocs == 0) 1.0 else stats.getLong(1).toDouble / nDocs
     val tf = toks.filter(col("word").isin(queryTerms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))

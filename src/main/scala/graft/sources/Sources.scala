@@ -164,4 +164,44 @@ object Sources {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Morton (Z-order) value: the low `bits` bits of two non-negative
+    * integer columns interleaved (x in even positions, y in odd), so
+    * points close in BOTH dimensions are close in the 1-D sort key.
+    * Built purely from shiftright/and/shiftleft/or — whole-stage
+    * codegen folds the 2·bits-term chain into straight-line JVM
+    * bytecode; no UDF.
+    *
+    * `bits` must cover the value range (values ≥ 2^bits alias onto
+    * the same key prefix — clustering degrades, correctness of the
+    * WRITE is unaffected since the key is dropped).
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int = 21): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "1..31 interleave bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order clustered write — [[writeCompacted]] generalized to TWO
+    * filter dimensions. A 1-D sort prunes files only for predicates
+    * on the sort column; range-partitioning + sorting on the Morton
+    * key gives every file a small min/max box in BOTH dimensions, so
+    * a 2-D box predicate (or a predicate on just the second column)
+    * skips most files via parquet min/max stats. This is the same
+    * layout trick Delta/Iceberg expose as OPTIMIZE ZORDER BY — here
+    * as a plain parquet write, no table format required
+    * (SourcesSpec pins the skipping effect file-by-file).
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  numFiles: Int, bits: Int = 21): Unit =
+    df.withColumn("__zorder_key", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__zorder_key"))
+      .sortWithinPartitions(col("__zorder_key"))
+      .drop("__zorder_key")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -39,6 +39,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.cleanCorpus(emptyDocs).count() == 0)
     assert(Multimodal.metadata(emptyDocs).count() == 0)
     assert(Multimodal.features(emptyDocs).count() == 0)
+    assert(TextAnalysis.bm25TopK(emptyDocs, Seq("spark")).count() == 0)
+    assert(TextAnalysis.weightedSample(emptyDocs).count() == 0)
+  }
+
+  test("triangle count on an empty edge set is the (0, 0, 0) summary row") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    val r = Graph.triangleCount(noEdges).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 0L, 0L)))
   }
 
   test("similarity operators return empty on empty embeddings") {

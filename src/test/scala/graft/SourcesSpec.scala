@@ -179,4 +179,47 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS customer_cob")
     }
   }
+
+  test("zValue matches a local bit-interleave") {
+    import spark.implicits._
+    def local(x: Long, y: Long): Long =
+      (0 until 21).foldLeft(0L)((a, i) =>
+        a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L),
+      (170L, 85L), (123L, 45L), (2000L, 97L)).toDF("x", "y")
+    pts.select(col("x"), col("y"), Sources.zValue(col("x"), col("y")).as("z"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) === local(r.getLong(0), r.getLong(1)),
+          s"(${r.getLong(0)}, ${r.getLong(1)})")
+      }
+  }
+
+  test("zorderWrite: second-dimension predicate touches a fraction of the files a 1-D sort reads") {
+    val base = Files.createTempDirectory("graft-zorder-").toString
+    // Full 256x256 grid: every (x, y) exactly once, so file-boundary
+    // geometry is deterministic up to range-sampler jitter.
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256).as("x"),
+      (col("id") / 256).cast("long").as("y"),
+      col("id").as("payload"))
+    Sources.zorderWrite(grid, "x", "y", s"$base/z", 16, bits = 8)
+    Sources.writeCompacted(grid, s"$base/linear", "x", 16)
+    def touched(path: String): (Long, Long) = {
+      val f = spark.read.parquet(path)
+        .filter(col("y") >= 100 && col("y") <= 127)
+      (f.count(), f.select(input_file_name()).distinct().count())
+    }
+    val (zRows, zFiles) = touched(s"$base/z")
+    val (lRows, lFiles) = touched(s"$base/linear")
+    // Same answer either way...
+    assert(zRows === 28L * 256)
+    assert(lRows === zRows)
+    // ...but the x-sorted layout scatters the y band into EVERY file,
+    // while z-ordering confines it to the files whose Morton range
+    // intersects y's high bits (y in [100,127] pins y7y6 = 01: 4 of
+    // the 16 top-level blocks, +-1 file of range-boundary jitter).
+    assert(lFiles === 16L)
+    info(s"zorder touched $zFiles of 16 files; linear touched $lFiles")
+    assert(zFiles * 2 < lFiles, s"zorder touched $zFiles of $lFiles files")
+  }
 }
