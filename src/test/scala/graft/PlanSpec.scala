@@ -135,4 +135,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "funnel must not sort each user's full event list")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_triangles: every join an equality join; wedge closure probes a broadcast") {
+    // Build on the real table so the <= threshold branch (broadcast
+    // closure) is the one under test.
+    val df = operators.Graph.coPurchaseTriangles(Tables.lineitem(spark, sf))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "triangle counting must never degrade to an all-pairs join")
+    // exactly one nested-loop join is allowed: the 1-row x 1-row
+    // summary crossJoin (nodes x triangles scalars); formatted
+    // explain names each node twice (tree + detail section)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2,
+      "only the scalar summary may cross-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "below the size threshold the closure must probe a broadcast edge map")
+  }
+
+  test("ta_bm25: only query-term postings shuffle (IN filter precedes the tf aggregate); top-k bounded") {
+    val p = plan("ta_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    // the term filter must sit in the scan stage, below the first exchange
+    val filterAt = p.indexOf("spark,window,vector")
+    assert(filterAt >= 0, "literal IN-set filter present")
+  }
+
+  test("ta_weighted_sample: one scan, zero exchanges — TakeOrderedAndProject only") {
+    val p = plan("ta_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), "E-S top-k must be a bounded merge")
+    assert(!p.contains("Exchange"), "weighted sampling must not shuffle the corpus")
+  }
+
+  test("q_zorder: interleave stays inside whole-stage codegen over a pruned 2-column scan") {
+    // AQE only annotates codegen in the FINAL plan — execute first.
+    // executedPlan.toString marks codegen stages with "*(id)".
+    val p = executedPlan("q_zorder")
+    assert(p.contains("*(1) Project"), "bit-fold must stay in whole-stage codegen")
+    assert(!p.contains("l_quantity") && !p.contains("l_orderkey"),
+      "only the two interleaved key columns may be read")
+  }
 }
