@@ -207,6 +207,8 @@ object SparkEntry {
     "q_bloom_semi_join" -> ((s, dir) => Sketches.bloomPrunedOrderItems(
       Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_approx_distinct_hll" -> ((s, dir) => Sketches.hllDistinctUsers(Tables.events(s, dir))),
+    "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
+      Tables.documents(s, dir), Seq("hash", "join", "scan", "graftabsent"))),
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
@@ -1086,6 +1088,33 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice >= 480000.0)
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+    // The CMS hash (md5-derived, no RNG) is recomputed in SQL, so the
+    // oracle reproduces the ESTIMATES exactly, not just the exact
+    // counts: est(word) = min over rows j of the total count landing
+    // in cell h_j(word) — including collisions, including absent
+    // probes (whose cells may still be non-empty).
+    "q_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS c FROM toks WHERE word <> '' GROUP BY word),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 12))::BIGINT % 1024 AS cell,
+        |    CAST(sum(c) AS BIGINT) AS total
+        |  FROM wc CROSS JOIN rows_ GROUP BY 1, 2),
+        |probes(word) AS (VALUES ('graftabsent'), ('hash'), ('join'), ('scan')),
+        |pc AS (
+        |  SELECT p.word, r.j,
+        |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || p.word), 1, 12))::BIGINT % 1024 AS cell
+        |  FROM probes p CROSS JOIN rows_ r),
+        |est AS (
+        |  SELECT pc.word, min(COALESCE(cells.total, 0)) AS est
+        |  FROM pc LEFT JOIN cells ON cells.j = pc.j AND cells.cell = pc.cell
+        |  GROUP BY pc.word)
+        |SELECT est.word, est.est, CAST(COALESCE(wc.c, 0) AS BIGINT) AS exact
+        |FROM est LEFT JOIN wc ON wc.word = est.word""".stripMargin
   )
 }

@@ -144,4 +144,67 @@ object Sketches {
   def hllUnionEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
       .as("approx_users"))
+
+  /** Count-min frequency estimates for a probe word set, beside the
+    * exact counts ([[graft.functions.CountMinAggregator]]).
+    *
+    * One pass builds the O(depth·width) matrix (32 KB at 4×1024 —
+    * driver round-trip bounded like the MG candidate list); exact
+    * counts for the probes come from a scan-stage `IN` filter, so
+    * the vocabulary never shuffles in either pass. Estimates
+    * overestimate by ≤ 2N/width w.p. 1−2^-depth; with deterministic
+    * md5 hashing the DuckDB oracle recomputes the estimates
+    * EXACTLY — the sketch is hash-checked, not tolerance-checked.
+    */
+  def countMinWordFreq(documents: DataFrame, probes: Seq[String],
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe word")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = TextOps.tokens(documents).select(col("word"))
+    val cmUdaf = udaf(new graft.functions.CountMinAggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch: Array[Long] =
+      words.agg(cmUdaf(col("word")).as("s")).head().getSeq[Long](0).toArray
+    val exact = words.filter(col("word").isin(probes: _*))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.distinct.sorted.map { w =>
+      (w, graft.functions.CountMin.estimate(sketch, depth, width, w),
+        exact.getOrElse(w, 0L))
+    }.toDF("word", "est", "exact")
+  }
+
+  /** One CMS matrix per source — the materialized bucket layout
+    * ([[hllSketchByHour]]'s frequency twin). Unlike HLL, the CMS
+    * union is EXACT (cell-wise sum), so bucket sketches lose nothing
+    * vs a whole-corpus pass — spec-pinned cell-for-cell.
+    */
+  def countMinBySource(documents: DataFrame,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cmUdaf = udaf(new graft.functions.CountMinAggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    documents
+      .select(col("source"),
+        explode(split(col("text"), TextOps.TokenPattern)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source").agg(cmUdaf(col("word")).as("sketch"))
+  }
+
+  /** Union previously materialized CMS matrices and answer probes
+    * from the merged matrix — daily sketches in, any-range frequency
+    * out, no rescan. O(buckets·depth·width) driver round-trip.
+    */
+  def countMinUnionEstimate(sketches: DataFrame, probes: Seq[String],
+                            depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe word")
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val mats = sketches.select(col("sketch")).collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+    val merged = graft.functions.CountMin.union(mats)
+    probes.distinct.sorted
+      .map(w => (w, graft.functions.CountMin.estimate(merged, depth, width, w)))
+      .toDF("word", "est")
+  }
 }

@@ -138,4 +138,44 @@ class SketchesSpec extends AnyFunSuite {
     // estimate: mergeability is lossless, not merely approximate
     assert(merged == whole)
   }
+
+  // ---- count-min sketch ----
+
+  test("countMin estimates always dominate the exact count; exact on a tiny vocabulary") {
+    val probes = Seq("the", "hash", "row", "graftneverseen")
+    val got = Sketches.countMinWordFreq(docs, probes)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toList === probes.distinct.sorted)
+    got.foreach { case (w, est, exact) =>
+      assert(est >= exact, s"$w: CMS must never underestimate ($est < $exact)")
+    }
+    // vocabulary ≪ width ⇒ collisions possible but min-over-4-rows
+    // resolves them on 3 distinct words: estimates are exact
+    import spark.implicits._
+    val tiny = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val t = Sketches.countMinWordFreq(tiny, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(t.toList === List(("a", 3L, 3L), ("b", 2L, 2L), ("c", 1L, 1L), ("d", 0L, 0L)))
+  }
+
+  test("countMin bucket sketches union EXACTLY to the whole-corpus matrix, via parquet") {
+    val probes = Seq("the", "hash", "join", "scan", "row")
+    val whole = Sketches.countMinWordFreq(docs, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-").toString
+    Sketches.countMinBySource(docs).write.mode("overwrite").parquet(dir)
+    val merged = Sketches.countMinUnionEstimate(spark.read.parquet(dir), probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cell-wise sum is the EXACT merge: per-source matrices lose
+    // nothing vs the single-pass matrix (unlike MG, whose merge
+    // re-trims) — estimates agree integer-for-integer
+    assert(merged === whole)
+  }
+
+  test("countMin matrix is partitioning-invariant") {
+    val probes = Seq("the", "batch")
+    val a = Sketches.countMinWordFreq(docs, probes).collect().toList
+    val b = Sketches.countMinWordFreq(docs.repartition(13), probes).collect().toList
+    assert(a === b)
+  }
 }
