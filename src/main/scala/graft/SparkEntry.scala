@@ -216,7 +216,8 @@ object SparkEntry {
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     // flagship composition
-    "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir)))
+    "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
+    "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir)))
   )
 
   /** Shared CTE block producing verified n-gram Jaccard pairs `jp`
@@ -1069,6 +1070,44 @@ object SparkEntry {
         |  SELECT doc_id, n_ws_tokens, min(doc_id) OVER (PARTITION BY h) AS keep
         |  FROM hashed)
         |WHERE doc_id = keep""".stripMargin,
+    // The full mix: the clean-corpus stages (same SQL as above, with
+    // source carried through) + the ta_source_cap quota + the
+    // ta_shuffle global order — each stage's oracle logic verbatim,
+    // composed, so the end-to-end result is hash-checked too.
+    "pipeline_pretrain_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|y|los|las|un|una|por)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist|von|mit|den|des|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|des|une|dans|est|pour|que)\b')) AS s_fr
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source, text, n_ws_tokens FROM m
+        |  WHERE alpha_ratio >= 0.5 AND n_ws_tokens >= 10
+        |    AND s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr),
+        |surv AS (
+        |  SELECT doc_id, source, n_ws_tokens FROM (
+        |    SELECT doc_id, source, n_ws_tokens,
+        |      min(doc_id) OVER (
+        |        PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |    FROM kept)
+        |  WHERE doc_id = keep),
+        |capped AS (
+        |  SELECT doc_id, source, n_ws_tokens FROM (
+        |    SELECT doc_id, source, n_ws_tokens,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY md5(CASE WHEN source IS NULL THEN CAST(doc_id AS VARCHAR)
+        |                          ELSE source || ':' || CAST(doc_id AS VARCHAR) END)) AS rk
+        |    FROM surv)
+        |  WHERE rk <= 10)
+        |SELECT doc_id, source, CAST(n_ws_tokens AS BIGINT) AS n_tokens,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
+        |FROM capped""".stripMargin,
     // §2.10 sketch / synopsis operators. q_heavy_hitters' two-pass MG
     // candidate generation is invisible to the oracle on purpose: the
     // emitted top-k is EXACT (candidate superset is spec-pinned), so

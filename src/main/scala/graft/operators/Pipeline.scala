@@ -84,4 +84,65 @@ object Pipeline {
       hooks = Some((obsIn, obsGates, obsOut)))
     (cleaned, obsIn, obsGates, obsOut)
   }
+
+  /** The COMPLETE pretraining-mix preparation, end to end: quality +
+    * language gates → exact dedup → per-source quota cap →
+    * deterministic global shuffle order, with token accounting — the
+    * whole "raw crawl in, training order out" pass, every stage one
+    * of this library's individually-oracled operators composed into
+    * one run.
+    *
+    * Stage plumbing at scale: the gates are scan-stage scalar
+    * expressions; dedup is one shuffle on the content hash; the
+    * survivor set is materialized ONCE (localCheckpoint — the
+    * CC-family pattern) because both the cap aggregation and the
+    * metadata join-back consume it, and re-running gates+dedup per
+    * consumer would double the corpus scans; the cap is the
+    * k-bounded [[graft.functions.MinKPairAggregator]] (never a
+    * giant-source window sort — the ta_source_cap argument); the
+    * join-back ships only (doc_id) survivors against the checkpointed
+    * frame; the global order is [[TextAnalysis.shuffleOrder]]'s
+    * range-partitioned sort + two-phase prefix-sum rank (no single
+    * reducer, no global window).
+    *
+    * Output: (doc_id, source, n_tokens, shuffle_rank) — feed it to
+    * [[TextAnalysis.packIntoShards]] for token-budgeted shards.
+    */
+  def pretrainMix(documents: DataFrame,
+                  minAlphaRatio: Double = 0.5,
+                  minWords: Int = 10,
+                  keepLang: String = "en",
+                  capPerSource: Int = 10,
+                  shuffleSeed: String = "mix"): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+      length(col("text"))
+    val kept = documents
+      .withColumn("n_tokens", nWords)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("lang_pred", TextAnalysis.langPred(col("text")))
+      .filter(col("alpha_ratio") >= minAlphaRatio && col("n_tokens") >= minWords &&
+        col("lang_pred") === keepLang)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+    val surv = kept
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") === col("keep"))
+      .select("doc_id", "source", "n_tokens")
+      .localCheckpoint(true)
+    val mink = udaf(new graft.functions.MinKPairAggregator(capPerSource),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long)]())
+    val capped = surv
+      .select(col("source"),
+        md5(concat_ws(":", col("source"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(mink(col("h"), col("doc_id")).as("kept"))
+      .select(explode(col("kept")).as("entry"))
+      .select(col("entry._2").as("doc_id"))
+    val withMeta = capped.join(surv, "doc_id").localCheckpoint(true)
+    TextAnalysis.shuffleOrder(withMeta.select("doc_id"), shuffleSeed)
+      .join(withMeta, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shuffle_rank"))
+  }
 }

@@ -75,4 +75,33 @@ class PipelineSpec extends AnyFunSuite {
     val ids = out.map(_.getLong(0))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("pretrainMix: subset of clean survivors, quota respected, ranks a 1..n permutation") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val cap = 10
+    val mix = Pipeline.pretrainMix(docs, capPerSource = cap).collect()
+    assert(mix.nonEmpty)
+    // every mixed doc survived the SAME gates+dedup the clean pipeline applies
+    val cleanIds = Pipeline.cleanCorpus(docs).collect().map(_.getLong(0)).toSet
+    assert(mix.forall(r => cleanIds.contains(r.getLong(0))))
+    // per-source quota holds
+    val bySource = mix.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(bySource.values.forall(_ <= cap), s"quota violated: $bySource")
+    // the shuffle order is a dense 1..n permutation
+    val ranks = mix.map(_.getLong(3)).sorted.toList
+    assert(ranks === (1L to mix.length.toLong).toList)
+    // token accounting matches the clean pipeline's for shared docs
+    val cleanTokens = Pipeline.cleanCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mix.forall(r => cleanTokens(r.getLong(0)) == r.getLong(2)))
+  }
+
+  test("pretrainMix is invariant to input partitioning") {
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val a = Pipeline.pretrainMix(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toList
+    val b = Pipeline.pretrainMix(docs.repartition(17)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toList
+    assert(a === b)
+  }
 }
