@@ -114,6 +114,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nearby_clicks"))
     }),
     "q_triangles" -> ((s, dir) => Graph.coPurchaseTriangles(Tables.lineitem(s, dir))),
+    "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val z = graft.sources.Sources.zValue(col("l_partkey"), col("l_suppkey"), 21)
@@ -405,6 +406,15 @@ object SparkEntry {
         |  CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
         |  COALESCE(hourly.total_value, 0.0) AS total_value
         |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin,
+    // Positive counts only, so DuckDB's floor-division // agrees with
+    // Spark's truncating div (the q_retention caveat).
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk,
+        |  key, n, (n * 1000000 // total) AS ppm
+        |FROM top CROSS JOIN t""".stripMargin,
     // The Morton interleave as explicit bit arithmetic — generated
     // term-by-term so the oracle exercises the same 21-bit interleave
     // the Sources.zValue fold builds, in DuckDB's own operators.

@@ -544,4 +544,30 @@ object Relational {
       .select(col("p.column_name"), col("p.n_rows"),
         col("p.n_nonnull"), col("p.n_distinct"))
   }
+
+  /** Join-key skew profile: the pre-flight diagnostic you run BEFORE
+    * pointing a 100 TB join/aggregation at a key — the heaviest keys
+    * and their parts-per-million share decide whether the plain
+    * shuffle is safe, or [[saltedJoin]]/[[saltedAgg]]/AQE skew
+    * handling is required (a key at 50000+ ppm of a 100 TB table is a
+    * 5 TB reduce task — a guaranteed straggler or OOM).
+    *
+    * One map-side-combined count per key + TakeOrderedAndProject
+    * top-k: the profile costs one bounded shuffle, never a sort of
+    * the key space. All-integer output (ppm = n·10⁶ div total; ranks
+    * tie-broken by key) so the oracle hash-matches. Positive counts
+    * only, so Spark `div` ≡ DuckDB `//` here (both truncate toward
+    * zero on non-negatives — same caveat note as q_retention).
+    */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("total"))
+    val top = counts.orderBy(col("n").desc, col("key").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key").asc)
+    top.crossJoin(total)
+      .withColumn("ppm", expr("n * 1000000 div total"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("key"), col("n"), col("ppm"))
+  }
 }

@@ -190,4 +190,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("k") == ((4L, 3L, 2L)))
     assert(got("s") == ((4L, 3L, 2L)))
   }
+
+  test("skewProfile surfaces a planted hot key with exact ppm share") {
+    import spark.implicits._
+    // 900 rows of key 7, 10 each of keys 1..10 => total 1000
+    val df = (Seq.fill(900)(7L) ++ (1L to 10L).flatMap(k => Seq.fill(10)(k)))
+      .toDF("k").repartition(13)
+    val got = Relational.skewProfile(df, "k", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // key 7: 910 rows = 910_000 ppm; ties among the 10-row keys break by key asc
+    assert(got === List((1L, 7L, 910L, 910000L), (2L, 1L, 10L, 10000L),
+      (3L, 2L, 10L, 10000L)))
+  }
 }
