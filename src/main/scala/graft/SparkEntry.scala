@@ -212,6 +212,7 @@ object SparkEntry {
       Tables.documents(s, dir), Seq("hash", "join", "scan", "graftabsent"))),
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
+    "stream_hourly_topk" -> ((s, dir) => graft.streaming.EventStreams.hourlyTopK(s, dir, 3)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
@@ -1027,6 +1028,18 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type""".stripMargin,
+    // Finite-source parity: the stream's final per-hour leaderboard
+    // equals the batch hourly top-k (ties broken by event_type asc
+    // in both the state emitter and this window).
+    "stream_hourly_topk" ->
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h, event_type, n, rk FROM (
+        |  SELECT h, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM c)
+        |WHERE rk <= 3""".stripMargin,
     "stream_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),

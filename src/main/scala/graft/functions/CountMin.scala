@@ -62,15 +62,25 @@ class CountMinAggregator(depth: Int, width: Int)
 
 object CountMin {
 
-  /** Row-j cell of `item`: first 48 bits of md5("j:item") mod width.
-    * Mirrored EXACTLY by the SQL oracle:
+  // MessageDigest.getInstance per call costs more than the digest
+  // itself at 10⁷ tokens/task × depth calls each — reuse one
+  // instance per thread (digest() resets it after each use).
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Row-j cell of `item`: first 48 bits of md5("j:item") mod width —
+    * read straight from the first 6 digest bytes (big-endian), which
+    * is by definition the value of the first 12 hex chars. Mirrored
+    * EXACTLY by the SQL oracle:
     * ('0x' || substr(md5(j || ':' || item), 1, 12))::BIGINT % width.
     */
   def cell(j: Int, item: String, width: Int): Int = {
-    val d = MessageDigest.getInstance("MD5")
-    val hex = d.digest(s"$j:$item".getBytes(StandardCharsets.UTF_8))
-      .take(6).map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val b = digests.get().digest(s"$j:$item".getBytes(StandardCharsets.UTF_8))
+    val v = ((b(0) & 0xffL) << 40) | ((b(1) & 0xffL) << 32) |
+      ((b(2) & 0xffL) << 24) | ((b(3) & 0xffL) << 16) |
+      ((b(4) & 0xffL) << 8) | (b(5) & 0xffL)
+    (v % width).toInt
   }
 
   /** Point estimate from a flattened sketch: min over rows. */

@@ -204,4 +204,29 @@ object Sources {
       .sortWithinPartitions(col("__zorder_key"))
       .drop("__zorder_key")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Grouped secondary-sort export — the MapReduce "secondary sort"
+    * contract (partition by key, iterate each key's values in value
+    * order) as a declarative write: hash-repartition on the group
+    * key, sort within partitions by (group, order), write. Every
+    * group then lives WHOLE in exactly one file, internally ordered —
+    * the layout a per-key sequential consumer (timeline export,
+    * per-user training episodes, log replay) streams without any
+    * further shuffle or sort, and the within-file contract a
+    * [[writeBucketed]] table gives readers, available on a plain
+    * directory.
+    *
+    * The sort is per-partition only (tasks sort their own slice —
+    * no range exchange, no global order), so the write costs ONE
+    * shuffle; at 100 TB the per-task sort spills gracefully rather
+    * than concentrating any key range on one node. Skewed groups
+    * land whole by construction; a group too large for one task's
+    * disk is the signal to range-split THAT key explicitly
+    * (the [[graft.operators.Relational.skewProfile]] pre-flight).
+    */
+  def writeGroupedSorted(df: DataFrame, groupCol: String, orderCol: String,
+                         path: String, numFiles: Int): Unit =
+    df.repartition(numFiles, col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -322,4 +322,67 @@ object EventStreams {
   private def microsToValue(micros: Long): Double =
     (BigDecimal(micros) / BigDecimal(1000000L))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-hour frequency state: one small counts map per hour bucket
+    * (bounded by the event-type cardinality, NOT event volume).
+    */
+  case class HourCounts(counts: Map[String, Long])
+
+  /** One emitted leaderboard row. */
+  case class HourTopOut(h: Long, event_type: String, n: Long, rk: Long,
+                        h_total: Long)
+
+  /** Streaming per-hour top-k leaderboard via flatMapGroupsWithState:
+    * the continuously-updating "top event types this hour" board.
+    * State per hour bucket is one counts map over event types —
+    * O(hours-in-horizon × type-cardinality), never the events — and
+    * each micro-batch re-emits the hour's current top-k, so the sink
+    * always holds a complete board per hour.
+    *
+    * Finite-source parity (the oracle): the FINAL emission per hour
+    * equals the batch hourly top-k exactly. The emission's running
+    * total (`h_total`) is monotone in event count, so "final" =
+    * max-total per hour — the same last-emission-wins selection the
+    * stateful sessionizer uses. An always-on deployment would use
+    * EventTimeTimeout + a watermark to retire closed hours' state and
+    * emissions instead.
+    */
+  def hourlyTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hourNs = 3600000000000L
+
+    def updateFn(h: Long, types: Iterator[String],
+                 state: GroupState[HourCounts]): Iterator[HourTopOut] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      state.getOption.foreach(_.counts.foreach { case (t, n) => m.update(t, n) })
+      types.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      state.update(HourCounts(m.toMap))
+      val total = m.valuesIterator.sum
+      m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex.map {
+        case ((t, n), i) => HourTopOut(h, t, n, i + 1L, total)
+      }.iterator
+    }
+
+    val qname = "graft_stream_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = readEventStream(spark, dir)
+      .select(col("ts_ns").as[Long], col("event_type").as[String])
+      .as[(Long, String)]
+      .groupByKey(_._1 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (h: Long, it: Iterator[(Long, String)], s: GroupState[HourCounts]) =>
+          updateFn(h, it.map(_._2), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // keep only each hour's final (max-total) board
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    spark.table(qname)
+      .withColumn("_max_total", max(col("h_total")).over(w))
+      .filter(col("h_total") === col("_max_total"))
+      .select(col("h"), col("event_type"), col("n"), col("rk"))
+  }
 }

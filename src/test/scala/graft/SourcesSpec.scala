@@ -222,4 +222,38 @@ class SourcesSpec extends AnyFunSuite {
     info(s"zorder touched $zFiles of 16 files; linear touched $lFiles")
     assert(zFiles * 2 < lFiles, s"zorder touched $zFiles of $lFiles files")
   }
+
+  test("writeGroupedSorted: each group whole in one file, internally ordered (secondary-sort contract)") {
+    val base = Files.createTempDirectory("graft-grpsort-").toString
+    val ev = Tables.events(spark, SharedSpark.sf)
+      .select("user_id", "event_id", "ts")
+    Sources.writeGroupedSorted(ev, "user_id", "ts", s"$base/out", 8)
+    val back = spark.read.parquet(s"$base/out")
+      .select(input_file_name().as("f"), col("user_id"), col("ts"))
+    // 1. no group spans two files
+    val spread = back.groupBy("user_id")
+      .agg(countDistinct(col("f")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(spread === 0L, "a user's rows were split across files")
+    // 2. within each file, each group's rows are contiguous and
+    //    ts-ordered: walk files in row order (parquet preserves it)
+    import spark.implicits._
+    back.as[(String, Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).foreach { case (_, rows) =>
+        var seen = Set.empty[Long]
+        var cur = -1L
+        var lastTs: java.sql.Timestamp = null
+        rows.foreach { case (_, uid, ts) =>
+          if (uid != cur) {
+            assert(!seen.contains(uid), s"group $uid not contiguous")
+            seen += uid; cur = uid; lastTs = ts
+          } else {
+            assert(!ts.before(lastTs), s"group $uid out of ts order")
+            lastTs = ts
+          }
+        }
+      }
+    // 3. nothing lost
+    assert(back.count() === ev.count())
+  }
 }

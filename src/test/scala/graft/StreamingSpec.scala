@@ -307,6 +307,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful hourly top-k leaderboard == batch hourly top-k, incl. throttled multi-batch run") {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("n").desc, col("event_type").asc)
+    val batch = Tables.events(spark, sf)
+      .groupBy(expr("ts_ns div 3600000000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = EventStreams.hourlyTopK(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // per-hour boards are complete: every hour has min(3, types-in-hour) rows
+    val perHour = streamed.groupBy(_._1).view.mapValues(_.size)
+    assert(perHour.values.forall(n => n >= 1 && n <= 3))
+  }
+
   test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
