@@ -41,6 +41,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Multimodal.features(emptyDocs).count() == 0)
     assert(TextAnalysis.bm25TopK(emptyDocs, Seq("spark")).count() == 0)
     assert(TextAnalysis.weightedSample(emptyDocs).count() == 0)
+    assert(Pipeline.pretrainMix(emptyDocs).count() == 0)
+    // CMS on an empty corpus: a zero matrix — estimates 0, exacts 0
+    assert(Sketches.countMinWordFreq(emptyDocs, Seq("a", "b")).collect()
+      .forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("skewProfile on an empty frame is empty") {
+    import spark.implicits._
+    assert(Relational.skewProfile(Seq.empty[Long].toDF("k"), "k").count() == 0)
   }
 
   test("triangle count on an empty edge set is the (0, 0, 0) summary row") {
