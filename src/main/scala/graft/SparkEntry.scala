@@ -173,6 +173,7 @@ object SparkEntry {
       Tables.embeddings(s, dir), (0 until 10).map(l => l -> (if (l < 5) 0.5 else 1.0)).toMap)),
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "sim_kmeans" -> ((s, dir) => Similarity.kmeans(Tables.embeddings(s, dir), 16, 3)),
+    "sim_ann_pq" -> ((s, dir) => Similarity.annTopKPqRerank(Tables.embeddings(s, dir))),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),

@@ -394,4 +394,176 @@ object Similarity {
       .select(col("cell") +: col("n") +:
         (0 until nShow).map(i => round(element_at(col("c"), i + 1), 6).as(s"c$i")): _*)
   }
+
+  // ---- Product quantization (Jégou, Douze & Schmid, TPAMI 2011 —
+  // public algorithm): split dim into m subspaces, k-means each
+  // subspace independently, store each vector as m small codes. The
+  // billion-scale compression path: 64 floats (256 B) become m=8
+  // codes (8 B), and search runs on per-query lookup tables without
+  // touching a single original vector. ----
+
+  /** Nearest sub-centroid code for subspace `s` under the L2 metric
+    * (argmin ‖x_s − c‖² = argmax (x_s·c − ‖c‖²/2) — one codegen dot
+    * per candidate, the plan-literal [[ivfCells]] trick per subspace).
+    */
+  private def subCode(embCol: Column, s: Int, dsub: Int,
+                      codebook: Seq[Seq[Float]]): Column = {
+    val sub = slice(embCol, s * dsub + 1, dsub)
+    val structs = codebook.zipWithIndex.map { case (c, k) =>
+      val bias = c.map(x => x.toDouble * x).sum / 2.0
+      struct((vecDot(sub, typedlit(c)) - lit(bias)).as("c"), lit(k.toLong).as("cell"))
+    }
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    element_at(array_sort(array(structs: _*), cmp), 1).getField("cell")
+  }
+
+  /** Train m per-subspace codebooks of `ksub` centroids by Lloyd
+    * iterations. ONE pass per iteration for all subspaces: each row
+    * explodes into its m (subspace, code, subvector) assignments —
+    * codegen argmax against plan-literal centroids, zero shuffle —
+    * and one map-side-combined [[VectorMeanAggregator]] shuffle of
+    * O(m·ksub·dsub) state updates every codebook. Driver round-trip
+    * is the codebook itself (m·ksub·dsub floats — 4 KB at 8×16×8).
+    * At 100 TB you train on a sample (FAISS practice); the loop is
+    * the same plan either way.
+    */
+  def pqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+              iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embDim(embeddings, "embedding")
+    if (dim == 0) return Seq.empty
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val centroidUdaf = udaf(new VectorMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    // deterministic init: subvectors of the first ksub vectors
+    var books: Seq[Seq[Seq[Float]]] = {
+      val seed = embeddings.filter(col("vec_id") < ksub)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2)
+      (0 until m).map(s => seed.map(v => v.slice(s * dsub, s * dsub + dsub)).toSeq)
+    }
+    for (_ <- 0 until iters) {
+      val assigned = embeddings.select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            subCode(col("embedding"), s, dsub, books(s)).as("code"),
+            slice(col("embedding"), s * dsub + 1, dsub).as("sub"))): _*)).as("a"))
+        .select(col("a.s"), col("a.code"), col("a.sub"))
+        .groupBy(col("s"), col("code"))
+        .agg(centroidUdaf(col("sub")).as("mean"))
+        .as[(Int, Long, Seq[Double])].collect()
+        .map { case (s, code, mean) => (s, code.toInt) -> mean.map(_.toFloat) }.toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, k) => assigned.getOrElse((s, k), old) }
+      }
+    }
+    books
+  }
+
+  /** Encode every vector as its m sub-codes — a pure zero-shuffle
+    * scalar projection against plan-literal codebooks (the form
+    * you'd materialize next to the corpus: 8 bytes per vector).
+    */
+  def pqEncode(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    if (books.isEmpty) {
+      return embeddings.select(col("vec_id"), array().cast("array<long>").as("codes")).limit(0)
+    }
+    val m = books.size
+    val dsub = books.head.head.size
+    embeddings.select(col("vec_id"),
+      array((0 until m).map(s => subCode(col("embedding"), s, dsub, books(s))): _*)
+        .as("codes"))
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation: per query,
+    * dot-product lookup tables (m·ksub entries) are computed ONCE on
+    * the driver and shipped as plan literals; every corpus vector is
+    * then scored from its codes alone — m table lookups + a norm
+    * lookup, never the original embedding. Approximate cosine:
+    * dot(q, recon(x)) / ‖recon(x)‖ (‖q‖ is rank-constant), where
+    * ‖recon‖² is a global per-(s, code) norm table — subspace norms
+    * add. The scan reads (vec_id, codes) only: at 10⁹ vectors this
+    * is a 8 GB scan instead of a 256 GB one, the entire point of PQ.
+    */
+  def annTopKPq(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                m: Int = 8, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = pqTrain(embeddings, m, ksub, iters)
+    if (books.isEmpty) {
+      return embeddings.select(col("vec_id").as("query_id"),
+        col("vec_id").as("corpus_id"), lit(0.0).as("cosine_pq"),
+        lit(0L).as("rk")).limit(0)
+    }
+    val dsub = books.head.head.size
+    val normTable: Seq[Double] = // ‖c_{s,k}‖² flattened [s*ksub + k]
+      books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val queryRows = queries.map { case (qid, q) =>
+      val dots = books.zipWithIndex.flatMap { case (book, s) =>
+        val qs = q.slice(s * dsub, s * dsub + dsub)
+        book.map(c => qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      }
+      (qid, dots)
+    }.toSeq
+    val encoded = pqEncode(embeddings, books)
+    val scoreExpr = expr(
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, s) -> acc + element_at(dtbl, CAST(s * $ksub + element_at(codes, s + 1) + 1 AS INT)))
+         |""".stripMargin.replaceAll("\n", " "))
+    val normExpr = expr(
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, s) -> acc + element_at(ntbl, CAST(s * $ksub + element_at(codes, s + 1) + 1 AS INT)))
+         |""".stripMargin.replaceAll("\n", " "))
+    val scored = encoded
+      .join(broadcast(queryRows.toDF("query_id", "dtbl")),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("ntbl", typedlit(normTable))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        (scoreExpr / sqrt(greatest(normExpr, lit(1e-12)))).as("cosine_pq"))
+    graft.functions.TopK.perKeyTopK(scored, "query_id", "corpus_id", "cosine_pq", k,
+        roundScale = 6)
+      .select(col("query_id"), col("corpus_id"), col("score").as("cosine_pq"), col("rk"))
+  }
+
+  /** PQ shortlist + exact re-rank — how PQ is actually deployed
+    * (FAISS practice): ADC over codes produces a candidate shortlist
+    * (`shortlistFactor`·k per query), then ONLY those candidates are
+    * re-scored against their original vectors. Final top-k recall
+    * equals the shortlist's containment recall, with exact scores.
+    *
+    * Scale shape: the code scan does the heavy lifting (8-16 B per
+    * vector instead of 256); the re-rank broadcasts the tiny
+    * (queries·shortlist) id set against the corpus — a broadcast
+    * semi-join probe, never a second full scoring pass. Defaults
+    * (m=16, shortlist 5k) come from the committed measurement on the
+    * synthetic corpus — a RANDOM-gaussian corpus, PQ's worst case
+    * (no intrinsic low-dim structure to exploit): containment
+    * recall@10 0.86 at m=16, 1.00 at m=32. Real embedding corpora
+    * sit far above this floor; m is the compression/recall dial.
+    */
+  def annTopKPqRerank(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                      m: Int = 16, ksub: Int = 16, iters: Int = 3,
+                      shortlistFactor: Int = 5): DataFrame = {
+    val short = annTopKPq(embeddings, numQueries, k * shortlistFactor, m, ksub, iters)
+      .select(col("query_id"), col("corpus_id"))
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rescored = embeddings
+      .join(broadcast(short), col("vec_id") === col("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
+    graft.functions.TopK.perKeyTopK(rescored, "query_id", "corpus_id", "cosine", k,
+        roundScale = 6)
+      .select(col("query_id"), col("corpus_id"), col("score").as("cosine"), col("rk"))
+  }
 }

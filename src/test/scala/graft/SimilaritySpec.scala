@@ -226,4 +226,36 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     assert(rep.toSet == got.toSet)
   }
+
+  test("PQ: codes well-formed and deterministic; ADC recall vs brute force is usable") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    assert(books.size == 8 && books.forall(b => b.size == 16 && b.forall(_.size == 8)))
+    val codes = Similarity.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // encoding is a pure function of content: partitioning-invariant
+    val codes2 = Similarity.pqEncode(
+      Tables.embeddings(spark, SharedSpark.sf).repartition(7), books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes2 == codes)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the committed m dial (SURVEY §5): shortlist containment recall
+    // on THIS corpus — random gaussians, PQ's worst case
+    for (mm <- Seq(8, 16, 32)) {
+      val short = Similarity.annTopKPq(emb, 8, 50, m = mm).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rc = (exact intersect short).size.toDouble / exact.size
+      info(f"PQ m=$mm shortlist@50 containment of exact top-10: $rc%.3f")
+    }
+    // the deployed pipeline: ADC shortlist + exact re-rank; final
+    // recall = shortlist containment, scores exact
+    val rerank = Similarity.annTopKPqRerank(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect rerank).size.toDouble / exact.size
+    info(f"PQ+rerank recall@10 (m=16, shortlist 50): $recall%.3f")
+    assert(recall >= 0.8, s"PQ+rerank recall collapsed: $recall")
+    assert(rerank.groupBy(_._1).forall(_._2.size == 10), "k rows per query")
+  }
 }
