@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Scale rehearsal for degree-ordered triangle counting: measures the
+  * wedge volumes and wall time on synthetic million-edge graphs whose
+  * hub skew is the controlled variable — the regime where a naive
+  * wedge join is infeasible and the degree orientation is the whole
+  * algorithm. The table this prints is committed in SURVEY §5.
+  *
+  * Shapes:
+  *  - celebrity: one hub adjacent to every leaf, leaves in a ring —
+  *    naive wedge volume at the hub is C(n, 2) (10¹¹+ at n=10⁶, dead
+  *    on arrival), ordered volume is O(n) because every hub edge
+  *    orients INTO the hub and leaf out-degree is ≤ 3. Triangles = n
+  *    (each ring edge closes with the hub), an exact expectation the
+  *    rehearsal asserts.
+  *  - uniform: Erdős–Rényi-ish random graph (hash-derived endpoints),
+  *    where ordered wedges track the m^1.5 bound.
+  *
+  * Usage: runMain graft.GraphRehearsal [leaves] [uniformEdges]
+  */
+object GraphRehearsal {
+
+  /** Hub 0 adjacent to leaves 1..n; leaves form a ring. */
+  def celebrityGraph(spark: SparkSession, n: Long): DataFrame = {
+    val hubEdges = spark.range(1, n + 1)
+      .select(lit(0L).as("u"), col("id").as("v"))
+    val ringEdges = spark.range(1, n)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+      .unionByName(spark.range(1, 2)
+        .select(lit(1L).as("u"), lit(n).as("v")))
+    hubEdges.unionByName(ringEdges)
+  }
+
+  /** ~m hash-random edges over n nodes (canonicalized u < v,
+    * deduplicated, self-loops dropped).
+    */
+  def uniformGraph(spark: SparkSession, n: Long, m: Long): DataFrame =
+    spark.range(m)
+      .select((abs(xxhash64(col("id"), lit(1))) % n).as("a"),
+        (abs(xxhash64(col("id"), lit(2))) % n).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  def main(args: Array[String]): Unit = {
+    val leaves = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val uniEdges = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = GraftSession.local()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    println("| graph | nodes | edges | naive wedges | ordered wedges | triangles | sec |")
+    println("|---|---|---|---|---|---|---|")
+
+    val celeb = celebrityGraph(spark, leaves).localCheckpoint(true)
+    val (naiveC, orderedC) = Graph.wedgeStats(celeb)
+    val (rowC, secC) = time(Graph.triangleCount(celeb).head())
+    assert(rowC.getLong(2) == leaves,
+      s"celebrity graph must close exactly $leaves triangles, got ${rowC.getLong(2)}")
+    println(s"| celebrity(n=$leaves) | ${rowC.getLong(0)} | ${rowC.getLong(1)} " +
+      s"| $naiveC | $orderedC | ${rowC.getLong(2)} | ${f"$secC%.1f"} |")
+
+    val uni = uniformGraph(spark, leaves / 10, uniEdges).localCheckpoint(true)
+    val (naiveU, orderedU) = Graph.wedgeStats(uni)
+    val (rowU, secU) = time(Graph.triangleCount(uni).head())
+    println(s"| uniform(n=${leaves / 10}) | ${rowU.getLong(0)} | ${rowU.getLong(1)} " +
+      s"| $naiveU | $orderedU | ${rowU.getLong(2)} | ${f"$secU%.1f"} |")
+
+    spark.stop()
+  }
+}

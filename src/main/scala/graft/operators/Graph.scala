@@ -127,4 +127,31 @@ object Graph {
   /** Co-purchase triangles end-to-end (the `q_triangles` entry). */
   def coPurchaseTriangles(lineitem: DataFrame): DataFrame =
     triangleCount(coPurchaseEdges(lineitem))
+
+  /** Wedge-volume diagnostic: how many candidate wedges a NAIVE
+    * closure would generate (Σ C(deg, 2) — what a hub makes explode)
+    * vs what the degree-ordered orientation generates
+    * (Σ C(outdeg, 2), provably O(m^1.5) total). The pair to check
+    * before running [[triangleCount]] on a new graph, and the number
+    * [[graft.GraphRehearsal]] records at scale.
+    */
+  def wedgeStats(edges: DataFrame): (Long, Long) = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val naive = deg.agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+    val du = deg.as("du")
+    val dv = deg.as("dv")
+    val uFirst = (col("du.d") < col("dv.d")) ||
+      (col("du.d") === col("dv.d") && col("u") < col("v"))
+    val outDeg = edges
+      .join(du, col("u") === col("du.n"))
+      .join(dv, col("v") === col("dv.n"))
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("od"))
+    val ordered = outDeg.agg(coalesce(sum(col("od") * (col("od") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+    (naive, ordered)
+  }
 }

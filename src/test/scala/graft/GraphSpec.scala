@@ -54,6 +54,17 @@ class GraphSpec extends AnyFunSuite {
     assert(res.getLong(1) === pairs.size.toLong)
   }
 
+  test("wedgeStats: naive vs ordered wedge volumes on known graphs") {
+    // star: hub degree 200 -> naive C(200,2); orientation kills all
+    val star = (1L to 200L).map(i => (0L, i))
+    assert(Graph.wedgeStats(edgeDf(star)) === ((19900L, 0L)))
+    // K4: naive = 4 * C(3,2) = 12; oriented out-degrees are 3,2,1,0 -> 3+1+0+0 = 4
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(Graph.wedgeStats(edgeDf(k4)) === ((12L, 4L)))
+    // empty edge set: both zero
+    assert(Graph.wedgeStats(edgeDf(Seq.empty)) === ((0L, 0L)))
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()
