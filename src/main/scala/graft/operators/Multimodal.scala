@@ -145,4 +145,89 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "frame")
   }
+
+  /** Perceptual hash (average-hash family) of the payload, split into
+    * `nBands` band values for the banded hamming join: bit i is set
+    * iff histogram bucket i sits strictly above the payload mean
+    * (`hist[i]·dim > totalBytes` — integer-exact, no float mean).
+    * Runs over the same stubbed byte-histogram "decode" as
+    * [[features]]; a real deployment swaps in a DCT/aHash over
+    * decoded pixels and keeps every downstream shape.
+    */
+  def phashBands(documents: DataFrame, dim: Int = 64, nBands: Int = 4): DataFrame = {
+    require(dim % nBands == 0, "dim must split evenly into bands")
+    val bandWidth = dim / nBands
+    require(bandWidth <= 62, "band values must fit a long")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val h = histStub(bytes, dim)
+        val total = bytes.length.toLong
+        val bs = (0 until nBands).map { b =>
+          var acc = 0L
+          var j = 0
+          while (j < bandWidth) {
+            if (h(b * bandWidth + j) * dim > total) acc |= (1L << j)
+            j += 1
+          }
+          acc
+        }
+        (id, bs)
+      }
+      .toDF("doc_id", "phash_bands")
+  }
+
+  /** Perceptual-hash near-duplicates: pairs within `maxHamming` bits.
+    * The simhash shape (§2.3 row 24) applied to media payloads:
+    * candidates ONLY from band-equality collisions (pigeonhole — with
+    * `nBands > maxHamming`, any pair within the threshold agrees on
+    * ≥1 whole band, so banding loses nothing), then the exact hamming
+    * filter via codegen `bit_count(xor)` over the band arrays. Every
+    * join is an equality join on a scalar (band, value) key; the
+    * phash frame is checkpointed once for its three consumers so the
+    * decode pass never re-runs.
+    */
+  def phashNearDup(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(nBands > maxHamming,
+      s"pigeonhole guarantee needs nBands > maxHamming ($nBands <= $maxHamming)")
+    val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
+    val exploded = ph.select(col("doc_id"),
+      posexplode(col("phash_bands")).as(Seq("band", "bv")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash_bands").as("pha")), "doc_a")
+      .join(ph.select(col("doc_id").as("doc_b"), col("phash_bands").as("phb")), "doc_b")
+      .withColumn("hamming",
+        expr("aggregate(zip_with(pha, phb, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Per-doc phash summary (the `mm_phash_dedup` entry): band values
+    * plus the doc's near-dup degree under [[phashNearDup]] — compact
+    * (one row per doc) and all-integer, so the oracle recomputes the
+    * whole hash+band+hamming pipeline from character codes and must
+    * agree exactly.
+    */
+  def phashSummary(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    val pairs = phashNearDup(documents, dim, nBands, maxHamming)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    phashBands(documents, dim, nBands)
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        (0 until nBands).map(b => element_at(col("phash_bands"), b + 1).as(s"b$b")) :+
+        coalesce(col("n_near"), lit(0L)).as("n_near"): _*)
+  }
 }
