@@ -215,6 +215,7 @@ object SparkEntry {
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_hourly_topk" -> ((s, dir) => graft.streaming.EventStreams.hourlyTopK(s, dir, 3)),
+    "stream_anomaly" -> ((s, dir) => graft.streaming.EventStreams.anomalousHours(s, dir, 8)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
@@ -1078,6 +1079,27 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type""".stripMargin,
+    // The 3-sigma test in pure integers (c·n > S1 and (c·n−S1)² >
+    // 9(n·S2−S1²)) — no float anywhere, so the streaming flags and
+    // this window-prefix-sum batch twin must agree flag-for-flag.
+    // Each type's last (still-open) hour is excluded on both sides.
+    "stream_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, h, cnt,
+        |    count(*) OVER w AS n,
+        |    COALESCE(sum(cnt) OVER w, 0) AS s1,
+        |    COALESCE(sum(cnt * cnt) OVER w, 0) AS s2,
+        |    max(h) OVER (PARTITION BY event_type) AS maxh
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, h, cnt,
+        |  (n >= 8 AND cnt * n > s1
+        |   AND (cnt * n - s1) * (cnt * n - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
+        |FROM x WHERE h < maxh""".stripMargin,
     // Finite-source parity: the stream's final per-hour leaderboard
     // equals the batch hourly top-k (ties broken by event_type asc
     // in both the state emitter and this window).

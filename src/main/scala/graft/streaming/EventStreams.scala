@@ -323,6 +323,88 @@ object EventStreams {
     (BigDecimal(micros) / BigDecimal(1000000L))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Running anomaly state per event type: closed-hour count moments
+    * (n, Σc, Σc²) + the currently open hour — O(1) per key forever.
+    */
+  case class AnomalyBuf(curHour: Long, curCount: Long,
+                        n: Long, s1: Long, s2: Long)
+
+  /** One closed-hour verdict. */
+  case class AnomalyOut(event_type: String, h: Long, cnt: Long,
+                        is_anomaly: Boolean)
+
+  /** Streaming per-type hourly anomaly flags: an hour is anomalous
+    * when its event count sits more than 3σ above the mean of that
+    * type's PRIOR closed hours (≥ `minPriorHours` of history). The
+    * test is pure 64-bit integer arithmetic — c > μ + 3σ rewritten as
+    * `c·n > S1 && (c·n − S1)² > 9·(n·S2 − S1²)` — so there is no
+    * float accumulation anywhere and the DuckDB oracle (window prefix
+    * sums over the batch hourly counts) must agree flag-for-flag.
+    *
+    * State per event type is five longs (open hour + count + three
+    * moments of closed hours) — O(types), never the events, never the
+    * hours. Hours are processed in event-time order (sorted within
+    * each group batch; the finite single-file source delivers one
+    * batch, and the rate-limited multi-batch case preserves order as
+    * long as files land in time order — the ingest contract). Each
+    * type's final, still-open hour is never emitted (it has not
+    * closed; the oracle excludes it identically).
+    */
+  def anomalousHours(spark: SparkSession, dir: String,
+                     minPriorHours: Int = 8): DataFrame = {
+    import spark.implicits._
+    val hourNs = 3600000000000L
+
+    def close(t: String, buf: AnomalyBuf): AnomalyOut = {
+      val c = buf.curCount
+      val n = buf.n
+      val excess = c * n - buf.s1
+      val varN2 = n * buf.s2 - buf.s1 * buf.s1 // n² · σ²
+      val anomalous = n >= minPriorHours && excess > 0 &&
+        excess * excess > 9L * varN2
+      AnomalyOut(t, buf.curHour, c, anomalous)
+    }
+
+    def updateFn(t: String, hours: Iterator[Long],
+                 state: GroupState[AnomalyBuf]): Iterator[AnomalyOut] = {
+      val sorted = hours.toSeq.sorted
+      var out = List.empty[AnomalyOut]
+      var buf = state.getOption.orNull
+      sorted.foreach { h =>
+        if (buf == null) {
+          buf = AnomalyBuf(h, 1L, 0L, 0L, 0L)
+        } else if (h == buf.curHour) {
+          buf = buf.copy(curCount = buf.curCount + 1L)
+        } else {
+          val closed = close(t, buf)
+          out ::= closed
+          buf = AnomalyBuf(h, 1L,
+            buf.n + 1L, buf.s1 + closed.cnt, buf.s2 + closed.cnt * closed.cnt)
+        }
+      }
+      if (buf != null) state.update(buf)
+      out.reverse.iterator
+    }
+
+    val qname = "graft_stream_anom_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = readEventStream(spark, dir)
+      .select(col("event_type").as[String], col("ts_ns").as[Long])
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (t: String, it: Iterator[(String, Long)], s: GroupState[AnomalyBuf]) =>
+          updateFn(t, it.map(_._2 / hourNs), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .select(col("event_type"), col("h"), col("cnt"), col("is_anomaly"))
+  }
+
   /** Per-hour frequency state: one small counts map per hour bucket
     * (bounded by the event-type cardinality, NOT event volume).
     */

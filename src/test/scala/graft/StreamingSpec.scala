@@ -326,6 +326,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(perHour.values.forall(n => n >= 1 && n <= 3))
   }
 
+  test("stream_anomaly: planted spike flagged; steady baseline, warmup, and open hours never") {
+    import spark.implicits._
+    val hourNs = 3600000000000L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Double, String)]
+    var id = 0L
+    // type x: 1 event/hour for hours 0..19, a 100-event spike in hour
+    // 20, then one event in hour 21 so the spike hour closes
+    for (h <- 0 to 19) { rows += ((id, h * hourNs + 1, 1L, "x", 0.0, "{}")); id += 1 }
+    for (i <- 0 until 100) { rows += ((id, 20 * hourNs + i + 1, 1L, "x", 0.0, "{}")); id += 1 }
+    rows += ((id, 21 * hourNs + 1, 1L, "x", 0.0, "{}")); id += 1
+    // type y: constant 5/hour — zero variance, zero excess, never flagged
+    for (h <- 0 to 21; i <- 0 until 5) {
+      rows += ((id, h * hourNs + i + 1, 2L, "y", 0.0, "{}")); id += 1
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom-").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventStreams.anomalousHours(spark, dir, minPriorHours = 8).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(("x", 20L)) === ((100L, true)), "spike hour must be flagged")
+    assert((0 to 19).forall(h => !got(("x", h.toLong))._2), "warmup/baseline hours clean")
+    assert(!got.contains(("x", 21L)) && !got.contains(("y", 21L)), "open hours excluded")
+    assert(got.collect { case ((t, _), (_, a)) if t == "y" => a }.forall(!_),
+      "constant series never anomalous")
+  }
+
   test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
