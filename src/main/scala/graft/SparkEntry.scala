@@ -58,6 +58,7 @@ object SparkEntry {
     "q_percentile" -> ((s, dir) => Relational.percentiles(Tables.orders(s, dir))),
     "q_setops" -> ((s, dir) => Relational.setOpsIntersect(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_setops_except" -> ((s, dir) => Relational.setOpsExceptAll(Tables.orders(s, dir))),
     "q_salted_agg" -> ((s, dir) => Relational.saltedAgg(Tables.events(s, dir), 16)),
     "q_salted_join" -> ((s, dir) => Relational.saltedJoinAgg(
       Tables.orders(s, dir), Tables.customer(s, dir), 16)),
@@ -514,6 +515,12 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+    "q_setops_except" ->
+      """SELECT o_custkey, count(*) AS n_regular FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+        |GROUP BY o_custkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,

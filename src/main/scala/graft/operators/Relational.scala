@@ -312,6 +312,20 @@ object Relational {
       .intersect(orders.filter(col("o_totalprice") > 200000.0)
         .select(col("o_custkey").as("c_custkey")))
 
+  /** EXCEPT ALL: per-customer order-event multiset difference — all
+    * orders minus the high-value ones, with MULTIPLICITY (a customer
+    * with 5 orders of which 2 are high-value keeps 3 rows). The
+    * bag semantics a LEFT ANTI join cannot express (anti join drops a
+    * key entirely on one match); Spark plans it as a counted
+    * aggregate + generate — one shuffle, no row explosion.
+    */
+  def setOpsExceptAll(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey"))
+      .exceptAll(orders.filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_regular"))
+
   /** Two-stage salted aggregation: stage 1 groups on (key, salt) so a
     * hot key's rows spread over `saltBuckets` reducers; stage 2
     * combines the partials. Result is identical to a direct groupBy —

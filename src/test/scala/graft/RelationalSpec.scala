@@ -191,6 +191,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("s") == ((4L, 3L, 2L)))
   }
 
+  test("setOpsExceptAll keeps multiplicity where an anti join would drop the key") {
+    import spark.implicits._
+    // customer 1: 5 orders, 2 high-value -> 3 regular rows survive;
+    // customer 2: 2 orders, both high-value -> absent entirely
+    val orders = Seq(
+      (1L, 100.0), (1L, 100.0), (1L, 100.0), (1L, 300000.0), (1L, 300000.0),
+      (2L, 300000.0), (2L, 300000.0), (3L, 50.0)
+    ).toDF("o_custkey", "o_totalprice")
+    val got = Relational.setOpsExceptAll(orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 3L -> 1L))
+  }
+
   test("skewProfile surfaces a planted hot key with exact ppm share") {
     import spark.implicits._
     // 900 rows of key 7, 10 each of keys 1..10 => total 1000
