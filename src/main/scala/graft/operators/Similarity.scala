@@ -402,59 +402,86 @@ object Similarity {
   // codes (8 B), and search runs on per-query lookup tables without
   // touching a single original vector. ----
 
-  /** Nearest sub-centroid code for subspace `s` under the L2 metric
-    * (argmin ‖x_s − c‖² = argmax (x_s·c − ‖c‖²/2) — one codegen dot
-    * per candidate, the plan-literal [[ivfCells]] trick per subspace).
+  /** All m sub-codes of a vector in ONE expression: the codebook ships
+    * as a single `typedlit` 3-D array literal (plus its precomputed
+    * ‖c‖²/2 bias table), and per subspace the code is the
+    * first-argmax of (x_s·c_k − ‖c_k‖²/2) — lowest code wins ties,
+    * matching the old per-struct comparator. Plan size is O(1) in
+    * m·ksub (two literals + a fixed HOF tree) where the previous form
+    * inlined m·ksub struct expressions — at m=16, ksub=16 that was
+    * 256 literal subtrees whose Janino compile dominated the whole
+    * query at small SF and reappeared on every invocation.
+    *
+    * Cost model: the HOF tree is interpreted (HOFs are CodegenFallback)
+    * at m·ksub·dsub multiply-adds per row — encode-time-only work that
+    * buys a plan whose compile cost no longer scales with the codebook.
     */
-  private def subCode(embCol: Column, s: Int, dsub: Int,
-                      codebook: Seq[Seq[Float]]): Column = {
-    val sub = slice(embCol, s * dsub + 1, dsub)
-    val structs = codebook.zipWithIndex.map { case (c, k) =>
-      val bias = c.map(x => x.toDouble * x).sum / 2.0
-      struct((vecDot(sub, typedlit(c)) - lit(bias)).as("c"), lit(k.toLong).as("cell"))
-    }
-    val cmp = (l: Column, r: Column) =>
-      when(l.getField("c") > r.getField("c"), -1)
-        .when(l.getField("c") < r.getField("c"), 1)
-        .when(l.getField("cell") < r.getField("cell"), -1)
-        .when(l.getField("cell") > r.getField("cell"), 1)
-        .otherwise(0)
-    element_at(array_sort(array(structs: _*), cmp), 1).getField("cell")
+  private def pqCodes(embCol: Column, books: Seq[Seq[Seq[Float]]]): Column = {
+    val m = books.size
+    val dsub = books.head.head.size
+    val booksLit = typedlit(books)
+    val biasLit = typedlit(books.map(_.map(c => c.map(x => x.toDouble * x).sum / 2.0)))
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(embCol, s * dsub + 1, lit(dsub))
+      val scores = zip_with(element_at(booksLit, s + 1), element_at(biasLit, s + 1),
+        (c, b) => aggregate(zip_with(sub, c, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v) - b)
+      array_position(scores, array_max(scores)) - 1
+    })
   }
 
-  /** Train m per-subspace codebooks of `ksub` centroids by Lloyd
-    * iterations. ONE pass per iteration for all subspaces: each row
-    * explodes into its m (subspace, code, subvector) assignments —
-    * codegen argmax against plan-literal centroids, zero shuffle —
-    * and one map-side-combined [[VectorMeanAggregator]] shuffle of
-    * O(m·ksub·dsub) state updates every codebook. Driver round-trip
-    * is the codebook itself (m·ksub·dsub floats — 4 KB at 8×16×8).
-    * At 100 TB you train on a sample (FAISS practice); the loop is
-    * the same plan either way.
+  /** Content-hash training sample: keep a row iff the first 16 bits of
+    * md5(salt ‖ vec_id) fall below ⌊fraction·2¹⁶⌋ — the
+    * [[balancedSampleByHash]] predicate, reproducible across runs,
+    * partitionings and engines. fraction ≥ 1 is the identity.
+    */
+  private def hashSample(df: DataFrame, fraction: Double, salt: String): DataFrame =
+    if (fraction >= 1.0) df
+    else {
+      val hex4 = substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 4)
+      df.filter(hex4 < lit(f"${math.max(1, (fraction * 65536).floor.toInt)}%04x"))
+    }
+
+  /** Train m per-subspace codebooks of up to `ksub` centroids by Lloyd
+    * iterations. ONE pass per iteration for all subspaces: each row's
+    * codes come from the single [[pqCodes]] expression, posexplode
+    * into (subspace, code, subvector), and one map-side-combined
+    * [[VectorMeanAggregator]] shuffle carries O(m·ksub·dsub) state.
+    * Driver round-trip is the codebook itself (m·ksub·dsub floats —
+    * 4 KB at 8×16×8).
+    *
+    * `sampleFraction` trains on a seeded content-hash sample (FAISS
+    * practice at scale — codebooks converge on a sample; the 100 TB
+    * corpus is only ever touched by the one-pass encode). Seeds are
+    * the sample's first `ksub` rows BY SORT ORDER (`orderBy.limit` —
+    * no dense-0-based-id assumption); a smaller corpus just yields a
+    * smaller codebook, and every consumer derives ksub/stride from the
+    * returned books, so a short book can never misalign a lookup
+    * table.
     */
   def pqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
-              iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+              iters: Int = 3, sampleFraction: Double = 1.0,
+              salt: String = "pq:"): Seq[Seq[Seq[Float]]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embDim(embeddings, "embedding")
+    val train = hashSample(embeddings, sampleFraction, salt)
+    val dim = embDim(train, "embedding")
     if (dim == 0) return Seq.empty
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val centroidUdaf = udaf(new VectorMeanAggregator,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
-    // deterministic init: subvectors of the first ksub vectors
-    var books: Seq[Seq[Seq[Float]]] = {
-      val seed = embeddings.filter(col("vec_id") < ksub)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2)
-      (0 until m).map(s => seed.map(v => v.slice(s * dsub, s * dsub + dsub)).toSeq)
-    }
+    val seed = train.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2)
+    if (seed.isEmpty) return Seq.empty
+    var books: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(s => seed.map(v => v.slice(s * dsub, s * dsub + dsub).toSeq).toSeq)
     for (_ <- 0 until iters) {
-      val assigned = embeddings.select(explode(array((0 until m).map(s =>
-          struct(lit(s).as("s"),
-            subCode(col("embedding"), s, dsub, books(s)).as("code"),
-            slice(col("embedding"), s * dsub + 1, dsub).as("sub"))): _*)).as("a"))
-        .select(col("a.s"), col("a.code"), col("a.sub"))
+      val assigned = train
+        .select(col("embedding"), posexplode(pqCodes(col("embedding"), books)))
+        .select(col("pos").as("s"), col("col").as("code"),
+          slice(col("embedding"), col("pos") * dsub + 1, lit(dsub)).as("sub"))
         .groupBy(col("s"), col("code"))
         .agg(centroidUdaf(col("sub")).as("mean"))
         .as[(Int, Long, Seq[Double])].collect()
@@ -466,19 +493,39 @@ object Similarity {
     books
   }
 
+  /** Persist a trained codebook as a (s, k, centroid) parquet table —
+    * the deployable index artifact: train once (on a sample), save,
+    * and every later encode/search session loads instead of
+    * retraining.
+    */
+  def pqSaveCodebook(books: Seq[Seq[Seq[Float]]], path: String,
+                     spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, k) => (s, k, c) }
+    }.toDF("s", "k", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a codebook saved by [[pqSaveCodebook]]. */
+  def pqLoadCodebook(path: String,
+                     spark: org.apache.spark.sql.SparkSession): Seq[Seq[Seq[Float]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("s"), col("k"), col("centroid"))
+      .as[(Int, Int, Seq[Float])].collect()
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+  }
+
   /** Encode every vector as its m sub-codes — a pure zero-shuffle
-    * scalar projection against plan-literal codebooks (the form
+    * scalar projection against the plan-literal codebook (the form
     * you'd materialize next to the corpus: 8 bytes per vector).
     */
   def pqEncode(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]]): DataFrame = {
     if (books.isEmpty) {
       return embeddings.select(col("vec_id"), array().cast("array<long>").as("codes")).limit(0)
     }
-    val m = books.size
-    val dsub = books.head.head.size
-    embeddings.select(col("vec_id"),
-      array((0 until m).map(s => subCode(col("embedding"), s, dsub, books(s))): _*)
-        .as("codes"))
+    embeddings.select(col("vec_id"), pqCodes(col("embedding"), books).as("codes"))
   }
 
   /** PQ ANN top-k via asymmetric distance computation: per query,
@@ -492,46 +539,162 @@ object Similarity {
     * is a 8 GB scan instead of a 256 GB one, the entire point of PQ.
     */
   def annTopKPq(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
-                m: Int = 8, ksub: Int = 16, iters: Int = 3): DataFrame = {
+                m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                index: Option[Seq[Seq[Seq[Float]]]] = None,
+                sampleFraction: Double = 1.0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val books = pqTrain(embeddings, m, ksub, iters)
+    val books = index.getOrElse(pqTrain(embeddings, m, ksub, iters, sampleFraction))
     if (books.isEmpty) {
       return embeddings.select(col("vec_id").as("query_id"),
         col("vec_id").as("corpus_id"), lit(0.0).as("cosine_pq"),
         lit(0L).as("rk")).limit(0)
     }
-    val dsub = books.head.head.size
-    val normTable: Seq[Double] = // ‖c_{s,k}‖² flattened [s*ksub + k]
+    // stride comes from the TRAINED books, never the ksub parameter —
+    // a short codebook (small corpus) can't misalign the flat tables
+    val mEff = books.size
+    val kEff = books.head.size
+    val normTable: Seq[Double] = // ‖c_{s,k}‖² flattened [s*kEff + k]
       books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
-    val queries = embeddings.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    val queryRows = queries.map { case (qid, q) =>
-      val dots = books.zipWithIndex.flatMap { case (book, s) =>
-        val qs = q.slice(s * dsub, s * dsub + dsub)
-        book.map(c => qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-      }
-      (qid, dots)
-    }.toSeq
+    val queryRows = queryDotTables(embeddings, numQueries, books)
     val encoded = pqEncode(embeddings, books)
-    val scoreExpr = expr(
-      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
-         |  (acc, s) -> acc + element_at(dtbl, CAST(s * $ksub + element_at(codes, s + 1) + 1 AS INT)))
-         |""".stripMargin.replaceAll("\n", " "))
-    val normExpr = expr(
-      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
-         |  (acc, s) -> acc + element_at(ntbl, CAST(s * $ksub + element_at(codes, s + 1) + 1 AS INT)))
-         |""".stripMargin.replaceAll("\n", " "))
     val scored = encoded
       .join(broadcast(queryRows.toDF("query_id", "dtbl")),
         col("query_id") =!= col("vec_id"))
       .withColumn("ntbl", typedlit(normTable))
       .select(col("query_id"), col("vec_id").as("corpus_id"),
-        (scoreExpr / sqrt(greatest(normExpr, lit(1e-12)))).as("cosine_pq"))
+        adcCosine(mEff, kEff).as("cosine_pq"))
     graft.functions.TopK.perKeyTopK(scored, "query_id", "corpus_id", "cosine_pq", k,
         roundScale = 6)
       .select(col("query_id"), col("corpus_id"), col("score").as("cosine_pq"), col("rk"))
+  }
+
+  /** ADC approximate cosine from columns (codes, dtbl, ntbl):
+    * Σ_s dtbl[s·ksub + code_s] / √(Σ_s ntbl[s·ksub + code_s]) — m
+    * lookups per table, stride from the trained books.
+    */
+  private def adcCosine(mEff: Int, kEff: Int): Column = {
+    def tbl(name: String) = expr(
+      s"""aggregate(sequence(0, ${mEff - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, s) -> acc + element_at($name, CAST(s * $kEff + element_at(codes, s + 1) + 1 AS INT)))
+         |""".stripMargin.replaceAll("\n", " "))
+    tbl("dtbl") / sqrt(greatest(tbl("ntbl"), lit(1e-12)))
+  }
+
+  /** Per-query dot-product lookup tables against `books`, flattened
+    * [s·ksub + k], computed once on the driver for the (small,
+    * broadcast) query set.
+    */
+  private def queryDotTables(embeddings: DataFrame, numQueries: Int,
+                             books: Seq[Seq[Seq[Float]]]): Seq[(Long, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dsub = books.head.head.size
+    embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (qid, q) =>
+        val dots = books.zipWithIndex.flatMap { case (book, s) =>
+          val qs = q.slice(s * dsub, s * dsub + dsub)
+          book.map(c => qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }
+        (qid, dots.toSeq)
+      }.toSeq
+  }
+
+  /** Exact re-rank of a (query_id, corpus_id) shortlist: only the
+    * shortlisted vectors are re-scored — a broadcast semi-join probe
+    * into the corpus, never a second full scoring pass.
+    */
+  private def rerankExact(embeddings: DataFrame, short: DataFrame,
+                          numQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rescored = embeddings
+      .join(broadcast(short), col("vec_id") === col("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
+    graft.functions.TopK.perKeyTopK(rescored, "query_id", "corpus_id", "cosine", k,
+        roundScale = 6)
+      .select(col("query_id"), col("corpus_id"), col("score").as("cosine"), col("rk"))
+  }
+
+  /** IVF + PQ composed — the FAISS IVFPQ deployment shape (Jégou
+    * TPAMI 2011 §V; the billion-scale default): the coarse quantizer
+    * routes every corpus vector to ONE cell and each query to its
+    * `probes` nearest cells; ADC scoring from codes runs ONLY inside
+    * the probed cells; the shortlist is exact-reranked. Candidate
+    * volume is bounded by the probed cells' population (probes/nCells
+    * of the corpus in expectation) and the candidate scan reads
+    * (cell, codes) — 8-16 B per vector. The cell join is a broadcast
+    * equality join on the cell id: no cross product anywhere.
+    *
+    * Corpus rows land in exactly one cell, so a (query, corpus) pair
+    * matches at most once — no dedup pass. Query-side probe
+    * assignment happens on the driver against the collected seed
+    * table (nCells rows — the coarse quantizer fits there by
+    * definition), with the same (cosine desc, cell asc) tie order as
+    * [[ivfCells]].
+    */
+  def annTopKIvfPq(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                   nCells: Int = 16, probes: Int = 4,
+                   m: Int = 16, ksub: Int = 16, iters: Int = 3,
+                   shortlistFactor: Int = 5,
+                   index: Option[Seq[Seq[Seq[Float]]]] = None,
+                   sampleFraction: Double = 1.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = index.getOrElse(pqTrain(embeddings, m, ksub, iters, sampleFraction))
+    if (books.isEmpty) {
+      return embeddings.select(col("vec_id").as("query_id"),
+        col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rk")).limit(0)
+    }
+    val mEff = books.size
+    val kEff = books.head.size
+    val normTable: Seq[Double] = books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
+    val seeds = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
+    val seedRows = seeds.select(col("cell").cast("long"), col("cell_emb"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    if (seedRows.isEmpty) {
+      return embeddings.select(col("vec_id").as("query_id"),
+        col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rk")).limit(0)
+    }
+    // one corpus scan: nearest cell (plan-literal argmax) + codes
+    val corpus = ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
+      .select(col("vec_id"), col("cell"), pqCodes(col("embedding"), books).as("codes"))
+    // driver-side probe assignment + ADC tables for the tiny query set
+    def cosineTo(q: Seq[Float], c: Seq[Float]): Double = {
+      var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+      val n = math.min(q.length, c.length)
+      while (i < n) { dot += q(i).toDouble * c(i); nq += q(i).toDouble * q(i); nc += c(i).toDouble * c(i); i += 1 }
+      if (nq == 0 || nc == 0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nc))
+    }
+    val qTables = queryDotTables(embeddings, numQueries, books)
+    val qEmb = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    val qProbe = qTables.flatMap { case (qid, dtbl) =>
+      val probed = seedRows
+        .map { case (cell, cEmb) => (cosineTo(qEmb(qid), cEmb), cell) }
+        .sortBy { case (c, cell) => (-c, cell) }
+        .take(probes)
+      probed.map { case (_, cell) => (qid, cell, dtbl) }
+    }
+    val scored = corpus
+      .join(broadcast(qProbe.toDF("query_id", "cell", "dtbl")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("ntbl", typedlit(normTable))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        adcCosine(mEff, kEff).as("cosine_pq"))
+    val short = graft.functions.TopK.perKeyTopK(scored, "query_id", "corpus_id",
+        "cosine_pq", k * shortlistFactor, roundScale = 6)
+      .select(col("query_id"), col("corpus_id"))
+    rerankExact(embeddings, short, numQueries, k)
   }
 
   /** PQ shortlist + exact re-rank — how PQ is actually deployed
@@ -552,18 +715,12 @@ object Similarity {
     */
   def annTopKPqRerank(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
                       m: Int = 16, ksub: Int = 16, iters: Int = 3,
-                      shortlistFactor: Int = 5): DataFrame = {
-    val short = annTopKPq(embeddings, numQueries, k * shortlistFactor, m, ksub, iters)
+                      shortlistFactor: Int = 5,
+                      index: Option[Seq[Seq[Seq[Float]]]] = None,
+                      sampleFraction: Double = 1.0): DataFrame = {
+    val short = annTopKPq(embeddings, numQueries, k * shortlistFactor, m, ksub, iters,
+        index, sampleFraction)
       .select(col("query_id"), col("corpus_id"))
-    val q = embeddings.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val rescored = embeddings
-      .join(broadcast(short), col("vec_id") === col("corpus_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("corpus_id"),
-        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
-    graft.functions.TopK.perKeyTopK(rescored, "query_id", "corpus_id", "cosine", k,
-        roundScale = 6)
-      .select(col("query_id"), col("corpus_id"), col("score").as("cosine"), col("rk"))
+    rerankExact(embeddings, short, numQueries, k)
   }
 }

@@ -27,8 +27,9 @@ class EntrySpec extends AnyFunSuite {
       "q_approx_distinct_hll", // DataSketches HLL estimate; DuckDB ships a different sketch
       "dedup_apply_pagerank", // 10-round recursive integer PageRank: deterministic but
                               // impractical as a DuckDB oracle; spec pins exact equality
-      "sim_ann_pq") // PQ codebooks from iterated float k-means (the sim_kmeans
+      "sim_ann_pq", // PQ codebooks from iterated float k-means (the sim_kmeans
                     // reason); recall spec gates the shipped defaults at >= 0.8
+      "sim_ann_ivfpq") // same trained-codebook reason; recall spec >= 0.85
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }

@@ -258,4 +258,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ+rerank recall collapsed: $recall")
     assert(rerank.groupBy(_._1).forall(_._2.size == 10), "k rows per query")
   }
+
+  test("PQ codebook: save/load roundtrip is exact; precomputed index skips retraining and matches") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val books = Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("pq-books-").toString + "/books"
+    Similarity.pqSaveCodebook(books, dir, spark)
+    val loaded = Similarity.pqLoadCodebook(dir, spark)
+    assert(loaded == books, "persisted codebook must round-trip bit-exactly")
+    // a search against the loaded index == a search that retrains
+    // (training is deterministic), so persist-once/reuse is sound
+    val fresh = Similarity.annTopKPqRerank(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaIndex = Similarity.annTopKPqRerank(emb, 8, 10, index = Some(loaded)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaIndex == fresh)
+  }
+
+  test("PQ sampled training: content-hash sample is partitioning-invariant and codes stay well-formed") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val a = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 2, sampleFraction = 0.5)
+    val b = Similarity.pqTrain(emb.repartition(7), m = 8, ksub = 16, iters = 2, sampleFraction = 0.5)
+    assert(a == b, "sampled training must not depend on partitioning")
+    assert(a.size == 8 && a.forall(bk => bk.size == 16 && bk.forall(_.size == 8)))
+    val codes = Similarity.pqEncode(emb, a).collect()
+      .map(r => r.getSeq[Long](1))
+    assert(codes.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("PQ on a tiny non-dense-id corpus: codebook shrinks to the seed count; no misalignment") {
+    import spark.implicits._
+    // ids start at 1000 (nothing < ksub) and only 5 vectors exist —
+    // the old seeding (vec_id < ksub) would have produced empty books
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 5).map(i => (1000L + i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, m = 4, ksub = 16, iters = 2)
+    assert(books.size == 4 && books.forall(_.size == 5), "ksub shrinks to corpus size")
+    val codes = Similarity.pqEncode(df, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 5)
+    assert(codes.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 5)))
+    // ADC search with the short codebook: every score finite (no null
+    // lookups from stride misalignment), each query scores all others
+    val got = Similarity.annTopKPq(df, numQueries = 1001, k = 3, index = Some(books)).collect()
+    assert(got.nonEmpty && got.forall(r => !r.isNullAt(2)))
+  }
+
+  test("IVFPQ composed index: recall@10 >= 0.85 at shipped dials; shortlist bounded by probed cells") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 3)
+    val got = Similarity.annTopKIvfPq(emb, 8, 10, index = Some(books)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"IVFPQ recall@10 (16 cells / 4 probes, m=16): $recall%.3f")
+    assert(recall >= 0.85, s"IVFPQ recall $recall at shipped dials")
+    assert(got.groupBy(_._1).forall(_._2.size <= 10))
+    // IVF bound: every returned candidate must come from a probed cell
+    // — recall can never exceed the IVF-only path's reachable set
+    val ivfReach = Similarity.annTopKIvf(emb, 8, 500, nCells = 16, probes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(ivfReach), "IVFPQ candidates must respect the probed-cell bound")
+  }
 }
