@@ -164,9 +164,9 @@ object SparkEntry {
     "dedup_apply" -> ((s, dir) => Dedup.applyNearDupDedup(Tables.documents(s, dir),
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // rows-only by design: the survivor score is iterative integer
-    // PageRank — deterministic (spec-pinned exactly against a local
-    // implementation), but a 10-round recursive join is not expressible
-    // as a practical DuckDB oracle; DedupSpec carries the oracle
+    // PageRank is all-integer (micros fixed-point), so the 10 rounds
+    // unroll into 10 chained DuckDB CTEs — hash-exact, plus the
+    // exact-equality spec vs an independent implementation
     "dedup_apply_pagerank" -> ((s, dir) => Dedup.applyNearDupDedupPagerank(
       Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
@@ -237,6 +237,7 @@ object SparkEntry {
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_hourly_topk" -> ((s, dir) => graft.streaming.EventStreams.hourlyTopK(s, dir, 3)),
     "stream_anomaly" -> ((s, dir) => graft.streaming.EventStreams.anomalousHours(s, dir, 8)),
+    "stream_count_min" -> ((s, dir) => graft.streaming.EventStreams.hourlyCountMin(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
@@ -277,6 +278,22 @@ object SparkEntry {
       |  JOIN cnt ca ON ca.doc_id = doc_a
       |  JOIN cnt cb ON cb.doc_id = doc_b
       |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.2)""".stripMargin
+
+  /** The 10 unrolled integer-PageRank rounds as chained CTEs pr1..pr10
+    * (standard SQL forbids aggregation inside a recursive term, so the
+    * fixed iteration count unrolls instead). Each round is the SQL
+    * twin of one `pagerankMicros` update: all operands positive, so
+    * DuckDB's floor `//` equals Spark's truncating `div`, and
+    * sum(BIGINT) widening to HUGEINT only adds headroom — bit-exact
+    * either way.
+    */
+  private val PagerankRoundCtes: String = (1 to 10).map { i =>
+    s"""pr$i AS (
+       |  SELECT e.b AS doc_id, 150000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
+       |  FROM edges e JOIN pr${i - 1} p ON e.a = p.doc_id
+       |  JOIN deg d ON d.doc_id = e.a
+       |  GROUP BY e.b)""".stripMargin
+  }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -735,6 +752,29 @@ object SparkEntry {
         |    ON c.component_id = s.component_id AND c.doc_id <> s.survivor)
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
+    "dedup_apply_pagerank" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+        |comp AS (SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node),
+        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |$PagerankRoundCtes,
+        |best AS (
+        |  SELECT component_id, max(pr) AS pmax
+        |  FROM comp JOIN pr10 USING (doc_id) GROUP BY 1),
+        |surv AS (
+        |  SELECT component_id, min(doc_id) AS survivor
+        |  FROM comp JOIN pr10 USING (doc_id) JOIN best USING (component_id)
+        |  WHERE pr = pmax GROUP BY 1),
+        |dropped AS (
+        |  SELECT c.doc_id FROM comp c JOIN surv s
+        |    ON c.component_id = s.component_id AND c.doc_id <> s.survivor)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -1110,6 +1150,9 @@ object SparkEntry {
     // 9(n·S2−S1²)) — no float anywhere, so the streaming flags and
     // this window-prefix-sum batch twin must agree flag-for-flag.
     // Each type's last (still-open) hour is excluded on both sides.
+    // The squared terms widen past 2⁶³ at ~1M events/hour × 10⁴
+    // hours, so both products run in HUGEINT (128-bit) — the twin of
+    // the streaming side's BigInt comparison.
     "stream_anomaly" ->
       """WITH c AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h, count(*) AS cnt
@@ -1122,11 +1165,42 @@ object SparkEntry {
         |    max(h) OVER (PARTITION BY event_type) AS maxh
         |  FROM c
         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |y AS (
+        |  SELECT event_type, h, cnt, n, s2, maxh,
+        |    CAST(cnt AS HUGEINT) * n - s1 AS excess, CAST(s1 AS HUGEINT) AS s1h
+        |  FROM x)
         |SELECT event_type, h, cnt,
-        |  (n >= 8 AND cnt * n > s1
-        |   AND (cnt * n - s1) * (cnt * n - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
-        |FROM x WHERE h < maxh""".stripMargin,
+        |  (n >= 8 AND excess > 0
+        |   AND excess * excess > 9 * (CAST(n AS HUGEINT) * s2 - s1h * s1h)) AS is_anomaly
+        |FROM y WHERE h < maxh""".stripMargin,
+    // The streaming per-hour CMS accumulates cell-wise across
+    // micro-batches (the CMS merge is a sum, so the final matrix IS
+    // the batch sketch), and the md5 cell hash has no RNG — so this
+    // oracle recomputes the per-hour ESTIMATES exactly, including any
+    // collision overestimates: est(t) = min over rows j of the hour's
+    // total count landing in cell h_j(t).
+    "stream_count_min" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h, event_type FROM events),
+        |wc AS (SELECT h, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |cells AS (
+        |  SELECT h, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 12))::BIGINT % 64 AS cell,
+        |    CAST(sum(c) AS BIGINT) AS total
+        |  FROM wc CROSS JOIN rows_ GROUP BY 1, 2, 3),
+        |pc AS (
+        |  SELECT wc.h, wc.event_type, r.j,
+        |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || wc.event_type), 1, 12))::BIGINT % 64 AS cell
+        |  FROM wc CROSS JOIN rows_ r),
+        |est AS (
+        |  SELECT pc.h, pc.event_type, min(cells.total) AS est
+        |  FROM pc JOIN cells ON cells.h = pc.h AND cells.j = pc.j AND cells.cell = pc.cell
+        |  GROUP BY 1, 2),
+        |n AS (SELECT h, count(*) AS h_total FROM e GROUP BY 1)
+        |SELECT est.h, est.event_type, est.est AS est, n.h_total
+        |FROM est JOIN n USING (h)""".stripMargin,
     // Finite-source parity: the stream's final per-hour leaderboard
     // equals the batch hourly top-k (ties broken by event_type asc
     // in both the state emitter and this window).

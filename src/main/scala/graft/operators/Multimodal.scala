@@ -191,10 +191,18 @@ object Multimodal {
     * decode pass never re-runs.
     */
   def phashNearDup(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    phashNearDupFromBands(
+      phashBands(documents, dim, nBands).localCheckpoint(true), nBands, maxHamming)
+
+  /** Near-dup pairs from an ALREADY-materialized band frame — so a
+    * caller that needs both the bands and the pairs ([[phashSummary]])
+    * pays the (stubbed-decode) band computation exactly once.
+    */
+  private def phashNearDupFromBands(ph: DataFrame, nBands: Int,
+                                    maxHamming: Int): DataFrame = {
     require(nBands > maxHamming,
       s"pigeonhole guarantee needs nBands > maxHamming ($nBands <= $maxHamming)")
-    val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
     val exploded = ph.select(col("doc_id"),
       posexplode(col("phash_bands")).as(Seq("band", "bv")))
     val cand = exploded.as("a").join(exploded.as("b"),
@@ -220,11 +228,14 @@ object Multimodal {
     */
   def phashSummary(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
-    val pairs = phashNearDup(documents, dim, nBands, maxHamming)
+    // one checkpointed band frame feeds BOTH the pair generation and
+    // the final projection — the decode pass runs once per invocation
+    val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
+    val pairs = phashNearDupFromBands(ph, nBands, maxHamming)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-    phashBands(documents, dim, nBands)
+    ph
       .join(deg, Seq("doc_id"), "left")
       .select(col("doc_id") +:
         (0 until nBands).map(b => element_at(col("phash_bands"), b + 1).as(s"b$b")) :+

@@ -189,19 +189,33 @@ object Sketches {
         explode(split(col("text"), TextOps.TokenPattern)).as("word"))
       .filter(col("word") =!= "")
       .groupBy("source").agg(cmUdaf(col("word")).as("sketch"))
+      // the shape travels WITH the sketch: cell hashing depends on
+      // width and row offsets on depth, so a reader guessing the
+      // shape from array length alone (8×512 vs 4×1024 share a
+      // product) would silently mis-decode every cell
+      .withColumn("depth", lit(depth))
+      .withColumn("width", lit(width))
   }
 
   /** Union previously materialized CMS matrices and answer probes
     * from the merged matrix — daily sketches in, any-range frequency
     * out, no rescan. O(buckets·depth·width) driver round-trip.
+    * Every sketch's persisted (depth, width) must equal the requested
+    * shape — a same-length different-shape matrix decodes to garbage,
+    * so it is rejected, not reinterpreted.
     */
   def countMinUnionEstimate(sketches: DataFrame, probes: Seq[String],
                             depth: Int = 4, width: Int = 1024): DataFrame = {
     require(probes.nonEmpty, "need at least one probe word")
     val spark = sketches.sparkSession
     import spark.implicits._
-    val mats = sketches.select(col("sketch")).collect()
-      .map(_.getSeq[Long](0).toArray).toSeq
+    val rows = sketches.select(col("sketch"), col("depth"), col("width")).collect()
+    val mats = rows.map { r =>
+      val (d, w) = (r.getInt(1), r.getInt(2))
+      require(d == depth && w == width,
+        s"sketch shape ${d}x$w does not match requested ${depth}x$width")
+      r.getSeq[Long](0).toArray
+    }.toSeq
     val merged = graft.functions.CountMin.union(mats)
     probes.distinct.sorted
       .map(w => (w, graft.functions.CountMin.estimate(merged, depth, width, w)))

@@ -351,22 +351,41 @@ object EventStreams {
     * closed; the oracle excludes it identically).
     */
   def anomalousHours(spark: SparkSession, dir: String,
-                     minPriorHours: Int = 8): DataFrame = {
+                     minPriorHours: Int = 8): DataFrame =
+    anomalousHours(readEventStream(spark, dir), minPriorHours)
+
+  /** [[anomalousHours]] over an arbitrary event stream (the
+    * multi-batch late-arrival spec drives this directly).
+    */
+  def anomalousHours(events: DataFrame, minPriorHours: Int): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val hourNs = 3600000000000L
 
     def close(t: String, buf: AnomalyBuf): AnomalyOut = {
       val c = buf.curCount
       val n = buf.n
-      val excess = c * n - buf.s1
-      val varN2 = n * buf.s2 - buf.s1 * buf.s1 // n² · σ²
+      // The comparison squares excess and the running sum: at ~1M
+      // events/hour over ~10⁴ hours, s1² and excess² exceed 2⁶³, and
+      // Long would wrap SILENTLY into wrong flags. BigInt makes the
+      // test exact at any scale; the oracle's DuckDB side is already
+      // 128-bit (sum(BIGINT) widens to HUGEINT, and the products
+      // inherit it). The Long STATE fields are fine far beyond that
+      // point (s2 ≤ hours·cnt_max² needs cnt_max ≲ 3·10⁹/hour to
+      // stay in range) — only the derived products needed widening.
+      val excess = BigInt(c) * n - buf.s1
+      val varN2 = BigInt(n) * buf.s2 - BigInt(buf.s1) * buf.s1 // n² · σ²
       val anomalous = n >= minPriorHours && excess > 0 &&
-        excess * excess > 9L * varN2
+        excess * excess > 9 * varN2
       AnomalyOut(t, buf.curHour, c, anomalous)
     }
 
     def updateFn(t: String, hours: Iterator[Long],
                  state: GroupState[AnomalyBuf]): Iterator[AnomalyOut] = {
+      // One micro-batch's hours for this type are buffered and sorted
+      // here — memory bounded by the TRIGGER size, not the stream; the
+      // rate-limited source (Sources.readEventStreamRateLimited) is
+      // the knob that keeps a backfill's batches small enough.
       val sorted = hours.toSeq.sorted
       var out = List.empty[AnomalyOut]
       var buf = state.getOption.orNull
@@ -375,6 +394,15 @@ object EventStreams {
           buf = AnomalyBuf(h, 1L, 0L, 0L, 0L)
         } else if (h == buf.curHour) {
           buf = buf.copy(curCount = buf.curCount + 1L)
+        } else if (h < buf.curHour) {
+          // A late event for an already-closed hour (out-of-order
+          // ACROSS micro-batches — within a batch the sort handles
+          // it). Never rewind curHour: re-closing already-closed
+          // hours would double-count them into the moments and emit
+          // duplicate verdict rows. Dropping keeps the moments and
+          // the emitted flags exactly once per hour; the ordered-
+          // ingest contract makes this a rare straggler, not a data
+          // path.
         } else {
           val closed = close(t, buf)
           out ::= closed
@@ -387,7 +415,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_anom_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = readEventStream(spark, dir)
+    val q = events
       .select(col("event_type").as[String], col("ts_ns").as[Long])
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -416,29 +444,58 @@ object EventStreams {
 
   /** Streaming per-hour top-k leaderboard via flatMapGroupsWithState:
     * the continuously-updating "top event types this hour" board.
-    * State per hour bucket is one counts map over event types —
-    * O(hours-in-horizon × type-cardinality), never the events — and
+    * State per hour bucket is one counts map over event types, and
     * each micro-batch re-emits the hour's current top-k, so the sink
     * always holds a complete board per hour.
+    *
+    * Closed hours RETIRE: the stream carries a 1-hour watermark and
+    * every hour group arms an EventTimeTimeout at its hour end, so
+    * once the watermark passes an hour (no more on-time events can
+    * arrive) the timeout fires and the state is removed — live state
+    * is O(open hours × type-cardinality), not O(all hours ever seen).
+    * The timeout emits nothing: the hour's final board was already
+    * emitted by its last data batch. A straggler later than the
+    * watermark horizon starts a fresh (small-count) board, which the
+    * max-total final-selection below discards — late data degrades to
+    * ignored, never to corrupting a closed board.
     *
     * Finite-source parity (the oracle): the FINAL emission per hour
     * equals the batch hourly top-k exactly. The emission's running
     * total (`h_total`) is monotone in event count, so "final" =
     * max-total per hour — the same last-emission-wins selection the
-    * stateful sessionizer uses. An always-on deployment would use
-    * EventTimeTimeout + a watermark to retire closed hours' state and
-    * emissions instead.
+    * stateful sessionizer uses.
     */
-  def hourlyTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def hourlyTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    hourlyTopK(readEventStream(spark, dir), k)._1
+
+  /** [[hourlyTopK]] over an arbitrary event stream; also returns the
+    * terminated query so callers (the state-retirement spec) can read
+    * its state-store metrics.
+    */
+  def hourlyTopK(events: DataFrame, k: Int):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = events.sparkSession
     import spark.implicits._
     val hourNs = 3600000000000L
+    val hourMs = 3600000L
 
     def updateFn(h: Long, types: Iterator[String],
                  state: GroupState[HourCounts]): Iterator[HourTopOut] = {
+      if (state.hasTimedOut) {
+        // watermark passed the hour end: the final board is already in
+        // the sink — just drop the state
+        state.remove()
+        return Iterator.empty
+      }
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       state.getOption.foreach(_.counts.foreach { case (t, n) => m.update(t, n) })
       types.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
       state.update(HourCounts(m.toMap))
+      // retire when the watermark passes this hour's end; a straggler
+      // re-opening an hour the watermark already passed must arm a
+      // STILL-FUTURE timeout (setTimeoutTimestamp rejects the past)
+      state.setTimeoutTimestamp(
+        math.max((h + 1L) * hourMs, state.getCurrentWatermarkMs() + 1L))
       val total = m.valuesIterator.sum
       m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex.map {
         case ((t, n), i) => HourTopOut(h, t, n, i + 1L, total)
@@ -446,13 +503,15 @@ object EventStreams {
     }
 
     val qname = "graft_stream_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = readEventStream(spark, dir)
-      .select(col("ts_ns").as[Long], col("event_type").as[String])
-      .as[(Long, String)]
-      .groupByKey(_._1 / hourNs)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (h: Long, it: Iterator[(Long, String)], s: GroupState[HourCounts]) =>
-          updateFn(h, it.map(_._2), s))
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long],
+        col("event_type").as[String])
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(_._2 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (h: Long, it: Iterator[(java.sql.Timestamp, Long, String)], s: GroupState[HourCounts]) =>
+          updateFn(h, it.map(_._3), s))
       .writeStream
       .format("memory")
       .queryName(qname)
@@ -462,9 +521,95 @@ object EventStreams {
     q.awaitTermination()
     // keep only each hour's final (max-total) board
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    spark.table(qname)
+    val out = spark.table(qname)
       .withColumn("_max_total", max(col("h_total")).over(w))
       .filter(col("h_total") === col("_max_total"))
       .select(col("h"), col("event_type"), col("n"), col("rk"))
+    (out, q)
+  }
+
+  /** Per-hour count-min state: the depth×width counter matrix plus the
+    * distinct types seen (the probe set — bounded by type cardinality;
+    * the MATRIX is what stays fixed-size as per-type volume grows).
+    */
+  case class CmsBuf(sketch: Array[Long], types: Set[String], n: Long)
+
+  /** One emitted per-hour frequency estimate. */
+  case class CmsOut(h: Long, event_type: String, est: Long, h_total: Long)
+
+  /** Streaming per-hour count-min frequency sketch via
+    * flatMapGroupsWithState — the streaming face of
+    * [[graft.operators.Sketches.countMinBySource]]: state per hour is
+    * ONE depth×width matrix (O(1) in event volume), micro-batches
+    * merge into it by cell-wise increment (the CMS merge is a cell
+    * sum, so cross-batch accumulation is EXACTLY the batch sketch —
+    * no merge error), and each batch re-emits the hour's current
+    * estimates for every type seen so far.
+    *
+    * Determinism end to end: the md5 cell hash has no RNG, so the
+    * final per-hour estimates equal the batch CMS of that hour's
+    * events bit-for-bit, and the DuckDB oracle recomputes the
+    * ESTIMATES themselves (the q_count_min property, now across the
+    * batch/streaming boundary). Final emission per (h, type) = max
+    * h_total, the [[hourlyTopK]] selection.
+    *
+    * Width default 64: event-type cardinality is ~10, so collisions
+    * are possible but rare — and when one happens BOTH engines
+    * reproduce the same overestimate, which is the point.
+    */
+  def hourlyCountMin(spark: SparkSession, dir: String,
+                     depth: Int = 4, width: Int = 64): DataFrame =
+    hourlyCountMin(readEventStream(spark, dir), depth, width)
+
+  /** [[hourlyCountMin]] over an arbitrary event stream (the
+    * multi-batch merge spec drives this directly).
+    */
+  def hourlyCountMin(events: DataFrame, depth: Int, width: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourNs = 3600000000000L
+
+    def updateFn(h: Long, types: Iterator[String],
+                 state: GroupState[CmsBuf]): Iterator[CmsOut] = {
+      val prev = state.getOption.getOrElse(
+        CmsBuf(new Array[Long](depth * width), Set.empty, 0L))
+      val sketch = prev.sketch.clone()
+      var seen = prev.types
+      var n = prev.n
+      types.foreach { t =>
+        var j = 0
+        while (j < depth) {
+          sketch(j * width + graft.functions.CountMin.cell(j, t, width)) += 1L
+          j += 1
+        }
+        seen += t
+        n += 1L
+      }
+      state.update(CmsBuf(sketch, seen, n))
+      seen.toSeq.sorted.map(t =>
+        CmsOut(h, t, graft.functions.CountMin.estimate(sketch, depth, width, t), n)
+      ).iterator
+    }
+
+    val qname = "graft_stream_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = events
+      .select(col("ts_ns").as[Long], col("event_type").as[String])
+      .as[(Long, String)]
+      .groupByKey(_._1 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (h: Long, it: Iterator[(Long, String)], s: GroupState[CmsBuf]) =>
+          updateFn(h, it.map(_._2), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    spark.table(qname)
+      .withColumn("_max_total", max(col("h_total")).over(w))
+      .filter(col("h_total") === col("_max_total"))
+      .select(col("h"), col("event_type"), col("est"), col("h_total"))
   }
 }

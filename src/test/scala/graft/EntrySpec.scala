@@ -25,8 +25,6 @@ class EntrySpec extends AnyFunSuite {
       "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
       "sim_kmeans",   // iterated float means: not bit-reproducible across engines
       "q_approx_distinct_hll", // DataSketches HLL estimate; DuckDB ships a different sketch
-      "dedup_apply_pagerank", // 10-round recursive integer PageRank: deterministic but
-                              // impractical as a DuckDB oracle; spec pins exact equality
       "sim_ann_pq", // PQ codebooks from iterated float k-means (the sim_kmeans
                     // reason); recall spec gates the shipped defaults at >= 0.8
       "sim_ann_ivfpq") // same trained-codebook reason; recall spec >= 0.85

@@ -172,6 +172,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("countMin union rejects a same-length different-shape sketch instead of mis-decoding it") {
+    // 8x512 and 4x1024 share array length 4096 — reading one as the
+    // other scrambles every cell lookup, so the persisted (depth,
+    // width) must match the requested shape
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-shape-").toString
+    Sketches.countMinBySource(docs, depth = 8, width = 512).write.mode("overwrite").parquet(dir)
+    val saved = spark.read.parquet(dir)
+    val err = intercept[Exception] {
+      Sketches.countMinUnionEstimate(saved, Seq("the"), depth = 4, width = 1024).collect()
+    }
+    assert(err.getMessage.contains("8x512"), s"unexpected error: ${err.getMessage}")
+    // and the matching shape still works
+    assert(Sketches.countMinUnionEstimate(saved, Seq("the"), depth = 8, width = 512)
+      .collect().nonEmpty)
+  }
+
   test("countMin matrix is partitioning-invariant") {
     val probes = Seq("the", "batch")
     val a = Sketches.countMinWordFreq(docs, probes).collect().toList

@@ -352,6 +352,154 @@ class StreamingSpec extends AnyFunSuite {
       "constant series never anomalous")
   }
 
+  private def writeEventFile(src: String, name: String, mtime: Long,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("graft-evstage-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(src).mkdirs()
+    val dst = new java.io.File(s"$src/$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    // deterministic file order for maxFilesPerTrigger=1 runs
+    dst.setLastModified(mtime)
+    ()
+  }
+
+  private def eventStreamFrom(src: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventStreams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  test("hourlyTopK retires closed-hour state via EventTimeTimeout; in-horizon straggler still counted") {
+    import org.apache.spark.sql.functions._
+    val hourNs = 3600000000000L
+    val src = java.nio.file.Files.createTempDirectory("graft-topk-retire-").toString + "/ev"
+    var id = 0L
+    // offset from epoch 0: an event AT the initial watermark (0 ms)
+    // would be boundary-dropped by the strict late-row filter
+    val H0 = 100L
+    def mk(h: Long, t: String, n: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { i => id += 1; (id, (H0 + h) * hourNs + i * 1000000L + 1, 1L, t, 0.0, "{}") }
+    // three time-ordered files → three micro-batches (one per trigger)
+    writeEventFile(src, "f1", 1000000L,
+      (0L to 3L).flatMap(h => mk(h, "click", 3) ++ mk(h, "view", 1)))
+    // f2 carries hours 4-7 PLUS a straggler for hour 3 — inside the
+    // 1h watermark horizon at that point, so it must merge into the
+    // still-live hour-3 state, not corrupt or be dropped
+    writeEventFile(src, "f2", 2000000L,
+      (4L to 7L).flatMap(h => mk(h, "click", 3) ++ mk(h, "view", 1)) ++ mk(3L, "view", 3))
+    writeEventFile(src, "f3", 3000000L,
+      (8L to 11L).flatMap(h => mk(h, "click", 3) ++ mk(h, "view", 1)))
+    val (out, q) = EventStreams.hourlyTopK(eventStreamFrom(src), 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin over ALL events incl. the straggler
+    val all = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("n").desc, col("event_type").asc)
+    val batch = all.groupBy(expr("ts_ns div 3600000000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch, "streamed boards must equal the batch twin, straggler included")
+    // hour 3's board includes the straggler views (1 on-time + 3 late = 4 > 3 clicks)
+    assert(got.contains((H0 + 3L, "view", 4L, 1L)), s"straggler not merged: $got")
+    // state retirement: 12 hours flowed through, but closed hours were
+    // timed out — the final batch must hold strictly fewer state rows
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows > 0 && stateRows < 12,
+      s"EventTimeTimeout must retire closed hours: $stateRows state rows for 12 hours")
+  }
+
+  test("stream_count_min: final per-hour estimates == batch CMS of the hour, across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val hourNs = 3600000000000L
+    val src = java.nio.file.Files.createTempDirectory("graft-cms-stream-").toString + "/ev"
+    var id = 0L
+    def mk(h: Long, t: String, n: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { i => id += 1; (id, h * hourNs + i * 1000000L + 1, 1L, t, 0.0, "{}") }
+    // hour 1 spans BOTH files: the state matrix must accumulate
+    // cell-wise across micro-batches into exactly the batch sketch
+    writeEventFile(src, "f1", 1000000L, mk(0L, "click", 5) ++ mk(1L, "view", 2))
+    writeEventFile(src, "f2", 2000000L, mk(1L, "view", 3) ++ mk(1L, "click", 4) ++ mk(2L, "scroll", 1))
+    val got = EventStreams.hourlyCountMin(eventStreamFrom(src), 4, 64).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // expected: batch CMS per hour, computed directly with the same kernel
+    val byHour = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
+      .select(expr("ts_ns div 3600000000000").as("h"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byHour.foreach { case (h, types) =>
+      val sketch = new Array[Long](4 * 64)
+      types.foreach { t =>
+        (0 until 4).foreach(j => sketch(j * 64 + graft.functions.CountMin.cell(j, t, 64)) += 1L)
+      }
+      types.distinct.foreach { t =>
+        val want = graft.functions.CountMin.estimate(sketch, 4, 64, t)
+        assert(got((h, t)) == ((want, types.size.toLong)),
+          s"hour $h type $t: got ${got((h, t))}, want ($want, ${types.size})")
+      }
+    }
+    assert(got.size == byHour.toSeq.map { case (_, ts) => ts.distinct.size }.sum)
+  }
+
+  test("stream_count_min parity on the standard source (the driver's oracle shape)") {
+    val got = EventStreams.hourlyCountMin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val byHour = Tables.events(spark, sf)
+      .selectExpr("ts_ns div 3600000000000 as h", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.nonEmpty)
+    byHour.foreach { case (h, types) =>
+      val sketch = new Array[Long](4 * 64)
+      types.foreach { t =>
+        (0 until 4).foreach(j => sketch(j * 64 + graft.functions.CountMin.cell(j, t, 64)) += 1L)
+      }
+      types.distinct.foreach { t =>
+        assert(got((h, t))._1 == graft.functions.CountMin.estimate(sketch, 4, 64, t))
+        assert(got((h, t))._2 == types.size.toLong)
+      }
+    }
+  }
+
+  test("stream_anomaly never rewinds on a cross-batch late event: no duplicate verdicts, stats intact") {
+    val hourNs = 3600000000000L
+    val base = java.nio.file.Files.createTempDirectory("graft-anom-late-").toString
+    var id = 0L
+    def mk(h: Long, n: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { i => id += 1; (id, h * hourNs + i * 1000L + 1, 1L, "x", 0.0, "{}") }
+    val onTime1 = (0L to 10L).flatMap(h => mk(h, 2))
+    val onTime2 = (11L to 14L).flatMap(h => mk(h, 2))
+    // clean run: both files on time
+    val clean = s"$base/clean"
+    writeEventFile(clean, "f1", 1000000L, onTime1)
+    writeEventFile(clean, "f2", 2000000L, onTime2)
+    val want = EventStreams.anomalousHours(eventStreamFrom(clean), 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // late run: f2 additionally re-delivers an event for hour 3 —
+    // already closed in batch 1; the guard must DROP it instead of
+    // rewinding curHour and re-closing hours 3..10 into the moments
+    val late = s"$base/late"
+    id = 0L
+    writeEventFile(late, "f1", 1000000L, onTime1)
+    writeEventFile(late, "f2", 2000000L, mk(3L, 1) ++ onTime2)
+    val got = EventStreams.anomalousHours(eventStreamFrom(late), 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length,
+      "late event caused duplicate per-hour verdicts")
+    assert(got.sortBy(_._2).toSeq == want.sortBy(_._2).toSeq,
+      "late event corrupted the closed-hour statistics")
+  }
+
   test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
