@@ -127,6 +127,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nearby_clicks"))
     }),
     "q_triangles" -> ((s, dir) => Graph.coPurchaseTriangles(Tables.lineitem(s, dir))),
+    // DOULION edge sampling at p=1/2 (threshold 0x8000 — exactly
+    // representable) ahead of the exact counter: the md5 sample, the
+    // sparsified count AND the ×8 estimate all reproduce in DuckDB,
+    // so even the approximate path is hash-exact; the spec adds a
+    // planted-clique error bound
+    "q_triangles_approx" -> ((s, dir) => Graph.triangleCountApprox(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)))),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -485,6 +492,21 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM deg) AS nodes,
         |       (SELECT count(*) FROM e) AS n_edges,
         |       triangles FROM t""".stripMargin,
+    // The sampled path reproduces end to end: same md5 threshold
+    // predicate, same orientation-free triangle count on the
+    // sparsified edges, same exactly-representable 8.0 scale.
+    "q_triangles_approx" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT u, v FROM e0
+        |      WHERE substr(md5('tri:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '8000'),
+        |t AS (SELECT count(*) AS ts
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM e) AS n_edges_sampled,
+        |       ts AS triangles_sampled,
+        |       CAST(floor(ts * 8.0 + 0.5) AS BIGINT) AS triangles_est FROM t""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

@@ -128,6 +128,49 @@ object Graph {
   def coPurchaseTriangles(lineitem: DataFrame): DataFrame =
     triangleCount(coPurchaseEdges(lineitem))
 
+  /** DOULION-style approximate triangle count (Tsourakakis, Kang &
+    * Faloutsos, KDD 2009 — public algorithm): keep each edge
+    * independently with probability p BEFORE wedge generation, count
+    * exactly on the sparsified graph, scale by 1/p³ (a triangle
+    * survives iff all three edges do). The path for graphs past the
+    * exact-count budget: the wedge self-join's input shrinks by p and
+    * its output by ~p², which is where the O(m^1.5) cost actually
+    * lives, and the sampling predicate is evaluated in the edge scan
+    * stage — nothing about the sparsified run shuffles more than the
+    * exact one.
+    *
+    * Sampling is the repo's seeded content-hash predicate (first 16
+    * bits of md5(salt ‖ u ‖ ":" ‖ v) under a threshold), so the
+    * sample — and therefore the estimate — is deterministic across
+    * runs, partitionings, and engines; `keepPermille` dials p in
+    * 1/1000 steps and the estimator uses the EXACT realized threshold
+    * probability ⌊keepPermille·2¹⁶/1000⌋/2¹⁶, not the nominal one.
+    * The estimator is unbiased; its relative variance shrinks as the
+    * true count grows (Tsourakakis' concentration argument), which is
+    * precisely the regime where sampling is wanted. The spec pins a
+    * planted-clique graph's estimate within 15% and the estimate's
+    * determinism.
+    *
+    * Output: (n_edges_sampled, triangles_sampled, triangles_est).
+    */
+  def triangleCountApprox(edges0: DataFrame, keepPermille: Int = 500,
+                          salt: String = "tri:"): DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"keepPermille in 1..1000, got $keepPermille")
+    val thresh = keepPermille * 65536 / 1000
+    val hex4 = substring(md5(concat(lit(salt), col("u").cast("string"),
+      lit(":"), col("v").cast("string"))), 1, 4)
+    val sampled =
+      if (keepPermille == 1000) edges0
+      else edges0.filter(hex4 < lit(f"$thresh%04x"))
+    val p = if (keepPermille == 1000) 1.0 else thresh.toDouble / 65536.0
+    val inv = 1.0 / (p * p * p)
+    triangleCount(sampled).select(
+      col("n_edges").as("n_edges_sampled"),
+      col("triangles").as("triangles_sampled"),
+      floor(col("triangles") * lit(inv) + lit(0.5)).cast("long").as("triangles_est"))
+  }
+
   /** Wedge-volume diagnostic: how many candidate wedges a NAIVE
     * closure would generate (Σ C(deg, 2) — what a hub makes explode)
     * vs what the degree-ordered orientation generates

@@ -65,6 +65,33 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.wedgeStats(edgeDf(Seq.empty)) === ((0L, 0L)))
   }
 
+  test("approx triangles: planted clique estimated within 15%; estimate deterministic; p=1 degenerates to exact") {
+    // K30 (4060 triangles) + a 200-edge path of triangle-free noise:
+    // a count large enough for the DOULION estimator to concentrate.
+    // The md5 sample is content-hashed, so this "random" outcome is
+    // one fixed number — the assertion can never flake.
+    val clique = for (i <- 1L to 30L; j <- (i + 1) to 30L) yield (i, j)
+    val path = (1000L until 1200L).map(i => (i, i + 1))
+    val df = edgeDf(clique ++ path)
+    val exact = Graph.triangleCount(edgeDf(clique ++ path)).head().getLong(2)
+    assert(exact === 4060L)
+    val est = Graph.triangleCountApprox(df, keepPermille = 500).head()
+    val (sampledE, sampledT, estT) =
+      (est.getLong(0), est.getLong(1), est.getLong(2))
+    assert(sampledE < clique.size + path.size, "sampling must drop edges")
+    assert(estT >= sampledT, "estimate scales the sampled count up")
+    val relErr = math.abs(estT - exact).toDouble / exact
+    info(f"DOULION p=0.5: sampled $sampledT triangles, est $estT vs $exact (err $relErr%.3f)")
+    assert(relErr <= 0.15, s"estimate $estT vs exact $exact: err $relErr")
+    // determinism: same content hash -> bit-identical estimate
+    val again = Graph.triangleCountApprox(df.repartition(7), keepPermille = 500).head()
+    assert((again.getLong(0), again.getLong(1), again.getLong(2)) ===
+      ((sampledE, sampledT, estT)))
+    // keepPermille=1000 keeps every edge: the estimator IS the exact count
+    val full = Graph.triangleCountApprox(df, keepPermille = 1000).head()
+    assert(full.getLong(2) === exact)
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()
