@@ -61,6 +61,8 @@ object SparkEntry {
     "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
+    "q_session_window" -> ((s, dir) => Relational.sessionWindowAgg(Tables.events(s, dir), 30)),
+    "q_scd2" -> ((s, dir) => Relational.scd2Intervals(Tables.events(s, dir))),
     "q_global_topk" -> ((s, dir) => graft.functions.TopK.globalTopK(
       Tables.orders(s, dir), "o_orderkey", "o_totalprice", 100)),
     "q_topk_per_key_agg" -> ((s, dir) => graft.functions.TopK.perKeyTopK(
@@ -238,6 +240,7 @@ object SparkEntry {
     "q_bloom_semi_join" -> ((s, dir) => Sketches.bloomPrunedOrderItems(
       Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_approx_distinct_hll" -> ((s, dir) => Sketches.hllDistinctUsers(Tables.events(s, dir))),
+    "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.documents(s, dir))),
     "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
       Tables.documents(s, dir), Seq("hash", "join", "scan", "graftabsent"))),
     // §2.7 streaming
@@ -536,6 +539,72 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // Native session windows: events exactly gap apart MERGE
+    // (inclusive boundary — same convention as q_sessionize's
+    // diff > gap split test; spec-pinned at the µs knife edge);
+    // µs timestamps (TimestampType resolution), session_end =
+    // last event + gap.
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |gapped AS (
+        |  SELECT user_id, event_id, value, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM flagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, value, tus,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gapped)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // µs, not ns: DuckDB truncates the TIMESTAMP(NANOS) parquet
+    // column to µs on read; equal-µs ordering ties break by event_id
+    // in both engines.
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, tus, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type
+        |    THEN 1 ELSE 0 END AS new_run
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+        |rr AS (
+        |  SELECT user_id, event_type, tus,
+        |    CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |  FROM r),
+        |iv AS (
+        |  SELECT user_id, run_id, min(event_type) AS state,
+        |    min(tus) AS valid_from_us, count(*) AS n_obs
+        |  FROM rr GROUP BY 1, 2)
+        |SELECT user_id, run_id, state, valid_from_us,
+        |  COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id),
+        |           9223372036854775807) AS valid_to_us,
+        |  n_obs
+        |FROM iv""".stripMargin,
+    // The histogram sketch is all-integer (bin = n_chars div width,
+    // est = upper edge of the first bin reaching ceil(q*N/1000)), so
+    // like q_count_min the ESTIMATES are hash-checked, not
+    // tolerance-checked.
+    "q_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT CAST(n_chars AS BIGINT) // 20 AS bin, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |qs(q) AS (VALUES (500), (900), (990))
+        |SELECT qs.q AS q_permille,
+        |  (SELECT min(bin) FROM cum WHERE cum >= (qs.q * n.n + 999) // 1000) * 20 + 20 AS est,
+        |  n.n AS n_total
+        |FROM qs, n""".stripMargin,
     "q_global_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS score, rk FROM (
         |  SELECT o_orderkey, o_totalprice,

@@ -486,6 +486,67 @@ object Relational {
         round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
 
+  /** Gap sessionization via Spark's NATIVE session windows — the
+    * declarative twin of [[sessionize]]'s window-flag form: one
+    * `session_window` grouping, and Catalyst plans the whole
+    * merge-sessions pass (MergingSessionsExec — one shuffle on
+    * user_id, sessions merged in a single sorted sweep, no window
+    * function over each user's full event list). The same construct
+    * is the streaming session aggregation (watermark + append mode),
+    * which the spec drives separately; batch keeps the oracle
+    * hash-exact.
+    *
+    * Boundary semantics (spec-pinned at the µs knife edge and
+    * mirrored in the oracle): windows [ts, ts+gap] merge
+    * INCLUSIVELY, so two events exactly `gap` apart share a session
+    * — the same convention as [[sessionize]]'s `diff > gap` split
+    * test, just on µs values (TimestampType's resolution) instead of
+    * nanos. session_end = last event + gap.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+
+  /** Type-2 slowly-changing dimension build from a change log — the
+    * warehouse dimension-maintenance operator: per user, consecutive
+    * runs of the same observed state (event_type here) collapse into
+    * [valid_from, valid_to) intervals; the current (last) run's
+    * valid_to is encoded as Long.MaxValue (NULL-free for the hash
+    * gate). Two windows over ONE shuffle on user_id (lag → run flag →
+    * prefix-sum run id; AQE reuses the partitioning for the lead),
+    * then a co-partitioned group-by — never a per-user collect.
+    * All-integer micros → hash-exact (µs, not ns: DuckDB truncates a
+    * TIMESTAMP(NANOS) parquet column to its native µs on read, so an
+    * ns-valued oracle column cannot reproduce; ordering ties at equal
+    * µs break by event_id in BOTH engines).
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val tus = expr("ts_ns div 1000")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(tus.asc, col("event_id").asc)
+    val prev = lag(col("event_type"), 1).over(byUser)
+    val runs = events
+      .withColumn("new_run",
+        when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id").asc)
+    runs.groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(tus).as("valid_from_us"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byRun), lit(Long.MaxValue)))
+      .select(col("user_id"), col("run_id"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_obs"))
+  }
+
   /** Ordered funnel (view → click → purchase): per user, the stage
     * reached with strict event-time ordering — a click only counts
     * AFTER the first view, a purchase only after that first qualifying

@@ -197,6 +197,68 @@ object Sketches {
       .withColumn("width", lit(width))
   }
 
+  /** Equi-width histogram sketch per source over an integer column —
+    * [[countMinBySource]]'s quantile twin: bin = value div binWidth,
+    * one count per non-empty bin, state O(range/binWidth) regardless
+    * of row count, and the merge is a cell-wise SUM — exact, so
+    * per-bucket histograms answer quantile questions over ANY bucket
+    * union later (error ≤ binWidth, no rescan). Exact quantiles
+    * fundamentally don't merge (a median of medians is not the
+    * median); a bounded-bin histogram is the deterministic mergeable
+    * form — and being all-integer, its estimates reproduce in SQL, so
+    * the query is hash-checked like the CMS (t-digest/KLL would give
+    * tighter tails but float, RNG-dependent estimates).
+    */
+  def histogramBySource(documents: DataFrame, valueCol: String = "n_chars",
+                        binWidth: Long = 20L): DataFrame = {
+    require(binWidth >= 1, s"binWidth >= 1, got $binWidth")
+    documents
+      .groupBy(col("source"),
+        expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bin_width", lit(binWidth))
+  }
+
+  /** Merge per-source histograms and answer permille quantiles from
+    * the merged bins: est(q) = upper edge of the first bin whose
+    * cumulative count reaches ⌈q·N/1000⌉ — an overestimate by less
+    * than binWidth. O(bins) driver round-trip, like the CMS matrix;
+    * every sketch's persisted bin_width must match (the CMS shape
+    * lesson).
+    */
+  def histogramQuantiles(histograms: DataFrame, qPermille: Seq[Int] = Seq(500, 900, 990),
+                         binWidth: Long = 20L): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles in 1..1000 permille")
+    val spark = histograms.sparkSession
+    import spark.implicits._
+    val rows = histograms.select(col("bin"), col("c"), col("bin_width")).collect()
+    rows.foreach(r => require(r.getLong(2) == binWidth,
+      s"sketch bin_width ${r.getLong(2)} does not match requested $binWidth"))
+    val bins = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sum)
+      .toSeq.sortBy(_._1)
+    val n = bins.map(_._2).sum
+    val cum = bins.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (bin, c)) => (bin, acc + c)
+    }.tail
+    qPermille.distinct.sorted.map { q =>
+      val rank = (q.toLong * n + 999L) / 1000L
+      val est = cum.find(_._2 >= rank).map { case (bin, _) => (bin + 1) * binWidth }
+        .getOrElse(0L)
+      (q, est, n)
+    }.toDF("q_permille", "est", "n_total")
+  }
+
+  /** End-to-end quantile-sketch query (the `q_quantile_sketch`
+    * entry): per-source histograms → exact union → permille
+    * estimates.
+    */
+  def quantileSketch(documents: DataFrame, valueCol: String = "n_chars",
+                     binWidth: Long = 20L,
+                     qPermille: Seq[Int] = Seq(500, 900, 990)): DataFrame =
+    histogramQuantiles(histogramBySource(documents, valueCol, binWidth),
+      qPermille, binWidth)
+
   /** Union previously materialized CMS matrices and answer probes
     * from the merged matrix — daily sketches in, any-range frequency
     * out, no rescan. O(buckets·depth·width) driver round-trip.

@@ -204,6 +204,58 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("native session windows: events exactly gap apart MERGE, one microsecond more splits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapUs = 1800000000L // 30 min
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, gapUs, 1.0),          // exactly gap -> inclusive merge
+      (2L, 0L, 1.0), (2L, gapUs + 1L, 1.0),     // gap + 1us -> two sessions
+      (3L, 0L, 1.0), (3L, 10L, 1.0), (3L, 20L, 1.0)) // trivially one
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us") + 1000000000000000L))
+    val got = Relational.sessionWindowAgg(df, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byUser === Map(1L -> 1, 2L -> 2, 3L -> 1),
+      s"boundary semantics drifted: $got")
+    // session_end = last event + gap; start = first event
+    val u3 = got.filter(_._1 == 3L).head
+    assert(u3._2 == 1000000000000000L && u3._3 == 1000000000000020L + gapUs)
+    assert(u3._4 == 3L)
+  }
+
+  test("scd2 intervals: runs collapse, intervals abut exactly, last run open") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10000L, 1L, "a"), (2L, 20000L, 1L, "a"), (3L, 50000L, 1L, "b"),
+      (4L, 90000L, 1L, "a"),
+      (5L, 10000L, 2L, "x"))
+      .toDF("event_id", "ts_ns", "user_id", "event_type")
+    val got = Relational.scd2Intervals(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      (1L, 1L, "a", 10L, 50L, 2L),
+      (1L, 2L, "b", 50L, 90L, 1L),
+      (1L, 3L, "a", 90L, Long.MaxValue, 1L),
+      (2L, 1L, "x", 10L, Long.MaxValue, 1L)))
+  }
+
+  test("scd2 on real events: intervals tile each user's timeline with no gaps or overlaps") {
+    val iv = Relational.scd2Intervals(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(iv.nonEmpty)
+    iv.groupBy(_._1).foreach { case (_, runs) =>
+      val sorted = runs.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 == b._3, "consecutive intervals must abut exactly")
+      }
+      assert(sorted.last._4 == Long.MaxValue, "last run open")
+      sorted.foreach(r => assert(r._3 < r._4))
+    }
+  }
+
   test("skewProfile surfaces a planted hot key with exact ppm share") {
     import spark.implicits._
     // 900 rows of key 7, 10 each of keys 1..10 => total 1000

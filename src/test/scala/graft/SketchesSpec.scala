@@ -188,6 +188,32 @@ class SketchesSpec extends AnyFunSuite {
       .collect().nonEmpty)
   }
 
+  test("histogram quantile sketch: per-source bins union exactly; estimates bound the true quantile by one bin") {
+    val docs2 = docs
+    val whole = Sketches.quantileSketch(docs2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    // union path: persist per-source sketches, merge from parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-").toString
+    Sketches.histogramBySource(docs2).write.mode("overwrite").parquet(dir)
+    val merged = Sketches.histogramQuantiles(spark.read.parquet(dir)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(merged === whole, "bucket histograms must merge losslessly")
+    // true-quantile bound: v(q) < est <= v(q) + binWidth
+    val values = docs2.select(org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(_.getLong(0)).sorted
+    whole.foreach { case (q, est, n) =>
+      assert(n == values.length.toLong)
+      val rank = ((q.toLong * n + 999L) / 1000L).toInt
+      val v = values(rank - 1)
+      assert(v < est && est - v <= 20L, s"q=$q est=$est true=$v")
+    }
+    // shape guard: mismatched bin width is rejected, not reinterpreted
+    val err = intercept[Exception] {
+      Sketches.histogramQuantiles(spark.read.parquet(dir), binWidth = 50L).collect()
+    }
+    assert(err.getMessage.contains("bin_width"))
+  }
+
   test("countMin matrix is partitioning-invariant") {
     val probes = Seq("the", "batch")
     val a = Sketches.countMinWordFreq(docs, probes).collect().toList

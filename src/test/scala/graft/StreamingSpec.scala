@@ -109,6 +109,41 @@ class StreamingSpec extends AnyFunSuite {
       s"only windows inside the watermark horizon may be held: $held")
   }
 
+  test("streaming NATIVE session windows (append) emit exactly the watermark-closed sessions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val qname = "graft_stream_sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.readEventStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Relational.sessionWindowAgg(Tables.events(spark, sf), 30)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(emitted.nonEmpty)
+    // every emitted session is final: identical to the batch session
+    emitted.foreach { case (k, n) =>
+      assert(batch(k)._2 == n, s"session $k emitted non-final count")
+    }
+    // the held-back tail is exactly the sessions the final watermark
+    // had not closed (session end inside the last hour of event time)
+    val maxEndUs = batch.values.map(_._1).max
+    val held = batch.keySet -- emitted.keySet
+    assert(held.nonEmpty, "an open tail must exist on a finite source")
+    held.foreach { k =>
+      assert(batch(k)._1 >= maxEndUs - 3600000000L - 1800000000L,
+        s"session $k held back but outside the watermark horizon")
+    }
+  }
+
   test("stateful sessionization == batch sessionize") {
     val streamed = EventStreams.sessionizeStateful(spark, sf, 30).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
