@@ -174,4 +174,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_quantity") && !p.contains("l_orderkey"),
       "only the two interleaved key columns may be read")
   }
+
+  test("sim_ann_ivfpq: candidate join is an equality join on the cell id — no cross product over codes") {
+    val p = plan("sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), "IVFPQ plans a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), "probe table must broadcast against the cell key")
+  }
+
+  // FormattedMode prints node headers as "(n) Exchange" with the
+  // partitioning on a separate Arguments line — count shuffle nodes
+  // by header (BroadcastExchange intentionally excluded).
+  private def shuffleCount(p: String): Int =
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+
+  test("q_session_window: native merging-sessions pass, one shuffle on user_id") {
+    val p = plan("q_session_window")
+    assert(p.contains("MergingSessions") || p.contains("UpdatingSession"),
+      "native session-window operator expected in the plan")
+    assert(shuffleCount(p) == 1,
+      s"session merge must be one user_id shuffle:\n$p")
+  }
+
+  test("q_scd2: both windows and the group-by reuse ONE user_id shuffle") {
+    val p = plan("q_scd2")
+    assert(shuffleCount(p) == 1,
+      s"lag/run-id/group/lead must share one user_id partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_quantile_sketch: histogram is one partial-agg shuffle on (source, bin)") {
+    // the estimate step is an O(bins) driver fold; the distributed
+    // part must be a single map-side-combined aggregation
+    val h = graft.operators.Sketches.histogramBySource(Tables.documents(spark, sf))
+      .queryExecution.explainString(FormattedMode)
+    assert(h.contains("partial_count"), "map-side partial aggregation")
+    assert(shuffleCount(h) == 1, s"histogram must be exactly one shuffle:\n$h")
+  }
+
+  test("q_triangles_approx: sparsified counting keeps the exact counter's join shapes") {
+    // the md5 sample predicate runs when the edge list materializes
+    // (inside triangleCount's localCheckpoint), so the final plan is
+    // the exact counter's over fewer edges: equality joins only, the
+    // closure probing a broadcast — and never a cartesian product
+    // (the one BroadcastNestedLoopJoin is the 1-row summary
+    // crossJoin-of-scalars, as in q_triangles)
+    val p = plan("q_triangles_approx")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "wedge closure must probe a broadcast")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "wedge generation is a co-partitioned equality self-join")
+  }
 }
