@@ -248,6 +248,7 @@ object SparkEntry {
     "stream_hourly_topk" -> ((s, dir) => graft.streaming.EventStreams.hourlyTopK(s, dir, 3)),
     "stream_anomaly" -> ((s, dir) => graft.streaming.EventStreams.anomalousHours(s, dir, 8)),
     "stream_count_min" -> ((s, dir) => graft.streaming.EventStreams.hourlyCountMin(s, dir)),
+    "stream_quantile" -> ((s, dir) => graft.streaming.EventStreams.hourlyQuantile(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
@@ -1292,6 +1293,23 @@ object SparkEntry {
         |n AS (SELECT h, count(*) AS h_total FROM e GROUP BY 1)
         |SELECT est.h, est.event_type, est.est AS est, n.h_total
         |FROM est JOIN n USING (h)""".stripMargin,
+    // Streaming per-hour histogram quantiles: binWidth 1.0 (exactly
+    // representable, so floor(value) is the identical IEEE op in
+    // both engines), bins clamped to [0, 4095], estimates all-integer
+    // — reproduced exactly across the batch/streaming boundary.
+    "stream_quantile" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    LEAST(GREATEST(CAST(floor(value) AS BIGINT), 0), 4095) AS bin
+        |  FROM events),
+        |hb AS (SELECT h, bin, count(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT h, bin, sum(c) OVER (PARTITION BY h ORDER BY bin) AS cum FROM hb),
+        |n AS (SELECT h, count(*) AS n FROM e GROUP BY 1),
+        |qs(q) AS (VALUES (500), (900), (990))
+        |SELECT n.h, qs.q AS q_permille,
+        |  (SELECT min(bin) FROM cum WHERE cum.h = n.h AND cum.cum >= (qs.q * n.n + 999) // 1000) + 1 AS est,
+        |  n.n AS h_total
+        |FROM n, qs""".stripMargin,
     // Finite-source parity: the stream's final per-hour leaderboard
     // equals the batch hourly top-k (ties broken by event_type asc
     // in both the state emitter and this window).

@@ -528,6 +528,90 @@ object EventStreams {
     (out, q)
   }
 
+  /** Per-hour histogram state for streaming quantiles: a sparse
+    * bin→count map, bins clamped to [0, maxBin] so state per hour is
+    * bounded by the bin range, never event volume.
+    */
+  case class QuantileBuf(bins: Map[Long, Long], n: Long)
+
+  /** One emitted per-hour quantile estimate. */
+  case class QuantileOut(h: Long, q_permille: Int, est: Long, h_total: Long)
+
+  /** Streaming per-hour quantiles via flatMapGroupsWithState — the
+    * streaming face of [[graft.operators.Sketches.quantileSketch]]
+    * (row 49's histogram pattern, carried by the [[hourlyCountMin]]
+    * state shape): per hour ONE clamped equi-width histogram
+    * (binWidth 1.0 — an exactly-representable power of two keeps the
+    * float division bit-identical across engines; bins clamped to
+    * [0, maxBin]), micro-batches merge by cell-wise sum (exact), and
+    * each batch re-emits the hour's current permille estimates:
+    * est(q) = upper edge of the first bin whose cumulative count
+    * reaches ⌈q·n/1000⌉.
+    *
+    * All-integer estimates over a deterministic binning → the DuckDB
+    * oracle reproduces them exactly across the batch/streaming
+    * boundary, the [[hourlyCountMin]] property for quantiles. Exact
+    * streaming quantiles would need every value in state; the
+    * histogram is the bounded-state form with error ≤ binWidth.
+    */
+  def hourlyQuantile(spark: SparkSession, dir: String,
+                     qPermille: Seq[Int] = Seq(500, 900, 990),
+                     maxBin: Long = 4095L): DataFrame =
+    hourlyQuantile(readEventStream(spark, dir), qPermille, maxBin)
+
+  /** [[hourlyQuantile]] over an arbitrary event stream (the
+    * multi-batch merge spec drives this directly).
+    */
+  def hourlyQuantile(events: DataFrame, qPermille: Seq[Int],
+                     maxBin: Long): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourNs = 3600000000000L
+    val qs = qPermille.distinct.sorted
+
+    def updateFn(h: Long, bins: Iterator[Long],
+                 state: GroupState[QuantileBuf]): Iterator[QuantileOut] = {
+      val prev = state.getOption.getOrElse(QuantileBuf(Map.empty, 0L))
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      prev.bins.foreach { case (b, c) => m.update(b, c) }
+      var n = prev.n
+      bins.foreach { b => m.update(b, m.getOrElse(b, 0L) + 1L); n += 1L }
+      state.update(QuantileBuf(m.toMap, n))
+      val sorted = m.toSeq.sortBy(_._1)
+      val cum = sorted.scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (b, c)) => (b, acc + c)
+      }.tail
+      qs.map { q =>
+        val rank = (q.toLong * n + 999L) / 1000L
+        val est = cum.find(_._2 >= rank).map(_._1 + 1L).getOrElse(0L)
+        QuantileOut(h, q, est, n)
+      }.iterator
+    }
+
+    val qname = "graft_stream_qtl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val binCol = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(maxBin))
+    val q = events
+      .select(col("ts_ns").as[Long], binCol.as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (h: Long, it: Iterator[(Long, Long)], s: GroupState[QuantileBuf]) =>
+          updateFn(h, it.map(_._2), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    spark.table(qname)
+      .withColumn("_max_total", max(col("h_total")).over(w))
+      .filter(col("h_total") === col("_max_total"))
+      .select(col("h"), col("q_permille"), col("est"), col("h_total"))
+  }
+
   /** Per-hour count-min state: the depth×width counter matrix plus the
     * distinct types seen (the probe set — bounded by type cardinality;
     * the MATRIX is what stays fixed-size as per-type volume grows).

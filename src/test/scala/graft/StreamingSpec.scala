@@ -506,6 +506,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_quantile: final per-hour estimates == batch histogram quantiles, across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val hourNs = 3600000000000L
+    val src = java.nio.file.Files.createTempDirectory("graft-qtl-stream-").toString + "/ev"
+    var id = 0L
+    def mk(h: Long, values: Seq[Double]): Seq[(Long, Long, Long, String, Double, String)] =
+      values.zipWithIndex.map { case (v, i) =>
+        id += 1; (id, h * hourNs + i * 1000000L + 1, 1L, "x", v, "{}")
+      }
+    // hour 1 spans both files; values straddle bin edges on purpose
+    writeEventFile(src, "f1", 1000000L,
+      mk(0L, Seq(1.5, 2.5, 3.5, 100.0)) ++ mk(1L, Seq(10.0, 10.9)))
+    writeEventFile(src, "f2", 2000000L,
+      mk(1L, Seq(11.0, 12.3, 9999.0, -3.0)) ++ mk(2L, Seq(0.0)))
+    val got = EventStreams.hourlyQuantile(eventStreamFrom(src), Seq(500, 900, 990), 4095L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // batch twin computed directly: clamped floor bins, ceil-rank walk
+    val byHour = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
+      .select(expr("ts_ns div 3600000000000").as("h"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byHour.foreach { case (h, values) =>
+      val bins = values.map(v => math.min(math.max(math.floor(v).toLong, 0L), 4095L))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val n = values.size.toLong
+      val cum = bins.scanLeft((Long.MinValue, 0L)) { case ((_, a), (b, c)) => (b, a + c) }.tail
+      for (q <- Seq(500, 900, 990)) {
+        val rank = (q.toLong * n + 999L) / 1000L
+        val want = cum.find(_._2 >= rank).map(_._1 + 1L).get
+        assert(got((h, q)) == ((want, n)), s"hour $h q=$q: got ${got((h, q))}, want ($want, $n)")
+      }
+    }
+    assert(got.size == byHour.size * 3)
+  }
+
   test("stream_anomaly never rewinds on a cross-batch late event: no duplicate verdicts, stats intact") {
     val hourNs = 3600000000000L
     val base = java.nio.file.Files.createTempDirectory("graft-anom-late-").toString
