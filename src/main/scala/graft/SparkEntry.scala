@@ -129,6 +129,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nearby_clicks"))
     }),
     "q_triangles" -> ((s, dir) => Graph.coPurchaseTriangles(Tables.lineitem(s, dir))),
+    // Peeling at k=70 erodes the co-purchase graph's low-degree tail
+    // (29 of 2000 parts cascade out at sf0.01) — the community-core
+    // primitive; 8 unrolled rounds in the oracle, identical by
+    // construction whether or not the cascade converges in budget
+    "q_kcore" -> ((s, dir) => Graph.kCore(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 70, 8)),
     // DOULION edge sampling at p=1/2 (threshold 0x8000 — exactly
     // representable) ahead of the exact counter: the md5 sample, the
     // sparsified count AND the ×8 estimate all reproduce in DuckDB,
@@ -304,6 +310,24 @@ object SparkEntry {
        |  FROM edges e JOIN pr${i - 1} p ON e.a = p.doc_id
        |  JOIN deg d ON d.doc_id = e.a
        |  GROUP BY e.b)""".stripMargin
+  }.mkString(",\n")
+
+  /** 8 unrolled k-core peel rounds (k=70) as chained CTEs — the
+    * PagerankRoundCtes pattern: each round recomputes degrees over
+    * the surviving edges and drops sub-k nodes. Rounds past the
+    * fixpoint are no-ops, so this matches the Spark peeler exactly
+    * whether or not the cascade converges within the budget.
+    */
+  private val KcoreRoundCtes: String = (1 to 8).map { i =>
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    // round references its predecessor 3 times — un-materialized, the
+    // 8-round chain re-plans e0 O(3^8) times (observed as a
+    // too-many-open-files explosion on the lineitem scan)
+    s"""d$i AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+       |  SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY n),
+       |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 70),
+       |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+       |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))""".stripMargin
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
@@ -496,6 +520,14 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM deg) AS nodes,
         |       (SELECT count(*) FROM e) AS n_edges,
         |       triangles FROM t""".stripMargin,
+    "q_kcore" ->
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |$KcoreRoundCtes
+        |SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+        |GROUP BY node""".stripMargin,
     // The sampled path reproduces end to end: same md5 threshold
     // predicate, same orientation-free triangle count on the
     // sparsified edges, same exactly-representable 8.0 scale.

@@ -171,6 +171,51 @@ object Graph {
       floor(col("triangles") * lit(inv) + lit(0.5)).cast("long").as("triangles_est"))
   }
 
+  /** k-core subgraph via iterative peeling (Seidman 1983; the
+    * Batagelj-Zaveršnik distributed form — public algorithms): each
+    * round drops every node whose degree in the CURRENT subgraph is
+    * < k, until fixpoint — the standard community-mining /
+    * graph-cleaning primitive (the k-core is the maximal subgraph
+    * where everyone keeps ≥ k neighbors; peeling cascades: losing a
+    * low-degree neighbor can drag a node below k next round).
+    *
+    * Runs a FIXED `rounds` budget with an early fixpoint exit: once
+    * converged, further peels are no-ops, so fixed-round execution ≡
+    * fixpoint whenever convergence lands inside the budget — and the
+    * SQL oracle unrolls the SAME rounds, so the hash gate holds even
+    * mid-cascade (both engines truncate identically). The spec pins
+    * round-budget invariance on planted graphs.
+    *
+    * Round cost: one degree aggregate + two LEFT SEMI joins, all
+    * keyed on node id — the CC-round shape; `localCheckpoint` per
+    * round truncates the iterative lineage (the §2.3 row 26b
+    * lesson), and the eager checkpoint's count doubles as the free
+    * fixpoint probe. Output: (node, deg) over the surviving
+    * subgraph.
+    */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    var edges = edges0.localCheckpoint(true)
+    var prev = edges.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      edges = edges
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val c = edges.count()
+      converged = c == prev
+      prev = c
+      r += 1
+    }
+    edges.select(col("u").as("node")).unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Wedge-volume diagnostic: how many candidate wedges a NAIVE
     * closure would generate (Σ C(deg, 2) — what a hub makes explode)
     * vs what the degree-ordered orientation generates

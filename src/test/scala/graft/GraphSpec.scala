@@ -92,6 +92,31 @@ class GraphSpec extends AnyFunSuite {
     assert(full.getLong(2) === exact)
   }
 
+  test("kCore: clique survives, tail peels, cascades complete, round budget is invariant past fixpoint") {
+    // 6-clique (every node has degree 5 inside it) with a pendant
+    // path 100-101-102 hanging off node 1
+    val clique = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val graph = clique ++ Seq((1L, 100L), (100L, 101L), (101L, 102L))
+    def core(k: Int, rounds: Int) =
+      Graph.kCore(edgeDf(graph), k, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=3: the path peels off (degree 1-2), the clique stays whole;
+    // node 1 loses its pendant edge so all six end at degree 5
+    assert(core(3, 8) === (1L to 6L).map(_ -> 5L).toMap)
+    // k=6 exceeds the clique's internal degree: the whole graph
+    // cascades away
+    assert(core(6, 8) === Map.empty)
+    // budget invariance: extra rounds after the fixpoint are no-ops
+    assert(core(3, 2) === core(3, 8))
+    // chain cascade needs one round PER NODE: a path of length 5 at
+    // k=2 erodes end-in; an undersized budget leaves a partial
+    // (non-fixpoint) subgraph and a sufficient one empties it —
+    // exactly the truncation the unrolled oracle mirrors
+    val path = (0L until 6L).map(i => (i, i + 1))
+    assert(Graph.kCore(edgeDf(path), 2, 8).count() === 0L)
+    assert(Graph.kCore(edgeDf(path), 2, 2).count() > 0L)
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()
