@@ -31,6 +31,12 @@ object SparkEntry {
   private def pqIndexFor(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
     pqBooks.getOrElseUpdate(dir,
       Similarity.pqTrain(Tables.embeddings(s, dir), m = 16, ksub = 16, iters = 3))
+  private val pqResidualBooks =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
+  private def pqResidualIndexFor(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
+    pqResidualBooks.getOrElseUpdate(dir,
+      Similarity.pqTrainResidual(Tables.embeddings(s, dir), nCells = 16, m = 16,
+        ksub = 16, iters = 3))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 MapReduce core applications
@@ -210,6 +216,8 @@ object SparkEntry {
       Tables.embeddings(s, dir), index = Some(pqIndexFor(s, dir)))),
     "sim_ann_ivfpq" -> ((s, dir) => Similarity.annTopKIvfPq(
       Tables.embeddings(s, dir), index = Some(pqIndexFor(s, dir)))),
+    "sim_ann_ivfpq_res" -> ((s, dir) => Similarity.annTopKIvfPqResidual(
+      Tables.embeddings(s, dir), index = Some(pqResidualIndexFor(s, dir)))),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),

@@ -569,16 +569,34 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("score").as("cosine_pq"), col("rk"))
   }
 
-  /** ADC approximate cosine from columns (codes, dtbl, ntbl):
-    * Σ_s dtbl[s·ksub + code_s] / √(Σ_s ntbl[s·ksub + code_s]) — m
-    * lookups per table, stride from the trained books.
+  /** Code-indexed table fold: Σ_s tbl[s·ksub + code_s] — m lookups,
+    * stride from the trained books. The ADC primitive every PQ score
+    * is assembled from.
     */
-  private def adcCosine(mEff: Int, kEff: Int): Column = {
-    def tbl(name: String) = expr(
-      s"""aggregate(sequence(0, ${mEff - 1}), CAST(0.0 AS DOUBLE),
-         |  (acc, s) -> acc + element_at($name, CAST(s * $kEff + element_at(codes, s + 1) + 1 AS INT)))
-         |""".stripMargin.replaceAll("\n", " "))
-    tbl("dtbl") / sqrt(greatest(tbl("ntbl"), lit(1e-12)))
+  private def adcLookup(name: String, mEff: Int, kEff: Int): Column = expr(
+    s"""aggregate(sequence(0, ${mEff - 1}), CAST(0.0 AS DOUBLE),
+       |  (acc, s) -> acc + element_at($name, CAST(s * $kEff + element_at(codes, s + 1) + 1 AS INT)))
+       |""".stripMargin.replaceAll("\n", " "))
+
+  /** ADC approximate cosine from columns (codes, dtbl, ntbl):
+    * Σ_s dtbl[s·ksub + code_s] / √(Σ_s ntbl[s·ksub + code_s]).
+    */
+  private def adcCosine(mEff: Int, kEff: Int): Column =
+    adcLookup("dtbl", mEff, kEff) /
+      sqrt(greatest(adcLookup("ntbl", mEff, kEff), lit(1e-12)))
+
+  /** Driver-side cosine between two collected vectors, with the same
+    * zero guards as the codegen kernel — used only for the tiny
+    * (queries × nCells) probe assignment.
+    */
+  private def cosineTo(q: Seq[Float], c: Seq[Float]): Double = {
+    var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+    val n = math.min(q.length, c.length)
+    while (i < n) {
+      dot += q(i).toDouble * c(i); nq += q(i).toDouble * q(i); nc += c(i).toDouble * c(i)
+      i += 1
+    }
+    if (nq == 0 || nc == 0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nc))
   }
 
   /** Per-query dot-product lookup tables against `books`, flattened
@@ -667,12 +685,6 @@ object Similarity {
     val corpus = ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
       .select(col("vec_id"), col("cell"), pqCodes(col("embedding"), books).as("codes"))
     // driver-side probe assignment + ADC tables for the tiny query set
-    def cosineTo(q: Seq[Float], c: Seq[Float]): Double = {
-      var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
-      val n = math.min(q.length, c.length)
-      while (i < n) { dot += q(i).toDouble * c(i); nq += q(i).toDouble * q(i); nc += c(i).toDouble * c(i); i += 1 }
-      if (nq == 0 || nc == 0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nc))
-    }
     val qTables = queryDotTables(embeddings, numQueries, books)
     val qEmb = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -720,6 +732,113 @@ object Similarity {
                       sampleFraction: Double = 1.0): DataFrame = {
     val short = annTopKPq(embeddings, numQueries, k * shortlistFactor, m, ksub, iters,
         index, sampleFraction)
+      .select(col("query_id"), col("corpus_id"))
+    rerankExact(embeddings, short, numQueries, k)
+  }
+
+  /** (vec_id, cell, residual) — each vector minus its nearest coarse
+    * centroid: one zero-shuffle cell assignment + one broadcast join
+    * against the seed table. Residuals are what IVFPQ actually
+    * quantizes: they concentrate around 0 much tighter than raw
+    * vectors (the coarse quantizer has already explained the
+    * between-cell variance), so the same m·ksub codebook budget buys
+    * a finer reconstruction.
+    */
+  def residuals(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val seeds = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
+    ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
+      .join(broadcast(seeds), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cell_emb"), (a, b) => a - b).as("residual"))
+  }
+
+  /** Train PQ codebooks on RESIDUALS (assign first, subtract, then
+    * Lloyd per subspace) — the codebook half of FAISS's
+    * IVFPQ-with-residuals.
+    */
+  def pqTrainResidual(embeddings: DataFrame, nCells: Int = 16, m: Int = 16,
+                      ksub: Int = 16, iters: Int = 3,
+                      sampleFraction: Double = 1.0): Seq[Seq[Seq[Float]]] =
+    pqTrain(
+      residuals(embeddings, nCells).select(col("vec_id"), col("residual").as("embedding")),
+      m, ksub, iters, sampleFraction)
+
+  /** IVFPQ on residuals — the COMPLETE FAISS IVFPQ form (Jégou TPAMI
+    * 2011 §V.A): corpus rows store codes of (x − c_cell); a query's
+    * ADC score in a probed cell decomposes exactly as
+    *   q·recon = q·c  +  Σ_s dtbl[code_s]          (dtbl vs residual books)
+    *   ‖recon‖² = ‖c‖² + 2·Σ_s xtbl_c[code_s] + Σ_s ntbl[code_s]
+    * where xtbl_c (the cell↔sub-centroid cross terms, nCells·m·ksub
+    * doubles — 32 KB at 16×16×16) rides the broadcast probe table
+    * row-wise and ntbl is one plan literal. The scan still reads only
+    * (cell, codes); everything query- or cell-dependent is
+    * precomputed on the driver from O(nCells·dim + m·ksub·dsub)
+    * state. Candidate volume identical to [[annTopKIvfPq]]; the only
+    * change is WHAT the codes reconstruct — which is why residual
+    * recall dominates at the same dials (spec measures both).
+    */
+  def annTopKIvfPqResidual(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                           nCells: Int = 16, probes: Int = 4,
+                           m: Int = 16, ksub: Int = 16, iters: Int = 3,
+                           shortlistFactor: Int = 5,
+                           index: Option[Seq[Seq[Seq[Float]]]] = None,
+                           sampleFraction: Double = 1.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = index.getOrElse(
+      pqTrainResidual(embeddings, nCells, m, ksub, iters, sampleFraction))
+    val seedRows = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    if (books.isEmpty || seedRows.isEmpty) {
+      return embeddings.select(col("vec_id").as("query_id"),
+        col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rk")).limit(0)
+    }
+    val mEff = books.size
+    val kEff = books.head.size
+    val dsub = books.head.head.size
+    val corpus = residuals(embeddings, nCells)
+      .select(col("vec_id"), col("cell"), pqCodes(col("residual"), books).as("codes"))
+    val resNormTable: Seq[Double] = books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
+    val seedMap = seedRows.toMap
+    val xtbls: Map[Long, Seq[Double]] = seedRows.map { case (cell, ce) =>
+      cell -> books.zipWithIndex.flatMap { case (book, s) =>
+        val cs = ce.slice(s * dsub, s * dsub + dsub)
+        book.map(cb => cs.zip(cb).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      }.toSeq
+    }.toMap
+    val cnorms: Map[Long, Double] =
+      seedRows.map { case (cell, ce) => cell -> ce.map(x => x.toDouble * x).sum }.toMap
+    val qEmb = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toMap
+    val qTables = queryDotTables(
+      embeddings.select(col("vec_id"), col("embedding")), numQueries, books)
+    val probeRows = qTables.flatMap { case (qid, dtbl) =>
+      seedRows.map { case (cell, ce) => (cosineTo(qEmb(qid), ce), cell) }
+        .sortBy { case (c, cell) => (-c, cell) }
+        .take(probes)
+        .map { case (_, cell) =>
+          val qc = qEmb(qid).zip(seedMap(cell))
+            .map { case (a, b) => a.toDouble * b.toDouble }.sum
+          (qid, cell, dtbl, qc, xtbls(cell), cnorms(cell))
+        }
+    }
+    val scored = corpus
+      .join(broadcast(probeRows.toDF("query_id", "cell", "dtbl", "qc", "xtbl", "cnorm")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("ntbl", typedlit(resNormTable))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        ((col("qc") + adcLookup("dtbl", mEff, kEff)) /
+          sqrt(greatest(
+            col("cnorm") + lit(2.0) * adcLookup("xtbl", mEff, kEff) +
+              adcLookup("ntbl", mEff, kEff),
+            lit(1e-12)))).as("cosine_pq"))
+    val short = graft.functions.TopK.perKeyTopK(scored, "query_id", "corpus_id",
+        "cosine_pq", k * shortlistFactor, roundScale = 6)
       .select(col("query_id"), col("corpus_id"))
     rerankExact(embeddings, short, numQueries, k)
   }

@@ -27,7 +27,8 @@ class EntrySpec extends AnyFunSuite {
       "q_approx_distinct_hll", // DataSketches HLL estimate; DuckDB ships a different sketch
       "sim_ann_pq", // PQ codebooks from iterated float k-means (the sim_kmeans
                     // reason); recall spec gates the shipped defaults at >= 0.8
-      "sim_ann_ivfpq") // same trained-codebook reason; recall spec >= 0.85
+      "sim_ann_ivfpq",   // same trained-codebook reason; recall spec >= 0.85
+      "sim_ann_ivfpq_res") // residual variant; recall spec >= plain IVFPQ
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }

@@ -322,4 +322,28 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(ivfReach), "IVFPQ candidates must respect the probed-cell bound")
   }
+
+  test("residual IVFPQ: recall >= the plain-codes variant at identical dials; same probed-cell bound") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plainBooks = Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 3)
+    val plain = Similarity.annTopKIvfPq(emb, 8, 10, index = Some(plainBooks)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resBooks = Similarity.pqTrainResidual(emb, nCells = 16, m = 16, ksub = 16, iters = 3)
+    val res = Similarity.annTopKIvfPqResidual(emb, 8, 10, index = Some(resBooks)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rPlain = (exact intersect plain).size.toDouble / exact.size
+    val rRes = (exact intersect res).size.toDouble / exact.size
+    info(f"IVFPQ recall plain=$rPlain%.3f residual=$rRes%.3f (16 cells / 4 probes / m=16)")
+    // residuals reconstruct finer under the same codebook budget; on
+    // this corpus the ADC ordering inside probed cells can only get
+    // closer to exact, so a material drop means the decomposition
+    // (q·c + dtbl, cnorm + 2·xtbl + ntbl) is wrong
+    assert(rRes >= rPlain - 0.025, s"residual $rRes vs plain $rPlain")
+    assert(rRes >= 0.85, s"residual IVFPQ recall $rRes at shipped dials")
+    val ivfReach = Similarity.annTopKIvf(emb, 8, 500, nCells = 16, probes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.subsetOf(ivfReach), "residual IVFPQ must respect the probed-cell bound")
+  }
 }
