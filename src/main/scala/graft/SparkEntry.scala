@@ -266,6 +266,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
+    "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
@@ -1387,6 +1388,37 @@ object SparkEntry {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND epoch_us(r.ts) > epoch_us(l.ts)
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin,
+    // Outer rows are the state-eviction byproduct: an unmatched click
+    // emits once the watermark passes its match horizon, so on a
+    // finite source exactly the clicks with
+    // left_us + within below the final watermark flush and the newer
+    // tail stays held; the oracle applies the same cutoff. The global
+    // watermark is the MIN over both input streams' (ms-truncated)
+    // max event times minus the delay — the sparse purchase stream,
+    // not the overall max, is what gates eviction (spec-pinned: a
+    // max-over-all-events cutoff over-predicts the flush). Sentinel
+    // −1 encodes NULL-free unmatched rows on both sides.
+    "stream_interval_join_outer" ->
+      """WITH mx AS (SELECT (LEAST(
+        |    (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+        |  - 3600000) * 1000 AS cut),
+        |l AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS lus
+        |      FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS ruid, event_id AS purchase_id, epoch_us(ts) AS rus
+        |      FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT l.user_id, l.click_id, r.purchase_id, (r.rus - l.lus) // 1000 AS lag_ms
+        |  FROM l JOIN r ON l.user_id = r.ruid
+        |    AND r.rus > l.lus AND r.rus <= l.lus + 1800000000),
+        |unmatched AS (
+        |  SELECT l.user_id, l.click_id,
+        |    CAST(-1 AS BIGINT) AS purchase_id, CAST(-1 AS BIGINT) AS lag_ms
+        |  FROM l, mx
+        |  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.ruid = l.user_id
+        |          AND r.rus > l.lus AND r.rus <= l.lus + 1800000000)
+        |    AND l.lus + 1800000000 < mx.cut)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
     "stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value

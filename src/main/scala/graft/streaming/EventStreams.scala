@@ -319,6 +319,59 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoin]] plus
+    * the rows an attribution pipeline actually wants: clicks WITHOUT
+    * a purchase in the window, emitted exactly once when the
+    * watermark proves no match can still arrive (a left row is held
+    * in state until the watermark passes `left_ts + within`; only
+    * then can the engine emit its null-augmented row). The inner
+    * matches stream immediately; the outer rows are the
+    * state-eviction byproduct — which is why an outer stream-stream
+    * join REQUIRES the time-bound condition (without it no row could
+    * ever be declared unmatched).
+    *
+    * On a finite source the final watermark (max event time − 1 h)
+    * never passes the last horizon, so the newest unmatched clicks
+    * stay held — exactly the rows the oracle excludes by the same
+    * cutoff. The no-data micro-batch (on by default) is what flushes
+    * eviction-driven outer rows after the last data batch.
+    *
+    * NULL-free output for the hash gate: unmatched rows carry
+    * purchase_id = −1, lag_ms = −1.
+    */
+  def intervalJoinOuter(spark: SparkSession, dir: String, leftType: String = "click",
+                        rightType: String = "purchase", withinMinutes: Int = 30): DataFrame = {
+    val left = readEventStream(spark, dir)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id").as("left_user"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", "1 hour")
+    val right = readEventStream(spark, dir)
+      .filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("right_user"),
+        col("ts").as("right_ts"))
+      .withWatermark("right_ts", "1 hour")
+    val qname = "graft_stream_ojoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = left.join(right,
+        col("left_user") === col("right_user") &&
+          col("right_ts") > col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "leftOuter")
+      .select(col("left_user").as("user_id"), col("left_id").as("click_id"),
+        coalesce(col("right_id"), lit(-1L)).as("purchase_id"),
+        coalesce(
+          expr("(unix_micros(right_ts) - unix_micros(left_ts)) div 1000"),
+          lit(-1L)).as("lag_ms"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   private def microsToValue(micros: Long): Double =
     (BigDecimal(micros) / BigDecimal(1000000L))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -570,6 +570,39 @@ class StreamingSpec extends AnyFunSuite {
       "late event corrupted the closed-hour statistics")
   }
 
+  test("outer interval join: matches == inner join; unmatched flush exactly at the watermark cutoff") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.intervalJoinOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val matched = got.filter(_._3 != -1L)
+    val unmatched = got.filter(_._3 == -1L)
+    // the inner part is exactly the inner interval join
+    val inner = EventStreams.intervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(matched == inner, "outer join's matched rows must equal the inner join")
+    // the outer part: clicks with no purchase in-window whose match
+    // horizon the final watermark passed — nothing more, nothing less
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), expr("ts_ns div 1000").as("lus"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruid"), expr("ts_ns div 1000").as("rus"))
+    // the GLOBAL watermark is the min over both streams' ms-truncated
+    // max event times minus the delay — the sparse purchase stream is
+    // what actually gates eviction (using the overall max event time
+    // over-predicts the flush by hours on this data)
+    val maxC = l.agg(max("lus")).head.getLong(0)
+    val maxP = r.agg(max("rus")).head.getLong(0)
+    val cutUs = (math.min(maxC / 1000L, maxP / 1000L) - 3600000L) * 1000L
+    val want = l.join(r, l("user_id") === r("ruid") && col("rus") > col("lus") &&
+        col("rus") <= col("lus") + lit(1800000000L), "left_anti")
+      .filter(col("lus") + lit(1800000000L) < lit(cutUs))
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(unmatched.map(_._2) == want,
+      s"unmatched flush boundary drifted: ${unmatched.size} vs ${want.size}")
+    assert(unmatched.nonEmpty && unmatched.forall(t => t._3 == -1L && t._4 == -1L))
+  }
+
   test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
