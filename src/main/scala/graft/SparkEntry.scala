@@ -68,6 +68,8 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
     "q_session_window" -> ((s, dir) => Relational.sessionWindowAgg(Tables.events(s, dir), 30)),
+    "q_hopping_window" -> ((s, dir) => Relational.hoppingWindow(Tables.events(s, dir))),
+    "ta_tfidf_cosine" -> ((s, dir) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, dir))),
     "q_scd2" -> ((s, dir) => Relational.scd2Intervals(Tables.events(s, dir))),
     "q_global_topk" -> ((s, dir) => graft.functions.TopK.globalTopK(
       Tables.orders(s, dir), "o_orderkey", "o_totalprice", 100)),
@@ -647,6 +649,49 @@ object SparkEntry {
         |  (SELECT min(bin) FROM cum WHERE cum >= (qs.q * n.n + 999) // 1000) * 20 + 20 AS est,
         |  n.n AS n_total
         |FROM qs, n""".stripMargin,
+    // Hopping windows: each event lands in duration/slide = 2
+    // epoch-aligned windows — reproduced by a 2-element offset unnest.
+    "q_hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (
+        |  SELECT (tus // 3600000000 - k) * 3600000000 AS ws_us, event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT ws_us, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // Integer-micros TF-IDF weights (the ta_surprisal ln pattern):
+    // dot products and norms are exact HUGEINT sums; the only float
+    // ops are the final cast/sqrt/divide — identical in both engines,
+    // so a cosine SIMILARITY hash-checks. Round-then-filter keeps the
+    // threshold boundary-safe.
+    "ta_tfidf_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '[^A-Za-z]+'))) AS word
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    tf.tf * CAST(floor(ln(CAST(nd.n AS DOUBLE) / CAST(dfx.df AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS w
+        |  FROM tf JOIN dfx USING (word) CROSS JOIN nd),
+        |norms AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+        |  FROM wt a JOIN wt b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        |  FROM dots
+        |  JOIN norms na ON na.doc_id = doc_a
+        |  JOIN norms nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
     "q_global_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS score, rk FROM (
         |  SELECT o_orderkey, o_totalprice,

@@ -486,6 +486,23 @@ object Relational {
         round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
 
+  /** Hopping (sliding) window aggregation — overlapping 2-hour
+    * windows every hour via `window(ts, duration, slide)`: Catalyst
+    * plans the window-assignment Expand (each event lands in
+    * duration/slide = 2 windows), then ONE shuffle on
+    * (window, event_type) with map-side partials — never a self-join
+    * of shifted copies. The overlap factor bounds the blowup (2×
+    * rows into the aggregate), which is the knob a 100 TB deployment
+    * sizes. Epoch-aligned window starts emitted as µs.
+    */
+  def hoppingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("value"))), 2).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Gap sessionization via Spark's NATIVE session windows — the
     * declarative twin of [[sessionize]]'s window-flag form: one
     * `session_window` grouping, and Catalyst plans the whole

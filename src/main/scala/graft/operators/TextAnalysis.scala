@@ -492,6 +492,55 @@ object TextAnalysis {
     * 100 TB the alternative "sum weights then second prefix pass"
     * costs two scans and a prefix-sum shuffle.
     */
+  /** Sparse TF-IDF cosine document-pair similarity — the LEXICAL
+    * complement of the dense embedding near-dup (§2.3 row 26): two
+    * docs score high when they share discriminative vocabulary, with
+    * no embedding model in the loop. Weights are integer micros
+    * (tf · ⌊ln(N/df)·10⁶ + ½⌋ — the [[surprisal]] ln-micros pattern),
+    * so dot products and norms are EXACT integer sums and the only
+    * float ops are the final cast/√/divide — identical IEEE ops in
+    * DuckDB, hence a hash-exact oracle for a cosine similarity.
+    *
+    * Scale shape: candidate pairs come ONLY from the df-capped
+    * posting-list join on the word (the [[Dedup.ngramJaccard]]
+    * candidate bound — a word shared by ≤ maxDf docs expands to
+    * ≤ maxDf² pairs, and words commoner than that carry ~no idf
+    * signal anyway); per-doc norms are one map-side-combined
+    * aggregate. Products run in DECIMAL(38,0)/HUGEINT — w ≈ tf·14·10⁶
+    * squares past 2⁶³ on long docs.
+    */
+  def tfidfCosinePairs(documents: DataFrame, minCosine: Double = 0.3,
+                       maxDf: Int = 100): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), lower(col("w")).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = documents.agg(count(lit(1)).as("n"))
+    val weighted = tf.join(dfTbl, "word").crossJoin(nDocs)
+      .select(col("doc_id"), col("word"),
+        (col("tf") * floor(log(col("n").cast("double") / col("df").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long")).as("w"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w").cast(dec)).as("n2"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w").cast(dec) * col("b.w").cast(dec)).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   def weightedSample(documents: DataFrame, k: Int = 50,
                      seed: String = "wsamp"): DataFrame = {
     val h = conv(substring(

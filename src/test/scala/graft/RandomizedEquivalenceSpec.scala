@@ -34,6 +34,39 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("native session windows == flag-form sessionize on 8 seeded random event sets (off-boundary)") {
+    import spark.implicits._
+    // the two sessionizers share the inclusive merge-at-gap convention
+    // but evaluate it at different resolutions (µs native, ns flags);
+    // generate whole-µs timestamps with gaps != exactly 30 min so the
+    // conventions provably coincide, and compare per-session
+    // (user, n_events, value-sum) multisets
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(200 + seed)
+      var id = 0L
+      val rows = (1 to 5 + rnd.nextInt(15)).flatMap { user =>
+        var tUs = 1700000000000000L + rnd.nextInt(1000000).toLong
+        (0 until 3 + rnd.nextInt(25)).map { _ =>
+          var gap = 1000000L + (rnd.nextDouble() * 3 * 3600e6).toLong
+          if (gap == 1800000000L) gap += 1L
+          tUs += gap
+          id += 1
+          (id, tUs * 1000L, user.toLong, math.floor(rnd.nextDouble() * 100) / 100)
+        }
+      }
+      val df = rows.toDF("event_id", "ts_ns", "user_id", "value")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      def key(rws: Array[org.apache.spark.sql.Row], nIdx: Int, vIdx: Int) =
+        rws.map(r => (r.getLong(0), r.getLong(nIdx), r.getDouble(vIdx)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val flag = key(graft.operators.Relational.sessionize(df, 30)
+        .select("user_id", "n_events", "session_value").collect(), 1, 2)
+      val native = key(graft.operators.Relational.sessionWindowAgg(df, 30)
+        .select("user_id", "n_events", "session_value").collect(), 1, 2)
+      assert(native == flag, s"seed=$seed")
+    }
+  }
+
   test("sourceCap == window row_number on 8 seeded skewed source distributions") {
     import spark.implicits._
     for (seed <- 1 to 8) {
