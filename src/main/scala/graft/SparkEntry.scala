@@ -69,6 +69,21 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
     "q_session_window" -> ((s, dir) => Relational.sessionWindowAgg(Tables.events(s, dir), 30)),
     "q_hopping_window" -> ((s, dir) => Relational.hoppingWindow(Tables.events(s, dir))),
+    // two deterministic synthetic "snapshots" of the documents table:
+    // v_old drops doc_id%41==0 (→ added in new), v_new drops %43==0
+    // (→ removed) and rewrites text for %37==0 (→ changed)
+    "q_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val vOld = docs.filter(col("doc_id") % 41 =!= 0)
+      val vNew = docs.filter(col("doc_id") % 43 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Relational.snapshotDiff(vOld, vNew, "doc_id", "text")
+    }),
+    "q_fk_audit" -> ((s, dir) => Relational.fkAudit(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
     "ta_tfidf_cosine" -> ((s, dir) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, dir))),
     "q_scd2" -> ((s, dir) => Relational.scd2Intervals(Tables.events(s, dir))),
     "q_global_topk" -> ((s, dir) => graft.functions.TopK.globalTopK(
@@ -649,6 +664,30 @@ object SparkEntry {
         |  (SELECT min(bin) FROM cum WHERE cum >= (qs.q * n.n + 999) // 1000) * 20 + 20 AS est,
         |  n.n AS n_total
         |FROM qs, n""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH vold AS (
+        |  SELECT doc_id AS k, md5(text) AS oh FROM documents WHERE doc_id % 41 <> 0),
+        |vnew AS (
+        |  SELECT doc_id AS k,
+        |    md5(CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END) AS nh
+        |  FROM documents WHERE doc_id % 43 <> 0)
+        |SELECT CASE WHEN oh IS NULL THEN 'added'
+        |            WHEN nh IS NULL THEN 'removed'
+        |            WHEN oh <> nh THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n
+        |FROM vold FULL OUTER JOIN vnew USING (k)
+        |GROUP BY 1""".stripMargin,
+    "q_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin,
     // Hopping windows: each event lands in duration/slide = 2
     // epoch-aligned windows — reproduced by a 2-element offset unnest.
     "q_hopping_window" ->

@@ -486,6 +486,50 @@ object Relational {
         round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
 
+  /** Snapshot reconciliation: diff two versions of a keyed table into
+    * added / removed / changed / unchanged counts — the audit every
+    * daily-rebuild pipeline runs before promoting a snapshot. ONE
+    * full outer join on the key comparing md5 content hashes; counts
+    * aggregate map-side. At 100 TB both sides shuffle once on the
+    * key — there is no cheaper exact diff — and the md5 compare means
+    * "changed" needs no column-by-column logic.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("k"), md5(col(payloadCol)).as("oh"))
+    val n = newDf.select(col(keyCol).as("k"), md5(col(payloadCol)).as("nh"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
+  /** Referential-integrity audit over the star schema: orphan counts
+    * per declared foreign key (fact rows whose dimension key has no
+    * parent). Each relation is one LEFT ANTI join — broadcastable
+    * when the parent key set fits, shuffled otherwise — plus a total;
+    * the number a warehouse checks before trusting any join result.
+    */
+  def fkAudit(lineitem: DataFrame, orders: DataFrame,
+              customer: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    def audit(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
+    }
+    audit("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey")
+      .unionByName(
+        audit("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"))
+  }
+
   /** Hopping (sliding) window aggregation — overlapping 2-hour
     * windows every hour via `window(ts, duration, slide)`: Catalyst
     * plans the window-assignment Expand (each event lands in

@@ -256,6 +256,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff classifies planted added/removed/changed/unchanged exactly; fkAudit counts planted orphans") {
+    import spark.implicits._
+    val vOld = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val vNew = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val diff = Relational.snapshotDiff(vOld, vNew, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff === Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L, "unchanged" -> 1L))
+    val li = Seq((10L, 1.0), (10L, 2.0), (99L, 3.0)).toDF("l_orderkey", "x")
+    val ord = Seq((10L, 5L), (11L, 77L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((5L, "s")).toDF("c_custkey", "c_name")
+    val audit = Relational.fkAudit(li, ord, cust).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit("lineitem.l_orderkey->orders") === ((3L, 1L)), "orphan lineitem row")
+    assert(audit("orders.o_custkey->customer") === ((2L, 1L)), "orphan order row")
+  }
+
   test("skewProfile surfaces a planted hot key with exact ppm share") {
     import spark.implicits._
     // 900 rows of key 7, 10 each of keys 1..10 => total 1000
