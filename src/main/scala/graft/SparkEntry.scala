@@ -272,6 +272,8 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_approx_distinct_hll" -> ((s, dir) => Sketches.hllDistinctUsers(Tables.events(s, dir))),
     "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.documents(s, dir))),
+    "q_join_size_est" -> ((s, dir) => Sketches.cmsJoinSizeEstimate(
+      Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
     "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
       Tables.documents(s, dir), Seq("hash", "join", "scan", "graftabsent"))),
     // §2.7 streaming
@@ -649,6 +651,31 @@ object SparkEntry {
         |           9223372036854775807) AS valid_to_us,
         |  n_obs
         |FROM iv""".stripMargin,
+    // The CMS inner-product join-size estimate reproduces exactly
+    // (md5 cells, no RNG): est = min over rows of Σ_cell A·B, always
+    // >= the exact count since collisions only add.
+    "q_join_size_est" ->
+      """WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |ca AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT % 65536 AS cell,
+        |    count(*) AS c
+        |  FROM lineitem CROSS JOIN rows_ GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT % 65536 AS cell,
+        |    count(*) AS c
+        |  FROM orders CROSS JOIN rows_ GROUP BY 1, 2),
+        |prod AS (
+        |  SELECT r.j, COALESCE(sum(CAST(ca.c AS HUGEINT) * cb.c), 0) AS ip
+        |  FROM rows_ r
+        |  LEFT JOIN ca ON ca.j = r.j
+        |  LEFT JOIN cb ON cb.j = ca.j AND cb.cell = ca.cell
+        |  GROUP BY r.j),
+        |e AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM prod),
+        |x AS (SELECT count(*) AS exact
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT est, exact,
+        |  CASE WHEN exact = 0 THEN 0 ELSE (est - exact) * 1000000 // exact END AS err_ppm
+        |FROM e, x""".stripMargin,
     // The histogram sketch is all-integer (bin = n_chars div width,
     // est = upper edge of the first bin reaching ceil(q*N/1000)), so
     // like q_count_min the ESTIMATES are hash-checked, not

@@ -259,6 +259,51 @@ object Sketches {
     histogramQuantiles(histogramBySource(documents, valueCol, binWidth),
       qPermille, binWidth)
 
+  /** Pre-flight join-size estimation from two count-min sketches:
+    * |A ⋈_k B| = Σ_k cntA(k)·cntB(k), estimated as the MIN over
+    * sketch rows of the cell-wise inner product — collisions only
+    * ADD, so est ≥ exact always (the AGMS-style sketch application;
+    * Cormode & Muthukrishnan §4.2, public algorithm). The number a
+    * planner wants BEFORE committing a 100 TB shuffle: each side is
+    * one sketch pass (mergeable, so per-partition/per-day sketches
+    * already materialized for frequency answers are reused), and the
+    * estimate itself is O(depth·width) driver arithmetic — no join
+    * runs. The md5 cell hash has no RNG, so the DuckDB oracle
+    * reproduces the ESTIMATE bit-for-bit (q_count_min's property);
+    * the query emits the exact count and the integer-ppm
+    * overestimate beside it as the audit.
+    *
+    * Sizing: the expected overestimate is ‖A‖₁·‖B‖₁/width, so width
+    * must be sized to the KEY CARDINALITY, not the frequency-probe
+    * default (1024 cells against 15k distinct orderkeys measured a
+    * 15× overestimate; 65536 lands within ~20% — and at 100 TB the
+    * 2 MB row is still one executor message).
+    */
+  def cmsJoinSizeEstimate(left: DataFrame, leftKey: String,
+                          right: DataFrame, rightKey: String,
+                          depth: Int = 4, width: Int = 65536): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def sketchOf(df: DataFrame, key: String): Array[Long] = {
+      val cmUdaf = udaf(new graft.functions.CountMinAggregator(depth, width),
+        org.apache.spark.sql.Encoders.STRING)
+      df.select(col(key).cast("string").as("k"))
+        .agg(cmUdaf(col("k")).as("s")).head().getSeq[Long](0).toArray
+    }
+    val a = sketchOf(left, leftKey)
+    val b = sketchOf(right, rightKey)
+    val est = (0 until depth).map { j =>
+      var s = 0L
+      var c = 0
+      while (c < width) { s += a(j * width + c) * b(j * width + c); c += 1 }
+      s
+    }.min
+    val exact = left.select(col(leftKey).as("k"))
+      .join(right.select(col(rightKey).as("k")), Seq("k")).count()
+    val errPpm = if (exact == 0) 0L else (est - exact) * 1000000L / exact
+    Seq((est, exact, errPpm)).toDF("est", "exact", "err_ppm")
+  }
+
   /** Union previously materialized CMS matrices and answer probes
     * from the merged matrix — daily sketches in, any-range frequency
     * out, no rescan. O(buckets·depth·width) driver round-trip.

@@ -214,6 +214,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bin_width"))
   }
 
+  test("cmsJoinSizeEstimate: exact when collision-free, always dominates, width shrinks the overestimate") {
+    import spark.implicits._
+    // planted: sum over shared keys of cntA*cntB = 2*1 + 1*2 = 4
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val tiny = Sketches.cmsJoinSizeEstimate(a, "k", b, "k", depth = 4, width = 8192).head()
+    assert(tiny.getLong(0) === 4L && tiny.getLong(1) === 4L && tiny.getLong(2) === 0L,
+      "collision-free sketch must estimate exactly")
+    // real join: estimate dominates; widening the sketch tightens it
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val ord = Tables.orders(spark, SharedSpark.sf)
+    val narrow = Sketches.cmsJoinSizeEstimate(li, "l_orderkey", ord, "o_orderkey",
+      depth = 4, width = 1024).head()
+    val wide = Sketches.cmsJoinSizeEstimate(li, "l_orderkey", ord, "o_orderkey",
+      depth = 4, width = 65536).head()
+    assert(narrow.getLong(1) === wide.getLong(1), "exact count is exact")
+    assert(narrow.getLong(0) >= narrow.getLong(1) && wide.getLong(0) >= wide.getLong(1),
+      "collisions only add: est >= exact")
+    assert(wide.getLong(0) <= narrow.getLong(0),
+      s"wider sketch must not estimate worse: ${wide.getLong(0)} vs ${narrow.getLong(0)}")
+    info(s"join-size est: exact=${wide.getLong(1)} width=1024 -> ${narrow.getLong(0)}, " +
+      s"width=65536 -> ${wide.getLong(0)} (${wide.getLong(2)} ppm over)")
+  }
+
   test("countMin matrix is partitioning-invariant") {
     val probes = Seq("the", "batch")
     val a = Sketches.countMinWordFreq(docs, probes).collect().toList
