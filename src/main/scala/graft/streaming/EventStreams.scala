@@ -194,6 +194,105 @@ object EventStreams {
                         checkpoint: String): Unit =
     ingestPartitioned(readEventStream(spark, dir), outPath, checkpoint)
 
+  /** One SCD2 interval row as persisted by [[scd2Ingest]]. */
+  case class Scd2Row(user_id: Long, run_id: Long, state: String,
+                     valid_from_us: Long, valid_to_us: Long, n_obs: Long)
+
+  /** Incremental SCD2 dimension maintenance — the STREAMING face of
+    * [[graft.operators.Relational.scd2Intervals]]: each micro-batch
+    * of change events MERGEs into a persisted, user-bucketed
+    * intervals table, so the dimension is continuously current
+    * without ever rescanning history. The open run per user IS the
+    * sufficient state: a batch folds each affected user's (sorted)
+    * new observations against their open interval — same state
+    * extends it, a different state closes it at the new observation
+    * and opens the next run — while every closed interval passes
+    * through untouched. Bucketed layout (user_id mod `nBuckets`) +
+    * the [[ingestPartitioned]] dynamic-overwrite MERGE means a batch
+    * rewrites ONLY the buckets its users touch.
+    *
+    * Ordered-ingest contract (the [[anomalousHours]] one): within a
+    * batch, events sort by (time, event_id); across batches, files
+    * land in time order. A straggler older than its user's open run
+    * is DROPPED (never rewrites closed history) — spec-pinned.
+    *
+    * Finite-source parity: after any multi-batch run over ordered
+    * files, the table equals the batch [[graft.operators.Relational
+    * .scd2Intervals]] over the full event set — spec-pinned, the
+    * cross-boundary gate every streaming operator here carries.
+    */
+  def scd2Ingest(events: DataFrame, outPath: String, checkpoint: String,
+                 nBuckets: Int = 16): Unit = {
+    val q = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("tus"))
+      .writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        import spark.implicits._
+        val batch = batch0.persist()
+        try {
+          val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
+          val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val users = batch.select("user_id").distinct()
+          val touchedBuckets = users
+            .select(pmod(col("user_id"), lit(nBuckets.toLong)).as[Long])
+            .distinct().collect().toSeq
+          // only the touched buckets are ever read (partition pruning)
+          // or rewritten; rows of UNTOUCHED users inside a touched
+          // bucket must ride along or the overwrite would delete them
+          val inTouched: org.apache.spark.sql.Dataset[Scd2Row] =
+            if (fs.exists(hadoopPath))
+              spark.read.parquet(outPath)
+                .filter(col("bucket").isin(touchedBuckets: _*))
+                .select(col("user_id"), col("run_id"), col("state"),
+                  col("valid_from_us"), col("valid_to_us"), col("n_obs"))
+                .as[Scd2Row]
+            else spark.emptyDataset[Scd2Row]
+          val keep = inTouched
+            .join(broadcast(users), Seq("user_id"), "left_anti").as[Scd2Row]
+          val affected = inTouched
+            .join(broadcast(users), Seq("user_id"), "left_semi").as[Scd2Row]
+          val openRuns = affected.filter(col("valid_to_us") === Long.MaxValue).as[Scd2Row]
+          val closedRuns = affected.filter(col("valid_to_us") =!= Long.MaxValue).as[Scd2Row]
+          // fold each user's sorted new observations against their open run
+          val folded = openRuns.groupByKey(_.user_id).cogroup(
+            batch.select(col("user_id").as[Long], col("tus").as[Long],
+              col("event_id").as[Long], col("event_type").as[String])
+              .groupByKey(_._1)) { (user, opens, evs) =>
+            val open = opens.toSeq.headOption
+            val sorted = evs.toSeq.sortBy(e => (e._2, e._3))
+              // straggler guard: never rewrite closed history
+              .filter(e => open.forall(o => e._2 >= o.valid_from_us))
+            var out = List.empty[Scd2Row]
+            var cur = open
+            sorted.foreach { case (_, tus, _, state) =>
+              cur match {
+                case Some(o) if o.state == state =>
+                  cur = Some(o.copy(n_obs = o.n_obs + 1))
+                case Some(o) =>
+                  out ::= o.copy(valid_to_us = tus)
+                  cur = Some(Scd2Row(user, o.run_id + 1, state, tus, Long.MaxValue, 1L))
+                case None =>
+                  cur = Some(Scd2Row(user, 1L, state, tus, Long.MaxValue, 1L))
+              }
+            }
+            (out reverse_::: cur.toList).iterator
+          }
+          val merged = keep.unionByName(closedRuns).unionByName(folded).toDF()
+            .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+          if (!merged.isEmpty) {
+            graft.sources.Sources.overwritePartitions(
+              merged.localCheckpoint(true), outPath, Seq("bucket"))
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 

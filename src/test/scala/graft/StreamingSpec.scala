@@ -570,6 +570,45 @@ class StreamingSpec extends AnyFunSuite {
       "late event corrupted the closed-hour statistics")
   }
 
+  test("scd2Ingest: multi-batch incremental intervals == batch scd2Intervals; straggler dropped; co-bucketed users survive") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2-ing-").toString
+    val src = s"$base/ev"; val out = s"$base/dim"; val ckpt = s"$base/ckpt"
+    var id = 0L
+    def ev(user: Long, tUs: Long, state: String): (Long, Long, Long, String, Double, String) = {
+      id += 1; (id, tUs * 1000L, user, state, 0.0, "{}")
+    }
+    // users 1 and 17 share bucket 1 (mod 16); u1 changes state across
+    // batches, u17 only appears in batch 1 and must survive batch 2's
+    // rewrite of their shared bucket
+    writeEventFile(src, "f1", 1000000L, Seq(
+      ev(1L, 1000L, "a"), ev(1L, 2000L, "a"), ev(1L, 5000L, "b"),
+      ev(17L, 1500L, "x"),
+      ev(2L, 1000L, "p")))
+    writeEventFile(src, "f2", 2000000L, Seq(
+      ev(1L, 9000L, "a"),
+      ev(2L, 7000L, "q"), ev(2L, 8000L, "q"),
+      // straggler for u1 older than the open run (valid_from 5000):
+      // must be dropped, not rewrite closed history
+      ev(1L, 3000L, "z")))
+    EventStreams.scd2Ingest(eventStreamFrom(src), out, ckpt)
+    val got = spark.read.parquet(out)
+      .select("user_id", "run_id", "state", "valid_from_us", "valid_to_us", "n_obs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // batch twin over the SAME event set minus the dropped straggler
+    val allEv = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
+      .filter(!(col("user_id") === 1L && col("event_type") === "z"))
+    val want = graft.operators.Relational.scd2Intervals(allEv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"incremental dimension drifted:\n got=$got\nwant=$want")
+    // spot checks: u1 runs a[1000,5000) n2, b[5000,9000) n1, a[9000,MAX) n1
+    assert(got.contains((1L, 2L, "b", 5000L, 9000L, 1L)))
+    assert(got.contains((1L, 3L, "a", 9000L, Long.MaxValue, 1L)))
+    assert(got.contains((17L, 1L, "x", 1500L, Long.MaxValue, 1L)), "co-bucketed user lost")
+  }
+
   test("outer interval join: matches == inner join; unmatched flush exactly at the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val got = EventStreams.intervalJoinOuter(spark, sf).collect()
