@@ -94,4 +94,45 @@ class EmptyInputSpec extends AnyFunSuite {
     // kmeans on an empty corpus: no seeds, no cells — empty output
     assert(Similarity.kmeans(emptyEmb, nCells = 4, iters = 2).count() == 0)
   }
+
+  test("round-6 operators return empty (or zero summaries) on empty inputs") {
+    import spark.implicits._
+    // PQ family: empty corpus -> empty books -> empty results everywhere
+    assert(Similarity.pqTrain(emptyEmb).isEmpty)
+    assert(Similarity.pqEncode(emptyEmb, Seq.empty).count() == 0)
+    assert(Similarity.annTopKPqRerank(emptyEmb).count() == 0)
+    assert(Similarity.annTopKIvfPq(emptyEmb).count() == 0)
+    assert(Similarity.annTopKIvfPqResidual(emptyEmb).count() == 0)
+    // relational/new
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_ns", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("ts", TimestampType))))
+    assert(Relational.sessionWindowAgg(emptyEvents).count() == 0)
+    assert(Relational.scd2Intervals(emptyEvents).count() == 0)
+    assert(Relational.hoppingWindow(emptyEvents).count() == 0)
+    assert(TextAnalysis.tfidfCosinePairs(emptyDocs).count() == 0)
+    // diff of two empty snapshots: no statuses at all
+    assert(Relational.snapshotDiff(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    // FK audit over empty tables: two all-zero audit rows (total on empty)
+    val audit = Relational.fkAudit(
+      Seq.empty[(Long, Double)].toDF("l_orderkey", "x"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"),
+      Seq.empty[(Long, String)].toDF("c_custkey", "c_name")).collect()
+    assert(audit.length == 2 && audit.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // quantile sketch over an empty corpus: estimates exist, n_total 0
+    val qs = Sketches.quantileSketch(emptyDocs).collect()
+    assert(qs.length == 3 && qs.forall(r => r.getLong(2) == 0L))
+    // k-core on an empty edge set: empty
+    assert(Graph.kCore(Seq.empty[(Long, Long)].toDF("u", "v"), 3).count() == 0)
+    assert(Graph.triangleCountApprox(Seq.empty[(Long, Long)].toDF("u", "v")).head().getLong(2) == 0L)
+    // join-size estimate between empty sides: 0 est, 0 exact
+    val js = Sketches.cmsJoinSizeEstimate(
+      Seq.empty[Long].toDF("k"), "k", Seq.empty[Long].toDF("k"), "k",
+      depth = 2, width = 64).head()
+    assert(js.getLong(0) == 0L && js.getLong(1) == 0L && js.getLong(2) == 0L)
+  }
 }
