@@ -435,12 +435,14 @@ object Similarity {
     * [[balancedSampleByHash]] predicate, reproducible across runs,
     * partitionings and engines. fraction ≥ 1 is the identity.
     */
-  private def hashSample(df: DataFrame, fraction: Double, salt: String): DataFrame =
+  private def hashSample(df: DataFrame, fraction: Double, salt: String): DataFrame = {
+    require(fraction > 0.0, s"sample fraction must be positive, got $fraction")
     if (fraction >= 1.0) df
     else {
       val hex4 = substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 4)
       df.filter(hex4 < lit(f"${math.max(1, (fraction * 65536).floor.toInt)}%04x"))
     }
+  }
 
   /** Train m per-subspace codebooks of up to `ksub` centroids by Lloyd
     * iterations. ONE pass per iteration for all subspaces: each row's

@@ -278,10 +278,23 @@ object Sketches {
     * default (1024 cells against 15k distinct orderkeys measured a
     * 15× overestimate; 65536 lands within ~20% — and at 100 TB the
     * 2 MB row is still one executor message).
+    *
+    * The cell inner product accumulates in BigInt: per-cell counts of
+    * ~1e7 at warehouse scale push Σ a·b past 2⁶³, and the DuckDB
+    * oracle widens to HUGEINT — Long would wrap silently exactly when
+    * the estimate matters most. The final min must still fit BIGINT
+    * (the oracle CASTs and would error too), so that's a require, not
+    * a wrap.
+    *
+    * `computeExact=false` skips the audit join entirely — the planner
+    * use-case ("how big is this join BEFORE I commit the shuffle")
+    * must not cost the shuffle it is pre-empting. The oracle-checked
+    * query keeps the audit on.
     */
   def cmsJoinSizeEstimate(left: DataFrame, leftKey: String,
                           right: DataFrame, rightKey: String,
-                          depth: Int = 4, width: Int = 65536): DataFrame = {
+                          depth: Int = 4, width: Int = 65536,
+                          computeExact: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     def sketchOf(df: DataFrame, key: String): Array[Long] = {
@@ -292,12 +305,18 @@ object Sketches {
     }
     val a = sketchOf(left, leftKey)
     val b = sketchOf(right, rightKey)
-    val est = (0 until depth).map { j =>
-      var s = 0L
+    val estBig = (0 until depth).map { j =>
+      var s = BigInt(0)
       var c = 0
-      while (c < width) { s += a(j * width + c) * b(j * width + c); c += 1 }
+      while (c < width) {
+        s += BigInt(a(j * width + c)) * BigInt(b(j * width + c)); c += 1
+      }
       s
     }.min
+    require(estBig.isValidLong,
+      s"join-size estimate $estBig exceeds BIGINT — widen the output type")
+    val est = estBig.toLong
+    if (!computeExact) return Seq(est).toDF("est")
     val exact = left.select(col(leftKey).as("k"))
       .join(right.select(col(rightKey).as("k")), Seq("k")).count()
     val errPpm = if (exact == 0) 0L else (est - exact) * 1000000L / exact

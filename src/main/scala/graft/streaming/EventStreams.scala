@@ -220,6 +220,21 @@ object EventStreams {
     * files, the table equals the batch [[graft.operators.Relational
     * .scd2Intervals]] over the full event set — spec-pinned, the
     * cross-boundary gate every streaming operator here carries.
+    *
+    * Replay idempotence: foreachBatch is AT-LEAST-ONCE — after a
+    * failure/restart the engine re-delivers the last uncommitted
+    * micro-batch, and re-folding the same events into already-updated
+    * open runs would double-count n_obs and split runs. So each
+    * applied batchId is recorded as a marker under
+    * `outPath/_scd2_commits/` (underscore-prefixed → invisible to the
+    * parquet reader) and an already-marked batch is skipped outright
+    * — the standard idempotent-foreachBatch MERGE pattern. The marker
+    * lands after the partition overwrite; the residual window (crash
+    * between overwrite and marker) re-applies a batch whose
+    * observations are already folded, which the straggler guard below
+    * CANNOT absorb — a table format's transactional MERGE is the full
+    * fix, and this is exactly the boundary where a real deployment
+    * would use one.
     */
   def scd2Ingest(events: DataFrame, outPath: String, checkpoint: String,
                  nBuckets: Int = 16): Unit = {
@@ -227,9 +242,29 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts_ns div 1000").as("tus"))
       .writeStream
-      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        scd2MergeBatch(batch0, batchId, outPath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[scd2Ingest]] micro-batch MERGE, exposed for the replay
+    * spec: calling it twice with the same batchId must leave the
+    * table bit-identical (the second call is skipped via the commit
+    * marker).
+    */
+  private[graft] def scd2MergeBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, outPath: String,
+                                    nBuckets: Int): Unit = {
         val spark = batch0.sparkSession
         import spark.implicits._
+        val commitDir = new org.apache.hadoop.fs.Path(outPath, "_scd2_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+        val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (cfs.exists(marker)) return // replayed batch: already applied
         val batch = batch0.persist()
         try {
           val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
@@ -285,12 +320,12 @@ object EventStreams {
             graft.sources.Sources.overwritePartitions(
               merged.localCheckpoint(true), outPath, Seq("bucket"))
           }
+          // commit LAST: a crash before this point replays the batch,
+          // and the marker check above turns that replay into a no-op
+          // only for batches that fully landed
+          cfs.mkdirs(commitDir)
+          cfs.create(marker, true).close()
         } finally { batch.unpersist(); () }
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
   }
 
   /** Per-user session accumulator carried across micro-batches. */

@@ -284,6 +284,12 @@ class SimilaritySpec extends AnyFunSuite {
     val codes = Similarity.pqEncode(emb, a).collect()
       .map(r => r.getSeq[Long](1))
     assert(codes.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // a zero/negative fraction is a caller bug, not a near-empty
+    // sample — the old clamp would have trained on ~1/65536 of rows
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 1, sampleFraction = 0.0)
+    }
+    assert(err.getMessage.contains("fraction"))
   }
 
   test("PQ on a tiny non-dense-id corpus: codebook shrinks to the seed count; no misalignment") {

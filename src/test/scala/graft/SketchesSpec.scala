@@ -238,6 +238,19 @@ class SketchesSpec extends AnyFunSuite {
       s"width=65536 -> ${wide.getLong(0)} (${wide.getLong(2)} ppm over)")
   }
 
+  test("cmsJoinSizeEstimate: estimate-only path skips the audit join and agrees with the audited estimate") {
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val ord = Tables.orders(spark, SharedSpark.sf)
+    val estOnly = Sketches.cmsJoinSizeEstimate(li, "l_orderkey", ord, "o_orderkey",
+      depth = 4, width = 1024, computeExact = false)
+    // the planner path must not emit (or cost) the exact-join audit
+    assert(estOnly.columns.toSeq == Seq("est"))
+    val audited = Sketches.cmsJoinSizeEstimate(li, "l_orderkey", ord, "o_orderkey",
+      depth = 4, width = 1024).head().getLong(0)
+    assert(estOnly.head().getLong(0) === audited,
+      "estimate must be identical with and without the audit join")
+  }
+
   test("countMin matrix is partitioning-invariant") {
     val probes = Seq("the", "batch")
     val a = Sketches.countMinWordFreq(docs, probes).collect().toList

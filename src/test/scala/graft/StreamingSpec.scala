@@ -609,6 +609,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((17L, 1L, "x", 1500L, Long.MaxValue, 1L)), "co-bucketed user lost")
   }
 
+  test("scd2MergeBatch: at-least-once replay of the same batchId is a no-op") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-scd2-replay-").toString + "/dim"
+    def snap() = spark.read.parquet(out)
+      .select("user_id", "run_id", "state", "valid_from_us", "valid_to_us", "n_obs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val b0 = Seq((1L, 1L, "a", 1000L), (2L, 1L, "a", 2000L), (3L, 1L, "b", 5000L))
+      .toDF("event_id", "user_id", "event_type", "tus")
+    EventStreams.scd2MergeBatch(b0, 0L, out, 16)
+    val first = snap()
+    assert(first.contains((1L, 1L, "a", 1000L, 5000L, 2L)))
+    // simulate the foreachBatch at-least-once contract: the engine
+    // re-delivers batch 0 after a restart. Without the commit marker
+    // this re-fold would double n_obs and split the open run.
+    EventStreams.scd2MergeBatch(b0, 0L, out, 16)
+    assert(snap() == first, "replayed batchId must not re-fold observations")
+    // a genuinely new batch still applies on top
+    EventStreams.scd2MergeBatch(
+      Seq((4L, 1L, "b", 9000L)).toDF("event_id", "user_id", "event_type", "tus"),
+      1L, out, 16)
+    assert(snap().contains((1L, 2L, "b", 5000L, Long.MaxValue, 2L)),
+      "new batchId must extend the open run exactly once")
+  }
+
   test("outer interval join: matches == inner join; unmatched flush exactly at the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val got = EventStreams.intervalJoinOuter(spark, sf).collect()
