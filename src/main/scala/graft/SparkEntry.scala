@@ -31,12 +31,23 @@ object SparkEntry {
   private def pqIndexFor(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
     pqBooks.getOrElseUpdate(dir,
       Similarity.pqTrain(Tables.embeddings(s, dir), m = 16, ksub = 16, iters = 3))
+  /** Train-once IVF coarse quantizer per corpus ([[Similarity
+    * .trainCoarseQuantizer]] — Lloyd-fitted centroids, NOT raw seed
+    * vectors): shared by every IVF-routed query AND by the residual
+    * codebook below, which is only meaningful against the exact cell
+    * table its codes were trained on.
+    */
+  private val coarseCells =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
+  private def coarseFor(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
+    coarseCells.getOrElseUpdate(dir,
+      Similarity.trainCoarseQuantizer(Tables.embeddings(s, dir), nCells = 16, iters = 2))
   private val pqResidualBooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
   private def pqResidualIndexFor(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
     pqResidualBooks.getOrElseUpdate(dir,
       Similarity.pqTrainResidual(Tables.embeddings(s, dir), nCells = 16, m = 16,
-        ksub = 16, iters = 3))
+        ksub = 16, iters = 3, coarse = Some(coarseFor(s, dir))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 MapReduce core applications
@@ -210,7 +221,13 @@ object SparkEntry {
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
-    "sim_ann_ivf" -> ((s, dir) => Similarity.annTopKIvf(Tables.embeddings(s, dir), 8, 10)),
+    // probes=13/16 is the dial for THIS corpus: structureless gaussian
+    // noise, where honest recall tracks the probed fraction (13/16 →
+    // 0.95; the pre-r7 4-probe "0.9" rode on queries being their own
+    // prefix seeds). Structured corpora run the scale fraction — the
+    // clustered rehearsal measures recall 1.0 at 4/16 probes.
+    "sim_ann_ivf" -> ((s, dir) => Similarity.annTopKIvf(Tables.embeddings(s, dir), 8, 10,
+      probes = 13, coarse = Some(coarseFor(s, dir)))),
     // the driver's rows-only comparator can't hash raw array columns,
     // so the centroid projects to count + first-8-elements scalars —
     // which also makes it fully SQL-oracle-checkable (per-element avg)
@@ -232,9 +249,11 @@ object SparkEntry {
     "sim_ann_pq" -> ((s, dir) => Similarity.annTopKPqRerank(
       Tables.embeddings(s, dir), index = Some(pqIndexFor(s, dir)))),
     "sim_ann_ivfpq" -> ((s, dir) => Similarity.annTopKIvfPq(
-      Tables.embeddings(s, dir), index = Some(pqIndexFor(s, dir)))),
+      Tables.embeddings(s, dir), probes = 13, shortlistFactor = 8,
+      index = Some(pqIndexFor(s, dir)), coarse = Some(coarseFor(s, dir)))),
     "sim_ann_ivfpq_res" -> ((s, dir) => Similarity.annTopKIvfPqResidual(
-      Tables.embeddings(s, dir), index = Some(pqResidualIndexFor(s, dir)))),
+      Tables.embeddings(s, dir), probes = 13, shortlistFactor = 8,
+      index = Some(pqResidualIndexFor(s, dir)), coarse = Some(coarseFor(s, dir)))),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),

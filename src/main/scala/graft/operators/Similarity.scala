@@ -272,11 +272,18 @@ object Similarity {
     * path"): corpus rows live in their single nearest cell; each
     * query probes its `probes` nearest cells; exact re-rank inside
     * the probed cells only. The corpus join key is the cell id.
+    *
+    * The coarse quantizer is TRAINED ([[trainCoarseQuantizer]]) —
+    * pass `coarse` to reuse a cached/persisted quantizer the way
+    * `index` reuses PQ codebooks in the sibling paths.
     */
   def annTopKIvf(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
-                 nCells: Int = 16, probes: Int = 4): DataFrame = {
-    val seeds = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
+                 nCells: Int = 16, probes: Int = 4,
+                 coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seeds = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
+      .toDF("cell", "cell_emb")
     val corpus = ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
     val queries = ivfCells(
       embeddings.filter(col("vec_id") < numQueries)
@@ -374,13 +381,63 @@ object Similarity {
     import spark.implicits._
     val centroidUdaf = udaf(new VectorMeanAggregator,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
-    var centroids: Seq[(Long, Seq[Float])] = embeddings
-      .filter(col("vec_id") < nCells)
+    val centroids = trainCoarseQuantizer(embeddings, nCells, iters, seedByHash = false)
+    ivfCells(embeddings, "vec_id", "embedding", centroids.toDF("cell", "cell_emb"),
+        probes = 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), centroidUdaf(col("embedding")).as("c"))
+      .select(col("cell") +: col("n") +:
+        (0 until nShow).map(i => round(element_at(col("c"), i + 1), 6).as(s"c$i")): _*)
+  }
+
+  /** TRAIN the IVF coarse quantizer — the [[kmeans]] Lloyd loop
+    * returning the centroid table itself, for [[annTopKIvf]]/
+    * [[annTopKIvfPq]]/[[annTopKIvfPqResidual]]/[[residuals]] to route
+    * through. FAISS trains the coarse quantizer for the same reason
+    * it trains codebooks: raw seed vectors leave cell populations at
+    * the mercy of where the first `nCells` rows happened to fall, and
+    * at 10⁹ vectors an overfull cell IS the straggler (probed-cell
+    * candidate volume is the IVF cost model). Trained cells bound it.
+    *
+    * Seed selection defaults to CONTENT-HASH ORDER (`orderBy(md5(
+    * salt ‖ vec_id))` — a deterministic uniform draw over the whole
+    * corpus): a real corpus arrives sorted by source/shard, so a
+    * sorted PREFIX of `nCells` rows lands in one neighborhood of
+    * embedding space and the quantizer degenerates before training
+    * even starts (the balance spec measures exactly this). Hash-order
+    * seeding is the deterministic analogue of k-means random init;
+    * `seedByHash=false` keeps the first-rows-by-vec_id convention
+    * ([[kmeans]] pins its planted-cluster spec to it). iters=0
+    * returns the raw seeds — with `seedByHash=false` that is exactly
+    * the pre-round-7 untrained behavior.
+    *
+    * `sampleFraction` trains on the seeded content-hash sample — at
+    * 100 TB the quantizer converges on a sample and only the one-pass
+    * assignment ever touches the corpus. Cell ids are the seed rows'
+    * vec_ids; empty cells retain their previous centroid.
+    */
+  def trainCoarseQuantizer(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
+                           sampleFraction: Double = 1.0,
+                           salt: String = "cq:",
+                           seedByHash: Boolean = true): Seq[(Long, Seq[Float])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val train = hashSample(
+      embeddings.select(col("vec_id"), col("embedding")), sampleFraction, salt)
+    val centroidUdaf = udaf(new VectorMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val seedOrder =
+      if (seedByHash)
+        Seq(md5(concat(lit("cqseed:"), col("vec_id").cast("string"))).asc,
+          col("vec_id").asc)
+      else Seq(col("vec_id").asc)
+    var centroids: Seq[(Long, Seq[Float])] = train.orderBy(seedOrder: _*).limit(nCells)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
-    def seedsDf(c: Seq[(Long, Seq[Float])]) = c.toDF("cell", "cell_emb")
+    if (centroids.isEmpty) return Seq.empty
     for (_ <- 0 until iters) {
-      val updated = ivfCells(embeddings, "vec_id", "embedding", seedsDf(centroids), probes = 1)
+      val updated = ivfCells(train, "vec_id", "embedding",
+          centroids.toDF("cell", "cell_emb"), probes = 1)
         .groupBy(col("cell"))
         .agg(centroidUdaf(col("embedding")).as("c"))
         .as[(Long, Seq[Double])].collect().toMap
@@ -388,11 +445,7 @@ object Similarity {
         (cell, updated.get(cell).map(_.map(_.toFloat).toSeq).getOrElse(old))
       }
     }
-    ivfCells(embeddings, "vec_id", "embedding", seedsDf(centroids), probes = 1)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), centroidUdaf(col("embedding")).as("c"))
-      .select(col("cell") +: col("n") +:
-        (0 until nShow).map(i => round(element_at(col("c"), i + 1), 6).as(s"c$i")): _*)
+    centroids
   }
 
   // ---- Product quantization (Jégou, Douze & Schmid, TPAMI 2011 —
@@ -662,7 +715,8 @@ object Similarity {
                    m: Int = 16, ksub: Int = 16, iters: Int = 3,
                    shortlistFactor: Int = 5,
                    index: Option[Seq[Seq[Seq[Float]]]] = None,
-                   sampleFraction: Double = 1.0): DataFrame = {
+                   sampleFraction: Double = 1.0,
+                   coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val books = index.getOrElse(pqTrain(embeddings, m, ksub, iters, sampleFraction))
@@ -674,10 +728,8 @@ object Similarity {
     val mEff = books.size
     val kEff = books.head.size
     val normTable: Seq[Double] = books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
-    val seeds = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
-    val seedRows = seeds.select(col("cell").cast("long"), col("cell_emb"))
-      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val seedRows = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
+    val seeds = seedRows.toDF("cell", "cell_emb")
     if (seedRows.isEmpty) {
       return embeddings.select(col("vec_id").as("query_id"),
         col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
@@ -744,11 +796,17 @@ object Similarity {
     * quantizes: they concentrate around 0 much tighter than raw
     * vectors (the coarse quantizer has already explained the
     * between-cell variance), so the same m·ksub codebook budget buys
-    * a finer reconstruction.
+    * a finer reconstruction. `coarse` MUST be the same quantizer the
+    * index was built with — residual codes are meaningless against
+    * any other cell table (hence the Option threads through the whole
+    * residual family from one training site).
     */
-  def residuals(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    val seeds = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cell_emb"))
+  def residuals(embeddings: DataFrame, nCells: Int = 16,
+                coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seeds = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
+      .toDF("cell", "cell_emb")
     ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
       .join(broadcast(seeds), Seq("cell"))
       .select(col("vec_id"), col("cell"),
@@ -761,9 +819,11 @@ object Similarity {
     */
   def pqTrainResidual(embeddings: DataFrame, nCells: Int = 16, m: Int = 16,
                       ksub: Int = 16, iters: Int = 3,
-                      sampleFraction: Double = 1.0): Seq[Seq[Seq[Float]]] =
+                      sampleFraction: Double = 1.0,
+                      coarse: Option[Seq[(Long, Seq[Float])]] = None): Seq[Seq[Seq[Float]]] =
     pqTrain(
-      residuals(embeddings, nCells).select(col("vec_id"), col("residual").as("embedding")),
+      residuals(embeddings, nCells, coarse)
+        .select(col("vec_id"), col("residual").as("embedding")),
       m, ksub, iters, sampleFraction)
 
   /** IVFPQ on residuals — the COMPLETE FAISS IVFPQ form (Jégou TPAMI
@@ -785,14 +845,14 @@ object Similarity {
                            m: Int = 16, ksub: Int = 16, iters: Int = 3,
                            shortlistFactor: Int = 5,
                            index: Option[Seq[Seq[Seq[Float]]]] = None,
-                           sampleFraction: Double = 1.0): DataFrame = {
+                           sampleFraction: Double = 1.0,
+                           coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val seedRows = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
     val books = index.getOrElse(
-      pqTrainResidual(embeddings, nCells, m, ksub, iters, sampleFraction))
-    val seedRows = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+      pqTrainResidual(embeddings, nCells, m, ksub, iters, sampleFraction,
+        Some(seedRows)))
     if (books.isEmpty || seedRows.isEmpty) {
       return embeddings.select(col("vec_id").as("query_id"),
         col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
@@ -801,7 +861,7 @@ object Similarity {
     val mEff = books.size
     val kEff = books.head.size
     val dsub = books.head.head.size
-    val corpus = residuals(embeddings, nCells)
+    val corpus = residuals(embeddings, nCells, Some(seedRows))
       .select(col("vec_id"), col("cell"), pqCodes(col("residual"), books).as("codes"))
     val resNormTable: Seq[Double] = books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
     val seedMap = seedRows.toMap
