@@ -306,6 +306,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
+    "stream_snapshot_diff" -> ((s, dir) => graft.streaming.EventStreams.streamedSnapshotDiff(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
     "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir)))
@@ -1549,6 +1550,23 @@ object SparkEntry {
         |          AND r.rus > l.lus AND r.rus <= l.lus + 1800000000)
         |    AND l.lus + 1800000000 < mx.cut)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
+    // the streamed diff drains the same synthetic v_new through two
+    // micro-batches and must land on the batch diff bit-for-bit —
+    // same oracle as q_snapshot_diff
+    "stream_snapshot_diff" ->
+      """WITH vold AS (
+        |  SELECT doc_id AS k, md5(text) AS oh FROM documents WHERE doc_id % 41 <> 0),
+        |vnew AS (
+        |  SELECT doc_id AS k,
+        |    md5(CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END) AS nh
+        |  FROM documents WHERE doc_id % 43 <> 0)
+        |SELECT CASE WHEN oh IS NULL THEN 'added'
+        |            WHEN nh IS NULL THEN 'removed'
+        |            WHEN oh <> nh THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n
+        |FROM vold FULL OUTER JOIN vnew USING (k)
+        |GROUP BY 1""".stripMargin,
     "stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value

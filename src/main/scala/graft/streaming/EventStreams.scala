@@ -328,6 +328,147 @@ object EventStreams {
         } finally { batch.unpersist(); () }
   }
 
+  /** Write a keyed snapshot as the bucketed reference table the
+    * streaming diff maintains reads against: (k, oh=md5(payload)),
+    * partitioned by bucket = k mod nBuckets — so a micro-batch
+    * touching few buckets reads few buckets (partition pruning), the
+    * same layout contract as [[scd2Ingest]].
+    */
+  def writeSnapshotTable(df: DataFrame, keyCol: String, payloadCol: String,
+                         path: String, nBuckets: Int = 16): Unit =
+    df.select(col(keyCol).cast("long").as("k"), md5(col(payloadCol)).as("oh"))
+      .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Streaming face of [[graft.operators.Relational.snapshotDiff]] —
+    * the promote-gate as a continuous job: the NEW snapshot arrives
+    * shard by shard (each key exactly once across the run), each
+    * micro-batch is diffed against ONLY the maintained table buckets
+    * it touches, and per-key statuses append to a bucketed diff
+    * table. `added`/`changed`/`unchanged` are decidable per batch
+    * from the (k, nh) rows alone; `removed` is inherently a
+    * whole-snapshot fact (a key is removed only if NO shard delivers
+    * it), so it is resolved by [[snapshotDiffSummary]] once the
+    * stream drains — one LEFT ANTI of table keys vs seen keys.
+    *
+    * Batches replay at-least-once, so each applied batchId is
+    * recorded as a commit marker and replays are skipped — without
+    * it a replayed shard would append duplicate status rows and
+    * double-count the diff ([[scd2MergeBatch]]'s pattern).
+    *
+    * Input stream schema: (k: Long, nh: String) — key and md5 of the
+    * new payload.
+    */
+  def snapshotDiffIngest(newSnapshot: DataFrame, tablePath: String,
+                         diffPath: String, checkpoint: String,
+                         nBuckets: Int = 16): Unit = {
+    val q = newSnapshot
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        snapshotDiffBatch(b, id, tablePath, diffPath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[snapshotDiffIngest]] micro-batch, exposed for the replay
+    * spec: the maintained-table read is pruned to the batch's
+    * buckets; a re-delivered batchId is a no-op.
+    */
+  private[graft] def snapshotDiffBatch(batch0: org.apache.spark.sql.DataFrame,
+                                       batchId: Long, tablePath: String,
+                                       diffPath: String, nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(diffPath, "_diff_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    val batch = batch0.dropDuplicates("k")
+      .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)))
+      .persist()
+    try {
+      val touched = batch.select(col("bucket").as[Long]).distinct().collect().toSeq
+      if (touched.nonEmpty) {
+        // partition pruning: only the touched bucket directories of
+        // the maintained table are ever read
+        val old = spark.read.parquet(tablePath)
+          .filter(col("bucket").isin(touched: _*))
+          .select(col("k"), col("oh"))
+        val statuses = batch.select(col("k"), col("nh"), col("bucket"))
+          .join(old, Seq("k"), "left")
+          .select(col("k"),
+            when(col("oh").isNull, "added")
+              .when(col("oh") =!= col("nh"), "changed")
+              .otherwise("unchanged").as("status"),
+            col("bucket"))
+        statuses.write.mode("append").partitionBy("bucket").parquet(diffPath)
+      }
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Close out a drained [[snapshotDiffIngest]] run: statuses from
+    * the diff table plus the `removed` count (maintained-table keys
+    * no shard delivered). Output schema and semantics are exactly
+    * [[graft.operators.Relational.snapshotDiff]]'s (status, n) —
+    * statuses with zero rows are absent, matching the batch twin's
+    * groupBy.
+    */
+  def snapshotDiffSummary(spark: SparkSession, tablePath: String,
+                          diffPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(diffPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(diffPath)))
+        spark.read.parquet(diffPath).select(col("k"), col("status"))
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, String)].toDF("k", "status")
+      }
+    val removed = spark.read.parquet(tablePath).select(col("k"))
+      .join(seen.select(col("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("removed").as("status"), col("n"))
+    seen.groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .unionByName(removed)
+      .filter(col("n") > 0)
+  }
+
+  /** End-to-end streamed snapshot reconciliation over the documents
+    * table (the `stream_snapshot_diff` entry) — the same synthetic
+    * v_old/v_new pair as `q_snapshot_diff`, with v_new arriving as
+    * TWO shard files → two micro-batches. The summary must equal the
+    * batch diff bit-for-bit, so it shares `q_snapshot_diff`'s DuckDB
+    * oracle.
+    */
+  def streamedSnapshotDiff(spark: SparkSession, dir: String,
+                           nBuckets: Int = 16): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val vOld = docs.filter(col("doc_id") % 41 =!= 0)
+    val vNew = docs.filter(col("doc_id") % 43 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val base = java.nio.file.Files.createTempDirectory("graft-snapdiff-").toString
+    val tablePath = s"$base/table"
+    val incoming = s"$base/incoming"
+    writeSnapshotTable(vOld, "doc_id", "text", tablePath, nBuckets)
+    val hashed = vNew.select(col("doc_id").cast("long").as("k"),
+      md5(col("text")).as("nh"))
+    hashed.filter(col("k") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    hashed.filter(col("k") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType), StructField("nh", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    snapshotDiffIngest(stream, tablePath, s"$base/diff", s"$base/ckpt", nBuckets)
+    snapshotDiffSummary(spark, tablePath, s"$base/diff")
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 

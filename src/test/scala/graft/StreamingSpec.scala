@@ -609,6 +609,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((17L, 1L, "x", 1500L, Long.MaxValue, 1L)), "co-bucketed user lost")
   }
 
+  test("streamed snapshot diff: two-batch ingest == batch snapshotDiff; replay is a no-op; diff table is bucket-partitioned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the end-to-end entry: v_new drains through TWO micro-batches
+    // (maxFilesPerTrigger=1 over two shard files)
+    val got = EventStreams.streamedSnapshotDiff(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sf)
+    val vOld = docs.filter(col("doc_id") % 41 =!= 0)
+    val vNew = docs.filter(col("doc_id") % 43 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val want = graft.operators.Relational.snapshotDiff(vOld, vNew, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"streamed diff drifted from batch diff:\n got=$got\nwant=$want")
+    assert(got.keySet.contains("added") && got.keySet.contains("removed") &&
+      got.keySet.contains("changed"), s"synthetic snapshots must exercise every status: $got")
+
+    // unit-level replay: a re-delivered batchId must not double-count
+    val base = java.nio.file.Files.createTempDirectory("graft-snapdiff-replay-").toString
+    val tablePath = s"$base/table"; val diffPath = s"$base/diff"
+    EventStreams.writeSnapshotTable(
+      Seq((1L, "a"), (2L, "b"), (17L, "c")).toDF("doc_id", "text"),
+      "doc_id", "text", tablePath, nBuckets = 16)
+    val b0 = Seq((1L, "a"), (2L, "CHANGED"), (33L, "new"))
+      .toDF("k", "text").select(col("k"), md5(col("text")).as("nh"))
+    EventStreams.snapshotDiffBatch(b0, 0L, tablePath, diffPath, 16)
+    def summary() = EventStreams.snapshotDiffSummary(spark, tablePath, diffPath)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val first = summary()
+    assert(first == Map("unchanged" -> 1L, "changed" -> 1L, "added" -> 1L, "removed" -> 1L))
+    EventStreams.snapshotDiffBatch(b0, 0L, tablePath, diffPath, 16)
+    assert(summary() == first, "replayed batchId must not append duplicate status rows")
+    // the diff table lands bucket-partitioned (pruned rewrites/reads)
+    val dirs = new java.io.File(diffPath).listFiles().map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.toSet == Set("bucket=1", "bucket=2"),
+      s"diff table must be bucketed by k mod n: ${dirs.toSet}")
+  }
+
   test("scd2MergeBatch: at-least-once replay of the same batchId is a no-op") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-scd2-replay-").toString + "/dim"
