@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationship tables (SURVEY §2.3 companion:
@@ -213,6 +213,76 @@ object Graph {
       // round's blocks must not outlive it (20 rounds of a 10⁹-edge
       // graph would otherwise hold 20 edge copies in the block manager)
       graft.operators.Checkpoints.free(superseded)
+      converged = c == prev
+      prev = c
+      r += 1
+    }
+    edges.select(col("u").as("node")).unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Per-row count-min degree estimate from a COLLECTED sketch: the
+    * depth row vectors ride the plan as typedlit literals and the
+    * estimate is the min over rows of the md5-cell lookup — the exact
+    * [[graft.functions.CountMin.cell]] hash (first 48 bits of
+    * md5("j:item") mod width), so the DuckDB oracle reproduces every
+    * estimate bit-for-bit. A pure projection: scoring a node costs
+    * depth md5s and ZERO joins or shuffles.
+    */
+  private def cmsEstimate(n: Column, sketch: Seq[Seq[Long]], width: Int): Column =
+    sketch.zipWithIndex.map { case (rowVals, j) =>
+      val cell = pmod(
+        conv(substring(md5(concat(lit(s"$j:"), n.cast("string"))), 1, 12), 16, 10)
+          .cast("long"),
+        lit(width.toLong))
+      element_at(typedlit(rowVals), (cell + 1).cast("int"))
+    }.reduce(least(_, _))
+
+  /** Approximate k-core via count-min DEGREE SKETCHES — the peel for
+    * graphs whose per-round exact degree table is itself a cost
+    * problem. Each round: ONE mergeable sketch pass over edge
+    * endpoints (O(depth·width) state, map-side combined — 256 KB at
+    * 4×8192 regardless of node count), then a pure FILTER keeps edges
+    * whose endpoints both estimate ≥ k. Compare [[kCore]]'s round
+    * cost: a degree aggregation shuffle plus TWO left-semi join
+    * shuffles; here the corpus-side work is a scan-stage projection —
+    * at 10⁹ nodes the degree table never materializes at all.
+    *
+    * CMS error is ONE-SIDED (collisions only add), so a node is never
+    * wrongly peeled: every round keeps a superset of what the exact
+    * round keeps, and the result is a SUPERSET of the exact k-core —
+    * the safe direction for a pre-filter (run exact peeling, or exact
+    * degree audit, on the shrunken survivor graph when exactness
+    * matters). Estimates are md5-deterministic and merges exact, so
+    * the whole peel reproduces in DuckDB — the entry is hash-checked
+    * at width=8192 where collisions are REAL, not vacuous.
+    *
+    * Output: (node, deg) with EXACT degrees over the surviving
+    * subgraph — one degree pass at the end (amortized once, unlike
+    * the per-round tables the sketch replaced).
+    */
+  def kCoreApprox(edges0: DataFrame, k: Int, rounds: Int = 8,
+                  depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    val spark = edges0.sparkSession
+    val cmUdaf = udaf(new graft.functions.CountMinAggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    var edges = edges0.localCheckpoint(true)
+    var prev = edges.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val sk = edges
+        .select(explode(array(col("u").cast("string"), col("v").cast("string"))).as("n"))
+        .agg(cmUdaf(col("n")).as("s")).head().getSeq[Long](0)
+      val sketch = (0 until depth).map(j => sk.slice(j * width, (j + 1) * width))
+      val superseded = edges
+      edges = edges
+        .filter(cmsEstimate(col("u"), sketch, width) >= k &&
+          cmsEstimate(col("v"), sketch, width) >= k)
+        .localCheckpoint(true)
+      val c = edges.count()
+      Checkpoints.free(superseded)
       converged = c == prev
       prev = c
       r += 1

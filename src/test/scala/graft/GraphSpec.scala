@@ -117,6 +117,38 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(edgeDf(path), 2, 2).count() > 0L)
   }
 
+  test("kCoreApprox: superset of exact core under forced collisions; exact at adequate width; deterministic") {
+    // clique + pendant path (the kCore fixture): exact 3-core = the
+    // 6-clique at degree 5
+    val clique = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val graph = clique ++ Seq((1L, 100L), (100L, 101L), (101L, 102L))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Graph.kCore(edgeDf(graph), 3, 8))
+    // width 2: every node collides with ~half the graph — estimates
+    // inflate hard, but the one-sided error means the core can only
+    // GROW, never lose a true member
+    val collided = asMap(Graph.kCoreApprox(edgeDf(graph), 3, 8, depth = 2, width = 2))
+    assert(exact.keySet.subsetOf(collided.keySet),
+      s"sketch peel dropped true core members: exact=${exact.keySet} approx=${collided.keySet}")
+    // adequate width: no node shares all its cells — the sketch peel
+    // IS the exact peel, degrees included
+    val wide = asMap(Graph.kCoreApprox(edgeDf(graph), 3, 8, depth = 4, width = 8192))
+    assert(wide == exact, s"collision-free sketch must reproduce exact k-core: $wide vs $exact")
+    // cascades complete through the sketch too (k above max degree)
+    assert(Graph.kCoreApprox(edgeDf(graph), 7, 8, depth = 4, width = 8192).count() === 0L)
+    // md5 cells + exact merge: partitioning-invariant
+    val a = asMap(Graph.kCoreApprox(edgeDf(graph).repartition(7), 3, 8, depth = 2, width = 2))
+    assert(a == collided, "sketch peel must not depend on partitioning")
+    // real graph, real collisions at the entry dials: still a superset
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val e = Graph.coPurchaseEdges(li).localCheckpoint(true)
+    val exactCore = asMap(Graph.kCore(e, 70, 8)).keySet
+    val approxCore = asMap(Graph.kCoreApprox(e, 70, 8)).keySet
+    assert(exactCore.subsetOf(approxCore),
+      s"entry-dial sketch peel lost ${exactCore -- approxCore}")
+  }
+
   test("kCore frees superseded round checkpoints: persisted-block count stays O(1)") {
     def persisted = spark.sparkContext.getPersistentRDDs.size
     // a 45-node path at k=2 peels two endpoints per round — a
