@@ -169,6 +169,13 @@ object SparkEntry {
     // construction whether or not the cascade converges in budget
     "q_kcore" -> ((s, dir) => Graph.kCore(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 70, 8)),
+    // sketch-peeled k-core: CMS degree estimates replace the exact
+    // per-round degree table; md5 cells + exact merges mean even the
+    // COLLIDED estimates reproduce in DuckDB — hash-exact at a width
+    // where collisions are real, and provably a superset of q_kcore
+    // (GraphSpec pins both)
+    "q_kcore_approx" -> ((s, dir) => Graph.kCoreApprox(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 70, 8)),
     // DOULION edge sampling at p=1/2 (threshold 0x8000 — exactly
     // representable) ahead of the exact counter: the md5 sample, the
     // sparsified count AND the ×8 estimate all reproduce in DuckDB,
@@ -295,6 +302,7 @@ object SparkEntry {
       Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
     "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
       Tables.documents(s, dir), Seq("hash", "join", "scan", "graftabsent"))),
+    "q_theta_sketch" -> ((s, dir) => Sketches.thetaUserOverlap(Tables.events(s, dir))),
     // §2.7 streaming
     "stream_window_counts" -> ((s, dir) => graft.streaming.EventStreams.windowCounts(s, dir)),
     "stream_hourly_topk" -> ((s, dir) => graft.streaming.EventStreams.hourlyTopK(s, dir, 3)),
@@ -376,6 +384,33 @@ object SparkEntry {
        |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 70),
        |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
        |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))""".stripMargin
+  }.mkString(",\n")
+
+  /** 8 unrolled SKETCH-peeled k-core rounds: per round, the count-min
+    * matrix over edge endpoints (the q_count_min cell hash), each
+    * node's estimate = min over sketch rows of its cell, filter both
+    * endpoints ≥ k. Reproduces [[graft.operators.Graph.kCoreApprox]]
+    * estimate-for-estimate — collisions and all.
+    */
+  private val KcoreApproxRoundCtes: String = (1 to 8).map { i =>
+    s"""cms$i AS MATERIALIZED (
+       |  SELECT r.j,
+       |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(n AS VARCHAR)), 1, 12))::BIGINT % 8192 AS cell,
+       |    count(*) AS c
+       |  FROM (SELECT u AS n FROM ae${i - 1} UNION ALL SELECT v FROM ae${i - 1}) CROSS JOIN rows_ r
+       |  GROUP BY 1, 2),
+       |est$i AS MATERIALIZED (
+       |  SELECT nd.n, min(c.c) AS est
+       |  FROM (SELECT DISTINCT u AS n FROM ae${i - 1} UNION SELECT DISTINCT v AS n FROM ae${i - 1}) nd
+       |  CROSS JOIN rows_ r
+       |  JOIN cms$i c ON c.j = r.j
+       |   AND c.cell = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(nd.n AS VARCHAR)), 1, 12))::BIGINT % 8192
+       |  GROUP BY nd.n),
+       |ae$i AS MATERIALIZED (
+       |  SELECT e.u, e.v FROM ae${i - 1} e
+       |  JOIN est$i a ON a.n = e.u
+       |  JOIN est$i b ON b.n = e.v
+       |  WHERE a.est >= 70 AND b.est >= 70)""".stripMargin
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
@@ -575,6 +610,18 @@ object SparkEntry {
         |$KcoreRoundCtes
         |SELECT node, count(*) AS deg FROM (
         |  SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+        |GROUP BY node""".stripMargin,
+    // The sketch-peeled variant reproduces ESTIMATE-for-ESTIMATE:
+    // the CMS matrix is rebuilt per round in SQL with the q_count_min
+    // cell hash, so the oracle inherits the collisions too
+    "q_kcore_approx" ->
+      s"""WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ae0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |$KcoreApproxRoundCtes
+        |SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM ae8 UNION ALL SELECT v FROM ae8)
         |GROUP BY node""".stripMargin,
     // The sampled path reproduces end to end: same md5 threshold
     // predicate, same orientation-free triangle count on the
@@ -1679,6 +1726,56 @@ object SparkEntry {
         |  FROM pc LEFT JOIN cells ON cells.j = pc.j AND cells.cell = pc.cell
         |  GROUP BY pc.word)
         |SELECT est.word, est.est, CAST(COALESCE(wc.c, 0) AS BIGINT) AS exact
-        |FROM est LEFT JOIN wc ON wc.word = est.word""".stripMargin
+        |FROM est LEFT JOIN wc ON wc.word = est.word""".stripMargin,
+    // KMV theta sketches rebuilt in SQL: k smallest distinct 48-bit
+    // md5 values per event_type, theta = the 256th (2^48 while still
+    // exact), samples = values strictly below theta, every estimate
+    // an integer floor division — so unions, INTERSECTIONS and
+    // DIFFERENCES all hash-check, collisions and truncation included
+    "q_theta_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM h),
+        |sk AS MATERIALIZED (SELECT event_type, hv, rn, cnt FROM r WHERE rn <= 256),
+        |meta AS MATERIALIZED (SELECT event_type,
+        |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hv END)
+        |         ELSE 281474976710656 END AS theta,
+        |    CASE WHEN max(cnt) >= 256
+        |         THEN (255 * 281474976710656) // max(CASE WHEN rn = 256 THEN hv END)
+        |         ELSE max(cnt) END AS est
+        |  FROM sk GROUP BY event_type),
+        |samp AS MATERIALIZED (
+        |  SELECT s.event_type, s.hv FROM sk s JOIN meta m USING (event_type)
+        |  WHERE s.hv < m.theta),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.est AS est_a, b.est AS est_b, least(a.theta, b.theta) AS t
+        |  FROM meta a JOIN meta b ON a.event_type < b.event_type),
+        |upre AS (
+        |  SELECT DISTINCT p.type_a, p.type_b, s.hv
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+        |usk AS (SELECT type_a, type_b, hv,
+        |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY type_a, type_b) AS cnt
+        |  FROM upre),
+        |umeta AS (SELECT type_a, type_b,
+        |    CASE WHEN max(cnt) >= 256
+        |         THEN (255 * 281474976710656) // max(CASE WHEN rn = 256 THEN hv END)
+        |         ELSE max(cnt) END AS est_union
+        |  FROM usk WHERE rn <= 256 GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.est_a, p.est_b, u.est_union,
+        |  ((SELECT count(*) FROM samp x JOIN samp y ON x.hv = y.hv
+        |    WHERE x.event_type = p.type_a AND y.event_type = p.type_b
+        |      AND x.hv < p.t) * 281474976710656) // p.t AS est_intersect,
+        |  ((SELECT count(*) FROM samp x
+        |    WHERE x.event_type = p.type_a AND x.hv < p.t
+        |      AND NOT EXISTS (SELECT 1 FROM samp y
+        |        WHERE y.event_type = p.type_b AND y.hv = x.hv)) * 281474976710656) // p.t AS est_diff
+        |FROM pairs p JOIN umeta u USING (type_a, type_b)""".stripMargin
   )
 }

@@ -323,6 +323,44 @@ object Sketches {
     Seq((est, exact, errPpm)).toDF("est", "exact", "err_ppm")
   }
 
+  /** Theta-sketch audience overlap (the `q_theta_sketch` entry):
+    * one KMV sketch per event_type over user ids — built in ONE
+    * map-side-combined pass, O(k) state per (partition, type) — then
+    * every pairwise union / INTERSECTION / DIFFERENCE distinct
+    * estimate from the collected sketches (driver arithmetic over
+    * ≤ types·k longs). The question HLL cannot answer: "how many
+    * users did both X and Y" from independently-materialized
+    * per-segment sketches, no rescan, no exact join.
+    *
+    * At 100 TB the per-segment sketches are the materialized
+    * artifact (like the per-source CMS rows): overlap questions over
+    * ANY pair — or any union, KMV union is lossless — are then O(k)
+    * driver work. md5 hashing + floor-division estimates make every
+    * output integer reproduce in DuckDB (hash-checked, not
+    * tolerance-checked; the tolerance claims live in the spec).
+    */
+  def thetaUserOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.Kmv
+    val kmv = udaf(new graft.functions.KmvAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketches = events
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+      .groupBy("event_type").agg(kmv(col("u")).as("sk"))
+      .as[(String, Array[Long])].collect().sortBy(_._1)
+    val out = for {
+      (ta, sa) <- sketches.toSeq
+      (tb, sb) <- sketches.toSeq if ta < tb
+    } yield (ta, tb,
+      Kmv.estimate(sa, k), Kmv.estimate(sb, k),
+      Kmv.estimate(Kmv.union(sa, sb, k), k),
+      Kmv.intersectEstimate(sa, sb, k),
+      Kmv.diffEstimate(sa, sb, k))
+    out.toDF("type_a", "type_b", "est_a", "est_b", "est_union",
+      "est_intersect", "est_diff")
+  }
+
   /** Union previously materialized CMS matrices and answer probes
     * from the merged matrix — daily sketches in, any-range frequency
     * out, no rescan. O(buckets·depth·width) driver round-trip.

@@ -251,6 +251,61 @@ class SketchesSpec extends AnyFunSuite {
       "estimate must be identical with and without the audit join")
   }
 
+  test("theta sketch: exact under k; union lossless through parquet; overlap estimates within tolerance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    import graft.functions.{Kmv, KmvAggregator}
+    val k = 256
+    val kmv = udaf(new KmvAggregator(k), org.apache.spark.sql.Encoders.STRING)
+    def sketchOf(xs: Seq[Long]): Array[Long] =
+      xs.map(_.toString).toDF("u").agg(kmv(col("u"))).head().getSeq[Long](0).toArray
+
+    // under k keys the sketch IS the set: every estimate exact
+    val sa = sketchOf(0L until 100L)
+    val sb = sketchOf(50L until 150L)
+    assert(Kmv.estimate(sa, k) == 100L)
+    assert(Kmv.intersectEstimate(sa, sb, k) == 50L)
+    assert(Kmv.diffEstimate(sa, sb, k) == 50L)
+    assert(Kmv.estimate(Kmv.union(sa, sb, k), k) == 150L)
+
+    // planted overlap far past k: |A|=|B|=30k, |A∩B|=10k, |A∪B|=50k
+    val a = sketchOf(0L until 30000L)
+    val b = sketchOf(20000L until 50000L)
+    def rel(est: Long, truth: Long) = math.abs(est - truth).toDouble / truth
+    // k=256 → σ ≈ 1/√254 ≈ 6.3%; bounds are ~3σ (the hash draw is
+    // deterministic — union measures 19.2% here, a fixed 3σ point)
+    assert(rel(Kmv.estimate(a, k), 30000) <= 0.20, s"distinct est ${Kmv.estimate(a, k)}")
+    assert(rel(Kmv.estimate(Kmv.union(a, b, k), k), 50000) <= 0.25,
+      s"union est ${Kmv.estimate(Kmv.union(a, b, k), k)}")
+    assert(rel(Kmv.intersectEstimate(a, b, k), 10000) <= 0.30,
+      s"intersect est ${Kmv.intersectEstimate(a, b, k)}")
+    assert(rel(Kmv.diffEstimate(a, b, k), 20000) <= 0.30,
+      s"diff est ${Kmv.diffEstimate(a, b, k)}")
+    info(s"theta k=$k: |A| ${Kmv.estimate(a, k)}/30000, " +
+      s"∪ ${Kmv.estimate(Kmv.union(a, b, k), k)}/50000, " +
+      s"∩ ${Kmv.intersectEstimate(a, b, k)}/10000, ∖ ${Kmv.diffEstimate(a, b, k)}/20000")
+
+    // KMV union is LOSSLESS: merging the two bucket sketches equals
+    // sketching the union of the underlying sets, bit for bit
+    val whole = sketchOf(0L until 50000L)
+    assert(Kmv.union(a, b, k).toSeq == whole.toSeq, "KMV union must be lossless")
+
+    // the algebra survives parquet: per-bucket sketches materialized
+    // and read back answer the same questions identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta-").toString + "/sk"
+    Seq(("a", a.toSeq), ("b", b.toSeq)).toDF("bucket", "sk").write.parquet(dir)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(Kmv.union(back("a"), back("b"), k).toSeq == whole.toSeq)
+    assert(Kmv.intersectEstimate(back("a"), back("b"), k) == Kmv.intersectEstimate(a, b, k))
+    assert(Kmv.diffEstimate(back("a"), back("b"), k) == Kmv.diffEstimate(a, b, k))
+
+    // md5 hashing + exact merge: partitioning-invariant
+    val rep = (0L until 30000L).map(_.toString).toDF("u").repartition(13)
+      .agg(kmv(col("u"))).head().getSeq[Long](0)
+    assert(rep == a.toSeq, "sketch must not depend on partitioning")
+  }
+
   test("countMin matrix is partitioning-invariant") {
     val probes = Seq("the", "batch")
     val a = Sketches.countMinWordFreq(docs, probes).collect().toList
