@@ -112,6 +112,63 @@ object PqRehearsal {
         f"raw PQ 5%%-train $sampSec%5.1f s recall $rSamp%.3f | " +
         f"residual IVFPQ 5%%-train $resSec%5.1f s recall $rRes%.3f")
     }
+
+    // ---- round-7 sweep: nCells × probes under the TRAINED coarse
+    // quantizer (sampled Lloyd), residual IVFPQ, 50k clustered corpus.
+    // Reports recall AND the cost that actually scales — mean probed-
+    // cell candidate volume per query — plus the untrained-prefix
+    // baseline at each nCells (what r6 shipped). The committed table
+    // lives in SURVEY §5.
+    if (maxRows >= 50000L) {
+      val n = 50000L
+      val emb = syntheticEmbeddings(spark, n).localCheckpoint(true)
+      val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(got: Array[org.apache.spark.sql.Row]): Double = {
+        val s = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exact intersect s).size.toDouble / exact.size
+      }
+      import org.apache.spark.sql.functions.{col, count, lit}
+      for (nc <- Seq(16, 64, 256)) {
+        val (trained, trainSec) = time(
+          Similarity.trainCoarseQuantizer(emb, nc, iters = 2, sampleFraction = 0.05))
+        val prefix = Similarity.trainCoarseQuantizer(emb, nc, iters = 0,
+          sampleFraction = 0.05, seedByHash = false)
+        for ((nm, coarse) <- Seq(("trained", trained), ("prefix0", prefix))) {
+          import spark.implicits._
+          val pops = Similarity.ivfCells(emb, "vec_id", "embedding",
+              coarse.toDF("cell", "cell_emb"), probes = 1)
+            .groupBy("cell").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val books = Similarity.pqTrainResidual(emb, nc, m, ksub, iters = 3,
+            sampleFraction = 0.05, coarse = Some(coarse))
+          for (probes <- Seq(4, 8, 16).filter(_ <= nc)) {
+            val (rows, qSec) = time(Similarity.annTopKIvfPqResidual(emb, 8, 10,
+              nCells = nc, probes = probes, m = m, ksub = ksub,
+              shortlistFactor = slf, index = Some(books),
+              coarse = Some(coarse)).collect())
+            // candidate volume = probed cells' population, the IVF cost
+            // model; recompute the per-query probe set the operator uses
+            val qEmbs = emb.filter(col("vec_id") < 8)
+              .select(col("vec_id"), col("embedding"))
+              .as[(Long, Seq[Float])].collect()
+            val sorted = coarse.sortBy(_._1)
+            val meanCand = qEmbs.map { case (_, q) =>
+              sorted.map { case (cell, ce) =>
+                val dot = q.zip(ce).map { case (x, y) => x.toDouble * y.toDouble }.sum
+                val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
+                val nc2 = math.sqrt(ce.map(x => x.toDouble * x).sum)
+                (-dot / math.max(nq * nc2, 1e-12), cell)
+              }.sorted.take(probes).map { case (_, c) => pops.getOrElse(c, 0L) }.sum
+            }.sum / qEmbs.length
+            println(f"[sweep] n=$n nCells=$nc%3d probes=$probes%2d $nm%8s | " +
+              f"recall ${recall(rows)}%.3f | mean-cand $meanCand%6d " +
+              f"(${100.0 * meanCand / n}%4.1f%% of corpus) | query $qSec%5.1f s" +
+              (if (nm == "trained") f" | train $trainSec%4.1f s" else ""))
+          }
+        }
+      }
+    }
     spark.stop()
   }
 }

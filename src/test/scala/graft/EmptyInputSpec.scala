@@ -135,4 +135,21 @@ class EmptyInputSpec extends AnyFunSuite {
       depth = 2, width = 64).head()
     assert(js.getLong(0) == 0L && js.getLong(1) == 0L && js.getLong(2) == 0L)
   }
+
+  test("round-7 operators return empty (or zero summaries) on empty inputs") {
+    import spark.implicits._
+    // sketch-peeled k-core on an empty edge set: empty, converges round 1
+    assert(Graph.kCoreApprox(Seq.empty[(Long, Long)].toDF("u", "v"), 3).count() == 0)
+    // theta overlap with no events: no sketches, no pairs
+    val emptyEvents = Seq.empty[(String, Long)].toDF("event_type", "user_id")
+    assert(Sketches.thetaUserOverlap(emptyEvents).count() == 0)
+    // coarse-quantizer training on an empty corpus: no centroids
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.trainCoarseQuantizer(emptyEmb).isEmpty)
+    // estimate-only join-size path on empty sides: single zero row
+    val js7 = Sketches.cmsJoinSizeEstimate(
+      Seq.empty[Long].toDF("k"), "k", Seq.empty[Long].toDF("k"), "k",
+      depth = 2, width = 64, computeExact = false).head()
+    assert(js7.getLong(0) == 0L)
+  }
 }
