@@ -309,12 +309,14 @@ object SparkEntry {
     "stream_anomaly" -> ((s, dir) => graft.streaming.EventStreams.anomalousHours(s, dir, 8)),
     "stream_count_min" -> ((s, dir) => graft.streaming.EventStreams.hourlyCountMin(s, dir)),
     "stream_quantile" -> ((s, dir) => graft.streaming.EventStreams.hourlyQuantile(s, dir)),
+    "stream_theta" -> ((s, dir) => graft.streaming.EventStreams.hourlyTheta(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     "stream_snapshot_diff" -> ((s, dir) => graft.streaming.EventStreams.streamedSnapshotDiff(s, dir)),
+    "stream_cc" -> ((s, dir) => graft.streaming.EventStreams.streamedComponents(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
     "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir)))
@@ -1020,6 +1022,16 @@ object SparkEntry {
         |  UNION
         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
         |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
+    // min-label components are invariant under incremental min-merge,
+    // so the two-micro-batch maintained table shares batch CC's oracle
+    "stream_cc" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+        |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
     "dedup_components_fast" ->
       s"""WITH RECURSIVE $NgramPairsCte,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
@@ -1597,6 +1609,46 @@ object SparkEntry {
         |          AND r.rus > l.lus AND r.rus <= l.lus + 1800000000)
         |    AND l.lus + 1800000000 < mx.cut)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
+    // Per-hour KMV sketches accumulate across micro-batches by set
+    // insertion (no merge error), so the oracle rebuilds each hour's
+    // sketch and the consecutive-hour retained/new/churned estimates
+    // in SQL — hash-exact across the batch/streaming boundary; first
+    // hour emits -1 sentinels (no previous hour)
+    "stream_theta" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS h,
+        |    ('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hvv
+        |  FROM events),
+        |r AS (SELECT h, hvv,
+        |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM hv),
+        |sk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM r WHERE rn <= 256),
+        |meta AS MATERIALIZED (SELECT h,
+        |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
+        |         ELSE 281474976710656 END AS theta,
+        |    CASE WHEN max(cnt) >= 256
+        |         THEN (255 * 281474976710656) // max(CASE WHEN rn = 256 THEN hvv END)
+        |         ELSE max(cnt) END AS est
+        |  FROM sk GROUP BY h),
+        |samp AS MATERIALIZED (
+        |  SELECT s.h, s.hvv FROM sk s JOIN meta m USING (h) WHERE s.hvv < m.theta)
+        |SELECT c.h, c.est AS est_users,
+        |  CASE WHEN p.h IS NULL THEN -1 ELSE
+        |    ((SELECT count(*) FROM samp x JOIN samp y ON x.hvv = y.hvv
+        |      WHERE x.h = c.h AND y.h = p.h AND x.hvv < least(c.theta, p.theta))
+        |     * 281474976710656) // least(c.theta, p.theta) END AS est_retained,
+        |  CASE WHEN p.h IS NULL THEN -1 ELSE
+        |    ((SELECT count(*) FROM samp x
+        |      WHERE x.h = c.h AND x.hvv < least(c.theta, p.theta)
+        |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = p.h AND y.hvv = x.hvv))
+        |     * 281474976710656) // least(c.theta, p.theta) END AS est_new,
+        |  CASE WHEN p.h IS NULL THEN -1 ELSE
+        |    ((SELECT count(*) FROM samp x
+        |      WHERE x.h = p.h AND x.hvv < least(c.theta, p.theta)
+        |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
+        |     * 281474976710656) // least(c.theta, p.theta) END AS est_churned
+        |FROM meta c LEFT JOIN meta p ON p.h = c.h - 1""".stripMargin,
     // the streamed diff drains the same synthetic v_new through two
     // micro-batches and must land on the batch diff bit-for-bit —
     // same oracle as q_snapshot_diff

@@ -38,19 +38,8 @@ class KmvAggregator(k: Int, salt: String = "th:")
 
   override def zero: Array[Long] = Array.empty[Long]
 
-  override def reduce(buf: Array[Long], item: String): Array[Long] = {
-    val h = Kmv.hash48(salt + item)
-    if (buf.length == k && h >= buf(buf.length - 1)) return buf
-    val idx = java.util.Arrays.binarySearch(buf, h)
-    if (idx >= 0) return buf // already present
-    val ins = -idx - 1
-    val n = math.min(buf.length + 1, k)
-    val out = new Array[Long](n)
-    System.arraycopy(buf, 0, out, 0, ins)
-    out(ins) = h
-    System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
-    out
-  }
+  override def reduce(buf: Array[Long], item: String): Array[Long] =
+    Kmv.insertHash(buf, Kmv.hash48(salt + item), k)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     Kmv.union(a, b, k)
@@ -80,6 +69,24 @@ object Kmv {
     val b = digests.get().digest(s.getBytes(StandardCharsets.UTF_8))
     ((b(0) & 0xffL) << 40) | ((b(1) & 0xffL) << 32) | ((b(2) & 0xffL) << 24) |
       ((b(3) & 0xffL) << 16) | ((b(4) & 0xffL) << 8) | (b(5) & 0xffL)
+  }
+
+  /** Insert one 48-bit hash into a sorted distinct KMV buffer,
+    * keeping the k smallest (returns the buffer unchanged when the
+    * hash is present or too large — the streaming state update and
+    * the aggregator reduce share this).
+    */
+  def insertHash(buf: Array[Long], h: Long, k: Int): Array[Long] = {
+    if (buf.length == k && h >= buf(buf.length - 1)) return buf
+    val idx = java.util.Arrays.binarySearch(buf, h)
+    if (idx >= 0) return buf // already present
+    val ins = -idx - 1
+    val n = math.min(buf.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = h
+    System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+    out
   }
 
   def theta(s: Array[Long], k: Int): Long =

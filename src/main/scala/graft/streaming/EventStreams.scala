@@ -469,6 +469,207 @@ object EventStreams {
     snapshotDiffSummary(spark, tablePath, s"$base/diff")
   }
 
+  /** Incremental connected components under streaming edge arrivals —
+    * the maintenance face of [[graft.operators.Dedup
+    * .connectedComponents]]: near-dup pairs arrive in micro-batches
+    * and the component labels stay continuously current WITHOUT ever
+    * rewriting the big table. Two artifacts:
+    *
+    *  - `labelsPath`: APPEND-ONLY (doc_id, component_id) — each doc
+    *    written once, at arrival, with its component AS OF that
+    *    batch; bucketed by doc_id so a batch's endpoint lookups read
+    *    only the buckets they touch.
+    *  - `mergesPath`: the small (old_comp → new_comp) record stream —
+    *    one row per component merge, ever. Resolution closes this
+    *    map transitively on the driver (components only merge
+    *    DOWNWARD to smaller min-ids, so the chain is acyclic and the
+    *    closed map is O(merged components), not O(docs)) and
+    *    broadcasts it; current labels = one broadcast join at read.
+    *
+    * Per batch: resolve the batch endpoints' current components
+    * (bucket-pruned label read + the closed merge map), collapse the
+    * batch edges to COMPONENT-level edges, run the existing
+    * distributed CC on that (tiny) component graph, append the new
+    * merge records and the new docs' labels. No label row is ever
+    * updated — the lazy-relabel design; a deployment compacts by
+    * applying the closed map and truncating the merge log whenever
+    * it grows past taste. Replayed batchIds skip via commit markers
+    * ([[scd2MergeBatch]]'s idempotence pattern).
+    *
+    * The final resolved table equals batch CC over all edges seen —
+    * min-label components are invariant under incremental min-merge
+    * — so `stream_cc` shares `dedup_components`' RECURSIVE oracle.
+    */
+  def ccIngest(pairStream: DataFrame, labelsPath: String, mergesPath: String,
+               checkpoint: String, nBuckets: Int = 16): Unit = {
+    val q = pairStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ccMergeBatch(b, id, labelsPath, mergesPath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** True iff `path` holds at least one visible (non-underscore,
+    * non-dot) entry — a dir containing only commit markers reads as
+    * absent.
+    */
+  private def hasVisibleData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Transitively-closed merge map (old component → current root). */
+  private def closedMerges(spark: SparkSession, mergesPath: String): Map[Long, Long] = {
+    if (!hasVisibleData(spark, mergesPath)) return Map.empty
+    import spark.implicits._
+    val raw = spark.read.parquet(mergesPath)
+      .select(col("old_comp").as[Long], col("new_comp").as[Long])
+      .collect().toMap
+    def root(c: Long): Long = raw.get(c).map(root).getOrElse(c)
+    raw.keys.map(k => k -> root(k)).toMap
+  }
+
+  /** One [[ccIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def ccMergeBatch(batch0: org.apache.spark.sql.DataFrame,
+                                  batchId: Long, labelsPath: String,
+                                  mergesPath: String, nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(mergesPath, "_cc_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    val b = batch0.select(col("doc_a"), col("doc_b")).dropDuplicates().persist()
+    try {
+      if (b.isEmpty) { mark(); return }
+      val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+      val eps = b.select(col("doc_a").as("doc_id"))
+        .unionByName(b.select(col("doc_b").as("doc_id"))).distinct()
+      val lp = new org.apache.hadoop.fs.Path(labelsPath)
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val known =
+        if (lfs.exists(lp)) {
+          val epBuckets = eps
+            .select(pmod(col("doc_id"), lit(nBuckets.toLong)).as[Long])
+            .distinct().collect().toSeq
+          // partition pruning: only the endpoint buckets are read
+          spark.read.parquet(labelsPath)
+            .filter(col("bucket").isin(epBuckets: _*))
+            .join(eps, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("component_id"))
+        } else Seq.empty[(Long, Long)].toDF("doc_id", "component_id")
+      val cur = known
+        .join(broadcast(closureDf), col("component_id") === col("mc_old"), "left")
+        .select(col("doc_id"), coalesce(col("mc_new"), col("component_id")).as("comp"))
+        .persist()
+      // collapse batch edges to component-level edges (unknown
+      // endpoint → its own id is the component)
+      val ca = cur.select(col("doc_id").as("doc_a"), col("comp").as("comp_a"))
+      val cb = cur.select(col("doc_id").as("doc_b"), col("comp").as("comp_b"))
+      val compEdges = b
+        .join(ca, Seq("doc_a"), "left").join(cb, Seq("doc_b"), "left")
+        .select(coalesce(col("comp_a"), col("doc_a")).as("doc_a"),
+          coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
+        .localCheckpoint(true)
+      // the component graph is collapsed — usually tiny relative to
+      // the batch. Under the gate, a driver union-find (min-label,
+      // identical output) replaces the iterative distributed CC whose
+      // per-round job overhead dominates at this size; past it, the
+      // distributed path stands (the triangleCount broadcast-gate
+      // pattern)
+      val cc =
+        if (compEdges.count() <= 100000L) {
+          val edges = compEdges.select(col("doc_a").as[Long], col("doc_b").as[Long]).collect()
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x
+            else { val r = find(p); parent(x) = r; r }
+          }
+          edges.foreach { case (a, b2) =>
+            val (ra, rb) = (find(a), find(b2))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val nodes = edges.flatMap { case (a, b2) => Seq(a, b2) }.distinct
+          nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "component_id")
+        } else graft.operators.Dedup.connectedComponents(compEdges)
+      graft.operators.Checkpoints.free(compEdges)
+      // merge records: existing components whose root changed
+      val newMerges = cc
+        .join(cur.select(col("comp").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") =!= col("component_id"))
+        .select(col("doc_id").as("old_comp"), col("component_id").as("new_comp"))
+      if (!newMerges.isEmpty) {
+        newMerges.write.mode("append").parquet(mergesPath)
+      }
+      // new docs: labeled once, with their component as of THIS batch
+      val lbl = eps.join(known.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("component_id"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      if (!lbl.isEmpty) {
+        lbl.write.mode("append").partitionBy("bucket").parquet(labelsPath)
+      }
+      cur.unpersist()
+      mark()
+    } finally { b.unpersist(); () }
+  }
+
+  /** Current component per doc: the append-only labels resolved
+    * through the closed merge map — ONE broadcast join, no rewrite
+    * ever happened.
+    */
+  def ccResolve(spark: SparkSession, labelsPath: String,
+                mergesPath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, labelsPath)) {
+      return Seq.empty[(Long, Long)].toDF("doc_id", "component_id")
+    }
+    val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+    spark.read.parquet(labelsPath)
+      .dropDuplicates("doc_id")
+      .join(broadcast(closureDf), col("component_id") === col("mc_old"), "left")
+      .select(col("doc_id"), coalesce(col("mc_new"), col("component_id")).as("component_id"))
+  }
+
+  /** End-to-end streamed CC over the documents near-dup graph (the
+    * `stream_cc` entry): the same n-gram Jaccard pairs as
+    * `dedup_components`, arriving as TWO shard files → two
+    * micro-batches; the resolved table must equal batch CC, so it
+    * shares the RECURSIVE reachability oracle.
+    */
+  def streamedComponents(spark: SparkSession, dir: String,
+                         nBuckets: Int = 16): DataFrame = {
+    // checkpoint: the candidate generator (shingle join) must run
+    // once, not once per shard write
+    val shards = graft.operators.Dedup.ngramJaccard(
+        graft.Tables.documents(spark, dir), 3, 0.2)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-ing-").toString
+    val incoming = s"$base/incoming"
+    shards.filter(col("doc_a") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    shards.filter(col("doc_a") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(shards)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    ccIngest(stream, s"$base/labels", s"$base/merges", s"$base/ckpt", nBuckets)
+    ccResolve(spark, s"$base/labels", s"$base/merges")
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 
@@ -938,6 +1139,98 @@ object EventStreams {
       .withColumn("_max_total", max(col("h_total")).over(w))
       .filter(col("h_total") === col("_max_total"))
       .select(col("h"), col("q_permille"), col("est"), col("h_total"))
+  }
+
+  /** Per-hour KMV theta state: the ≤k smallest distinct user hashes
+    * plus the running event count (the monotone final-emission
+    * selector).
+    */
+  case class ThetaBuf(sketch: Array[Long], n: Long)
+
+  /** One emitted per-hour sketch snapshot. */
+  case class ThetaOut(h: Long, sketch: Seq[Long], n: Long)
+
+  /** Streaming per-hour audience sketches — the streaming face of
+    * [[graft.operators.Sketches.thetaUserOverlap]]: state per hour
+    * is ONE KMV theta sketch of the hour's user ids (≤ k longs, O(1)
+    * in event volume — the [[hourlyCountMin]] state contract), and
+    * because the KMV insert is a set operation the cross-batch
+    * accumulated sketch equals the batch sketch of the hour's users
+    * EXACTLY — no merge error, however the hours split across
+    * micro-batches. After the drain, consecutive-hour set algebra on
+    * the collected sketches (O(hours·k) driver arithmetic) answers
+    * the question per-hour distinct counts alone cannot:
+    * hour-over-hour RETAINED / NEW / CHURNED audience estimates.
+    *
+    * Deterministic md5 hashing + floor-division estimates → the
+    * DuckDB oracle rebuilds the per-hour sketches and the retention
+    * estimates bit-for-bit (the q_theta_sketch property across the
+    * batch/streaming boundary). First hour of the stream (no h−1):
+    * −1 sentinels, the NULL-free convention of the outer interval
+    * join.
+    *
+    * Output: (h, est_users, est_retained, est_new, est_churned).
+    */
+  def hourlyTheta(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    hourlyTheta(readEventStream(spark, dir), k)
+
+  /** [[hourlyTheta]] over an arbitrary event stream (the multi-batch
+    * merge spec drives this directly).
+    */
+  def hourlyTheta(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.Kmv
+    val hourNs = 3600000000000L
+
+    def updateFn(h: Long, users: Iterator[String],
+                 state: GroupState[ThetaBuf]): Iterator[ThetaOut] = {
+      val prev = state.getOption.getOrElse(ThetaBuf(Array.empty[Long], 0L))
+      var sketch = prev.sketch
+      var n = prev.n
+      users.foreach { u =>
+        sketch = Kmv.insertHash(sketch, Kmv.hash48("th:" + u), k)
+        n += 1L
+      }
+      state.update(ThetaBuf(sketch, n))
+      Iterator.single(ThetaOut(h, sketch.toSeq, n))
+    }
+
+    val qname = "graft_stream_theta_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = events
+      .select(col("ts_ns").as[Long], col("user_id").cast("string").as[String])
+      .as[(Long, String)]
+      .groupByKey(_._1 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (h: Long, it: Iterator[(Long, String)], s: GroupState[ThetaBuf]) =>
+          updateFn(h, it.map(_._2), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final sketch per hour = the snapshot at the max running count
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val finals = spark.table(qname)
+      .withColumn("_max_n", max(col("n")).over(w))
+      .filter(col("n") === col("_max_n"))
+      .select(col("h"), col("sketch"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (h, s) => h -> s.toArray }.toMap
+    val rows = finals.keys.toSeq.sorted.map { h =>
+      val cur = finals(h)
+      finals.get(h - 1) match {
+        case Some(prev) =>
+          (h, Kmv.estimate(cur, k),
+            Kmv.intersectEstimate(cur, prev, k),
+            Kmv.diffEstimate(cur, prev, k),
+            Kmv.diffEstimate(prev, cur, k))
+        case None => (h, Kmv.estimate(cur, k), -1L, -1L, -1L)
+      }
+    }
+    rows.toDF("h", "est_users", "est_retained", "est_new", "est_churned")
   }
 
   /** Per-hour count-min state: the depth×width counter matrix plus the

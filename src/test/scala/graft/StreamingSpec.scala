@@ -609,6 +609,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((17L, 1L, "x", 1500L, Long.MaxValue, 1L)), "co-bucketed user lost")
   }
 
+  test("ccIngest: cross-batch component merge == batch CC; labels append-only; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-replay-").toString
+    val labels = s"$base/labels"; val merges = s"$base/merges"
+    def resolve() = EventStreams.ccResolve(spark, labels, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0: components {1,2} and {5,6}
+    val b0 = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    EventStreams.ccMergeBatch(b0, 0L, labels, merges, 16)
+    assert(resolve() == Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+    // batch 1: edge 2-5 MERGES them, and a new pair {9,10} arrives
+    val b1 = Seq((2L, 5L), (9L, 10L)).toDF("doc_a", "doc_b")
+    EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
+    val after = resolve()
+    // equals batch CC over all edges seen
+    val want = graft.operators.Dedup.connectedComponents(
+        b0.unionByName(b1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == want, s"incremental CC drifted: $after vs $want")
+    assert(after == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 9L), (10L, 9L)))
+    // append-only: doc 5's STORED label still says component 5 — the
+    // merge record, not a rewrite, carries the 5→1 collapse
+    val raw = spark.read.parquet(labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(raw(5L) == 5L && raw(6L) == 5L, s"labels were rewritten: $raw")
+    // replayed batchId: no duplicate labels, no duplicate merges
+    EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
+    assert(resolve() == after, "replayed batch changed the resolved table")
+    assert(spark.read.parquet(labels).count() == 6L, "replay appended duplicate labels")
+  }
+
+  test("hourlyTheta: hour spanning micro-batches accumulates the exact batch sketch; retention algebra exact under k") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-theta-st-").toString
+    var id = 0L
+    val hourNs = 3600000000000L
+    // hour H (offset +100h per the epoch-0 watermark lesson): users
+    // 1..30; hour H+1: users 21..50 -> retained 10, new 20, churned 20
+    val h0 = 100L * hourNs
+    def ev(user: Long, tNs: Long): (Long, Long, Long, String, Double, String) = {
+      id += 1; (id, tNs, user, "click", 0.0, "{}")
+    }
+    // hour H splits across TWO files -> two micro-batches
+    writeEventFile(base, "f1", 1000000L,
+      (1L to 15L).map(u => ev(u, h0 + u * 1000L)))
+    writeEventFile(base, "f2", 2000000L,
+      (16L to 30L).map(u => ev(u, h0 + u * 1000L)) ++
+        (21L to 50L).map(u => ev(u, h0 + hourNs + u * 1000L)))
+    val got = EventStreams.hourlyTheta(eventStreamFrom(base), 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // under k everything is exact; first hour carries the sentinels
+    assert(got.length == 2)
+    assert(got(0) == ((100L, 30L, -1L, -1L, -1L)))
+    assert(got(1) == ((101L, 30L, 10L, 20L, 20L)),
+      s"retention algebra drifted: ${got(1)}")
+  }
+
   test("streamed snapshot diff: two-batch ingest == batch snapshotDiff; replay is a no-op; diff table is bucket-partitioned") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
