@@ -79,8 +79,41 @@ object PqRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
-    val maxRows = args.headOption.map(_.toLong).getOrElse(50000L)
+    val maxRows = args.headOption.filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(50000L)
+    val doCoarse = args.contains("coarse")
     val spark = GraftSession.local()
+    // ---- round-7 large-quantizer balance rehearsal (`coarse` arg):
+    // 200k-row SORTED manifold corpus, nCells=512 — past the inline
+    // gate, so assignment runs the O(1)-plan matrix path. The
+    // CoarseQuantizerSpec story at deployment granularity: prefix
+    // seeds span a sliver of the manifold; trained cells bound the
+    // probed-cell candidate volume (the committed table in SURVEY §5).
+    if (doCoarse) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      import spark.implicits._
+      val n = 200000L
+      val nc = 512
+      val emb = manifoldEmbeddings(spark, n).localCheckpoint(true)
+      for ((nm, iters, byHash) <- Seq(("trained", 3, true), ("prefix0", 0, false))) {
+        val (c, tSec) = {
+          val t0 = System.nanoTime()
+          val r = Similarity.trainCoarseQuantizer(emb, nc, iters,
+            sampleFraction = 0.05, seedByHash = byHash)
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val pops = Similarity.ivfCellsMatrix(emb, "vec_id", "embedding",
+            c.toDF("cell", "cell_emb"), probes = 1)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .collect().map(_.getLong(1))
+        val mean = n.toDouble / nc
+        val expCand = pops.map(p => p.toDouble * p).sum / n
+        println(f"[coarse] n=$n nCells=$nc $nm%8s | cells=${pops.length}%4d " +
+          f"max=${pops.max}%7d (${pops.max / mean}%6.1fx mean) | " +
+          f"E[cand]=$expCand%9.0f | train $tSec%5.1f s")
+      }
+      spark.stop()
+      return
+    }
     val (m, ksub, nCells, slf) = (16, 64, 64, 20)
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

@@ -183,6 +183,11 @@ object SparkEntry {
     // planted-clique error bound
     "q_triangles_approx" -> ((s, dir) => Graph.triangleCountApprox(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)))),
+    // the p dial at p=1/4 (threshold 0x4000, scale 64.0 — both
+    // exactly representable): ~4x less wedge work than p=1/2, wider
+    // variance, same hash-exact estimator contract
+    "q_triangles_approx_q" -> ((s, dir) => Graph.triangleCountApprox(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), keepPermille = 250)),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -640,6 +645,18 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM e) AS n_edges_sampled,
         |       ts AS triangles_sampled,
         |       CAST(floor(ts * 8.0 + 0.5) AS BIGINT) AS triangles_est FROM t""".stripMargin,
+    "q_triangles_approx_q" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT u, v FROM e0
+        |      WHERE substr(md5('tri:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '4000'),
+        |t AS (SELECT count(*) AS ts
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM e) AS n_edges_sampled,
+        |       ts AS triangles_sampled,
+        |       CAST(floor(ts * 64.0 + 0.5) AS BIGINT) AS triangles_est FROM t""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

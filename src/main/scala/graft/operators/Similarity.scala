@@ -268,6 +268,67 @@ object Similarity {
         explode(expr("transform(top, x -> x.cell)")).as("cell"))
   }
 
+  /** Cell assignment for the LARGE-quantizer regime as a PURE
+    * PROJECTION — no join, no shuffle, at ANY quantizer size: the
+    * centroid table ships as ONE typedlit matrix (plus its
+    * precomputed ‖c‖² row), each row scores all cells inside a HOF
+    * `transform` and keeps its `probes` best. Plan size is O(1) in
+    * nCells (two literals + a fixed HOF tree — the [[pqCodes]]
+    * lesson), where [[ivfCells]] inlines one subtree per seed
+    * (Janino compile blows up past ~100 cells) and
+    * [[ivfCellsBroadcast]] expands every row nCells× through a join
+    * and shuffles the candidates back down — at 10⁹ rows × 1024
+    * cells that join materializes 10¹² rows to take an argmax.
+    *
+    * The cosine is bit-identical to [[vecCosine]] (left-to-right
+    * double accumulation of dot and both norms, same zero guard,
+    * same division shape), so all three assignment paths are
+    * ROW-IDENTICAL — spec-pinned. HOFs are CodegenFallback: the
+    * scoring loop is interpreted, the price of the O(1) plan; the
+    * arithmetic volume (rows × nCells × dim) is the same as the
+    * broadcast join's, minus its exchange.
+    */
+  def ivfCellsMatrix(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
+                     probes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seedRows = seeds.select(col("cell").cast("long"), col("cell_emb"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    if (seedRows.isEmpty) {
+      return df.select(col(idCol), col(embCol), lit(0L).as("cell")).limit(0)
+    }
+    val n = seedRows.size
+    val cellsLit = typedlit(seedRows.map(_._1))
+    val embsLit = typedlit(seedRows.map(_._2))
+    val nbLit = typedlit(seedRows.map(
+      _._2.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+    val x = col(embCol)
+    val naExpr = aggregate(
+      transform(x, v => v.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = transform(sequence(lit(0), lit(n - 1)), i => {
+      val dot = aggregate(
+        zip_with(x, element_at(embsLit, i + 1),
+          (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val nb = element_at(nbLit, i + 1)
+      struct(
+        when(col("_na") === 0.0 || nb === 0.0, lit(0.0))
+          .otherwise(dot / (sqrt(col("_na")) * sqrt(nb))).as("c"),
+        element_at(cellsLit, i + 1).as("cell"))
+    })
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    val nearest = slice(array_sort(scored, cmp), 1, probes)
+    df.withColumn("_na", naExpr)
+      .select(col(idCol), col(embCol),
+        explode(transform(nearest, s => s.getField("cell"))).as("cell"))
+  }
+
   /** IVF-bucketed ANN top-k (the prompt's "IVF variant as the scale
     * path"): corpus rows live in their single nearest cell; each
     * query probes its `probes` nearest cells; exact re-rank inside
@@ -282,13 +343,14 @@ object Similarity {
                  coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val seeds = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
-      .toDF("cell", "cell_emb")
-    val corpus = ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
-    val queries = ivfCells(
+    val seedRows = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
+    val seeds = seedRows.toDF("cell", "cell_emb")
+    val corpus = assignCells(embeddings, "vec_id", "embedding", seeds,
+      probes = 1, seedRows.size)
+    val queries = assignCells(
       embeddings.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", seeds, probes)
+      "query_id", "q_emb", seeds, probes, seedRows.size)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     corpus.as("c")
@@ -382,8 +444,8 @@ object Similarity {
     val centroidUdaf = udaf(new VectorMeanAggregator,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     val centroids = trainCoarseQuantizer(embeddings, nCells, iters, seedByHash = false)
-    ivfCells(embeddings, "vec_id", "embedding", centroids.toDF("cell", "cell_emb"),
-        probes = 1)
+    assignCells(embeddings, "vec_id", "embedding", centroids.toDF("cell", "cell_emb"),
+        probes = 1, centroids.size)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), centroidUdaf(col("embedding")).as("c"))
       .select(col("cell") +: col("n") +:
@@ -436,8 +498,8 @@ object Similarity {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     if (centroids.isEmpty) return Seq.empty
     for (_ <- 0 until iters) {
-      val updated = ivfCells(train, "vec_id", "embedding",
-          centroids.toDF("cell", "cell_emb"), probes = 1)
+      val updated = assignCells(train, "vec_id", "embedding",
+          centroids.toDF("cell", "cell_emb"), probes = 1, centroids.size)
         .groupBy(col("cell"))
         .agg(centroidUdaf(col("embedding")).as("c"))
         .as[(Long, Seq[Double])].collect().toMap
@@ -447,6 +509,21 @@ object Similarity {
     }
     centroids
   }
+
+  /** Plan-size gate between the SPEC-PINNED-row-identical cell
+    * assignment paths: inline plan literals keep small quantizers
+    * zero-shuffle AND codegen'd; past the gate one typedlit per seed
+    * would blow up the plan (and its Janino compile — seconds per
+    * invocation at hundreds of cells), so the O(1)-plan matrix form
+    * takes over — still zero-shuffle, which the broadcast-join form
+    * ([[ivfCellsBroadcast]], kept for quantizers arriving as a
+    * TABLE) is not.
+    */
+  private val InlineSeedGate = 64
+  private def assignCells(df: DataFrame, idCol: String, embCol: String,
+                          seeds: DataFrame, probes: Int, nSeeds: Int): DataFrame =
+    if (nSeeds <= InlineSeedGate) ivfCells(df, idCol, embCol, seeds, probes)
+    else ivfCellsMatrix(df, idCol, embCol, seeds, probes)
 
   // ---- Product quantization (Jégou, Douze & Schmid, TPAMI 2011 —
   // public algorithm): split dim into m subspaces, k-means each
@@ -735,8 +812,9 @@ object Similarity {
         col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
         lit(0L).as("rk")).limit(0)
     }
-    // one corpus scan: nearest cell (plan-literal argmax) + codes
-    val corpus = ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
+    // one corpus scan: nearest cell (size-gated assignment) + codes
+    val corpus = assignCells(embeddings, "vec_id", "embedding", seeds,
+        probes = 1, seedRows.size)
       .select(col("vec_id"), col("cell"), pqCodes(col("embedding"), books).as("codes"))
     // driver-side probe assignment + ADC tables for the tiny query set
     val qTables = queryDotTables(embeddings, numQueries, books)
@@ -805,9 +883,9 @@ object Similarity {
                 coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val seeds = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
-      .toDF("cell", "cell_emb")
-    ivfCells(embeddings, "vec_id", "embedding", seeds, probes = 1)
+    val seedRows = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
+    val seeds = seedRows.toDF("cell", "cell_emb")
+    assignCells(embeddings, "vec_id", "embedding", seeds, probes = 1, seedRows.size)
       .join(broadcast(seeds), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("cell_emb"), (a, b) => a - b).as("residual"))

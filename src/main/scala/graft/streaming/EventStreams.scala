@@ -643,6 +643,34 @@ object EventStreams {
       .select(col("doc_id"), coalesce(col("mc_new"), col("component_id")).as("component_id"))
   }
 
+  /** Compact the incremental-CC state: apply the closed merge map to
+    * every label row ONCE, rewrite the labels table, truncate the
+    * merge log (commit markers survive — a replayed batch must still
+    * skip). After compaction resolution is a plain read (the closure
+    * join hits an empty map) and the log restarts from zero; run it
+    * whenever the merge log grows past taste. One full label pass —
+    * the cost [[ccMergeBatch]] defers every batch, paid on the
+    * operator's schedule instead of the ingest path's.
+    */
+  def ccCompact(spark: SparkSession, labelsPath: String, mergesPath: String,
+                nBuckets: Int = 16): Unit = {
+    if (!hasVisibleData(spark, labelsPath)) return
+    val resolved = ccResolve(spark, labelsPath, mergesPath)
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    resolved.write.mode("overwrite").partitionBy("bucket").parquet(labelsPath)
+    graft.operators.Checkpoints.free(resolved)
+    val mp = new org.apache.hadoop.fs.Path(mergesPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      fs.listStatus(mp).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(s.getPath, true)
+      }
+    }
+  }
+
   /** End-to-end streamed CC over the documents near-dup graph (the
     * `stream_cc` entry): the same n-gram Jaccard pairs as
     * `dedup_components`, arriving as TWO shard files → two

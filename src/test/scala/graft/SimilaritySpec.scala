@@ -112,7 +112,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r16 == 1.0, s"full-probe recall must be exact, got $r16")
   }
 
-  test("large-quantizer broadcast cell assignment == inline plan-literal assignment") {
+  test("large-quantizer broadcast and matrix cell assignments == inline plan-literal assignment") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, SharedSpark.sf)
     val seeds = emb.filter(col("vec_id") < 16)
@@ -120,6 +120,10 @@ class SimilaritySpec extends AnyFunSuite {
     for (probes <- Seq(1, 4)) {
       val inline = Similarity.ivfCells(emb, "vec_id", "embedding", seeds, probes)
         .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val matrix = Similarity.ivfCellsMatrix(emb, "vec_id", "embedding", seeds, probes)
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matrix == inline,
+        s"matrix assignment must be row-identical to inline at probes=$probes")
       val bcast = Similarity.ivfCellsBroadcast(emb, "vec_id", "embedding", seeds, probes)
         .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(bcast == inline, s"probes=$probes")

@@ -639,6 +639,22 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
     assert(resolve() == after, "replayed batch changed the resolved table")
     assert(spark.read.parquet(labels).count() == 6L, "replay appended duplicate labels")
+    // compaction: labels rewritten to current roots, merge log
+    // truncated, resolution unchanged
+    EventStreams.ccCompact(spark, labels, merges, 16)
+    assert(resolve() == after, "compaction changed the resolved table")
+    val compacted = spark.read.parquet(labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(compacted(5L) == 1L && compacted(6L) == 1L,
+      s"compaction must bake merges into labels: $compacted")
+    // commit markers survived truncation: the replayed batch is STILL a no-op
+    EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
+    assert(resolve() == after && spark.read.parquet(labels).count() == 6L,
+      "post-compaction replay must still skip")
+    // and the log restarts cleanly: a genuinely new merge applies
+    EventStreams.ccMergeBatch(Seq((6L, 9L)).toDF("doc_a", "doc_b"), 2L, labels, merges, 16)
+    assert(resolve() == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 1L), (10L, 1L)),
+      s"post-compaction merge drifted: ${resolve()}")
   }
 
   test("hourlyTheta: hour spanning micro-batches accumulates the exact batch sketch; retention algebra exact under k") {
