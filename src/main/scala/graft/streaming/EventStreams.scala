@@ -1197,22 +1197,38 @@ object EventStreams {
     * −1 sentinels, the NULL-free convention of the outer interval
     * join.
     *
+    * CLOSED HOURS RETIRE (the [[hourlyTopK]] contract): a 1-hour
+    * watermark + EventTimeTimeout armed at each hour's end drops the
+    * hour's sketch once no on-time event can arrive — live state is
+    * O(open hours × k), not O(all hours); the final sketch is
+    * already in the sink when the timeout fires, and the
+    * consecutive-hour algebra runs on the SINK's finals, so
+    * retirement costs the summary nothing.
+    *
     * Output: (h, est_users, est_retained, est_new, est_churned).
     */
   def hourlyTheta(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
-    hourlyTheta(readEventStream(spark, dir), k)
+    hourlyTheta(readEventStream(spark, dir), k)._1
 
-  /** [[hourlyTheta]] over an arbitrary event stream (the multi-batch
-    * merge spec drives this directly).
+  /** [[hourlyTheta]] over an arbitrary event stream; also returns the
+    * terminated query so the state-retirement spec can read its
+    * state-store metrics.
     */
-  def hourlyTheta(events: DataFrame, k: Int): DataFrame = {
+  def hourlyTheta(events: DataFrame, k: Int):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = events.sparkSession
     import spark.implicits._
     import graft.functions.Kmv
     val hourNs = 3600000000000L
+    val hourMs = 3600000L
 
     def updateFn(h: Long, users: Iterator[String],
                  state: GroupState[ThetaBuf]): Iterator[ThetaOut] = {
+      if (state.hasTimedOut) {
+        // watermark passed the hour end: final sketch already sunk
+        state.remove()
+        return Iterator.empty
+      }
       val prev = state.getOption.getOrElse(ThetaBuf(Array.empty[Long], 0L))
       var sketch = prev.sketch
       var n = prev.n
@@ -1221,17 +1237,21 @@ object EventStreams {
         n += 1L
       }
       state.update(ThetaBuf(sketch, n))
+      state.setTimeoutTimestamp(
+        math.max((h + 1L) * hourMs, state.getCurrentWatermarkMs() + 1L))
       Iterator.single(ThetaOut(h, sketch.toSeq, n))
     }
 
     val qname = "graft_stream_theta_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = events
-      .select(col("ts_ns").as[Long], col("user_id").cast("string").as[String])
-      .as[(Long, String)]
-      .groupByKey(_._1 / hourNs)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (h: Long, it: Iterator[(Long, String)], s: GroupState[ThetaBuf]) =>
-          updateFn(h, it.map(_._2), s))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long],
+        col("user_id").cast("string").as[String])
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(_._2 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (h: Long, it: Iterator[(java.sql.Timestamp, Long, String)], s: GroupState[ThetaBuf]) =>
+          updateFn(h, it.map(_._3), s))
       .writeStream
       .format("memory")
       .queryName(qname)
@@ -1258,7 +1278,7 @@ object EventStreams {
         case None => (h, Kmv.estimate(cur, k), -1L, -1L, -1L)
       }
     }
-    rows.toDF("h", "est_users", "est_retained", "est_new", "est_churned")
+    (rows.toDF("h", "est_users", "est_retained", "est_new", "est_churned"), q)
   }
 
   /** Per-hour count-min state: the depth×width counter matrix plus the

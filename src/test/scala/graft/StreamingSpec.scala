@@ -671,17 +671,28 @@ class StreamingSpec extends AnyFunSuite {
     // hour H splits across TWO files -> two micro-batches
     writeEventFile(base, "f1", 1000000L,
       (1L to 15L).map(u => ev(u, h0 + u * 1000L)))
+    // hour 103 (gap at 102, +1 min past the boundary) advances the
+    // watermark past hours 100 AND 101's ends
     writeEventFile(base, "f2", 2000000L,
       (16L to 30L).map(u => ev(u, h0 + u * 1000L)) ++
-        (21L to 50L).map(u => ev(u, h0 + hourNs + u * 1000L)))
-    val got = EventStreams.hourlyTheta(eventStreamFrom(base), 256).collect()
+        (21L to 50L).map(u => ev(u, h0 + hourNs + u * 1000L)) ++
+        (60L to 61L).map(u => ev(u, h0 + 3L * hourNs + 60000000000L + u * 1000L)))
+    val (gotDf, q) = EventStreams.hourlyTheta(eventStreamFrom(base), 256)
+    val got = gotDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(_._1)
-    // under k everything is exact; first hour carries the sentinels
-    assert(got.length == 2)
+    // under k everything is exact; first hour carries the sentinels,
+    // and so does the hour AFTER A GAP (no h-1 sketch exists)
+    assert(got.length == 3)
     assert(got(0) == ((100L, 30L, -1L, -1L, -1L)))
     assert(got(1) == ((101L, 30L, 10L, 20L, 20L)),
       s"retention algebra drifted: ${got(1)}")
+    assert(got(2) == ((103L, 2L, -1L, -1L, -1L)), s"gap hour drifted: ${got(2)}")
+    // closed-hour retirement: hours 100 and 101 must be gone once the
+    // watermark passed their ends (the hourlyTopK state contract)
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows < 2,
+      s"EventTimeTimeout must retire closed hours: $stateRows state rows for 3 hours")
   }
 
   test("streamed snapshot diff: two-batch ingest == batch snapshotDiff; replay is a no-op; diff table is bucket-partitioned") {
