@@ -1114,27 +1114,35 @@ object EventStreams {
   def hourlyQuantile(spark: SparkSession, dir: String,
                      qPermille: Seq[Int] = Seq(500, 900, 990),
                      maxBin: Long = 4095L): DataFrame =
-    hourlyQuantile(readEventStream(spark, dir), qPermille, maxBin)
+    hourlyQuantile(readEventStream(spark, dir), qPermille, maxBin)._1
 
   /** [[hourlyQuantile]] over an arbitrary event stream (the
-    * multi-batch merge spec drives this directly).
+    * multi-batch merge spec drives this directly); also returns the
+    * terminated query for the state-retirement assertion. Closed
+    * hours retire via watermark + EventTimeTimeout (the
+    * [[hourlyTopK]] contract, applied here r7).
     */
   def hourlyQuantile(events: DataFrame, qPermille: Seq[Int],
-                     maxBin: Long): DataFrame = {
+                     maxBin: Long):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000))
     val spark = events.sparkSession
     import spark.implicits._
     val hourNs = 3600000000000L
+    val hourMs = 3600000L
     val qs = qPermille.distinct.sorted
 
     def updateFn(h: Long, bins: Iterator[Long],
                  state: GroupState[QuantileBuf]): Iterator[QuantileOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val prev = state.getOption.getOrElse(QuantileBuf(Map.empty, 0L))
       val m = scala.collection.mutable.HashMap.empty[Long, Long]
       prev.bins.foreach { case (b, c) => m.update(b, c) }
       var n = prev.n
       bins.foreach { b => m.update(b, m.getOrElse(b, 0L) + 1L); n += 1L }
       state.update(QuantileBuf(m.toMap, n))
+      state.setTimeoutTimestamp(
+        math.max((h + 1L) * hourMs, state.getCurrentWatermarkMs() + 1L))
       val sorted = m.toSeq.sortBy(_._1)
       val cum = sorted.scanLeft((Long.MinValue, 0L)) {
         case ((_, acc), (b, c)) => (b, acc + c)
@@ -1149,12 +1157,13 @@ object EventStreams {
     val qname = "graft_stream_qtl_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val binCol = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(maxBin))
     val q = events
-      .select(col("ts_ns").as[Long], binCol.as[Long])
-      .as[(Long, Long)]
-      .groupByKey(_._1 / hourNs)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (h: Long, it: Iterator[(Long, Long)], s: GroupState[QuantileBuf]) =>
-          updateFn(h, it.map(_._2), s))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long], binCol.as[Long])
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._2 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (h: Long, it: Iterator[(java.sql.Timestamp, Long, Long)], s: GroupState[QuantileBuf]) =>
+          updateFn(h, it.map(_._3), s))
       .writeStream
       .format("memory")
       .queryName(qname)
@@ -1163,10 +1172,11 @@ object EventStreams {
       .start()
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    spark.table(qname)
+    val out = spark.table(qname)
       .withColumn("_max_total", max(col("h_total")).over(w))
       .filter(col("h_total") === col("_max_total"))
       .select(col("h"), col("q_permille"), col("est"), col("h_total"))
+    (out, q)
   }
 
   /** Per-hour KMV theta state: the ≤k smallest distinct user hashes
@@ -1309,21 +1319,30 @@ object EventStreams {
     * Width default 64: event-type cardinality is ~10, so collisions
     * are possible but rare — and when one happens BOTH engines
     * reproduce the same overestimate, which is the point.
+    *
+    * Closed hours RETIRE (watermark + EventTimeTimeout — the
+    * [[hourlyTopK]]/[[hourlyTheta]] contract, applied here r7): live
+    * state is O(open hours × depth·width), and since the final
+    * estimates are already in the sink the timeout only drops state.
     */
   def hourlyCountMin(spark: SparkSession, dir: String,
                      depth: Int = 4, width: Int = 64): DataFrame =
-    hourlyCountMin(readEventStream(spark, dir), depth, width)
+    hourlyCountMin(readEventStream(spark, dir), depth, width)._1
 
   /** [[hourlyCountMin]] over an arbitrary event stream (the
-    * multi-batch merge spec drives this directly).
+    * multi-batch merge spec drives this directly); also returns the
+    * terminated query for the state-retirement assertion.
     */
-  def hourlyCountMin(events: DataFrame, depth: Int, width: Int): DataFrame = {
+  def hourlyCountMin(events: DataFrame, depth: Int, width: Int):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = events.sparkSession
     import spark.implicits._
     val hourNs = 3600000000000L
+    val hourMs = 3600000L
 
     def updateFn(h: Long, types: Iterator[String],
                  state: GroupState[CmsBuf]): Iterator[CmsOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val prev = state.getOption.getOrElse(
         CmsBuf(new Array[Long](depth * width), Set.empty, 0L))
       val sketch = prev.sketch.clone()
@@ -1339,6 +1358,8 @@ object EventStreams {
         n += 1L
       }
       state.update(CmsBuf(sketch, seen, n))
+      state.setTimeoutTimestamp(
+        math.max((h + 1L) * hourMs, state.getCurrentWatermarkMs() + 1L))
       seen.toSeq.sorted.map(t =>
         CmsOut(h, t, graft.functions.CountMin.estimate(sketch, depth, width, t), n)
       ).iterator
@@ -1346,12 +1367,14 @@ object EventStreams {
 
     val qname = "graft_stream_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = events
-      .select(col("ts_ns").as[Long], col("event_type").as[String])
-      .as[(Long, String)]
-      .groupByKey(_._1 / hourNs)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (h: Long, it: Iterator[(Long, String)], s: GroupState[CmsBuf]) =>
-          updateFn(h, it.map(_._2), s))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long],
+        col("event_type").as[String])
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(_._2 / hourNs)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (h: Long, it: Iterator[(java.sql.Timestamp, Long, String)], s: GroupState[CmsBuf]) =>
+          updateFn(h, it.map(_._3), s))
       .writeStream
       .format("memory")
       .queryName(qname)
@@ -1360,9 +1383,10 @@ object EventStreams {
       .start()
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    spark.table(qname)
+    val out = spark.table(qname)
       .withColumn("_max_total", max(col("h_total")).over(w))
       .filter(col("h_total") === col("_max_total"))
       .select(col("h"), col("event_type"), col("est"), col("h_total"))
+    (out, q)
   }
 }

@@ -461,11 +461,13 @@ class StreamingSpec extends AnyFunSuite {
     var id = 0L
     def mk(h: Long, t: String, n: Int): Seq[(Long, Long, Long, String, Double, String)] =
       (0 until n).map { i => id += 1; (id, h * hourNs + i * 1000000L + 1, 1L, t, 0.0, "{}") }
-    // hour 1 spans BOTH files: the state matrix must accumulate
+    // hour 101 spans BOTH files: the state matrix must accumulate
     // cell-wise across micro-batches into exactly the batch sketch
-    writeEventFile(src, "f1", 1000000L, mk(0L, "click", 5) ++ mk(1L, "view", 2))
-    writeEventFile(src, "f2", 2000000L, mk(1L, "view", 3) ++ mk(1L, "click", 4) ++ mk(2L, "scroll", 1))
-    val got = EventStreams.hourlyCountMin(eventStreamFrom(src), 4, 64).collect()
+    // (hours offset +100h: epoch-0 events sit ON the initial
+    // watermark and the strict late filter would drop them)
+    writeEventFile(src, "f1", 1000000L, mk(100L, "click", 5) ++ mk(101L, "view", 2))
+    writeEventFile(src, "f2", 2000000L, mk(101L, "view", 3) ++ mk(101L, "click", 4) ++ mk(102L, "scroll", 1))
+    val got = EventStreams.hourlyCountMin(eventStreamFrom(src), 4, 64)._1.collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     // expected: batch CMS per hour, computed directly with the same kernel
     val byHour = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
@@ -515,13 +517,14 @@ class StreamingSpec extends AnyFunSuite {
       values.zipWithIndex.map { case (v, i) =>
         id += 1; (id, h * hourNs + i * 1000000L + 1, 1L, "x", v, "{}")
       }
-    // hour 1 spans both files; values straddle bin edges on purpose
+    // hour 101 spans both files; values straddle bin edges on purpose
+    // (+100h offset — the epoch-0 watermark lesson)
     writeEventFile(src, "f1", 1000000L,
-      mk(0L, Seq(1.5, 2.5, 3.5, 100.0)) ++ mk(1L, Seq(10.0, 10.9)))
+      mk(100L, Seq(1.5, 2.5, 3.5, 100.0)) ++ mk(101L, Seq(10.0, 10.9)))
     writeEventFile(src, "f2", 2000000L,
-      mk(1L, Seq(11.0, 12.3, 9999.0, -3.0)) ++ mk(2L, Seq(0.0)))
+      mk(101L, Seq(11.0, 12.3, 9999.0, -3.0)) ++ mk(102L, Seq(0.0)))
     val got = EventStreams.hourlyQuantile(eventStreamFrom(src), Seq(500, 900, 990), 4095L)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      ._1.collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
     // batch twin computed directly: clamped floor bins, ceil-rank walk
     val byHour = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
       .select(expr("ts_ns div 3600000000000").as("h"), col("value"))
