@@ -34,7 +34,8 @@ import org.apache.spark.sql.Encoder
   */
 class KmvAggregator(k: Int, salt: String = "th:")
     extends Aggregator[String, Array[Long], Array[Long]] {
-  require(k >= 2, s"k >= 2, got $k")
+  require(k >= 2 && k <= Kmv.MaxK,
+    s"k in [2, ${Kmv.MaxK}], got $k (larger k overflows (k-1)*2^48 in Long)")
 
   override def zero: Array[Long] = Array.empty[Long]
 
@@ -57,6 +58,17 @@ class KmvAggregator(k: Int, salt: String = "th:")
 object Kmv {
   /** 2⁴⁸ — the hash space size; also theta of a still-exact sketch. */
   val Max48: Long = 1L << 48
+
+  /** Largest supported k: the estimates compute (k−1)·2⁴⁸ (and
+    * nc·2⁴⁸, nc ≤ k−1) in Long, which silently wraps negative past
+    * 2¹⁵ — bounded explicitly rather than returning wrong estimates
+    * (the [[graft.operators.Sketches]] cmsJoinSizeEstimate overflow
+    * treatment).
+    */
+  val MaxK: Int = 32768
+
+  private def checkK(k: Int): Unit =
+    require(k >= 2 && k <= MaxK, s"k in [2, $MaxK], got $k")
 
   private val digests = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -101,8 +113,10 @@ object Kmv {
   /** Distinct estimate: exact while under k keys, (k−1)·2⁴⁸/theta
     * after (floor division — the SQL-reproducible form).
     */
-  def estimate(s: Array[Long], k: Int): Long =
+  def estimate(s: Array[Long], k: Int): Long = {
+    checkK(k)
     if (s.length < k) s.length.toLong else (k - 1).toLong * Max48 / s(s.length - 1)
+  }
 
   /** Lossless KMV union: k smallest of the merged value sets. */
   def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
@@ -112,6 +126,7 @@ object Kmv {
     * scaled by 2⁴⁸/theta. Exact when both sketches are still exact.
     */
   def intersectEstimate(a: Array[Long], b: Array[Long], k: Int): Long = {
+    checkK(k)
     val t = math.min(theta(a, k), theta(b, k))
     val sa = sample(a, k).iterator.filter(_ < t).toSet
     val nc = sample(b, k).count(h => h < t && sa(h))
@@ -120,6 +135,7 @@ object Kmv {
 
   /** |A ∖ B| estimate — same restriction, membership negated. */
   def diffEstimate(a: Array[Long], b: Array[Long], k: Int): Long = {
+    checkK(k)
     val t = math.min(theta(a, k), theta(b, k))
     val sb = sample(b, k).iterator.filter(_ < t).toSet
     val nd = sample(a, k).count(h => h < t && !sb(h))

@@ -420,10 +420,11 @@ object EventStreams {
     */
   def snapshotDiffSummary(spark: SparkSession, tablePath: String,
                           diffPath: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(diffPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hasVisibleData, not fs.exists: a drained run of all-empty
+    // micro-batches leaves only the _diff_commits marker dir, which
+    // parquet schema inference rejects
     val seen =
-      if (fs.exists(new org.apache.hadoop.fs.Path(diffPath)))
+      if (hasVisibleData(spark, diffPath))
         spark.read.parquet(diffPath).select(col("k"), col("status"))
       else {
         import spark.implicits._
@@ -526,14 +527,32 @@ object EventStreams {
     }
   }
 
-  /** Transitively-closed merge map (old component → current root). */
+  /** Transitively-closed merge map (old component → current root).
+    * Closed iteratively with memoization — each key's root resolved
+    * once, intermediate hops cached — so an un-compacted merge log
+    * with an L-deep chain costs O(L) total and constant stack, not
+    * O(L²) walks and L recursion frames.
+    */
   private def closedMerges(spark: SparkSession, mergesPath: String): Map[Long, Long] = {
     if (!hasVisibleData(spark, mergesPath)) return Map.empty
     import spark.implicits._
     val raw = spark.read.parquet(mergesPath)
       .select(col("old_comp").as[Long], col("new_comp").as[Long])
       .collect().toMap
-    def root(c: Long): Long = raw.get(c).map(root).getOrElse(c)
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def root(c: Long): Long = {
+      // walk to the first memoized or terminal node, then write the
+      // answer back along the whole path
+      val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = c
+      while (!memo.contains(cur) && raw.contains(cur)) {
+        path += cur
+        cur = raw(cur)
+      }
+      val r = memo.getOrElse(cur, cur)
+      path.foreach(memo(_) = r)
+      r
+    }
     raw.keys.map(k => k -> root(k)).toMap
   }
 
@@ -590,10 +609,16 @@ object EventStreams {
         if (compEdges.count() <= 100000L) {
           val edges = compEdges.select(col("doc_a").as[Long], col("doc_b").as[Long]).collect()
           val parent = scala.collection.mutable.Map.empty[Long, Long]
+          // iterative find + second-pass path compression: a batch
+          // whose chain edges arrive in decreasing-min order builds an
+          // O(n) parent chain, far past the JVM default stack at the
+          // 100k gate — constant stack regardless of chain shape
           def find(x: Long): Long = {
-            val p = parent.getOrElse(x, x)
-            if (p == x) x
-            else { val r = find(p); parent(x) = r; r }
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (c != r) { val next = parent(c); parent(c) = r; c = next }
+            r
           }
           edges.foreach { case (a, b2) =>
             val (ra, rb) = (find(a), find(b2))
@@ -1110,6 +1135,15 @@ object EventStreams {
     * boundary, the [[hourlyCountMin]] property for quantiles. Exact
     * streaming quantiles would need every value in state; the
     * histogram is the bounded-state form with error ≤ binWidth.
+    *
+    * PARITY PRECONDITION (the price of closed-hour retirement): the
+    * 1-hour watermark makes Spark DROP input rows more than 1 hour
+    * late relative to the max event time already seen, so the
+    * batch/DuckDB oracle equality holds only for streams whose
+    * out-of-order skew is ≤ 1 hour. Events later than that are
+    * silently excluded — bounded state and unbounded lateness cannot
+    * both hold; a deployment needing more lateness widens the
+    * watermark (and pays proportionally longer state retention).
     */
   def hourlyQuantile(spark: SparkSession, dir: String,
                      qPermille: Seq[Int] = Seq(500, 900, 990),
@@ -1214,6 +1248,11 @@ object EventStreams {
     * already in the sink when the timeout fires, and the
     * consecutive-hour algebra runs on the SINK's finals, so
     * retirement costs the summary nothing.
+    *
+    * PARITY PRECONDITION: the 1-hour watermark drops rows arriving
+    * > 1 hour late relative to the max event time seen, so the
+    * hash-exact batch-oracle equality holds only under ≤ 1-hour
+    * out-of-order skew (the [[hourlyQuantile]] contract).
     *
     * Output: (h, est_users, est_retained, est_new, est_churned).
     */
@@ -1324,6 +1363,11 @@ object EventStreams {
     * [[hourlyTopK]]/[[hourlyTheta]] contract, applied here r7): live
     * state is O(open hours × depth·width), and since the final
     * estimates are already in the sink the timeout only drops state.
+    *
+    * PARITY PRECONDITION: the 1-hour watermark drops rows arriving
+    * > 1 hour late relative to the max event time seen, so the
+    * batch-oracle equality holds only under ≤ 1-hour out-of-order
+    * skew (the [[hourlyQuantile]] contract).
     */
   def hourlyCountMin(spark: SparkSession, dir: String,
                      depth: Int = 4, width: Int = 64): DataFrame =

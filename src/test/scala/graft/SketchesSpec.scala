@@ -304,6 +304,16 @@ class SketchesSpec extends AnyFunSuite {
     val rep = (0L until 30000L).map(_.toString).toDF("u").repartition(13)
       .agg(kmv(col("u"))).head().getSeq[Long](0)
     assert(rep == a.toSeq, "sketch must not depend on partitioning")
+
+    // k past 2^15 would overflow (k-1)*2^48 in Long and silently
+    // return wrong estimates — bounded explicitly instead
+    assert(Kmv.MaxK == 32768)
+    intercept[IllegalArgumentException](new KmvAggregator(Kmv.MaxK + 1))
+    intercept[IllegalArgumentException](Kmv.estimate(a, Kmv.MaxK + 1))
+    intercept[IllegalArgumentException](Kmv.intersectEstimate(a, b, 100000))
+    intercept[IllegalArgumentException](Kmv.diffEstimate(a, b, 100000))
+    // and the bound itself is safe: (MaxK-1)*2^48 stays positive
+    assert((Kmv.MaxK - 1).toLong * Kmv.Max48 > 0L)
   }
 
   test("countMin matrix is partitioning-invariant") {

@@ -660,6 +660,47 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction merge drifted: ${resolve()}")
   }
 
+  test("ccResolve: 10^4-deep un-compacted merge chain resolves in O(L) with constant stack") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-chain-").toString
+    val labels = s"$base/labels"; val merges = s"$base/merges"
+    val depth = 20000
+    // merge log c -> c-1 for c in 2..depth+1: every resolution from
+    // the top walks the full chain unless the closure memoizes — the
+    // recursive form needed ~depth frames and O(depth^2) walks
+    (2 to depth + 1).map(c => (c.toLong, c.toLong - 1L))
+      .toDF("old_comp", "new_comp")
+      .coalesce(1).write.parquet(merges)
+    Seq((42L, depth.toLong + 1L, 10L), (7L, 1L, 7L))
+      .toDF("doc_id", "component_id", "bucket")
+      .write.partitionBy("bucket").parquet(labels)
+    val resolved = EventStreams.ccResolve(spark, labels, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(resolved == Map(42L -> 1L, 7L -> 1L),
+      s"deep merge chain must close to the root: $resolved")
+  }
+
+  test("ccMergeBatch: single 50k-node chain batch survives the driver union-find gate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-deep-").toString
+    val labels = s"$base/labels"; val merges = s"$base/merges"
+    val n = 50000L
+    // one path graph in ONE batch, edges generated in decreasing-min
+    // order — the adversarial shape for a no-rank union-by-min whose
+    // find() recurses to chain depth; must neither crash nor drift
+    val edges = spark.range(1L, n)
+      .select((lit(n) - col("id")).as("doc_a"), (lit(n) - col("id") + lit(1L)).as("doc_b"))
+    EventStreams.ccMergeBatch(edges.toDF(), 0L, labels, merges, 16)
+    val resolved = EventStreams.ccResolve(spark, labels, merges)
+    assert(resolved.count() == n, "every chain node must be labeled")
+    assert(resolved.select(countDistinct(col("component_id"))).head().getLong(0) == 1L,
+      "a connected chain must resolve to one component")
+    assert(resolved.agg(min(col("component_id"))).head().getLong(0) == 1L,
+      "min-label invariant drifted")
+  }
+
   test("hourlyTheta: hour spanning micro-batches accumulates the exact batch sketch; retention algebra exact under k") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-theta-st-").toString
