@@ -23,8 +23,61 @@ import org.apache.spark.sql.SparkSession
   * operators (CC, k-core, PageRank, triangles) are unpersisted after
   * each execution, so one query's leaked blocks can't tax a later
   * query's memory non-deterministically across ~345 executions.
+  *
+  * Contamination VERDICT (round 8): `passes` spread catches one-pass
+  * spikes, but sustained contention inflates BOTH passes of a
+  * contiguous alphabetical window (the r6/r7 driver-run signature —
+  * min-of-2 cannot see it). The bench now reads the previous
+  * committed artifact at startup, flags maximal runs of ≥2 adjacent
+  * queries whose min is ≥2× their committed baseline (neighbors
+  * normal by maximality), re-times the flagged queries ONCE at
+  * session end (after the contention window has had time to pass —
+  * the third pass joins `passes` and the min), and emits whatever
+  * still exceeds 2× as `"contaminated":[...]`. A singleton 2×
+  * regression is NOT flagged — that is what a genuine code change
+  * looks like; the windowed shape is the external-load signature.
   */
 object Bench {
+
+  /** Per-query mins from a committed bench artifact line. */
+  private[graft] def parseBaseline(line: String): Map[String, Double] = {
+    val qIdx = line.indexOf("\"queries\":")
+    if (qIdx < 0) return Map.empty
+    val start = line.indexOf('{', qIdx)
+    val end = line.indexOf('}', start)
+    if (start < 0 || end < 0) return Map.empty
+    val re = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+    re.findAllMatchIn(line.substring(start + 1, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Maximal runs (length ≥ minRun) of consecutive queries — in the
+    * given (alphabetical) order — whose time is ≥ `ratio`× their
+    * committed baseline. Queries without a baseline, with a failed
+    * run, or with a sub-floor baseline (ratio on a 20 ms query is
+    * noise) never flag.
+    */
+  private[graft] def contaminatedWindows(ordered: Seq[(String, Double)],
+                                         baseline: Map[String, Double],
+                                         ratio: Double = 2.0,
+                                         floorSec: Double = 0.05,
+                                         minRun: Int = 2): Seq[String] = {
+    val inflated = ordered.map { case (n, v) =>
+      val b = baseline.getOrElse(n, -1.0)
+      n -> (b >= floorSec && v >= 0 && v >= ratio * b)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < inflated.length) {
+      if (inflated(i)._2) {
+        var j = i
+        while (j < inflated.length && inflated(j)._2) j += 1
+        if (j - i >= minRun) out ++= inflated.slice(i, j).map(_._1)
+        i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -51,16 +104,36 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clearPersisted()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val baselineFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_out.json")
+    val baseline =
+      try parseBaseline(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselineFile)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
       (name, if (a < 0 || b < 0) -1.0 else math.min(a, b), Seq(a, b))
     }
+    // third pass of flagged windows at session end: a contention
+    // window that has since passed exonerates itself here
+    val flagged = contaminatedWindows(results.map(t => (t._1, t._2)), baseline).toSet
+    if (flagged.nonEmpty) {
+      results = results.map { case (name, v, passes) =>
+        if (flagged(name)) {
+          val c = timeOnce(SparkEntry.queries(name))
+          (name, if (v < 0 || c < 0) v else math.min(v, c), passes :+ c)
+        } else (name, v, passes)
+      }
+    }
+    val contaminated =
+      contaminatedWindows(results.map(t => (t._1, t._2)), baseline)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ps = results.map { case (k, _, p) => "\"" + k + "\":[" + p.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
+    val cs = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"contaminated":$cs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line: harness stdout capture truncates long
     // tails (BENCH_r04 lost the 14 alphabetically-first queries), so the

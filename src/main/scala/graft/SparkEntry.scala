@@ -35,13 +35,23 @@ object SparkEntry {
     * .trainCoarseQuantizer]] — Lloyd-fitted centroids, NOT raw seed
     * vectors): shared by every IVF-routed query AND by the residual
     * codebook below, which is only meaningful against the exact cell
-    * table its codes were trained on.
+    * table its codes were trained on. nCells is SIZED FROM THE CORPUS
+    * ([[Similarity.sizeCells]], the √n rule the round-7 sweep
+    * validated) instead of pinned: the 500-row testdata lands on 16
+    * (the zero-shuffle inline assignment path, same dial as before),
+    * a 10⁶-row corpus on 1024 through the same entry — no code change
+    * when the corpus grows. A deployment would coarseSave/coarseLoad
+    * the result; in one JVM the memo IS the persisted artifact
+    * (training is deterministic — round-trip spec-pinned).
     */
   private val coarseCells =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
   private def coarseFor(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
-    coarseCells.getOrElseUpdate(dir,
-      Similarity.trainCoarseQuantizer(Tables.embeddings(s, dir), nCells = 16, iters = 2))
+    coarseCells.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.trainCoarseQuantizer(emb,
+        nCells = Similarity.sizeCells(emb.count()), iters = 2)
+    })
   private val pqResidualBooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
   private def pqResidualIndexFor(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
@@ -188,6 +198,13 @@ object SparkEntry {
     // variance, same hash-exact estimator contract
     "q_triangles_approx_q" -> ((s, dir) => Graph.triangleCountApprox(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), keepPermille = 250)),
+    // the p dial at a NON-power-of-two p=200‰ (threshold ⌊200·2¹⁶/
+    // 1000⌋ = 13107 = 0x3333, realized p = 13107/65536, 1/p³ ≈
+    // 125.008): pins the realized-probability scaling OUTSIDE the
+    // exactly-representable cases — both engines build 1/p³ from the
+    // same IEEE-double op sequence, so the estimate stays hash-exact
+    "q_triangles_approx_p2" -> ((s, dir) => Graph.triangleCountApprox(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), keepPermille = 200)),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -210,6 +227,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
     "dedup_fuzzy" -> ((s, dir) => Dedup.fuzzyPairs(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
+    // streaming maintenance face of dedup_minhash: two micro-batches
+    // through the maintained bucket/set tables; rows-only for the
+    // same seeded-xxhash64 reason, with the batch-parity spec as the
+    // oracle (StreamingSpec pins streamed == batch bit-for-bit)
+    "stream_near_dedup" -> ((s, dir) =>
+      graft.streaming.EventStreams.streamedNearDedup(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max pairwise cosine ≈0.48), so a production 0.9 cut would make
@@ -315,6 +338,8 @@ object SparkEntry {
     "stream_count_min" -> ((s, dir) => graft.streaming.EventStreams.hourlyCountMin(s, dir)),
     "stream_quantile" -> ((s, dir) => graft.streaming.EventStreams.hourlyQuantile(s, dir)),
     "stream_theta" -> ((s, dir) => graft.streaming.EventStreams.hourlyTheta(s, dir)),
+    "stream_theta_window" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyThetaWindow(s, dir, windowHours = 3)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
@@ -397,12 +422,23 @@ object SparkEntry {
     * matrix over edge endpoints (the q_count_min cell hash), each
     * node's estimate = min over sketch rows of its cell, filter both
     * endpoints ≥ k. Reproduces [[graft.operators.Graph.kCoreApprox]]
-    * estimate-for-estimate — collisions and all.
+    * estimate-for-estimate — collisions and all. The per-round WIDTH
+    * is RE-DERIVED from the surviving edge count (w$i): the smallest
+    * power of two ≥ 4 × the 2·edges endpoint bound, clamped to
+    * [512, 8192] — the exact [[graft.operators.Graph.adaptiveWidth]]
+    * ladder, so the adaptive shrink reproduces bit-for-bit including
+    * the extra collisions a narrower late-round sketch takes.
     */
   private val KcoreApproxRoundCtes: String = (1 to 8).map { i =>
-    s"""cms$i AS MATERIALIZED (
+    val w = s"(SELECT w FROM w$i)"
+    s"""w$i AS MATERIALIZED (
+       |  SELECT CASE WHEN need <= 512 THEN 512 WHEN need <= 1024 THEN 1024
+       |              WHEN need <= 2048 THEN 2048 WHEN need <= 4096 THEN 4096
+       |              ELSE 8192 END AS w
+       |  FROM (SELECT 8 * count(*) AS need FROM ae${i - 1})),
+       |cms$i AS MATERIALIZED (
        |  SELECT r.j,
-       |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(n AS VARCHAR)), 1, 12))::BIGINT % 8192 AS cell,
+       |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(n AS VARCHAR)), 1, 12))::BIGINT % $w AS cell,
        |    count(*) AS c
        |  FROM (SELECT u AS n FROM ae${i - 1} UNION ALL SELECT v FROM ae${i - 1}) CROSS JOIN rows_ r
        |  GROUP BY 1, 2),
@@ -411,7 +447,7 @@ object SparkEntry {
        |  FROM (SELECT DISTINCT u AS n FROM ae${i - 1} UNION SELECT DISTINCT v AS n FROM ae${i - 1}) nd
        |  CROSS JOIN rows_ r
        |  JOIN cms$i c ON c.j = r.j
-       |   AND c.cell = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(nd.n AS VARCHAR)), 1, 12))::BIGINT % 8192
+       |   AND c.cell = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(nd.n AS VARCHAR)), 1, 12))::BIGINT % $w
        |  GROUP BY nd.n),
        |ae$i AS MATERIALIZED (
        |  SELECT e.u, e.v FROM ae${i - 1} e
@@ -657,6 +693,24 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM e) AS n_edges_sampled,
         |       ts AS triangles_sampled,
         |       CAST(floor(ts * 64.0 + 0.5) AS BIGINT) AS triangles_est FROM t""".stripMargin,
+    // Non-power-of-two p: the realized threshold probability is
+    // 13107/65536 (exactly representable — division by 2^16), and
+    // 1/p^3 is built with the same left-associated IEEE-double
+    // multiply order as the Scala side, so the ~125.008 scale — and
+    // the floored estimate — reproduce bit-for-bit
+    "q_triangles_approx_p2" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT u, v FROM e0
+        |      WHERE substr(md5('tri:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '3333'),
+        |t AS (SELECT count(*) AS ts
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM e) AS n_edges_sampled,
+        |       ts AS triangles_sampled,
+        |       CAST(floor(ts * (1.0 / ((13107.0 / 65536.0) * (13107.0 / 65536.0) * (13107.0 / 65536.0))) + 0.5) AS BIGINT) AS triangles_est
+        |FROM t""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
@@ -1666,6 +1720,59 @@ object SparkEntry {
         |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
         |     * 281474976710656) // least(c.theta, p.theta) END AS est_churned
         |FROM meta c LEFT JOIN meta p ON p.h = c.h - 1""".stripMargin,
+    // Sliding 3-hour horizon: each hour vs the KMV UNION of the 3
+    // preceding hours' sketches. Union of k-truncated sketches == the
+    // k-sketch of the raw union, so the oracle sketches the window's
+    // raw user hashes directly — estimates stay hash-exact.
+    "stream_theta_window" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS h,
+        |    ('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hvv
+        |  FROM events),
+        |r AS (SELECT h, hvv,
+        |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM hv),
+        |sk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM r WHERE rn <= 256),
+        |meta AS MATERIALIZED (SELECT h,
+        |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
+        |         ELSE 281474976710656 END AS theta,
+        |    CASE WHEN max(cnt) >= 256
+        |         THEN (255 * 281474976710656) // max(CASE WHEN rn = 256 THEN hvv END)
+        |         ELSE max(cnt) END AS est
+        |  FROM sk GROUP BY h),
+        |samp AS MATERIALIZED (
+        |  SELECT s.h, s.hvv FROM sk s JOIN meta m USING (h) WHERE s.hvv < m.theta),
+        |wv AS (SELECT DISTINCT c.h AS h, v.hvv
+        |  FROM (SELECT DISTINCT h FROM hv) c
+        |  JOIN hv v ON v.h BETWEEN c.h - 3 AND c.h - 1),
+        |wr AS (SELECT h, hvv,
+        |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM wv),
+        |wsk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM wr WHERE rn <= 256),
+        |wmeta AS MATERIALIZED (SELECT h,
+        |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
+        |         ELSE 281474976710656 END AS theta
+        |  FROM wsk GROUP BY h),
+        |wsamp AS MATERIALIZED (
+        |  SELECT s.h, s.hvv FROM wsk s JOIN wmeta m USING (h) WHERE s.hvv < m.theta)
+        |SELECT c.h, c.est AS est_users,
+        |  CASE WHEN w.h IS NULL THEN -1 ELSE
+        |    ((SELECT count(*) FROM samp x JOIN wsamp y ON x.hvv = y.hvv
+        |      WHERE x.h = c.h AND y.h = c.h AND x.hvv < least(c.theta, w.theta))
+        |     * 281474976710656) // least(c.theta, w.theta) END AS est_retained,
+        |  CASE WHEN w.h IS NULL THEN -1 ELSE
+        |    ((SELECT count(*) FROM samp x
+        |      WHERE x.h = c.h AND x.hvv < least(c.theta, w.theta)
+        |        AND NOT EXISTS (SELECT 1 FROM wsamp y WHERE y.h = c.h AND y.hvv = x.hvv))
+        |     * 281474976710656) // least(c.theta, w.theta) END AS est_new,
+        |  CASE WHEN w.h IS NULL THEN -1 ELSE
+        |    ((SELECT count(*) FROM wsamp x
+        |      WHERE x.h = c.h AND x.hvv < least(c.theta, w.theta)
+        |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
+        |     * 281474976710656) // least(c.theta, w.theta) END AS est_churned
+        |FROM meta c LEFT JOIN wmeta w ON w.h = c.h""".stripMargin,
     // the streamed diff drains the same synthetic v_new through two
     // micro-batches and must land on the batch diff bit-for-bit —
     // same oracle as q_snapshot_diff

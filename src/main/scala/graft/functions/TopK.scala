@@ -68,6 +68,25 @@ class MinKPairAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
 
+/** k-best (cosine, cell) pairs by (cosine DESC, cell ASC) — the
+  * [[graft.operators.Similarity.ivfCellsBroadcast]] probe buffer.
+  * Bounding the buffer by `probes` (not nCells) is what that path's
+  * shuffle volume rides on: at 1024 cells × 16 probes the per-key
+  * state this moves is 64× smaller than a collect_list of every
+  * scored cell. The ordering matches the inline/matrix assignment
+  * comparator exactly, keeping the three paths row-identical.
+  */
+class CellTopKAggregator(k: Int)
+    extends KBoundedAggregator[(Double, Long), (Double, Long)](k)(
+      // cosine DESC, cell ASC
+      Ordering.by((e: (Double, Long)) => (-e._1, e._2))) {
+
+  override protected def element(a: (Double, Long)): (Double, Long) = a
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}
+
 object TopK {
   import org.apache.spark.sql.functions._
 

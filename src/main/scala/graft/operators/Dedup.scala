@@ -163,6 +163,26 @@ object Dedup {
     */
   def minhashLsh(documents: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
                  minJaccard: Double = 0.5): DataFrame = {
+    val buckets = minhashBandBuckets(documents, n, k, bands)
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccardSets(shingleHashSets(documents, n), candidates, minJaccard)
+  }
+
+  /** (doc_id, band, bucket) LSH rows — [[minhashLsh]]'s candidate key,
+    * exposed so the streaming maintenance face
+    * ([[graft.streaming.EventStreams.nearDedupIngest]]) bands each
+    * micro-batch with the IDENTICAL hash family the batch operator
+    * uses (xxhash64 signatures and band keys — no RNG, so a
+    * maintained bucket table and a from-scratch banding agree
+    * bit-for-bit).
+    */
+  def minhashBandBuckets(documents: DataFrame, n: Int = 3, k: Int = 32,
+                         bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sig = minhashSignatures(documents, n, k)
@@ -170,26 +190,24 @@ object Dedup {
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(documents, candidates, n, minJaccard)
   }
 
-  /** Exact Jaccard for given candidate pairs, via per-doc distinct
-    * shingle-hash sets (array_intersect on bounded per-doc arrays).
+  /** Per-doc distinct shingle-hash set — the exact-verification side
+    * of the LSH family, exposed for the same streaming reuse.
     */
-  private def verifyJaccard(documents: DataFrame, candidates: DataFrame, n: Int,
-                            minJaccard: Double): DataFrame = {
-    val sets = wordShingles(documents, n)
+  def shingleHashSets(documents: DataFrame, n: Int = 3): DataFrame =
+    wordShingles(documents, n)
       .groupBy("doc_id")
       .agg(collect_set(xxhash64(col("shingle"))).as("sh_set"))
+
+  /** Exact Jaccard for given candidate pairs over precomputed
+    * [[shingleHashSets]] rows (array_intersect on bounded per-doc
+    * arrays).
+    */
+  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame,
+                        minJaccard: Double): DataFrame = {
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val j = inter / (size(col("sa")) + size(col("sb")) - inter)
     candidates

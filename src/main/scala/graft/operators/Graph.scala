@@ -238,6 +238,26 @@ object Graph {
       element_at(typedlit(rowVals), (cell + 1).cast("int"))
     }.reduce(least(_, _))
 
+  /** Per-round width schedule for [[kCoreApprox]]: the smallest power
+    * of two ≥ loadFactor × the distinct-endpoint bound (2 · edges),
+    * clamped to [minWidth, width0]. Deterministic in the surviving
+    * edge count alone, so the SQL oracle re-derives the SAME width
+    * per round from its own CTE's count — the adaptation never costs
+    * the hash gate. A full-size graph keeps width0; late rounds of a
+    * shrinking peel stop paying full-width plan literals and
+    * sketch-aggregation state for a survivor set a fraction of the
+    * size (the r7 disclosure: ~2·depth·width·8 B of literals per
+    * round — 512 KB at 4×8192 — whether or not the graph still
+    * needs it).
+    */
+  private[graft] def adaptiveWidth(edgeCount: Long, width0: Int,
+                                   minWidth: Int, loadFactor: Int): Int = {
+    val need = 2L * edgeCount * loadFactor
+    var w = minWidth
+    while (w < width0 && w < need) w *= 2
+    w
+  }
+
   /** Approximate k-core via count-min DEGREE SKETCHES — the peel for
     * graphs whose per-round exact degree table is itself a cost
     * problem. Each round: ONE mergeable sketch pass over edge
@@ -257,29 +277,47 @@ object Graph {
     * the whole peel reproduces in DuckDB — the entry is hash-checked
     * at width=8192 where collisions are REAL, not vacuous.
     *
+    * Width ADAPTS per round ([[adaptiveWidth]], round 8): as the peel
+    * shrinks the survivor graph, the sketch re-sizes to the smallest
+    * power of two holding loadFactor × the endpoint bound, floored at
+    * minWidth — late rounds of a cascading peel carry KB-scale plan
+    * literals instead of the full 512 KB, and the one-sided-error
+    * contract is width-independent (smaller width only ever ADDS
+    * collisions, which only ever KEEP nodes). Depth stays fixed: the
+    * estimate is a min over depth rows, and holding it constant keeps
+    * the estimate shape identical across rounds. `minWidth = width`
+    * disables adaptation.
+    *
     * Output: (node, deg) with EXACT degrees over the surviving
     * subgraph — one degree pass at the end (amortized once, unlike
     * the per-round tables the sketch replaced).
     */
   def kCoreApprox(edges0: DataFrame, k: Int, rounds: Int = 8,
-                  depth: Int = 4, width: Int = 8192): DataFrame = {
+                  depth: Int = 4, width: Int = 8192,
+                  minWidth: Int = 512, loadFactor: Int = 4,
+                  roundStats: Option[scala.collection.mutable.Buffer[(Long, Int)]] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    require(Integer.bitCount(minWidth) == 1 && Integer.bitCount(width) == 1,
+      s"widths must be powers of two, got $minWidth/$width")
+    val minW = math.min(minWidth, width) // a sub-minWidth width disables adaptation
     val spark = edges0.sparkSession
-    val cmUdaf = udaf(new graft.functions.CountMinAggregator(depth, width),
-      org.apache.spark.sql.Encoders.STRING)
     var edges = edges0.localCheckpoint(true)
     var prev = edges.count()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      val w = adaptiveWidth(prev, width, minW, loadFactor)
+      roundStats.foreach(_ += ((prev, w)))
+      val cmUdaf = udaf(new graft.functions.CountMinAggregator(depth, w),
+        org.apache.spark.sql.Encoders.STRING)
       val sk = edges
         .select(explode(array(col("u").cast("string"), col("v").cast("string"))).as("n"))
         .agg(cmUdaf(col("n")).as("s")).head().getSeq[Long](0)
-      val sketch = (0 until depth).map(j => sk.slice(j * width, (j + 1) * width))
+      val sketch = (0 until depth).map(j => sk.slice(j * w, (j + 1) * w))
       val superseded = edges
       edges = edges
-        .filter(cmsEstimate(col("u"), sketch, width) >= k &&
-          cmsEstimate(col("v"), sketch, width) >= k)
+        .filter(cmsEstimate(col("u"), sketch, w) >= k &&
+          cmsEstimate(col("v"), sketch, w) >= k)
         .localCheckpoint(true)
       val c = edges.count()
       Checkpoints.free(superseded)

@@ -238,34 +238,32 @@ object Similarity {
 
   /** Cell assignment for the LARGE-quantizer regime (thousands of
     * cells, where [[ivfCells]]' one-plan-literal-per-seed inlining
-    * would blow up the plan): the seed table arrives as a broadcast
-    * join, each row scores its nCells candidates, and a single
-    * map-side-combined aggregation keeps the top `probes` cells per
-    * row (collect_list is bounded by nCells, sorted by the same
-    * (cosine desc, cell asc) comparator as the inline variant, so the
-    * two paths are row-identical — spec-pinned). Cost model: one
-    * shuffle keyed on `idCol` carrying ≤ nCells entries per row —
-    * the price of not inlining; the inline variant stays the
-    * zero-shuffle choice for small quantizers.
+    * would blow up the plan) when the quantizer arrives as a TABLE:
+    * the seed table arrives as a broadcast join, each row scores its
+    * nCells candidates, and a map-side-combined PROBES-BOUNDED
+    * aggregation ([[graft.functions.CellTopKAggregator]]) keeps the
+    * top `probes` cells per row under the same (cosine desc, cell
+    * asc) ordering as the inline variant, so the paths stay
+    * row-identical — spec-pinned. Cost model: the candidate expansion
+    * (rows × nCells) collapses map-side to ≤ probes entries per row
+    * BEFORE the `idCol` shuffle — at 1024 cells / 16 probes the
+    * post-join shuffle is 64× smaller than a collect-everything
+    * buffer; the inline/matrix variants stay the zero-shuffle choice
+    * when the quantizer can live in the plan.
     */
   def ivfCellsBroadcast(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
                         probes: Int): DataFrame = {
-    val scored = df.join(broadcast(seeds.select(col("cell").cast("long").as("cell"),
+    val topUdaf = udaf(new graft.functions.CellTopKAggregator(probes),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    df.join(broadcast(seeds.select(col("cell").cast("long").as("cell"),
         col("cell_emb"))))
       .select(col(idCol), col(embCol),
-        struct(vecCosine(col(embCol), col("cell_emb")).as("c"),
-          col("cell").as("cell")).as("sc"))
-    val cmp = (l: Column, r: Column) =>
-      when(l.getField("c") > r.getField("c"), -1)
-        .when(l.getField("c") < r.getField("c"), 1)
-        .when(l.getField("cell") < r.getField("cell"), -1)
-        .when(l.getField("cell") > r.getField("cell"), 1)
-        .otherwise(0)
-    scored.groupBy(col(idCol))
+        vecCosine(col(embCol), col("cell_emb")).as("c"), col("cell"))
+      .groupBy(col(idCol))
       .agg(first(col(embCol)).as(embCol),
-        slice(array_sort(collect_list(col("sc")), cmp), 1, probes).as("top"))
+        topUdaf(col("c"), col("cell")).as("top"))
       .select(col(idCol), col(embCol),
-        explode(expr("transform(top, x -> x.cell)")).as("cell"))
+        explode(expr("transform(top, x -> x._2)")).as("cell"))
   }
 
   /** Cell assignment for the LARGE-quantizer regime as a PURE
@@ -336,21 +334,28 @@ object Similarity {
     *
     * The coarse quantizer is TRAINED ([[trainCoarseQuantizer]]) —
     * pass `coarse` to reuse a cached/persisted quantizer the way
-    * `index` reuses PQ codebooks in the sibling paths.
+    * `index` reuses PQ codebooks in the sibling paths. `viaTable`
+    * routes BOTH assignments through [[ivfCellsBroadcast]] — the
+    * regime where the quantizer arrives as a TABLE (loaded via
+    * [[coarseLoad]], too big or too external to inline in the plan);
+    * row-identical to the default path, spec-pinned.
     */
   def annTopKIvf(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
                  nCells: Int = 16, probes: Int = 4,
-                 coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+                 coarse: Option[Seq[(Long, Seq[Float])]] = None,
+                 viaTable: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val seedRows = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
     val seeds = seedRows.toDF("cell", "cell_emb")
-    val corpus = assignCells(embeddings, "vec_id", "embedding", seeds,
-      probes = 1, seedRows.size)
-    val queries = assignCells(
+    def assign(df: DataFrame, idCol: String, embCol: String, p: Int): DataFrame =
+      if (viaTable) ivfCellsBroadcast(df, idCol, embCol, seeds, p)
+      else assignCells(df, idCol, embCol, seeds, p, seedRows.size)
+    val corpus = assign(embeddings, "vec_id", "embedding", 1)
+    val queries = assign(
       embeddings.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", seeds, probes, seedRows.size)
+      "query_id", "q_emb", probes)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     corpus.as("c")
@@ -476,7 +481,18 @@ object Similarity {
     * `sampleFraction` trains on the seeded content-hash sample — at
     * 100 TB the quantizer converges on a sample and only the one-pass
     * assignment ever touches the corpus. Cell ids are the seed rows'
-    * vec_ids; empty cells retain their previous centroid.
+    * vec_ids.
+    *
+    * EMPTY CELLS RESEED (round 8 — FAISS's empty-cluster treatment):
+    * a cell that attracted no training rows this iteration steals a
+    * point from the fullest cell (the deterministic min-md5 row of
+    * that cell — no RNG, partitioning-invariant) instead of freezing
+    * at its stale centroid. Plain Lloyd can never SPLIT a cluster
+    * that drew one seed — the stuck cell sits at cluster size
+    * forever, which at deployment granularity is exactly the
+    * straggler the quantizer exists to prevent; reseeding moves dead
+    * capacity into the biggest population, and the next iteration's
+    * mean update does the actual split.
     */
   def trainCoarseQuantizer(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
                            sampleFraction: Double = 1.0,
@@ -498,16 +514,91 @@ object Similarity {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     if (centroids.isEmpty) return Seq.empty
     for (_ <- 0 until iters) {
-      val updated = assignCells(train, "vec_id", "embedding",
+      val asg = assignCells(train, "vec_id", "embedding",
           centroids.toDF("cell", "cell_emb"), probes = 1, centroids.size)
-        .groupBy(col("cell"))
-        .agg(centroidUdaf(col("embedding")).as("c"))
-        .as[(Long, Seq[Double])].collect().toMap
-      centroids = centroids.map { case (cell, old) =>
-        (cell, updated.get(cell).map(_.map(_.toFloat).toSeq).getOrElse(old))
-      }
+        .persist()
+      try {
+        val updated = asg
+          .groupBy(col("cell"))
+          .agg(centroidUdaf(col("embedding")).as("c"), count(lit(1)).as("n"))
+          .as[(Long, Seq[Double], Long)].collect()
+        val means = updated.map { case (cell, m, _) =>
+          cell -> m.map(_.toFloat).toSeq
+        }.toMap
+        val empty = centroids.map(_._1).filterNot(means.contains).sorted
+        // one donor point per empty cell, stolen from the fullest
+        // cells: the min-(md5, vec_id) training row of each donor —
+        // deterministic, so training stays partitioning-invariant
+        val donorPoints: Map[Long, Seq[Float]] =
+          if (empty.isEmpty) Map.empty
+          else {
+            val donorCells = updated.sortBy { case (cell, _, cnt) => (-cnt, cell) }
+              .take(empty.size).map(_._1)
+            val picked = asg.filter(col("cell").isin(donorCells: _*))
+              .withColumn("hk",
+                md5(concat(lit("split:"), col("vec_id").cast("string"))))
+              .groupBy(col("cell"))
+              .agg(min(struct(col("hk"), col("vec_id"), col("embedding"))).as("d"))
+              .select(col("cell"), col("d.embedding"))
+              .as[(Long, Seq[Float])].collect().toMap
+            empty.zip(donorCells.flatMap(picked.get)).toMap
+          }
+        centroids = centroids.map { case (cell, old) =>
+          (cell, donorPoints.getOrElse(cell, means.getOrElse(cell, old)))
+        }
+      } finally { asg.unpersist(); () }
     }
     centroids
+  }
+
+  /** Size the coarse quantizer FROM the corpus — FAISS's √n guideline
+    * (public practice: IVF cell count on the order of the square root
+    * of the collection size balances per-cell scan cost against probe
+    * count), snapped to the nearest power of two in log space and
+    * clamped. The round-7 sweep validated the rule empirically:
+    * granularity is the recall dial (16 cells saturate at 0.575 on a
+    * 50k clustered corpus where this rule picks 256 — measured recall
+    * 1.000 probing 3%), so a deployment that pins nCells while the
+    * corpus grows silently degrades; this is the entry point that
+    * scales the dial instead. Power-of-two snapping keeps small
+    * corpora on the zero-shuffle inline assignment path (500 rows →
+    * 16 cells, the testdata dial) and lands 10⁶ → 1024, 10⁹ → 32768.
+    */
+  def sizeCells(corpusRows: Long, minCells: Int = 16,
+                maxCells: Int = 1 << 17): Int = {
+    require(minCells >= 1 && maxCells >= minCells)
+    if (corpusRows <= 0) minCells
+    else {
+      val log2 = math.log(math.sqrt(corpusRows.toDouble)) / math.log(2.0)
+      val e = math.round(log2).toInt
+      // 1 << 31 wraps negative — anything past 2^30 is clamp territory
+      val snapped = if (e >= 31) Int.MaxValue else 1 << math.max(0, e)
+      math.min(maxCells, math.max(minCells, snapped))
+    }
+  }
+
+  /** Persist a trained coarse quantizer as a (cell, cell_emb) parquet
+    * table — [[pqSaveCodebook]] parity for the IVF family: train once
+    * (on a sample), save, and every later session loads instead of
+    * retraining. The table IS the `seeds` input shape every
+    * assignment path takes, so a loaded quantizer routes search,
+    * residual-codebook training, and encoding identically to the
+    * session that trained it (bit-exact round-trip — floats persist
+    * losslessly in parquet).
+    */
+  def coarseSave(centroids: Seq[(Long, Seq[Float])], path: String,
+                 spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    centroids.toDF("cell", "cell_emb").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer saved by [[coarseSave]], in cell order. */
+  def coarseLoad(path: String,
+                 spark: org.apache.spark.sql.SparkSession): Seq[(Long, Seq[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("cell").cast("long"), col("cell_emb"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
   }
 
   /** Plan-size gate between the SPEC-PINNED-row-identical cell

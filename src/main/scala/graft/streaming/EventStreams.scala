@@ -723,6 +723,173 @@ object EventStreams {
     ccResolve(spark, s"$base/labels", s"$base/merges")
   }
 
+  /** Streaming NEAR-DUP dedup maintenance — the MinHash/LSH face of
+    * the always-on ingest story ([[ingestDedup]] catches exact
+    * re-arrivals; this catches near-duplicates), completing exact-hash
+    * dedup → near-dup dedup → cluster maintenance ([[ccIngest]]).
+    * State under `statePath`, all append-only:
+    *
+    *  - `buckets`: the maintained (doc_id, band, bucket) LSH table —
+    *    [[graft.operators.Dedup.minhashBandBuckets]] rows, partitioned
+    *    by pmod(bucket) so a batch reads ONLY the band-bucket
+    *    partitions its own docs touch;
+    *  - `sets`: per-doc shingle-hash sets (the exact-verification
+    *    side), partitioned by pmod(doc_id) for the same pruned read;
+    *  - `pairs`: every verified (doc_a, doc_b, jaccard) edge, ever —
+    *    bit-identical to what batch `minhashLsh` emits for the pair;
+    *  - `labels`/`merges`: the [[ccMergeBatch]] incremental-CC state,
+    *    fed the verified edges — component labels stay continuously
+    *    current without rewriting anything.
+    *
+    * Per batch: band the NEW docs with the identical hash family the
+    * batch operator uses, generate candidates from band-bucket
+    * equality only — new×new within the batch plus new×existing
+    * against the pruned bucket partitions — verify exact Jaccard
+    * (new docs' sets computed in-batch, existing docs' sets read
+    * pruned), append the verified edges to `pairs` AND into the CC
+    * maintenance, then append the new docs' bucket/set rows. A pair
+    * can only form in the batch its LATER doc arrives in, so nothing
+    * is ever found twice; docs already in `sets` are skipped (the
+    * exact-dedup contract upstream), so replays of content are
+    * no-ops and batchId commit markers make replays of whole batches
+    * no-ops ([[scd2MergeBatch]]'s pattern).
+    *
+    * The final `pairs` table over any arrival order equals batch
+    * [[graft.operators.Dedup.minhashLsh]] over the union — every
+    * colliding pair is generated in its later doc's batch, and
+    * xxhash64 signatures/band keys/shingle sets have no RNG — the
+    * spec pins the two-batch run bit-for-bit.
+    */
+  def nearDedupIngest(docStream: DataFrame, statePath: String, checkpoint: String,
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      minJaccard: Double = 0.5, nBuckets: Int = 16): Unit = {
+    val q = docStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        nearDedupBatch(b, id, statePath, n, k, bands, minJaccard, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[nearDedupIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def nearDedupBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    n: Int, k: Int, bands: Int,
+                                    minJaccard: Double, nBuckets: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch0.sparkSession
+    val bucketsPath = s"$statePath/buckets"
+    val setsPath = s"$statePath/sets"
+    val pairsPath = s"$statePath/pairs"
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_nd_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    val arrived = batch0.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    // docs already maintained are no-ops (re-deliveries, exact dups)
+    val docs = (
+      if (hasVisibleData(spark, setsPath)) {
+        val aBuckets = arrived
+          .select(pmod(col("doc_id"), lit(nBuckets.toLong)).as("sb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        arrived.join(
+          spark.read.parquet(setsPath).filter(col("sb").isin(aBuckets: _*))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      } else arrived
+    ).persist()
+    try {
+      if (docs.isEmpty) { mark(); return }
+      val bb = Dedup.minhashBandBuckets(docs, n, k, bands).localCheckpoint(true)
+      val sets = Dedup.shingleHashSets(docs, n).localCheckpoint(true)
+      // candidates: new x new inside the batch...
+      val within = bb.as("a")
+        .join(bb.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // ...plus new x existing against ONLY the touched partitions
+      val cross =
+        if (hasVisibleData(spark, bucketsPath)) {
+          val pbs = bb.select(pmod(col("bucket"), lit(nBuckets.toLong)).as("pb"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val existing = spark.read.parquet(bucketsPath)
+            .filter(col("pb").isin(pbs: _*))
+          existing.as("o").join(bb.as("nw"),
+              col("o.band") === col("nw.band") && col("o.bucket") === col("nw.bucket"))
+            .select(least(col("o.doc_id"), col("nw.doc_id")).as("doc_a"),
+              greatest(col("o.doc_id"), col("nw.doc_id")).as("doc_b"))
+        } else within.limit(0)
+      val candidates = within.unionByName(cross).distinct()
+      // verification sets: new docs in-batch, existing docs pruned
+      val needOld = candidates
+        .select(col("doc_a").as("doc_id")).unionByName(candidates.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .join(sets.select("doc_id"), Seq("doc_id"), "left_anti")
+      val oldSets =
+        if (hasVisibleData(spark, setsPath)) {
+          val sbs = needOld.select(pmod(col("doc_id"), lit(nBuckets.toLong)).as("sb"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          spark.read.parquet(setsPath).filter(col("sb").isin(sbs: _*))
+            .join(needOld, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("sh_set"))
+        } else sets.limit(0)
+      val verified = Dedup.verifyJaccardSets(sets.unionByName(oldSets), candidates, minJaccard)
+        .localCheckpoint(true)
+      if (!verified.isEmpty) {
+        verified.write.mode("append").parquet(pairsPath)
+        ccMergeBatch(verified.select(col("doc_a"), col("doc_b")), batchId,
+          s"$statePath/labels", s"$statePath/merges", nBuckets)
+      }
+      bb.withColumn("pb", pmod(col("bucket"), lit(nBuckets.toLong)))
+        .write.mode("append").partitionBy("pb").parquet(bucketsPath)
+      sets.withColumn("sb", pmod(col("doc_id"), lit(nBuckets.toLong)))
+        .write.mode("append").partitionBy("sb").parquet(setsPath)
+      graft.operators.Checkpoints.free(bb)
+      graft.operators.Checkpoints.free(sets)
+      graft.operators.Checkpoints.free(verified)
+      mark()
+    } finally { docs.unpersist(); () }
+  }
+
+  /** All verified near-dup pairs maintained so far. */
+  def nearDedupPairs(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/pairs")) {
+      return Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    }
+    spark.read.parquet(s"$statePath/pairs")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** End-to-end streamed near-dup dedup over the documents table (the
+    * `stream_near_dedup` entry): the corpus arrives as TWO shard
+    * files → two micro-batches; the maintained pair table must equal
+    * batch `dedup_minhash` over the whole corpus (rows-only at the
+    * driver like dedup_minhash — seeded xxhash64 has no DuckDB twin —
+    * with the batch-parity spec as the oracle).
+    */
+  def streamedNearDedup(spark: SparkSession, dir: String,
+                        nBuckets: Int = 16): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-nd-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    nearDedupIngest(stream, s"$base/state", s"$base/ckpt", nBuckets = nBuckets)
+    nearDedupPairs(spark, s"$base/state")
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 
@@ -1268,6 +1435,72 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import graft.functions.Kmv
+    val (finals, q) = hourlyThetaFinals(events, k)
+    val rows = finals.keys.toSeq.sorted.map { h =>
+      val cur = finals(h)
+      finals.get(h - 1) match {
+        case Some(prev) =>
+          (h, Kmv.estimate(cur, k),
+            Kmv.intersectEstimate(cur, prev, k),
+            Kmv.diffEstimate(cur, prev, k),
+            Kmv.diffEstimate(prev, cur, k))
+        case None => (h, Kmv.estimate(cur, k), -1L, -1L, -1L)
+      }
+    }
+    (rows.toDF("h", "est_users", "est_retained", "est_new", "est_churned"), q)
+  }
+
+  /** Sliding-horizon generalization of [[hourlyTheta]]'s retention
+    * algebra (the round-8 item): each hour compares against the
+    * KMV UNION of the `windowHours` preceding hours' final sketches —
+    * "of the audience active in the last w hours, who came back this
+    * hour, who is brand new, who went quiet". KMV union of
+    * k-truncated sketches IS the k-sketch of the underlying union
+    * (the k smallest of A ∪ B all survive their own set's
+    * truncation), so the window sketch equals sketching the window's
+    * raw users directly — which is exactly what the DuckDB oracle
+    * does, keeping the estimates hash-exact like [[hourlyTheta]]'s.
+    * Hours with no preceding activity in the horizon emit the −1
+    * sentinels; O(hours · windowHours · k) driver arithmetic on the
+    * sink's finals, the same shape as the consecutive-hour form.
+    */
+  def hourlyThetaWindow(spark: SparkSession, dir: String, k: Int = 256,
+                        windowHours: Int = 3): DataFrame =
+    hourlyThetaWindow(readEventStream(spark, dir), k, windowHours)._1
+
+  /** [[hourlyThetaWindow]] over an arbitrary event stream. */
+  def hourlyThetaWindow(events: DataFrame, k: Int, windowHours: Int):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    require(windowHours >= 1, s"windowHours >= 1, got $windowHours")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.Kmv
+    val (finals, q) = hourlyThetaFinals(events, k)
+    val rows = finals.keys.toSeq.sorted.map { h =>
+      val cur = finals(h)
+      val win = ((h - windowHours) until h).flatMap(finals.get)
+      if (win.isEmpty) (h, Kmv.estimate(cur, k), -1L, -1L, -1L)
+      else {
+        val wsk = win.reduce(Kmv.union(_, _, k))
+        (h, Kmv.estimate(cur, k),
+          Kmv.intersectEstimate(cur, wsk, k),
+          Kmv.diffEstimate(cur, wsk, k),
+          Kmv.diffEstimate(wsk, cur, k))
+      }
+    }
+    (rows.toDF("h", "est_users", "est_retained", "est_new", "est_churned"), q)
+  }
+
+  /** The shared [[hourlyTheta]]/[[hourlyThetaWindow]] drain: run the
+    * watermarked per-hour KMV accumulation to completion and return
+    * each hour's FINAL sketch (the snapshot at the max running count)
+    * plus the terminated query for state-retirement assertions.
+    */
+  private def hourlyThetaFinals(events: DataFrame, k: Int):
+      (Map[Long, Array[Long]], org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.Kmv
     val hourNs = 3600000000000L
     val hourMs = 3600000L
 
@@ -1316,18 +1549,7 @@ object EventStreams {
       .select(col("h"), col("sketch"))
       .as[(Long, Seq[Long])].collect()
       .map { case (h, s) => h -> s.toArray }.toMap
-    val rows = finals.keys.toSeq.sorted.map { h =>
-      val cur = finals(h)
-      finals.get(h - 1) match {
-        case Some(prev) =>
-          (h, Kmv.estimate(cur, k),
-            Kmv.intersectEstimate(cur, prev, k),
-            Kmv.diffEstimate(cur, prev, k),
-            Kmv.diffEstimate(prev, cur, k))
-        case None => (h, Kmv.estimate(cur, k), -1L, -1L, -1L)
-      }
-    }
-    (rows.toDF("h", "est_users", "est_retained", "est_new", "est_churned"), q)
+    (finals, q)
   }
 
   /** Per-hour count-min state: the depth×width counter matrix plus the

@@ -88,6 +88,83 @@ class CoarseQuantizerSpec extends AnyFunSuite {
     assert(rRes >= 0.85, s"residual IVFPQ with shared trained quantizer: recall $rRes")
   }
 
+  test("sizeCells: sqrt-n rule, power-of-two snapped, clamped") {
+    // the r7 sweep's validated points: 500-row testdata stays on the
+    // inline path at 16; 50k lands at 256 (the sweep's recall-1.000
+    // granularity); 10^6 at 1024
+    assert(Similarity.sizeCells(500L) == 16)
+    assert(Similarity.sizeCells(50000L) == 256)
+    assert(Similarity.sizeCells(1000000L) == 1024)
+    assert(Similarity.sizeCells(1000000000L) == 32768)
+    // clamps: tiny corpora never go below minCells, huge never above max
+    assert(Similarity.sizeCells(0L) == 16)
+    assert(Similarity.sizeCells(10L) == 16)
+    assert(Similarity.sizeCells(Long.MaxValue / 4) == (1 << 17))
+    // monotone snapping sanity: a power-of-four corpus lands exactly
+    assert(Similarity.sizeCells(1L << 20) == (1 << 10))
+  }
+
+  test("coarseSave/coarseLoad: bit-exact round-trip; loaded table routes search identically") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val trained = Similarity.trainCoarseQuantizer(emb, 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-coarse-rt-").toString + "/q"
+    Similarity.coarseSave(trained, dir, spark)
+    val loaded = Similarity.coarseLoad(dir, spark)
+    assert(loaded == trained, "coarse quantizer must round-trip parquet bit-exactly")
+    // the loaded artifact drives the SAME search: row-identical results
+    val a = Similarity.annTopKIvf(emb, 8, 10, probes = 13, coarse = Some(trained))
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.annTopKIvf(emb, 8, 10, probes = 13, coarse = Some(loaded))
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "loaded quantizer must route search identically")
+  }
+
+  test("trained-TABLE regime: broadcast-path assignment at 100k rows / 256 cells holds balance and recall gates") {
+    // the deployment regime in miniature (the full 10^6-row / 1024-cell
+    // rehearsal is `runMain graft.PqRehearsal coarse1m`): quantizer
+    // trained on a 5% sample of a SORTED clustered corpus, persisted,
+    // loaded, and BOTH assignments routed through ivfCellsBroadcast
+    // (viaTable) — the regime where the quantizer is a table, not a
+    // plan literal
+    // the SORTED manifold corpus (the r7 §5 balance-rehearsal
+    // geometry): continuous arc, ids in arc order — prefix seeds span
+    // a sliver and degenerate; trained cells must quantize the arc
+    // near-uniformly. (The clustered fixture is useless for this
+    // gate: 64 disjoint clusters at n=100k/nc=256 put cluster size at
+    // 4.002x mean, so ANY cluster drawing one seed fails by
+    // construction no matter how good the training is.)
+    val n = 100000L
+    val nc = 256
+    val emb = PqRehearsal.manifoldEmbeddings(spark, n).localCheckpoint(true)
+    val coarse = Similarity.trainCoarseQuantizer(emb, nc, iters = 6,
+      sampleFraction = 0.05)
+    val pops = Similarity.ivfCellsBroadcast(emb, "vec_id", "embedding",
+        coarse.toDF("cell", "cell_emb"), probes = 1)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val mean = n.toDouble / nc
+    assert(pops.length >= nc - nc / 20, s"empty cells: ${pops.length}/$nc populated")
+    assert(pops.max <= 4 * mean,
+      s"balance gate: max cell ${pops.max} > 4x mean $mean")
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annTopKIvf(emb, 8, 10, probes = 8,
+        coarse = Some(coarse), viaTable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"recall gate at 8/256 probes through the broadcast path: $recall")
+  }
+
+  test("viaTable search is row-identical to the plan-literal path") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val coarse = Similarity.trainCoarseQuantizer(emb, 16, iters = 2)
+    val inline = Similarity.annTopKIvf(emb, 8, 10, probes = 13,
+      coarse = Some(coarse)).collect().map(_.toSeq).toSet
+    val table = Similarity.annTopKIvf(emb, 8, 10, probes = 13,
+      coarse = Some(coarse), viaTable = true).collect().map(_.toSeq).toSet
+    assert(inline == table, "the two assignment regimes must agree row-for-row")
+  }
+
   test("structured corpus: trained quantizer holds exact recall at the SCALE probe fraction") {
     // 64 interleaved clusters — the geometry IVF exists for. At 4/16
     // probes (the 100 TB fraction, where the toy gaussian corpus

@@ -90,6 +90,19 @@ class GraphSpec extends AnyFunSuite {
     // keepPermille=1000 keeps every edge: the estimator IS the exact count
     val full = Graph.triangleCountApprox(df, keepPermille = 1000).head()
     assert(full.getLong(2) === exact)
+    // non-power-of-two p=200‰: the REALIZED threshold probability
+    // (13107/65536, not the nominal 0.2) drives the scale — the
+    // estimate must equal the sampled count rescaled by exactly
+    // 1/p^3 built in the same IEEE-double op order, and stay
+    // deterministic under repartitioning
+    val p2 = Graph.triangleCountApprox(df, keepPermille = 200).head()
+    val p = 13107.0 / 65536.0
+    val want = math.floor(p2.getLong(1) * (1.0 / (p * p * p)) + 0.5).toLong
+    assert(p2.getLong(2) === want,
+      s"realized-p scale drifted: ${p2.getLong(2)} vs $want")
+    val p2again = Graph.triangleCountApprox(df.repartition(5), keepPermille = 200).head()
+    assert((p2again.getLong(0), p2again.getLong(1), p2again.getLong(2)) ===
+      ((p2.getLong(0), p2.getLong(1), p2.getLong(2))))
   }
 
   test("kCore: clique survives, tail peels, cascades complete, round budget is invariant past fixpoint") {
@@ -147,6 +160,37 @@ class GraphSpec extends AnyFunSuite {
     val approxCore = asMap(Graph.kCoreApprox(e, 70, 8)).keySet
     assert(exactCore.subsetOf(approxCore),
       s"entry-dial sketch peel lost ${exactCore -- approxCore}")
+  }
+
+  test("adaptiveWidth: sqrt-free ladder — full width while big, shrinks with the survivor set, floors at minWidth") {
+    // need = 8 * edges; smallest power of two >= need in [512, 8192]
+    assert(Graph.adaptiveWidth(100000L, 8192, 512, 4) === 8192)
+    assert(Graph.adaptiveWidth(1024L, 8192, 512, 4) === 8192)  // need 8192
+    assert(Graph.adaptiveWidth(512L, 8192, 512, 4) === 4096)   // need 4096
+    assert(Graph.adaptiveWidth(100L, 8192, 512, 4) === 1024)   // need 800
+    assert(Graph.adaptiveWidth(64L, 8192, 512, 4) === 512)     // need 512
+    assert(Graph.adaptiveWidth(3L, 8192, 512, 4) === 512)      // floor
+    assert(Graph.adaptiveWidth(0L, 8192, 512, 4) === 512)
+    // minWidth = width disables adaptation
+    assert(Graph.adaptiveWidth(3L, 8192, 8192, 4) === 8192)
+  }
+
+  test("kCoreApprox adaptive width: identical to fixed width while the graph exceeds the ladder; still a superset when shrunk") {
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val e = Graph.coPurchaseEdges(li).localCheckpoint(true)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // entry dials (adaptive) vs adaptation disabled: on a graph whose
+    // early rounds exceed the ladder top the runs may only diverge in
+    // LATE shrunk rounds, where narrower sketches add collisions —
+    // the adaptive result must contain the fixed-width one (both
+    // contain the exact core)
+    val adaptive = asMap(Graph.kCoreApprox(e, 70, 8)).keySet
+    val fixed = asMap(Graph.kCoreApprox(e, 70, 8, minWidth = 8192)).keySet
+    assert(fixed.subsetOf(adaptive),
+      s"adaptive shrink may only ADD collision survivors: lost ${fixed -- adaptive}")
+    val exactCore = asMap(Graph.kCore(e, 70, 8)).keySet
+    assert(exactCore.subsetOf(adaptive), "adaptive peel lost true core members")
   }
 
   test("kCore frees superseded round checkpoints: persisted-block count stays O(1)") {

@@ -739,6 +739,82 @@ class StreamingSpec extends AnyFunSuite {
       s"EventTimeTimeout must retire closed hours: $stateRows state rows for 3 hours")
   }
 
+  test("nearDedupIngest: two-batch streamed pair set == batch minhashLsh on the union; replay is a no-op; CC labels maintained") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // the end-to-end entry: the corpus drains through TWO micro-batches
+    val got = EventStreams.streamedNearDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val want = Dedup.minhashLsh(docs, 3, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"streamed near-dup drifted from batch: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "parity is vacuous on an empty pair set")
+    // replay + maintenance: drive batches by hand on a fresh state dir
+    val base = java.nio.file.Files.createTempDirectory("graft-nd-replay-").toString
+    val st = s"$base/state"
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 =!= 0)
+    EventStreams.nearDedupBatch(b0, 0L, st, 3, 32, 8, 0.5, 16)
+    EventStreams.nearDedupBatch(b1, 1L, st, 3, 32, 8, 0.5, 16)
+    def pairs() = EventStreams.nearDedupPairs(spark, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val after = pairs()
+    assert(after == want, "hand-driven two-batch run must match batch too")
+    val nPairRows = spark.read.parquet(s"$st/pairs").count()
+    // replayed batchId: commit marker makes it a no-op
+    EventStreams.nearDedupBatch(b1, 1L, st, 3, 32, 8, 0.5, 16)
+    assert(pairs() == after && spark.read.parquet(s"$st/pairs").count() == nPairRows,
+      "replayed batch must not re-append pairs")
+    // re-delivered CONTENT under a new batchId: already-maintained
+    // docs are skipped, so nothing new is found either
+    EventStreams.nearDedupBatch(b1, 2L, st, 3, 32, 8, 0.5, 16)
+    assert(spark.read.parquet(s"$st/pairs").count() == nPairRows,
+      "re-delivered docs must be no-ops")
+    // the verified edges fed incremental CC: resolved components ==
+    // batch CC over the batch pair set
+    val gotCc = EventStreams.ccResolve(spark, s"$st/labels", s"$st/merges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCc = Dedup.connectedComponents(
+        Dedup.minhashLsh(docs, 3, 32, 8, 0.5).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCc == wantCc, s"maintained components drifted: $gotCc vs $wantCc")
+  }
+
+  test("hourlyThetaWindow: sliding 3-hour horizon unions the preceding sketches; gap hours compare against the surviving window") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-theta-win-").toString
+    var id = 0L
+    val hourNs = 3600000000000L
+    val h0 = 100L * hourNs
+    def ev(user: Long, tNs: Long): (Long, Long, Long, String, Double, String) = {
+      id += 1; (id, tNs, user, "click", 0.0, "{}")
+    }
+    // same fixture as the hourlyTheta spec: hour 100 users 1..30
+    // (split over two files -> two micro-batches), hour 101 users
+    // 21..50, hour 103 users 60..61 (gap at 102)
+    writeEventFile(base, "f1", 1000000L,
+      (1L to 15L).map(u => ev(u, h0 + u * 1000L)))
+    writeEventFile(base, "f2", 2000000L,
+      (16L to 30L).map(u => ev(u, h0 + u * 1000L)) ++
+        (21L to 50L).map(u => ev(u, h0 + hourNs + u * 1000L)) ++
+        (60L to 61L).map(u => ev(u, h0 + 3L * hourNs + 60000000000L + u * 1000L)))
+    val (gotDf, _) = EventStreams.hourlyThetaWindow(eventStreamFrom(base), 256, 3)
+    val got = gotDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.length == 3)
+    // hour 100: no preceding activity in [97, 99] -> sentinels
+    assert(got(0) == ((100L, 30L, -1L, -1L, -1L)))
+    // hour 101: window = {100} -> identical to the consecutive form
+    assert(got(1) == ((101L, 30L, 10L, 20L, 20L)), s"1-hour window drifted: ${got(1)}")
+    // hour 103: window = union of hours 100..102 = users 1..50 — the
+    // gap hour that emits sentinels in hourlyTheta COMPARES here,
+    // which is the point of the horizon: retained 0, new 2, churned 50
+    assert(got(2) == ((103L, 2L, 0L, 2L, 50L)), s"3-hour window drifted: ${got(2)}")
+  }
+
   test("streamed snapshot diff: two-batch ingest == batch snapshotDiff; replay is a no-op; diff table is bucket-partitioned") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
