@@ -58,30 +58,38 @@ object GraphRehearsal {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     // ---- round-8 adaptive-width k-core rehearsal (`kcore` arg): a
-    // 220-clique embedded in a 1M-edge random sea over 10⁵ nodes —
-    // k=60 peels the sea in the first rounds and the surviving
-    // subgraph is 3 orders of magnitude smaller, exactly the regime
-    // the width ladder exists for. Prints the per-round (edges,
-    // width) schedule plus wall adaptive vs fixed; the structural win
-    // is deterministic (late rounds carry 512-cell literals and
-    // sketch state instead of 8192 — 16×), wall parity is the check
-    // that adaptation doesn't COST anything at this scale.
+    // 24-clique embedded in a 30k-node ring — at k=10 the degree-2
+    // ring peels in the first rounds (its estimates are ~2 + modest
+    // collision noise at 8192 cells) and the surviving subgraph is
+    // two orders of magnitude smaller, exactly the regime the width
+    // ladder exists for. A low-degree sea is the honest fixture: a
+    // dense random sea at 10⁵ nodes saturates every cell past k and
+    // nothing peels — the documented CMS regime where width must
+    // track node count. Prints the per-round (edges, width) schedule
+    // plus wall adaptive vs fixed; the structural win is
+    // deterministic (late rounds carry KB-scale literals and sketch
+    // state instead of 512 KB), wall parity is the check that
+    // adaptation doesn't COST anything at this scale.
     if (args.contains("kcore")) {
       import spark.implicits._
-      val clique = (for (i <- 0L until 220L; j <- (i + 1) until 220L) yield (i, j))
+      val cliqueIds = (1000000L until 1000024L)
+      val clique = (for (i <- cliqueIds; j <- cliqueIds if i < j) yield (i, j))
         .toDF("u", "v")
-      val g = uniformGraph(spark, 100000L, 1000000L)
-        .unionByName(clique).distinct().localCheckpoint(true)
+      val ring = spark.range(30000L)
+        .select(col("id").as("u"), ((col("id") + 1) % 30000L).as("v"))
+      val g = ring.unionByName(clique).localCheckpoint(true)
+      Graph.kCoreApprox(g, 10, 8).count() // untimed codegen/JIT warmup
       val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-      val (coreA, secA) = time(Graph.kCoreApprox(g, 60, 8,
+      val (coreA, secA) = time(Graph.kCoreApprox(g, 10, 8,
         roundStats = Some(stats)).count())
-      val (coreF, secF) = time(Graph.kCoreApprox(g, 60, 8, minWidth = 8192).count())
+      val (coreF, secF) = time(Graph.kCoreApprox(g, 10, 8, minWidth = 8192).count())
       println(s"[kcore] schedule (edges -> width): " +
         stats.map { case (e, w) => s"$e->$w" }.mkString(", "))
       println(f"[kcore] adaptive: $coreA nodes in $secA%.1f s | " +
         f"fixed 8192: $coreF nodes in $secF%.1f s")
       assert(stats.last._2 < stats.head._2,
         s"peel must shrink the width ladder: $stats")
+      assert(coreA == 24L, s"the 24-clique is the 10-core, got $coreA nodes")
       spark.stop()
       return
     }
