@@ -263,6 +263,14 @@ object SparkEntry {
     // clustered rehearsal measures recall 1.0 at 4/16 probes.
     "sim_ann_ivf" -> ((s, dir) => Similarity.annTopKIvf(Tables.embeddings(s, dir), 8, 10,
       probes = 13, coarse = Some(coarseFor(s, dir)))),
+    // streaming maintenance face of sim_ann_ivf: two micro-batches
+    // into the maintained cell-partitioned table, top-k against the
+    // maintained state through the SAME cached trained quantizer;
+    // rows-only for the same float-candidate-set reason, with the
+    // batch-parity spec as the oracle (VectorStreamsSpec pins
+    // streamed == batch row-for-row)
+    "stream_ann_ivf" -> ((s, dir) => graft.streaming.VectorStreams.streamedAnnIvf(
+      s, dir, coarseFor(s, dir))),
     // the driver's rows-only comparator can't hash raw array columns,
     // so the centroid projects to count + first-8-elements scalars —
     // which also makes it fully SQL-oracle-checkable (per-element avg)

@@ -616,6 +616,18 @@ object Similarity {
     if (nSeeds <= InlineSeedGate) ivfCells(df, idCol, embCol, seeds, probes)
     else ivfCellsMatrix(df, idCol, embCol, seeds, probes)
 
+  /** The gated plan-literal assignment against a driver-side
+    * quantizer, public for the streaming maintenance face
+    * ([[graft.streaming.VectorStreams]]): same auto-gate, same
+    * row-identical paths.
+    */
+  def cellAssign(df: DataFrame, idCol: String, embCol: String,
+                 coarse: Seq[(Long, Seq[Float])], probes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    assignCells(df, idCol, embCol, coarse.toDF("cell", "cell_emb"), probes, coarse.size)
+  }
+
   // ---- Product quantization (Jégou, Douze & Schmid, TPAMI 2011 —
   // public algorithm): split dim into m subspaces, k-means each
   // subspace independently, store each vector as m small codes. The

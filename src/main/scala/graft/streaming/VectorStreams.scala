@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.operators.Similarity
+
+/** Streaming IVF maintenance — the vector face of the always-on
+  * ingest story (exact-hash dedup 37b → near-dup dedup 37m → cluster
+  * maintenance 37l → THIS): embeddings arrive in micro-batches, each
+  * batch routes through the TRAINED coarse quantizer
+  * ([[Similarity.trainCoarseQuantizer]], persisted via
+  * [[Similarity.coarseSave]]/[[Similarity.coarseLoad]] — the
+  * quantizer is fixed at ingest time, the FAISS deployment contract),
+  * and the corpus accumulates as ONE maintained parquet table
+  * partitioned by cell bucket. ANN queries then read ONLY the probed
+  * cells' partitions — at 10⁹ maintained vectors a top-k query scans
+  * probes/nCells of the table, which is the entire point of keeping
+  * the index AS a table rather than re-deriving cells per query.
+  *
+  * Scale contract: per batch the only work is a zero-shuffle
+  * plan-literal cell assignment (the [[Similarity.cellAssign]] gate)
+  * plus one partitioned append — no maintained-state read at all on
+  * the ingest path (cells never change under a fixed quantizer; the
+  * refresh path below owns re-mapping). Replayed batchIds skip via
+  * commit markers ([[EventStreams.scd2MergeBatch]]'s pattern).
+  * Vector ids are assumed upstream-deduplicated (the 37b exact-dedup
+  * contract — this operator maintains geometry, not identity).
+  *
+  * Quantizer REFRESH (the drift story): [[cellStats]] reports the
+  * maintained table's cell balance (max/mean — the straggler metric
+  * the trained quantizer exists to bound); when an appended corpus
+  * drifts (a new source clusters where the old quantizer has one
+  * cell), [[ivfCompact]] re-maps the WHOLE table through a new
+  * quantizer in one pass and rewrites it — the [[EventStreams
+  * .ccCompact]] shape: paid on the operator's schedule, never on the
+  * ingest path. Search against the compacted table equals batch
+  * search under the new quantizer (spec-pinned).
+  */
+object VectorStreams {
+
+  /** Drain an embedding stream into the maintained cell table. */
+  def ivfIngest(vecStream: DataFrame, statePath: String, checkpoint: String,
+                coarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16): Unit = {
+    val q = vecStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ivfIngestBatch(b, id, statePath, coarse, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[ivfIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def ivfIngestBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    coarse: Seq[(Long, Seq[Float])],
+                                    nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_ivf_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    val arrived = batch0
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    Similarity.cellAssign(arrived, "vec_id", "embedding", coarse, probes = 1)
+      .withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("cb").parquet(s"$statePath/cells")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** ANN top-k against the MAINTAINED cell table: queries assign to
+    * their `probes` nearest cells through the same quantizer, and the
+    * corpus read is pruned to the probed cells' partitions. The
+    * re-rank is [[Similarity.annTopKIvf]]'s exactly (cosine desc,
+    * corpus-id-asc tiebreak, round 6), and corpus rows were assigned
+    * with the same probes=1 gate at ingest — so the result is
+    * ROW-IDENTICAL to batch `annTopKIvf` over the union of everything
+    * ingested, under the shared quantizer (spec-pinned).
+    */
+  def ivfSearchMaintained(spark: SparkSession, statePath: String,
+                          coarse: Seq[(Long, Seq[Float])],
+                          queries: DataFrame, k: Int = 10,
+                          probes: Int = 4, nBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vecCosine
+    val qcells = Similarity.cellAssign(queries, "query_id", "q_emb", coarse, probes)
+    val cbs = qcells.select(pmod(col("cell"), lit(nBuckets.toLong)).as("cb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(s"$statePath/cells")
+      .filter(col("cb").isin(cbs: _*)) // partition pruning: probed buckets only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    corpus.as("c")
+      .join(broadcast(qcells).as("q"),
+        col("c.cell") === col("q.cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        vecCosine(col("q_emb"), col("embedding")).as("cosine"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Cell-balance profile of the maintained table: per-cell counts
+    * plus the straggler ratio (max/mean over the quantizer's cells) —
+    * the number a deployment watches to decide a refresh.
+    */
+  def cellStats(spark: SparkSession, statePath: String,
+                nCells: Int): (Long, Double, Double) = {
+    val pops = spark.read.parquet(s"$statePath/cells")
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    if (pops.isEmpty) return (0L, 0.0, 0.0)
+    val total = pops.sum
+    val mean = total.toDouble / nCells
+    (pops.max, mean, pops.max / mean)
+  }
+
+  /** Re-map the whole maintained table through a NEW quantizer and
+    * rewrite it in place — the refresh a drift alarm triggers. One
+    * full pass (zero-shuffle assignment + partitioned write), on the
+    * operator's schedule; ingest batches before/after see a
+    * consistent table because the quantizer handoff is the caller's
+    * cut-over point.
+    */
+  def ivfCompact(spark: SparkSession, statePath: String,
+                 newCoarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16): Unit = {
+    val all = spark.read.parquet(s"$statePath/cells")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // materialize BEFORE touching the files the plan reads
+    Similarity.cellAssign(all, "vec_id", "embedding", newCoarse, probes = 1)
+      .withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("cb").parquet(s"$statePath/cells")
+    graft.operators.Checkpoints.free(all)
+  }
+
+  /** End-to-end streamed IVF over the embeddings table (the
+    * `stream_ann_ivf` entry): the corpus arrives as TWO shard files →
+    * two micro-batches into the maintained table; the top-k against
+    * the maintained state must equal batch `annTopKIvf` under the
+    * shared trained quantizer (rows-only at the driver like
+    * sim_ann_ivf — float candidate sets — with the batch-parity spec
+    * as the oracle).
+    */
+  def streamedAnnIvf(spark: SparkSession, dir: String,
+                     coarse: Seq[(Long, Seq[Float])],
+                     numQueries: Int = 8, k: Int = 10, probes: Int = 13,
+                     nBuckets: Int = 16): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-ing-").toString
+    val incoming = s"$base/incoming"
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    ivfIngest(stream, s"$base/state", s"$base/ckpt", coarse, nBuckets)
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    ivfSearchMaintained(spark, s"$base/state", coarse, queries, k, probes, nBuckets)
+  }
+}

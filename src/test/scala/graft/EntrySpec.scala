@@ -25,6 +25,8 @@ class EntrySpec extends AnyFunSuite {
       "stream_near_dedup", // streamed dedup_minhash twin: same xxhash64 reason,
                            // batch-parity spec is the oracle
       "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
+      "stream_ann_ivf", // streamed sim_ann_ivf twin: same float-candidate reason,
+                        // batch-parity spec is the oracle
       "sim_kmeans",   // iterated float means: not bit-reproducible across engines
       "q_approx_distinct_hll", // DataSketches HLL estimate; DuckDB ships a different sketch
       "sim_ann_pq", // PQ codebooks from iterated float k-means (the sim_kmeans
