@@ -271,6 +271,14 @@ object SparkEntry {
     // streamed == batch row-for-row)
     "stream_ann_ivf" -> ((s, dir) => graft.streaming.VectorStreams.streamedAnnIvf(
       s, dir, coarseFor(s, dir))),
+    // the full FAISS residual-IVFPQ index as a MAINTAINED table:
+    // (cell, codes, embedding) accumulate under the shared cached
+    // quantizer + residual codebooks; ADC search prunes to probed
+    // partitions and reads codes only. Rows-only like
+    // sim_ann_ivfpq_res; VectorStreamsSpec pins streamed == batch
+    // row-for-row at these dials
+    "stream_ann_ivfpq" -> ((s, dir) => graft.streaming.VectorStreams.streamedAnnIvfPq(
+      s, dir, coarseFor(s, dir), pqResidualIndexFor(s, dir))),
     // the driver's rows-only comparator can't hash raw array columns,
     // so the centroid projects to count + first-8-elements scalars —
     // which also makes it fully SQL-oracle-checkable (per-element avg)

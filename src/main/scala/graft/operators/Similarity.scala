@@ -1028,8 +1028,6 @@ object Similarity {
                            index: Option[Seq[Seq[Seq[Float]]]] = None,
                            sampleFraction: Double = 1.0,
                            coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val seedRows = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells))
     val books = index.getOrElse(
       pqTrainResidual(embeddings, nCells, m, ksub, iters, sampleFraction,
@@ -1039,11 +1037,55 @@ object Similarity {
         col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
         lit(0L).as("rk")).limit(0)
     }
+    val corpus = residuals(embeddings, nCells, Some(seedRows))
+      .select(col("vec_id"), col("cell"), pqCodes(col("residual"), books).as("codes"))
+    adcResidualSearch(_ => corpus, embeddings, numQueries, k, books, seedRows,
+      probes, shortlistFactor)
+  }
+
+  /** Residual codes for an arbitrary (idCol, embCol) frame against a
+    * driver-side quantizer + codebooks — the encode step of
+    * [[annTopKIvfPqResidual]], public so the streaming maintenance
+    * face ([[graft.streaming.VectorStreams]]) encodes each
+    * micro-batch with the IDENTICAL expressions. Output: (idCol,
+    * cell, codes).
+    */
+  def residualCodes(df: DataFrame, idCol: String, embCol: String,
+                    coarse: Seq[(Long, Seq[Float])],
+                    books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seeds = coarse.toDF("cell", "cell_emb")
+    cellAssign(df, idCol, embCol, coarse, probes = 1)
+      .join(broadcast(seeds), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        pqCodes(zip_with(col(embCol), col("cell_emb"), (a, b) => a - b), books)
+          .as("codes"))
+  }
+
+  /** The ADC scoring + shortlist + exact-re-rank back half of
+    * [[annTopKIvfPqResidual]], over an ALREADY-ENCODED residual-code
+    * corpus. `corpusFor` receives the distinct probed cell ids and
+    * returns the (vec_id, cell, codes) rows to score — the batch
+    * operator ignores the argument (its corpus is a fresh scan the
+    * broadcast probe join filters), while the maintained-table
+    * search uses it to PRUNE the read to the probed cells'
+    * partitions before a byte of codes is scanned. Everything
+    * downstream is shared, so the two paths score and re-rank
+    * identically by construction.
+    */
+  private[graft] def adcResidualSearch(corpusFor: Seq[Long] => DataFrame,
+                                       embeddings: DataFrame,
+                                       numQueries: Int, k: Int,
+                                       books: Seq[Seq[Seq[Float]]],
+                                       seedRows: Seq[(Long, Seq[Float])],
+                                       probes: Int,
+                                       shortlistFactor: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val mEff = books.size
     val kEff = books.head.size
     val dsub = books.head.head.size
-    val corpus = residuals(embeddings, nCells, Some(seedRows))
-      .select(col("vec_id"), col("cell"), pqCodes(col("residual"), books).as("codes"))
     val resNormTable: Seq[Double] = books.flatMap(_.map(c => c.map(x => x.toDouble * x).sum))
     val seedMap = seedRows.toMap
     val xtbls: Map[Long, Seq[Double]] = seedRows.map { case (cell, ce) =>
@@ -1069,6 +1111,7 @@ object Similarity {
           (qid, cell, dtbl, qc, xtbls(cell), cnorms(cell))
         }
     }
+    val corpus = corpusFor(probeRows.map(_._2).distinct)
     val scored = corpus
       .join(broadcast(probeRows.toDF("query_id", "cell", "dtbl", "qc", "xtbl", "cnorm")),
         Seq("cell"))

@@ -41,13 +41,19 @@ import graft.operators.Similarity
   */
 object VectorStreams {
 
-  /** Drain an embedding stream into the maintained cell table. */
+  /** Drain an embedding stream into the maintained cell table. With
+    * `books` the table ALSO carries each vector's residual PQ codes
+    * ([[Similarity.residualCodes]] against the same quantizer) — the
+    * full FAISS IVFPQ index as a maintained table: ADC search reads
+    * (cell, codes) only, 8-16 B per vector.
+    */
   def ivfIngest(vecStream: DataFrame, statePath: String, checkpoint: String,
-                coarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16): Unit = {
+                coarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16,
+                books: Option[Seq[Seq[Seq[Float]]]] = None): Unit = {
     val q = vecStream
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        ivfIngestBatch(b, id, statePath, coarse, nBuckets)
+        ivfIngestBatch(b, id, statePath, coarse, nBuckets, books)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -59,7 +65,8 @@ object VectorStreams {
   private[graft] def ivfIngestBatch(batch0: org.apache.spark.sql.DataFrame,
                                     batchId: Long, statePath: String,
                                     coarse: Seq[(Long, Seq[Float])],
-                                    nBuckets: Int): Unit = {
+                                    nBuckets: Int,
+                                    books: Option[Seq[Seq[Seq[Float]]]] = None): Unit = {
     val spark = batch0.sparkSession
     val commitDir = new org.apache.hadoop.fs.Path(statePath, "_ivf_commits")
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
@@ -68,8 +75,16 @@ object VectorStreams {
     val arrived = batch0
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
-    Similarity.cellAssign(arrived, "vec_id", "embedding", coarse, probes = 1)
-      .withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
+    val assigned = Similarity.cellAssign(arrived, "vec_id", "embedding", coarse, probes = 1)
+    val rows = books match {
+      case Some(b) =>
+        assigned.join(
+          Similarity.residualCodes(arrived, "vec_id", "embedding", coarse, b)
+            .select(col("vec_id"), col("codes")),
+          Seq("vec_id"))
+      case None => assigned
+    }
+    rows.withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
       .write.mode("append").partitionBy("cb").parquet(s"$statePath/cells")
     cfs.mkdirs(commitDir)
     cfs.create(marker, true).close()
@@ -107,6 +122,37 @@ object VectorStreams {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("corpus_id"),
         round(col("cosine"), 6).as("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** ADC top-k against the MAINTAINED (cell, codes) table — the full
+    * FAISS residual-IVFPQ search over maintained state: the corpus
+    * read is pruned to the probed cells' partitions AND touches only
+    * the (vec_id, cell, codes) columns (8-16 B of codes per vector —
+    * at 10⁹ maintained vectors the probe scans probes/nCells of a
+    * codes-width table, never an embedding); the shortlist re-ranks
+    * exactly against the stored embeddings. Scoring/re-rank is
+    * [[Similarity.adcResidualSearch]] — the SAME code the batch
+    * operator runs — so the result is row-identical to batch
+    * `annTopKIvfPqResidual` over everything ingested under the
+    * shared quantizer + codebooks (spec-pinned).
+    */
+  def ivfSearchMaintainedPq(spark: SparkSession, statePath: String,
+                            coarse: Seq[(Long, Seq[Float])],
+                            books: Seq[Seq[Seq[Float]]],
+                            numQueries: Int = 8, k: Int = 10,
+                            probes: Int = 4, shortlistFactor: Int = 5,
+                            nBuckets: Int = 16): DataFrame = {
+    val maintained = spark.read.parquet(s"$statePath/cells")
+    val embeddings = maintained.select(col("vec_id"), col("embedding"))
+    Similarity.adcResidualSearch(
+      probedCells => {
+        val cbs = probedCells.map(c => math.floorMod(c, nBuckets.toLong)).distinct
+        maintained
+          .filter(col("cb").isin(cbs: _*)) // partition pruning first...
+          .filter(col("cell").isInCollection(probedCells)) // ...then exact cells
+          .select(col("vec_id"), col("cell"), col("codes"))
+      },
+      embeddings, numQueries, k, books, coarse, probes, shortlistFactor)
   }
 
   /** Cell-balance profile of the maintained table: per-cell counts
@@ -153,6 +199,34 @@ object VectorStreams {
                      coarse: Seq[(Long, Seq[Float])],
                      numQueries: Int = 8, k: Int = 10, probes: Int = 13,
                      nBuckets: Int = 16): DataFrame = {
+    val st = ingestShards(spark, dir, coarse, nBuckets, None)
+    val queries = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    ivfSearchMaintained(spark, st, coarse, queries, k, probes, nBuckets)
+  }
+
+  /** End-to-end streamed residual IVFPQ (the `stream_ann_ivfpq`
+    * entry): two micro-batches maintain (cell, codes, embedding)
+    * under the shared quantizer + residual codebooks; the ADC top-k
+    * against the maintained table must equal batch
+    * `annTopKIvfPqResidual` at the same dials (rows-only like
+    * sim_ann_ivfpq_res, batch-parity spec as the oracle).
+    */
+  def streamedAnnIvfPq(spark: SparkSession, dir: String,
+                       coarse: Seq[(Long, Seq[Float])],
+                       books: Seq[Seq[Seq[Float]]],
+                       numQueries: Int = 8, k: Int = 10, probes: Int = 13,
+                       shortlistFactor: Int = 8, nBuckets: Int = 16): DataFrame = {
+    val st = ingestShards(spark, dir, coarse, nBuckets, Some(books))
+    ivfSearchMaintainedPq(spark, st, coarse, books, numQueries, k, probes,
+      shortlistFactor, nBuckets)
+  }
+
+  /** Shared two-shard ingest used by the end-to-end entries. */
+  private def ingestShards(spark: SparkSession, dir: String,
+                           coarse: Seq[(Long, Seq[Float])], nBuckets: Int,
+                           books: Option[Seq[Seq[Seq[Float]]]]): String = {
     val emb = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val base = java.nio.file.Files.createTempDirectory("graft-ivf-ing-").toString
     val incoming = s"$base/incoming"
@@ -163,9 +237,7 @@ object VectorStreams {
         StructField("embedding", ArrayType(FloatType)))))
       .option("maxFilesPerTrigger", "1")
       .parquet(incoming)
-    ivfIngest(stream, s"$base/state", s"$base/ckpt", coarse, nBuckets)
-    val queries = emb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    ivfSearchMaintained(spark, s"$base/state", coarse, queries, k, probes, nBuckets)
+    ivfIngest(stream, s"$base/state", s"$base/ckpt", coarse, nBuckets, books)
+    s"$base/state"
   }
 }

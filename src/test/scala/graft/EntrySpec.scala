@@ -27,6 +27,8 @@ class EntrySpec extends AnyFunSuite {
       "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
       "stream_ann_ivf", // streamed sim_ann_ivf twin: same float-candidate reason,
                         // batch-parity spec is the oracle
+      "stream_ann_ivfpq", // streamed sim_ann_ivfpq_res twin: same trained-codebook
+                          // reason, batch-parity spec is the oracle
       "sim_kmeans",   // iterated float means: not bit-reproducible across engines
       "q_approx_distinct_hll", // DataSketches HLL estimate; DuckDB ships a different sketch
       "sim_ann_pq", // PQ codebooks from iterated float k-means (the sim_kmeans

@@ -59,6 +59,20 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(maintained == batch, "ingest-time cells must equal batch assignment")
   }
 
+  test("maintained residual-IVFPQ: streamed (cell, codes) table + ADC search == batch annTopKIvfPqResidual") {
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = Similarity.trainCoarseQuantizer(emb, 16, iters = 2)
+    val books = Similarity.pqTrainResidual(emb, nCells = 16, m = 16, ksub = 16,
+      iters = 3, coarse = Some(coarse))
+    val got = asSet(graft.streaming.VectorStreams.streamedAnnIvfPq(spark, sf,
+      coarse, books))
+    val want = asSet(Similarity.annTopKIvfPqResidual(emb, 8, 10, probes = 13,
+      shortlistFactor = 8, index = Some(books), coarse = Some(coarse)))
+    assert(got == want,
+      s"maintained ADC search drifted: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "parity is vacuous on an empty result")
+  }
+
   test("drift: a clustered burst spikes the straggler ratio; retrain + ivfCompact repairs it and search re-aligns") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val nc = 16
