@@ -93,6 +93,33 @@ object GraphRehearsal {
       spark.stop()
       return
     }
+    // ---- round-8 DOULION multi-p table (`doulion` arg): one graph
+    // (planted 30-clique + uniform sea, exact count known by running
+    // the exact counter), estimates at p ∈ {125..1000}‰ — the
+    // variance/cost dial committed as a table in SURVEY §5 the way
+    // the ANN recall sweep is. Sampled edge volume tracks p, wedge
+    // work ~p², relative error grows as p shrinks — the table shows
+    // where the dial stops being useful for THIS triangle density.
+    if (args.contains("doulion")) {
+      import spark.implicits._
+      val cliqueIds = (2000000L until 2000030L)
+      val clique = (for (i <- cliqueIds; j <- cliqueIds if i < j) yield (i, j))
+        .toDF("u", "v")
+      val g = uniformGraph(spark, 20000L, 400000L)
+        .unionByName(clique).distinct().localCheckpoint(true)
+      val exact = Graph.triangleCount(g).head().getLong(2)
+      println(s"[doulion] exact triangles = $exact")
+      println("| p (permille) | edges kept | sampled triangles | estimate | rel err | sec |")
+      println("|---|---|---|---|---|---|")
+      for (p <- Seq(125, 250, 375, 500, 750, 1000)) {
+        val (row, sec) = time(Graph.triangleCountApprox(g, keepPermille = p).head())
+        val (ne, ts, est) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val rel = math.abs(est - exact).toDouble / exact
+        println(f"| $p | $ne | $ts | $est | $rel%.3f | $sec%.1f |")
+      }
+      spark.stop()
+      return
+    }
     println("| graph | nodes | edges | naive wedges | ordered wedges | triangles | sec |")
     println("|---|---|---|---|---|---|---|")
 

@@ -356,6 +356,11 @@ object SparkEntry {
     "stream_theta" -> ((s, dir) => graft.streaming.EventStreams.hourlyTheta(s, dir)),
     "stream_theta_window" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyThetaWindow(s, dir, windowHours = 3)),
+    // the DAILY horizon (w=24) — the events fixture spans ~720 hours,
+    // so day-over-hour churn is a real question there; same drain,
+    // same algebra, second oracle point for the window rule
+    "stream_theta_window_day" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyThetaWindow(s, dir, windowHours = 24)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
@@ -471,6 +476,63 @@ object SparkEntry {
        |  JOIN est$i b ON b.n = e.v
        |  WHERE a.est >= 70 AND b.est >= 70)""".stripMargin
   }.mkString(",\n")
+
+  /** The sliding-horizon theta oracle at window width `w` — shared by
+    * the 3-hour and 24-hour entries ([[graft.streaming.EventStreams
+    * .hourlyThetaWindow]]): per-hour KMV sketches, a window sketch
+    * over hours [h−w, h−1] rebuilt from RAW hashes (equal to the
+    * union of the hourly truncated sketches — the KMV union
+    * property), and the floor-division retained/new/churned algebra.
+    */
+  private def thetaWindowOracle(w: Int): String =
+    s"""WITH hv AS (
+       |  SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS h,
+       |    ('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hvv
+       |  FROM events),
+       |r AS (SELECT h, hvv,
+       |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM hv),
+       |sk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM r WHERE rn <= 256),
+       |meta AS MATERIALIZED (SELECT h,
+       |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
+       |         ELSE 281474976710656 END AS theta,
+       |    CASE WHEN max(cnt) >= 256
+       |         THEN (255 * 281474976710656) // max(CASE WHEN rn = 256 THEN hvv END)
+       |         ELSE max(cnt) END AS est
+       |  FROM sk GROUP BY h),
+       |samp AS MATERIALIZED (
+       |  SELECT s.h, s.hvv FROM sk s JOIN meta m USING (h) WHERE s.hvv < m.theta),
+       |wv AS (SELECT DISTINCT c.h AS h, v.hvv
+       |  FROM (SELECT DISTINCT h FROM hv) c
+       |  JOIN hv v ON v.h BETWEEN c.h - $w AND c.h - 1),
+       |wr AS (SELECT h, hvv,
+       |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM wv),
+       |wsk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM wr WHERE rn <= 256),
+       |wmeta AS MATERIALIZED (SELECT h,
+       |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
+       |         ELSE 281474976710656 END AS theta
+       |  FROM wsk GROUP BY h),
+       |wsamp AS MATERIALIZED (
+       |  SELECT s.h, s.hvv FROM wsk s JOIN wmeta m USING (h) WHERE s.hvv < m.theta)
+       |SELECT c.h, c.est AS est_users,
+       |  CASE WHEN w.h IS NULL THEN -1 ELSE
+       |    ((SELECT count(*) FROM samp x JOIN wsamp y ON x.hvv = y.hvv
+       |      WHERE x.h = c.h AND y.h = c.h AND x.hvv < least(c.theta, w.theta))
+       |     * 281474976710656) // least(c.theta, w.theta) END AS est_retained,
+       |  CASE WHEN w.h IS NULL THEN -1 ELSE
+       |    ((SELECT count(*) FROM samp x
+       |      WHERE x.h = c.h AND x.hvv < least(c.theta, w.theta)
+       |        AND NOT EXISTS (SELECT 1 FROM wsamp y WHERE y.h = c.h AND y.hvv = x.hvv))
+       |     * 281474976710656) // least(c.theta, w.theta) END AS est_new,
+       |  CASE WHEN w.h IS NULL THEN -1 ELSE
+       |    ((SELECT count(*) FROM wsamp x
+       |      WHERE x.h = c.h AND x.hvv < least(c.theta, w.theta)
+       |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
+       |     * 281474976710656) // least(c.theta, w.theta) END AS est_churned
+       |FROM meta c LEFT JOIN wmeta w ON w.h = c.h""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -1736,59 +1798,13 @@ object SparkEntry {
         |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
         |     * 281474976710656) // least(c.theta, p.theta) END AS est_churned
         |FROM meta c LEFT JOIN meta p ON p.h = c.h - 1""".stripMargin,
-    // Sliding 3-hour horizon: each hour vs the KMV UNION of the 3
+    // Sliding w-hour horizon: each hour vs the KMV UNION of the w
     // preceding hours' sketches. Union of k-truncated sketches == the
     // k-sketch of the raw union, so the oracle sketches the window's
-    // raw user hashes directly — estimates stay hash-exact.
-    "stream_theta_window" ->
-      """WITH hv AS (
-        |  SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS h,
-        |    ('0x' || substr(md5('th:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hvv
-        |  FROM events),
-        |r AS (SELECT h, hvv,
-        |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
-        |    count(*) OVER (PARTITION BY h) AS cnt
-        |  FROM hv),
-        |sk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM r WHERE rn <= 256),
-        |meta AS MATERIALIZED (SELECT h,
-        |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
-        |         ELSE 281474976710656 END AS theta,
-        |    CASE WHEN max(cnt) >= 256
-        |         THEN (255 * 281474976710656) // max(CASE WHEN rn = 256 THEN hvv END)
-        |         ELSE max(cnt) END AS est
-        |  FROM sk GROUP BY h),
-        |samp AS MATERIALIZED (
-        |  SELECT s.h, s.hvv FROM sk s JOIN meta m USING (h) WHERE s.hvv < m.theta),
-        |wv AS (SELECT DISTINCT c.h AS h, v.hvv
-        |  FROM (SELECT DISTINCT h FROM hv) c
-        |  JOIN hv v ON v.h BETWEEN c.h - 3 AND c.h - 1),
-        |wr AS (SELECT h, hvv,
-        |    row_number() OVER (PARTITION BY h ORDER BY hvv) AS rn,
-        |    count(*) OVER (PARTITION BY h) AS cnt
-        |  FROM wv),
-        |wsk AS MATERIALIZED (SELECT h, hvv, rn, cnt FROM wr WHERE rn <= 256),
-        |wmeta AS MATERIALIZED (SELECT h,
-        |    CASE WHEN max(cnt) >= 256 THEN max(CASE WHEN rn = 256 THEN hvv END)
-        |         ELSE 281474976710656 END AS theta
-        |  FROM wsk GROUP BY h),
-        |wsamp AS MATERIALIZED (
-        |  SELECT s.h, s.hvv FROM wsk s JOIN wmeta m USING (h) WHERE s.hvv < m.theta)
-        |SELECT c.h, c.est AS est_users,
-        |  CASE WHEN w.h IS NULL THEN -1 ELSE
-        |    ((SELECT count(*) FROM samp x JOIN wsamp y ON x.hvv = y.hvv
-        |      WHERE x.h = c.h AND y.h = c.h AND x.hvv < least(c.theta, w.theta))
-        |     * 281474976710656) // least(c.theta, w.theta) END AS est_retained,
-        |  CASE WHEN w.h IS NULL THEN -1 ELSE
-        |    ((SELECT count(*) FROM samp x
-        |      WHERE x.h = c.h AND x.hvv < least(c.theta, w.theta)
-        |        AND NOT EXISTS (SELECT 1 FROM wsamp y WHERE y.h = c.h AND y.hvv = x.hvv))
-        |     * 281474976710656) // least(c.theta, w.theta) END AS est_new,
-        |  CASE WHEN w.h IS NULL THEN -1 ELSE
-        |    ((SELECT count(*) FROM wsamp x
-        |      WHERE x.h = c.h AND x.hvv < least(c.theta, w.theta)
-        |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
-        |     * 281474976710656) // least(c.theta, w.theta) END AS est_churned
-        |FROM meta c LEFT JOIN wmeta w ON w.h = c.h""".stripMargin,
+    // raw user hashes directly — estimates stay hash-exact. Two
+    // horizons oracle the window rule at two points.
+    "stream_theta_window" -> thetaWindowOracle(3),
+    "stream_theta_window_day" -> thetaWindowOracle(24),
     // the streamed diff drains the same synthetic v_new through two
     // micro-batches and must land on the batch diff bit-for-bit —
     // same oracle as q_snapshot_diff
