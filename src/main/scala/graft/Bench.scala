@@ -39,7 +39,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query mins from a committed bench artifact line. */
+  /** Per-query mins from a committed bench artifact line. Entries
+    * ≤ 0 (a failed run recorded as -1.0) are DROPPED: a poisoned
+    * baseline must widen detection to "no baseline" for that query,
+    * never anchor future ratios at a nonsense value (round-8 ADVICE —
+    * a -1.0 baseline made 20 queries permanently unflaggable).
+    */
   private[graft] def parseBaseline(line: String): Map[String, Double] = {
     val qIdx = line.indexOf("\"queries\":")
     if (qIdx < 0) return Map.empty
@@ -48,31 +53,42 @@ object Bench {
     if (start < 0 || end < 0) return Map.empty
     val re = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
     re.findAllMatchIn(line.substring(start + 1, end))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
   }
 
   /** Maximal runs (length ≥ minRun) of consecutive queries — in the
     * given (alphabetical) order — whose time is ≥ `ratio`× their
-    * committed baseline. Queries without a baseline, with a failed
-    * run, or with a sub-floor baseline (ratio on a 20 ms query is
-    * noise) never flag.
+    * committed baseline, PLUS any singleton ≥ `singleRatio`× (round-8
+    * gap: the driver's `q_triangles_approx` [10.6 s, 52.1 s] against a
+    * committed 3.2 s sailed past the windows-only detector). A
+    * singleton in [2×, 3×) still does NOT flag — that is what a
+    * genuine code change looks like; ≥3× alone is the outlier
+    * signature. Queries without a baseline, with a failed run, or
+    * with a sub-floor baseline (ratio on a 20 ms query is noise)
+    * never flag.
     */
   private[graft] def contaminatedWindows(ordered: Seq[(String, Double)],
                                          baseline: Map[String, Double],
                                          ratio: Double = 2.0,
                                          floorSec: Double = 0.05,
-                                         minRun: Int = 2): Seq[String] = {
-    val inflated = ordered.map { case (n, v) =>
+                                         minRun: Int = 2,
+                                         singleRatio: Double = 3.0): Seq[String] = {
+    def over(n: String, v: Double, r: Double): Boolean = {
       val b = baseline.getOrElse(n, -1.0)
-      n -> (b >= floorSec && v >= 0 && v >= ratio * b)
+      b >= floorSec && v >= 0 && v >= r * b
     }
+    val inflated = ordered.map { case (n, v) => (n, v, over(n, v, ratio)) }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < inflated.length) {
-      if (inflated(i)._2) {
+      if (inflated(i)._3) {
         var j = i
-        while (j < inflated.length && inflated(j)._2) j += 1
+        while (j < inflated.length && inflated(j)._3) j += 1
         if (j - i >= minRun) out ++= inflated.slice(i, j).map(_._1)
+        else out ++= inflated.slice(i, j).collect {
+          case (n, v, _) if over(n, v, singleRatio) => n
+        }
         i = j
       } else i += 1
     }
@@ -142,5 +158,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // A non-empty verdict means these timings are NOT a valid artifact
+    // of record (external contention survived even the third pass):
+    // exit nonzero so a harness treats the run as failed and re-runs,
+    // instead of committing poisoned numbers as the next baseline.
+    if (contaminated.nonEmpty) sys.exit(1)
   }
 }

@@ -19,29 +19,41 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema — ts is TIMESTAMP(NANOS), read as
-    * long (see graft.Tables.events for why).
+  /** events.parquet declared schema for the given `ts` physical type.
+    * DERIVED from the batch probe, not hard-coded: round 8 proved that
+    * forcing `ts: LongType` over a `timestamp[us]` fixture makes Spark
+    * surface raw µs values that downstream math treats as nanos —
+    * every interval shrinks 1000× and the answers are silently wrong.
+    * The declared type must match the file's physical type exactly;
+    * [[graft.Tables.normalizeEventTs]] then converts (or fails loud on
+    * an encoding it doesn't know).
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private[graft] def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Streaming read of the events table with the same ts_ns/ts
-    * convention as the batch loader.
+    * convention as the batch loader. The `ts` physical type is probed
+    * from the parquet footer (one batch-side read, before the stream
+    * starts) and the declared stream schema matches it; normalization
+    * to (ts_ns: Long nanos, ts: TimestampType micros) is the shared
+    * [[graft.Tables.normalizeEventTs]], which throws on any encoding
+    * it doesn't recognize rather than reinterpreting.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val file = s"$dir/events.parquet"
+    val tsType = graft.Tables.eventsTsType(spark, dir)
     // FileStreamSource requires a directory basePath; the glob keeps
     // the basePath at $dir while matching only the events table file.
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .parquet(s"$dir/events.parque[t]")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.Tables.normalizeEventTs(raw, tsType, file)
   }
 
   /** Tumbling-window counts with a watermark; runs the finite source

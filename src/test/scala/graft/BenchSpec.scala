@@ -27,10 +27,18 @@ class BenchSpec extends AnyFunSuite {
     assert(got == Seq("q_c", "q_d", "q_e", "q_f"), s"window drifted: $got")
   }
 
-  test("a singleton 2x regression is a code change, not contamination") {
-    val got = run("q_a" -> 1.0, "q_b" -> 0.5, "q_c" -> 6.0, "q_d" -> 0.3,
+  test("a singleton 2x-3x regression is a code change, not contamination") {
+    // q_c at 2.5x: inside the code-change band, must not flag
+    val got = run("q_a" -> 1.0, "q_b" -> 0.5, "q_c" -> 5.0, "q_d" -> 0.3,
       "q_e" -> 1.2, "q_f" -> 0.8, "q_g" -> 4.0, "q_h" -> 0.6)
-    assert(got.isEmpty, s"singleton must not flag: $got")
+    assert(got.isEmpty, s"singleton under 3x must not flag: $got")
+  }
+
+  test("a singleton >=3x outlier flags (round-8 q_triangles_approx gap)") {
+    // q_c at 3.25x with normal neighbors — the driver-run outlier shape
+    val got = run("q_a" -> 1.0, "q_b" -> 0.5, "q_c" -> 6.5, "q_d" -> 0.3,
+      "q_e" -> 1.2, "q_f" -> 0.8, "q_g" -> 4.0, "q_h" -> 0.6)
+    assert(got == Seq("q_c"), s"got $got")
   }
 
   test("two disjoint windows both flag; sub-floor baselines and failed runs never flag") {
@@ -40,9 +48,15 @@ class BenchSpec extends AnyFunSuite {
         "q_e" -> 1.2, "q_f" -> 2.0, "q_g" -> -1.0, "q_h" -> 1.5),
       b)
     // q_a/q_b inflated adjacently; q_d sub-floor breaks the chain at
-    // q_c (singleton); q_f inflated but q_g FAILED (-1) breaks it;
-    // q_h inflated but singleton at the end
+    // q_c (singleton 1x — clean); q_f inflated 2.5x but q_g FAILED
+    // (-1) breaks it and 2.5x is under the singleton bar; q_h at 2.5x
+    // is likewise a code-change singleton
     assert(got == Seq("q_a", "q_b"), s"got $got")
+  }
+
+  test("parseBaseline drops non-positive entries (poisoned -1.0 baselines)") {
+    val line = """{"metric":"total","value":5.0,"unit":"sec","queries":{"q_a":1.5,"q_b":-1.0,"q_c":0.0},"contaminated":[],"sf":"/x"}"""
+    assert(Bench.parseBaseline(line) == Map("q_a" -> 1.5))
   }
 
   test("no baseline at all -> empty verdict (first round has nothing to compare)") {

@@ -35,6 +35,17 @@ class StreamingSpec extends AnyFunSuite {
       .agg(countDistinct("event_id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want, "duplicated first 100 events must be deduped")
+    // Timeline-collapse guard (round 8): dedup totals are ts-SCALE-
+    // INVARIANT, so a loader that misreads µs as ns (shrinking 720
+    // hours into ~1) leaves this spec green. Pin the drained stream's
+    // hour spread against the batch timeline so the green requires a
+    // correctly-scaled event-time axis, not just correct totals.
+    val streamHours = EventStreams.windowCounts(spark, dir)
+      .select("bucket").distinct().count()
+    val batchHours = Tables.events(spark, sf)
+      .select(expr("ts_ns div 3600000000000")).distinct().count()
+    assert(streamHours == batchHours,
+      s"streamed hour spread $streamHours != batch $batchHours — timeline collapsed")
   }
 
   test("streaming restart from checkpoint processes only new files, result stays correct") {
@@ -48,8 +59,10 @@ class StreamingSpec extends AnyFunSuite {
 
     def runOnce(qname: String): Unit = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the srcDir copy re-encodes ts in whatever type the fixture
+      // read produced — probe it rather than assume an encoding
       val q = spark.readStream
-        .schema(EventStreams.eventsSchema)
+        .schema(EventStreams.eventsSchema(spark.read.parquet(srcDir).schema("ts").dataType))
         .parquet(srcDir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -340,6 +353,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+    // Timeline-collapse guard (round 8): segment totals are ts-scale-
+    // invariant; require the streamed hour spread to match batch (see
+    // the dedup spec for the failure class this pins against).
+    val streamHours = EventStreams.windowCounts(spark, sf)
+      .select("bucket").distinct().count()
+    val batchHours = Tables.events(spark, sf)
+      .select(expr("ts_ns div 3600000000000")).distinct().count()
+    assert(streamHours == batchHours,
+      s"streamed hour spread $streamHours != batch $batchHours — timeline collapsed")
   }
 
   test("stateful hourly top-k leaderboard == batch hourly top-k, incl. throttled multi-batch run") {
@@ -407,7 +429,8 @@ class StreamingSpec extends AnyFunSuite {
   private def eventStreamFrom(src: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventStreams.eventsSchema)
+    // writeEventFile emits ts as plain int64 nanos
+    spark.readStream.schema(EventStreams.eventsSchema(org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1").parquet(src)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
