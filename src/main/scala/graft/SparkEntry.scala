@@ -362,6 +362,8 @@ object SparkEntry {
     "stream_theta_window_day" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyThetaWindow(s, dir, windowHours = 24)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
+    "stream_funnel" -> ((s, dir) => graft.streaming.EventStreams.streamFunnel(s, dir)),
+    "stream_retention" -> ((s, dir) => graft.streaming.EventStreams.streamRetention(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
@@ -1618,6 +1620,42 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type""".stripMargin,
+    // Shares q_funnel's greedy-stage oracle: the streamed fold is
+    // arrival-order-invariant by construction (candidate buffers
+    // re-admit events when a late-arriving earlier view/click lowers
+    // a stage threshold), so the drained final stages must equal the
+    // batch funnel exactly.
+    // Shares q_retention's oracle: the bounded per-user state (cohort
+    // hour + in-window hours) reconstructs the exact (cohort, offset)
+    // counts; out-of-order re-cohorting can only shrink the window,
+    // so the fold never needs forgotten hours back.
+    "stream_retention" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |f AS (SELECT user_id, min(h) AS h0 FROM uh GROUP BY 1)
+        |SELECT h0 AS cohort_hour, (h - h0) AS offset_h, count(*) AS n_users
+        |FROM uh JOIN f USING (user_id)
+        |WHERE h - h0 <= 3
+        |GROUP BY 1, 2""".stripMargin,
+    "stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t_click GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
     // The 3-sigma test in pure integers (c·n > S1 and (c·n−S1)² >
     // 9(n·S2−S1²)) — no float anywhere, so the streaming flags and
     // this window-prefix-sum batch twin must agree flag-for-flag.

@@ -286,6 +286,54 @@ object Similarity {
     * arithmetic volume (rows × nCells × dim) is the same as the
     * broadcast join's, minus its exchange.
     */
+  /** Single-nearest-cell assignment as a pure COLUMN — the probes=1
+    * matrix form ([[ivfCellsMatrix]]) packaged so a caller can attach
+    * `new_cell` to an arbitrary frame WITHOUT the select that the
+    * DataFrame-shaped paths apply (they drop every column but id/emb/
+    * cell). This is what lets the incremental IVF refresh
+    * ([[graft.streaming.VectorStreams.ivfCompactIncremental]]) compare
+    * stored vs fresh assignment in ONE zero-shuffle, zero-join scan.
+    *
+    * Bit-identity: the score is the same left-to-right double
+    * accumulation, zero guard, and (cosine desc, cell asc) comparator
+    * as the three assignment paths — ‖x‖² is bound ONCE per row via a
+    * single-element `transform` lambda (the `_na` column trick in
+    * expression form), so the arithmetic is the matrix path's exactly.
+    */
+  def cellAssignColumn(embCol: Column, coarse: Seq[(Long, Seq[Float])]): Column = {
+    require(coarse.nonEmpty, "cellAssignColumn needs a trained quantizer")
+    val seedRows = coarse.sortBy(_._1)
+    val n = seedRows.size
+    val cellsLit = typedlit(seedRows.map(_._1))
+    val embsLit = typedlit(seedRows.map(_._2))
+    val nbLit = typedlit(seedRows.map(
+      _._2.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+    val naExpr = aggregate(
+      transform(embCol, v => v.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    element_at(
+      transform(array(naExpr), na => {
+        val scored = transform(sequence(lit(0), lit(n - 1)), i => {
+          val dot = aggregate(
+            zip_with(embCol, element_at(embsLit, i + 1),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+          val nb = element_at(nbLit, i + 1)
+          struct(
+            when(na === 0.0 || nb === 0.0, lit(0.0))
+              .otherwise(dot / (sqrt(na) * sqrt(nb))).as("c"),
+            element_at(cellsLit, i + 1).as("cell"))
+        })
+        element_at(array_sort(scored, cmp), 1).getField("cell")
+      }), 1)
+  }
+
   def ivfCellsMatrix(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
                      probes: Int): DataFrame = {
     val spark = df.sparkSession

@@ -1289,6 +1289,204 @@ object EventStreams {
     (out, q)
   }
 
+  /** Per-user funnel state: the three greedy stage times (MaxValue =
+    * not reached) plus the candidate buffers that make the fold EXACT
+    * under out-of-order arrival — see [[streamFunnel]].
+    */
+  case class FunnelBuf(tView: Long, tClick: Long, tPurchase: Long,
+                       clickCands: Seq[Long], purchCands: Seq[Long],
+                       seen: Long)
+
+  /** One emitted funnel row; `seen` is the monotone event count the
+    * final-selection uses.
+    */
+  case class FunnelOut(user_id: Long, stage: Long, seen: Long)
+
+  /** Streaming ordered funnel (view → click → purchase), the
+    * continuous face of [[graft.operators.Relational.funnel]]: per
+    * user, the greedy stage times t_view = min(views),
+    * t_click = min(clicks > t_view), t_purchase = min(purchases >
+    * t_click) — maintained EXACTLY under out-of-order arrival within
+    * and ACROSS micro-batches, which the obvious 3-longs state
+    * cannot do (a late-arriving EARLIER view lowers t_view, admitting
+    * clicks the fold already rejected).
+    *
+    * The trick: each threshold is monotone NON-INCREASING as events
+    * accumulate, so an event ≥ the current answer can never become
+    * the answer and is safe to drop; an event < the current answer
+    * is kept in a candidate buffer, and every fold step re-derives
+    * t_click from the candidates admissible under the (possibly just
+    * lowered) t_view, then cascades to t_purchase. The buffers hold
+    * only events BELOW the current answers, so they shrink as the
+    * answers tighten — state per user is 3 longs + two
+    * monotone-shrinking buffers (adversarially O(user's clicks),
+    * near-empty under the near-ordered arrival real streams have).
+    * The result is arrival-order-invariant by construction, which is
+    * what makes the batch funnel the oracle: the drained stream
+    * hash-matches `q_funnel`'s SQL exactly.
+    *
+    * Always-on deployment: key state is per LIFETIME user here (the
+    * finite-source oracle's scope); a deployment bounds it with the
+    * 37g watermark + EventTimeTimeout retirement, final stages
+    * having already been emitted.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    streamFunnelOn(readEventStream(spark, dir))._1
+
+  /** [[streamFunnel]] over an arbitrary event stream, for the
+    * out-of-order multi-batch spec.
+    */
+  def streamFunnelOn(events: DataFrame):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NONE = Long.MaxValue
+
+    def refresh(buf: FunnelBuf): FunnelBuf = {
+      var b = buf
+      if (b.tView != NONE) {
+        val adm = b.clickCands.filter(_ > b.tView)
+        if (adm.nonEmpty && adm.min < b.tClick) b = b.copy(tClick = adm.min)
+      }
+      b = b.copy(clickCands = b.clickCands.filter(_ < b.tClick))
+      if (b.tClick != NONE) {
+        val admP = b.purchCands.filter(_ > b.tClick)
+        if (admP.nonEmpty && admP.min < b.tPurchase) b = b.copy(tPurchase = admP.min)
+      }
+      b.copy(purchCands = b.purchCands.filter(_ < b.tPurchase))
+    }
+
+    def fold(b0: FunnelBuf, typ: String, ts: Long): FunnelBuf = {
+      val b = typ match {
+        case "view" if ts < b0.tView => b0.copy(tView = ts)
+        case "click" if ts < b0.tClick => b0.copy(clickCands = b0.clickCands :+ ts)
+        case "purchase" if ts < b0.tPurchase => b0.copy(purchCands = b0.purchCands :+ ts)
+        case _ => b0
+      }
+      refresh(b.copy(seen = b.seen + 1L))
+    }
+
+    def updateFn(uid: Long, it: Iterator[(Long, String, Long)],
+                 state: GroupState[FunnelBuf]): Iterator[FunnelOut] = {
+      var buf = state.getOption.getOrElse(
+        FunnelBuf(NONE, NONE, NONE, Nil, Nil, 0L))
+      it.foreach { case (_, typ, ts) => buf = fold(buf, typ, ts) }
+      state.update(buf)
+      val stage =
+        if (buf.tPurchase != NONE) 3L
+        else if (buf.tClick != NONE) 2L
+        else if (buf.tView != NONE) 1L else 0L
+      Iterator.single(FunnelOut(uid, stage, buf.seen))
+    }
+
+    val qname = "graft_stream_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = events
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts_ns").as[Long])
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateFn)
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // stage is monotone non-decreasing in events folded, so the final
+    // stage per user is simply the max emission
+    val out = spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(max(col("stage")).as("stage"))
+    (out, q)
+  }
+
+  /** Per-user retention state: cohort hour + the active hours inside
+    * the offset window — AT MOST maxOffset+1 longs, see
+    * [[streamRetention]].
+    */
+  case class RetentionBuf(h0: Long, hours: Seq[Long], seen: Long)
+
+  /** One emitted retention row: a user's cohort and in-window active
+    * hours at this point of the stream.
+    */
+  case class RetentionOut(user_id: Long, h0: Long, hours: Seq[Long],
+                          seen: Long)
+
+  /** Streaming cohort retention — the continuous face of
+    * [[graft.operators.Relational.retention]]: cohort = a user's
+    * first active hour; for offsets 0..maxOffsetHours, how many of
+    * the cohort were active again offset hours later.
+    *
+    * State per user is PROVABLY BOUNDED at maxOffset+2 longs: the
+    * cohort hour h0 plus the distinct active hours inside
+    * [h0, h0+maxOffset]. The subtlety is out-of-order arrival ACROSS
+    * micro-batches lowering h0 (a late-arriving EARLIER event
+    * re-cohorts the user): hours can only EXIT the window when h0
+    * drops (h − h0 grows), never enter it, so hours already outside
+    * [h0, h0+maxOffset] are safe to forget forever — the fold stays
+    * exact without unbounded history. Per batch each user re-emits
+    * (h0, in-window hours, seen); `seen` is monotone so final = max,
+    * and one small aggregation over the drained sink produces the
+    * (cohort_hour, offset_h, n_users) table the batch oracle
+    * hash-matches.
+    */
+  def streamRetention(spark: SparkSession, dir: String,
+                      maxOffsetHours: Int = 3): DataFrame =
+    streamRetentionOn(readEventStream(spark, dir), maxOffsetHours)._1
+
+  /** [[streamRetention]] over an arbitrary event stream, for the
+    * out-of-order re-cohorting spec.
+    */
+  def streamRetentionOn(events: DataFrame, maxOffsetHours: Int = 3):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourNs = 3600000000000L
+
+    def fold(b: RetentionBuf, h: Long): RetentionBuf = {
+      val h0 = math.min(b.h0, h)
+      val hours = (b.hours :+ h).distinct
+        .filter(x => x >= h0 && x - h0 <= maxOffsetHours)
+      RetentionBuf(h0, hours, b.seen + 1L)
+    }
+
+    def updateFn(uid: Long, it: Iterator[Long],
+                 state: GroupState[RetentionBuf]): Iterator[RetentionOut] = {
+      var buf = state.getOption.getOrElse(
+        RetentionBuf(Long.MaxValue, Nil, 0L))
+      it.foreach(h => buf = fold(buf, h))
+      state.update(buf)
+      Iterator.single(RetentionOut(uid, buf.h0, buf.hours, buf.seen))
+    }
+
+    val qname = "graft_stream_ret_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = events
+      .select(col("user_id").as[Long], col("ts_ns").as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[(Long, Long)], s: GroupState[RetentionBuf]) =>
+          updateFn(uid, it.map(_._2 / hourNs), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final per user = the max-seen emission (monotone), then the
+    // cohort roll-up the batch twin computes
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val out = spark.table(qname)
+      .withColumn("_max_seen", max(col("seen")).over(w))
+      .filter(col("seen") === col("_max_seen"))
+      .select(col("user_id"), col("h0"), explode(col("hours")).as("h"))
+      .groupBy(col("h0").as("cohort_hour"), (col("h") - col("h0")).as("offset_h"))
+      .agg(count(lit(1)).as("n_users"))
+    (out, q)
+  }
+
   /** Per-hour histogram state for streaming quantiles: a sparse
     * bin→count map, bins clamped to [0, maxBin] so state per hour is
     * bounded by the bin range, never event volume.

@@ -175,16 +175,175 @@ object VectorStreams {
     * operator's schedule; ingest batches before/after see a
     * consistent table because the quantizer handoff is the caller's
     * cut-over point.
+    *
+    * `retrainBooks = Some((m, ksub, iters))` additionally RETRAINS the
+    * residual PQ codebooks against the new quantizer inside the same
+    * pass and re-encodes every row's codes (returned so the caller
+    * can cut search + subsequent ingest over to them). Without it a
+    * codes-bearing table would be re-celled while its codes still
+    * encode residuals against RETIRED centroids — ADC scores would
+    * decode against the wrong reference point and quietly degrade.
+    * The plain (no-codes) table keeps the cheap geometry-only path.
     */
   def ivfCompact(spark: SparkSession, statePath: String,
-                 newCoarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16): Unit = {
+                 newCoarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16,
+                 retrainBooks: Option[(Int, Int, Int)] = None): Option[Seq[Seq[Seq[Float]]]] = {
     val all = spark.read.parquet(s"$statePath/cells")
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // materialize BEFORE touching the files the plan reads
-    Similarity.cellAssign(all, "vec_id", "embedding", newCoarse, probes = 1)
-      .withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
+    val newBooks = retrainBooks.map { case (m, ksub, iters) =>
+      Similarity.pqTrainResidual(all, nCells = newCoarse.size, m = m, ksub = ksub,
+        iters = iters, coarse = Some(newCoarse))
+    }
+    val assigned = Similarity.cellAssign(all, "vec_id", "embedding", newCoarse, probes = 1)
+    val rows = newBooks match {
+      case Some(b) =>
+        assigned.join(
+          Similarity.residualCodes(all, "vec_id", "embedding", newCoarse, b)
+            .select(col("vec_id"), col("codes")),
+          Seq("vec_id"))
+      case None => assigned
+    }
+    rows.withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("cb").parquet(s"$statePath/cells")
     graft.operators.Checkpoints.free(all)
+    newBooks
+  }
+
+  /** Cells whose population exceeds `ratio`× the mean — the drift
+    * alarm's shortlist, from one codes-free column scan.
+    */
+  def driftedCells(spark: SparkSession, statePath: String, nCells: Int,
+                   ratio: Double = 3.0): Seq[Long] = {
+    val pops = spark.read.parquet(s"$statePath/cells")
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    if (pops.isEmpty) return Seq.empty
+    val mean = pops.map(_._2).sum.toDouble / nCells
+    pops.filter(_._2 > ratio * mean).map(_._1).sorted.toSeq
+  }
+
+  /** Local retraining for an incremental refresh: each drifted cell's
+    * centroid is REPLACED by `splitInto` fresh centroids trained on
+    * that cell's own maintained members (a partition-pruned read —
+    * training cost is proportional to the drifted population, never
+    * the corpus). Fresh cell ids start past the old quantizer's max
+    * so retired ids are never reused. Non-drifted centroids are
+    * passed through untouched — the agreement that lets
+    * [[ivfCompactIncremental]] leave their rows' files alone.
+    */
+  def splitDriftedCells(spark: SparkSession, statePath: String,
+                        coarse: Seq[(Long, Seq[Float])], drifted: Seq[Long],
+                        splitInto: Int = 4,
+                        nBuckets: Int = 16): Seq[(Long, Seq[Float])] = {
+    if (drifted.isEmpty) return coarse
+    val driftedSet = drifted.toSet
+    var nextId = coarse.map(_._1).max + 1
+    val kept = coarse.filterNot { case (c, _) => driftedSet(c) }
+    val cbs = drifted.map(c => math.floorMod(c, nBuckets.toLong)).distinct
+    val members = spark.read.parquet(s"$statePath/cells")
+      .filter(col("cb").isin(cbs: _*))
+      .filter(col("cell").isInCollection(drifted))
+    val splits = drifted.sorted.flatMap { c =>
+      val sub = Similarity.trainCoarseQuantizer(
+        members.filter(col("cell") === c).select(col("vec_id"), col("embedding")),
+        nCells = splitInto, iters = 4)
+      val renumbered = sub.map { case (_, emb) => val id = nextId; nextId += 1; (id, emb) }
+      renumbered
+    }
+    (kept ++ splits).sortBy(_._1)
+  }
+
+  /** INCREMENTAL refresh: one read-only re-assignment scan finds the
+    * rows whose cell ACTUALLY changes under `newCoarse`, and only the
+    * partitions holding such rows are rewritten — every other
+    * partition's files survive byte-identical (spec-pinned). Paired
+    * with [[splitDriftedCells]] (old quantizer ± the drifted cells'
+    * centroids), the changed set is the drifted population plus the
+    * boundary rows the fresh split centroids win over — so the WRITE
+    * cost is proportional to drift, not the corpus: the difference
+    * between "rewrite 100 TB" and "rewrite the hot cells" when one
+    * new source clusters where the old quantizer had one centroid.
+    * The detection scan is a zero-shuffle, zero-join projection
+    * ([[Similarity.cellAssignColumn]] — stored and fresh assignment
+    * compared row-local in one pass); it reads the table once but
+    * writes nothing.
+    *
+    * Because changed rows are detected by comparing against FRESH
+    * assignment — not assumed from a drifted-cell list — the
+    * resulting table is identical, row for row, to what a full
+    * [[ivfCompact]] under `newCoarse` would produce: exact batch
+    * parity with cheap surgery, no approximation.
+    *
+    * With `books` the re-mapped rows' residual codes are RE-ENCODED
+    * against their new cells (same codebooks — a local split moves
+    * the reference centroid, not the residual geometry; the full
+    * retrain belongs to [[ivfCompact]]'s `retrainBooks`).
+    *
+    * Write protocol: partitions containing changed rows are
+    * dynamic-partition-overwritten with (unchanged ride-along rows +
+    * changed rows landing back in them); changed rows landing in
+    * other partitions are appended as new files (existing files
+    * there are not touched). A partition fully drained by the re-map
+    * is deleted explicitly — dynamic overwrite only rewrites
+    * partitions present in the output. Returns the overwritten
+    * partition ids (empty = the quantizer change moved nothing).
+    */
+  def ivfCompactIncremental(spark: SparkSession, statePath: String,
+                            newCoarse: Seq[(Long, Seq[Float])],
+                            nBuckets: Int = 16,
+                            books: Option[Seq[Seq[Seq[Float]]]] = None): Seq[Long] = {
+    val cellsPath = s"$statePath/cells"
+    def withFresh(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("new_cell", Similarity.cellAssignColumn(col("embedding"), newCoarse))
+    // pass 1 (read-only, zero-shuffle): which partitions hold a row
+    // whose assignment changes?
+    // cb is a directory-inferred partition column (int, not long)
+    val changedParts = withFresh(spark.read.parquet(cellsPath))
+      .filter(col("cell") =!= col("new_cell"))
+      .select(col("cb").cast("long")).distinct().collect().map(_.getLong(0)).toSeq.sorted
+    if (changedParts.isEmpty) return Seq.empty
+    // pass 2: re-read ONLY those partitions (pruned scan), materialize
+    // BEFORE overwriting the files the plan reads
+    val touched = withFresh(spark.read.parquet(cellsPath)
+        .filter(col("cb").isin(changedParts: _*))
+        .withColumn("cb", col("cb").cast("long"))) // match moved's pmod type
+      .localCheckpoint(true)
+    val keep = touched.filter(col("cell") === col("new_cell")).drop("new_cell")
+    val movedBase = touched.filter(col("cell") =!= col("new_cell"))
+      .select(col("vec_id"), col("new_cell").as("cell"), col("embedding"))
+    val moved = (books match {
+      case Some(b) =>
+        movedBase.drop("codes").join(
+          Similarity.residualCodes(
+            movedBase.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", newCoarse, b)
+            .select(col("vec_id"), col("codes")),
+          Seq("vec_id"))
+      case None => movedBase
+    }).withColumn("cb", pmod(col("cell"), lit(nBuckets.toLong)))
+    val merged = keep.unionByName(moved).localCheckpoint(true)
+    graft.operators.Checkpoints.free(touched)
+    val inParts = merged.filter(col("cb").isin(changedParts: _*))
+    val outParts = merged.filter(!col("cb").isin(changedParts: _*))
+    // per-write option, not the session conf: a global dynamic mode
+    // would silently turn ivfCompact's FULL overwrite partial
+    inParts.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cb").parquet(cellsPath)
+    outParts.write.mode("append").partitionBy("cb").parquet(cellsPath)
+    // dynamic overwrite only rewrites partitions PRESENT in inParts: a
+    // partition fully drained by the re-map must be deleted or its
+    // stale pre-image would survive
+    val written = inParts.select(col("cb").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(cellsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    changedParts.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(cellsPath, s"cb=$p"), true)
+    }
+    graft.operators.Checkpoints.free(merged)
+    changedParts
   }
 
   /** End-to-end streamed IVF over the embeddings table (the

@@ -364,6 +364,64 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed hour spread $streamHours != batch $batchHours — timeline collapsed")
   }
 
+  test("streaming funnel == batch funnel; late-arriving EARLIER events re-open stages exactly") {
+    import org.apache.spark.sql.functions._
+    // real fixture parity first: the drained final stages must equal
+    // the batch greedy funnel user-for-user
+    val streamed = EventStreams.streamFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Relational.funnel(Tables.events(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "funnel stages drifted from batch")
+    assert(streamed.values.exists(_ == 3L), "fixture must contain full conversions")
+
+    // the adversarial case the 3-longs state gets wrong: batch 1
+    // delivers click(t=5), purchase(t=6) — no view yet, stage 0;
+    // batch 2 delivers the EARLIER view(t=1): the buffered click and
+    // purchase must re-admit, stage jumps 0 -> 3. A second user's
+    // batch-2 view(t=7) arrives AFTER their click — stage stays 1.
+    val hourNs = 3600000000000L
+    val src = java.nio.file.Files.createTempDirectory("graft-funnel-ooo-").toString + "/ev"
+    writeEventFile(src, "f1", 1000000L, Seq(
+      (1L, 5L * hourNs, 100L, "click", 0.0, "{}"),
+      (2L, 6L * hourNs, 100L, "purchase", 0.0, "{}"),
+      (3L, 5L * hourNs, 200L, "click", 0.0, "{}")))
+    writeEventFile(src, "f2", 2000000L, Seq(
+      (4L, 1L * hourNs, 100L, "view", 0.0, "{}"),
+      (5L, 7L * hourNs, 200L, "view", 0.0, "{}")))
+    val (out, _) = EventStreams.streamFunnelOn(eventStreamFrom(src))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 3L, 200L -> 1L),
+      s"out-of-order re-admission broken: $got")
+  }
+
+  test("streaming retention == batch retention; late EARLIER event re-cohorts and shrinks the window exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.streamRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Relational.retention(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "retention table drifted from batch")
+    assert(streamed.keys.map(_._2).max >= 1L, "fixture must have non-zero offsets")
+
+    // out-of-order re-cohorting: batch 1 puts user 100 active at
+    // hours 10 and 12 (cohort 10, offset 2 in-window); batch 2
+    // delivers an EARLIER hour-5 event — cohort drops to 5, hours 10
+    // and 12 exit the (maxOffset=3) window, leaving only offset 0
+    val hourNs = 3600000000000L
+    val src = java.nio.file.Files.createTempDirectory("graft-ret-ooo-").toString + "/ev"
+    writeEventFile(src, "f1", 1000000L, Seq(
+      (1L, 10L * hourNs, 100L, "view", 0.0, "{}"),
+      (2L, 12L * hourNs, 100L, "view", 0.0, "{}")))
+    writeEventFile(src, "f2", 2000000L, Seq(
+      (3L, 5L * hourNs, 100L, "view", 0.0, "{}")))
+    val (out, _) = EventStreams.streamRetentionOn(eventStreamFrom(src), 3)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((5L, 0L) -> 1L),
+      s"re-cohorting must evict out-of-window hours: $got")
+  }
+
   test("stateful hourly top-k leaderboard == batch hourly top-k, incl. throttled multi-batch run") {
     import org.apache.spark.sql.functions._
     val w = org.apache.spark.sql.expressions.Window

@@ -117,4 +117,116 @@ class VectorStreamsSpec extends AnyFunSuite {
       coarse = Some(fresh)))
     assert(got == want, "post-compaction search drifted from batch")
   }
+
+  private def burstFrame(n: Int = 500, dim: Int = 64, noise: Double = 0.3,
+                         sign: Double = 1.0) =
+    spark.range(10000L, 10000L + n).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${dim - 1}), j -> CAST(
+        CASE WHEN j = 0 THEN $sign ELSE
+          $noise * (pmod(xxhash64(concat('b:', CAST(id AS STRING), ':', CAST(j AS STRING))), 2000) - 1000) / 1000.0
+        END AS FLOAT))""").as("embedding"))
+
+  private def fileDigests(dir: String): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        f.getPath -> md.map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("incremental compaction: only changed-row partitions rewrite, untouched files survive byte-identical, full-compaction parity holds") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val nc = 16
+    val nBuckets = 16
+    val coarse = Similarity.trainCoarseQuantizer(emb, nc, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-inc-").toString
+    val st = s"$base/state"
+    VectorStreams.ivfIngestBatch(emb, 0L, st, coarse, nBuckets)
+    // TIGHT burst (0.05 noise) pointed AWAY from the corpus mass
+    // (−e0): concentrates in one old cell and its splits attract few
+    // outside rows — the localized-drift shape incremental refresh
+    // exists for
+    val burst = burstFrame(noise = 0.05, sign = -1.0)
+    VectorStreams.ivfIngestBatch(burst, 1L, st, coarse, nBuckets)
+    val drifted = VectorStreams.driftedCells(spark, st, nc)
+    assert(drifted.nonEmpty, "the burst must trip the drift alarm")
+    val (_, _, ratioDrift) = VectorStreams.cellStats(spark, st, nc)
+    // local retrain: split centroids come from the drifted cells' own
+    // members; the rest of the quantizer is passed through untouched
+    val newCoarse = VectorStreams.splitDriftedCells(spark, st, coarse, drifted,
+      splitInto = 4, nBuckets = nBuckets)
+    assert(newCoarse.count { case (c, _) => !coarse.exists(_._1 == c) } ==
+      4 * drifted.size, "each drifted cell splits into 4 fresh ids")
+    val before = fileDigests(s"$st/cells")
+    val rewritten = VectorStreams.ivfCompactIncremental(spark, st, newCoarse, nBuckets)
+    val after = fileDigests(s"$st/cells")
+    assert(rewritten.nonEmpty && rewritten.size < nBuckets,
+      s"a localized burst must rewrite some but not all partitions: $rewritten")
+    // files OUTSIDE the rewritten partitions survive byte-identical
+    val overwritten = rewritten.map(p => s"cb=$p/").toSet
+    val untouchedBefore = before.filterNot { case (p, _) => overwritten.exists(p.contains) }
+    untouchedBefore.foreach { case (path, digest) =>
+      assert(after.get(path).contains(digest),
+        s"untouched file rewritten or deleted by incremental compaction: $path")
+    }
+    assert(untouchedBefore.nonEmpty, "the claim is vacuous without untouched partitions")
+    // the surgically-updated table is row-identical to FULL fresh
+    // assignment under the split quantizer — no approximation
+    val union = emb.unionByName(burst)
+    val maintained = spark.read.parquet(s"$st/cells")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Similarity.cellAssign(union, "vec_id", "embedding", newCoarse, 1)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained == full,
+      "partial re-map must agree with full assignment under the split quantizer")
+    // the alarm condition is repaired and search parity holds
+    val (_, _, ratioFixed) = VectorStreams.cellStats(spark, st, newCoarse.size)
+    assert(ratioFixed < ratioDrift,
+      s"splitting the hot cells must improve balance: $ratioDrift -> $ratioFixed")
+    val queries = union.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val got = asSet(VectorStreams.ivfSearchMaintained(spark, st, newCoarse, queries,
+      k = 10, probes = 13))
+    val want = asSet(Similarity.annTopKIvf(union, 8, 10, probes = 13,
+      coarse = Some(newCoarse)))
+    assert(got == want, "post-incremental-compaction search drifted from batch")
+    // a second incremental pass under the same quantizer is a no-op
+    assert(VectorStreams.ivfCompactIncremental(spark, st, newCoarse, nBuckets).isEmpty,
+      "an already-compacted table must not rewrite anything")
+  }
+
+  test("full compaction with retrainBooks: codes re-encode against the NEW quantizer+books; ADC search == batch under them") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.trainCoarseQuantizer(emb, 16, iters = 2)
+    val books = Similarity.pqTrainResidual(emb, nCells = 16, m = 16, ksub = 16,
+      iters = 3, coarse = Some(coarse))
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-rebook-").toString
+    val st = s"$base/state"
+    VectorStreams.ivfIngestBatch(emb, 0L, st, coarse, 16, Some(books))
+    val burst = burstFrame()
+    VectorStreams.ivfIngestBatch(burst, 1L, st, coarse, 16, Some(books))
+    val union = emb.unionByName(burst)
+    // drift alarm → FULL refresh: new quantizer from the maintained
+    // corpus, residual books retrained against it in the same pass
+    val maintained = spark.read.parquet(s"$st/cells")
+      .select(col("vec_id"), col("embedding"))
+    val fresh = Similarity.trainCoarseQuantizer(maintained, 16, iters = 4)
+    val newBooks = VectorStreams.ivfCompact(spark, st, fresh, 16,
+      retrainBooks = Some((16, 16, 3)))
+      .getOrElse(fail("retrainBooks must return the new codebooks"))
+    val got = asSet(VectorStreams.ivfSearchMaintainedPq(spark, st, fresh, newBooks,
+      numQueries = 8, k = 10, probes = 13, shortlistFactor = 8))
+    val want = asSet(Similarity.annTopKIvfPqResidual(union, 8, 10, probes = 13,
+      shortlistFactor = 8, index = Some(newBooks), coarse = Some(fresh)))
+    assert(got == want,
+      s"post-refresh ADC search must equal batch under the NEW quantizer+books: " +
+        s"extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "parity is vacuous on an empty result")
+  }
 }
