@@ -39,9 +39,11 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L << 20).toString,
-    // events.parquet stores TIMESTAMP(NANOS); set globally at build
-    // time so reads don't depend on which loader ran first (the
-    // loaders also set it for user-supplied sessions)
+    // events.ts has shipped as int64 TIMESTAMP(NANOS) and as
+    // timestamp[us] (see Tables.normalizeEventTs); this conf makes the
+    // nanos encoding readable (as raw longs) and is a no-op for the µs
+    // encodings, so it is safe globally — the loaders branch on the
+    // probed footer type either way
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.speculation" -> "true",
     "spark.speculation.multiplier" -> "3",
