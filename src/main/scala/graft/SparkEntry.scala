@@ -364,6 +364,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     "stream_funnel" -> ((s, dir) => graft.streaming.EventStreams.streamFunnel(s, dir)),
     "stream_retention" -> ((s, dir) => graft.streaming.EventStreams.streamRetention(s, dir)),
+    "stream_source_cap" -> ((s, dir) => graft.streaming.EventStreams.streamSourceCap(s, dir, 15)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
@@ -1625,6 +1626,18 @@ object SparkEntry {
     // re-admit events when a late-arriving earlier view/click lowers
     // a stage threshold), so the drained final stages must equal the
     // batch funnel exactly.
+    // Shares ta_source_cap's oracle: min-k-by-md5 is a semilattice,
+    // so the streamed per-source fold lands on the identical survivor
+    // set and ranks whatever the batch split.
+    "stream_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CASE WHEN source IS NULL THEN CAST(doc_id AS VARCHAR)
+        |                        ELSE source || ':' || CAST(doc_id AS VARCHAR) END)) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
     // Shares q_retention's oracle: the bounded per-user state (cohort
     // hour + in-window hours) reconstructs the exact (cohort, offset)
     // counts; out-of-order re-cohorting can only shrink the window,

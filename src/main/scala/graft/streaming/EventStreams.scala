@@ -902,6 +902,93 @@ object EventStreams {
     nearDedupPairs(spark, s"$base/state")
   }
 
+  /** Per-source quota state: the current min-cap (md5, doc_id) set —
+    * at most `cap` entries per source, see [[streamSourceCap]].
+    */
+  case class SourceCapBuf(kept: Seq[(String, Long)], seen: Long)
+
+  /** One emitted quota row. */
+  case class SourceCapOut(doc_id: Long, source: String, rk: Long, seen: Long)
+
+  /** Streaming per-source quota cap — the continuous face of
+    * [[graft.operators.TextAnalysis.sourceCap]] (the RefinedWeb/CCNet
+    * domain-balancing step): keep at most `cap` documents per source,
+    * survivors picked by the content-stable md5 rank.
+    *
+    * The min-k-by-hash selection is a SEMILATTICE (min-k of a union =
+    * min-k of min-ks), so the per-source fold is exact and
+    * arrival-order-invariant with state bounded at cap entries —
+    * documents can arrive in any batch order and a late doc with a
+    * smaller hash correctly evicts the largest kept entry. This is
+    * the always-on form of the batch op's k-bounded aggregator: the
+    * giant source every web corpus has costs cap entries of state,
+    * never a window sort. Each batch re-emits the source's current
+    * kept set; `seen` is monotone so final = max, and the drained
+    * sink hash-matches `ta_source_cap`'s SQL oracle exactly.
+    */
+  def streamSourceCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val base = java.nio.file.Files.createTempDirectory("graft-scap-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("source", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    streamSourceCapOn(stream, cap)._1
+  }
+
+  /** [[streamSourceCap]] over an arbitrary document stream. */
+  def streamSourceCapOn(docStream: DataFrame, cap: Int):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+
+    // the same hex md5 of "source:doc_id" the batch op and the SQL
+    // oracle compute (concat_ws skips a NULL source — mirrored here)
+    def hashOf(source: String, docId: Long): String = {
+      val s = if (source == null) docId.toString else s"$source:$docId"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+    def updateFn(source: String, it: Iterator[(Long, String)],
+                 state: GroupState[SourceCapBuf]): Iterator[SourceCapOut] = {
+      var buf = state.getOption.getOrElse(SourceCapBuf(Nil, 0L))
+      it.foreach { case (docId, _) =>
+        val e = (hashOf(source, docId), docId)
+        buf = SourceCapBuf(
+          ((buf.kept :+ e).distinct.sorted: Seq[(String, Long)]).take(cap),
+          buf.seen + 1L)
+      }
+      state.update(buf)
+      buf.kept.zipWithIndex.iterator.map { case ((_, docId), i) =>
+        SourceCapOut(docId, source, i + 1L, buf.seen)
+      }
+    }
+
+    val qname = "graft_stream_scap_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = docStream
+      .select(col("doc_id").as[Long], col("source").as[String])
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateFn)
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val out = spark.table(qname)
+      .withColumn("_max_seen", max(col("seen")).over(w))
+      .filter(col("seen") === col("_max_seen"))
+      .select(col("doc_id"), col("source"), col("rk"))
+    (out, q)
+  }
+
   /** Per-user session accumulator carried across micro-batches. */
   case class SessionBuf(lastTsNs: Long, sessionId: Long, nEvents: Long, valueMicros: Long)
 

@@ -422,6 +422,104 @@ class StreamingSpec extends AnyFunSuite {
       s"re-cohorting must evict out-of-window hours: $got")
   }
 
+  test("streaming source cap == batch sourceCap; late small-hash doc evicts a kept survivor") {
+    import org.apache.spark.sql.functions._
+    // fixture parity: the two-shard streamed quota equals the batch op
+    val streamed = EventStreams.streamSourceCap(spark, sf, 15).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.TextAnalysis.sourceCap(Tables.documents(spark, sf), 15)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, "streamed quota drifted from batch")
+    assert(streamed.nonEmpty)
+
+    // eviction across batches: cap=2, 3 docs of one source arrive in
+    // hash-descending order over two batches — the last (smallest
+    // hash) must evict the largest kept one, landing on the batch set
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "srcX"), (2L, "srcX"), (3L, "srcX"), (4L, "srcY"))
+      .toDF("doc_id", "source")
+    val base = java.nio.file.Files.createTempDirectory("graft-scap-spec-").toString
+    val incoming = s"$base/incoming"
+    // order by hash desc so the stream sees worst-case arrival
+    val byHash = graft.operators.TextAnalysis.sourceCap(docs, 4).collect()
+      .filter(_.getString(1) == "srcX").sortBy(_.getLong(2)).map(_.getLong(0))
+    docs.filter(col("doc_id").isin(byHash.drop(1) :+ 4L: _*))
+      .coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") === byHash.head)
+      .coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val (out, _) = EventStreams.streamSourceCapOn(stream, 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.operators.TextAnalysis.sourceCap(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"eviction broken: got $got want $want")
+  }
+
+  test("FUZZ: streaming funnel == batch funnel on seeded random event sets split into arbitrary micro-batches") {
+    import org.apache.spark.sql.functions._
+    val types = Seq("view", "click", "purchase", "other")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(300 + seed)
+      var id = 0L
+      val rows = (1 to 6 + rnd.nextInt(10)).flatMap { user =>
+        (0 until 2 + rnd.nextInt(20)).map { _ =>
+          id += 1
+          (id, (1L + rnd.nextInt(360000)) * 1000000L, user.toLong,
+            types(rnd.nextInt(types.size)), 0.0, "{}")
+        }
+      }
+      // shuffle rows into 3 files: event-time order and batch order are
+      // now unrelated — every cross-batch out-of-order shape gets hit
+      val shuffled = rnd.shuffle(rows)
+      val src = java.nio.file.Files.createTempDirectory(s"graft-funnel-fz$seed-")
+        .toString + "/ev"
+      shuffled.grouped((shuffled.size + 2) / 3).zipWithIndex.foreach {
+        case (chunk, i) => writeEventFile(src, s"f$i", 1000000L * (i + 1), chunk)
+      }
+      val (out, _) = EventStreams.streamFunnelOn(eventStreamFrom(src))
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchEvents = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
+      val want = Relational.funnel(batchEvents).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed: streamed funnel diverged")
+    }
+  }
+
+  test("FUZZ: streaming retention == batch retention on seeded random event sets split into arbitrary micro-batches") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(400 + seed)
+      var id = 0L
+      val hourNs = 3600000000000L
+      val rows = (1 to 6 + rnd.nextInt(10)).flatMap { user =>
+        (0 until 1 + rnd.nextInt(15)).map { _ =>
+          id += 1
+          // hours 0..12 so cohort windows overlap and collide
+          (id, rnd.nextInt(13).toLong * hourNs + rnd.nextInt(1000000).toLong * 1000L,
+            user.toLong, "view", 0.0, "{}")
+        }
+      }
+      val shuffled = rnd.shuffle(rows)
+      val src = java.nio.file.Files.createTempDirectory(s"graft-ret-fz$seed-")
+        .toString + "/ev"
+      shuffled.grouped((shuffled.size + 2) / 3).zipWithIndex.foreach {
+        case (chunk, i) => writeEventFile(src, s"f$i", 1000000L * (i + 1), chunk)
+      }
+      val (out, _) = EventStreams.streamRetentionOn(eventStreamFrom(src), 3)
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batchEvents = spark.read.parquet(src).withColumnRenamed("ts", "ts_ns")
+      val want = Relational.retention(batchEvents).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"seed=$seed: streamed retention diverged")
+    }
+  }
+
   test("stateful hourly top-k leaderboard == batch hourly top-k, incl. throttled multi-batch run") {
     import org.apache.spark.sql.functions._
     val w = org.apache.spark.sql.expressions.Window
