@@ -144,6 +144,36 @@ object SparkEntry {
         "user_id", "ts_ns", "event_id", Seq("click_event_id", "click_value"))
         .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      // the mirror attribution question: the NEXT click at-or-after
+      // each purchase (post-purchase engagement)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_id").as("click_event_id"),
+          round(col("value").cast("decimal(18,6)"), 2).cast("double").as("click_value"))
+      graft.plans.TemporalJoins.asofJoinForward(purchases, clicks,
+        "user_id", "ts_ns", "event_id", Seq("click_event_id", "click_value"))
+        .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
+    }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_id").as("click_event_id"),
+          round(col("value").cast("decimal(18,6)"), 2).cast("double").as("click_value"))
+      // 1-hour attribution horizon: clicks older than that do not count
+      graft.plans.TemporalJoins.asofJoinTolerance(purchases, clicks,
+        "user_id", "ts_ns", "event_id", Seq("click_event_id", "click_value"),
+        tolerance = 3600000000000L)
+        .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
+    }),
     "q_asof_join_native" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(s, dir)
@@ -365,6 +395,7 @@ object SparkEntry {
     "stream_funnel" -> ((s, dir) => graft.streaming.EventStreams.streamFunnel(s, dir)),
     "stream_retention" -> ((s, dir) => graft.streaming.EventStreams.streamRetention(s, dir)),
     "stream_source_cap" -> ((s, dir) => graft.streaming.EventStreams.streamSourceCap(s, dir, 15)),
+    "stream_hopping_window" -> ((s, dir) => graft.streaming.EventStreams.hoppingWindowCounts(s, dir)),
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
@@ -1110,6 +1141,31 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, c.click_event_id, c.click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tns <= p.tns""".stripMargin,
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_event_id, epoch_ns(ts) AS tns,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, c.click_event_id, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tns >= p.tns""".stripMargin,
+    // ASOF picks the LATEST click <= purchase; if that one is outside
+    // the tolerance every earlier one is older still, so masking the
+    // payload (not falling back) is the exact pandas merge_asof rule.
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_event_id, epoch_ns(ts) AS tns,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id,
+        |  CASE WHEN p.tns - c.tns <= 3600000000000 THEN c.click_event_id END AS click_event_id,
+        |  CASE WHEN p.tns - c.tns <= 3600000000000 THEN c.click_value END AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tns <= p.tns""".stripMargin,
     "q_asof_join_native" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
@@ -1626,6 +1682,17 @@ object SparkEntry {
     // re-admit events when a late-arriving earlier view/click lowers
     // a stage threshold), so the drained final stages must equal the
     // batch funnel exactly.
+    // Shares q_hopping_window's oracle: the drained complete-mode
+    // sink holds every (window, type) aggregate exactly once.
+    "stream_hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (
+        |  SELECT (tus // 3600000000 - k) * 3600000000 AS ws_us, event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT ws_us, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // Shares ta_source_cap's oracle: min-k-by-md5 is a semilattice,
     // so the streamed per-source fold lands on the identical survivor
     // set and ranks whatever the batch split.

@@ -58,6 +58,46 @@ object TemporalJoins {
     }.select(left.columns.map(col) ++ rightCols.map(col): _*)
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`):
+    * the EARLIEST right row at-or-after each left time, per key.
+    * Pure delegation — negating the time column turns "latest ≤ t"
+    * into "earliest ≥ t" while reusing [[asofJoin]]'s one-shuffle
+    * window-carry plan and its inclusive-at-equality convention
+    * unchanged; the output time is negated back. Same plan shape,
+    * same determinism rule, zero new machinery to verify.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, tieCol: String,
+                      rightCols: Seq[String]): DataFrame =
+    asofJoin(
+      left.withColumn(timeCol, -col(timeCol)),
+      right.withColumn(timeCol, -col(timeCol)),
+      keyCol, timeCol, tieCol, rightCols)
+      .withColumn(timeCol, -col(timeCol))
+
+  /** As-of join with a TOLERANCE (pandas `merge_asof(tolerance=...)`
+    * semantics): the carried match survives only when it lies within
+    * `tolerance` of the left row's time; an out-of-tolerance match
+    * nulls the payload rather than falling back to an older right row
+    * — correctly so, because as-of carries the LATEST right row ≤ t,
+    * and if that one is already too old every earlier one is older
+    * still. Implemented as [[asofJoin]] carrying the right time
+    * alongside the payload, then one mask projection — the tolerance
+    * adds zero shuffles to the compositional plan.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+                        timeCol: String, tieCol: String,
+                        rightCols: Seq[String], tolerance: Long): DataFrame = {
+    val rtCol = "_asof_rt"
+    val joined = asofJoin(left, right.withColumn(rtCol, col(timeCol)),
+      keyCol, timeCol, tieCol, rightCols :+ rtCol)
+    val inTol = col(rtCol).isNotNull &&
+      (col(timeCol) - col(rtCol)) <= lit(tolerance)
+    rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(inTol, col(c)))
+    }.drop(rtCol)
+  }
+
   /** Range join: all (left, right) pairs of the same `keyCol` with
     * `right.timeCol` in `[left.timeCol - before, left.timeCol +
     * after]`. Implemented as a binned equi-join: left intervals

@@ -83,6 +83,33 @@ object EventStreams {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming HOPPING-window counts (2 h windows sliding by 1 h):
+    * every event lands in two overlapping windows, which Spark's
+    * `window(ts, size, slide)` expands BEFORE the aggregation — state
+    * is (windows in flight × event types), the tumbling-window bound
+    * times size/slide. The batch twin [[graft.operators.Relational
+    * .hoppingWindow]] shares the SQL oracle, so the drained stream is
+    * hash-checked across the boundary like [[windowCounts]].
+    */
+  def hoppingWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_stream_hop_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double").as("total_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).select(
+      unix_micros(col("window.start")).as("ws_us"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
   /** Streaming exact dedup + aggregation: dropDuplicatesWithinWatermark
     * then counts per type. The streaming face of §2.3's exact dedup.
     *

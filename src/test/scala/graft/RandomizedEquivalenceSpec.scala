@@ -167,4 +167,30 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assert(native == composed, s"seed=$seed")
     }
   }
+
+  test("forward as-of == naive earliest-at-or-after join on 6 seeded random event sets") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(500 + seed)
+      // same tie-forcing shape as the backward fuzz: the delegation's
+      // tie rule (largest eid among equal-time right rows) must match
+      // the naive min(struct(t, -eid)) pick
+      def rows(n: Int) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(8).toLong * 10L, i.toLong, i.toLong + 1000L))
+      val left = rows(40).toDF("k", "t", "eid", "lpay").select("k", "t", "eid")
+      val right = rows(40).toDF("k", "t", "eid", "rpay")
+      val fwd = TemporalJoins.asofJoinForward(left, right, "k", "t", "eid", Seq("rpay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val naive = left.as("l")
+        .join(right.as("r"),
+          col("l.k") === col("r.k") && col("r.t") >= col("l.t"), "left")
+        .groupBy(col("l.k").as("k"), col("l.t").as("t"), col("l.eid").as("eid"))
+        .agg(min(struct(col("r.t"), -col("r.eid"), col("r.rpay"))).as("m"))
+        .select(col("k"), col("t"), col("eid"), col("m.rpay").as("rpay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(fwd == naive, s"seed=$seed")
+    }
+  }
 }

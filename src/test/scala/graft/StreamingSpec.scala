@@ -422,6 +422,13 @@ class StreamingSpec extends AnyFunSuite {
       s"re-cohorting must evict out-of-window hours: $got")
   }
 
+  test("streaming hopping-window counts == batch hoppingWindow") {
+    val streamed = EventStreams.hoppingWindowCounts(spark, sf).collect().map(rowKey).toSet
+    val batch = Relational.hoppingWindow(Tables.events(spark, sf)).collect().map(rowKey).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming source cap == batch sourceCap; late small-hash doc evicts a kept survivor") {
     import org.apache.spark.sql.functions._
     // fixture parity: the two-shard streamed quota equals the batch op

@@ -23,6 +23,55 @@ class TemporalJoinsSpec extends AnyFunSuite {
     ))
   }
 
+  test("asofJoinForward picks the earliest right row at or after each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("uid", "t", "id")
+    val right = Seq(
+      (1L, 95L, 20L, "past"),   // before 100: must not match forward
+      (1L, 150L, 21L, "next"),  // earliest >= 100
+      (1L, 300L, 22L, "later"), // earliest >= 200
+      (2L, 40L, 23L, "old"))    // nothing at or after 50
+      .toDF("uid", "t", "id", "v")
+    val got = TemporalJoins.asofJoinForward(left, right, "uid", "t", "id", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, 100L, Some("next")),
+      (1L, 200L, Some("later")),
+      (2L, 50L, None)))
+    // a right row at exactly the left time matches (>= semantics)
+    val edge = TemporalJoins.asofJoinForward(
+      Seq((1L, 100L, 1L)).toDF("uid", "t", "id"),
+      Seq((1L, 100L, 2L, "exact")).toDF("uid", "t", "id", "v"),
+      "uid", "t", "id", Seq("v")).head
+    assert(edge.getString(3) == "exact")
+  }
+
+  test("asofJoinTolerance masks out-of-horizon matches without falling back to older rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("uid", "t", "id")
+    val right = Seq(
+      (1L, 95L, 20L, "fresh"),   // within 10 of t=100
+      (1L, 120L, 21L, "stale"),  // latest <= 200, but 80 > tolerance —
+                                 // and 95 must NOT be used as fallback
+      (2L, 10L, 22L, "old"))     // 40 > tolerance
+      .toDF("uid", "t", "id", "v")
+    val got = TemporalJoins.asofJoinTolerance(left, right, "uid", "t", "id",
+      Seq("v"), tolerance = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, 100L, Some("fresh")),
+      (1L, 200L, None),
+      (2L, 50L, None)))
+    // boundary: a match exactly `tolerance` old survives (<=)
+    val edge = TemporalJoins.asofJoinTolerance(
+      Seq((1L, 100L, 1L)).toDF("uid", "t", "id"),
+      Seq((1L, 90L, 2L, "edge")).toDF("uid", "t", "id", "v"),
+      "uid", "t", "id", Seq("v"), tolerance = 10L).head
+    assert(edge.getString(3) == "edge")
+  }
+
   test("asofJoin: right row at exactly the left time matches (<= semantics)") {
     import spark.implicits._
     val left = Seq((1L, 100L, 1L)).toDF("uid", "t", "id")
