@@ -257,6 +257,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
     "dedup_fuzzy" -> ((s, dir) => Dedup.fuzzyPairs(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
+    // fuzzy benchmark decontamination: train = docs with id % 50 != 0,
+    // eval = the rest (the ta_contamination split); rows-only for the
+    // dedup_minhash seeded-xxhash64 reason, DedupSpec is the oracle
+    "dedup_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 3, 32, 8, 0.5)
+    }),
     // streaming maintenance face of dedup_minhash: two micro-batches
     // through the maintained bucket/set tables; rows-only for the
     // same seeded-xxhash64 reason, with the batch-parity spec as the

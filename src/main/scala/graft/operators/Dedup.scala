@@ -155,6 +155,35 @@ object Dedup {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** FUZZY benchmark decontamination: near-duplicate pairs BETWEEN a
+    * training corpus and an eval/benchmark set — the MinHash face of
+    * the exact n-gram contamination audit
+    * ([[graft.operators.TextAnalysis.contamination]]), catching the
+    * paraphrased/truncated benchmark copies exact n-gram hits miss
+    * (the GPT-3-era fuzzy-decontamination step).
+    *
+    * Same LSH machinery as [[minhashLsh]] but the candidate join is
+    * train-side buckets × EVAL-side buckets only — never train×train:
+    * at 100 TB of train against a few MB of benchmarks, the eval
+    * bucket table is broadcast-sized and the candidate volume is
+    * bounded by eval collisions, not corpus self-collisions. Output:
+    * (doc_a = train doc, doc_b = eval doc, jaccard ≥ minJaccard) —
+    * the drop-list a pretraining run subtracts.
+    */
+  def fuzzyContamination(trainDocs: DataFrame, evalDocs: DataFrame,
+                         n: Int = 3, k: Int = 32, bands: Int = 8,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val tb = minhashBandBuckets(trainDocs, n, k, bands)
+    val eb = minhashBandBuckets(evalDocs, n, k, bands)
+    val candidates = tb.as("a")
+      .join(broadcast(eb).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccardSets(
+      shingleHashSets(trainDocs.unionByName(evalDocs), n), candidates, minJaccard)
+  }
+
   /** MinHash + LSH near-dup pairs: signatures → b bands of r rows →
     * band-bucket equality self-join → exact Jaccard verification of
     * the candidates only. At 100 TB the only shuffles are the

@@ -75,6 +75,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!viaLsh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fuzzyContamination finds cross-split near-dups only, == cross pairs of whole-corpus LSH") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // train: 0 and 1 are near-dups of each other AND of eval doc 100
+    // (a paraphrased benchmark copy); 3 unrelated; eval 101 unrelated
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val train = Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")),
+      (3L, "completely different content about spark query engines and shuffles with many unique words here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, base.replace("tonight", "today")),
+      (101L, "an unrelated benchmark prompt about arithmetic word problems and their numeric answers")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyContamination(train, eval_, 3, 32, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // contaminated train docs flagged against the eval doc they copy
+    assert(got.contains((0L, 100L)) && got.contains((1L, 100L)), s"got $got")
+    // NO train x train pair (0,1 are near-dups but that is dedup's
+    // job, not decontamination's) and nothing unrelated
+    assert(got.forall { case (a, b) => a <= 3L && b >= 100L }, s"got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 101L), s"got $got")
+    // equivalence: exactly the cross-split pairs of whole-corpus LSH
+    val cross = Dedup.minhashLsh(train.unionByName(eval_), 3, 32, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 >= 100L).toSet
+    assert(got == cross, s"got $got cross $cross")
+  }
+
   test("minhash LSH candidates on real docs are verified-jaccard subsets of exact ngram pairs") {
     val docs = Tables.documents(spark, SharedSpark.sf)
     val lsh = Dedup.minhashLsh(docs, 3, 32, 8, 0.5).collect()

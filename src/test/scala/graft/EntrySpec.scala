@@ -22,6 +22,8 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "dedup_minhash", "dedup_simhash", "dedup_embedding", // seeded xxhash64 not in DuckDB
+      "dedup_contamination", // fuzzy train x eval decontamination: same
+                             // xxhash64 reason, DedupSpec is the oracle
       "stream_near_dedup", // streamed dedup_minhash twin: same xxhash64 reason,
                            // batch-parity spec is the oracle
       "sim_ann_lsh", "sim_ann_ivf",                        // LSH/IVF candidate sets
