@@ -152,4 +152,33 @@ class EmptyInputSpec extends AnyFunSuite {
       depth = 2, width = 64, computeExact = false).head()
     assert(js7.getLong(0) == 0L)
   }
+
+  test("round-9 operators return empty (or survive) on empty inputs") {
+    import spark.implicits._
+    import graft.plans.TemporalJoins
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // fuzzy decontamination: empty train, empty eval, both
+    val someDocs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Dedup.fuzzyContamination(emptyDocs, someDocs).count() == 0)
+    assert(Dedup.fuzzyContamination(someDocs, emptyDocs).count() == 0)
+    assert(Dedup.fuzzyContamination(emptyDocs, emptyDocs).count() == 0)
+    // as-of variants on empty sides: left rows survive unmatched /
+    // empty left gives empty output
+    val el = Seq.empty[(Long, Long, Long)].toDF("uid", "t", "id")
+    val sl = Seq((1L, 10L, 1L)).toDF("uid", "t", "id")
+    val er = Seq.empty[(Long, Long, Long, String)].toDF("uid", "t", "id", "v")
+    assert(TemporalJoins.asofJoinForward(el, er, "uid", "t", "id", Seq("v")).count() == 0)
+    val fwdUnmatched = TemporalJoins.asofJoinForward(sl, er, "uid", "t", "id", Seq("v"))
+    assert(fwdUnmatched.count() == 1 && fwdUnmatched.head.isNullAt(3))
+    val tolUnmatched = TemporalJoins.asofJoinTolerance(sl, er, "uid", "t", "id", Seq("v"), 5L)
+    assert(tolUnmatched.count() == 1 && tolUnmatched.head.isNullAt(3))
+    // incremental IVF refresh over an empty-change quantizer handoff is
+    // covered by its own no-op assertion (VectorStreamsSpec); here the
+    // pure-Column assignment on an empty frame must not throw
+    val emptyEmb9 = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val coarse9 = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+    assert(emptyEmb9.withColumn("c",
+      graft.operators.Similarity.cellAssignColumn(org.apache.spark.sql.functions.col("embedding"), coarse9))
+      .count() == 0)
+  }
 }

@@ -73,11 +73,11 @@ class PlanSpec extends AnyFunSuite {
     // still an equality join on the cell id.
     for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_embedding", "sim_ann_lsh", "sim_ann_ivf", "sim_kmeans",
-      "dedup_incremental", "dedup_fuzzy")) {
+      "dedup_incremental", "dedup_fuzzy", "dedup_contamination")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
     for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-      "dedup_embedding", "sim_ann_lsh")) {
+      "dedup_embedding", "sim_ann_lsh", "dedup_contamination")) {
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
   }
