@@ -55,6 +55,41 @@ object Sources {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** Quarantining CSV ingest — the production complement of
+    * [[readCsv]]'s FAILFAST: a crawled/vendor feed at 100 TB WILL
+    * contain malformed rows, and failing the whole job on row
+    * 3-billion-and-one is not a strategy. PERMISSIVE mode with a
+    * corrupt-record column splits the read into (clean rows, raw
+    * quarantined lines) in ONE scan pass; clean rows flow on with the
+    * declared schema, the quarantine frame carries the ORIGINAL line
+    * text for repair/audit. Row counts are conserved (clean +
+    * quarantined = input lines — spec-pinned), so a silent drop is
+    * structurally impossible; FAILFAST remains the right mode when
+    * the contract is "this feed must be perfect".
+    */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+      // Spark requires the corrupt-record query to materialize from a
+      // stable frame (SPARK-21610: filtering the lazily-parsed column
+      // directly is disallowed) — cache the parsed form once
+      .cache()
+    val clean = raw.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col): _*)
+    val quarantine = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, quarantine)
+  }
+
   def readParquetTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -35,6 +35,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaJson == df.collect().toSet)
   }
 
+  test("readCsvQuarantine: malformed rows quarantine with their raw text; counts conserve; clean rows parse") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val base = Files.createTempDirectory("graft-quar-").toString
+    // 3 clean lines, 2 malformed (bad type, truncated row)
+    val lines = Seq(
+      "1,alpha,1.5",
+      "2,beta,not_a_number",
+      "3,gamma,-0.25",
+      "4,delta",
+      "5,epsilon,2.75")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/feed.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (clean, quarantine) = Sources.readCsvQuarantine(
+      spark, s"$base/feed.csv", schema, header = false)
+    val got = clean.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "alpha", 1.5), (3L, "gamma", -0.25), (5L, "epsilon", 2.75)))
+    val quar = quarantine.collect().map(_.getString(0)).toSet
+    assert(quar == Set("2,beta,not_a_number", "4,delta"),
+      s"quarantine must carry the original lines: $quar")
+    assert(clean.count() + quarantine.count() == lines.size,
+      "no row may be silently dropped")
+    // clean frame carries exactly the declared schema (no corrupt col)
+    assert(clean.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+  }
+
   test("overwritePartitions replaces only the partitions in the new batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-dynpart-").toString
