@@ -24,18 +24,22 @@ import org.apache.spark.sql.SparkSession
   * each execution, so one query's leaked blocks can't tax a later
   * query's memory non-deterministically across ~345 executions.
   *
-  * Contamination VERDICT (round 8): `passes` spread catches one-pass
-  * spikes, but sustained contention inflates BOTH passes of a
-  * contiguous alphabetical window (the r6/r7 driver-run signature —
-  * min-of-2 cannot see it). The bench now reads the previous
-  * committed artifact at startup, flags maximal runs of ≥2 adjacent
-  * queries whose min is ≥2× their committed baseline (neighbors
-  * normal by maximality), re-times the flagged queries ONCE at
-  * session end (after the contention window has had time to pass —
-  * the third pass joins `passes` and the min), and emits whatever
-  * still exceeds 2× as `"contaminated":[...]`. A singleton 2×
-  * regression is NOT flagged — that is what a genuine code change
-  * looks like; the windowed shape is the external-load signature.
+  * Contamination VERDICT (round 8, single-query sensitivity round 9):
+  * `passes` spread catches one-pass spikes, but sustained contention
+  * inflates BOTH passes of a contiguous alphabetical window (the
+  * r6/r7 driver-run signature — min-of-2 cannot see it). The bench
+  * reads the previous committed artifact at startup (entries ≤ 0
+  * dropped — a poisoned -1.0 baseline must widen detection, not
+  * anchor it), flags maximal runs of ≥2 adjacent queries whose min is
+  * ≥2× their committed baseline (neighbors normal by maximality) PLUS
+  * any singleton ≥3× (the r8 driver run's [10.6 s, 52.1 s] vs 3.2 s
+  * outlier sailed past windows-only detection), re-times the flagged
+  * queries ONCE at session end (after the contention window has had
+  * time to pass — the third pass joins `passes` and the min), and
+  * emits whatever still exceeds its bar as `"contaminated":[...]`,
+  * exiting nonzero so the run is never committed as a baseline. A
+  * singleton in [2×, 3×) still does NOT flag — that is what a genuine
+  * code change looks like.
   */
 object Bench {
 

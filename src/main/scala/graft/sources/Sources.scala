@@ -68,25 +68,41 @@ object Sources {
     * the contract is "this feed must be perfect".
     */
   def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
-                        header: Boolean = true): (DataFrame, DataFrame) = {
-    val corruptCol = "_corrupt_record"
-    val withCorrupt = StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField(corruptCol,
-        org.apache.spark.sql.types.StringType))
-    val raw = spark.read
+                        header: Boolean = true): (DataFrame, DataFrame) =
+    quarantineSplit(schema, withCorrupt => spark.read
       .schema(withCorrupt)
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corruptCol)
-      .csv(path)
-      // Spark requires the corrupt-record query to materialize from a
-      // stable frame (SPARK-21610: filtering the lazily-parsed column
-      // directly is disallowed) — cache the parsed form once
-      .cache()
-    val clean = raw.filter(col(corruptCol).isNull)
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path))
+
+  /** [[readCsvQuarantine]] for JSON Lines — same split, same count
+    * conservation; a malformed line (bad JSON, type mismatch against
+    * the declared schema) quarantines with its original text.
+    */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) =
+    quarantineSplit(schema, withCorrupt => spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path))
+
+  private val CorruptCol = "_corrupt_record"
+
+  private def quarantineSplit(schema: StructType,
+                              read: StructType => DataFrame): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(CorruptCol,
+        org.apache.spark.sql.types.StringType))
+    // Spark requires the corrupt-record query to materialize from a
+    // stable frame (SPARK-21610: filtering the lazily-parsed column
+    // directly is disallowed) — cache the parsed form once
+    val raw = read(withCorrupt).cache()
+    val clean = raw.filter(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col): _*)
-    val quarantine = raw.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("raw_line"))
+    val quarantine = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
     (clean, quarantine)
   }
 

@@ -60,6 +60,18 @@ class SourcesSpec extends AnyFunSuite {
       "no row may be silently dropped")
     // clean frame carries exactly the declared schema (no corrupt col)
     assert(clean.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+
+    // jsonl twin: bad JSON and a type mismatch quarantine; counts conserve
+    val jlines = Seq(
+      """{"id":1,"name":"alpha","score":1.5}""",
+      """{"id":2,"name":"beta","score":"not_a_number"}""",
+      """not json at all""",
+      """{"id":4,"name":"delta","score":-0.25}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/feed.jsonl"),
+      jlines.mkString("\n").getBytes("UTF-8"))
+    val (jc, jq) = Sources.readJsonlQuarantine(spark, s"$base/feed.jsonl", schema)
+    assert(jc.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(jq.count() == 2 && jc.count() + jq.count() == jlines.size)
   }
 
   test("overwritePartitions replaces only the partitions in the new batch") {
