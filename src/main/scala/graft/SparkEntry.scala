@@ -235,6 +235,11 @@ object SparkEntry {
     // same IEEE-double op sequence, so the estimate stays hash-exact
     "q_triangles_approx_p2" -> ((s, dir) => Graph.triangleCountApprox(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), keepPermille = 200)),
+    // frontier BFS from the deterministic seed (min node id) on the
+    // co-purchase graph; the oracle re-walks it with a recursive CTE
+    // + min(dist) — different algorithm, every integer must agree
+    "q_bfs" -> ((s, dir) => Graph.bfsHops(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 30)),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -255,6 +260,10 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10L)) < 3))
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2)),
+    // span-level exact-substring dedup (Lee et al. ExactSubstr at
+    // fixed 8-token granularity): maximal duplicated token spans per
+    // doc — all-integer, the oracle rebuilds every span
+    "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir), 8)),
     "dedup_fuzzy" -> ((s, dir) => Dedup.fuzzyPairs(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
     // fuzzy benchmark decontamination: train = docs with id % 50 != 0,
@@ -362,6 +371,10 @@ object SparkEntry {
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
+    // distributed BPE merge learning: 12 rounds over the vocabulary
+    // table; the oracle re-learns the table with a window-parity
+    // merge application instead of the fold — rank-for-rank exact
+    "ta_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir), 12)),
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
@@ -457,6 +470,52 @@ object SparkEntry {
     * sum(BIGINT) widening to HUGEINT only adds headroom — bit-exact
     * either way.
     */
+  /** `rounds` unrolled BPE rounds for the ta_bpe_merges oracle. Each
+    * round: adjacent-pair counts with lead(), arg-max by (count desc,
+    * pair asc), then merge application via the run-parity trick —
+    * leftmost-greedy non-overlapping selection equals "within each
+    * maximal run of consecutive candidate positions, keep the even
+    * offsets from the run start". A genuinely different algorithm
+    * from the Scala side's aggregate() fold, agreeing symbol-for-
+    * symbol; an exhausted round (no pairs left) yields an empty b$i
+    * and passes the segmentation through unchanged, matching the
+    * Scala early stop.
+    */
+  private def BpeRoundCtes(rounds: Int): String = (1 to rounds).map { i =>
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs per
+    // reference (the q_kcore oracle lesson) — pr/b are each read
+    // twice per round, so an un-materialized 12-round chain re-plans
+    // the base scan exponentially (observed as fd exhaustion)
+    s"""pr$i AS MATERIALIZED (
+       |  SELECT word, cnt, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM s${i - 1}),
+       |b$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM pr$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY c DESC, l, r LIMIT 1),
+       |ca$i AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt,
+       |    CASE WHEN sym = (SELECT l FROM b$i) AND nxt = (SELECT r FROM b$i)
+       |         THEN 1 ELSE 0 END AS cand
+       |  FROM pr$i),
+       |mk$i AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt, cand,
+       |    CASE WHEN cand = 1 AND coalesce(lag(cand) OVER (PARTITION BY word ORDER BY pos), 0) = 0
+       |         THEN pos END AS marker
+       |  FROM ca$i),
+       |rs$i AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt, cand,
+       |    max(marker) OVER (PARTITION BY word ORDER BY pos) AS run_start
+       |  FROM mk$i),
+       |sel$i AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt,
+       |    CASE WHEN cand = 1 AND (pos - run_start) % 2 = 0 THEN 1 ELSE 0 END AS sel
+       |  FROM rs$i),
+       |ps$i AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt, sel,
+       |    coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), 0) AS prev_sel
+       |  FROM sel$i),
+       |s$i AS MATERIALIZED (SELECT word, cnt,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM ps$i WHERE prev_sel = 0)""".stripMargin
+  }.mkString(",\n")
+
   private val PagerankRoundCtes: String = (1 to 10).map { i =>
     s"""pr$i AS (
        |  SELECT e.b AS doc_id, 150000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
@@ -776,6 +835,21 @@ object SparkEntry {
         |SELECT node, count(*) AS deg FROM (
         |  SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
         |GROUP BY node""".stripMargin,
+    // Recursive-CTE BFS: enumerate (node, dist) pairs level by level
+    // (capped at the same 30 rounds as the Spark frontier traversal)
+    // and take min(dist) — path enumeration + aggregation vs frontier
+    // expansion, agreeing on every integer
+    "q_bfs" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |walk(node, dist) AS (
+        |  (SELECT min(a), 0 FROM und)
+        |  UNION
+        |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
     // The sketch-peeled variant reproduces ESTIMATE-for-ESTIMATE:
     // the CMS matrix is rebuilt per round in SQL with the q_count_min
     // cell hash, so the oracle inherits the collisions too
@@ -1219,6 +1293,32 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
+    // positioned 8-token windows (NOT distinct — within-doc repeats
+    // count), corpus-wide occurrence >= 2, gaps-and-islands merge of
+    // overlapping windows (gap < 8) — all integer, span-for-span
+    "dedup_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |posn AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |  FROM norm WHERE len(ws) >= 8),
+        |sh AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS shingle FROM posn),
+        |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        |dp AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (shingle)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dp),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     // blk/cap CTEs mirror fuzzyPairs' blocking + bucketCap exactly;
     // dist is exact within the threshold in both engines, so the
     // compare is hash-exact
@@ -1548,6 +1648,21 @@ object SparkEntry {
         |c AS (SELECT ngram, count(*) AS n FROM bg GROUP BY 1)
         |SELECT ngram, n, CAST(row_number() OVER (ORDER BY n DESC, ngram ASC) AS BIGINT) AS rk
         |FROM c ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+    // 12 unrolled BPE rounds (the PagerankRoundCtes pattern); merge
+    // application via window run-parity — a different algorithm from
+    // the Scala fold, agreeing rank-for-rank (see BpeRoundCtes)
+    "ta_bpe_merges" ->
+      s"""WITH wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
+        |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
+        |${BpeRoundCtes(12)}
+        |${(1 to 12).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, " +
+             s"r AS right_sym, c AS pair_count FROM b$i").mkString("\nUNION ALL\n")}""".stripMargin,
     // Per-(doc, term) BM25 weights floor to integer micros BEFORE the
     // per-doc sum (ta_surprisal pattern): the sum is then exact in any
     // reduction order and ranking compares integers only.

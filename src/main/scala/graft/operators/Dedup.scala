@@ -145,6 +145,84 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
   }
 
+  /** SQL for POSITIONED word l-gram shingles over a pre-split token
+    * array `ws`: array<struct<pos, shingle>>, pos 1-based, one entry
+    * per window start — NOT distinct (every occurrence counts, unlike
+    * [[shingleArraySql]]: span dedup needs within-doc repeats too).
+    * Documents shorter than l tokens emit nothing: the generated
+    * clamped position fails the trailing filter, so no CASE branch
+    * has to agree on an empty-array type. try_element_at for the same
+    * ANSI reason as [[shingleArraySql]]; the filtered-out short rows
+    * are the only place a null could reach concat_ws.
+    */
+  private def posShingleSql(l: Int): String = {
+    val parts = (0 until l).map(j => s"try_element_at(ws, CAST(i + $j AS INT))").mkString(", ")
+    s"filter(transform(sequence(1, greatest(size(ws) - ${l - 1}, 1)), " +
+      s"i -> struct(CAST(i AS INT) AS pos, concat_ws(' ', $parts) AS shingle)), " +
+      s"s -> s.pos + ${l - 1} <= size(ws))"
+  }
+
+  /** Span-level exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr step, re-expressed for Spark): find, per document,
+    * the maximal token spans whose every `spanTokens`-token window
+    * occurs at least twice ANYWHERE in the corpus — including a
+    * second time in the same document, which is how boilerplate
+    * headers/footers and copy-pasted paragraphs present. Doc-level
+    * dedup ([[exact]], [[minhashLsh]]) misses these entirely: two
+    * long documents sharing one paragraph are nowhere near
+    * whole-document duplicates, yet a trained model memorizes the
+    * repeated paragraph all the same. Output: one row per maximal
+    * span — (doc_id, span_start, span_end, span_tokens), token
+    * positions 1-based inclusive — the mask a cleaning pipeline cuts
+    * or down-weights.
+    *
+    * The suffix-array construction of the paper is replaced by the
+    * shuffle-native equivalent at fixed granularity: positioned
+    * L-token shingles, a corpus-wide occurrence count, and a
+    * gaps-and-islands merge of overlapping duplicated windows
+    * (windows at positions p and q merge iff |p − q| < L, i.e. the
+    * spans genuinely overlap; adjacent-but-disjoint duplicates stay
+    * separate spans). Every arithmetic step is integer, so the DuckDB
+    * oracle reproduces spans bit-for-bit.
+    *
+    * Scale design: the shingle table is computed once; the occurrence
+    * count is one map-side-combined shuffle on the shingle; the
+    * duplicated-window filter is a LEFT SEMI equality join on the
+    * same key (only duplicated keys ship back); the island merge is
+    * one doc_id shuffle whose final (doc_id, grp) aggregation reuses
+    * the window's hash partitioning (doc_id is a prefix — no fourth
+    * exchange). Nothing is quadratic: a shingle repeated R times
+    * contributes R rows, not R² pairs — span dedup never needs the
+    * pair expansion doc-level Jaccard needs, which is why it stays
+    * cheap even on the pathological all-boilerplate corpus. At 100 TB
+    * the only knob is shuffling md5(shingle) instead of the shingle
+    * text to shrink shuffle payloads; semantics are unchanged.
+    */
+  def duplicatedSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val ps = tokenArray(documents)
+      .select(col("doc_id"), explode(expr(posShingleSql(spanTokens))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.shingle").as("shingle"))
+    val dup = ps.groupBy("shingle").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("shingle")
+    val dupPos = ps.join(dup, Seq("shingle"), "left_semi").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // lag is null on each doc's first window -> CASE falls through to
+    // 1 (a new island), matching the SQL oracle's CASE exactly.
+    val islands = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) < spanTokens, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("brk")).over(w))
+    islands.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (spanTokens - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("span_tokens"))
+  }
+
   /** MinHash signatures: k seeded min-hashes over the doc's shingle
     * set. `xxhash64(shingle, seed_i)` gives k independent-enough hash
     * families entirely inside codegen (no UDF).

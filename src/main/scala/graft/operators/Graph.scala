@@ -221,6 +221,76 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** BFS hop distances from a deterministic seed (the minimum node
+    * id): (node, dist) for every node in the seed's component within
+    * `maxRounds` hops — the reachability/radius primitive the
+    * CC/k-core/triangle family lacks (how FAR apart things are, not
+    * just whether they connect).
+    *
+    * Frontier BFS, the scalable shape: round r joins ONLY the nodes
+    * first reached at round r−1 against the adjacency list — per-round
+    * work is O(edges incident to the frontier), never a rescan of the
+    * settled set, and the whole traversal is O(diameter) rounds like
+    * propagation CC. Each round is one equality join + distinct + one
+    * LEFT ANTI against the settled table (all hash-partitioned on the
+    * node — no broadcast of anything corpus-sized), with per-round
+    * eager `localCheckpoint` + [[Checkpoints.free]] so the logical
+    * plan and the block manager stay constant-size at any depth (the
+    * 26b lesson). Early exit on an empty frontier; `maxRounds` caps a
+    * pathological-diameter graph, and the SQL oracle carries the same
+    * cap so the semantics stay oracle-exact even when it binds.
+    *
+    * All-integer output: the DuckDB oracle walks the same graph with
+    * a recursive CTE and takes min(dist) per node — a genuinely
+    * different algorithm (path enumeration + aggregation vs frontier
+    * expansion) agreeing on every integer, the q_triangles oracle
+    * philosophy.
+    */
+  def bfsHops(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    // Undirected adjacency: each (u < v) edge in both directions. The
+    // traversal reads it every round — checkpoint once.
+    val und = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    val seedRow = und.agg(min(col("a"))).head()
+    if (seedRow.isNullAt(0)) {
+      Checkpoints.free(und)
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("node", "dist")
+    }
+    val seed = seedRow.getLong(0)
+    import spark.implicits._
+    var dist = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = dist.select("node")
+    var frontierCp: DataFrame = null
+    var round = 1L
+    var continue = true
+    while (continue && round <= maxRounds) {
+      val next = frontier.join(und, frontier("node") === und("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(round).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        Checkpoints.free(next)
+        continue = false
+      } else {
+        val superseded = dist
+        dist = dist.unionAll(next).localCheckpoint(true)
+        Checkpoints.free(superseded)
+        if (frontierCp != null) Checkpoints.free(frontierCp)
+        frontierCp = next
+        frontier = next.select("node")
+      }
+      round += 1
+    }
+    if (frontierCp != null) Checkpoints.free(frontierCp)
+    Checkpoints.free(und)
+    dist
+  }
+
   /** Per-row count-min degree estimate from a COLLECTED sketch: the
     * depth row vectors ride the plan as typedlit literals and the
     * estimate is the min over rows of the md5-cell lookup — the exact

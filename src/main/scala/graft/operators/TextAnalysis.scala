@@ -541,6 +541,86 @@ object TextAnalysis {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016, the
+    * tokenizer-training step of an LLM data pipeline): learn the
+    * first `rounds` byte-pair merge rules over the corpus vocabulary.
+    * Output: (merge_rank, left_sym, right_sym, pair_count) — the
+    * merge table a tokenizer applies at encode time.
+    *
+    * The structure is the one that scales: the CORPUS is read exactly
+    * once (the word-count shuffle [[TextOps.wordCount]] shares);
+    * every BPE round then runs over the VOCABULARY table (word,
+    * freq, current segmentation) — orders of magnitude smaller than
+    * the corpus and independent of its size. Per round: adjacent-pair
+    * counts (one map-side-combined shuffle over the vocab), the
+    * arg-max pair via `orderBy().limit(1)` ⇒ TakeOrderedAndProject
+    * (bounded per-partition top-1, one row to the driver — O(rounds)
+    * driver data total, the sketch-algebra budget), then the merge is
+    * applied as a PURE PROJECTION: an `aggregate()` fold over each
+    * word's symbol array (leftmost-greedy non-overlapping, the
+    * reference semantics) — zero shuffle, no corpus contact. Rounds
+    * localCheckpoint + free ([[Checkpoints]]) so plan size and block
+    * storage stay O(1) in round count.
+    *
+    * Semantics pinned to the reference implementation: pair counts
+    * weight by word frequency and count OVERLAPPING adjacencies
+    * ("aaa" contributes (a,a) twice); application is leftmost-greedy
+    * non-overlapping ("aaa" → [aa, a]); ties break (count desc,
+    * left asc, right asc) so the learned table is deterministic. No
+    * end-of-word marker (merges act within [[TextOps.TokenPattern]]
+    * words; the marker is a tokenizer-façade concern, orthogonal to
+    * the engine shape). The DuckDB oracle re-learns the table with a
+    * DIFFERENT merge-application algorithm (window-function run
+    * parity instead of a fold) — rank-for-rank, count-for-count
+    * agreement, the q_triangles oracle philosophy.
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
+    var seg = TextOps.wordCount(documents)
+      .select(col("cnt"), chars.as("syms"))
+      .localCheckpoint(true)
+    // adjacent symbol pairs; try_element_at + filter so one-symbol
+    // words emit nothing (sequence(1, 0) would count DOWN, the ANSI
+    // trap shingleArraySql documents)
+    val pairSql = "filter(transform(sequence(1, greatest(size(syms) - 1, 1)), " +
+      "i -> struct(try_element_at(syms, CAST(i AS INT)) AS l, " +
+      "try_element_at(syms, CAST(i + 1 AS INT)) AS r)), p -> p.r IS NOT NULL)"
+    def mergeFold(l: String, r: String): Column = aggregate(
+      col("syms"), typedlit(Seq.empty[String]),
+      (acc, x) => when(
+        size(acc) > lit(0) && try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = seg
+        .select(col("cnt"), explode(expr(pairSql)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val b = best(0)
+        val (l, rt, c) = (b.getString(0), b.getString(1), b.getLong(2))
+        out += ((r.toLong, l, rt, c))
+        val superseded = seg
+        seg = seg.select(col("cnt"), mergeFold(l, rt).as("syms"))
+          .localCheckpoint(true)
+        Checkpoints.free(superseded)
+      }
+      r += 1
+    }
+    Checkpoints.free(seg)
+    out.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
   def weightedSample(documents: DataFrame, k: Int = 50,
                      seed: String = "wsamp"): DataFrame = {
     val h = conv(substring(

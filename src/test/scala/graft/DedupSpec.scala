@@ -292,6 +292,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpans: a shared 10-token paragraph becomes one maximal span in each doc") {
+    import spark.implicits._
+    // 10 tokens duplicated at different offsets in two otherwise
+    // unrelated docs: the three overlapping 8-token windows inside
+    // each copy merge into one span covering exactly the paragraph
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"unique0a unique1a unique2a $para tail0a tail1a"),
+      (2L, s"$para trail0b trail1b trail2b trail3b"),
+      (3L, "totally unrelated words nothing here repeats in any way whatsoever today")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L)))
+  }
+
+  test("duplicatedSpans: within-doc repetition counts; far-apart copies stay separate spans; short docs emit nothing") {
+    import spark.implicits._
+    val eight = "one two three four five six seven eight"
+    val docs = Seq(
+      // the 8-token run repeats inside ONE doc at positions 1 and 12
+      // (gap 11 >= 8): two islands, no cross-doc copy needed
+      (1L, s"$eight mid0 mid1 mid2 $eight"),
+      // 7 tokens: shorter than the window, contributes nothing even
+      // though it is a prefix of the duplicated run
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((1L, 1L, 8L, 8L), (1L, 12L, 19L, 8L)))
+  }
+
+  test("duplicatedSpans is partitioning-invariant") {
+    import spark.implicits._
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = (1L to 20L).map { i =>
+      if (i % 5 == 0) (i, s"filler${i}a filler${i}b $para filler${i}c")
+      else (i, s"unique content ${i}x about topic ${i}y with plenty ${i}z of distinct words ${i}w here")
+    }
+    val expect = Dedup.duplicatedSpans(docs.toDF("doc_id", "text").repartition(1), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Dedup.duplicatedSpans(docs.toDF("doc_id", "text").repartition(7), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect && expect.nonEmpty)
+  }
+
   test("simhash: identical docs have distance 0; near docs small; unrelated large") {
     // maxHamming=16 needs >16 bands for the pigeonhole recall
     // guarantee (the operator now rejects the silently-lossy default)

@@ -47,6 +47,19 @@ class EmptyInputSpec extends AnyFunSuite {
       .forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
   }
 
+  test("duplicatedSpans on empty documents is empty") {
+    assert(Dedup.duplicatedSpans(emptyDocs).count() == 0)
+  }
+
+  test("bpeMerges on empty documents is empty") {
+    assert(TextAnalysis.bpeMerges(emptyDocs, 4).count() == 0)
+  }
+
+  test("bfsHops on an empty edge set is empty") {
+    import spark.implicits._
+    assert(Graph.bfsHops(Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+  }
+
   test("skewProfile on an empty frame is empty") {
     import spark.implicits._
     assert(Relational.skewProfile(Seq.empty[Long].toDF("k"), "k").count() == 0)

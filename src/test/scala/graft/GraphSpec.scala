@@ -204,6 +204,25 @@ class GraphSpec extends AnyFunSuite {
       s"kCore leaked round checkpoints: $before -> $persisted after 20 rounds")
   }
 
+  test("bfsHops: chain distances from the min-id seed; other components absent; maxRounds caps depth") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus a disjoint pair 10-11 (unreachable from
+    // the seed component: must not appear at all)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("u", "v")
+    val d = Graph.bfsHops(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val capped = Graph.bfsHops(edges, maxRounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: a ring is walked in both directions (true shortest hops, not traversal order)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("u", "v")
+    val d = Graph.bfsHops(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()

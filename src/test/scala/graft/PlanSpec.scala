@@ -73,13 +73,25 @@ class PlanSpec extends AnyFunSuite {
     // still an equality join on the cell id.
     for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_embedding", "sim_ann_lsh", "sim_ann_ivf", "sim_kmeans",
-      "dedup_incremental", "dedup_fuzzy", "dedup_contamination")) {
+      "dedup_incremental", "dedup_fuzzy", "dedup_contamination",
+      "dedup_spans")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
     for (q <- Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_embedding", "sim_ann_lsh", "dedup_contamination")) {
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+  }
+
+  test("dedup_spans: semi-join window filter; island windows and final agg share ONE doc_id exchange") {
+    val p = plan("dedup_spans")
+    assert(p.contains("LeftSemi"), "duplicated-window filter must be a semi join")
+    // 3 exchange nodes total (formatted mode names each twice): the
+    // map-side-combined shingle count, the (broadcast at this SF)
+    // semi-join side, and ONE doc_id exchange feeding both windows
+    // AND the final (doc_id, grp) aggregate — prefix partitioning
+    // reuse; a fourth exchange means the final agg stopped reusing it
+    assert(p.split("Exchange").length - 1 <= 6, "final agg must reuse the window's doc_id partitioning")
   }
 
   test("range join is a hash join on (key, bin), not an inequality nested loop") {

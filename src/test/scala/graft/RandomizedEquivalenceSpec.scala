@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Graph}
 import graft.plans.TemporalJoins
 
 /** Randomized (seeded, deterministic) equivalence checks between
@@ -30,6 +30,37 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         val alt = Dedup.connectedComponentsAlternating(pairs).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(alt == prop, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("bfsHops == local queue BFS on 10 seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(100 + seed)
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val adj = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val seedNode = edges.flatMap(e => Seq(e._1, e._2)).min
+        val distRef = scala.collection.mutable.Map(seedNode -> 0L)
+        var frontier = Seq(seedNode)
+        var lvl = 1L
+        while (frontier.nonEmpty) {
+          val nxt = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+            .distinct.filterNot(distRef.contains)
+          nxt.foreach(n => distRef(n) = lvl)
+          frontier = nxt
+          lvl += 1
+        }
+        val got = Graph.bfsHops(edges.toDF("u", "v")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == distRef.toMap, s"seed=$seed edges=$edges")
       }
     }
   }

@@ -267,6 +267,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(other !== base.map(_._1))
   }
 
+  /** Independent local BPE (the Sennrich reference semantics):
+    * overlapping pair counts weighted by word frequency, arg-max by
+    * (count desc, pair asc), leftmost-greedy non-overlapping merge.
+    */
+  private def localBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var seg: Map[String, (List[String], Long)] =
+      words.map { case (w, c) => w -> (w.map(_.toString).toList, c) }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var stop = false
+    while (r <= rounds && !stop) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((_, (syms, c)) <- seg; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) += c
+      if (pairs.isEmpty) stop = true
+      else {
+        val ((l, rt), c) = pairs.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, l, rt, c))
+        seg = seg.map { case (w, (syms, cc)) =>
+          val buf = scala.collection.mutable.ListBuffer[String]()
+          for (x <- syms) {
+            if (buf.nonEmpty && buf.last == l && x == rt) {
+              buf.remove(buf.length - 1); buf += (l + rt)
+            } else buf += x
+          }
+          w -> (buf.toList, cc)
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges == independent local BPE on canonical, seeded-random, and exhausted corpora") {
+    import spark.implicits._
+    def check(texts: Seq[String], rounds: Int): Unit = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val words = texts.flatMap(_.split("[^A-Za-z]+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, occ) => w -> occ.size.toLong }
+      val expect = localBpe(words, rounds)
+      val got = TextAnalysis.bpeMerges(docs, rounds).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(got == expect, s"texts=$texts")
+    }
+    // the classic BPE worked example shape
+    check(Seq("low low low low low lower lower newest newest newest " +
+      "newest newest newest widest widest widest"), 8)
+    // small alphabets force overlapping-run and tie-break cases
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val texts = Seq.fill(3)(Seq.fill(30)(
+        Seq.fill(2 + rnd.nextInt(6))("abcd" (rnd.nextInt(4))).mkString).mkString(" "))
+      check(texts, 10)
+    }
+    // single-letter vocabulary: zero pairs, merges exhaust immediately
+    check(Seq("a b c a b"), 4)
+  }
+
   test("weightedSample prefers heavy docs: inclusion tracks weight on a planted corpus") {
     import spark.implicits._
     // 5 heavy docs (w=5000) among 200 light ones (w=10): with k=10,
