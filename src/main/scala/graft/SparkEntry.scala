@@ -375,6 +375,9 @@ object SparkEntry {
     // table; the oracle re-learns the table with a window-parity
     // merge application instead of the fold — rank-for-rank exact
     "ta_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir), 12)),
+    // the learned subword vocabulary with corpus frequencies — the
+    // tokenizer's other artifact, from the same 12 learned merges
+    "ta_bpe_vocab" -> ((s, dir) => TextAnalysis.bpeVocab(Tables.documents(s, dir), 12)),
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
@@ -1663,6 +1666,18 @@ object SparkEntry {
         |${(1 to 12).map(i =>
              s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, " +
              s"r AS right_sym, c AS pair_count FROM b$i").mkString("\nUNION ALL\n")}""".stripMargin,
+    // the final segmentation s12 aggregated: subword frequencies
+    // under the learned merges (same CTE chain as ta_bpe_merges)
+    "ta_bpe_vocab" ->
+      s"""WITH wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
+        |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
+        |${BpeRoundCtes(12)}
+        |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM s12 GROUP BY sym""".stripMargin,
     // Per-(doc, term) BM25 weights floor to integer micros BEFORE the
     // per-doc sum (ta_surprisal pattern): the sum is then exact in any
     // reduction order and ranking compares integers only.

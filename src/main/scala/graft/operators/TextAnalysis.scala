@@ -575,9 +575,30 @@ object TextAnalysis {
     * agreement, the q_triangles oracle philosophy.
     */
   def bpeMerges(documents: DataFrame, rounds: Int = 12): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val spark = documents.sparkSession
     import spark.implicits._
+    val (merges, seg) = bpeLearn(documents, rounds)
+    Checkpoints.free(seg)
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The learned subword VOCABULARY with corpus frequencies: apply
+    * the same `rounds` merges and count every surviving symbol
+    * weighted by word frequency — the (symbol, corpus count) table a
+    * tokenizer ships beside its merge rules, and the coverage check
+    * that decides whether `rounds` was enough. Same cost shape as
+    * [[bpeMerges]] plus ONE more map-side-combined shuffle over the
+    * vocabulary.
+    */
+  def bpeVocab(documents: DataFrame, rounds: Int = 12): DataFrame = {
+    val (_, seg) = bpeLearn(documents, rounds)
+    seg.select(col("cnt"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum(col("cnt")).as("n"))
+  }
+
+  private def bpeLearn(documents: DataFrame,
+                       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
     var seg = TextOps.wordCount(documents)
@@ -617,8 +638,7 @@ object TextAnalysis {
       }
       r += 1
     }
-    Checkpoints.free(seg)
-    out.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    (out.toSeq, seg)
   }
 
   def weightedSample(documents: DataFrame, k: Int = 50,

@@ -51,8 +51,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(emptyDocs).count() == 0)
   }
 
-  test("bpeMerges on empty documents is empty") {
+  test("bpeMerges/bpeVocab on empty documents are empty") {
     assert(TextAnalysis.bpeMerges(emptyDocs, 4).count() == 0)
+    assert(TextAnalysis.bpeVocab(emptyDocs, 4).count() == 0)
   }
 
   test("bfsHops on an empty edge set is empty") {

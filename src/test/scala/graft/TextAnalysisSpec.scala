@@ -271,7 +271,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     * overlapping pair counts weighted by word frequency, arg-max by
     * (count desc, pair asc), leftmost-greedy non-overlapping merge.
     */
-  private def localBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
+  private def localBpe(words: Map[String, Long],
+                       rounds: Int): (Seq[(Long, String, String, Long)], Map[String, Long]) = {
     var seg: Map[String, (List[String], Long)] =
       words.map { case (w, c) => w -> (w.map(_.toString).toList, c) }
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -297,7 +298,9 @@ class TextAnalysisSpec extends AnyFunSuite {
         r += 1
       }
     }
-    out.toSeq
+    val vocab = seg.values.toSeq.flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    (out.toSeq, vocab)
   }
 
   test("bpeMerges == independent local BPE on canonical, seeded-random, and exhausted corpora") {
@@ -306,11 +309,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       val words = texts.flatMap(_.split("[^A-Za-z]+")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, occ) => w -> occ.size.toLong }
-      val expect = localBpe(words, rounds)
+      val (expect, expectVocab) = localBpe(words, rounds)
       val got = TextAnalysis.bpeMerges(docs, rounds).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq.sortBy(_._1)
       assert(got == expect, s"texts=$texts")
+      val gotVocab = TextAnalysis.bpeVocab(docs, rounds).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotVocab == expectVocab, s"vocab divergence, texts=$texts")
     }
     // the classic BPE worked example shape
     check(Seq("low low low low low lower lower newest newest newest " +
