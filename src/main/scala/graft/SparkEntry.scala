@@ -282,6 +282,12 @@ object SparkEntry {
     // oracle (StreamingSpec pins streamed == batch bit-for-bit)
     "stream_near_dedup" -> ((s, dir) =>
       graft.streaming.EventStreams.streamedNearDedup(s, dir)),
+    // streaming span-level substring dedup: even docs arrive in batch
+    // 1, odd in batch 2; exact string/integer logic throughout, so
+    // the two chained window-count rounds rebuild in SQL — the one
+    // streaming ingest operator that is fully hash-oracled
+    "stream_spans" -> ((s, dir) =>
+      graft.streaming.EventStreams.streamedSpanDedup(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max pairwise cosine ≈0.48), so a production 0.9 cut would make
@@ -1296,6 +1302,40 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
+    // the streamed even/odd two-batch ingest: batch 1 flags within
+    // even docs only; batch 2 flags odd-doc windows against odd-batch
+    // + maintained even counts; earlier copies never retro-flag
+    "stream_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |posn AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |  FROM norm WHERE len(ws) >= 8),
+        |sh AS (SELECT doc_id, ((doc_id % 2) + 2) % 2 AS par, pos,
+        |         array_to_string(ws[pos:pos+7], ' ') AS shingle FROM posn),
+        |c0 AS (SELECT shingle, count(*) AS c FROM sh WHERE par = 0 GROUP BY shingle),
+        |c1 AS (SELECT shingle, count(*) AS c FROM sh WHERE par = 1 GROUP BY shingle),
+        |dup0 AS (SELECT shingle FROM c0 WHERE c >= 2),
+        |dup1 AS (SELECT c1.shingle FROM c1 LEFT JOIN c0 USING (shingle)
+        |         WHERE c1.c + coalesce(c0.c, 0) >= 2),
+        |dp AS (
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN dup0 d ON s.shingle = d.shingle WHERE s.par = 0
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN dup1 d ON s.shingle = d.shingle WHERE s.par = 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dp),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     // positioned 8-token windows (NOT distinct — within-doc repeats
     // count), corpus-wide occurrence >= 2, gaps-and-islands merge of
     // overlapping windows (gap < 8) — all integer, span-for-span

@@ -200,14 +200,30 @@ object Dedup {
     * text to shrink shuffle payloads; semantics are unchanged.
     */
   def duplicatedSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
-    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    import org.apache.spark.sql.expressions.Window
-    val ps = tokenArray(documents)
-      .select(col("doc_id"), explode(expr(posShingleSql(spanTokens))).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.shingle").as("shingle"))
+    val ps = positionedShingles(documents, spanTokens)
     val dup = ps.groupBy("shingle").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("shingle")
     val dupPos = ps.join(dup, Seq("shingle"), "left_semi").select("doc_id", "pos")
+    spansFromDupPositions(dupPos, spanTokens)
+  }
+
+  /** Positioned L-token windows: (doc_id, pos, shingle), every
+    * occurrence (NOT distinct). Shared by [[duplicatedSpans]] and its
+    * streaming face ([[graft.streaming.EventStreams]] span ingest).
+    */
+  private[graft] def positionedShingles(documents: DataFrame, spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    tokenArray(documents)
+      .select(col("doc_id"), explode(expr(posShingleSql(spanTokens))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.shingle").as("shingle"))
+  }
+
+  /** The gaps-and-islands merge: duplicated window positions →
+    * maximal spans. One doc_id shuffle; the final (doc_id, grp)
+    * aggregate reuses the window's partitioning (doc_id prefix).
+    */
+  private[graft] def spansFromDupPositions(dupPos: DataFrame, spanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // lag is null on each doc's first window -> CASE falls through to
     // 1 (a new island), matching the SQL oracle's CASE exactly.

@@ -929,6 +929,147 @@ object EventStreams {
     nearDedupPairs(spark, s"$base/state")
   }
 
+  /** Streaming span-level substring dedup — the always-on ingest face
+    * of [[graft.operators.Dedup.duplicatedSpans]], completing the
+    * ingest family (exact-hash 37b → near-dup 37m → THIS): an
+    * arriving document's L-token window is duplicated iff its
+    * occurrence count across corpus-so-far PLUS this batch is ≥ 2, so
+    * boilerplate is quarantined AT INGEST, before it enters training
+    * data. Append-only semantics: the FIRST copy is never
+    * retro-flagged (its batch already shipped — the deployment-honest
+    * contract); two copies arriving in the SAME batch both flag,
+    * which is what makes a single-batch run equal the batch operator
+    * exactly (spec-pinned).
+    *
+    * Everything here is exact string/integer logic — no seeded
+    * hashing, no floats — so unlike the MinHash face this streaming
+    * operator is FULLY SQL-ORACLED: the even/odd two-batch ingest
+    * reproduces in DuckDB as two chained window-count CTEs, span for
+    * span.
+    *
+    * Scale design: per batch, the window-count state table is read
+    * ONLY at the partitions the batch's own windows hash into
+    * (pmod(xxhash64(shingle))-partitioned appends, merge-on-read sum
+    * — the 37l label-read shape), and appends are per-batch deltas:
+    * no rewrite, no full-table read, per-batch cost bounded by the
+    * batch's own window count. Re-delivered docs are no-ops via the
+    * pruned seen-docs table; batchId commit markers make full
+    * replays idempotent.
+    */
+  private[graft] def spanDedupBatch(batch0: DataFrame, batchId: Long,
+                                    statePath: String, spanTokens: Int,
+                                    nBuckets: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch0.sparkSession
+    val winPath = s"$statePath/windows"
+    val docsPath = s"$statePath/docs"
+    val spansPath = s"$statePath/spans"
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_sp_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    val arrived = batch0.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    val docs = (
+      if (hasVisibleData(spark, docsPath)) {
+        val sbs = arrived.select(pmod(col("doc_id"), lit(nBuckets.toLong)).as("sb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        arrived.join(
+          spark.read.parquet(docsPath).filter(col("sb").isin(sbs: _*))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      } else arrived
+    ).persist()
+    try {
+      if (docs.isEmpty) { mark(); return }
+      val ps = Dedup.positionedShingles(docs, spanTokens).localCheckpoint(true)
+      val inBatch = ps.groupBy("shingle").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      // maintained counts for ONLY the partitions this batch touches;
+      // appends are deltas, so the stored count is a merge-on-read sum
+      val oldCnt =
+        if (hasVisibleData(spark, winPath)) {
+          val wbs = inBatch
+            .select(pmod(xxhash64(col("shingle")), lit(nBuckets.toLong)).as("wb"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          spark.read.parquet(winPath).filter(col("wb").isin(wbs: _*))
+            .groupBy("shingle").agg(sum(col("cnt")).as("oldc"))
+        } else inBatch.select(col("shingle"), col("c").as("oldc")).limit(0)
+      val dup = inBatch.join(oldCnt, Seq("shingle"), "left")
+        .filter(col("c") + coalesce(col("oldc"), lit(0L)) >= 2)
+        .select("shingle")
+      val dupPos = ps.join(dup, Seq("shingle"), "left_semi").select("doc_id", "pos")
+      val spans = Dedup.spansFromDupPositions(dupPos, spanTokens)
+        .localCheckpoint(true)
+      if (!spans.isEmpty) spans.write.mode("append").parquet(spansPath)
+      inBatch
+        .withColumn("wb", pmod(xxhash64(col("shingle")), lit(nBuckets.toLong)))
+        .select(col("shingle"), col("c").as("cnt"), col("wb"))
+        .write.mode("append").partitionBy("wb").parquet(winPath)
+      docs.select(col("doc_id"))
+        .withColumn("sb", pmod(col("doc_id"), lit(nBuckets.toLong)))
+        .write.mode("append").partitionBy("sb").parquet(docsPath)
+      graft.operators.Checkpoints.free(ps)
+      graft.operators.Checkpoints.free(inBatch)
+      graft.operators.Checkpoints.free(spans)
+      mark()
+    } finally { docs.unpersist(); () }
+  }
+
+  def spanDedupIngest(docStream: DataFrame, statePath: String, checkpoint: String,
+                      spanTokens: Int = 8, nBuckets: Int = 16): Unit = {
+    val q = docStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        spanDedupBatch(b, id, statePath, spanTokens, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All spans flagged so far. */
+  def spanDedupSpans(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/spans")) {
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc_id", "span_start", "span_end", "span_tokens")
+    }
+    spark.read.parquet(s"$statePath/spans")
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .dropDuplicates("doc_id", "span_start")
+  }
+
+  /** The driver entry: even docs arrive in batch 1, odd in batch 2
+    * (maxFilesPerTrigger=1) — the oracle reproduces the two chained
+    * window-count rounds in SQL, hash-exact.
+    */
+  def streamedSpanDedup(spark: SparkSession, dir: String,
+                        spanTokens: Int = 8, nBuckets: Int = 16): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-sp-ing-").toString
+    val incoming = s"$base/incoming"
+    // Batch ORDER matters here (the first copy is never retro-flagged),
+    // and FileStreamSource orders by modification time — force distinct
+    // mtimes so even-batch-first holds even when both writes land in
+    // the same filesystem timestamp granule.
+    def stampParquet(ts: Long): Unit = new java.io.File(incoming).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > ts)
+      .foreach { f => f.setLastModified(ts); () }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    stampParquet(1000000L)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    stampParquet(2000000L)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    spanDedupIngest(stream, s"$base/state", s"$base/ckpt", spanTokens, nBuckets)
+    spanDedupSpans(spark, s"$base/state")
+  }
+
   /** Per-source quota state: the current min-cap (md5, doc_id) set —
     * at most `cap` entries per source, see [[streamSourceCap]].
     */

@@ -968,6 +968,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotCc == wantCc, s"maintained components drifted: $gotCc vs $wantCc")
   }
 
+  test("spanDedup ingest: same-batch twins both flag; later copy flags, first never retro-flags; replay and re-delivery are no-ops; single-batch == batch operator") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    def docsDf(rows: (Long, String)*) = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-sp-replay-").toString
+    val st = s"$base/state"
+    // batch 0: docs 1 and 2 share the paragraph (same batch: BOTH flag)
+    val b0 = docsDf(
+      (1L, s"u1a u1b u1c $para v1a v1b"),
+      (2L, s"$para w2a w2b w2c w2d"),
+      (3L, "nothing here repeats in any way at all today friends"))
+    EventStreams.spanDedupBatch(b0, 0L, st, 8, 16)
+    def spans() = EventStreams.spanDedupSpans(spark, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val afterB0 = spans()
+    assert(afterB0 == Set((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L)),
+      s"same-batch twins must both flag: $afterB0")
+    // batch 1: doc 4 copies the paragraph (flags against maintained
+    // counts); doc 5 is fresh boilerplate whose twin arrives LATER
+    val fresh = "kilo lima mike november oscar papa quebec romeo sierra"
+    val b1 = docsDf(
+      (4L, s"$para x4a x4b x4c"),
+      (5L, s"y5a y5b $fresh"))
+    EventStreams.spanDedupBatch(b1, 1L, st, 8, 16)
+    val afterB1 = spans()
+    assert(afterB1.contains((4L, 1L, 10L, 10L)), "later copy must flag against maintained counts")
+    assert(!afterB1.exists(_._1 == 5L), "first copy of fresh boilerplate must not flag yet")
+    // batch 2: doc 6 copies doc 5's boilerplate — 6 flags, 5 is NEVER
+    // retro-flagged (its batch already shipped)
+    val b2 = docsDf((6L, s"$fresh z6a z6b z6c"))
+    EventStreams.spanDedupBatch(b2, 2L, st, 8, 16)
+    val afterB2 = spans()
+    assert(afterB2.exists(_._1 == 6L), "second copy must flag")
+    assert(!afterB2.exists(_._1 == 5L), "append-only: the first copy is never retro-flagged")
+    // replayed batchId: commit marker no-op; re-delivered content
+    // under a new batchId: seen-docs table makes it a no-op
+    val nSpanRows = spark.read.parquet(s"$st/spans").count()
+    EventStreams.spanDedupBatch(b2, 2L, st, 8, 16)
+    assert(spark.read.parquet(s"$st/spans").count() == nSpanRows, "replay must not re-append")
+    EventStreams.spanDedupBatch(b2, 3L, st, 8, 16)
+    assert(spark.read.parquet(s"$st/spans").count() == nSpanRows, "re-delivery must be a no-op")
+    // a SINGLE batch holding the whole corpus == the batch operator
+    val all = docsDf(
+      (1L, s"u1a u1b u1c $para v1a v1b"),
+      (2L, s"$para w2a w2b w2c w2d"),
+      (3L, "nothing here repeats in any way at all today friends"),
+      (4L, s"$para x4a x4b x4c"))
+    val st2 = s"$base/state2"
+    EventStreams.spanDedupBatch(all, 0L, st2, 8, 16)
+    val gotOne = EventStreams.spanDedupSpans(spark, st2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantOne = Dedup.duplicatedSpans(all, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotOne == wantOne, "a single-batch ingest must equal the batch operator exactly")
+  }
+
   test("hourlyThetaWindow: sliding 3-hour horizon unions the preceding sketches; gap hours compare against the surviving window") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-theta-win-").toString
