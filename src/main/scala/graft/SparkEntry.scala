@@ -264,6 +264,12 @@ object SparkEntry {
     // fixed 8-token granularity): maximal duplicated token spans per
     // doc — all-integer, the oracle rebuilds every span
     "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir), 8)),
+    // ...and the cut: flagged spans removed in normalized token
+    // space, exact string reconstruction in both engines
+    "dedup_spans_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applySpanDedup(docs, Dedup.duplicatedSpans(docs, 8))
+    }),
     "dedup_fuzzy" -> ((s, dir) => Dedup.fuzzyPairs(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), 3, 32, 8, 0.5)),
     // fuzzy benchmark decontamination: train = docs with id % 50 != 0,
@@ -1302,6 +1308,46 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
+    // the dedup_spans chain extended by the cut: tokens inside any
+    // span drop, survivors rejoin with single spaces — exact string
+    // reconstruction (string_agg ORDER BY pos ≡ array_join of the
+    // position-filtered array)
+    "dedup_spans_apply" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |posn AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |  FROM norm WHERE len(ws) >= 8),
+        |sh AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS shingle FROM posn),
+        |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        |dp AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (shingle)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dp),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM grp GROUP BY doc_id, g),
+        |tok AS (
+        |  SELECT doc_id, i, ws[i] AS w, len(ws) AS n FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM norm)),
+        |keep AS (
+        |  SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+        |      AND t.i BETWEEN s.span_start AND s.span_end)),
+        |built AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text, count(*) AS kept
+        |  FROM keep GROUP BY doc_id)
+        |SELECT n.doc_id, coalesce(b.clean_text, '') AS clean_text,
+        |  CAST(len(n.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(n.ws) - coalesce(b.kept, 0) AS BIGINT) AS dropped_tokens
+        |FROM norm n LEFT JOIN built b ON b.doc_id = n.doc_id""".stripMargin,
     // the streamed even/odd two-batch ingest: batch 1 flags within
     // even docs only; batch 2 flags odd-doc windows against odd-batch
     // + maintained even counts; earlier copies never retro-flag

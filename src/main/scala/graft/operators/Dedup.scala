@@ -207,6 +207,42 @@ object Dedup {
     spansFromDupPositions(dupPos, spanTokens)
   }
 
+  /** Span-dedup APPLICATION: cut every flagged span out of its
+    * document, in the same normalized token space the spans were
+    * found in. Output: (doc_id, clean_text, n_tokens,
+    * dropped_tokens) for every document — the "ExactSubstr then cut"
+    * step of Lee et al. 2022 (they cut rather than drop documents:
+    * the surrounding prose is unique and worth keeping).
+    *
+    * Scale design: the span table is joined once on doc_id (only
+    * flagged docs carry spans — an inner join plus a LEFT ANTI pass-
+    * through for the rest), spans per doc ride as one collected
+    * array (bounded by doc length), and the cut itself is a pure
+    * scalar projection — `filter` with a position lambda against the
+    * span array, no explode, no second shuffle.
+    */
+  def applySpanDedup(documents: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+    val ws = split(trim(normalized(col("text"))), "\\s+")
+    val flagged = documents.join(sp, Seq("doc_id"))
+      .withColumn("ws", ws)
+      .withColumn("kept", filter(col("ws"), (w, i) =>
+        !exists(col("sps"), s =>
+          (i + lit(1)) >= s.getField("span_start") &&
+            (i + lit(1)) <= s.getField("span_end"))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("dropped_tokens"))
+    val untouched = documents.join(sp, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        array_join(ws, " ").as("clean_text"),
+        size(ws).cast("long").as("n_tokens"),
+        lit(0L).as("dropped_tokens"))
+    flagged.unionByName(untouched)
+  }
+
   /** Positioned L-token windows: (doc_id, pos, shingle), every
     * occurrence (NOT distinct). Shared by [[duplicatedSpans]] and its
     * streaming face ([[graft.streaming.EventStreams]] span ingest).

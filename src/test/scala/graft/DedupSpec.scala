@@ -324,6 +324,21 @@ class DedupSpec extends AnyFunSuite {
     assert(spans === Set((1L, 1L, 8L, 8L), (1L, 12L, 19L, 8L)))
   }
 
+  test("applySpanDedup cuts exactly the flagged spans in normalized token space") {
+    import spark.implicits._
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"u1a u1b u1c $para v1a v1b"),
+      (2L, s"$para w2a w2b"),
+      (3L, "nothing repeated here at all today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.applySpanDedup(docs, Dedup.duplicatedSpans(docs, 8)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("u1a u1b u1c v1a v1b", 15L, 10L)))
+    assert(out(2L) === (("w2a w2b", 12L, 10L)))
+    assert(out(3L) === (("nothing repeated here at all today", 6L, 0L)))
+  }
+
   test("duplicatedSpans is partitioning-invariant") {
     import spark.implicits._
     val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
