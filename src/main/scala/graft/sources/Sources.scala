@@ -38,6 +38,30 @@ object Sources {
     spark.read.text(pathGlob)
       .select(input_file_name().as("doc_name"), col("value").as("line"))
 
+  /** Raw media ingest: one row per file as an opaque binary payload —
+    * the on-ramp into the §2.6 multimodal pipeline (whose operators
+    * all take a `binary` column; this is where that column comes
+    * from when media arrives as files rather than parquet).
+    * Spark's `binaryFile` source reads (path, modificationTime,
+    * length, content) with the file list — not the bytes — driving
+    * task planning, and `pathGlobFilter` prunes non-matching files
+    * BEFORE any are opened. `maxBytes` guards the executor: the
+    * length predicate PUSHES into the binaryFile scan (length is a
+    * metadata column — Spark skips oversized files without ever
+    * reading their bytes), so one rogue artifact in a 100 TB media
+    * drop can't OOM a task mid-decode (`binaryFile` cannot split a
+    * file across tasks, so payloads must fit task memory by
+    * contract); the spec pins the skip.
+    */
+  def readBinaryCorpus(spark: SparkSession, dir: String,
+                       glob: String = "*", maxBytes: Long = 512L << 20): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .select(element_at(split(col("path"), "/"), -1).as("media_name"),
+        col("length"), col("content"))
+
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               header: Boolean = true): DataFrame =
     spark.read
