@@ -383,6 +383,9 @@ object SparkEntry {
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
+    // held-out bigram surprisal with stupid backoff: counts from the
+    // train split, scoring over the valid split (live backoff paths)
+    "ta_surprisal2" -> ((s, dir) => TextAnalysis.surprisalBigram(Tables.documents(s, dir))),
     // distributed BPE merge learning: 12 rounds over the vocabulary
     // table; the oracle re-learns the table with a window-parity
     // merge application instead of the fold — rank-for-rank exact
@@ -1737,6 +1740,41 @@ object SparkEntry {
         |c AS (SELECT ngram, count(*) AS n FROM bg GROUP BY 1)
         |SELECT ngram, n, CAST(row_number() OVER (ORDER BY n DESC, ngram ASC) AS BIGINT) AS rk
         |FROM c ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+    // the same CASE ladder and integer-micros fix as Spark; LEFT
+    // JOINs to the train-split LM tables, ta_split's md5 rule
+    "ta_surprisal2" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29' AS v,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(ws) >= 1),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, v, ws, unnest(generate_series(1, len(ws))) AS i FROM d2),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, v, ws[i] AS word,
+        |    CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev FROM t),
+        |uni AS MATERIALIZED (SELECT word, count(*) AS wc FROM tok WHERE NOT v GROUP BY word),
+        |tot AS MATERIALIZED (SELECT coalesce(sum(wc), 0) AS n_total FROM uni),
+        |big AS MATERIALIZED (SELECT prev, word, count(*) AS bc FROM tok
+        |  WHERE NOT v AND prev IS NOT NULL GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(CASE
+        |      WHEN s.prev IS NULL
+        |        THEN ln(CAST(n_total AS DOUBLE) / CAST(coalesce(u.wc, 1) AS DOUBLE))
+        |      WHEN b.bc IS NOT NULL
+        |        THEN ln(CAST(p.wc AS DOUBLE) / CAST(b.bc AS DOUBLE))
+        |      ELSE ln(CAST(n_total AS DOUBLE) / CAST(coalesce(u.wc, 1) AS DOUBLE) / 0.4)
+        |    END * 1000000.0 + 0.5) AS BIGINT) AS micros
+        |  FROM tok s
+        |  LEFT JOIN uni u ON u.word = s.word
+        |  LEFT JOIN big b ON b.prev = s.prev AND b.word = s.word
+        |  LEFT JOIN uni p ON p.word = s.prev
+        |  CROSS JOIN tot
+        |  WHERE s.v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(micros) AS DOUBLE) / count(*) / 1000000.0, 4) AS surprisal2
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // 12 unrolled BPE rounds (the PagerankRoundCtes pattern); merge
     // application via window run-parity — a different algorithm from
     // the Scala fold, agreeing rank-for-rank (see BpeRoundCtes)

@@ -324,6 +324,60 @@ object TextAnalysis {
           / lit(1000000.0), 4).as("surprisal"))
   }
 
+  /** Held-out bigram-LM surprisal with stupid backoff (Brants et al.
+    * 2007) — the CCNet/KenLM "perplexity filter" shape at bigram
+    * order: train counts on the TRAIN split ([[trainValidSplit]]'s
+    * content-stable rule), score the VALID split. Scoring held-out
+    * text is what keeps the backoff genuinely live (self-scoring
+    * makes every bigram count ≥ 1 and the backoff dead code — the
+    * trap [[surprisal]]'s unigram form does not have).
+    *
+    * Per-token surprisal: seen bigram → ln(c(prev)/c(prev,w)); unseen
+    * bigram → backoff ln((N/c(w))/0.4); doc-first token → plain
+    * unigram ln(N/c(w)); out-of-vocabulary words floor at c=1. Each
+    * token's value fixes to integer MICROS before the per-doc sum
+    * (the [[surprisal]] pattern) so reduction order cannot diverge
+    * from the oracle.
+    *
+    * Scale: two map-side-combined count shuffles over train tokens
+    * (unigrams, bigrams), then scoring joins on the token — the LM
+    * tables are vocabulary-sized, the corpus is read once, and
+    * nothing iterates.
+    */
+  def surprisalBigram(documents: DataFrame): DataFrame = {
+    val isValid = substring(md5(col("doc_id").cast("string")), 1, 2) < "29"
+    val ws = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val docsW = documents.select(col("doc_id"), isValid.as("v"), ws.as("ws"))
+      .filter(size(col("ws")) >= 1)
+    val pairsArr = expr("transform(ws, (w, i) -> struct(w AS word, " +
+      "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE try_element_at(ws, i) END AS prev))")
+    val toks = docsW.select(col("doc_id"), col("v"), explode(pairsArr).as("t"))
+      .select(col("doc_id"), col("v"), col("t.word").as("word"), col("t.prev").as("prev"))
+    val train = toks.filter(!col("v"))
+    val uni = train.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = uni.agg(coalesce(sum(col("wc")), lit(0L)).as("n_total"))
+    val big = train.filter(col("prev").isNotNull)
+      .groupBy("prev", "word").agg(count(lit(1)).as("bc"))
+    val scoredToks = toks.filter(col("v"))
+      .join(uni, Seq("word"), "left")
+      .join(big, Seq("prev", "word"), "left")
+      .join(uni.select(col("word").as("prev"), col("wc").as("pc")), Seq("prev"), "left")
+      .crossJoin(total)
+    val wc2 = coalesce(col("wc"), lit(1L)).cast("double")
+    val micros = floor(
+      when(col("prev").isNull, log(col("n_total").cast("double") / wc2))
+        .when(col("bc").isNotNull,
+          log(col("pc").cast("double") / col("bc").cast("double")))
+        .otherwise(log(col("n_total").cast("double") / wc2 / lit(0.4)))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    scoredToks.select(col("doc_id"), micros.as("micros"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micros")).as("sum_m"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_m").cast("double") / col("n_tokens").cast("double")
+          / lit(1000000.0), 4).as("surprisal2"))
+  }
+
   /** Repetition statistics (the Gopher-style quality signals for
     * machine-generated/boilerplate text): duplicate-word fraction and
     * the most-frequent-bigram share per document.

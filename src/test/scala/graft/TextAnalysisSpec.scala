@@ -267,6 +267,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(other !== base.map(_._1))
   }
 
+  test("surprisalBigram: only held-out docs score; unseen continuations out-surprise seen ones") {
+    import spark.implicits._
+    def isValid(id: Long): Boolean = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 2) < "29"
+    val validIds = (1L to 200L).filter(isValid)
+    val trainIds = (1L to 200L).filterNot(isValid)
+    val (vA, vB) = (validIds(0), validIds(1))
+    val docs = (trainIds.map(i => (i, "the cat sat on the mat"))
+      :+ (vA, "the cat sat") :+ (vB, "the zebra jumped")).toDF("doc_id", "text")
+    val out = TextAnalysis.surprisalBigram(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.keySet == Set(vA, vB), s"only valid docs score: ${out.keySet}")
+    assert(out(vB) > out(vA),
+      "unseen continuations (backoff + OOV paths) must out-surprise seen bigrams")
+  }
+
   /** Independent local BPE (the Sennrich reference semantics):
     * overlapping pair counts weighted by word frequency, arg-max by
     * (count desc, pair asc), leftmost-greedy non-overlapping merge.
