@@ -1030,6 +1030,27 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Compact the span-ingest window-count table: per-batch DELTAS
+    * merge into one row per (partition, shingle) — the [[ccCompact]]
+    * maintenance pass for this state. The merge-on-read sum is
+    * invariant under compaction, so subsequent batches are unaffected
+    * (spec-pinned); run on the operator's schedule, never the ingest
+    * path's. At 10⁹ maintained windows this is what keeps the pruned
+    * per-batch reads proportional to distinct windows rather than to
+    * ingest history.
+    */
+  def spanStateCompact(spark: SparkSession, statePath: String): Unit = {
+    val winPath = s"$statePath/windows"
+    if (!hasVisibleData(spark, winPath)) return
+    val merged = spark.read.parquet(winPath)
+      .groupBy("wb", "shingle").agg(sum(col("cnt")).as("cnt"))
+      .select(col("shingle"), col("cnt"), col("wb"))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").partitionBy("wb").parquet(winPath)
+    graft.operators.Checkpoints.free(merged)
+  }
+
   /** All spans flagged so far. */
   def spanDedupSpans(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._

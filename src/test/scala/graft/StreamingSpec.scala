@@ -1026,6 +1026,23 @@ class StreamingSpec extends AnyFunSuite {
     val wantOne = Dedup.duplicatedSpans(all, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(gotOne == wantOne, "a single-batch ingest must equal the batch operator exactly")
+    // compaction: delta rows merge, per-shingle counts are invariant,
+    // and a post-compaction batch still flags against the merged sums
+    val preCounts = spark.read.parquet(s"$st/windows")
+      .groupBy("shingle").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val preRows = spark.read.parquet(s"$st/windows").count()
+    EventStreams.spanStateCompact(spark, st)
+    val postCounts = spark.read.parquet(s"$st/windows")
+      .groupBy("shingle").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(postCounts == preCounts, "compaction must not change merge-on-read sums")
+    assert(spark.read.parquet(s"$st/windows").count() < preRows,
+      "compaction must merge delta rows")
+    val b3 = docsDf((7L, s"$para compacted7a compacted7b"))
+    EventStreams.spanDedupBatch(b3, 4L, st, 8, 16)
+    assert(spans().contains((7L, 1L, 10L, 10L)),
+      "a batch after compaction must flag against the merged counts")
   }
 
   test("hourlyThetaWindow: sliding 3-hour horizon unions the preceding sketches; gap hours compare against the surviving window") {
