@@ -393,6 +393,9 @@ object SparkEntry {
     // the learned subword vocabulary with corpus frequencies — the
     // tokenizer's other artifact, from the same 12 learned merges
     "ta_bpe_vocab" -> ((s, dir) => TextAnalysis.bpeVocab(Tables.documents(s, dir), 12)),
+    // the encode face: per-doc subword counts under the learned
+    // merges — the context-budget number a packer actually needs
+    "ta_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir), 12)),
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
@@ -1802,6 +1805,25 @@ object SparkEntry {
         |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
         |${BpeRoundCtes(12)}
         |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM s12 GROUP BY sym""".stripMargin,
+    // s12's per-word row count IS the word's segmentation length;
+    // join the corpus tokens and sum per doc
+    "ta_bpe_encode" ->
+      s"""WITH wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
+        |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
+        |${BpeRoundCtes(12)},
+        |sz AS (SELECT word, count(*) AS n_sub FROM s12 GROUP BY word),
+        |toks AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '')
+        |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+        |FROM toks JOIN sz USING (word) GROUP BY doc_id""".stripMargin,
     // Per-(doc, term) BM25 weights floor to integer micros BEFORE the
     // per-doc sum (ta_surprisal pattern): the sum is then exact in any
     // reduction order and ranking compares integers only.

@@ -650,13 +650,29 @@ object TextAnalysis {
       .groupBy("sym").agg(sum(col("cnt")).as("n"))
   }
 
+  /** Per-document subword token counts under the learned merges —
+    * the ENCODE face, and the number a context-budget packer actually
+    * needs (how many tokens will this doc cost under OUR tokenizer,
+    * not a whitespace proxy). One join of the corpus tokens against
+    * the vocabulary-sized (word → segmentation length) table, one
+    * doc_id aggregate; the corpus is read once beyond the learning
+    * pass.
+    */
+  def bpeEncode(documents: DataFrame, rounds: Int = 12): DataFrame = {
+    val (_, seg) = bpeLearn(documents, rounds)
+    val segSizes = seg.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    TextOps.tokens(documents).join(segSizes, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   private def bpeLearn(documents: DataFrame,
                        rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
     var seg = TextOps.wordCount(documents)
-      .select(col("cnt"), chars.as("syms"))
+      .select(col("word"), col("cnt"), chars.as("syms"))
       .localCheckpoint(true)
     // adjacent symbol pairs; try_element_at + filter so one-symbol
     // words emit nothing (sequence(1, 0) would count DOWN, the ANSI
@@ -686,7 +702,7 @@ object TextAnalysis {
         val (l, rt, c) = (b.getString(0), b.getString(1), b.getLong(2))
         out += ((r.toLong, l, rt, c))
         val superseded = seg
-        seg = seg.select(col("cnt"), mergeFold(l, rt).as("syms"))
+        seg = seg.select(col("word"), col("cnt"), mergeFold(l, rt).as("syms"))
           .localCheckpoint(true)
         Checkpoints.free(superseded)
       }

@@ -288,8 +288,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     * overlapping pair counts weighted by word frequency, arg-max by
     * (count desc, pair asc), leftmost-greedy non-overlapping merge.
     */
-  private def localBpe(words: Map[String, Long],
-                       rounds: Int): (Seq[(Long, String, String, Long)], Map[String, Long]) = {
+  private def localBpe(words: Map[String, Long], rounds: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Long], Map[String, Int]) = {
     var seg: Map[String, (List[String], Long)] =
       words.map { case (w, c) => w -> (w.map(_.toString).toList, c) }
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -317,7 +317,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     val vocab = seg.values.toSeq.flatMap { case (syms, c) => syms.map(_ -> c) }
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
-    (out.toSeq, vocab)
+    (out.toSeq, vocab, seg.map { case (w, (syms, _)) => w -> syms.length })
   }
 
   test("bpeMerges == independent local BPE on canonical, seeded-random, and exhausted corpora") {
@@ -326,7 +326,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       val words = texts.flatMap(_.split("[^A-Za-z]+")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, occ) => w -> occ.size.toLong }
-      val (expect, expectVocab) = localBpe(words, rounds)
+      val (expect, expectVocab, segLen) = localBpe(words, rounds)
       val got = TextAnalysis.bpeMerges(docs, rounds).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq.sortBy(_._1)
@@ -334,6 +334,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       val gotVocab = TextAnalysis.bpeVocab(docs, rounds).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(gotVocab == expectVocab, s"vocab divergence, texts=$texts")
+      val expectEnc = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split("[^A-Za-z]+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some((i.toLong, toks.length.toLong, toks.map(w => segLen(w).toLong).sum))
+      }.toSet
+      val gotEnc = TextAnalysis.bpeEncode(docs, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotEnc == expectEnc, s"encode divergence, texts=$texts")
     }
     // the classic BPE worked example shape
     check(Seq("low low low low low lower lower newest newest newest " +
