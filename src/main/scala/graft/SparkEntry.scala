@@ -294,6 +294,11 @@ object SparkEntry {
     // streaming ingest operator that is fully hash-oracled
     "stream_spans" -> ((s, dir) =>
       graft.streaming.EventStreams.streamedSpanDedup(s, dir)),
+    // the retro-flag audit over the same harness: first-batch docs
+    // whose windows became duplicated after shipping — the
+    // re-cleaning-cadence number; fully hash-oracled like its parent
+    "stream_span_retro" -> ((s, dir) =>
+      graft.streaming.EventStreams.streamedSpanRetroAudit(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max pairwise cosine ≈0.48), so a production 0.9 cut would make
@@ -1314,6 +1319,47 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramPairsCte
         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
+    // full-count duplicated positions minus the streamed spans'
+    // coverage: only even (first-batch) docs can appear, since odd
+    // windows were checked against full counts at ingest
+    "stream_span_retro" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |posn AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |  FROM norm WHERE len(ws) >= 8),
+        |sh AS (SELECT doc_id, ((doc_id % 2) + 2) % 2 AS par, pos,
+        |         array_to_string(ws[pos:pos+7], ' ') AS shingle FROM posn),
+        |c0 AS (SELECT shingle, count(*) AS c FROM sh WHERE par = 0 GROUP BY shingle),
+        |c1 AS (SELECT shingle, count(*) AS c FROM sh WHERE par = 1 GROUP BY shingle),
+        |dup0 AS (SELECT shingle FROM c0 WHERE c >= 2),
+        |dup1 AS (SELECT c1.shingle FROM c1 LEFT JOIN c0 USING (shingle)
+        |         WHERE c1.c + coalesce(c0.c, 0) >= 2),
+        |dp AS (
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN dup0 d ON s.shingle = d.shingle WHERE s.par = 0
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN dup1 d ON s.shingle = d.shingle WHERE s.par = 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dp),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM grp GROUP BY doc_id, g),
+        |cf AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+        |dupf AS (SELECT shingle FROM cf WHERE c >= 2),
+        |dpf AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupf d USING (shingle)),
+        |retro AS (
+        |  SELECT f.doc_id, f.pos FROM dpf f WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans sp WHERE sp.doc_id = f.doc_id
+        |      AND f.pos >= sp.span_start AND f.pos + 7 <= sp.span_end))
+        |SELECT doc_id, count(*) AS n_retro_windows FROM retro GROUP BY doc_id""".stripMargin,
     // the dedup_spans chain extended by the cut: tokens inside any
     // span drop, survivors rejoin with single spaces — exact string
     // reconstruction (string_agg ORDER BY pos ≡ array_join of the

@@ -1051,6 +1051,61 @@ object EventStreams {
     graft.operators.Checkpoints.free(merged)
   }
 
+  /** RETRO-FLAG AUDIT — the honest cost of append-only span ingest:
+    * which already-shipped documents contain windows that BECAME
+    * duplicated after they shipped (their copies arrived in later
+    * batches), and how many. This is the number that decides
+    * re-cleaning cadence: a corpus whose retro count grows fast needs
+    * periodic batch re-runs of [[graft.operators.Dedup.duplicatedSpans]]
+    * over shipped data; one whose count stays near zero does not.
+    *
+    * An offline maintenance pass, not an ingest-path cost: one corpus
+    * re-window scan joined against the maintained window counts
+    * (merge-on-read sums, full read — this is the audit's one big
+    * input), minus the positions already covered by a flagged span —
+    * a LEFT ANTI hash join on doc_id with the range containment as
+    * its residual condition, never a nested loop. Output:
+    * (doc_id, n_retro_windows) for affected docs only. By
+    * construction only docs whose copies arrived strictly later can
+    * appear: a doc arriving WITH or AFTER its twin was flagged at
+    * ingest (spec pins that the odd/second batch contributes zero).
+    */
+  def spanRetroAudit(spark: SparkSession, documents: DataFrame,
+                     statePath: String, spanTokens: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val winPath = s"$statePath/windows"
+    if (!hasVisibleData(spark, winPath)) {
+      return Seq.empty[(Long, Long)].toDF("doc_id", "n_retro_windows")
+    }
+    val ps = Dedup.positionedShingles(
+      documents.select(col("doc_id").cast("long").as("doc_id"), col("text")), spanTokens)
+    val dup = spark.read.parquet(winPath)
+      .groupBy("shingle").agg(sum(col("cnt")).as("n"))
+      .filter(col("n") >= 2).select("shingle")
+    val dupPos = ps.join(dup, Seq("shingle"), "left_semi").select("doc_id", "pos")
+    val covered = spanDedupSpans(spark, statePath)
+      .select(col("doc_id").as("c_doc"), col("span_start"), col("span_end"))
+    val retro = dupPos.join(covered,
+      dupPos("doc_id") === covered("c_doc") &&
+        dupPos("pos") >= covered("span_start") &&
+        (dupPos("pos") + (spanTokens - 1)) <= covered("span_end"),
+      "left_anti")
+    retro.groupBy("doc_id").agg(count(lit(1)).as("n_retro_windows"))
+  }
+
+  /** The audit over the even/odd harness state — only even (first-
+    * batch) docs can appear: odd-batch windows were checked against
+    * the full counts at ingest.
+    */
+  def streamedSpanRetroAudit(spark: SparkSession, dir: String,
+                             spanTokens: Int = 8, nBuckets: Int = 16): DataFrame = {
+    val st = runSpanIngestHarness(spark, dir, spanTokens, nBuckets)
+    spanRetroAudit(spark,
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      st, spanTokens)
+  }
+
   /** All spans flagged so far. */
   def spanDedupSpans(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
@@ -1068,7 +1123,14 @@ object EventStreams {
     * window-count rounds in SQL, hash-exact.
     */
   def streamedSpanDedup(spark: SparkSession, dir: String,
-                        spanTokens: Int = 8, nBuckets: Int = 16): DataFrame = {
+                        spanTokens: Int = 8, nBuckets: Int = 16): DataFrame =
+    spanDedupSpans(spark, runSpanIngestHarness(spark, dir, spanTokens, nBuckets))
+
+  /** Drive the even/odd two-batch span ingest over the documents
+    * table; returns the state path for the result readers.
+    */
+  private def runSpanIngestHarness(spark: SparkSession, dir: String,
+                                   spanTokens: Int, nBuckets: Int): String = {
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val base = java.nio.file.Files.createTempDirectory("graft-sp-ing-").toString
     val incoming = s"$base/incoming"
@@ -1088,7 +1150,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(incoming)
     spanDedupIngest(stream, s"$base/state", s"$base/ckpt", spanTokens, nBuckets)
-    spanDedupSpans(spark, s"$base/state")
+    s"$base/state"
   }
 
   /** Per-source quota state: the current min-cap (md5, doc_id) set —

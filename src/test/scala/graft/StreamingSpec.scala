@@ -1043,6 +1043,14 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.spanDedupBatch(b3, 4L, st, 8, 16)
     assert(spans().contains((7L, 1L, 10L, 10L)),
       "a batch after compaction must flag against the merged counts")
+    // retro audit: ONLY doc 5 shipped before its duplicate — its two
+    // boilerplate windows (positions 3 and 4) are the whole retro
+    // surface; every flagged doc's duplicated windows are covered
+    val allDocs = b0.unionByName(b1).unionByName(b2).unionByName(b3)
+    val retro = EventStreams.spanRetroAudit(spark, allDocs, st, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(retro === Set((5L, 2L)),
+      s"retro audit must flag exactly the shipped-first copy: $retro")
   }
 
   test("hourlyThetaWindow: sliding 3-hour horizon unions the preceding sketches; gap hours compare against the surviving window") {
