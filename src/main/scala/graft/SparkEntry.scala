@@ -391,6 +391,8 @@ object SparkEntry {
     // held-out bigram surprisal with stupid backoff: counts from the
     // train split, scoring over the valid split (live backoff paths)
     "ta_surprisal2" -> ((s, dir) => TextAnalysis.surprisalBigram(Tables.documents(s, dir))),
+    // the same ladder at trigram order, backoff chaining 0.4 -> 0.16
+    "ta_surprisal3" -> ((s, dir) => TextAnalysis.surprisalTrigram(Tables.documents(s, dir))),
     // distributed BPE merge learning: 12 rounds over the vocabulary
     // table; the oracle re-learns the table with a window-parity
     // merge application instead of the fold — rank-for-rank exact
@@ -1823,6 +1825,52 @@ object SparkEntry {
         |  WHERE s.v)
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(CAST(sum(micros) AS DOUBLE) / count(*) / 1000000.0, 4) AS surprisal2
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // the trigram ladder: seen trigram / 0.4-bigram / 0.16-unigram,
+    // first two doc tokens at the orders their context supports
+    "ta_surprisal3" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29' AS v,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(ws) >= 1),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, v, ws, unnest(generate_series(1, len(ws))) AS i FROM d2),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, v, ws[i] AS word,
+        |    CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS p1,
+        |    CASE WHEN i <= 2 THEN NULL ELSE ws[i-2] END AS p2 FROM t),
+        |uni AS MATERIALIZED (SELECT word, count(*) AS wc FROM tok WHERE NOT v GROUP BY word),
+        |tot AS MATERIALIZED (SELECT coalesce(sum(wc), 0) AS n_total FROM uni),
+        |big AS MATERIALIZED (SELECT p1, word, count(*) AS bc FROM tok
+        |  WHERE NOT v AND p1 IS NOT NULL GROUP BY 1, 2),
+        |tri AS MATERIALIZED (SELECT p2, p1, word, count(*) AS tc FROM tok
+        |  WHERE NOT v AND p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(CASE
+        |      WHEN s.p1 IS NULL
+        |        THEN ln(CAST(n_total AS DOUBLE) / CAST(coalesce(u.wc, 1) AS DOUBLE))
+        |      WHEN s.p2 IS NULL AND b.bc IS NOT NULL
+        |        THEN ln(CAST(pu.wc AS DOUBLE) / CAST(b.bc AS DOUBLE))
+        |      WHEN s.p2 IS NULL
+        |        THEN ln(CAST(n_total AS DOUBLE) / CAST(coalesce(u.wc, 1) AS DOUBLE) / 0.4)
+        |      WHEN tr.tc IS NOT NULL
+        |        THEN ln(CAST(cb.bc AS DOUBLE) / CAST(tr.tc AS DOUBLE))
+        |      WHEN b.bc IS NOT NULL
+        |        THEN ln(CAST(pu.wc AS DOUBLE) / CAST(b.bc AS DOUBLE) / 0.4)
+        |      ELSE ln(CAST(n_total AS DOUBLE) / CAST(coalesce(u.wc, 1) AS DOUBLE) / 0.16)
+        |    END * 1000000.0 + 0.5) AS BIGINT) AS micros
+        |  FROM tok s
+        |  LEFT JOIN uni u ON u.word = s.word
+        |  LEFT JOIN big b ON b.p1 = s.p1 AND b.word = s.word
+        |  LEFT JOIN tri tr ON tr.p2 = s.p2 AND tr.p1 = s.p1 AND tr.word = s.word
+        |  LEFT JOIN uni pu ON pu.word = s.p1
+        |  LEFT JOIN big cb ON cb.p1 = s.p2 AND cb.word = s.p1
+        |  CROSS JOIN tot
+        |  WHERE s.v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(micros) AS DOUBLE) / count(*) / 1000000.0, 4) AS surprisal3
         |FROM sc GROUP BY doc_id""".stripMargin,
     // 12 unrolled BPE rounds (the PagerankRoundCtes pattern); merge
     // application via window run-parity — a different algorithm from

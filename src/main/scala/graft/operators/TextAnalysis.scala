@@ -378,6 +378,62 @@ object TextAnalysis {
           / lit(1000000.0), 4).as("surprisal2"))
   }
 
+  /** [[surprisalBigram]] at TRIGRAM order — the same held-out
+    * train/score split and integer-micros discipline, with stupid
+    * backoff chaining through two levels: seen trigram →
+    * ln(c(p2,p1)/c(p2,p1,w)); unseen trigram but seen bigram →
+    * 0.4 · bigram model; neither → 0.4² · unigram (OOV floors at
+    * c=1); the first two tokens of a doc score at the orders their
+    * context supports. One more map-side-combined count shuffle than
+    * the bigram form (trigrams), LM tables still vocabulary-sized.
+    */
+  def surprisalTrigram(documents: DataFrame): DataFrame = {
+    val isValid = substring(md5(col("doc_id").cast("string")), 1, 2) < "29"
+    val ws = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val docsW = documents.select(col("doc_id"), isValid.as("v"), ws.as("ws"))
+      .filter(size(col("ws")) >= 1)
+    val tripleArr = expr("transform(ws, (w, i) -> struct(w AS word, " +
+      "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE try_element_at(ws, i) END AS p1, " +
+      "CASE WHEN i <= 1 THEN CAST(NULL AS STRING) ELSE try_element_at(ws, i - 1) END AS p2))")
+    val toks = docsW.select(col("doc_id"), col("v"), explode(tripleArr).as("t"))
+      .select(col("doc_id"), col("v"), col("t.word").as("word"),
+        col("t.p1").as("p1"), col("t.p2").as("p2"))
+    val train = toks.filter(!col("v"))
+    val uni = train.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = uni.agg(coalesce(sum(col("wc")), lit(0L)).as("n_total"))
+    val big = train.filter(col("p1").isNotNull)
+      .groupBy("p1", "word").agg(count(lit(1)).as("bc"))
+    val tri = train.filter(col("p2").isNotNull)
+      .groupBy("p2", "p1", "word").agg(count(lit(1)).as("tc"))
+    val scoredToks = toks.filter(col("v"))
+      .join(uni, Seq("word"), "left")
+      .join(big, Seq("p1", "word"), "left")
+      .join(tri, Seq("p2", "p1", "word"), "left")
+      .join(uni.select(col("word").as("p1"), col("wc").as("pc1")), Seq("p1"), "left")
+      .join(big.select(col("p1").as("p2"), col("word").as("p1"), col("bc").as("cc")),
+        Seq("p2", "p1"), "left")
+      .crossJoin(total)
+    val wc2 = coalesce(col("wc"), lit(1L)).cast("double")
+    val micros = floor(
+      when(col("p1").isNull, log(col("n_total").cast("double") / wc2))
+        .when(col("p2").isNull && col("bc").isNotNull,
+          log(col("pc1").cast("double") / col("bc").cast("double")))
+        .when(col("p2").isNull,
+          log(col("n_total").cast("double") / wc2 / lit(0.4)))
+        .when(col("tc").isNotNull,
+          log(col("cc").cast("double") / col("tc").cast("double")))
+        .when(col("bc").isNotNull,
+          log(col("pc1").cast("double") / col("bc").cast("double") / lit(0.4)))
+        .otherwise(log(col("n_total").cast("double") / wc2 / lit(0.16)))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    scoredToks.select(col("doc_id"), micros.as("micros"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micros")).as("sum_m"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_m").cast("double") / col("n_tokens").cast("double")
+          / lit(1000000.0), 4).as("surprisal3"))
+  }
+
   /** Repetition statistics (the Gopher-style quality signals for
     * machine-generated/boilerplate text): duplicate-word fraction and
     * the most-frequent-bigram share per document.

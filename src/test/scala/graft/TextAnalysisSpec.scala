@@ -282,6 +282,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.keySet == Set(vA, vB), s"only valid docs score: ${out.keySet}")
     assert(out(vB) > out(vA),
       "unseen continuations (backoff + OOV paths) must out-surprise seen bigrams")
+    val out3 = TextAnalysis.surprisalTrigram(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out3.keySet == Set(vA, vB))
+    assert(out3(vB) > out3(vA), "the trigram ladder preserves the ordering")
+    assert(out3(vB) >= out(vB),
+      "fully-unseen text pays the deeper 0.16 backoff at trigram order")
   }
 
   /** Independent local BPE (the Sennrich reference semantics):
