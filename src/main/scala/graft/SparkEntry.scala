@@ -202,6 +202,33 @@ object SparkEntry {
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_nearby_clicks"))
     }),
+    // interval×interval overlap join: 30-min-gap session intervals
+    // against "incident hours" (hours with >= 5 error events), binned
+    // equi-join with exactly-once emission in the max-start bin —
+    // never a nested-loop inequality join; pure integer interval math
+    // so the DuckDB inequality-join oracle is hash-exact
+    "q_interval_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hourNs = 3600L * 1000000000L
+      val ev = Tables.events(s, dir)
+      val sessions = Relational.sessionIntervals(ev, 30)
+        .select(col("user_id"), col("session_id"),
+          col("s_start").as("ivl_start"), col("s_end").as("ivl_end"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(expr(s"ts_ns div ${hourNs}L").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("n_errors"))
+        .filter(col("n_errors") >= 5)
+        .select(col("hr"), (col("hr") * hourNs).as("ivl_start"),
+          ((col("hr") + 1) * hourNs - 1).as("ivl_end"))
+      graft.plans.TemporalJoins.intervalOverlapJoin(sessions, incidents,
+        "ivl_start", "ivl_end", hourNs,
+        leftProject = Seq("user_id", "session_id", "ivl_start", "ivl_end"),
+        rightProject = Seq("hr", "ivl_start", "ivl_end"))
+        .select(col("user_id"), col("session_id"),
+          col("r_hr").as("incident_hr"),
+          (least(col("ivl_end"), col("r_ivl_end")) -
+            greatest(col("ivl_start"), col("r_ivl_start")) + 1).as("overlap_ns"))
+    }),
     "q_triangles" -> ((s, dir) => Graph.coPurchaseTriangles(Tables.lineitem(s, dir))),
     // Peeling at k=70 erodes the co-purchase graph's low-degree tail
     // (29 of 2000 parts cascade out at sf0.01) — the community-core
@@ -216,6 +243,18 @@ object SparkEntry {
     // (GraphSpec pins both)
     "q_kcore_approx" -> ((s, dir) => Graph.kCoreApprox(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 70, 8)),
+    // standalone integer PageRank over the co-purchase graph (the
+    // same bit-exact fixed-point iteration dedup_apply_pagerank uses
+    // as a survivor policy, surfaced as the graph-analytics query):
+    // 10 rounds, micro-units, every op 64-bit integer — hash-exact
+    // against 10 unrolled CTE rounds in DuckDB
+    "q_pagerank" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.pagerankMicros(
+        Graph.coPurchaseEdges(Tables.lineitem(s, dir))
+          .select(col("u").as("doc_a"), col("v").as("doc_b")), 10)
+        .select(col("doc_id").as("part_id"), col("pr"))
+    }),
     // DOULION edge sampling at p=1/2 (threshold 0x8000 — exactly
     // representable) ahead of the exact counter: the md5 sample, the
     // sparsified count AND the ×8 estimate all reproduce in DuckDB,
@@ -379,6 +418,9 @@ object SparkEntry {
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
     "ta_scrub" -> ((s, dir) => TextAnalysis.scrub(Tables.documents(s, dir))),
     "ta_passages" -> ((s, dir) => TextAnalysis.passages(Tables.documents(s, dir), 20)),
+    // RAG chunking: window 20, stride 10 — adjacent chunks overlap by
+    // half so no answer span straddles a boundary uncovered
+    "ta_chunks" -> ((s, dir) => TextAnalysis.slidingChunks(Tables.documents(s, dir), 20, 10)),
     "ta_pack" -> ((s, dir) => TextAnalysis.packIntoShards(Tables.documents(s, dir), 2000L)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
@@ -450,6 +492,10 @@ object SparkEntry {
     "stream_sessionize" -> ((s, dir) => graft.streaming.EventStreams.sessionizeStateful(s, dir)),
     "stream_interval_join" -> ((s, dir) => graft.streaming.EventStreams.intervalJoin(s, dir)),
     "stream_interval_join_outer" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinOuter(s, dir)),
+    // LEFT SEMI face: which clicks converted — each click emits at
+    // most once on its first in-window purchase; no row
+    // multiplication, no post-join dedup shuffle
+    "stream_interval_join_semi" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinSemi(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     "stream_snapshot_diff" -> ((s, dir) => graft.streaming.EventStreams.streamedSnapshotDiff(s, dir)),
     "stream_cc" -> ((s, dir) => graft.streaming.EventStreams.streamedComponents(s, dir)),
@@ -855,6 +901,17 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM deg) AS nodes,
         |       (SELECT count(*) FROM e) AS n_edges,
         |       triangles FROM t""".stripMargin,
+    // the PagerankRoundCtes ladder over the co-purchase graph: same
+    // integer fixed-point arithmetic, so pr10 is bit-identical
+    "q_pagerank" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |$PagerankRoundCtes
+        |SELECT doc_id AS part_id, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin,
     "q_kcore" ->
       s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
@@ -1298,6 +1355,38 @@ object SparkEntry {
         |FROM e JOIN c ON e.user_id = c.user_id
         |  AND c.tns >= e.tns - 1800000000000 AND c.tns <= e.tns + 1800000000000
         |GROUP BY e.event_id""".stripMargin,
+    // the oracle runs the overlap join as the plain inequality join
+    // the binned plan refuses to be — same closed-interval convention
+    // (s_start <= i_end AND i_start <= s_end), same integer overlap
+    "q_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |gapped AS (
+        |  SELECT user_id, event_id, tns,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |         OR tns - lag(tns) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, tns,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gapped),
+        |s AS (
+        |  SELECT user_id, session_id, min(tns) AS s_start, max(tns) AS s_end
+        |  FROM sess GROUP BY user_id, session_id),
+        |ih AS (
+        |  SELECT tns // 3600000000000 AS hr,
+        |    (tns // 3600000000000) * 3600000000000 AS i_start,
+        |    ((tns // 3600000000000) + 1) * 3600000000000 - 1 AS i_end
+        |  FROM ev WHERE event_type = 'error'),
+        |ih2 AS (
+        |  SELECT hr, min(i_start) AS i_start, min(i_end) AS i_end
+        |  FROM ih GROUP BY hr HAVING count(*) >= 5)
+        |SELECT s.user_id, s.session_id, ih2.hr AS incident_hr,
+        |  least(s.s_end, ih2.i_end) - greatest(s.s_start, ih2.i_start) + 1 AS overlap_ns
+        |FROM s JOIN ih2 ON s.s_start <= ih2.i_end AND ih2.i_start <= s.s_end""".stripMargin,
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM (
         |  SELECT doc_id,
@@ -2034,6 +2123,20 @@ object SparkEntry {
         |    unnest([{'idx': i - 1, 's': array_to_string(ws[(i-1)*20+1 : i*20], ' ')}
         |            FOR i IN generate_series(1, (len(ws) - 1) // 20 + 1)]) AS r
         |  FROM w)""".stripMargin,
+    // overlapping chunks: starts at multiples of 10, window 20; the
+    // greatest(0, floor-div) start count matches the Spark div since
+    // the numerator is only negative when both engines clamp to 0
+    "ta_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id, CAST(r['idx'] AS BIGINT) AS chunk_idx, r['s'] AS chunk,
+        |  CAST(r['n'] AS BIGINT) AS n_words
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest([{'idx': i, 's': array_to_string(ws[i*10+1 : i*10+20], ' '),
+        |             'n': least(20, len(ws) - i*10)}
+        |            FOR i IN generate_series(0, greatest(0, (len(ws) - 20 + 9) // 10))]) AS r
+        |  FROM w)""".stripMargin,
     "ta_pack" ->
       """WITH sized AS (
         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
@@ -2225,6 +2328,16 @@ object SparkEntry {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND epoch_us(r.ts) > epoch_us(l.ts)
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000""".stripMargin,
+    // semi join: matched rows emit at match time, unmatched never —
+    // no watermark cutoff to mirror, so the oracle is a plain EXISTS
+    "stream_interval_join_semi" ->
+      """SELECT l.user_id, l.event_id AS click_id
+        |FROM events l
+        |WHERE l.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |    AND epoch_us(r.ts) > epoch_us(l.ts)
+        |    AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000)""".stripMargin,
     // Outer rows are the state-eviction byproduct: an unmatched click
     // emits once the watermark passes its match horizon, so on a
     // finite source exactly the clicks with

@@ -486,6 +486,27 @@ object Relational {
         round(sum(dec6(col("value"))), 2).cast("double").as("session_value"))
   }
 
+  /** [[sessionize]]'s interval face: the same gap-split window plan,
+    * aggregated to one CLOSED interval [s_start, s_end] (exact epoch
+    * nanos of the first/last event) per session — the input shape
+    * interval analytics (overlap joins, coverage, utilization) wants.
+    * Same single user_id shuffle; nothing new to get wrong.
+    */
+  def sessionIntervals(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val gapNs = gapMinutes * 60000L * 1000000L
+    val prevTs = lag(col("ts_ns"), 1).over(byUser)
+    val newSession = when(prevTs.isNull.or(
+      col("ts_ns") - prevTs > gapNs), 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ns")).as("s_start"), max(col("ts_ns")).as("s_end"))
+  }
+
   /** Snapshot reconciliation: diff two versions of a keyed table into
     * added / removed / changed / unchanged counts — the audit every
     * daily-rebuild pipeline runs before promoting a snapshot. ONE

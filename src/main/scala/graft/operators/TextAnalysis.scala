@@ -181,6 +181,34 @@ object TextAnalysis {
           .as(Seq("passage_idx", "passage")))
       .select(col("doc_id"), col("passage_idx").cast("long").as("passage_idx"), col("passage"))
 
+  /** Sliding-window chunking ([[passages]] with stride < window — the
+    * RAG-retrieval shape, where adjacent chunks overlap so no answer
+    * span is ever split across a boundary with no chunk containing
+    * it). Chunk i covers words [i·stride, i·stride + window); starts
+    * run 0, stride, 2·stride, … until the window reaches the tail, so
+    * every word lands in ≥1 chunk and ceil(window/stride) is the
+    * worst-case duplication factor (2× at the 20/10 default) — the
+    * knob a 100 TB corpus budgets explicitly.
+    *
+    * Plan: a pure per-row transform+slice explosion — zero shuffles,
+    * scales with input splits. Start count is 64-bit integer math
+    * (`div`, wrapped in greatest(0,·) so the sub-window-doc case
+    * agrees with the oracle's floor division exactly).
+    */
+  def slidingChunks(documents: DataFrame, window: Int = 20, stride: Int = 10): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(0, (size(ws) - $window + ${stride - 1}) div $stride)), " +
+            s"i -> array_join(slice(ws, i * $stride + 1, $window), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        least(lit(window), col("nw") - col("chunk_idx") * stride).cast("long").as("n_words"))
+  }
+
   /** Context-window packing: assign docs (in stable doc_id order) to
     * training shards by cumulative token budget — shard = running
     * token total BEFORE this doc, integer-divided by the budget.

@@ -105,6 +105,52 @@ object TemporalJoins {
     * right rows land in one bin, the exact predicate filters after
     * the hash join.
     */
+  /** Interval×interval overlap join over CLOSED integer intervals:
+    * every (left, right) pair with `l.start <= r.end AND
+    * r.start <= l.end`. Spark would plan the raw inequality as a
+    * BroadcastNestedLoopJoin — O(|L|·|R|) — so, like [[rangeJoin]],
+    * the intervals are binned and the join is an equi-join on the
+    * bin: BOTH sides explode to every fixed-width bin they cover
+    * (bounded by interval_length/binWidth + 1 replicas per row).
+    *
+    * An overlapping pair shares every bin their intersection covers,
+    * so a plain binned join would emit it once PER shared bin. The
+    * dedup is free, not a `distinct`: the pair is emitted only in the
+    * bin containing `max(l.start, r.start)` — a bin both intervals
+    * cover whenever they overlap (it lies inside the intersection),
+    * and exactly one bin — so each overlapping pair survives the
+    * filter exactly once.
+    *
+    * All bin arithmetic is 64-bit integer `div`, never
+    * `floor(x / w)`: epoch-nanos exceed 2^53, and a double division
+    * could assign the two sides of a pair to different bins, silently
+    * dropping or double-emitting it. Starts/ends must therefore be
+    * non-negative (integer `div` truncates toward zero; the operators
+    * feeding this pass epoch nanos, which are positive).
+    *
+    * Both inputs must expose `startCol`/`endCol` under those names;
+    * `rightProject` columns come back prefixed `r_`.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          startCol: String, endCol: String, binWidth: Long,
+                          leftProject: Seq[String],
+                          rightProject: Seq[String]): DataFrame = {
+    require(binWidth > 0)
+    def binned(df: DataFrame): DataFrame =
+      df.withColumn("_bin", explode(sequence(
+        expr(s"$startCol div ${binWidth}L"), expr(s"$endCol div ${binWidth}L"))))
+    val l = binned(left).alias("l")
+    val r = binned(right).alias("r")
+    val ls = col(s"l.$startCol"); val le = col(s"l.$endCol")
+    val rs = col(s"r.$startCol"); val re = col(s"r.$endCol")
+    l.join(r,
+        col("l._bin") === col("r._bin") &&
+          ls <= re && rs <= le &&
+          col("l._bin") === expr(s"greatest(l.$startCol, r.$startCol) div ${binWidth}L"))
+      .select(leftProject.map(c => col(s"l.$c")) ++
+        rightProject.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
                 before: Long, after: Long, binWidth: Long,
                 leftProject: Seq[String], rightProject: Seq[String]): DataFrame = {

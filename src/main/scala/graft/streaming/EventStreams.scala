@@ -1418,6 +1418,49 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Stream-stream LEFT SEMI interval join — the conversion-audit
+    * face of [[intervalJoin]]: each click emits AT MOST ONCE, as soon
+    * as its FIRST in-window purchase arrives, however many follow.
+    * For "which clicks converted" this beats the inner join + distinct
+    * a batch mind would write twice over: no row multiplication on
+    * multi-purchase users (state marks the left row matched instead
+    * of re-emitting it), and no extra dedup shuffle after the join.
+    * Same state story as the inner join: both sides keyed on user,
+    * rows held only within the watermark + interval horizon.
+    *
+    * Unlike the outer join there is no watermark-eviction cutoff to
+    * mirror: matched rows emit at match time, unmatched rows never
+    * emit — so the batch oracle is a plain EXISTS over the full data.
+    */
+  def intervalJoinSemi(spark: SparkSession, dir: String, leftType: String = "click",
+                       rightType: String = "purchase", withinMinutes: Int = 30): DataFrame = {
+    val left = readEventStream(spark, dir)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id").as("left_user"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", "1 hour")
+    val right = readEventStream(spark, dir)
+      .filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("right_user"),
+        col("ts").as("right_ts"))
+      .withWatermark("right_ts", "1 hour")
+    val qname = "graft_stream_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = left.join(right,
+        col("left_user") === col("right_user") &&
+          col("right_ts") > col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "left_semi")
+      .select(col("left_user").as("user_id"), col("left_id").as("click_id"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   private def microsToValue(micros: Long): Double =
     (BigDecimal(micros) / BigDecimal(1000000L))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble

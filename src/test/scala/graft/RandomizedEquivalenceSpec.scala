@@ -174,6 +174,33 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("binned interval overlap join == naive inequality join, each pair exactly once, on 8 seeded configs") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(300 + seed)
+      val binWidth = 1L + rnd.nextInt(40) // bins misaligned with intervals
+      // spans up to 60 straddle many bins at small widths; zero-length
+      // (point) intervals occur too
+      def ivls(n: Int, tag: Long) = Seq.tabulate(n) { i =>
+        val s = rnd.nextInt(200).toLong
+        (s, s + rnd.nextInt(60).toLong, tag * 1000 + i)
+      }
+      val left = ivls(30, 1).toDF("ivl_start", "ivl_end", "lid")
+      val right = ivls(30, 2).toDF("ivl_start", "ivl_end", "rid")
+      val got = TemporalJoins.intervalOverlapJoin(left, right,
+        "ivl_start", "ivl_end", binWidth, Seq("lid"), Seq("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = left.as("l").join(right.as("r"),
+        col("l.ivl_start") <= col("r.ivl_end") &&
+          col("r.ivl_start") <= col("l.ivl_end"))
+        .select(col("l.lid"), col("r.rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // emit-once: the max-start-bin filter must dedup WITHOUT a distinct
+      assert(got.length == got.toSet.size, s"duplicate pairs at seed=$seed bin=$binWidth")
+      assert(got.toSet == naive, s"seed=$seed bin=$binWidth")
+    }
+  }
+
   test("native as-of join == compositional as-of join on 6 seeded random event sets") {
     import spark.implicits._
     for (seed <- 1 to 6) {

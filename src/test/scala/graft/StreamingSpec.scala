@@ -1204,4 +1204,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == asSet(batch.collect()))
     assert(got.nonEmpty)
   }
+
+  test("stream-stream semi join: distinct converted clicks, each emitted exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = EventStreams.intervalJoinSemi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: a click with several in-window purchases must not
+    // re-emit (the property the semi join buys over inner + distinct)
+    assert(rows.length == rows.toSet.size, "semi join re-emitted a click")
+    // parity: the left-id projection of the inner interval join, deduped
+    val inner = EventStreams.intervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet == inner)
+    assert(rows.nonEmpty)
+    // exactly-once under REAL multi-match pressure, pinned on a
+    // planted fixture (the spec SF has no multi-purchase clicks):
+    // one click with two in-window purchases → inner emits 2 rows,
+    // semi emits exactly 1
+    val s = spark
+    import s.implicits._
+    val hourNs = 3600000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-semi-").toString
+    Seq(
+      (1L, 2 * hourNs, 1L, "click", 0.0, "{}"),
+      (2L, 2 * hourNs + 60000000000L, 1L, "purchase", 0.0, "{}"),
+      (3L, 2 * hourNs + 120000000000L, 1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val semiP = EventStreams.intervalJoinSemi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val innerP = EventStreams.intervalJoin(spark, dir).collect()
+    assert(innerP.length == 2, "planted click should inner-match both purchases")
+    assert(semiP == Seq((1L, 1L)), "semi join must emit the click exactly once")
+  }
 }

@@ -126,4 +126,35 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(binned == naive)
   }
+
+  test("intervalOverlapJoin: closed-interval semantics across bin edges") {
+    import spark.implicits._
+    val left = Seq(
+      (0L, 25L, 1L),   // spans bins 0-2 at width 10
+      (40L, 40L, 2L),  // point interval
+      (100L, 110L, 3L) // overlaps nothing
+    ).toDF("ivl_start", "ivl_end", "lid")
+    val right = Seq(
+      (25L, 30L, 10L), // touches lid=1 at exactly 25 (closed: overlap)
+      (26L, 30L, 11L), // just past lid=1's end: NO overlap
+      (35L, 45L, 12L), // contains the point interval
+      (0L, 300L, 13L)  // covers everything
+    ).toDF("ivl_start", "ivl_end", "rid")
+    val got = TemporalJoins.intervalOverlapJoin(left, right,
+      "ivl_start", "ivl_end", 10L, Seq("lid"), Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == Set(
+      (1L, 10L), (1L, 13L), (2L, 12L), (2L, 13L), (3L, 13L)))
+  }
+
+  test("intervalOverlapJoin on empty inputs returns empty") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long, Long)].toDF("ivl_start", "ivl_end", "lid")
+    val r = Seq((0L, 10L, 1L)).toDF("ivl_start", "ivl_end", "rid")
+    assert(TemporalJoins.intervalOverlapJoin(e, r, "ivl_start", "ivl_end", 10L,
+      Seq("lid"), Seq("rid")).isEmpty)
+    assert(TemporalJoins.intervalOverlapJoin(r, e, "ivl_start", "ivl_end", 10L,
+      Seq("rid"), Seq("lid")).isEmpty)
+  }
 }

@@ -374,4 +374,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert((1L to 5L).forall(picked.contains))
   }
+
+  test("slidingChunks: overlap, tail coverage, and sub-window docs") {
+    import spark.implicits._
+    // 25 words, window 6, stride 4 → starts 0,4,8,12,16 and a tail
+    // start at 20 (ceil((25-6)/4) = 5) covering words 20..24
+    val words = (0 until 25).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, "a b c") // shorter than the window: exactly one chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.slidingChunks(docs, window = 6, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == (0L to 5L))
+    // every consecutive pair overlaps by window - stride = 2 words
+    assert(d1.head._3 == "w0 w1 w2 w3 w4 w5")
+    assert(d1(1)._3 == "w4 w5 w6 w7 w8 w9")
+    // tail chunk is short but covers the last words
+    assert(d1.last._3 == "w20 w21 w22 w23 w24" && d1.last._4 == 5L)
+    // full coverage: each word index appears in at least one chunk
+    val covered = d1.flatMap(c => c._3.split(" ")).toSet
+    assert(covered == words.toSet)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "a b c", 3L)))
+  }
 }
