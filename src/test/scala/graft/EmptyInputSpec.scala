@@ -194,5 +194,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(emptyEmb9.withColumn("c",
       graft.operators.Similarity.cellAssignColumn(org.apache.spark.sql.functions.col("embedding"), coarse9))
       .count() == 0)
+    // session-9 additions: sliding chunks, interval builder, pagerank
+    assert(TextAnalysis.slidingChunks(emptyDocs).count() == 0)
+    val emptyEv = Seq.empty[(Long, Long, Long)].toDF("event_id", "ts_ns", "user_id")
+    assert(Relational.sessionIntervals(emptyEv, 30).count() == 0)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.pagerankMicros(emptyPairs, 3).count() == 0)
   }
 }

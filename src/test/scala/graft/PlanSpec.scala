@@ -100,6 +100,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("_bin"))
   }
 
+  test("interval overlap join: bin equi-join with the small side broadcast, never a nested loop") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("_bin"), "the overlap predicate must ride a bin equi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (≤720-row) incident side must broadcast, not shuffle the sessions again")
+  }
+
   test("q9_profit_shape: part filter pushed, supplier/nation broadcast, no cartesian") {
     val p = plan("q9_profit_shape")
     assert(p.contains("LessThanOrEqual(p_size,20"), "p_size filter must reach the part scan")
@@ -235,5 +243,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "wedge closure must probe a broadcast")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "wedge generation is a co-partitioned equality self-join")
+  }
+
+  test("AQE skew-join split fires on a planted hot key (the automatic twin of q_salted_join)") {
+    // SURVEY §5 claims AQE skew handling as the automatic counterpart
+    // of the manual salting operators. This pins the claim: with the
+    // skew thresholds scaled to the fixture, the hot key's partition
+    // must be split (the executed SortMergeJoin carries skew=true) and
+    // the result must equal the plain join's.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      // key 0 carries 30k rows; 200 cold keys carry 50 each. The pad
+      // column is ROW-DEPENDENT (a literal would constant-fold away
+      // and column pruning would shrink the hot partition under the
+      // skew threshold) and is aggregated, so it must survive the
+      // shuffle. The aggregation is GLOBAL (its partial stage needs
+      // no particular distribution) — a groupBy on the join key would
+      // legitimately suppress the split, since splitting breaks the
+      // hash partitioning that aggregation requires.
+      val left = ((0 until 30000).map(i => (0L, i.toLong)) ++
+        (for (k <- 1 to 200; i <- 0 until 50) yield (k.toLong, i.toLong)))
+        .toDF("k", "lv")
+        .withColumn("pad", sha2(concat(col("k"), lit(":"), col("lv")), 256))
+      val right = (0L to 200L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("padlen"),
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("hot"))
+      val row = joined.collect().head
+      val total = 30000L + 200L * 50L
+      assert(row.getLong(0) == total && row.getLong(1) == total * 64L &&
+        row.getLong(2) == 30000L, "skew split must not change results")
+      val exec = joined.queryExecution.executedPlan.toString
+      assert(exec.contains("skew=true"),
+        s"hot-key partition was not split by AQE:\n${exec.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
