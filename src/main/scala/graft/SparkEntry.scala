@@ -144,6 +144,20 @@ object SparkEntry {
         "user_id", "ts_ns", "event_id", Seq("click_event_id", "click_value"))
         .select(col("user_id"), col("event_id"), col("click_event_id"), col("click_value"))
     }),
+    // nearest click in EITHER direction, equal distance -> backward
+    // (pandas merge_asof(direction='nearest') semantics)
+    "q_asof_nearest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_id").as("click_event_id"))
+      graft.plans.TemporalJoins.asofJoinNearest(purchases, clicks,
+        "user_id", "ts_ns", "event_id", Seq("click_event_id"))
+        .select(col("user_id"), col("event_id"), col("click_event_id"))
+    }),
     "q_asof_forward" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(s, dir)
@@ -279,6 +293,29 @@ object SparkEntry {
     // + min(dist) — different algorithm, every integer must agree
     "q_bfs" -> ((s, dir) => Graph.bfsHops(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 30)),
+    // delta-relaxing Bellman-Ford from the same seed over
+    // multiplicity-weighted edges; the oracle unrolls 20 relax
+    // rounds as chained min-aggregates — rounds past the fixpoint
+    // are no-ops on both sides, all-integer distances
+    "q_sssp" -> ((s, dir) => Graph.sssp(
+      Graph.coPurchaseWeightedEdges(Tables.lineitem(s, dir)), 20)),
+    // synchronous LPA, 5 rounds, smallest-label tie-break; the
+    // oracle unrolls the same 5 rounds (fixed budget makes the
+    // possibly-unstabilized outcome deterministic on both sides)
+    "q_label_prop" -> ((s, dir) => Graph.labelPropagation(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 5)),
+    // 4-truss peel on the p=¼ DOULION subgraph (the same 0x4000
+    // sparsified edges q_triangles_approx_q measures); oracle
+    // unrolls 4 support-peel rounds with the orientation-free
+    // a<b<c triangle join
+    "q_ktruss" -> ((s, dir) => Graph.kTruss(
+      Graph.sampleEdges(Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 250),
+      k = 4, rounds = 4)),
+    // Borůvka MSF under the (w, u, v) total order — rows-only by
+    // declared design (union-find is not DuckDB-CTE-expressible);
+    // the spec oracle is local Kruskal edge-set equality
+    "q_mst" -> ((s, dir) => Graph.mstBoruvka(
+      Graph.coPurchaseWeightedEdges(Tables.lineitem(s, dir)))),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -413,6 +450,9 @@ object SparkEntry {
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // Gopher-rule keep/drop verdicts: every flag is a
+    // cross-multiplied integer comparison — no float division
+    "ta_gopher_flags" -> ((s, dir) => TextAnalysis.gopherFlags(Tables.documents(s, dir))),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
@@ -496,6 +536,10 @@ object SparkEntry {
     // most once on its first in-window purchase; no row
     // multiplication, no post-join dedup shuffle
     "stream_interval_join_semi" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinSemi(s, dir)),
+    // FULL OUTER face: inner matches plus both unmatched sides, each
+    // emitted once at its own watermark-eviction horizon (left:
+    // wm > left_ts + Δ; right: wm > right_ts) — −1 sentinels
+    "stream_interval_join_full" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinFull(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     "stream_snapshot_diff" -> ((s, dir) => graft.streaming.EventStreams.streamedSnapshotDiff(s, dir)),
     "stream_cc" -> ((s, dir) => graft.streaming.EventStreams.streamedComponents(s, dir)),
@@ -596,6 +640,63 @@ object SparkEntry {
        |  FROM edges e JOIN pr${i - 1} p ON e.a = p.doc_id
        |  JOIN deg d ON d.doc_id = e.a
        |  GROUP BY e.b)""".stripMargin
+  }.mkString(",\n")
+
+  /** 20 unrolled Bellman-Ford relax rounds as chained CTEs — the
+    * KcoreRoundCtes philosophy: each round min-aggregates the prior
+    * distance table with its one-hop relaxations over the weighted
+    * adjacency `wund`; rounds past the fixpoint are no-ops on both
+    * sides, so this matches the Spark delta-relaxing frontier exactly
+    * whether or not it converges within the shared 20-round budget.
+    * MATERIALIZED for the same reason as the k-core ladder (each
+    * round references its predecessor twice).
+    */
+  private val SsspRoundCtes: String = (1 to 20).map { i =>
+    s"""s$i AS MATERIALIZED (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM s${i - 1}
+       |    UNION ALL
+       |    SELECT e.b, s.dist + e.w FROM s${i - 1} s JOIN wund e ON e.a = s.node)
+       |  GROUP BY node)""".stripMargin
+  }.mkString(",\n")
+
+  /** 4 unrolled k-truss support-peel rounds (k=4 ⇒ support ≥ 2):
+    * per round, enumerate triangles on the surviving edges with the
+    * orientation-free a&lt;b&lt;c three-way join (every edge canonical
+    * u&lt;v, so a triangle is (a,b),(b,c),(a,c)), unpivot each
+    * triangle into its three edges, count support per edge, keep
+    * edges at ≥ k−2. Rounds past the fixpoint are no-ops on both
+    * sides (the q_kcore ladder philosophy).
+    */
+  private val KtrussRoundCtes: String = (1 to 4).map { i =>
+    s"""tt$i AS MATERIALIZED (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM te${i - 1} e1 JOIN te${i - 1} e2 ON e2.u = e1.v
+       |  JOIN te${i - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |sup$i AS MATERIALIZED (
+       |  SELECT u, v, count(*) AS s FROM (
+       |    SELECT a AS u, b AS v FROM tt$i
+       |    UNION ALL SELECT b, c FROM tt$i
+       |    UNION ALL SELECT a, c FROM tt$i) GROUP BY u, v),
+       |te$i AS MATERIALIZED (
+       |  SELECT e.u, e.v FROM te${i - 1} e
+       |  JOIN sup$i s ON s.u = e.u AND s.v = e.v WHERE s.s >= 2)""".stripMargin
+  }.mkString(",\n")
+
+  /** 5 unrolled synchronous label-propagation rounds: per round,
+    * count neighbor labels per node and keep the (count DESC, label
+    * ASC) winner — the exact arg-max-by-(c, −label) the Spark side
+    * aggregates. Fixed budget on both sides makes a
+    * possibly-unstabilized propagation deterministic.
+    */
+  private val LabelPropRoundCtes: String = (1 to 5).map { i =>
+    s"""lp$i AS MATERIALIZED (
+       |  SELECT node, label FROM (
+       |    SELECT e.b AS node, l.label, count(*) AS c,
+       |      row_number() OVER (PARTITION BY e.b
+       |        ORDER BY count(*) DESC, l.label) AS rn
+       |    FROM lp${i - 1} l JOIN und e ON e.a = l.node
+       |    GROUP BY e.b, l.label) t WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
 
   /** 8 unrolled k-core peel rounds (k=70) as chained CTEs — the
@@ -935,6 +1036,39 @@ object SparkEntry {
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // weighted sibling: multiplicity-derived integer edge lengths
+    // (10 − least(9, shared orders)) and a 20-round unrolled
+    // Bellman-Ford min-aggregate ladder — all-integer distances, so
+    // every value must agree with the Spark delta-relaxation
+    "q_sssp" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v, 10 - LEAST(9, count(*)) AS w
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+        |wund AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we),
+        |s0 AS MATERIALIZED (SELECT min(a) AS node, CAST(0 AS BIGINT) AS dist
+        |     FROM wund HAVING min(a) IS NOT NULL),
+        |$SsspRoundCtes
+        |SELECT node, dist FROM s20""".stripMargin,
+    // synchronous LPA: 5 unrolled rounds, (count DESC, label ASC)
+    // winner per node — all-integer, must agree label-for-label
+    "q_label_prop" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+        |lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+        |$LabelPropRoundCtes
+        |SELECT node, label FROM lp5""".stripMargin,
+    // 4-truss on the 0x4000-sampled subgraph: 4 unrolled
+    // support-peel rounds; surviving edges must agree one-for-one
+    "q_ktruss" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0full AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |te0 AS MATERIALIZED (SELECT u, v FROM e0full
+        |     WHERE substr(md5('tri:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '4000'),
+        |$KtrussRoundCtes
+        |SELECT u, v FROM te4""".stripMargin,
     // The sketch-peeled variant reproduces ESTIMATE-for-ESTIMATE:
     // the CMS matrix is rebuilt per round in SQL with the q_count_min
     // cell hash, so the oracle inherits the collisions too
@@ -1310,6 +1444,24 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, c.click_event_id, c.click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tns <= p.tns""".stripMargin,
+    // nearest in either direction: explicit argmin window (abs
+    // distance, backward-on-tie, larger click id at the chosen ts) —
+    // a different formulation than the two-carry Spark plan
+    "q_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS cuid, event_id AS click_event_id, epoch_ns(ts) AS ctns
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.event_id, c.click_event_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(c.ctns - p.tns),
+        |        CASE WHEN c.ctns <= p.tns THEN 0 ELSE 1 END,
+        |        c.click_event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.cuid = p.user_id)
+        |SELECT user_id, event_id, click_event_id FROM j WHERE rn = 1""".stripMargin,
     "q_asof_forward" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
@@ -2089,6 +2241,32 @@ object SparkEntry {
         |  round(CAST(length(text) AS DOUBLE)
         |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len
         |FROM documents""".stripMargin,
+    // every flag a cross-multiplied integer comparison — the
+    // thresholded Gopher verdict layer over the quality stats
+    "ta_gopher_flags" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |st AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w) * c) AS BIGINT) AS tot_chars,
+        |    count(*) AS n_distinct,
+        |    max(c) AS max_cnt,
+        |    count(DISTINCT CASE WHEN w IN ('the','and','of','to','in','is',
+        |      'that','for','with','was') THEN w END) AS n_stop
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n_words, tot_chars, n_distinct, max_cnt, n_stop,
+        |  n_words >= 20 AND n_words <= 2000 AS f_len,
+        |  3 * n_words <= tot_chars AND tot_chars <= 10 * n_words AS f_word_len,
+        |  n_stop >= 2 AS f_stop,
+        |  10 * max_cnt <= 3 * n_words AS f_top_unigram,
+        |  2 * (n_words - n_distinct) <= n_words AS f_dup,
+        |  (n_words >= 20 AND n_words <= 2000)
+        |    AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+        |    AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
+        |    AND 2 * (n_words - n_distinct) <= n_words AS keep
+        |FROM st""".stripMargin,
     "ta_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
@@ -2369,6 +2547,41 @@ object SparkEntry {
         |          AND r.rus > l.lus AND r.rus <= l.lus + 1800000000)
         |    AND l.lus + 1800000000 < mx.cut)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
+    // FULL OUTER: matched plus BOTH eviction-driven unmatched sides.
+    // Each side has its own horizon against the final watermark
+    // (min of the two sides' max event time − 1 h): a click is
+    // unmatched-final once wm passes click_ts + Δ; a purchase once
+    // wm passes purchase_ts (a matching click must be strictly
+    // earlier, and the watermark bounds how old a new click can be)
+    "stream_interval_join_full" ->
+      """WITH mx AS (SELECT (LEAST(
+        |    (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+        |  - 3600000) * 1000 AS cut),
+        |l AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS lus
+        |      FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS ruid, event_id AS purchase_id, epoch_us(ts) AS rus
+        |      FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT l.user_id, l.click_id, r.purchase_id, (r.rus - l.lus) // 1000 AS lag_ms
+        |  FROM l JOIN r ON l.user_id = r.ruid
+        |    AND r.rus > l.lus AND r.rus <= l.lus + 1800000000),
+        |unmatched_l AS (
+        |  SELECT l.user_id, l.click_id,
+        |    CAST(-1 AS BIGINT) AS purchase_id, CAST(-1 AS BIGINT) AS lag_ms
+        |  FROM l, mx
+        |  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.ruid = l.user_id
+        |          AND r.rus > l.lus AND r.rus <= l.lus + 1800000000)
+        |    AND l.lus + 1800000000 < mx.cut),
+        |unmatched_r AS (
+        |  SELECT r.ruid AS user_id, CAST(-1 AS BIGINT) AS click_id,
+        |    r.purchase_id, CAST(-1 AS BIGINT) AS lag_ms
+        |  FROM r, mx
+        |  WHERE NOT EXISTS (SELECT 1 FROM l WHERE r.ruid = l.user_id
+        |          AND r.rus > l.lus AND r.rus <= l.lus + 1800000000)
+        |    AND r.rus < mx.cut)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched_l
+        |UNION ALL SELECT * FROM unmatched_r""".stripMargin,
     // Per-hour KMV sketches accumulate across micro-batches by set
     // insertion (no merge error), so the oracle rebuilds each hour's
     // sketch and the consecutive-hour retained/new/churned estimates

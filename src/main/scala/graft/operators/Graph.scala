@@ -35,6 +35,99 @@ object Graph {
       .distinct()
   }
 
+  /** Weighted co-purchase edges: like [[coPurchaseEdges]] but each
+    * (u, v) edge carries an integer LENGTH derived from its
+    * co-purchase multiplicity — `w = 10 − least(9, shared orders)`,
+    * so frequently-co-purchased pairs are CLOSE (length 1) and
+    * one-off pairs are far (length 9). All-integer and a pure
+    * aggregate of the same bounded per-order fan-out, so the DuckDB
+    * oracle rebuilds identical weights with `10 - LEAST(9, count(*))`.
+    */
+  def coPurchaseWeightedEdges(lineitem: DataFrame): DataFrame = {
+    val items = lineitem.select(
+      col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a")
+    val b = items.as("b")
+    a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v")
+      .agg((lit(10L) - least(lit(9L), count(lit(1)))).as("w"))
+  }
+
+  /** Single-source shortest paths over weighted undirected edges
+    * (u, v, w) — the weighted sibling of [[bfsHops]]: distance is the
+    * MINIMUM TOTAL LENGTH from the deterministic min-id seed, not the
+    * hop count, so it answers "how tightly coupled" where BFS answers
+    * "reachable in how many steps".
+    *
+    * Delta-relaxing Bellman-Ford, the scalable shape: round r joins
+    * ONLY the nodes whose distance IMPROVED in round r−1 against the
+    * adjacency (a settled node's contribution was already applied the
+    * round it last improved, so re-relaxing it is a no-op — the
+    * classic SSSP frontier argument). Per-round work is O(edges
+    * incident to the improved set); each round is one equality join +
+    * one min-aggregate + one left join back against the running
+    * distance table, all hash-partitioned on the node, with per-round
+    * eager `localCheckpoint` + [[Checkpoints.free]] keeping the plan
+    * and block manager constant-size (the 26b lesson). Early exit
+    * when a round improves nothing (the fixpoint); `maxRounds` caps
+    * the relaxation depth — note a min-WEIGHT path may use more hops
+    * than the BFS diameter, so the cap is generous and the SQL oracle
+    * unrolls the SAME number of rounds (rounds past the fixpoint are
+    * no-ops on both sides, the q_kcore oracle philosophy).
+    *
+    * All-integer distances (weights are integers, sums are Long), so
+    * the oracle's unrolled relax-ladder must agree on every value —
+    * no float accumulation order to diverge on.
+    */
+  def sssp(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    val und = edges0.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .localCheckpoint(true)
+    val seedRow = und.agg(min(col("a"))).head()
+    if (seedRow.isNullAt(0)) {
+      Checkpoints.free(und)
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("node", "dist")
+    }
+    val seed = seedRow.getLong(0)
+    import spark.implicits._
+    var dist = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(true)
+    // Frontier carries (node, dist-at-improvement); first frontier is
+    // the seed itself.
+    var frontier = dist
+    var frontierCp: DataFrame = null
+    var round = 1
+    var continue = true
+    while (continue && round <= maxRounds) {
+      val cand = frontier.join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+      val improved = cand.join(dist, Seq("node"), "left_outer")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) {
+        Checkpoints.free(improved)
+        continue = false
+      } else {
+        val superseded = dist
+        dist = dist.join(improved, Seq("node"), "left_anti")
+          .unionAll(improved).localCheckpoint(true)
+        Checkpoints.free(superseded)
+        if (frontierCp != null) Checkpoints.free(frontierCp)
+        frontierCp = improved
+        frontier = improved
+      }
+      round += 1
+    }
+    if (frontierCp != null) Checkpoints.free(frontierCp)
+    Checkpoints.free(und)
+    dist
+  }
+
   /** Exact triangle count via degree-ordered wedge closure.
     *
     * Naive triangle counting closes wedges at EVERY vertex — a hub of
@@ -153,16 +246,32 @@ object Graph {
     *
     * Output: (n_edges_sampled, triangles_sampled, triangles_est).
     */
+  /** DOULION edge-sampling predicate (seeded content hash, realized
+    * probability `⌊keepPermille·65536/1000⌋ / 65536`): keep an edge
+    * iff the first 4 md5 hex digits of "salt:u:v" fall under the
+    * threshold. Shared by [[triangleCountApprox]] and the sampled
+    * [[kTruss]] entry so both peel the SAME sparsified subgraph the
+    * oracle rebuilds with the identical `substr(md5(…),1,4) <` test.
+    */
+  def sampleEdges(edges0: DataFrame, keepPermille: Int,
+                  salt: String = "tri:"): DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"keepPermille in 1..1000, got $keepPermille")
+    if (keepPermille == 1000) edges0
+    else {
+      val thresh = keepPermille * 65536 / 1000
+      val hex4 = substring(md5(concat(lit(salt), col("u").cast("string"),
+        lit(":"), col("v").cast("string"))), 1, 4)
+      edges0.filter(hex4 < lit(f"$thresh%04x"))
+    }
+  }
+
   def triangleCountApprox(edges0: DataFrame, keepPermille: Int = 500,
                           salt: String = "tri:"): DataFrame = {
     require(keepPermille >= 1 && keepPermille <= 1000,
       s"keepPermille in 1..1000, got $keepPermille")
     val thresh = keepPermille * 65536 / 1000
-    val hex4 = substring(md5(concat(lit(salt), col("u").cast("string"),
-      lit(":"), col("v").cast("string"))), 1, 4)
-    val sampled =
-      if (keepPermille == 1000) edges0
-      else edges0.filter(hex4 < lit(f"$thresh%04x"))
+    val sampled = sampleEdges(edges0, keepPermille, salt)
     val p = if (keepPermille == 1000) 1.0 else thresh.toDouble / 65536.0
     val inv = 1.0 / (p * p * p)
     triangleCount(sampled).select(
@@ -289,6 +398,228 @@ object Graph {
     if (frontierCp != null) Checkpoints.free(frontierCp)
     Checkpoints.free(und)
     dist
+  }
+
+  /** Per-edge triangle support via the same degree-ordered wedge
+    * closure as [[triangleCount]], but emitting the three CANONICAL
+    * (u < v) edges of every triangle instead of a count — the inner
+    * pass of [[kTruss]]. Same O(m^1.5) wedge bound regardless of hub
+    * skew; the support aggregate is one more shuffle on the edge.
+    */
+  private def edgeSupport(edges: DataFrame, mEdges: Long): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.as("du")
+    val dv = deg.as("dv")
+    val uFirst = (col("du.d") < col("dv.d")) ||
+      (col("du.d") === col("dv.d") && col("u") < col("v"))
+    val oriented = edges
+      .join(du, col("u") === col("du.n"))
+      .join(dv, col("v") === col("dv.n"))
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv.d")).otherwise(col("du.d")).as("dstDeg"))
+      .localCheckpoint(true)
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val wedges = e1.join(e2,
+        col("e1.src") === col("e2.src") &&
+          ((col("e1.dstDeg") < col("e2.dstDeg")) ||
+           (col("e1.dstDeg") === col("e2.dstDeg") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val closureRight = if (mEdges <= 20L * 1000 * 1000) broadcast(oriented) else oriented
+    val tris = wedges.join(closureRight,
+        col("b") === col("src") && col("c") === col("dst"))
+      .select("x", "b", "c")
+    val sup = tris
+      .select(least(col("x"), col("b")).as("u"), greatest(col("x"), col("b")).as("v"))
+      .unionAll(tris.select(least(col("x"), col("c")).as("u"), greatest(col("x"), col("c")).as("v")))
+      .unionAll(tris.select(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .localCheckpoint(true)
+    Checkpoints.free(oriented)
+    sup
+  }
+
+  /** k-truss: the maximal subgraph in which EVERY edge participates
+    * in ≥ k−2 triangles (Cohen 2008; Wang & Cheng VLDB'12 — public
+    * literature). Where k-core peels NODES by degree, k-truss peels
+    * EDGES by triangle support — a strictly stronger cohesion test (a
+    * star hub survives any degree filter but has zero triangles).
+    *
+    * Iterative peel: compute per-edge support ([[edgeSupport]] — the
+    * degree-ordered wedge closure, O(m^1.5) total independent of hub
+    * skew), drop edges below k−2, repeat; dropping edges can destroy
+    * other edges' triangles, hence the cascade. Fixed `rounds` budget
+    * with early exit when a round drops nothing — rounds past the
+    * fixpoint are no-ops, and the DuckDB oracle unrolls the SAME
+    * budget (the q_kcore ladder philosophy) using the
+    * orientation-free a<b<c triangle join — a different algorithm
+    * agreeing on every surviving edge.
+    *
+    * At 100 TB the support pass is the exact-triangle cost paid
+    * `rounds` times; the deployment path is the same as counting —
+    * DOULION-sample the edge list first (`q_ktruss` runs on the p=¼
+    * subgraph the approximate counter already measures), or peel a
+    * multiplicity-filtered subgraph.
+    */
+  def kTruss(edges0: DataFrame, k: Int = 4, rounds: Int = 4): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var edges = edges0.select("u", "v").localCheckpoint(true)
+    var mEdges = edges.count()
+    var r = 0
+    var continue = true
+    while (continue && r < rounds && mEdges > 0) {
+      val sup = edgeSupport(edges, mEdges)
+      val kept = edges.join(sup, Seq("u", "v"), "left_outer")
+        .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
+        .select("u", "v")
+        .localCheckpoint(true)
+      val keptCount = kept.count()
+      Checkpoints.free(sup)
+      Checkpoints.free(edges)
+      edges = kept
+      if (keptCount == mEdges) continue = false
+      mEdges = keptCount
+      r += 1
+    }
+    edges
+  }
+
+  /** Minimum spanning forest via Borůvka rounds (public classic; the
+    * canonical MapReduce/MPC MST — components halve per round, so
+    * O(log n) rounds total). DETERMINISTIC: edges are totally ordered
+    * by (w, u, v), so even under weight ties the chosen forest is the
+    * unique MSF of that total order — reduction-order-free, which is
+    * what lets the spec pin it against an independent local Kruskal.
+    *
+    * Per round: annotate edges with their endpoints' component ids
+    * (two hash joins on node), every component picks its MINIMUM
+    * outgoing edge (one min-of-struct aggregate — map-side combined,
+    * never a sort), the chosen edges' component-graph collapses via
+    * the library's own [[graft.operators.Dedup.connectedComponents]]
+    * (Borůvka's merge step IS small-scale CC: the chosen-edge graph
+    * has ≤ one out-edge per component), and now-intra-component
+    * edges are dropped so later rounds shrink geometrically. All
+    * state per-round localCheckpointed + freed (the 26b lesson).
+    *
+    * No SQL oracle — union-find/Borůvka is not expressible in
+    * DuckDB's recursive CTEs without path enumeration — so the gate
+    * is rows-only and the real oracle is the randomized-equivalence
+    * spec: edge-set equality against local Kruskal under the same
+    * total order, plus partitioning invariance.
+    */
+  def mstBoruvka(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    var edges = edges0.select("u", "v", "w").localCheckpoint(true)
+    var comp = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var chosen = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("u", "v", "w").localCheckpoint(true)
+    var round = 0
+    var continue = true
+    while (continue && round < maxRounds) {
+      val cu = comp.select(col("node").as("u"), col("comp").as("cu"))
+      val cv = comp.select(col("node").as("v"), col("comp").as("cv"))
+      val ec = edges.join(cu, "u").join(cv, "v")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint(true)
+      val cand = ec.select(col("cu").as("c"), struct(col("w"), col("u"), col("v")).as("e"))
+        .unionAll(ec.select(col("cv").as("c"), struct(col("w"), col("u"), col("v")).as("e")))
+        .groupBy("c").agg(min(col("e")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+        .distinct()
+        .localCheckpoint(true)
+      if (cand.isEmpty) {
+        Checkpoints.free(cand)
+        Checkpoints.free(ec)
+        continue = false
+      } else {
+        val prevChosen = chosen
+        chosen = chosen.unionAll(cand).localCheckpoint(true)
+        Checkpoints.free(prevChosen)
+        // Borůvka merge = CC over the chosen edges' component ids.
+        val compEdges = cand
+          .join(cu, "u").join(cv, "v")
+          .select(col("cu").as("doc_a"), col("cv").as("doc_b"))
+        val mapping = Dedup.connectedComponents(compEdges)
+          .select(col("doc_id").as("comp"), col("component_id").as("nc"))
+        val prevComp = comp
+        comp = comp.join(mapping, Seq("comp"), "left_outer")
+          .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        Checkpoints.free(prevComp)
+        Checkpoints.free(cand)
+        Checkpoints.free(ec)
+        // Drop now-intra-component edges: later rounds shrink.
+        val cu2 = comp.select(col("node").as("u"), col("comp").as("c2u"))
+        val cv2 = comp.select(col("node").as("v"), col("comp").as("c2v"))
+        val prevEdges = edges
+        edges = edges.join(cu2, "u").join(cv2, "v")
+          .filter(col("c2u") =!= col("c2v")).select("u", "v", "w")
+          .localCheckpoint(true)
+        Checkpoints.free(prevEdges)
+      }
+      round += 1
+    }
+    Checkpoints.free(edges)
+    Checkpoints.free(comp)
+    chosen
+  }
+
+  /** Community detection via synchronous label propagation (Raghavan
+    * et al. 2007, public literature) with a DETERMINISTIC tie-break:
+    * every node starts labeled with its own id; each round it adopts
+    * the label that is most frequent among its neighbors, ties broken
+    * by the SMALLEST label. Where connected components answer "what
+    * is reachable", LPA answers "what clusters densely" — two cliques
+    * joined by one bridge edge are one component but two communities.
+    *
+    * Synchronous (all nodes update from the SAME previous round) so
+    * the result is independent of execution order — asynchronous LPA
+    * is schedule-dependent and could never hash-check. The price is
+    * possible 2-cycles on bipartite-ish structures, which the FIXED
+    * round budget turns into a deterministic outcome: the oracle
+    * unrolls exactly `rounds` rounds, so both engines land on the
+    * same labels whether or not the propagation has stabilized.
+    *
+    * Plan shape per round: one equality join labels⋈adjacency + one
+    * (node, label) count aggregate + one arg-max-by-(count, −label)
+    * aggregate — all hash-partitioned on the node, no windows over
+    * full neighbor lists, per-round localCheckpoint + [[Checkpoints
+    * .free]] (the 26b lesson). All-integer labels and counts, so the
+    * arg-max via `max(struct(c, −label))` is reduction-order-free.
+    */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val counts = labels.join(und, labels("node") === und("a"))
+        .groupBy(col("b").as("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = counts.groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      Checkpoints.free(labels)
+      labels = next
+      r += 1
+    }
+    Checkpoints.free(und)
+    labels
   }
 
   /** Per-row count-min degree estimate from a COLLECTED sketch: the

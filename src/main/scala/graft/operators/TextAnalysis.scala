@@ -64,6 +64,57 @@ object TextAnalysis {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Gopher-style quality RULE VERDICTS (Rae et al. 2021, public
+    * literature — the "document filters" a pretraining pipeline
+    * applies before any model-based scoring): one boolean per rule
+    * plus the conjunction `keep`. Where [[qualityScore]] reports raw
+    * ratios for a human to threshold, this is the thresholded
+    * drop/keep decision itself, with the supporting counts retained
+    * for auditability.
+    *
+    * Every rule is EXACT INTEGER arithmetic — ratios are expressed as
+    * cross-multiplied comparisons (`3·n_words ≤ tot_chars` instead of
+    * `tot_chars/n_words ≥ 3`), so there is no float division for
+    * engines to disagree on and the DuckDB oracle must match
+    * flag-for-flag. Rules (thresholds tuned to this fixture's short
+    * synthetic docs; the shape is Gopher's):
+    *   f_len         word count within [minWords, maxWords]
+    *   f_word_len    mean word length within [3, 10] chars
+    *   f_stop        ≥ 2 DISTINCT stopwords from the standard list
+    *   f_top_unigram most frequent word ≤ 30% of all words
+    *   f_dup         duplicate-token fraction ≤ 50%
+    *
+    * Plan: one explode + (doc, word) count + per-doc aggregate — two
+    * shuffles both keyed on doc_id, output one row per document.
+    * At 100 TB the explode is the token stream a tokenizer pass reads
+    * anyway; nothing here is corpus-quadratic or collects.
+    */
+  def gopherFlags(documents: DataFrame,
+                  minWords: Long = 20L, maxWords: Long = 2000L): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "in", "is", "that", "for",
+      "with", "was")
+    val words = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    val wc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val st = wc.groupBy("doc_id").agg(
+      sum(col("c")).as("n_words"),
+      sum(length(col("w")).cast("long") * col("c")).as("tot_chars"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("max_cnt"),
+      count_distinct(when(col("w").isInCollection(stop), col("w"))).as("n_stop"))
+    val fLen = col("n_words") >= minWords && col("n_words") <= maxWords
+    val fWordLen = lit(3L) * col("n_words") <= col("tot_chars") &&
+      col("tot_chars") <= lit(10L) * col("n_words")
+    val fStop = col("n_stop") >= 2L
+    val fTop = lit(10L) * col("max_cnt") <= lit(3L) * col("n_words")
+    val fDup = lit(2L) * (col("n_words") - col("n_distinct")) <= col("n_words")
+    st.select(col("doc_id"), col("n_words"), col("tot_chars"),
+      col("n_distinct"), col("max_cnt"), col("n_stop"),
+      fLen.as("f_len"), fWordLen.as("f_word_len"), fStop.as("f_stop"),
+      fTop.as("f_top_unigram"), fDup.as("f_dup"),
+      (fLen && fWordLen && fStop && fTop && fDup).as("keep"))
+  }
+
   /** Quality scoring: length, punctuation density, stopword ratio,
     * alphabetic ratio — the standard cheap pre-filters before
     * expensive pipeline stages. All ratios are exact-int divisions

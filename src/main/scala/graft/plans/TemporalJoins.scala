@@ -75,6 +75,44 @@ object TemporalJoins {
       keyCol, timeCol, tieCol, rightCols)
       .withColumn(timeCol, -col(timeCol))
 
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`):
+    * for every left row, the right row of the same key MINIMIZING
+    * |right.time − left.time|, equal distances resolved BACKWARD
+    * (pandas' rule), and ties at the chosen timestamp resolved to the
+    * larger `tieCol` exactly like [[asofJoin]]. Null payload only
+    * when the key has no right rows at all — nearest always matches
+    * otherwise.
+    *
+    * Compositional: one backward carry + one forward carry (each the
+    * [[asofJoin]] one-shuffle window plan) with the right time
+    * carried alongside each payload, then a pure per-row arbitration
+    * projection — two shuffles total, both on `keyCol`, no
+    * inequality join anywhere.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, tieCol: String,
+                      rightCols: Seq[String]): DataFrame = {
+    require(!rightCols.contains(timeCol) && !rightCols.contains(tieCol),
+      "rightCols must not shadow the time/tie columns")
+    val bSuf = "_nb"
+    val fSuf = "_nf"
+    def renamed(suf: String) = rightCols.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, c + suf)
+    }
+    val bt = "_asof_bt"
+    val ft = "_asof_ft"
+    val back = asofJoin(left, renamed(bSuf).withColumn(bt, col(timeCol)),
+      keyCol, timeCol, tieCol, rightCols.map(_ + bSuf) :+ bt)
+    val both = asofJoinForward(back, renamed(fSuf).withColumn(ft, col(timeCol)),
+      keyCol, timeCol, tieCol, rightCols.map(_ + fSuf) :+ ft)
+    val backWins = col(bt).isNotNull &&
+      (col(ft).isNull ||
+        (col(timeCol) - col(bt)) <= (col(ft) - col(timeCol)))
+    rightCols.foldLeft(both) { (df, c) =>
+      df.withColumn(c, when(backWins, col(c + bSuf)).otherwise(col(c + fSuf)))
+    }.select(left.columns.map(col) ++ rightCols.map(col): _*)
+  }
+
   /** As-of join with a TOLERANCE (pandas `merge_asof(tolerance=...)`
     * semantics): the carried match survives only when it lies within
     * `tolerance` of the left row's time; an out-of-tolerance match

@@ -1418,6 +1418,58 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the
+    * [[intervalJoin]] family's join-type matrix: inner matches plus
+    * BOTH unmatched sides, each emitted exactly once when the
+    * watermark proves its match can no longer arrive. A left (click)
+    * row is declarable unmatched once the watermark passes
+    * `left_ts + within` (no future purchase can land in its window);
+    * a right (purchase) row once the watermark passes `right_ts`
+    * (a matching click must be STRICTLY EARLIER — `right_ts >
+    * left_ts` — and the watermark bounds how old a new arrival can
+    * be). The two sides therefore have DIFFERENT eviction horizons,
+    * and the oracle mirrors each with its own cutoff against the
+    * final watermark (min of the two sides' max event time − 1 h, as
+    * the engine computes it).
+    *
+    * NULL-free output for the hash gate: unmatched rows carry −1
+    * sentinels in the absent side's id and lag; `user_id` coalesces
+    * from whichever side is present.
+    */
+  def intervalJoinFull(spark: SparkSession, dir: String, leftType: String = "click",
+                       rightType: String = "purchase", withinMinutes: Int = 30): DataFrame = {
+    val left = readEventStream(spark, dir)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id").as("left_user"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", "1 hour")
+    val right = readEventStream(spark, dir)
+      .filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("right_user"),
+        col("ts").as("right_ts"))
+      .withWatermark("right_ts", "1 hour")
+    val qname = "graft_stream_fjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = left.join(right,
+        col("left_user") === col("right_user") &&
+          col("right_ts") > col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "fullOuter")
+      .select(coalesce(col("left_user"), col("right_user")).as("user_id"),
+        coalesce(col("left_id"), lit(-1L)).as("click_id"),
+        coalesce(col("right_id"), lit(-1L)).as("purchase_id"),
+        coalesce(
+          expr("(unix_micros(right_ts) - unix_micros(left_ts)) div 1000"),
+          lit(-1L)).as("lag_ms"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** Stream-stream LEFT SEMI interval join — the conversion-audit
     * face of [[intervalJoin]]: each click emits AT MOST ONCE, as soon
     * as its FIRST in-window purchase arrives, however many follow.

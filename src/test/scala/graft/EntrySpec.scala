@@ -36,7 +36,9 @@ class EntrySpec extends AnyFunSuite {
       "sim_ann_pq", // PQ codebooks from iterated float k-means (the sim_kmeans
                     // reason); recall spec gates the shipped defaults at >= 0.8
       "sim_ann_ivfpq",   // same trained-codebook reason; recall spec >= 0.85
-      "sim_ann_ivfpq_res") // residual variant; recall spec >= plain IVFPQ
+      "sim_ann_ivfpq_res", // residual variant; recall spec >= plain IVFPQ
+      "q_mst") // Borůvka union-find is not DuckDB-CTE-expressible without
+               // path enumeration; local-Kruskal edge-set spec is the oracle
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }

@@ -223,6 +223,148 @@ class GraphSpec extends AnyFunSuite {
     assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("sssp: min-WEIGHT path wins over min-hop path; unreachable component absent; cap binds like an unrolled ladder") {
+    import spark.implicits._
+    // Seed 1. Direct hop 1→4 costs 10; the 3-hop detour 1→2→3→4
+    // costs 3 — weighted distance must take the detour where BFS
+    // would take the direct edge. Disjoint 10-11 must not appear.
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (10L, 11L, 2L)).toDF("u", "v", "w")
+    val d = Graph.sssp(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // maxRounds = 1: only one relaxation — node 4 keeps the direct
+    // edge's 10 (the detour needs 3 rounds), exactly what a 1-round
+    // unrolled Bellman ladder computes.
+    val r1 = Graph.sssp(edges, maxRounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
+  test("sssp: ring relaxes in both directions; later rounds improve earlier estimates") {
+    import spark.implicits._
+    // Ring 0-1-2-3-4-5-0 with one heavy edge 0-1 (weight 100): going
+    // clockwise 0→5→4→… must beat 0→1 for every node past the heavy
+    // edge, and node 1 itself is cheaper the long way round (5 hops,
+    // cost 5) than directly (100) — an improvement that arrives at
+    // round 5, AFTER node 1 was first reached at round 1.
+    val edges = Seq((0L, 1L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (0L, 5L, 1L)).toDF("u", "v", "w")
+    val d = Graph.sssp(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 5L, 2L -> 4L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sssp: empty edges -> empty result; partitioning-invariant on a pseudo-random weighted graph") {
+    import spark.implicits._
+    assert(Graph.sssp(Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")).isEmpty)
+    // Deterministic pseudo-random graph: result identical at 1 vs 7
+    // partitions (min-aggregation order cannot matter — integers).
+    val pairs = (for (i <- 0L until 60L) yield {
+      val u = (i * 7919L) % 30L
+      val v = (i * 104729L + 13L) % 30L
+      if (u < v) Some((u, v, 1L + (i % 9L))) else if (v < u) Some((v, u, 1L + (i % 9L))) else None
+    }).flatten.distinct
+    val d1 = Graph.sssp(pairs.toDF("u", "v", "w").repartition(1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d7 = Graph.sssp(pairs.toDF("u", "v", "w").repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === d7)
+    assert(d1.nonEmpty)
+  }
+
+  test("kTruss: K4 survives at k=4, pendant triangle peels; triangle chain unravels over two rounds") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val withPendant = k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val t = Graph.kTruss(edgeDf(withPendant), k = 4, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t === k4.toSet, "pendant triangle (support 1) must peel; K4 (support 2) must stay")
+    // Triangle chain {1,2,3},{2,3,4}: round 1 drops the four outer
+    // edges (support 1), which starves (2,3) — round 2 empties it.
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Graph.kTruss(edgeDf(chain), k = 4, rounds = 4).isEmpty)
+    // rounds=1 pins the mid-cascade truncation the oracle ladder
+    // reproduces: only (2,3) survives round 1
+    val r1 = Graph.kTruss(edgeDf(chain), k = 4, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 === Set((2L, 3L)))
+    // k=3 (support >= 1) keeps every triangle edge of the chain
+    val t3 = Graph.kTruss(edgeDf(chain), k = 3, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 === chain.toSet)
+  }
+
+  test("kTruss: triangle-free star and empty input -> empty") {
+    import spark.implicits._
+    val star = (1L to 20L).map(i => (0L, i))
+    assert(Graph.kTruss(edgeDf(star), k = 3, rounds = 2).isEmpty)
+    assert(Graph.kTruss(Seq.empty[(Long, Long)].toDF("u", "v"), k = 4, rounds = 2).isEmpty)
+  }
+
+  test("mstBoruvka: known MST on a hand graph; deterministic under all-equal weights; forest on disconnected input") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (1L, 4L, 5L), (1L, 3L, 10L))
+    val mst = Graph.mstBoruvka(g.toDF("u", "v", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mst === Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L)))
+    // all-equal weights: the (w,u,v) total order still yields a
+    // unique forest — the two lexicographically smallest edges
+    val tri = Seq((1L, 2L, 7L), (1L, 3L, 7L), (2L, 3L, 7L))
+    val mstTri = Graph.mstBoruvka(tri.toDF("u", "v", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mstTri === Set((1L, 2L, 7L), (1L, 3L, 7L)))
+    // disconnected: a spanning FOREST, one edge per pair
+    val forest = Seq((1L, 2L, 3L), (10L, 11L, 7L))
+    val mstF = Graph.mstBoruvka(forest.toDF("u", "v", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mstF === forest.toSet)
+    assert(Graph.mstBoruvka(Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")).isEmpty)
+  }
+
+  test("labelPropagation: two cliques joined by a bridge -> two communities; CC would say one") {
+    import spark.implicits._
+    // K4 on {1..4}, K4 on {11..14}, bridge 4-11.
+    val cl = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) ++
+      (for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)) :+ ((4L, 11L))
+    val labels = Graph.labelPropagation(cl.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Each clique converges to its min member's label; the bridge
+    // endpoints stay with their own clique (3 clique neighbors vs 1
+    // bridge neighbor).
+    assert((1L to 4L).map(labels).toSet === Set(1L))
+    assert((11L to 14L).map(labels).toSet === Set(11L))
+  }
+
+  test("labelPropagation: deterministic under ties (smallest label) and partitioning-invariant") {
+    import spark.implicits._
+    // Path 1-2-3: node 2 sees labels {1, 3} once each — tie broken
+    // to 1. Nodes 1 and 3 see only node 2's label.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val l1 = Graph.labelPropagation(path, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val big = (for (i <- 0L until 40L) yield (i, (i * 13L + 7L) % 40L))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val a = Graph.labelPropagation(big.toDF("u", "v").repartition(1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(big.toDF("u", "v").repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("co-purchase weighted edges: canonical, multiplicity-derived lengths in [1, 9]") {
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val we = Graph.coPurchaseWeightedEdges(li).cache()
+    try {
+      assert(we.filter(col("u") >= col("v")).isEmpty)
+      assert(we.filter(col("w") < 1 || col("w") > 9).isEmpty)
+      // Same edge set as the unweighted builder.
+      val plain = Graph.coPurchaseEdges(li)
+      assert(we.select("u", "v").exceptAll(plain).isEmpty)
+      assert(plain.exceptAll(we.select("u", "v")).isEmpty)
+    } finally we.unpersist()
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()

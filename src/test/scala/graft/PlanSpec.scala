@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r9 compositional ops plan clean: gopher flags and nearest as-of never cartesian/nested-loop") {
+    for (q <- Seq("ta_gopher_flags", "q_asof_nearest")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a quadratic join")
+    }
+    // the gopher verdict is two doc_id-keyed aggregates — partial
+    // aggregation must be present (map-side combine on the explode)
+    assert(plan("ta_gopher_flags").contains("partial"),
+      "gopher stats must map-side combine")
+  }
+
   test("dedup_spans: semi-join window filter; island windows and final agg share ONE doc_id exchange") {
     val p = plan("dedup_spans")
     assert(p.contains("LeftSemi"), "duplicated-window filter must be a semi join")

@@ -34,6 +34,41 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("mstBoruvka == local Kruskal under the (w,u,v) total order on 10 seeded random weighted graphs") {
+    import spark.implicits._
+    def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+      for ((u, v, w) <- edges.sortBy { case (a, b, c) => (c, a, b) }) {
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(rv) = ru; out += ((u, v, w)) }
+      }
+      out.toSet
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(700 + seed)
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(80)
+      // duplicate weights ON PURPOSE (w in 1..5): the (w,u,v)
+      // tie-break is what makes the forest unique on both sides
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong,
+          1L + rnd.nextInt(5)))
+        .collect { case (a, b, w) if a != b =>
+          (math.min(a, b), math.max(a, b), w) }
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // one weight per edge
+      if (edges.nonEmpty) {
+        val got = Graph.mstBoruvka(edges.toDF("u", "v", "w")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == kruskal(edges), s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
   test("bfsHops == local queue BFS on 10 seeded random graphs") {
     import spark.implicits._
     for (seed <- 1 to 10) {
@@ -249,6 +284,36 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
       assert(fwd == naive, s"seed=$seed")
+    }
+  }
+
+  test("nearest as-of == naive argmin(|dt|, backward-on-tie) join on 6 seeded random event sets") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(900 + seed)
+      // coarse time grid forces BOTH tie classes: equal |dt| in the
+      // two directions (backward must win) and equal right times
+      // (largest eid must win)
+      def rows(n: Int) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(8).toLong * 10L, i.toLong, i.toLong + 1000L))
+      val left = rows(40).toDF("k", "t", "eid", "lpay").select("k", "t", "eid")
+      val right = rows(40).toDF("k", "t", "eid", "rpay")
+      val near = TemporalJoins.asofJoinNearest(left, right, "k", "t", "eid", Seq("rpay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // naive: min over (|dt|, direction flag, -eid) — the pandas
+      // 'nearest' rule stated as one argmin
+      val naive = left.as("l")
+        .join(right.as("r"), col("l.k") === col("r.k"), "left")
+        .groupBy(col("l.k").as("k"), col("l.t").as("t"), col("l.eid").as("eid"))
+        .agg(min(struct(
+          abs(col("r.t") - col("l.t")),
+          when(col("r.t") <= col("l.t"), lit(0L)).otherwise(lit(1L)),
+          -col("r.eid"), col("r.rpay"))).as("m"))
+        .select(col("k"), col("t"), col("eid"), col("m.rpay").as("rpay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(near == naive, s"seed=$seed")
     }
   }
 }

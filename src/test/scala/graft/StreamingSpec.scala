@@ -1184,6 +1184,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(unmatched.nonEmpty && unmatched.forall(t => t._3 == -1L && t._4 == -1L))
   }
 
+  test("full outer interval join: inner + BOTH eviction horizons, each side at its own cutoff") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.intervalJoinFull(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val matched = got.filter(t => t._2 != -1L && t._3 != -1L)
+    val unmatchedL = got.filter(_._3 == -1L)
+    val unmatchedR = got.filter(_._2 == -1L)
+    val inner = EventStreams.intervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(matched == inner, "full join's matched rows must equal the inner join")
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), expr("ts_ns div 1000").as("lus"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruid"), col("event_id").as("purchase_id"),
+        expr("ts_ns div 1000").as("rus"))
+    val maxC = l.agg(max("lus")).head.getLong(0)
+    val maxP = r.agg(max("rus")).head.getLong(0)
+    val cutUs = (math.min(maxC / 1000L, maxP / 1000L) - 3600000L) * 1000L
+    // left side: same horizon as the LEFT OUTER join (wm > lus + Δ)
+    val wantL = l.join(r, l("user_id") === r("ruid") && col("rus") > col("lus") &&
+        col("rus") <= col("lus") + lit(1800000000L), "left_anti")
+      .filter(col("lus") + lit(1800000000L) < lit(cutUs))
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(unmatchedL.map(_._2) == wantL,
+      s"unmatched-left boundary drifted: ${unmatchedL.size} vs ${wantL.size}")
+    // right side: a purchase needs a STRICTLY EARLIER click, so its
+    // horizon is the watermark passing its own timestamp (wm > rus)
+    val wantR = r.join(l, l("user_id") === r("ruid") && col("rus") > col("lus") &&
+        col("rus") <= col("lus") + lit(1800000000L), "left_anti")
+      .filter(col("rus") < lit(cutUs))
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(unmatchedR.map(_._3) == wantR,
+      s"unmatched-right boundary drifted: ${unmatchedR.size} vs ${wantR.size}")
+    assert(unmatchedL.nonEmpty && unmatchedR.nonEmpty,
+      "fixture must exercise both eviction horizons")
+  }
+
   test("stream-stream interval join == batch interval join at microsecond resolution") {
     import org.apache.spark.sql.functions._
     def asSet(rows: Array[org.apache.spark.sql.Row]) =

@@ -30,6 +30,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(alpha > 0.7 && alpha < 0.8) // 13 letters / 17 chars
   }
 
+  test("gopherFlags: each rule trips on its own planted violation; clean doc keeps") {
+    import spark.implicits._
+    def row(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(org.apache.spark.sql.functions.col("doc_id") === id).head
+    val clean = "the and cat dog bird fish goat lion wolf bear deer mole " +
+      "horse sheep mouse tiger otter eagle crow dove" // 20 distinct words, 2 stopwords
+    val df = Seq(
+      (1L, clean),
+      (2L, "the and short"),                                  // < minWords -> f_len
+      (3L, ("a b c d e f g h i j " * 3).trim + " the and"),   // mean word len < 3 -> f_word_len
+      (4L, ("cat dog bird fish goat lion wolf bear deer mole " * 3).trim), // no stopwords -> f_stop
+      (5L, ("the " * 28).trim + " and cat"),                  // one word dominates -> f_top_unigram + f_dup
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(df, minWords = 20L, maxWords = 2000L).cache()
+    try {
+      val c = row(got, 1L)
+      assert(c.getBoolean(c.fieldIndex("keep")), s"clean doc dropped: $c")
+      assert(!row(got, 2L).getBoolean(row(got, 2L).fieldIndex("f_len")))
+      assert(!row(got, 3L).getBoolean(row(got, 3L).fieldIndex("f_word_len")))
+      assert(!row(got, 4L).getBoolean(row(got, 4L).fieldIndex("f_stop")))
+      val dom = row(got, 5L)
+      assert(!dom.getBoolean(dom.fieldIndex("f_top_unigram")))
+      assert(!dom.getBoolean(dom.fieldIndex("f_dup")))
+      // keep is exactly the conjunction
+      got.collect().foreach { r =>
+        val conj = Seq("f_len", "f_word_len", "f_stop", "f_top_unigram", "f_dup")
+          .forall(f => r.getBoolean(r.fieldIndex(f)))
+        assert(r.getBoolean(r.fieldIndex("keep")) === conj)
+      }
+    } finally got.unpersist()
+  }
+
   test("tokenCounts: ws tokens vs lexer tokens") {
     import spark.implicits._
     val df = Seq((1L, "ab1 cd-ef 23")).toDF("doc_id", "text")
