@@ -543,6 +543,9 @@ object SparkEntry {
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
     "stream_snapshot_diff" -> ((s, dir) => graft.streaming.EventStreams.streamedSnapshotDiff(s, dir)),
     "stream_cc" -> ((s, dir) => graft.streaming.EventStreams.streamedComponents(s, dir)),
+    // incremental BFS maintenance; final state ≡ batch bfsHops over
+    // the union, so it shares q_bfs's recursive-CTE oracle verbatim
+    "stream_bfs" -> ((s, dir) => graft.streaming.EventStreams.streamedBfs(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
     "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir)))
@@ -1026,6 +1029,20 @@ object SparkEntry {
     // and take min(dist) — path enumeration + aggregation vs frontier
     // expansion, agreeing on every integer
     "q_bfs" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |walk(node, dist) AS (
+        |  (SELECT min(a), 0 FROM und)
+        |  UNION
+        |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // the streamed maintenance face converges to the SAME distances
+    // as batch BFS over the union (dynamic-BFS exactness), so the
+    // oracle is q_bfs's verbatim
+    "stream_bfs" ->
       """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
         |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),

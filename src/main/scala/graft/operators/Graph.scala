@@ -370,6 +370,26 @@ object Graph {
       return spark.emptyDataset[(Long, Long)].toDF("node", "dist")
     }
     val seed = seedRow.getLong(0)
+    bfsFromUnd(und, seed, maxRounds)
+  }
+
+  /** [[bfsHops]] from an EXPLICIT source node instead of the min-id
+    * default — the form the streaming maintenance face needs (the
+    * query point is configured once and must survive later arrivals
+    * of smaller node ids). Same frontier plan, same cap semantics.
+    */
+  def bfsHopsFrom(edges0: DataFrame, seed: Long, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    bfsFromUnd(und, seed, maxRounds)
+  }
+
+  /** Shared frontier loop over a checkpointed bidirectional adjacency
+    * (freed before returning). */
+  private def bfsFromUnd(und: DataFrame, seed: Long, maxRounds: Int): DataFrame = {
+    val spark = und.sparkSession
     import spark.implicits._
     var dist = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(true)
     var frontier = dist.select("node")

@@ -762,6 +762,153 @@ object EventStreams {
     ccResolve(spark, s"$base/labels", s"$base/merges")
   }
 
+  /** Streamed BFS over the co-purchase edge stream: shard the edge
+    * list into two micro-batches (the [[streamedComponents]] ingest
+    * shape), maintain hop distances incrementally from the configured
+    * query point (the graph's global min node id — deterministic from
+    * the fixture), and resolve. Final state ≡ batch
+    * [[graft.operators.Graph.bfsHops]] over the union, which is why
+    * the entry can share `q_bfs`'s recursive-CTE SQL oracle verbatim
+    * — a fully hash-checked STREAMING graph query.
+    */
+  def streamedBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.coPurchaseEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    val seedRow = edges.agg(least(min(col("u")), min(col("v")))).head()
+    if (seedRow.isNullAt(0)) {
+      graft.operators.Checkpoints.free(edges)
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    }
+    val seed = seedRow.getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft-bfs-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    bfsIngest(stream, s"$base/state", s"$base/ckpt", seed)
+    bfsResolve(spark, s"$base/state")
+  }
+
+  /** Incremental BFS maintenance over a stream of (u, v) edge
+    * batches: hop distances from a FIXED query point stay
+    * continuously current as edges arrive. New edges can only
+    * DECREASE distances, so each batch seeds its relaxation from the
+    * one-hop neighborhoods of the NEW edges' already-reached
+    * endpoints (plus the standing seed claim) and propagates
+    * improvements to fixpoint — per-batch rounds are bounded by how
+    * far the improvement wave actually travels, never by the graph's
+    * diameter, and a batch touching only settled regions converges
+    * in one empty round. The classic dynamic-BFS argument makes this
+    * exact: any node whose distance drops has a shortest path through
+    * a new edge, and the wave from that edge's endpoints reaches it.
+    *
+    * State under `statePath`, all append-only (the [[ccIngest]]
+    * story): `edges` — the maintained canonical edge list (deduped on
+    * read, so replayed appends are harmless); `dist` — (node, dist)
+    * improvement CLAIMS, resolved by min-per-node at read time
+    * ([[bfsResolve]]), so a batch writes only its improvements and
+    * never rewrites the distance table; `_bfs_commits` batchId
+    * markers make whole-batch replays no-ops.
+    */
+  def bfsIngest(edgeStream: DataFrame, statePath: String, checkpoint: String,
+                seed: Long, maxRoundsPerBatch: Int = 30): Unit = {
+    val q = edgeStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        bfsBatch(b, id, statePath, seed, maxRoundsPerBatch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[bfsIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def bfsBatch(batch0: org.apache.spark.sql.DataFrame,
+                              batchId: Long, statePath: String,
+                              seed: Long, maxRounds: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_bfs_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    val batch = batch0.select(col("u"), col("v")).distinct().persist()
+    try {
+      val edgesPath = s"$statePath/edges"
+      val distPath = s"$statePath/dist"
+      batch.write.mode("append").parquet(edgesPath)
+      val dist0 =
+        (if (hasVisibleData(spark, distPath))
+          spark.read.parquet(distPath).groupBy("node").agg(min("dist").as("dist"))
+        else Seq.empty[(Long, Long)].toDF("node", "dist")).localCheckpoint(true)
+      val und = spark.read.parquet(edgesPath).distinct()
+        .select(col("u").as("a"), col("v").as("b"))
+        .unionAll(spark.read.parquet(edgesPath).distinct()
+          .select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      // Initial claims: the standing seed claim (first batch, or a
+      // no-op improvement afterwards) + one-hop relaxations of the
+      // NEW edges from currently-known distances.
+      val newUnd = batch.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(batch.select(col("v").as("a"), col("u").as("b")))
+      val hop = dist0.join(newUnd, col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      var cand = Seq((seed, 0L)).toDF("node", "dist").unionAll(hop)
+      var dist = dist0
+      val claimParts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      var round = 0
+      var continue = true
+      while (continue && round <= maxRounds) {
+        val improved = cand
+          .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("node", "dist")
+          .localCheckpoint(true)
+        if (improved.isEmpty) {
+          graft.operators.Checkpoints.free(improved)
+          continue = false
+        } else {
+          claimParts += improved
+          val superseded = dist
+          dist = dist.join(improved, Seq("node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+          if (superseded ne dist0) graft.operators.Checkpoints.free(superseded)
+          cand = improved.join(und, col("node") === col("a"))
+            .select(col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
+            .groupBy("node").agg(min("dist").as("dist"))
+          round += 1
+        }
+      }
+      if (claimParts.nonEmpty) {
+        claimParts.reduce(_ unionAll _).write.mode("append").parquet(distPath)
+      }
+      claimParts.foreach(graft.operators.Checkpoints.free)
+      graft.operators.Checkpoints.free(und)
+      graft.operators.Checkpoints.free(dist0)
+      if (dist ne dist0) graft.operators.Checkpoints.free(dist)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally batch.unpersist()
+  }
+
+  /** Resolve the maintained BFS state: min claim per node. */
+  def bfsResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/dist")) {
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    }
+    spark.read.parquet(s"$statePath/dist")
+      .groupBy("node").agg(min("dist").as("dist"))
+  }
+
   /** Streaming NEAR-DUP dedup maintenance — the MinHash/LSH face of
     * the always-on ingest story ([[ingestDedup]] catches exact
     * re-arrivals; this catches near-duplicates), completing exact-hash

@@ -846,6 +846,52 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction merge drifted: ${resolve()}")
   }
 
+  test("bfsBatch: incremental distances == batch BFS after every batch; shortcut improves; replay is a no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bfs-replay-").toString
+    val state = s"$base/state"
+    def resolve() = EventStreams.bfsResolve(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: chain 1-2-3-4 (seed 1)
+    val b0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    EventStreams.bfsBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
+    assert(resolve() == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // batch 1: a SHORTCUT 1-4 (must improve 4 from 3 to 1) and a new
+    // region 4-5-6 reached through it (dynamic-BFS wave travels on)
+    val b1 = Seq((1L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    val after = resolve()
+    val want = graft.operators.Graph.bfsHopsFrom(b0.unionByName(b1), 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == want, s"incremental BFS drifted: $after vs $want")
+    assert(after == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // claims are append-only: node 4's FIRST claim (dist 3) is still
+    // stored; resolution's min is what carries the improvement
+    val claims = spark.read.parquet(s"$state/dist")
+      .filter(org.apache.spark.sql.functions.col("node") === 4L)
+      .collect().map(_.getLong(1)).toSet
+    assert(claims == Set(3L, 1L), s"expected both claims for node 4, got $claims")
+    // replayed batchId: a no-op for state AND claims
+    val nClaims = spark.read.parquet(s"$state/dist").count()
+    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    assert(resolve() == after, "replayed batch changed resolved distances")
+    assert(spark.read.parquet(s"$state/dist").count() == nClaims,
+      "replay appended duplicate claims")
+    // a batch entirely inside settled territory adds no claims
+    EventStreams.bfsBatch(Seq((2L, 3L)).toDF("u", "v"), 2L, state, 1L, 30)
+    assert(resolve() == after)
+  }
+
+  test("streamedBfs two-batch ingest == batch bfsHops over the co-purchase graph") {
+    val streamed = EventStreams.streamedBfs(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Graph.bfsHops(
+        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(spark, sf)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ccResolve: 10^4-deep un-compacted merge chain resolves in O(L) with constant stack") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
