@@ -316,6 +316,10 @@ object SparkEntry {
     // the spec oracle is local Kruskal edge-set equality
     "q_mst" -> ((s, dir) => Graph.mstBoruvka(
       Graph.coPurchaseWeightedEdges(Tables.lineitem(s, dir)))),
+    // double-sweep diameter lower bound: two BFS traversals, O(1)
+    // driver aggregates, one all-integer summary row
+    "q_diameter" -> ((s, dir) => Graph.diameterDoubleSweep(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 30)),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -1039,6 +1043,30 @@ object SparkEntry {
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // two recursive walks, the second seeded from the first's
+    // (dist DESC, node) argmax — the exact double-sweep tie rule
+    "q_diameter" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |walk1(node, dist) AS (
+        |  (SELECT min(a), 0 FROM und)
+        |  UNION
+        |  SELECT u2.b, w.dist + 1 FROM walk1 w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30),
+        |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM walk1 GROUP BY node),
+        |far AS MATERIALIZED (SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1),
+        |walk2(node, dist) AS (
+        |  (SELECT node, 0 FROM far)
+        |  UNION
+        |  SELECT u2.b, w.dist + 1 FROM walk2 w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30),
+        |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM walk2 GROUP BY node)
+        |SELECT (SELECT min(a) FROM und) AS seed,
+        |       (SELECT CAST(max(dist) AS BIGINT) FROM d1) AS ecc_seed,
+        |       (SELECT node FROM far) AS far_node,
+        |       (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb""".stripMargin,
     // the streamed maintenance face converges to the SAME distances
     // as batch BFS over the union (dynamic-BFS exactness), so the
     // oracle is q_bfs's verbatim

@@ -386,6 +386,44 @@ object Graph {
     bfsFromUnd(und, seed, maxRounds)
   }
 
+  /** Approximate graph diameter by DOUBLE SWEEP (Magnien, Latapy &
+    * Habib 2009 — public literature): BFS from the deterministic
+    * min-id seed, then a second BFS from the farthest node found
+    * (ties to the smallest id); the second eccentricity is a LOWER
+    * bound on the true diameter that is exact on trees and
+    * near-exact on most real graphs — two O(diameter)-round
+    * traversals instead of the all-pairs sweep exact diameter needs.
+    * Driver cost is two O(1) aggregates (seed/argmax), never a
+    * distance-table collect.
+    *
+    * One summary row, all integers: (seed, ecc_seed, far_node,
+    * diameter_lb). The SQL oracle runs the same two walks as
+    * recursive CTEs with the second seeded from the first's
+    * `ORDER BY dist DESC, node LIMIT 1` — the exact
+    * max-(dist, −node) tie rule used here.
+    */
+  def diameterDoubleSweep(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val d1 = bfsHops(edges0, maxRounds)
+    if (d1.isEmpty) {
+      Checkpoints.free(d1)
+      return spark.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("seed", "ecc_seed", "far_node", "diameter_lb")
+    }
+    val seed = d1.agg(min(col("node"))).head().getLong(0)
+    val farRow = d1
+      .agg(max(struct(col("dist"), (-col("node")).as("nn"))).as("m"))
+      .select(col("m.dist"), (-col("m.nn")).as("node")).head()
+    val (ecc1, far) = (farRow.getLong(0), farRow.getLong(1))
+    Checkpoints.free(d1)
+    val d2 = bfsHopsFrom(edges0, far, maxRounds)
+    val ecc2 = d2.agg(max(col("dist"))).head().getLong(0)
+    Checkpoints.free(d2)
+    Seq((seed, ecc1, far, ecc2))
+      .toDF("seed", "ecc_seed", "far_node", "diameter_lb")
+  }
+
   /** Shared frontier loop over a checkpointed bidirectional adjacency
     * (freed before returning). */
   private def bfsFromUnd(und: DataFrame, seed: Long, maxRounds: Int): DataFrame = {

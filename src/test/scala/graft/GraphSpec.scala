@@ -292,6 +292,26 @@ class GraphSpec extends AnyFunSuite {
     assert(t3 === chain.toSet)
   }
 
+  test("diameterDoubleSweep: exact on a path; improves the seed's eccentricity on an off-center seed; empty input") {
+    import spark.implicits._
+    // Path 3-1-2-4-5 by ids: seed is node 1 (min id), which sits
+    // OFF-CENTER: ecc(1) = 3 (to 5), but the true diameter is 4
+    // (3 to 5). The second sweep from the farthest node finds it —
+    // the case that shows why one BFS is not enough.
+    val path = Seq((1L, 3L), (1L, 2L), (2L, 4L), (4L, 5L)).toDF("u", "v")
+    val r = Graph.diameterDoubleSweep(path).head()
+    assert(r.getLong(0) === 1L)   // seed
+    assert(r.getLong(1) === 3L)   // ecc(seed)
+    assert(r.getLong(2) === 5L)   // farthest from seed
+    assert(r.getLong(3) === 4L)   // true diameter, found by sweep 2
+    // tie rule: two nodes at the max distance -> smallest id chosen
+    val star2 = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val r2 = Graph.diameterDoubleSweep(star2).head()
+    assert(r2.getLong(2) === 3L, "argmax tie must resolve to the smaller node id")
+    assert(Graph.diameterDoubleSweep(
+      Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
+  }
+
   test("kTruss: triangle-free star and empty input -> empty") {
     import spark.implicits._
     val star = (1L to 20L).map(i => (0L, i))
