@@ -320,6 +320,9 @@ object SparkEntry {
     // driver aggregates, one all-integer summary row
     "q_diameter" -> ((s, dir) => Graph.diameterDoubleSweep(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 30)),
+    // first-order Markov transition counts over per-user event
+    // sequences; unique (ts, id) order key keeps every lag exact
+    "q_transitions" -> ((s, dir) => Relational.eventTransitions(Tables.events(s, dir))),
     "q_skew_profile" -> ((s, dir) => Relational.skewProfile(Tables.events(s, dir), "user_id", 10)),
     "q_zorder" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -457,6 +460,9 @@ object SparkEntry {
     // Gopher-rule keep/drop verdicts: every flag is a
     // cross-multiplied integer comparison — no float division
     "ta_gopher_flags" -> ((s, dir) => TextAnalysis.gopherFlags(Tables.documents(s, dir))),
+    // document-level co-occurrence pair mining, top 20 by
+    // (count DESC, w1, w2) — a TakeOrderedAndProject, never a sort
+    "ta_cooccur" -> ((s, dir) => TextAnalysis.cooccurrence(Tables.documents(s, dir), 20)),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
@@ -1043,6 +1049,16 @@ object SparkEntry {
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // unique (ts, event_id) order key -> every lag deterministic
+    "q_transitions" ->
+      """SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // two recursive walks, the second seeded from the first's
     // (dist DESC, node) argmax — the exact double-sweep tie rule
     "q_diameter" ->
@@ -2286,6 +2302,18 @@ object SparkEntry {
         |  round(CAST(length(text) AS DOUBLE)
         |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len
         |FROM documents""".stripMargin,
+    // doc-bounded pair fan-out; (n DESC, w1, w2) total order makes
+    // the top-20 cut deterministic
+    "ta_cooccur" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) t)
+        |SELECT a.w AS w1, b.w AS w2, count(*) AS n
+        |FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     // every flag a cross-multiplied integer comparison — the
     // thresholded Gopher verdict layer over the quality stats
     "ta_gopher_flags" ->

@@ -716,6 +716,27 @@ object Relational {
     * only, so Spark `div` ≡ DuckDB `//` here (both truncate toward
     * zero on non-negatives — same caveat note as q_retention).
     */
+  /** Event-type transition matrix (first-order Markov counts): for
+    * every user, order events by (event time, id) and count each
+    * consecutive (from_type → to_type) step. The sequence-analytics
+    * primitive behind "what do users do after X" — output is
+    * |types|² rows however large the event log.
+    *
+    * One window shuffle on user_id (each partition sorts its own
+    * users' events — never a global sort) + one map-side-combined
+    * aggregate on the tiny type-pair key. The unique (ts_ns,
+    * event_id) order key makes every lag deterministic, so the
+    * counts are oracle-exact.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    events.select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     val total = df.agg(count(lit(1)).as("total"))

@@ -115,6 +115,32 @@ object TextAnalysis {
       (fLen && fWordLen && fStop && fTop && fDup).as("keep"))
   }
 
+  /** Top-k co-occurring word pairs (document-level): how often two
+    * distinct words appear in the SAME document — the phrase-mining /
+    * collocation primitive (counts are the integer numerator of PMI;
+    * the log-scoring layer is a reader's choice, kept out so the
+    * result stays engine-exact).
+    *
+    * Scale shape: the pair generator self-joins the distinct
+    * (doc, word) set ON doc_id, so fan-out per doc is C(words, 2) —
+    * bounded by document length, never corpus size (the
+    * coPurchaseEdges argument). Top-k by (count DESC, w1, w2) is a
+    * TakeOrderedAndProject — per-partition heads merged on the
+    * driver, never a global sort of the pair space.
+    */
+  def cooccurrence(documents: DataFrame, k: Int = 20): DataFrame = {
+    val dw = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct()
+    val a = dw.as("a")
+    val b = dw.as("b")
+    a.join(b, col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Quality scoring: length, punctuation density, stopword ratio,
     * alphabetic ratio — the standard cheap pre-filters before
     * expensive pipeline stages. All ratios are exact-int divisions

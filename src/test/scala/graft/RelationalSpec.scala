@@ -272,6 +272,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(audit("orders.o_custkey->customer") === ((2L, 1L)), "orphan order row")
   }
 
+  test("eventTransitions: per-user consecutive steps only; same-timestamp order resolved by event_id") {
+    import spark.implicits._
+    // user 1: view -> click -> buy ; user 2: view -> view.
+    // The two user-1 events at t=100 order by event_id (2 then 3),
+    // so the steps are view->click and click->buy, NOT view->buy.
+    val ev = Seq(
+      (1L, 50L, 1L, "view"),
+      (2L, 100L, 1L, "click"),
+      (3L, 100L, 1L, "buy"),
+      (4L, 10L, 2L, "view"),
+      (5L, 20L, 2L, "view")).toDF("event_id", "ts_ns", "user_id", "event_type")
+    val got = Relational.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("view", "click", 1L), ("click", "buy", 1L), ("view", "view", 1L)))
+    // partitioning cannot change counts (window is per-user)
+    val got13 = Relational.eventTransitions(ev.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got13 === got)
+  }
+
   test("skewProfile surfaces a planted hot key with exact ppm share") {
     import spark.implicits._
     // 900 rows of key 7, 10 each of keys 1..10 => total 1000

@@ -62,6 +62,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     } finally got.unpersist()
   }
 
+  test("cooccurrence: doc-level pair counts, canonical order, deterministic top-k cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark shuffle join"),
+      (2L, "spark shuffle scan"),
+      (3L, "spark shuffle"),
+      (4L, "spark spark spark shuffle")).toDF("doc_id", "text") // dup words count once
+    val got = TextAnalysis.cooccurrence(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (shuffle, spark) co-occur in all 4 docs; everything else ≤ 2;
+    // ties at n=1 cut by (w1, w2) lexicographic
+    assert(got.head === (("shuffle", "spark", 4L)))
+    assert(got.length === 3)
+    // the n=1 tie block cuts lexicographically: join-* before scan-*
+    assert(got(1) === (("join", "shuffle", 1L)))
+    assert(got(2) === (("join", "spark", 1L)))
+    val all = TextAnalysis.cooccurrence(df, k = 100).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(all.contains(("join", "shuffle", 1L)) && all.contains(("scan", "shuffle", 1L))
+      && all.contains(("join", "spark", 1L)) && all.contains(("scan", "spark", 1L)))
+    assert(all.forall { case (w1, w2, _) => w1 < w2 })
+  }
+
   test("tokenCounts: ws tokens vs lexer tokens") {
     import spark.implicits._
     val df = Seq((1L, "ab1 cd-ef 23")).toDF("doc_id", "text")
