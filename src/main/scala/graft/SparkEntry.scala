@@ -558,7 +558,10 @@ object SparkEntry {
     "stream_bfs" -> ((s, dir) => graft.streaming.EventStreams.streamedBfs(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
-    "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir)))
+    "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir))),
+    // per-source budget audit through the gopher gate + exact dedup —
+    // the table a mix design reads before setting source weights
+    "pipeline_quality_audit" -> ((s, dir) => Pipeline.qualityDedupAudit(Tables.documents(s, dir)))
   )
 
   /** Shared CTE block producing verified n-gram Jaccard pairs `jp`
@@ -2302,6 +2305,40 @@ object SparkEntry {
         |  round(CAST(length(text) AS DOUBLE)
         |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len
         |FROM documents""".stripMargin,
+    // the whole gopher->dedup composition recomputed in SQL: same
+    // rule ladder, kept-scoped min-doc_id survivor, integer sums
+    "pipeline_quality_audit" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |st AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w) * c) AS BIGINT) AS tot_chars,
+        |    count(*) AS n_distinct,
+        |    max(c) AS max_cnt,
+        |    count(DISTINCT CASE WHEN w IN ('the','and','of','to','in','is',
+        |      'that','for','with','was') THEN w END) AS n_stop
+        |  FROM wc GROUP BY doc_id),
+        |fl AS (SELECT doc_id, n_words,
+        |    (n_words >= 20 AND n_words <= 2000)
+        |      AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+        |      AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
+        |      AND 2 * (n_words - n_distinct) <= n_words AS keep
+        |  FROM st),
+        |d AS (SELECT doc.doc_id, doc.source,
+        |    md5(lower(trim(regexp_replace(doc.text, '\s+', ' ', 'g')))) AS h,
+        |    fl.keep, fl.n_words
+        |  FROM documents doc JOIN fl ON fl.doc_id = doc.doc_id),
+        |mk AS (SELECT *,
+        |    CASE WHEN keep AND doc_id =
+        |      min(CASE WHEN keep THEN doc_id END) OVER (PARTITION BY h)
+        |    THEN 1 ELSE 0 END AS survivor FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(survivor) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN survivor = 1 THEN n_words ELSE 0 END) AS BIGINT) AS tokens_unique
+        |FROM mk GROUP BY source""".stripMargin,
     // doc-bounded pair fan-out; (n DESC, w1, w2) total order makes
     // the top-20 cut deterministic
     "ta_cooccur" ->

@@ -108,6 +108,38 @@ object Pipeline {
     * Output: (doc_id, source, n_tokens, shuffle_rank) — feed it to
     * [[TextAnalysis.packIntoShards]] for token-budgeted shards.
     */
+  /** Per-source corpus-budget audit through the GOPHER gate + exact
+    * dedup: for each source, how many docs arrived, how many survive
+    * the rule verdicts ([[TextAnalysis.gopherFlags]]), how many of
+    * those are content-unique, and the surviving unique token volume
+    * — the table a pretraining-mix design reads before setting
+    * source weights (the number `pretrainMix`'s caps act on).
+    *
+    * Dedup is scoped to KEPT docs (the survivor is the smallest KEPT
+    * doc_id per content hash — a dropped duplicate must not shadow a
+    * kept one, spec-pinned). Plan: the flags aggregate (two doc_id
+    * shuffles), one co-partitioned join back, one content-hash window
+    * shuffle, one |sources|-bounded final aggregate. Every count and
+    * token sum is integer — the SQL oracle recomputes the whole
+    * composition flag-for-flag.
+    */
+  def qualityDedupAudit(documents: DataFrame): DataFrame = {
+    val flags = TextAnalysis.gopherFlags(documents)
+      .select(col("doc_id"), col("keep"), col("n_words"))
+    val docs = documents.select(col("doc_id"), col("source"), col("text"))
+      .join(flags, "doc_id")
+    val marked = docs
+      .withColumn("h", Dedup.contentHash(col("text")))
+      .withColumn("survivor",
+        col("keep") && col("doc_id") ===
+          min(when(col("keep"), col("doc_id"))).over(Window.partitionBy(col("h"))))
+    marked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"),
+      sum(when(col("survivor"), lit(1L)).otherwise(lit(0L))).as("n_unique"),
+      sum(when(col("survivor"), col("n_words")).otherwise(lit(0L))).as("tokens_unique"))
+  }
+
   def pretrainMix(documents: DataFrame,
                   minAlphaRatio: Double = 0.5,
                   minWords: Int = 10,

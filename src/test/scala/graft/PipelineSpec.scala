@@ -76,6 +76,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("qualityDedupAudit: per-source funnel counts; a DROPPED duplicate never shadows a kept one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 distinct words, 2 stopwords -> passes every gopher rule
+    val good = "the and cat dog bird fish goat lion wolf bear deer mole " +
+      "horse sheep mouse tiger otter eagle crow dove"
+    val df = Seq(
+      (1L, good, "web"),            // kept, unique
+      (2L, good, "web"),            // kept, duplicate of 1 -> not unique
+      (3L, "too short", "web"),     // dropped by f_len
+      // books: doc 4 FAILS the gate (short) but shares content with
+      // nothing; doc 5 is kept and unique even though its content
+      // equals doc 6's, which is dropped — the kept-scoped survivor
+      // rule must elect doc 5, not let the dropped 6 shadow it...
+      (4L, "tiny", "books"),
+      (6L, good + " extra", "books"),
+      (5L, good + " extra", "books")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val got = Pipeline.qualityDedupAudit(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("web") === ((3L, 2L, 1L, 20L)))
+    // books: 3 docs, 2 kept (5 and 6... no: 6 == good+extra is KEPT
+    // too — both 5 and 6 pass the rules and share content; survivor
+    // is min kept id = 5), unique = 1, tokens = 21
+    assert(got("books") === ((3L, 2L, 1L, 21L)))
+  }
+
+  test("qualityDedupAudit: a dropped doc with a duplicate's content does not steal its survivorship") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val good = "the and cat dog bird fish goat lion wolf bear deer mole " +
+      "horse sheep mouse tiger otter eagle crow dove"
+    // doc 1 is DROPPED (one dominant word trips f_top_unigram/f_dup)
+    // yet ends with content identical to nothing kept; docs 2,3 are
+    // kept dups of each other: the survivor must be doc 2 — the
+    // smallest KEPT id — and doc 1's smaller id must not matter even
+    // if its hash collided (pin via same-source totals)
+    val df = Seq(
+      (1L, ("the " * 28).trim + " and cat", "s"),
+      (2L, good, "s"),
+      (3L, good, "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val got = Pipeline.qualityDedupAudit(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("s") === ((3L, 2L, 1L, 20L)))
+  }
+
   test("pretrainMix: subset of clean survivors, quota respected, ranks a 1..n permutation") {
     val docs = Tables.documents(spark, SharedSpark.sf)
     val cap = 10
