@@ -556,6 +556,9 @@ object SparkEntry {
     // incremental BFS maintenance; final state ≡ batch bfsHops over
     // the union, so it shares q_bfs's recursive-CTE oracle verbatim
     "stream_bfs" -> ((s, dir) => graft.streaming.EventStreams.streamedBfs(s, dir)),
+    // O(1)-per-user carry: each event emits one step against the
+    // user's last event; counts ≡ batch q_transitions (shared oracle)
+    "stream_transitions" -> ((s, dir) => graft.streaming.EventStreams.transitionsStateful(s, dir)),
     // flagship composition
     "pipeline_clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(Tables.documents(s, dir))),
     "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir))),
@@ -1054,6 +1057,17 @@ object SparkEntry {
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
     // unique (ts, event_id) order key -> every lag deterministic
     "q_transitions" ->
+      """SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // the stateful stream converges to the same matrix (one-row
+    // carry per user), so the oracle is q_transitions' verbatim
+    "stream_transitions" ->
       """SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
         |FROM (
         |  SELECT event_type,

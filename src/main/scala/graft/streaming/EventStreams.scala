@@ -1393,6 +1393,68 @@ object EventStreams {
   /** One emitted session row. */
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
 
+  /** Per-user carry for [[transitionsStateful]]: the last event seen
+    * (time, id, type) — three fields, O(users) total state forever.
+    */
+  case class TransBuf(lastTs: Long, lastEid: Long, lastType: String)
+
+  /** One observed transition step. */
+  case class TransStep(from_type: String, to_type: String)
+
+  /** Streaming event-type transition counts — the stateful twin of
+    * batch `eventTransitions`: per-user state is ONE row (the last
+    * event), each arriving event emits exactly one (from → to) step
+    * against it, and the drained steps aggregate into the Markov
+    * matrix. A step is emitted in the batch its LATER event arrives
+    * in, so steps are append-only facts — no re-emission, no dedup —
+    * and the cross-batch carry is what a windowless batch job cannot
+    * have: the final counts equal batch `eventTransitions` over
+    * everything seen, PROVIDED files land in per-user time order
+    * (the ingest contract [[anomalousHours]] documents; the parity
+    * spec drives a time-split two-batch source through it). The
+    * entry therefore shares `q_transitions`' SQL oracle verbatim.
+    */
+  def transitionsStateful(spark: SparkSession, dir: String): DataFrame =
+    transitionsStateful(readEventStream(spark, dir))
+
+  /** [[transitionsStateful]] over an arbitrary event stream (the
+    * multi-batch parity spec drives this directly). */
+  def transitionsStateful(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def updateFn(userId: Long, evs: Iterator[(Long, Long, String)],
+                 state: GroupState[TransBuf]): Iterator[TransStep] = {
+      val sorted = evs.toSeq.sortBy(e => (e._1, e._2))
+      var buf = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransStep]
+      sorted.foreach { case (ts, eid, tpe) =>
+        if (buf != null) out += TransStep(buf.lastType, tpe)
+        buf = TransBuf(ts, eid, tpe)
+      }
+      if (buf != null) state.update(buf)
+      out.iterator
+    }
+    val qname = "graft_stream_trans_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = events
+      .select(col("user_id").as[Long], col("ts_ns").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (k: Long, it: Iterator[(Long, Long, Long, String)], s: GroupState[TransBuf]) =>
+          updateFn(k, it.map(e => (e._2, e._3, e._4)), s))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: state is
     * ONE small record per user (last event time + open-session
     * accumulator), not the events themselves. Emits every session

@@ -846,6 +846,38 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction merge drifted: ${resolve()}")
   }
 
+  test("stateful transitions: single-batch == batch eventTransitions; two-batch carry links across the boundary") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.transitionsStateful(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Relational.eventTransitions(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // two-batch: split the events by time into two files; the step
+    // crossing the boundary exists ONLY because the user's last event
+    // carries in state across micro-batches
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+    val mid = ev.agg(expr("percentile_approx(ts_ns, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-2b-").toString
+    val incoming = s"$dir/incoming"
+    ev.filter(col("ts_ns") <= mid).coalesce(1).write.mode("append").parquet(incoming)
+    ev.filter(col("ts_ns") > mid).coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_ns", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val twoBatch = EventStreams.transitionsStateful(stream).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoBatch == batch,
+      "cross-batch carry must reproduce the batch transition matrix")
+  }
+
   test("bfsBatch: incremental distances == batch BFS after every batch; shortcut improves; replay is a no-op") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-bfs-replay-").toString
