@@ -320,6 +320,10 @@ object SparkEntry {
     // driver aggregates, one all-integer summary row
     "q_diameter" -> ((s, dir) => Graph.diameterDoubleSweep(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 30)),
+    // 3·T/W in exact integer ppm — one triangle pass + the
+    // closed-form wedge sum, no wedge materialization
+    "q_clustering" -> ((s, dir) => Graph.clusteringCoefficient(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)))),
     // first-order Markov transition counts over per-user event
     // sequences; unique (ts, id) order key keeps every lag exact
     "q_transitions" -> ((s, dir) => Relational.eventTransitions(Tables.events(s, dir))),
@@ -1076,6 +1080,24 @@ object SparkEntry {
         |  FROM events) t
         |WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // orientation-free triangle count + closed-form wedge sum; the
+    // ppm ratio is integer division on both sides
+    "q_clustering" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |t AS (SELECT count(*) AS ts FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |d AS (SELECT n, count(*) AS d FROM (
+        |      SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |w AS (SELECT COALESCE(sum(d * (d - 1)), 0) // 2 AS wedges FROM d)
+        |SELECT (SELECT count(*) FROM d) AS nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       CAST(w.wedges AS BIGINT) AS wedges,
+        |       CAST(t.ts AS BIGINT) AS triangles,
+        |       CAST(CASE WHEN w.wedges = 0 THEN 0
+        |            ELSE 3 * t.ts * 1000000 // w.wedges END AS BIGINT) AS global_cc_ppm
+        |FROM t, w""".stripMargin,
     // two recursive walks, the second seeded from the first's
     // (dist DESC, node) argmax — the exact double-sweep tie rule
     "q_diameter" ->

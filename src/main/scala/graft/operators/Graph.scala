@@ -846,6 +846,38 @@ object Graph {
     * before running [[triangleCount]] on a new graph, and the number
     * [[graft.GraphRehearsal]] records at scale.
     */
+  /** Global clustering coefficient: 3·triangles / wedges — "of all
+    * two-paths, how many close" — THE one-number cohesion summary
+    * (Watts & Strogatz 1998, public literature). One row, ALL
+    * INTEGERS: (nodes, n_edges, wedges, triangles, global_cc_ppm)
+    * with the ratio in exact parts-per-million (`3·T·10⁶ div W`), so
+    * there is no float division for engines to disagree on.
+    *
+    * Cost = one [[triangleCount]] pass (degree-ordered, hub-safe)
+    * plus the closed-form wedge count Σ d(d−1)/2 from the SAME degree
+    * table shape — no wedge materialization for the denominator.
+    */
+  def clusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.localCheckpoint(true)
+    val triRow = triangleCount(edges).head() // (nodes, n_edges, triangles)
+    val (nodes, nEdges, tris) =
+      (triRow.getLong(0), triRow.getLong(1), triRow.getLong(2))
+    // Closed-form denominator: Σ d(d−1)/2 over the degree table — no
+    // wedge materialization. (Each d(d−1) is even, so summing the
+    // products THEN halving loses nothing.)
+    val wedges = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+    Checkpoints.free(edges)
+    val ppm = if (wedges == 0L) 0L else 3L * tris * 1000000L / wedges
+    Seq((nodes, nEdges, wedges, tris, ppm))
+      .toDF("nodes", "n_edges", "wedges", "triangles", "global_cc_ppm")
+  }
+
   def wedgeStats(edges: DataFrame): (Long, Long) = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))

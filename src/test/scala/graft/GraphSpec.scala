@@ -292,6 +292,24 @@ class GraphSpec extends AnyFunSuite {
     assert(t3 === chain.toSet)
   }
 
+  test("clusteringCoefficient: 1.0 on a clique, 0 on a star, exact ppm on a known mix; empty input") {
+    import spark.implicits._
+    // K4: 4 triangles, wedges = 4·C(3,2) = 12, cc = 3·4/12 = 1.0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val rK4 = Graph.clusteringCoefficient(edgeDf(k4)).head()
+    assert((rK4.getLong(2), rK4.getLong(3), rK4.getLong(4)) === ((12L, 4L, 1000000L)))
+    // star: wedges galore, zero triangles -> 0
+    val star = (1L to 10L).map(i => (0L, i))
+    assert(Graph.clusteringCoefficient(edgeDf(star)).head().getLong(4) === 0L)
+    // triangle + pendant: T=1, degrees (2,2,3,1) -> wedges 1+1+3+0=5,
+    // ppm = 3_000_000/5 = 600_000
+    val mix = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val rMix = Graph.clusteringCoefficient(edgeDf(mix)).head()
+    assert((rMix.getLong(2), rMix.getLong(3), rMix.getLong(4)) === ((5L, 1L, 600000L)))
+    assert(Graph.clusteringCoefficient(
+      Seq.empty[(Long, Long)].toDF("u", "v")).head().getLong(4) === 0L)
+  }
+
   test("diameterDoubleSweep: exact on a path; improves the seed's eccentricity on an off-center seed; empty input") {
     import spark.implicits._
     // Path 3-1-2-4-5 by ids: seed is node 1 (min id), which sits
