@@ -467,6 +467,9 @@ object SparkEntry {
     // document-level co-occurrence pair mining, top 20 by
     // (count DESC, w1, w2) — a TakeOrderedAndProject, never a sort
     "ta_cooccur" -> ((s, dir) => TextAnalysis.cooccurrence(Tables.documents(s, dir), 20)),
+    // exact integer KS distance between the train/valid word-count
+    // distributions — the split-bias pre-flight
+    "ta_split_drift" -> ((s, dir) => TextAnalysis.splitDrift(Tables.documents(s, dir))),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
@@ -2375,6 +2378,28 @@ object SparkEntry {
         |  CAST(sum(survivor) AS BIGINT) AS n_unique,
         |  CAST(sum(CASE WHEN survivor = 1 THEN n_words ELSE 0 END) AS BIGINT) AS tokens_unique
         |FROM mk GROUP BY source""".stripMargin,
+    // cross-multiplied integer KS sup-gap — no float CDFs on either
+    // side; the window runs over distinct stat VALUES (bounded)
+    "ta_split_drift" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        |         THEN 'valid' ELSE 'train' END AS split,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS x
+        |  FROM documents),
+        |c AS (SELECT x,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS cv
+        |  FROM s GROUP BY x),
+        |k AS (SELECT
+        |    sum(ct) OVER (ORDER BY x) AS cumT, sum(cv) OVER (ORDER BY x) AS cumV,
+        |    sum(ct) OVER () AS nT, sum(cv) OVER () AS nV FROM c)
+        |SELECT CAST(max(nT) AS BIGINT) AS n_train,
+        |  CAST(max(nV) AS BIGINT) AS n_valid,
+        |  CAST(max(abs(cumT * nV - cumV * nT)) AS BIGINT) AS d_raw,
+        |  CAST(CASE WHEN max(nT) * max(nV) = 0 THEN 0
+        |       ELSE max(abs(cumT * nV - cumV * nT)) * 1000000 // (max(nT) * max(nV))
+        |       END AS BIGINT) AS d_ppm
+        |FROM k""".stripMargin,
     // doc-bounded pair fan-out; (n DESC, w1, w2) total order makes
     // the top-20 cut deterministic
     "ta_cooccur" ->

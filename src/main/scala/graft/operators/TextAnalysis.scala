@@ -191,6 +191,50 @@ object TextAnalysis {
       when(substring(md5(col("doc_id").cast("string")), 1, 2) < validHexThreshold, lit("valid"))
         .otherwise(lit("train")).as("split"))
 
+  /** Split-drift monitor: the exact Kolmogorov-Smirnov distance
+    * between the train and valid empirical distributions of a per-doc
+    * integer statistic (word count here) — the pre-flight that
+    * catches a content-hash split accidentally correlating with
+    * document length. EXACT INTEGER arithmetic throughout: the KS
+    * sup-gap is computed as `max |cumT·Nv − cumV·Nt|` (cross-
+    * multiplied, no float CDFs) and reported both raw and as
+    * parts-per-million of Nt·Nv — bit-identical across engines.
+    *
+    * Plan shape: the per-doc stat is one scan; counts per (split,
+    * value) are one map-side-combined aggregate whose size is
+    * bounded by DISTINCT STAT VALUES (hundreds), not docs; the CDF
+    * window runs over that bounded table — a global window over a
+    * provably small input, not over the corpus. One summary row.
+    */
+  def splitDrift(documents: DataFrame,
+                 validHexThreshold: String = "29"): DataFrame = {
+    val stat = documents.select(
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < validHexThreshold,
+        lit("valid")).otherwise(lit("train")).as("split"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("x"))
+    val counts = stat.groupBy("x").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("split") === "valid", 1L).otherwise(0L)).as("cv"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wCdf = W.orderBy(col("x")).rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.orderBy(col("x"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    counts
+      .withColumn("cumT", sum(col("ct")).over(wCdf))
+      .withColumn("cumV", sum(col("cv")).over(wCdf))
+      .withColumn("nT", sum(col("ct")).over(wAll))
+      .withColumn("nV", sum(col("cv")).over(wAll))
+      .agg(
+        coalesce(max(col("nT")), lit(0L)).as("n_train"),
+        coalesce(max(col("nV")), lit(0L)).as("n_valid"),
+        coalesce(max(abs(col("cumT") * col("nV") - col("cumV") * col("nT"))),
+          lit(0L)).as("d_raw"))
+      .select(col("n_train"), col("n_valid"), col("d_raw"),
+        when(col("n_train") * col("n_valid") === 0L, lit(0L))
+          .otherwise(expr("d_raw * 1000000 div (n_train * n_valid)"))
+          .as("d_ppm"))
+  }
+
   /** TF-IDF top terms per document: tf · ln(N/df), one aggregation
     * for term frequencies, one bounded aggregation for document
     * frequencies (vocabulary-sized, broadcast back), top-k via

@@ -62,6 +62,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     } finally got.unpersist()
   }
 
+  test("splitDrift: zero on identical distributions, maximal on disjoint ones; hand-computed KS gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when, substring, md5}
+    // Build docs whose SPLIT we control by choosing ids on each side
+    // of the md5 threshold: find ids landing in valid vs train.
+    val ids = (1L to 400L)
+    val isValid = ids.map(i => i ->
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString < "29"))
+      .toMap
+    val validIds = ids.filter(isValid).take(20)
+    val trainIds = ids.filterNot(isValid).take(20)
+    // identical length distributions -> D = 0
+    def doc(words: Int) = (1 to words).map(_ => "w").mkString(" ")
+    val same = (validIds.map(i => (i, doc(5))) ++ trainIds.map(i => (i, doc(5))))
+      .toDF("doc_id", "text")
+    val r0 = graft.operators.TextAnalysis.splitDrift(same).head()
+    assert(r0.getLong(2) === 0L && r0.getLong(3) === 0L)
+    // disjoint supports (train all length 3, valid all length 9) ->
+    // D = 1.0 exactly: d_raw = nT*nV, d_ppm = 1_000_000
+    val disjoint = (validIds.map(i => (i, doc(9))) ++ trainIds.map(i => (i, doc(3))))
+      .toDF("doc_id", "text")
+    val r1 = graft.operators.TextAnalysis.splitDrift(disjoint).head()
+    assert(r1.getLong(2) === r1.getLong(0) * r1.getLong(1))
+    assert(r1.getLong(3) === 1000000L)
+    // hand case: train lengths {3,3,5,7}, valid {3,5,5,7}: CDF gaps
+    // at x=3: |2*4-1*4|=4, x=5: |3*4-3*4|=0, x=7: 0 -> d_raw=4,
+    // d_ppm = 4*10^6/16 = 250000
+    val t4 = trainIds.take(4).zip(Seq(3, 3, 5, 7))
+    val v4 = validIds.take(4).zip(Seq(3, 5, 5, 7))
+    val mix = (t4 ++ v4).map { case (i, n) => (i, doc(n)) }.toDF("doc_id", "text")
+    val r2 = graft.operators.TextAnalysis.splitDrift(mix).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) ===
+      ((4L, 4L, 4L, 250000L)))
+  }
+
   test("cooccurrence: doc-level pair counts, canonical order, deterministic top-k cut") {
     import spark.implicits._
     val df = Seq(
