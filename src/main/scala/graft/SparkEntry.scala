@@ -571,7 +571,10 @@ object SparkEntry {
     "pipeline_pretrain_mix" -> ((s, dir) => Pipeline.pretrainMix(Tables.documents(s, dir))),
     // per-source budget audit through the gopher gate + exact dedup —
     // the table a mix design reads before setting source weights
-    "pipeline_quality_audit" -> ((s, dir) => Pipeline.qualityDedupAudit(Tables.documents(s, dir)))
+    "pipeline_quality_audit" -> ((s, dir) => Pipeline.qualityDedupAudit(Tables.documents(s, dir))),
+    // streamed ingest face: range-sharded batches + maintained
+    // kept-hash store converge to the batch audit (shared oracle)
+    "stream_quality_audit" -> ((s, dir) => graft.streaming.EventStreams.streamedQualityAudit(s, dir))
   )
 
   /** Shared CTE block producing verified n-gram Jaccard pairs `jp`
@@ -837,6 +840,41 @@ object SparkEntry {
        |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
        |     * 281474976710656) // least(c.theta, w.theta) END AS est_churned
        |FROM meta c LEFT JOIN wmeta w ON w.h = c.h""".stripMargin
+
+  /** The gopher->dedup audit composition in SQL — shared verbatim
+    * by the batch entry and its streaming maintenance face. */
+  private val QualityAuditSql: String =
+    """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |st AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w) * c) AS BIGINT) AS tot_chars,
+        |    count(*) AS n_distinct,
+        |    max(c) AS max_cnt,
+        |    count(DISTINCT CASE WHEN w IN ('the','and','of','to','in','is',
+        |      'that','for','with','was') THEN w END) AS n_stop
+        |  FROM wc GROUP BY doc_id),
+        |fl AS (SELECT doc_id, n_words,
+        |    (n_words >= 20 AND n_words <= 2000)
+        |      AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+        |      AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
+        |      AND 2 * (n_words - n_distinct) <= n_words AS keep
+        |  FROM st),
+        |d AS (SELECT doc.doc_id, doc.source,
+        |    md5(lower(trim(regexp_replace(doc.text, '\s+', ' ', 'g')))) AS h,
+        |    fl.keep, fl.n_words
+        |  FROM documents doc JOIN fl ON fl.doc_id = doc.doc_id),
+        |mk AS (SELECT *,
+        |    CASE WHEN keep AND doc_id =
+        |      min(CASE WHEN keep THEN doc_id END) OVER (PARTITION BY h)
+        |    THEN 1 ELSE 0 END AS survivor FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(survivor) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN survivor = 1 THEN n_words ELSE 0 END) AS BIGINT) AS tokens_unique
+        |FROM mk GROUP BY source""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -2346,38 +2384,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // the whole gopher->dedup composition recomputed in SQL: same
     // rule ladder, kept-scoped min-doc_id survivor, integer sums
-    "pipeline_quality_audit" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |  FROM documents),
-        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
-        |st AS (SELECT doc_id,
-        |    CAST(sum(c) AS BIGINT) AS n_words,
-        |    CAST(sum(length(w) * c) AS BIGINT) AS tot_chars,
-        |    count(*) AS n_distinct,
-        |    max(c) AS max_cnt,
-        |    count(DISTINCT CASE WHEN w IN ('the','and','of','to','in','is',
-        |      'that','for','with','was') THEN w END) AS n_stop
-        |  FROM wc GROUP BY doc_id),
-        |fl AS (SELECT doc_id, n_words,
-        |    (n_words >= 20 AND n_words <= 2000)
-        |      AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
-        |      AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
-        |      AND 2 * (n_words - n_distinct) <= n_words AS keep
-        |  FROM st),
-        |d AS (SELECT doc.doc_id, doc.source,
-        |    md5(lower(trim(regexp_replace(doc.text, '\s+', ' ', 'g')))) AS h,
-        |    fl.keep, fl.n_words
-        |  FROM documents doc JOIN fl ON fl.doc_id = doc.doc_id),
-        |mk AS (SELECT *,
-        |    CASE WHEN keep AND doc_id =
-        |      min(CASE WHEN keep THEN doc_id END) OVER (PARTITION BY h)
-        |    THEN 1 ELSE 0 END AS survivor FROM d)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  CAST(sum(survivor) AS BIGINT) AS n_unique,
-        |  CAST(sum(CASE WHEN survivor = 1 THEN n_words ELSE 0 END) AS BIGINT) AS tokens_unique
-        |FROM mk GROUP BY source""".stripMargin,
+    "pipeline_quality_audit" -> QualityAuditSql,
+    // the maintained streaming audit converges to the same table
+    // (range-ordered arrival preserves the min-kept-doc survivor)
+    "stream_quality_audit" -> QualityAuditSql,
+
     // cross-multiplied integer KS sup-gap — no float CDFs on either
     // side; the window runs over distinct stat VALUES (bounded)
     "ta_split_drift" ->

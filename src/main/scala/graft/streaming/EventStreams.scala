@@ -909,6 +909,150 @@ object EventStreams {
       .groupBy("node").agg(min("dist").as("dist"))
   }
 
+  /** Streamed per-source quality/dedup budget audit — the ingest face
+    * of `Pipeline.qualityDedupAudit`: shard the documents into two
+    * doc_id-RANGE micro-batches (range, not parity: arrival order
+    * then respects doc_id order, so the earliest batch containing a
+    * kept doc of a hash also contains that hash's GLOBAL min kept
+    * doc_id — which is why the final counts equal the batch audit
+    * and the entry shares its SQL oracle verbatim), maintain the
+    * kept-hash store + per-batch count deltas, and resolve by
+    * summing. The audit table stays continuously current as corpus
+    * shards land instead of being recomputed from scratch.
+    */
+  def streamedQualityAudit(spark: SparkSession, dir: String,
+                           nBuckets: Int = 16): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_keep", "n_unique", "tokens_unique")
+    }
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft-qa-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") > mid).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    qualityAuditIngest(stream, s"$base/state", s"$base/ckpt", nBuckets)
+    qualityAuditResolve(spark, s"$base/state")
+  }
+
+  /** Streaming ingest for the per-source quality/dedup audit. State
+    * under `statePath`: `kept_hashes` — content hashes that already
+    * have a kept (rule-passing) doc, bucket-partitioned so a batch
+    * reads ONLY the partitions its own hashes land in; `counts` —
+    * append-only per-batch per-source count deltas (a batch writes
+    * its deltas, never rewrites totals); `_qa_commits` batchId
+    * markers for replay idempotence.
+    */
+  def qualityAuditIngest(docStream: DataFrame, statePath: String,
+                         checkpoint: String, nBuckets: Int = 16): Unit = {
+    val q = docStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        qualityAuditBatch(b, id, statePath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def hashBucket(h: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(nBuckets.toLong))
+
+  /** One [[qualityAuditIngest]] micro-batch, exposed for the replay
+    * spec. Per batch: stateless gopher verdicts, within-batch
+    * survivor election (min KEPT doc per hash), then the
+    * new-vs-maintained hash check against the PRUNED kept-hash
+    * partitions — per-batch cost is bounded by the batch's own
+    * hashes, never a corpus rescan.
+    */
+  private[graft] def qualityAuditBatch(batch0: org.apache.spark.sql.DataFrame,
+                                       batchId: Long, statePath: String,
+                                       nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_qa_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val batch = batch0.persist()
+    try {
+      val hashesPath = s"$statePath/kept_hashes"
+      val countsPath = s"$statePath/counts"
+      val flags = graft.operators.TextAnalysis.gopherFlags(batch)
+        .select(col("doc_id"), col("keep"), col("n_words"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val marked = batch.select(col("doc_id"), col("source"), col("text"))
+        .join(flags, "doc_id")
+        .withColumn("h", graft.operators.Dedup.contentHash(col("text")))
+        .withColumn("surv",
+          col("keep") && col("doc_id") ===
+            min(when(col("keep"), col("doc_id"))).over(w))
+        .localCheckpoint(true)
+      val batchSurv = marked.filter(col("surv"))
+        .select(col("source"), col("h"), col("n_words"))
+        .withColumn("bucket", hashBucket(col("h"), nBuckets))
+        .localCheckpoint(true)
+      val touched = batchSurv.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val uniqueNew =
+        if (hasVisibleData(spark, hashesPath) && touched.nonEmpty) {
+          val seen = spark.read.parquet(hashesPath)
+            .filter(col("bucket").isin(touched: _*))
+            .select(col("h").as("seenH"))
+          batchSurv.join(seen, col("h") === col("seenH"), "left_anti")
+        } else batchSurv
+      val uniqueCp = uniqueNew.localCheckpoint(true)
+      // Per-batch count DELTAS: the all-docs aggregate and the
+      // unique-survivor aggregate append as separate zero-padded
+      // rows; resolve sums them.
+      val baseCounts = marked.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"),
+        lit(0L).as("n_unique"), lit(0L).as("tokens_unique"))
+      val uniqCounts = uniqueCp.groupBy("source").agg(
+        lit(0L).as("n_docs"), lit(0L).as("n_keep"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n_words")).as("tokens_unique"))
+      baseCounts.unionByName(uniqCounts)
+        .write.mode("append").parquet(countsPath)
+      uniqueCp.select(col("h"), col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(hashesPath)
+      graft.operators.Checkpoints.free(uniqueCp)
+      graft.operators.Checkpoints.free(batchSurv)
+      graft.operators.Checkpoints.free(marked)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally batch.unpersist()
+  }
+
+  /** Resolve the maintained audit: sum the per-batch deltas. */
+  def qualityAuditResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/counts")) {
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_keep", "n_unique", "tokens_unique")
+    }
+    spark.read.parquet(s"$statePath/counts")
+      .groupBy("source").agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_keep")).as("n_keep"),
+        sum(col("n_unique")).as("n_unique"),
+        sum(col("tokens_unique")).as("tokens_unique"))
+  }
+
   /** Streaming NEAR-DUP dedup maintenance — the MinHash/LSH face of
     * the always-on ingest story ([[ingestDedup]] catches exact
     * re-arrivals; this catches near-duplicates), completing exact-hash

@@ -846,6 +846,37 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction merge drifted: ${resolve()}")
   }
 
+  test("streamedQualityAudit == batch qualityDedupAudit; cross-batch dup suppressed; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // full-fixture parity with the batch audit (shared oracle claim)
+    val streamed = asMap(EventStreams.streamedQualityAudit(spark, sf).collect())
+    val batch = asMap(graft.operators.Pipeline
+      .qualityDedupAudit(Tables.documents(spark, sf)).collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // hand-driven batches: doc 2 (batch 0) and doc 11 (batch 1) share
+    // content — batch 1's doc must count as kept but NOT unique
+    val good = "the and cat dog bird fish goat lion wolf bear deer mole " +
+      "horse sheep mouse tiger otter eagle crow dove"
+    val state = java.nio.file.Files.createTempDirectory("graft-qa-replay-").toString + "/state"
+    val b0 = Seq((2L, good, "web"), (3L, "too short", "web")).toDF("doc_id", "text", "source")
+    val b1 = Seq((11L, good, "web"), (12L, good + " extra", "web")).toDF("doc_id", "text", "source")
+    EventStreams.qualityAuditBatch(b0, 0L, state, 16)
+    val after0 = asMap(EventStreams.qualityAuditResolve(spark, state).collect())
+    assert(after0("web") === ((2L, 1L, 1L, 20L)))
+    EventStreams.qualityAuditBatch(b1, 1L, state, 16)
+    val after1 = asMap(EventStreams.qualityAuditResolve(spark, state).collect())
+    // doc 11: kept but a cross-batch dup; doc 12: kept and unique
+    assert(after1("web") === ((4L, 3L, 2L, 41L)))
+    // replay: no state or count drift
+    EventStreams.qualityAuditBatch(b1, 1L, state, 16)
+    assert(asMap(EventStreams.qualityAuditResolve(spark, state).collect()) == after1)
+  }
+
   test("stateful transitions: single-batch == batch eventTransitions; two-batch carry links across the boundary") {
     import org.apache.spark.sql.functions._
     val got = EventStreams.transitionsStateful(spark, sf).collect()
