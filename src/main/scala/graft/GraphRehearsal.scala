@@ -93,6 +93,47 @@ object GraphRehearsal {
       spark.stop()
       return
     }
+    // ---- round-9 traversal-family rehearsal (`paths` arg): the
+    // SSSP/LPA/MST/k-truss/BFS/diameter wave at million-edge scale
+    // with hub skew as the controlled variable. celebrity(10⁶):
+    // round-1 BFS frontier is the ENTIRE leaf set at once (the
+    // hub-skew case a per-node traversal dies on), and the double
+    // sweep must report diameter_lb = 2 exactly. uniform(2M):
+    // wall times for the weighted/relabel/contract iteratives,
+    // plus the MSF SIZE IDENTITY |forest| = nodes − components
+    // checked against an independent CC — the structural assert
+    // that the contraction loop neither drops nor double-picks.
+    if (args.contains("paths")) {
+      println("| op | graph | result | sec |")
+      println("|---|---|---|---|")
+      val celeb = celebrityGraph(spark, leaves).localCheckpoint(true)
+      val (nB, secB) = time(Graph.bfsHops(celeb).count())
+      assert(nB == leaves + 1, s"hub BFS must reach all ${leaves + 1} nodes, got $nB")
+      println(s"| bfsHops | celebrity(n=$leaves) | $nB nodes | ${f"$secB%.1f"} |")
+      val (rowD, secD) = time(Graph.diameterDoubleSweep(celeb).head())
+      assert(rowD.getLong(3) == 2L, s"hub+ring diameter_lb must be 2, got $rowD")
+      println(s"| diameterDoubleSweep | celebrity | lb=${rowD.getLong(3)} | ${f"$secD%.1f"} |")
+      val uni = uniformGraph(spark, leaves / 10, uniEdges).localCheckpoint(true)
+      val wuni = uni.withColumn("w",
+        (abs(xxhash64(col("u"), col("v"))) % 9 + 1)).localCheckpoint(true)
+      val (nS, secS) = time(Graph.sssp(wuni).count())
+      println(s"| sssp | uniform(m=$uniEdges) | $nS reached | ${f"$secS%.1f"} |")
+      val (nL, secL) = time(Graph.labelPropagation(uni).count())
+      println(s"| labelPropagation(5) | uniform | $nL labeled | ${f"$secL%.1f"} |")
+      val (nM, secM) = time(Graph.mstBoruvka(wuni).count())
+      val nNodes = uni.select(explode(array(col("u"), col("v"))).as("n"))
+        .distinct().count()
+      val nComp = graft.operators.Dedup.connectedComponentsAlternating(
+          uni.select(col("u").as("doc_a"), col("v").as("doc_b")))
+        .select("component_id").distinct().count()
+      assert(nM == nNodes - nComp,
+        s"MSF size identity violated: $nM edges, $nNodes nodes, $nComp components")
+      println(s"| mstBoruvka | uniform | $nM edges = $nNodes−$nComp | ${f"$secM%.1f"} |")
+      val (nT, secT) = time(Graph.kTruss(Graph.sampleEdges(uni, 250), 4, 4).count())
+      println(s"| kTruss(4, p=¼) | uniform | $nT edges survive | ${f"$secT%.1f"} |")
+      spark.stop()
+      return
+    }
     // ---- round-8 DOULION multi-p table (`doulion` arg): one graph
     // (planted 30-clique + uniform sea, exact count known by running
     // the exact counter), estimates at p ∈ {125..1000}‰ — the
