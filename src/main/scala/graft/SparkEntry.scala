@@ -563,6 +563,9 @@ object SparkEntry {
     // incremental BFS maintenance; final state ≡ batch bfsHops over
     // the union, so it shares q_bfs's recursive-CTE oracle verbatim
     "stream_bfs" -> ((s, dir) => graft.streaming.EventStreams.streamedBfs(s, dir)),
+    // weighted sibling: dynamic relaxation over the multiplicity-
+    // weighted edges; shares q_sssp's relax-ladder oracle verbatim
+    "stream_sssp" -> ((s, dir) => graft.streaming.EventStreams.streamedSssp(s, dir)),
     // O(1)-per-user carry: each event emits one step against the
     // user's last event; counts ≡ batch q_transitions (shared oracle)
     "stream_transitions" -> ((s, dir) => graft.streaming.EventStreams.transitionsStateful(s, dir)),
@@ -727,6 +730,18 @@ object SparkEntry {
        |    FROM lp${i - 1} l JOIN und e ON e.a = l.node
        |    GROUP BY e.b, l.label) t WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
+
+  /** The weighted-SSSP relax-ladder oracle — shared verbatim by the
+    * batch entry and its streaming maintenance face. */
+  private val SsspSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v, 10 - LEAST(9, count(*)) AS w
+      |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+      |wund AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we),
+      |s0 AS MATERIALIZED (SELECT min(a) AS node, CAST(0 AS BIGINT) AS dist
+      |     FROM wund HAVING min(a) IS NOT NULL),
+      |$SsspRoundCtes
+      |SELECT node, dist FROM s20""".stripMargin
 
   /** 8 unrolled k-core peel rounds (k=70) as chained CTEs — the
     * PagerankRoundCtes pattern: each round recomputes degrees over
@@ -1181,15 +1196,10 @@ object SparkEntry {
     // (10 − least(9, shared orders)) and a 20-round unrolled
     // Bellman-Ford min-aggregate ladder — all-integer distances, so
     // every value must agree with the Spark delta-relaxation
-    "q_sssp" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v, 10 - LEAST(9, count(*)) AS w
-        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
-        |wund AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we),
-        |s0 AS MATERIALIZED (SELECT min(a) AS node, CAST(0 AS BIGINT) AS dist
-        |     FROM wund HAVING min(a) IS NOT NULL),
-        |$SsspRoundCtes
-        |SELECT node, dist FROM s20""".stripMargin,
+    "q_sssp" -> SsspSql,
+    // the streamed maintenance face converges to the same distances
+    // (dynamic weighted relaxation), so the oracle is q_sssp's
+    "stream_sssp" -> SsspSql,
     // synchronous LPA: 5 unrolled rounds, (count DESC, label ASC)
     // winner per node — all-integer, must agree label-for-label
     "q_label_prop" ->

@@ -829,17 +829,90 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streamed WEIGHTED shortest paths — [[streamedBfs]]'s sibling
+    * over the multiplicity-weighted co-purchase edges: same
+    * append-only claims state, same dynamic-relaxation argument
+    * (adding edges only decreases distances), so the final state ≡
+    * batch `Graph.sssp` over the union and the entry shares
+    * `q_sssp`'s 20-round relax-ladder oracle verbatim (the fixture
+    * converges well inside both budgets). Unlike BFS, an improvement
+    * here can REVISIT an already-settled node (a cheaper weighted
+    * path through a new edge), which the min-over-claims resolution
+    * absorbs without rewriting anything.
+    */
+  def streamedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.coPurchaseWeightedEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    val seedRow = edges.agg(least(min(col("u")), min(col("v")))).head()
+    if (seedRow.isNullAt(0)) {
+      graft.operators.Checkpoints.free(edges)
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    }
+    val seed = seedRow.getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft-sssp-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType),
+        StructField("w", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    ssspIngest(stream, s"$base/state", s"$base/ckpt", seed)
+    bfsResolve(spark, s"$base/state")
+  }
+
+  /** Incremental weighted-SSSP maintenance over a stream of
+    * (u, v, w) edge batches — [[bfsIngest]] with weighted steps;
+    * same state layout, same replay idempotence. */
+  def ssspIngest(edgeStream: DataFrame, statePath: String, checkpoint: String,
+                 seed: Long, maxRoundsPerBatch: Int = 30): Unit = {
+    val q = edgeStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ssspBatch(b, id, statePath, seed, maxRoundsPerBatch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One [[bfsIngest]] micro-batch, exposed for the replay spec. */
   private[graft] def bfsBatch(batch0: org.apache.spark.sql.DataFrame,
                               batchId: Long, statePath: String,
-                              seed: Long, maxRounds: Int): Unit = {
+                              seed: Long, maxRounds: Int): Unit =
+    relaxBatch(batch0, batchId, statePath, seed, maxRounds, weighted = false)
+
+  /** One [[ssspIngest]] micro-batch (weighted relaxation). */
+  private[graft] def ssspBatch(batch0: org.apache.spark.sql.DataFrame,
+                               batchId: Long, statePath: String,
+                               seed: Long, maxRounds: Int): Unit =
+    relaxBatch(batch0, batchId, statePath, seed, maxRounds, weighted = true)
+
+  /** Shared dynamic-relaxation micro-batch for [[bfsIngest]] (step
+    * cost 1) and [[ssspIngest]] (step cost = the edge's integer
+    * weight). The dynamic-SSSP argument is the same in both: added
+    * edges only DECREASE distances, so seeding the relaxation from
+    * the new edges' already-reached endpoints and propagating
+    * improvements to fixpoint reaches exactly the batch result over
+    * the union — which is what lets both entries share their batch
+    * twins' SQL oracles verbatim.
+    */
+  private def relaxBatch(batch0: org.apache.spark.sql.DataFrame,
+                         batchId: Long, statePath: String,
+                         seed: Long, maxRounds: Int, weighted: Boolean): Unit = {
     val spark = batch0.sparkSession
     import spark.implicits._
     val commitDir = new org.apache.hadoop.fs.Path(statePath, "_bfs_commits")
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return // replayed batch: already applied
-    val batch = batch0.select(col("u"), col("v")).distinct().persist()
+    val cols = if (weighted) Seq(col("u"), col("v"), col("w")) else Seq(col("u"), col("v"))
+    val batch = batch0.select(cols: _*).distinct().persist()
     try {
       val edgesPath = s"$statePath/edges"
       val distPath = s"$statePath/dist"
@@ -848,19 +921,19 @@ object EventStreams {
         (if (hasVisibleData(spark, distPath))
           spark.read.parquet(distPath).groupBy("node").agg(min("dist").as("dist"))
         else Seq.empty[(Long, Long)].toDF("node", "dist")).localCheckpoint(true)
-      val und = spark.read.parquet(edgesPath).distinct()
-        .select(col("u").as("a"), col("v").as("b"))
-        .unionAll(spark.read.parquet(edgesPath).distinct()
-          .select(col("v").as("a"), col("u").as("b")))
+      def bidir(df: org.apache.spark.sql.DataFrame) = {
+        val wCol = if (weighted) col("w") else lit(1L).as("w")
+        df.select(col("u").as("a"), col("v").as("b"), wCol)
+          .unionAll(df.select(col("v").as("a"), col("u").as("b"), wCol))
+      }
+      val und = bidir(spark.read.parquet(edgesPath).distinct())
         .localCheckpoint(true)
       // Initial claims: the standing seed claim (first batch, or a
       // no-op improvement afterwards) + one-hop relaxations of the
       // NEW edges from currently-known distances.
-      val newUnd = batch.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(batch.select(col("v").as("a"), col("u").as("b")))
-      val hop = dist0.join(newUnd, col("node") === col("a"))
-        .select(col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
-        .groupBy("node").agg(min("dist").as("dist"))
+      val hop = dist0.join(bidir(batch), col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("dist"))
       var cand = Seq((seed, 0L)).toDF("node", "dist").unionAll(hop)
       var dist = dist0
       val claimParts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
@@ -882,8 +955,8 @@ object EventStreams {
             .unionAll(improved).localCheckpoint(true)
           if (superseded ne dist0) graft.operators.Checkpoints.free(superseded)
           cand = improved.join(und, col("node") === col("a"))
-            .select(col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
-            .groupBy("node").agg(min("dist").as("dist"))
+            .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+            .groupBy("node").agg(min("nd").as("dist"))
           round += 1
         }
       }

@@ -945,6 +945,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(resolve() == after)
   }
 
+  test("ssspBatch: a later cheap edge REVISITS settled nodes and re-relaxes downstream; replay no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sssp-replay-").toString
+    val state = s"$base/state"
+    def resolve() = EventStreams.bfsResolve(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: chain 1-2-3-4 with heavy weights
+    val b0 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L)).toDF("u", "v", "w")
+    EventStreams.ssspBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
+    assert(resolve() == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 30L))
+    // batch 1: cheap shortcut 1-3 (w=2) must improve node 3 (settled
+    // at 20) AND re-relax node 4 through it — the weighted case BFS
+    // never has (a settled node improving)
+    val b1 = Seq((1L, 3L, 2L)).toDF("u", "v", "w")
+    EventStreams.ssspBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    val after = resolve()
+    assert(after == Map(1L -> 0L, 2L -> 10L, 3L -> 2L, 4L -> 12L), s"got $after")
+    val want = graft.operators.Graph.sssp(
+        b0.unionByName(b1), maxRounds = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == want)
+    val nClaims = spark.read.parquet(s"$state/dist").count()
+    EventStreams.ssspBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    assert(resolve() == after && spark.read.parquet(s"$state/dist").count() == nClaims)
+  }
+
+  test("streamedSssp two-batch ingest == batch sssp over the weighted co-purchase graph") {
+    val streamed = EventStreams.streamedSssp(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Graph.sssp(
+        graft.operators.Graph.coPurchaseWeightedEdges(Tables.lineitem(spark, sf)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamedBfs two-batch ingest == batch bfsHops over the co-purchase graph") {
     val streamed = EventStreams.streamedBfs(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
