@@ -516,6 +516,9 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("n_bytes"))
     }),
     "mm_phash_dedup" -> ((s, dir) => Multimodal.phashSummary(Tables.documents(s, dir))),
+    // ViT-style patch schedule: pure projection + bounded explodes,
+    // clipped edge tiles, zero shuffles
+    "mm_tiles" -> ((s, dir) => Multimodal.tilePlan(Tables.documents(s, dir), 8)),
     // §2.10 sketch / synopsis operators
     "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir), 10, 512)),
     "q_bloom_semi_join" -> ((s, dir) => Sketches.bloomPrunedOrderItems(
@@ -2006,6 +2009,27 @@ object SparkEntry {
         |  count(*) FILTER (bin = 14) AS f14, count(*) FILTER (bin = 15) AS f15
         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    // same fake-dims arithmetic from the byte length; grid and
+    // clipping all integer
+    "mm_tiles" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n_bytes,
+        |    16 + length(text) % 48 AS w,
+        |    16 + (length(text) // 48) % 48 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, (w + 7) // 8 - 1)) AS tx
+        |  FROM m),
+        |g2 AS (
+        |  SELECT doc_id, w, h, tx,
+        |    unnest(generate_series(0, (h + 7) // 8 - 1)) AS ty
+        |  FROM g)
+        |SELECT doc_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+        |  CAST(tx * 8 AS BIGINT) AS x0, CAST(ty * 8 AS BIGINT) AS y0,
+        |  CAST(LEAST(8, w - tx * 8) AS BIGINT) AS tw,
+        |  CAST(LEAST(8, h - ty * 8) AS BIGINT) AS th
+        |FROM g2""".stripMargin,
     "mm_frames" ->
       // char-substr mirrors the operator's BYTE slicing because this
       // corpus is pure ASCII (verified at every SF); a non-ASCII doc

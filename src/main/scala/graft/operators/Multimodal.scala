@@ -146,6 +146,39 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
   }
 
+  /** Tiling plan for patch-based vision preprocessing (ViT-style):
+    * one row per tile with its pixel extents, edge tiles clipped —
+    * the schedule a patch-embedding pass maps over. Image dimensions
+    * come from the STUBBED decode (deterministic fake dims derived
+    * from payload length — the container has no real media; a
+    * deployment swaps in the decoder's width/height and keeps every
+    * downstream shape). All-integer arithmetic (`(w+7) div tile`
+    * grid, `least(tile, w − x0)` clipping), so the SQL oracle
+    * reproduces every tile row.
+    *
+    * Scale shape: a pure projection + two bounded explodes — tiles
+    * per image is O((w/tile)·(h/tile)), bounded by the image, never
+    * the corpus; no shuffle at all.
+    */
+  def tilePlan(documents: DataFrame, tile: Int = 8): DataFrame = {
+    val t = tile.toLong
+    withPayload(documents)
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("w", lit(16L) + col("n_bytes") % 48L)
+      .withColumn("h", lit(16L) + expr("n_bytes div 48") % 48L)
+      .withColumn("nx", expr(s"(w + ${t - 1}) div $t"))
+      .withColumn("ny", expr(s"(h + ${t - 1}) div $t"))
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0L), col("nx") - 1)).as("tx"),
+        col("ny"))
+      .select(col("doc_id"), col("w"), col("h"), col("tx"),
+        explode(sequence(lit(0L), col("ny") - 1)).as("ty"))
+      .select(col("doc_id"), col("tx"), col("ty"),
+        (col("tx") * t).as("x0"), (col("ty") * t).as("y0"),
+        least(lit(t), col("w") - col("tx") * t).as("tw"),
+        least(lit(t), col("h") - col("ty") * t).as("th"))
+  }
+
   /** Perceptual hash (average-hash family) of the payload, split into
     * `nBands` band values for the banded hamming join: bit i is set
     * iff histogram bucket i sits strictly above the payload mean

@@ -48,6 +48,27 @@ class MultimodalSpec extends AnyFunSuite {
     frames.foreach(r => assert(r.getAs[Array[Byte]](2).length == 32))
   }
 
+  test("tilePlan: grid covers the fake dims exactly, edge tiles clipped, zero gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 50 bytes -> w = 16+50%48 = 18, h = 16+(50/48)%48 = 17:
+    // 3x3 tiles; last column width 2, last row height 1
+    val df = Seq((1L, "x" * 50, "web")).toDF("doc_id", "text", "source")
+    val tiles = graft.operators.Multimodal.tilePlan(df, 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(tiles.length === 9)
+    // row 0 tiles: widths 8, 8, 2
+    assert(tiles.filter(_._2 == 0L).sortBy(_._1).map(_._5).toSeq === Seq(8L, 8L, 2L))
+    // col 0 tiles: heights 8, 8, 1
+    assert(tiles.filter(_._1 == 0L).sortBy(_._2).map(_._6).toSeq === Seq(8L, 8L, 1L))
+    // exact cover: sum of tile areas == w*h, and every tile positive
+    assert(tiles.map(t => t._5 * t._6).sum === 18L * 17L)
+    assert(tiles.forall(t => t._5 > 0 && t._6 > 0))
+    // offsets are the tile grid
+    assert(tiles.forall(t => t._3 == t._1 * 8 && t._4 == t._2 * 8))
+  }
+
   test("phash: permutations collide at hamming 0, perturbations stay near, disjoint content far") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 4
