@@ -324,6 +324,31 @@ object SparkEntry {
     // closed-form wedge sum, no wedge materialization
     "q_clustering" -> ((s, dir) => Graph.clusteringCoefficient(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)))),
+    // wide->long melt via stack: one Generate, no join-back, values
+    // pass through from parquet bit-identically
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir).selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, " +
+          "'discount', l_discount) AS (measure, value)")),
+    // the NULL-join semantics pin: = drops NULL keys, <=> matches
+    // them — one summary row proves n_nullsafe = n_eq + 1 on a
+    // domain with exactly one planted NULL member
+    "q_null_semantics" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val keys = Tables.lineitem(s, dir)
+        .select(when(round(col("l_tax"), 2) === 0.04, lit(null))
+          .otherwise(round(col("l_tax"), 2)).as("k"))
+        .distinct()
+      val a = keys.as("a")
+      val b = keys.as("b")
+      val nKeys = keys.agg(count(lit(1)).as("n_keys"),
+        count(col("k")).as("n_nonnull_keys"))
+      val nEq = a.join(b, col("a.k") === col("b.k"))
+        .agg(count(lit(1)).as("n_eq_pairs"))
+      val nNs = a.join(b, col("a.k") <=> col("b.k"))
+        .agg(count(lit(1)).as("n_nullsafe_pairs"))
+      nKeys.crossJoin(nEq).crossJoin(nNs)
+    }),
     // first-order Markov transition counts over per-user event
     // sequences; unique (ts, id) order key keeps every lag exact
     "q_transitions" -> ((s, dir) => Relational.eventTransitions(Tables.events(s, dir))),
@@ -1118,6 +1143,25 @@ object SparkEntry {
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // three-branch UNION ALL — a different formulation of the same
+    // melt; parquet doubles pass through both engines unchanged
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem""".stripMargin,
+    // IS NOT DISTINCT FROM is DuckDB's null-safe equality
+    "q_null_semantics" ->
+      """WITH k AS (
+        |  SELECT DISTINCT CASE WHEN round(l_tax, 2) = 0.04 THEN NULL
+        |                       ELSE round(l_tax, 2) END AS k
+        |  FROM lineitem)
+        |SELECT (SELECT count(*) FROM k) AS n_keys,
+        |  (SELECT count(k) FROM k) AS n_nonnull_keys,
+        |  (SELECT count(*) FROM k a JOIN k b ON a.k = b.k) AS n_eq_pairs,
+        |  (SELECT count(*) FROM k a JOIN k b
+        |     ON a.k IS NOT DISTINCT FROM b.k) AS n_nullsafe_pairs""".stripMargin,
     // unique (ts, event_id) order key -> every lag deterministic
     "q_transitions" ->
       """SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n

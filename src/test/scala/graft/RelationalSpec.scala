@@ -272,6 +272,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(audit("orders.o_custkey->customer") === ((2L, 1L)), "orphan order row")
   }
 
+  test("null-safe vs plain equality join: <=> matches the NULL member, = drops it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = Seq(Some(1.0), Some(2.0), None).toDF("k")
+    val a = keys.as("a"); val b = keys.as("b")
+    assert(a.join(b, col("a.k") === col("b.k")).count() === 2L)
+    assert(a.join(b, col("a.k") <=> col("b.k")).count() === 3L)
+  }
+
+  test("stack melt: 3 rows per input row, measures labeled, values preserved") {
+    import spark.implicits._
+    val df = Seq((1L, 1, 10.0, 100.0, 0.05)).toDF(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    val melted = df.selectExpr("l_orderkey",
+      "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, " +
+        "'discount', l_discount) AS (measure, value)")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(melted === Map("quantity" -> 10.0, "price" -> 100.0, "discount" -> 0.05))
+  }
+
   test("eventTransitions: per-user consecutive steps only; same-timestamp order resolved by event_id") {
     import spark.implicits._
     // user 1: view -> click -> buy ; user 2: view -> view.
