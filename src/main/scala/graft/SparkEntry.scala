@@ -544,6 +544,9 @@ object SparkEntry {
     // ViT-style patch schedule: pure projection + bounded explodes,
     // clipped edge tiles, zero shuffles
     "mm_tiles" -> ((s, dir) => Multimodal.tilePlan(Tables.documents(s, dir), 8)),
+    // streamed media near-dup maintenance (the minhash ingest
+    // story's aHash twin); resolves the batch summary shape
+    "stream_phash_dedup" -> ((s, dir) => graft.streaming.EventStreams.streamedPhashDedup(s, dir)),
     // §2.10 sketch / synopsis operators
     "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir), 10, 512)),
     "q_bloom_semi_join" -> ((s, dir) => Sketches.bloomPrunedOrderItems(
@@ -883,6 +886,51 @@ object SparkEntry {
        |        AND NOT EXISTS (SELECT 1 FROM samp y WHERE y.h = c.h AND y.hvv = x.hvv))
        |     * 281474976710656) // least(c.theta, w.theta) END AS est_churned
        |FROM meta c LEFT JOIN wmeta w ON w.h = c.h""".stripMargin
+
+  /** The phash summary pipeline in SQL — shared verbatim by the
+    * batch entry and its streaming maintenance face. */
+  private val PhashSummarySql: String =
+    """WITH chars AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ord(c) % 64 AS bucket, count(*) AS cnt
+        |  FROM chars GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |bits AS (
+        |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
+        |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
+        |  FROM hist h JOIN len USING (doc_id)),
+        |bands AS (
+        |  SELECT d.doc_id, b.band,
+        |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+        |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |  FROM cand
+        |  JOIN bands x ON x.doc_id = doc_a
+        |  JOIN bands y ON y.doc_id = doc_b AND y.band = x.band
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+        |deg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+        |    SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b AS doc_id FROM pairs) GROUP BY 1)
+        |SELECT b.doc_id,
+        |  max(CASE WHEN band = 0 THEN bv END) AS b0,
+        |  max(CASE WHEN band = 1 THEN bv END) AS b1,
+        |  max(CASE WHEN band = 2 THEN bv END) AS b2,
+        |  max(CASE WHEN band = 3 THEN bv END) AS b3,
+        |  CAST(COALESCE(max(n_near), 0) AS BIGINT) AS n_near
+        |FROM bands b LEFT JOIN deg USING (doc_id)
+        |GROUP BY b.doc_id""".stripMargin
 
   /** The gopher->dedup audit composition in SQL — shared verbatim
     * by the batch entry and its streaming maintenance face. */
@@ -2092,48 +2140,10 @@ object SparkEntry {
     // 4 band values -> band-collision candidates -> exact hamming <= 3
     // -> per-doc near-dup degree. Bands a doc never touches coalesce
     // to 0 (no hist rows -> no bits -> band value 0).
-    "mm_phash_dedup" ->
-      """WITH chars AS (
-        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
-        |hist AS (
-        |  SELECT doc_id, ord(c) % 64 AS bucket, count(*) AS cnt
-        |  FROM chars GROUP BY 1, 2),
-        |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
-        |bits AS (
-        |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
-        |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
-        |  FROM hist h JOIN len USING (doc_id)),
-        |bands AS (
-        |  SELECT d.doc_id, b.band,
-        |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
-        |  FROM documents d
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
-        |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
-        |  GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-        |ham AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
-        |  FROM cand
-        |  JOIN bands x ON x.doc_id = doc_a
-        |  JOIN bands y ON y.doc_id = doc_b AND y.band = x.band
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
-        |deg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
-        |    SELECT doc_a AS doc_id FROM pairs
-        |    UNION ALL SELECT doc_b AS doc_id FROM pairs) GROUP BY 1)
-        |SELECT b.doc_id,
-        |  max(CASE WHEN band = 0 THEN bv END) AS b0,
-        |  max(CASE WHEN band = 1 THEN bv END) AS b1,
-        |  max(CASE WHEN band = 2 THEN bv END) AS b2,
-        |  max(CASE WHEN band = 3 THEN bv END) AS b3,
-        |  CAST(COALESCE(max(n_near), 0) AS BIGINT) AS n_near
-        |FROM bands b LEFT JOIN deg USING (doc_id)
-        |GROUP BY b.doc_id""".stripMargin,
+    "mm_phash_dedup" -> PhashSummarySql,
+    // streamed maintenance converges to the same summary (pairs
+    // generated once, in the later member's batch; no RNG)
+    "stream_phash_dedup" -> PhashSummarySql,
     "ta_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word

@@ -982,6 +982,150 @@ object EventStreams {
       .groupBy("node").agg(min("dist").as("dist"))
   }
 
+  /** Streamed perceptual-hash near-dup maintenance — the MEDIA twin
+    * of [[nearDedupIngest]] (minhash is the text face, aHash bands
+    * the media face): shard the payload docs into two micro-batches,
+    * maintain band/phash state, and resolve the same per-doc summary
+    * as batch `Multimodal.phashSummary` — verbatim-shared oracle,
+    * because every pair is generated exactly once (in the batch its
+    * later-arriving member lands in) from band-equality collisions
+    * with no RNG anywhere.
+    */
+  def streamedPhashDedup(spark: SparkSession, dir: String,
+                         nBuckets: Int = 16): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-ph-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    phashIngest(stream, s"$base/state", s"$base/ckpt", nBuckets)
+    phashResolve(spark, s"$base/state")
+  }
+
+  /** Streaming ingest for phash near-dup maintenance. State under
+    * `statePath`: `phs` — per-doc band arrays, pmod(doc_id)-
+    * partitioned (the verification side reads only candidate docs'
+    * partitions); `bands` — the exploded (doc, band, value) table,
+    * pmod(value)-partitioned (candidate generation reads only the
+    * partitions the batch's own band values land in); `pairs` —
+    * every verified near-dup pair, ever; batchId commit markers.
+    */
+  def phashIngest(docStream: DataFrame, statePath: String, checkpoint: String,
+                  nBuckets: Int = 16): Unit = {
+    val q = docStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        phashBatch(b, id, statePath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[phashIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def phashBatch(batch0: org.apache.spark.sql.DataFrame,
+                                batchId: Long, statePath: String,
+                                nBuckets: Int, maxHamming: Int = 3): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_ph_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val batch = batch0.persist()
+    try {
+      val phsPath = s"$statePath/phs"
+      val bandsPath = s"$statePath/bands"
+      val pairsPath = s"$statePath/pairs"
+      val newPh = graft.operators.Multimodal.phashBands(batch).localCheckpoint(true)
+      val newEx = newPh
+        .select(col("doc_id"), posexplode(col("phash_bands")).as(Seq("band", "bv")))
+        .localCheckpoint(true)
+      // candidates: new×new within the batch…
+      val nn = newEx.as("a").join(newEx.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // …plus new×existing against the PRUNED stored band partitions
+      val touched = newEx.select(pmod(col("bv"), lit(nBuckets.toLong)).as("bk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val ex =
+        if (hasVisibleData(spark, bandsPath) && touched.nonEmpty) {
+          val stored = spark.read.parquet(bandsPath)
+            .filter(col("bucket").isin(touched: _*))
+            .select(col("doc_id").as("ex_doc"), col("band").as("eband"),
+              col("bv").as("ebv"))
+          newEx.join(stored,
+              col("band") === col("eband") && col("bv") === col("ebv"))
+            .select(least(col("doc_id"), col("ex_doc")).as("doc_a"),
+              greatest(col("doc_id"), col("ex_doc")).as("doc_b"))
+        } else nn.limit(0)
+      val cand = nn.unionAll(ex).distinct().localCheckpoint(true)
+      // verification lookup: new docs' arrays + PRUNED stored arrays
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val docBuckets = candDocs
+        .select(pmod(col("doc_id"), lit(nBuckets.toLong)).as("bk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val lookup =
+        (if (hasVisibleData(spark, phsPath) && docBuckets.nonEmpty)
+          newPh.unionByName(spark.read.parquet(phsPath)
+            .filter(col("bucket").isin(docBuckets: _*))
+            .select("doc_id", "phash_bands"))
+        else newPh)
+      val verified = cand
+        .join(lookup.select(col("doc_id").as("doc_a"), col("phash_bands").as("pha")), "doc_a")
+        .join(lookup.select(col("doc_id").as("doc_b"), col("phash_bands").as("phb")), "doc_b")
+        .withColumn("hamming",
+          expr("aggregate(zip_with(pha, phb, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+            .cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      verified.write.mode("append").parquet(pairsPath)
+      newPh.withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+        .write.mode("append").partitionBy("bucket").parquet(phsPath)
+      newEx.withColumn("bucket", pmod(col("bv"), lit(nBuckets.toLong)))
+        .write.mode("append").partitionBy("bucket").parquet(bandsPath)
+      graft.operators.Checkpoints.free(cand)
+      graft.operators.Checkpoints.free(newEx)
+      graft.operators.Checkpoints.free(newPh)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally batch.unpersist()
+  }
+
+  /** Resolve the maintained phash state into the batch
+    * `phashSummary` shape: per doc, the band values + near-dup
+    * degree. */
+  def phashResolve(spark: SparkSession, statePath: String,
+                   nBands: Int = 4): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/phs")) {
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("doc_id", "b0", "b1", "b2", "b3", "n_near")
+    }
+    val ph = spark.read.parquet(s"$statePath/phs").select("doc_id", "phash_bands")
+    val deg =
+      if (hasVisibleData(spark, s"$statePath/pairs")) {
+        val pairs = spark.read.parquet(s"$statePath/pairs").distinct()
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+      } else ph.select(col("doc_id")).limit(0).withColumn("n_near", lit(0L))
+    ph.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        (0 until nBands).map(b => element_at(col("phash_bands"), b + 1).as(s"b$b")) :+
+        coalesce(col("n_near"), lit(0L)).as("n_near"): _*)
+  }
+
   /** Streamed per-source quality/dedup budget audit — the ingest face
     * of `Pipeline.qualityDedupAudit`: shard the documents into two
     * doc_id-RANGE micro-batches (range, not parity: arrival order

@@ -846,6 +846,34 @@ class StreamingSpec extends AnyFunSuite {
       s"post-compaction merge drifted: ${resolve()}")
   }
 
+  test("streamedPhashDedup == batch phashSummary; cross-batch near-dup found via pruned state; replay no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val streamed = asMap(EventStreams.streamedPhashDedup(spark, sf).collect())
+    val batch = asMap(graft.operators.Multimodal
+      .phashSummary(Tables.documents(spark, sf)).collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // hand batches: doc 11 (batch 1) is a permutation of doc 2
+    // (batch 0) — identical byte histogram, hamming 0 — the pair
+    // must be found via the maintained band state, not a rescan
+    val state = java.nio.file.Files.createTempDirectory("graft-ph-replay-").toString + "/state"
+    val b0 = Seq((2L, "abcdef", "web"), (4L, "zzzzzzzzqqqq", "web"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Seq((11L, "fedcba", "web")).toDF("doc_id", "text", "source")
+    EventStreams.phashBatch(b0, 0L, state, 16)
+    EventStreams.phashBatch(b1, 1L, state, 16)
+    val res = EventStreams.phashResolve(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(res(2L) === 1L && res(11L) === 1L, s"cross-batch permutation pair missed: $res")
+    val nPairs = spark.read.parquet(s"$state/pairs").count()
+    EventStreams.phashBatch(b1, 1L, state, 16)
+    assert(spark.read.parquet(s"$state/pairs").count() == nPairs,
+      "replay appended duplicate pairs")
+  }
+
   test("streamedQualityAudit == batch qualityDedupAudit; cross-batch dup suppressed; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
