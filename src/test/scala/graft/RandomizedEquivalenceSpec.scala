@@ -34,6 +34,72 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation == local synchronous LPA simulation on 10 seeded random graphs") {
+    import spark.implicits._
+    def localLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      var labels = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        labels = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+          val maxC = counts.values.max
+          // most frequent neighbor label, smallest label on ties
+          n -> counts.filter(_._2 == maxC).keys.min
+        }
+      }
+      labels
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(1100 + seed)
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val got = Graph.labelPropagation(edges.toDF("u", "v"), rounds = 5).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == localLpa(edges, 5), s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("kTruss == local support-peel simulation on 10 seeded random graphs") {
+    import spark.implicits._
+    def localTruss(edges0: Seq[(Long, Long)], k: Int, rounds: Int): Set[(Long, Long)] = {
+      var edges = edges0.toSet
+      var r = 0
+      var changed = true
+      while (changed && r < rounds && edges.nonEmpty) {
+        val byNode = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+        def sup(e: (Long, Long)) =
+          (byNode(e._1) intersect byNode(e._2)).size
+        val kept = edges.filter(sup(_) >= k - 2)
+        changed = kept.size != edges.size
+        edges = kept
+        r += 1
+      }
+      edges
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(1300 + seed)
+      val nNodes = 6 + rnd.nextInt(20)
+      val nEdges = 5 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val got = Graph.kTruss(edges.toDF("u", "v"), k = 4, rounds = 6).collect()
+          .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+        assert(got == localTruss(edges, 4, 6), s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
   test("mstBoruvka == local Kruskal under the (w,u,v) total order on 10 seeded random weighted graphs") {
     import spark.implicits._
     def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
