@@ -167,6 +167,31 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(js7.getLong(0) == 0L)
   }
 
+  test("round-9 second-wave operators return empty (or zero summaries) on empty inputs") {
+    import spark.implicits._
+    val ee = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.labelPropagation(ee).isEmpty)
+    assert(Graph.kTruss(ee, 4, 2).isEmpty)
+    // clustering coefficient on empty edges: the (0,0,0,0,0) summary
+    val cc = Graph.clusteringCoefficient(ee).head()
+    assert((0 until 5).forall(i => cc.getLong(i) == 0L))
+    assert(TextAnalysis.gopherFlags(emptyDocs).isEmpty)
+    assert(TextAnalysis.cooccurrence(emptyDocs).isEmpty)
+    // split drift on empty docs: zero counts, zero distance
+    val sd = TextAnalysis.splitDrift(emptyDocs).head()
+    assert((0 until 4).forall(i => sd.getLong(i) == 0L))
+    assert(Multimodal.tilePlan(emptyDocs).isEmpty)
+    assert(Pipeline.qualityDedupAudit(emptyDocs).isEmpty)
+    val eev = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "ts_ns", "user_id", "event_type")
+    assert(Relational.eventTransitions(eev).isEmpty)
+    // nearest as-of: empty right keeps left rows with null payload
+    val sl9 = Seq((1L, 10L, 1L)).toDF("uid", "t", "id")
+    val er9 = Seq.empty[(Long, Long, Long, String)].toDF("uid", "t", "id", "v")
+    val near = graft.plans.TemporalJoins.asofJoinNearest(sl9, er9, "uid", "t", "id", Seq("v"))
+    assert(near.count() == 1 && near.head.isNullAt(3))
+  }
+
   test("round-9 operators return empty (or survive) on empty inputs") {
     import spark.implicits._
     import graft.plans.TemporalJoins

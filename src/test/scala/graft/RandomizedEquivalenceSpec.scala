@@ -34,6 +34,46 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("sssp == local Dijkstra from the min node on 10 seeded random weighted graphs") {
+    import spark.implicits._
+    def dijkstra(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+      val adj = (edges.map(e => (e._1, e._2, e._3)) ++ edges.map(e => (e._2, e._1, e._3)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(v => (v._2, v._3)) }
+      val seed = adj.keys.min
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, n) = pq.dequeue()
+        if (d == dist(n)) {
+          adj(n).foreach { case (m, w) =>
+            if (!dist.contains(m) || d + w < dist(m)) {
+              dist(m) = d + w
+              pq.enqueue((d + w, m))
+            }
+          }
+        }
+      }
+      dist.toMap
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(1500 + seed)
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong,
+          1L + rnd.nextInt(9)))
+        .collect { case (a, b, w) if a != b =>
+          (math.min(a, b), math.max(a, b), w) }
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      if (edges.nonEmpty) {
+        val got = Graph.sssp(edges.toDF("u", "v", "w"), maxRounds = 40).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == dijkstra(edges), s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
   test("labelPropagation == local synchronous LPA simulation on 10 seeded random graphs") {
     import spark.implicits._
     def localLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
