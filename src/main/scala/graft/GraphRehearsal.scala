@@ -134,6 +134,40 @@ object GraphRehearsal {
       spark.stop()
       return
     }
+    // ---- round-9 incremental-maintenance rehearsal (`incremental`
+    // arg): THE number that justifies `stream_bfs` — on a 2M-edge
+    // graph with distances already maintained, how much does a 1%
+    // edge delta cost versus recomputing BFS from scratch? The delta
+    // batch relaxes only from the new edges' reached endpoints, so
+    // its wave usually dies in a round or two; the full recompute
+    // pays O(diameter) frontier rounds over everything. Asserts the
+    // maintained result still equals the recompute bit-for-bit.
+    if (args.contains("incremental")) {
+      import graft.streaming.EventStreams
+      val uni = uniformGraph(spark, 100000L, 2000000L).localCheckpoint(true)
+      val seed = uni.agg(least(min(col("u")), min(col("v")))).head().getLong(0)
+      val nAll = uni.count()
+      val head = uni.limit((nAll - nAll / 100).toInt).localCheckpoint(true)
+      val delta = uni.exceptAll(head).localCheckpoint(true)
+      val tiny = delta.limit(200).localCheckpoint(true)
+      val deltaRest = delta.exceptAll(tiny).localCheckpoint(true)
+      val state = java.nio.file.Files.createTempDirectory("graft-inc-").toString + "/s"
+      val (_, secBase) = time(EventStreams.bfsBatch(head, 0L, state, seed, 40))
+      val (_, secDelta) = time(EventStreams.bfsBatch(deltaRest, 1L, state, seed, 40))
+      val (_, secTiny) = time(EventStreams.bfsBatch(tiny, 2L, state, seed, 40))
+      val (_, secFull) = time(Graph.bfsHopsFrom(uni, seed, 40).count())
+      val maintained = EventStreams.bfsResolve(spark, state).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val recomputed = Graph.bfsHopsFrom(uni, seed, 40).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(maintained == recomputed, "maintained distances drifted from recompute")
+      println(f"[incremental] initial build (99%% of 2M edges): $secBase%.1f s")
+      println(f"[incremental] ~1%% delta batch (${deltaRest.count()} edges): $secDelta%.1f s")
+      println(f"[incremental] tiny delta batch (200 edges):     $secTiny%.1f s")
+      println(f"[incremental] full BFS recompute:                $secFull%.1f s")
+      spark.stop()
+      return
+    }
     // ---- round-8 DOULION multi-p table (`doulion` arg): one graph
     // (planted 30-clique + uniform sea, exact count known by running
     // the exact counter), estimates at p ∈ {125..1000}‰ — the
