@@ -509,6 +509,9 @@ object SparkEntry {
     "ta_langid_eval" -> ((s, dir) => TextAnalysis.languageIdEval(Tables.documents(s, dir))),
     "ta_shuffle" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
     "ta_surprisal" -> ((s, dir) => TextAnalysis.surprisal(Tables.documents(s, dir))),
+    // fastText-style hashed n-gram quality classifier: driver-trained
+    // micros weights, broadcast weight join, exact integer logits
+    "ta_quality_clf" -> ((s, dir) => TextAnalysis.qualityClassify(Tables.documents(s, dir))),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
@@ -2102,7 +2105,11 @@ object SparkEntry {
         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
     // same fake-dims arithmetic from the byte length; grid and
-    // clipping all integer
+    // clipping all integer. ASCII-corpus caveat (same as mm_frames):
+    // DuckDB length(text) counts CHARACTERS while tilePlan derives
+    // dims from meta.n_bytes = octet_length — equal only because the
+    // fixture corpus is pure ASCII; a non-ASCII fixture would need
+    // octet_length(encode(text)) here.
     "mm_tiles" ->
       """WITH m AS (
         |  SELECT doc_id, length(text) AS n_bytes,
@@ -2221,6 +2228,43 @@ object SparkEntry {
         |  round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
         |    AS surprisal
         |FROM scored GROUP BY doc_id""".stripMargin,
+    // The classifier's weight table is DATA, not logic: the oracle
+    // embeds the driver-trained micros weights as a VALUES list
+    // (generated from the same artifact the Spark scorer broadcasts)
+    // and re-derives the identical md5 feature buckets, so scoring is
+    // hash-exact while training stays a driver-side artifact build.
+    "ta_quality_clf" -> {
+      val (cws, cbias, cdim) = graft.operators.TextAnalysis.qualityClfArtifact
+      val cvals = cws.map { case (k, wm) => s"($k, $wm)" }.mkString(", ")
+      s"""WITH wt(bucket, wm) AS (VALUES $cvals),
+         |t AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |                    x -> x <> '') AS ws
+         |      FROM documents),
+         |f AS (
+         |  SELECT doc_id, 'u:' || unnest(ws) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, unnest(['b:' || ws[i] || ' ' || ws[i+1]
+         |                         FOR i IN generate_series(1, len(ws) - 1)]) AS f
+         |  FROM t WHERE len(ws) >= 2),
+         |b AS (SELECT doc_id,
+         |        ('0x' || substr(md5(f), 1, 12))::BIGINT % $cdim AS bucket
+         |      FROM f),
+         |s AS (SELECT doc_id, count(*) AS n_feats, coalesce(sum(wm), 0) AS sum_m
+         |      FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id),
+         |sc AS (SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
+         |         coalesce(sum_m, 0) AS sum_m
+         |       FROM documents LEFT JOIN s USING (doc_id)),
+         |l AS (SELECT doc_id, n_feats,
+         |        CASE WHEN n_feats > 0
+         |          THEN (CAST($cbias AS DOUBLE)
+         |                + CAST(sum_m AS DOUBLE) / CAST(n_feats AS DOUBLE))
+         |               / 1000000.0
+         |          ELSE CAST($cbias AS DOUBLE) / 1000000.0 END AS lr
+         |      FROM sc)
+         |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
+         |FROM l""".stripMargin
+    },
     "ta_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),

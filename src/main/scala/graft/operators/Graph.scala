@@ -123,6 +123,27 @@ object Graph {
       }
       round += 1
     }
+    // Fail loud when the round budget is exhausted while the frontier
+    // still improves something: a truncated result here silently
+    // diverges from any fixpoint oracle (the streamed twin relaxes to
+    // ITS fixpoint, so the two would hash-drift on a deeper graph).
+    // One extra bounded probe of the untested wave is cheap relative
+    // to the rounds already paid.
+    if (continue) {
+      val leftover = frontier.join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+        .join(dist, Seq("node"), "left_outer")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .limit(1).count()
+      if (leftover > 0) {
+        if (frontierCp != null) Checkpoints.free(frontierCp)
+        Checkpoints.free(und)
+        throw new IllegalStateException(
+          s"sssp: round budget maxRounds=$maxRounds exhausted before " +
+            "fixpoint — distances would be truncated; raise maxRounds")
+      }
+    }
     if (frontierCp != null) Checkpoints.free(frontierCp)
     Checkpoints.free(und)
     dist
@@ -631,7 +652,12 @@ object Graph {
     // full-edge shuffle joins against a node→comp table. Per round the
     // edge list is scanned and materialized exactly ONCE (the first
     // cut of this operator did it three times and was 4× slower).
-    var ec = edges0.select(col("u"), col("v"), col("w"),
+    // Self-loops start with cu == cv, so they would survive the
+    // per-round cu =!= cv filter's round-0 blind spot and could be
+    // elected as a component's minimum edge, breaking the
+    // |forest| = nodes - components identity — drop them up front.
+    var ec = edges0.filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"), col("w"),
         col("u").as("cu"), col("v").as("cv"))
       .localCheckpoint(true)
     val chosenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -916,6 +916,168 @@ object TextAnalysis {
     (out.toSeq, seg)
   }
 
+  // ------------------------------------------------------------------
+  // Hashed n-gram linear quality classifier (the fastText-style
+  // scorer that pairs with the rule-based gopherFlags the way real
+  // pretraining pipelines pair heuristics with a learned filter —
+  // CCNet's fastText quality model lineage, see SURVEY §2.5).
+  //
+  // Split of labor: TRAINING is tiny (a planted labeled corpus, a
+  // few dozen docs) and runs driver-side in pure deterministic Scala
+  // — the model artifact is vocabulary-sized, exactly like the PQ
+  // codebooks. SCORING is the 100 TB part: one tokenize pass over
+  // the corpus, feature-hash into `dim` buckets, one BROADCAST join
+  // against the weight table, one map-side-combined per-doc
+  // aggregate — scan-speed, no wide shuffle anywhere.
+  //
+  // Determinism: weights ship as integer MICROS; a doc's feature-
+  // weight sum is exact integer arithmetic (the surprisal pattern),
+  // so partial-aggregation order cannot drift, and the md5-bucket
+  // feature hash is expressible identically in Spark
+  // (conv(substring(md5 ..))) and DuckDB (('0x' || substr(md5 ..))),
+  // keeping the entry hash-exact end to end.
+  // ------------------------------------------------------------------
+
+  /** Feature-hash bucket — MUST stay in lockstep with
+    * [[clfBucketLocal]] and the `ta_quality_clf` oracle SQL. */
+  private def clfBucket(f: Column, dim: Int): Column =
+    pmod(conv(substring(md5(f), 1, 12), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** Driver-side twin of [[clfBucket]] for the trainer. */
+  private[graft] def clfBucketLocal(f: String, dim: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % dim
+  }
+
+  /** The classifier's feature set for one text: hashed unigrams and
+    * bigrams over the same `[^a-z]+` lowercase tokenization every
+    * text operator here uses. Driver-side twin of the scorer's
+    * feature expressions. */
+  private[graft] def clfFeatures(text: String): Seq[String] = {
+    val ws = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    ws.map("u:" + _) ++
+      ws.sliding(2).filter(_.size == 2).map(p => "b:" + p(0) + " " + p(1))
+  }
+
+  /** Deterministic logistic-regression trainer over hashed n-gram
+    * features: plain SGD in fixed corpus order with length-normalized
+    * term counts (z = b + Σ w_k·c_k/n). Pure JVM double arithmetic in
+    * a pinned iteration order — retraining reproduces the artifact
+    * bit-for-bit, which the spec asserts. Returns (nonzero weights by
+    * bucket, bias). */
+  def qualityClfTrain(corpus: Seq[(String, Boolean)], dim: Int = 4096,
+                      epochs: Int = 60, lr: Double = 0.5): (Seq[(Long, Double)], Double) = {
+    val feats = corpus.map { case (t, y) =>
+      val fs = clfFeatures(t).map(clfBucketLocal(_, dim))
+      val counts = fs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      (counts, fs.size.toDouble, if (y) 1.0 else 0.0)
+    }
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var e = 0
+    while (e < epochs) {
+      feats.foreach { case (counts, nf, y) =>
+        if (nf > 0) {
+          var z = b
+          counts.foreach { case (k, c) => z += w(k.toInt) * c / nf }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val g = p - y
+          counts.foreach { case (k, c) => w(k.toInt) -= lr * g * c / nf }
+          b -= lr * g
+        }
+      }
+      e += 1
+    }
+    (w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i.toLong, v) }.toSeq, b)
+  }
+
+  /** Planted labeled corpus the shipped model trains on, drawn from
+    * the fixture corpus's own register: "low quality" = filler-token
+    * soup, "high quality" = operator-content prose. Seeded, so the
+    * trained artifact is a pure function of this source file. */
+  val clfPlantedCorpus: Seq[(String, Boolean)] = {
+    val rnd = new scala.util.Random(20260814L)
+    val filler = Vector("a", "the", "value", "row", "part", "key",
+      "small", "slow", "dup", "the", "a", "value")
+    val content = Vector("join", "merge", "window", "stream", "query",
+      "agg", "group", "sort", "scan", "batch", "vector", "hash",
+      "filter", "order", "column")
+    def doc(words: Vector[String], n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val lows = Seq.fill(30)(doc(filler, 24) -> false)
+    val highs = Seq.fill(30)(doc(content, 24) -> true)
+    lows ++ highs
+  }
+
+  /** The shipped model: (weights in integer micros by bucket, bias
+    * micros, dim). Computed once per JVM from [[clfPlantedCorpus]];
+    * [[qualityClfSaveWeights]]/[[qualityClfLoadWeights]] are the
+    * deployable-parquet faces (the pqSaveCodebook pattern). */
+  lazy val qualityClfArtifact: (Seq[(Long, Long)], Long, Int) = {
+    val dim = 4096
+    val (ws, b) = qualityClfTrain(clfPlantedCorpus, dim)
+    def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    (ws.map { case (k, v) => (k, micros(v)) }.filter(_._2 != 0L), micros(b), dim)
+  }
+
+  /** Persist a trained weight table as (bucket, wm, bias, dim)
+    * parquet — train once, deploy everywhere. */
+  def qualityClfSaveWeights(artifact: (Seq[(Long, Long)], Long, Int),
+                            path: String,
+                            spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val (ws, bias, dim) = artifact
+    ws.map { case (k, wm) => (k, wm, bias, dim) }
+      .toDF("bucket", "wm", "bias", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a weight table saved by [[qualityClfSaveWeights]]. */
+  def qualityClfLoadWeights(path: String,
+                            spark: org.apache.spark.sql.SparkSession): (Seq[(Long, Long)], Long, Int) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("bucket"), col("wm"), col("bias"), col("dim"))
+      .as[(Long, Long, Long, Int)].collect()
+    (rows.map(r => (r._1, r._2)).toSeq.sortBy(_._1), rows.head._3, rows.head._4)
+  }
+
+  /** Score every document with the linear model: logit =
+    * (bias_micros + Σ c_f·w_f_micros / n_feats)/1e6, keep = logit>0.
+    * One scan → hashed features → broadcast weight join → one per-doc
+    * aggregate; docs with no features score at the bias. */
+  def qualityClassify(documents: DataFrame,
+                      artifact: (Seq[(Long, Long)], Long, Int) = qualityClfArtifact): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (weights, biasMicros, dim) = artifact
+    val ws = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val uni = expr("transform(ws, w -> concat('u:', w))")
+    val bi = expr("transform(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+      "(w, i) -> concat('b:', w, ' ', element_at(ws, i + 2)))")
+    val toks = documents.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(concat(uni, bi)).as("f"))
+      .select(col("doc_id"), clfBucket(col("f"), dim).as("bucket"))
+    val wdf = broadcast(weights.toDF("bucket", "wm"))
+    val scored = toks.join(wdf, Seq("bucket"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_feats"),
+        coalesce(sum(col("wm")), lit(0L)).as("sum_m"))
+    val biasD = lit(biasMicros).cast("double")
+    val logitRaw = when(col("n_feats") > 0,
+        (biasD + col("sum_m").cast("double") / col("n_feats").cast("double"))
+          / lit(1000000.0))
+      .otherwise(biasD / lit(1000000.0))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("sum_m"), lit(0L)).as("sum_m"))
+      .select(col("doc_id"), col("n_feats"),
+        round(logitRaw, 4).as("logit"),
+        (logitRaw > lit(0.0)).as("keep"))
+  }
+
   def weightedSample(documents: DataFrame, k: Int = 50,
                      seed: String = "wsamp"): DataFrame = {
     val h = conv(substring(

@@ -974,6 +974,20 @@ object EventStreams {
           round += 1
         }
       }
+      // Round budget exhausted while the last wave still improved:
+      // probe whether the untested candidates would improve anything
+      // and fail loud if so — a silently truncated relaxation would
+      // hash-drift from both the batch twin and the shared SQL
+      // oracle on a fixture deep enough to need more rounds.
+      if (continue) {
+        val leftover = cand
+          .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .limit(1).count()
+        if (leftover > 0) throw new IllegalStateException(
+          s"relaxBatch: maxRounds=$maxRounds exhausted before fixpoint " +
+            s"in batch $batchId — raise maxRoundsPerBatch")
+      }
       if (claimParts.nonEmpty) {
         claimParts.reduce(_ unionAll _).write.mode("append").parquet(distPath)
       }
@@ -1166,8 +1180,24 @@ object EventStreams {
     val mid = (mm.getLong(0) + mm.getLong(1)) / 2
     val base = java.nio.file.Files.createTempDirectory("graft-qa-ing-").toString
     val incoming = s"$base/incoming"
+    // The audit's oracle parity needs the low-doc_id shard processed
+    // FIRST (survivor = min kept doc_id per hash). FileStreamSource
+    // orders by modification time with ties broken by path name, and
+    // two back-to-back writes can share an mtime — so stamp each
+    // shard with an explicit, strictly increasing mtime instead of
+    // trusting the filesystem clock.
+    val inPath = new org.apache.hadoop.fs.Path(incoming)
+    val infs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stampShard(mtime: Long): Unit =
+      infs.listStatus(inPath).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".") && s.getModificationTime >= mtime)
+          infs.setTimes(s.getPath, mtime, -1)
+      }
     docs.filter(col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(incoming)
+    stampShard(1000000L)
     docs.filter(col("doc_id") > mid).coalesce(1).write.mode("append").parquet(incoming)
+    stampShard(2000000L)
     graft.operators.Checkpoints.free(docs)
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1238,17 +1268,27 @@ object EventStreams {
         .localCheckpoint(true)
       val touched = batchSurv.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSeq
+      // Replay safety (crash window between the state writes and the
+      // commit marker): kept_hashes rows carry the batch_id that
+      // wrote them, and the seen-set read EXCLUDES the current
+      // batch's own rows — so a foreachBatch retry whose first
+      // attempt already appended this batch's hashes still recomputes
+      // the same uniqueNew instead of a zeroed one.
       val uniqueNew =
         if (hasVisibleData(spark, hashesPath) && touched.nonEmpty) {
           val seen = spark.read.parquet(hashesPath)
-            .filter(col("bucket").isin(touched: _*))
+            .filter(col("bucket").isin(touched: _*) &&
+              col("batch_id") =!= lit(batchId))
             .select(col("h").as("seenH"))
           batchSurv.join(seen, col("h") === col("seenH"), "left_anti")
         } else batchSurv
       val uniqueCp = uniqueNew.localCheckpoint(true)
       // Per-batch count DELTAS: the all-docs aggregate and the
-      // unique-survivor aggregate append as separate zero-padded
-      // rows; resolve sums them.
+      // unique-survivor aggregate land as zero-padded rows in a
+      // PER-BATCH directory written with overwrite semantics — a
+      // retry replaces its own delta set rather than appending a
+      // second one, so resolve's sum never double-counts (replay
+      // safety for the same crash window).
       val baseCounts = marked.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"),
@@ -1258,8 +1298,9 @@ object EventStreams {
         count(lit(1)).as("n_unique"),
         sum(col("n_words")).as("tokens_unique"))
       baseCounts.unionByName(uniqCounts)
-        .write.mode("append").parquet(countsPath)
+        .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
       uniqueCp.select(col("h"), col("bucket"))
+        .withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("bucket").parquet(hashesPath)
       graft.operators.Checkpoints.free(uniqueCp)
       graft.operators.Checkpoints.free(batchSurv)

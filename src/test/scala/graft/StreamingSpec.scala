@@ -903,6 +903,16 @@ class StreamingSpec extends AnyFunSuite {
     // replay: no state or count drift
     EventStreams.qualityAuditBatch(b1, 1L, state, 16)
     assert(asMap(EventStreams.qualityAuditResolve(spark, state).collect()) == after1)
+    // crash-window retry: state writes landed but the commit marker
+    // did NOT — delete batch 1's marker and re-run. The per-batch
+    // counts overwrite must not double-count and the batch_id-tagged
+    // kept_hashes self-exclusion must keep doc 12 counted as unique.
+    val markerPath = new org.apache.hadoop.fs.Path(s"$state/_qa_commits/1")
+    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(markerPath, false), "expected batch 1 marker to exist")
+    EventStreams.qualityAuditBatch(b1, 1L, state, 16)
+    assert(asMap(EventStreams.qualityAuditResolve(spark, state).collect()) == after1,
+      "crash-window retry drifted the audit counts")
   }
 
   test("stateful transitions: single-batch == batch eventTransitions; two-batch carry links across the boundary") {

@@ -490,4 +490,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     val d2 = got.filter(_._1 == 2L)
     assert(d2.toSeq == Seq((2L, 0L, "a b c", 3L)))
   }
+
+  test("qualityClassify separates planted boilerplate from prose; training is reproducible") {
+    import spark.implicits._
+    // retraining is bit-for-bit reproducible (pinned iteration order,
+    // pure JVM doubles) — the shipped artifact is a function of the
+    // source alone
+    val again = {
+      val (ws, b) = TextAnalysis.qualityClfTrain(TextAnalysis.clfPlantedCorpus, 4096)
+      def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      (ws.map { case (k, v) => (k, micros(v)) }.filter(_._2 != 0L), micros(b), 4096)
+    }
+    assert(again == TextAnalysis.qualityClfArtifact)
+    // held-out planted docs (same generator register, fresh seed)
+    // separate cleanly: filler soup drops, content prose keeps
+    val rnd = new scala.util.Random(99L)
+    val filler = Vector("a", "the", "value", "row", "part", "key", "small", "slow", "dup")
+    val content = Vector("join", "merge", "window", "stream", "query",
+      "agg", "group", "sort", "scan", "batch", "vector", "hash")
+    def doc(words: Vector[String], n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val held = (1L to 10L).map(i => (i, doc(filler, 24), false)) ++
+      (11L to 20L).map(i => (i, doc(content, 24), true))
+    val df = held.map(h => (h._1, h._2)).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassify(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    held.foreach { case (id, _, label) =>
+      assert(got(id) == label, s"doc $id: expected keep=$label")
+    }
+    // empty / non-alpha doc scores at the bias, n_feats 0
+    val empty = TextAnalysis.qualityClassify(
+      Seq((1L, ""), (2L, "12345 !!!")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(empty == Set((1L, 0L), (2L, 0L)))
+    // the deployable-parquet faces round-trip the artifact
+    val path = java.nio.file.Files.createTempDirectory("graft-clf-").toString + "/w"
+    TextAnalysis.qualityClfSaveWeights(TextAnalysis.qualityClfArtifact, path, spark)
+    val loaded = TextAnalysis.qualityClfLoadWeights(path, spark)
+    assert(loaded._1.toSet == TextAnalysis.qualityClfArtifact._1.toSet &&
+      loaded._2 == TextAnalysis.qualityClfArtifact._2 &&
+      loaded._3 == TextAnalysis.qualityClfArtifact._3)
+    // scoring through a loaded artifact is identical to the shipped one
+    val viaLoaded = TextAnalysis.qualityClassify(df, loaded).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(viaLoaded == got)
+  }
 }
