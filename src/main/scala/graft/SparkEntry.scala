@@ -363,6 +363,13 @@ object SparkEntry {
     }),
     // §2.3 deduplication
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // URL-level dedup on the canonical URL form (scheme/host case,
+    // www + default-port strip, fragment/utm drop, param sort,
+    // trailing slash) — all codegen'd scalar expressions + ONE
+    // map-side-combined aggregate; synthetic messy URLs derived
+    // deterministically from doc_id (fixture has no URL column)
+    "dedup_url" -> ((s, dir) =>
+      Dedup.urlDedup(Dedup.syntheticUrls(Tables.documents(s, dir)))),
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
@@ -504,6 +511,9 @@ object SparkEntry {
     // half so no answer span straddles a boundary uncovered
     "ta_chunks" -> ((s, dir) => TextAnalysis.slidingChunks(Tables.documents(s, dir), 20, 10)),
     "ta_pack" -> ((s, dir) => TextAnalysis.packIntoShards(Tables.documents(s, dir), 2000L)),
+    // token-EXACT packing: shard budgets count learned-tokenizer
+    // (BPE) subwords, composing ta_bpe_encode into ta_pack's sharder
+    "ta_pack_bpe" -> ((s, dir) => TextAnalysis.packIntoShardsBpe(Tables.documents(s, dir), 2000L, 12)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
     "ta_langid_eval" -> ((s, dir) => TextAnalysis.languageIdEval(Tables.documents(s, dir))),
@@ -1794,6 +1804,52 @@ object SparkEntry {
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
         |  FROM documents)
         |GROUP BY content_hash""".stripMargin,
+    // mirrors Dedup.syntheticUrls + Dedup.canonicalizeUrl step for
+    // step (doc_id is non-negative so % == pmod here)
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM:80'
+        |             WHEN doc_id % 3 = 1 THEN 'www.example.com'
+        |             ELSE 'example.com' END)
+        |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+        |             WHEN doc_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, scheme, rest, regexp_extract(rest, '^[^/?]*') AS host0
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+        |                   ':(80|443)$', '') AS host,
+        |    substr(rest, length(host0) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, scheme, host,
+        |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path1,
+        |    -- DuckDB array_to_string([]) is NULL where Spark
+        |    -- array_join([]) is '' -> coalesce
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(split_part(pathq, '?', 2), '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS kept
+        |  FROM p3)
+        |SELECT
+        |  scheme || '://' || host
+        |    || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
+        |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM p4 GROUP BY 1""".stripMargin,
     "dedup_incremental" ->
       // ((x % 10) + 10) % 10 mirrors Spark's pmod (always >= 0), so
       // the split cannot diverge if doc_ids were ever negative
@@ -2633,6 +2689,32 @@ object SparkEntry {
       """WITH sized AS (
         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM sized""".stripMargin,
+    // ta_bpe_encode's subword counts composed into ta_pack's
+    // prefix-sum sharder — the two oracles verbatim, one left join
+    "ta_pack_bpe" ->
+      s"""WITH wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
+        |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
+        |${BpeRoundCtes(12)},
+        |sz AS (SELECT word, count(*) AS n_sub FROM s12 GROUP BY word),
+        |toks AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |enc AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+        |        FROM toks JOIN sz USING (word) GROUP BY doc_id),
+        |sized AS (
+        |  SELECT d.doc_id, COALESCE(n_subwords, 0) AS n_tokens
+        |  FROM documents d LEFT JOIN enc USING (doc_id))
         |SELECT doc_id, n_tokens,
         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard

@@ -807,6 +807,74 @@ object Dedup {
         levenshtein(col("a.title"), col("b.title"), maxDist).cast("long").as("dist"))
       .filter(col("dist").between(0, maxDist))
   }
+
+  // ------------------------------------------------------------------
+  // URL canonicalization + URL-level dedup — the crawl-pipeline stage
+  // upstream of content dedup: the same page is fetched under many
+  // URL spellings (scheme/host case, www, default ports, trailing
+  // slash, tracking params, reordered params, fragments), and
+  // canonical-URL dedup removes refetch copies BEFORE any text is
+  // compared. Pure scalar expressions end to end: canonicalization
+  // whole-stage-codegens inside the scan, and the dedup is one
+  // map-side-combined aggregate on the canonical string — the
+  // cheapest dedup in this file, which is exactly why crawlers run it
+  // first at 100 TB.
+  // ------------------------------------------------------------------
+
+  /** Canonical form of an absolute http(s) URL, as one scalar Column:
+    * lowercase scheme and host, `www.` and default-port strip,
+    * fragment drop, `utm_*` tracking-param drop, remaining query
+    * params sorted, trailing-slash-insensitive path. Every step is a
+    * plain string expression reproducible verbatim in the oracle SQL.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = split_part(url, lit("#"), lit(1))
+    val scheme = lower(split_part(noFrag, lit("://"), lit(1)))
+    val rest = split_part(noFrag, lit("://"), lit(2))
+    val host0 = regexp_extract(rest, "^[^/?]*", 0)
+    val host = regexp_replace(
+      regexp_replace(lower(host0), "^www\\.", ""), ":(80|443)$", "")
+    val pathq = substring(rest, length(host0) + 1, lit(1000000))
+    val path0 = split_part(pathq, lit("?"), lit(1))
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val qs = split_part(pathq, lit("?"), lit(2))
+    val kept = array_join(array_sort(
+      filter(split(qs, "&"),
+        p => p =!= lit("") && !startswith(p, lit("utm_")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Fixture-extension shim: the documents table has no URL column,
+    * so derive a deterministic messy URL per doc (scheme/host-case /
+    * trailing-slash / tracking-param / param-order / fragment
+    * variants keyed off doc_id) — the shapes [[canonicalizeUrl]]
+    * must collapse. Mirrored verbatim in the `dedup_url` oracle.
+    */
+  def syntheticUrls(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), concat(
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit("HTTP://"))
+        .otherwise(lit("http://")),
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("WWW.Example.COM:80"))
+        .when(pmod(col("doc_id"), lit(3L)) === 1, lit("www.example.com"))
+        .otherwise(lit("example.com")),
+      lit("/docs/"), pmod(col("doc_id"), lit(50L)).cast("string"),
+      when(pmod(col("doc_id"), lit(5L)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4L)) === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1, lit("?a=1&b=2"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2, lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7L)) === 0, lit("#section")).otherwise(lit("")))
+      .as("url"))
+
+  /** URL-level exact dedup on the canonical form — the [[exact]]
+    * contract (survivor = min doc_id, copy count) keyed by canonical
+    * URL instead of content hash. Input: (doc_id, url). */
+  def urlDedup(urls: DataFrame): DataFrame =
+    urls.select(col("doc_id"), canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 }
 
 /** Vote buffer for [[Dedup.simhash]]: 64 signed counters, one per

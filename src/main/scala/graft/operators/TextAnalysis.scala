@@ -342,11 +342,35 @@ object TextAnalysis {
     * sequential definition, so the SQL oracle is an exact check.
     */
   def packIntoShards(documents: DataFrame, tokensPerShard: Long = 2000L): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
-    val sized = documents
-      .select(col("doc_id").cast("long"), nTokens.as("n_tokens"))
+    packSized(documents.select(col("doc_id").cast("long"), nTokens.as("n_tokens")),
+      tokensPerShard)
+  }
+
+  /** [[packIntoShards]] with TOKEN-EXACT budgets: each doc's cost is
+    * its [[bpeEncode]] subword count under the learned tokenizer, not
+    * the whitespace proxy — what a context-window packer actually
+    * spends. ONE doc_id join composes the two operators (zero-word
+    * docs cost 0); the prefix-sum sharder is shared unchanged.
+    */
+  def packIntoShardsBpe(documents: DataFrame, tokensPerShard: Long = 2000L,
+                        rounds: Int = 12): DataFrame = {
+    val enc = bpeEncode(documents, rounds).select(col("doc_id"), col("n_subwords"))
+    val sized = documents.select(col("doc_id").cast("long"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_subwords"), lit(0L)).as("n_tokens"))
+    packSized(sized, tokensPerShard)
+  }
+
+  /** Shared prefix-sum sharder over (doc_id, n_tokens): global token
+    * prefix sums without a single-partition window — per-partition
+    * subtotals (one tiny driver collect) seed each partition's
+    * running offset, so the scan stays fully parallel at any scale.
+    */
+  private def packSized(sized0: DataFrame, tokensPerShard: Long): DataFrame = {
+    val spark = sized0.sparkSession
+    import spark.implicits._
+    val sized = sized0
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]

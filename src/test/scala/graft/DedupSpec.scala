@@ -362,4 +362,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.get((0L, 1L)).forall(_ <= 16L))
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("urlDedup: every planted spelling variant collapses; distinct pages stay distinct") {
+    import spark.implicits._
+    // eight spellings of ONE page: scheme/host case, www, default
+    // port, trailing slash, utm params, param order, fragment
+    val variants = Seq(
+      1L -> "http://example.com/docs/1?a=1&b=2",
+      2L -> "HTTP://Example.COM/docs/1?a=1&b=2",
+      3L -> "http://www.example.com/docs/1?a=1&b=2",
+      4L -> "http://example.com:80/docs/1?a=1&b=2",
+      5L -> "http://example.com/docs/1/?a=1&b=2",
+      6L -> "http://example.com/docs/1?b=2&a=1",
+      7L -> "http://example.com/docs/1?utm_source=x&a=1&b=2",
+      8L -> "http://example.com/docs/1?a=1&b=2#frag")
+    // genuinely different pages: other path, other param VALUE,
+    // https is NOT http, bare path vs query
+    val distinct = Seq(
+      10L -> "http://example.com/docs/2?a=1&b=2",
+      11L -> "http://example.com/docs/1?a=9&b=2",
+      12L -> "https://example.com/docs/1?a=1&b=2",
+      13L -> "http://example.com/docs/1")
+    val urls = (variants ++ distinct).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(urls).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byUrl = got.map(g => g._1 -> ((g._2, g._3))).toMap
+    assert(byUrl("http://example.com/docs/1?a=1&b=2") == ((1L, 8L)),
+      s"variant group wrong: $byUrl")
+    assert(got.length == 5, s"expected 5 canonical urls, got: ${got.toSeq}")
+    distinct.foreach { case (id, _) =>
+      assert(got.exists(g => g._2 == id && g._3 == 1L), s"doc $id merged wrongly")
+    }
+    // fixture-shim sanity: synthesized URLs group by
+    // (doc_id mod 50, has-params). Within a mod-50 class the mod-4
+    // residues take only the two values {r%4, (r+2)%4}, so the
+    // no-params case (%4 == 3) exists only for odd r: 25 classes
+    // split in two, 25 don't -> 75 canonical URLs for 200 docs.
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val synth = Dedup.urlDedup(Dedup.syntheticUrls(docs)).collect()
+    assert(synth.length == 75)
+    assert(synth.map(_.getLong(2)).sum == 200L)
+  }
 }

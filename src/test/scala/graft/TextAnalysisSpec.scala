@@ -491,6 +491,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d2.toSeq == Seq((2L, 0L, "a b c", 3L)))
   }
 
+  test("packIntoShardsBpe budgets count BPE subwords; sharding matches a local prefix-sum replay") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb aaa aaa"), (2L, ""), (3L, "ab ab cd"),
+      (4L, "aaa cd xy"), (5L, "bbb bbb")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = TextAnalysis.packIntoShardsBpe(docs, tokensPerShard = 5L, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the cost column IS the encoder's subword count (0 for the
+    // empty doc, which bpeEncode's inner join drops)
+    got.foreach { case (id, n, _) =>
+      assert(n == enc.getOrElse(id, 0L), s"doc $id cost $n != encoder ${enc.get(id)}")
+    }
+    // shard assignment = global running prefix sum / budget, in
+    // doc_id order — replayed locally
+    var run = 0L
+    got.foreach { case (id, n, s) =>
+      assert(s == run / 5L, s"doc $id shard $s != ${run / 5L}")
+      run += n
+    }
+    assert(got.map(_._3).distinct.length > 1, "fixture too small to cross a shard boundary")
+  }
+
   test("qualityClassify separates planted boilerplate from prose; training is reproducible") {
     import spark.implicits._
     // retraining is bit-for-bit reproducible (pinned iteration order,
