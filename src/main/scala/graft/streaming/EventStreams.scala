@@ -1814,6 +1814,12 @@ object EventStreams {
     */
   case class TransBuf(lastTs: Long, lastEid: Long, lastType: String)
 
+  /** Ensure the event-time `ts` column the watermark needs exists —
+    * some spec-driven sources carry only raw `ts_ns`. */
+  private def withEventTs(events: DataFrame): DataFrame =
+    if (events.columns.contains("ts")) events
+    else events.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
   /** One observed transition step. */
   case class TransStep(from_type: String, to_type: String)
 
@@ -1834,12 +1840,30 @@ object EventStreams {
     transitionsStateful(readEventStream(spark, dir))
 
   /** [[transitionsStateful]] over an arbitrary event stream (the
-    * multi-batch parity spec drives this directly). */
-  def transitionsStateful(events: DataFrame): DataFrame = {
+    * multi-batch parity spec drives this directly). Idle-key
+    * retirement (hourlyTopK pattern): a user idle past
+    * `idleHorizonHours` is dropped — state stays O(ACTIVE users), and
+    * a returning user's first event after the horizon starts a fresh
+    * chain (one transition across the idle gap is forgone; every
+    * already-emitted step is an append-only fact in the sink).
+    */
+  def transitionsStateful(events: DataFrame, idleHorizonHours: Long = 720L,
+                          watermarkDelay: String = "7 days"): DataFrame =
+    transitionsStatefulOn(events, idleHorizonHours, watermarkDelay)._1
+
+  /** [[transitionsStateful]] also returning the terminated query so
+    * the retirement spec can read its state-store metrics. */
+  def transitionsStatefulOn(events: DataFrame, idleHorizonHours: Long = 720L,
+                            watermarkDelay: String = "7 days"):
+      (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = events.sparkSession
     import spark.implicits._
     def updateFn(userId: Long, evs: Iterator[(Long, Long, String)],
                  state: GroupState[TransBuf]): Iterator[TransStep] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       val sorted = evs.toSeq.sortBy(e => (e._1, e._2))
       var buf = state.getOption.orNull
       val out = scala.collection.mutable.ArrayBuffer.empty[TransStep]
@@ -1847,18 +1871,27 @@ object EventStreams {
         if (buf != null) out += TransStep(buf.lastType, tpe)
         buf = TransBuf(ts, eid, tpe)
       }
-      if (buf != null) state.update(buf)
+      if (buf != null) {
+        state.update(buf)
+        state.setTimeoutTimestamp(math.max(
+          buf.lastTs / 1000000L + idleHorizonHours * 3600000L,
+          state.getCurrentWatermarkMs() + 1L))
+      }
       out.iterator
     }
     val qname = "graft_stream_trans_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
-      .select(col("user_id").as[Long], col("ts_ns").as[Long],
-        col("event_id").as[Long], col("event_type").as[String])
-      .as[(Long, Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (k: Long, it: Iterator[(Long, Long, Long, String)], s: GroupState[TransBuf]) =>
-          updateFn(k, it.map(e => (e._2, e._3, e._4)), s))
+    val q = withEventTs(events)
+      .withWatermark("ts", watermarkDelay)
+      // watermarked ts must reach the stateful operator's input
+      .select(col("ts").as[java.sql.Timestamp], col("user_id").as[Long],
+        col("ts_ns").as[Long], col("event_id").as[Long],
+        col("event_type").as[String])
+      .as[(java.sql.Timestamp, Long, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (k: Long, it: Iterator[(java.sql.Timestamp, Long, Long, Long, String)],
+         s: GroupState[TransBuf]) =>
+          updateFn(k, it.map(e => (e._3, e._4, e._5)), s))
       .writeStream
       .format("memory")
       .queryName(qname)
@@ -1866,9 +1899,9 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(qname)
+    (spark.table(qname)
       .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), q)
   }
 
   /** Stateful gap sessionization via flatMapGroupsWithState: state is
@@ -2353,7 +2386,7 @@ object EventStreams {
     */
   case class FunnelBuf(tView: Long, tClick: Long, tPurchase: Long,
                        clickCands: Seq[Long], purchCands: Seq[Long],
-                       seen: Long)
+                       seen: Long, lastMs: Long)
 
   /** One emitted funnel row; `seen` is the monotone event count the
     * final-selection uses.
@@ -2383,10 +2416,17 @@ object EventStreams {
     * what makes the batch funnel the oracle: the drained stream
     * hash-matches `q_funnel`'s SQL exactly.
     *
-    * Always-on deployment: key state is per LIFETIME user here (the
-    * finite-source oracle's scope); a deployment bounds it with the
-    * 37g watermark + EventTimeTimeout retirement, final stages
-    * having already been emitted.
+    * Always-on deployment: IDLE-KEY RETIREMENT (the hourlyTopK
+    * watermark + EventTimeTimeout pattern, applied per user) bounds
+    * the per-lifetime-user state — a user idle for
+    * `idleHorizonHours` past the watermark is dropped, their final
+    * stage having already been emitted. The defaults (7-day
+    * watermark, 30-day idle horizon) dwarf the fixture's event span,
+    * so retirement never fires inside the oracle runs — parity is by
+    * construction, and the retirement spec drives tightened horizons
+    * to watch state rows fall. A user who RETURNS after the horizon
+    * restarts from an empty funnel (documented approximation: one
+    * idle-horizon gap separates funnel attempts).
     */
   def streamFunnel(spark: SparkSession, dir: String): DataFrame =
     streamFunnelOn(readEventStream(spark, dir))._1
@@ -2394,7 +2434,8 @@ object EventStreams {
   /** [[streamFunnel]] over an arbitrary event stream, for the
     * out-of-order multi-batch spec.
     */
-  def streamFunnelOn(events: DataFrame):
+  def streamFunnelOn(events: DataFrame, idleHorizonHours: Long = 720L,
+                     watermarkDelay: String = "7 days"):
       (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -2426,10 +2467,24 @@ object EventStreams {
 
     def updateFn(uid: Long, it: Iterator[(Long, String, Long)],
                  state: GroupState[FunnelBuf]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        // idle past the horizon: the final stage is already in the
+        // sink — just drop the per-user state
+        state.remove()
+        return Iterator.empty
+      }
       var buf = state.getOption.getOrElse(
-        FunnelBuf(NONE, NONE, NONE, Nil, Nil, 0L))
-      it.foreach { case (_, typ, ts) => buf = fold(buf, typ, ts) }
+        FunnelBuf(NONE, NONE, NONE, Nil, Nil, 0L, 0L))
+      it.foreach { case (_, typ, ts) =>
+        buf = fold(buf, typ, ts)
+        if (ts / 1000000L > buf.lastMs) buf = buf.copy(lastMs = ts / 1000000L)
+      }
       state.update(buf)
+      // retire when the watermark passes lastActivity + idle horizon;
+      // a straggler re-opening a user must still arm a FUTURE timeout
+      state.setTimeoutTimestamp(math.max(
+        buf.lastMs + idleHorizonHours * 3600000L,
+        state.getCurrentWatermarkMs() + 1L))
       val stage =
         if (buf.tPurchase != NONE) 3L
         else if (buf.tClick != NONE) 2L
@@ -2438,12 +2493,18 @@ object EventStreams {
     }
 
     val qname = "graft_stream_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
-      .select(col("user_id").as[Long], col("event_type").as[String],
-        col("ts_ns").as[Long])
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateFn)
+    val q = withEventTs(events)
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked ts column must reach the stateful operator's
+      // input (Spark's event-time-timeout check), hence the 4-tuple
+      .select(col("ts").as[java.sql.Timestamp], col("user_id").as[Long],
+        col("event_type").as[String], col("ts_ns").as[Long])
+      .as[(java.sql.Timestamp, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[(java.sql.Timestamp, Long, String, Long)],
+         s: GroupState[FunnelBuf]) =>
+          updateFn(uid, it.map(e => (e._2, e._3, e._4)), s))
       .writeStream
       .format("memory")
       .queryName(qname)
@@ -2463,7 +2524,8 @@ object EventStreams {
     * the offset window — AT MOST maxOffset+1 longs, see
     * [[streamRetention]].
     */
-  case class RetentionBuf(h0: Long, hours: Seq[Long], seen: Long)
+  case class RetentionBuf(h0: Long, hours: Seq[Long], seen: Long,
+                          lastMs: Long)
 
   /** One emitted retention row: a user's cohort and in-window active
     * hours at this point of the stream.
@@ -2488,6 +2550,11 @@ object EventStreams {
     * and one small aggregation over the drained sink produces the
     * (cohort_hour, offset_h, n_users) table the batch oracle
     * hash-matches.
+    *
+    * User COUNT is bounded too: idle-key retirement (watermark +
+    * EventTimeTimeout, the hourlyTopK pattern) drops users idle past
+    * `idleHorizonHours` — their final cohort row is already emitted,
+    * so the roll-up is unaffected.
     */
   def streamRetention(spark: SparkSession, dir: String,
                       maxOffsetHours: Int = 3): DataFrame =
@@ -2496,36 +2563,51 @@ object EventStreams {
   /** [[streamRetention]] over an arbitrary event stream, for the
     * out-of-order re-cohorting spec.
     */
-  def streamRetentionOn(events: DataFrame, maxOffsetHours: Int = 3):
+  def streamRetentionOn(events: DataFrame, maxOffsetHours: Int = 3,
+                        idleHorizonHours: Long = 720L,
+                        watermarkDelay: String = "7 days"):
       (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = events.sparkSession
     import spark.implicits._
     val hourNs = 3600000000000L
 
-    def fold(b: RetentionBuf, h: Long): RetentionBuf = {
+    def fold(b: RetentionBuf, h: Long, ms: Long): RetentionBuf = {
       val h0 = math.min(b.h0, h)
       val hours = (b.hours :+ h).distinct
         .filter(x => x >= h0 && x - h0 <= maxOffsetHours)
-      RetentionBuf(h0, hours, b.seen + 1L)
+      RetentionBuf(h0, hours, b.seen + 1L, math.max(b.lastMs, ms))
     }
 
     def updateFn(uid: Long, it: Iterator[Long],
                  state: GroupState[RetentionBuf]): Iterator[RetentionOut] = {
+      if (state.hasTimedOut) {
+        // idle-key retirement (hourlyTopK pattern): the user's final
+        // cohort row is already in the sink
+        state.remove()
+        return Iterator.empty
+      }
       var buf = state.getOption.getOrElse(
-        RetentionBuf(Long.MaxValue, Nil, 0L))
-      it.foreach(h => buf = fold(buf, h))
+        RetentionBuf(Long.MaxValue, Nil, 0L, 0L))
+      it.foreach(ns => buf = fold(buf, ns / hourNs, ns / 1000000L))
       state.update(buf)
+      state.setTimeoutTimestamp(math.max(
+        buf.lastMs + idleHorizonHours * 3600000L,
+        state.getCurrentWatermarkMs() + 1L))
       Iterator.single(RetentionOut(uid, buf.h0, buf.hours, buf.seen))
     }
 
     val qname = "graft_stream_ret_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
-      .select(col("user_id").as[Long], col("ts_ns").as[Long])
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (uid: Long, it: Iterator[(Long, Long)], s: GroupState[RetentionBuf]) =>
-          updateFn(uid, it.map(_._2 / hourNs), s))
+    val q = withEventTs(events)
+      .withWatermark("ts", watermarkDelay)
+      // watermarked ts must reach the stateful operator's input
+      .select(col("ts").as[java.sql.Timestamp], col("user_id").as[Long],
+        col("ts_ns").as[Long])
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[(java.sql.Timestamp, Long, Long)],
+         s: GroupState[RetentionBuf]) =>
+          updateFn(uid, it.map(_._3), s))
       .writeStream
       .format("memory")
       .queryName(qname)

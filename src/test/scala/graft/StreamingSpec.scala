@@ -640,6 +640,67 @@ class StreamingSpec extends AnyFunSuite {
       s"EventTimeTimeout must retire closed hours: $stateRows state rows for 12 hours")
   }
 
+  test("funnel/retention/transitions retire idle-user state via EventTimeTimeout; results unchanged") {
+    import org.apache.spark.sql.functions._
+    val hourNs = 3600000000000L
+    val H0 = 100L
+    // user 100 finishes a funnel in hour H0 then goes idle; user 200
+    // is active 10-11 hours later, pushing the watermark past user
+    // 100's 1-hour idle horizon — three time-ordered files so the
+    // timeout can fire in the final batch
+    def src(prefix: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(prefix).toString + "/ev"
+      writeEventFile(dir, "f1", 1000000L, Seq(
+        (1L, H0 * hourNs + 1L, 100L, "view", 0.0, "{}"),
+        (2L, H0 * hourNs + 1000000L, 100L, "click", 0.0, "{}"),
+        (3L, H0 * hourNs + 2000000L, 100L, "purchase", 0.0, "{}")))
+      writeEventFile(dir, "f2", 2000000L, Seq(
+        (4L, (H0 + 10L) * hourNs + 1L, 200L, "view", 0.0, "{}"),
+        (5L, (H0 + 10L) * hourNs + 1000000L, 200L, "click", 0.0, "{}")))
+      writeEventFile(dir, "f3", 3000000L, Seq(
+        (6L, (H0 + 11L) * hourNs + 1L, 200L, "view", 0.0, "{}")))
+      dir
+    }
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.head.numRowsTotal
+
+    val fDir = src("graft-funnel-retire-")
+    val (fOut, fq) = EventStreams.streamFunnelOn(eventStreamFrom(fDir),
+      idleHorizonHours = 1L, watermarkDelay = "1 hour")
+    val fGot = fOut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fWant = Relational.funnel(
+      spark.read.parquet(fDir).withColumnRenamed("ts", "ts_ns")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fGot == fWant, s"funnel drifted under retirement: $fGot vs $fWant")
+    assert(fGot(100L) == 3L, "retired user's final stage must survive in the sink")
+    assert(stateRows(fq) == 1L,
+      s"funnel: idle user 100 must be retired, got ${stateRows(fq)} state rows")
+
+    val rDir = src("graft-ret-retire-")
+    val (rOut, rq) = EventStreams.streamRetentionOn(eventStreamFrom(rDir), 3,
+      idleHorizonHours = 1L, watermarkDelay = "1 hour")
+    val rGot = rOut.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rWant = Relational.retention(
+      spark.read.parquet(rDir).withColumnRenamed("ts", "ts_ns")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rGot == rWant, s"retention drifted under retirement: $rGot vs $rWant")
+    assert(stateRows(rq) == 1L,
+      s"retention: idle user 100 must be retired, got ${stateRows(rq)} state rows")
+
+    val tDir = src("graft-trans-retire-")
+    val (tOut, tq) = EventStreams.transitionsStatefulOn(eventStreamFrom(tDir),
+      idleHorizonHours = 1L, watermarkDelay = "1 hour")
+    val tGot = tOut.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val tWant = Relational.eventTransitions(
+      spark.read.parquet(tDir).withColumnRenamed("ts", "ts_ns")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(tGot == tWant, s"transitions drifted under retirement: $tGot vs $tWant")
+    assert(stateRows(tq) == 1L,
+      s"transitions: idle user 100 must be retired, got ${stateRows(tq)} state rows")
+  }
+
   test("stream_count_min: final per-hour estimates == batch CMS of the hour, across micro-batches") {
     import org.apache.spark.sql.functions._
     val hourNs = 3600000000000L
