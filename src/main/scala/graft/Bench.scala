@@ -61,6 +61,18 @@ object Bench {
       .filter(_._2 > 0).toMap
   }
 
+  /** The ingest-SIMULATION queries: each invocation builds a fresh
+    * streaming harness (temp parquet shards, checkpointed micro-batch
+    * drains, resolve), so their pass-to-pass spread is the suite's
+    * widest band (round-9 evidence: stream_phash_dedup passes of
+    * 14.75 s and 21.70 s on a clean machine). The detector holds them
+    * to a 1.5× LOOSER bar (3×/4.5× instead of 2×/3×) and the bench
+    * grants them a pre-emptive third pass (below) so harness jitter
+    * keeps amortizing while genuine sustained contention — which
+    * inflates far past 3× — still flags.
+    */
+  private[graft] def noisyBand(name: String): Boolean = name.startsWith("stream_")
+
   /** Maximal runs (length ≥ minRun) of consecutive queries — in the
     * given (alphabetical) order — whose time is ≥ `ratio`× their
     * committed baseline, PLUS any singleton ≥ `singleRatio`× (round-8
@@ -70,7 +82,8 @@ object Bench {
     * genuine code change looks like; ≥3× alone is the outlier
     * signature. Queries without a baseline, with a failed run, or
     * with a sub-floor baseline (ratio on a 20 ms query is noise)
-    * never flag.
+    * never flag; [[noisyBand]] queries flag only at 1.5× the normal
+    * bars.
     */
   private[graft] def contaminatedWindows(ordered: Seq[(String, Double)],
                                          baseline: Map[String, Double],
@@ -78,8 +91,9 @@ object Bench {
                                          floorSec: Double = 0.05,
                                          minRun: Int = 2,
                                          singleRatio: Double = 3.0): Seq[String] = {
-    def over(n: String, v: Double, r: Double): Boolean = {
+    def over(n: String, v: Double, r0: Double): Boolean = {
       val b = baseline.getOrElse(n, -1.0)
+      val r = if (noisyBand(n)) r0 * 1.5 else r0
       b >= floorSec && v >= 0 && v >= r * b
     }
     val inflated = ordered.map { case (n, v) => (n, v, over(n, v, ratio)) }
@@ -136,8 +150,17 @@ object Bench {
       (name, if (a < 0 || b < 0) -1.0 else math.min(a, b), Seq(a, b))
     }
     // third pass of flagged windows at session end: a contention
-    // window that has since passed exonerates itself here
-    val flagged = contaminatedWindows(results.map(t => (t._1, t._2)), baseline).toSet
+    // window that has since passed exonerates itself here. The noisy
+    // stream_* sim band gets a PRE-EMPTIVE third pass at the normal
+    // 2× bar (below its own looser 3× flag bar): harness jitter that
+    // doubled a sim's min gets one more chance to amortize before the
+    // committed min anchors the next round's baselines.
+    val preemptive = results.collect {
+      case (n, v, _) if noisyBand(n) &&
+        baseline.get(n).exists(b => b >= 0.05 && v >= 2.0 * b) => n
+    }
+    val flagged = (contaminatedWindows(results.map(t => (t._1, t._2)), baseline) ++
+      preemptive).toSet
     if (flagged.nonEmpty) {
       results = results.map { case (name, v, passes) =>
         if (flagged(name)) {

@@ -293,6 +293,11 @@ object SparkEntry {
     // + min(dist) — different algorithm, every integer must agree
     "q_bfs" -> ((s, dir) => Graph.bfsHops(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 30)),
+    // multi-source BFS hop histogram from the 4 smallest node ids —
+    // the distance-structure diagnostic; one shared adjacency, the
+    // frontier carries (src, node) pairs
+    "q_bfs_histogram" -> ((s, dir) => Graph.bfsHopHistogram(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 4, 30)),
     // delta-relaxing Bellman-Ford from the same seed over
     // multiplicity-weighted edges; the oracle unrolls 20 relax
     // rounds as chained min-aggregates — rounds past the fixpoint
@@ -537,6 +542,9 @@ object SparkEntry {
     // the learned subword vocabulary with corpus frequencies — the
     // tokenizer's other artifact, from the same 12 learned merges
     "ta_bpe_vocab" -> ((s, dir) => TextAnalysis.bpeVocab(Tables.documents(s, dir), 12)),
+    // vocab-size stopping rule: learn merges until |vocab| >= 30
+    // (capped at 12 rounds) — how tokenizers are actually sized
+    "ta_bpe_vocab_until" -> ((s, dir) => TextAnalysis.bpeVocabUntil(Tables.documents(s, dir), 30L, 12)),
     // the encode face: per-doc subword counts under the learned
     // merges — the context-budget number a packer actually needs
     "ta_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir), 12)),
@@ -1204,6 +1212,23 @@ object SparkEntry {
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // the same recursive re-walk seeded with the 4 smallest nodes;
+    // min over (src, node) then histogram — every integer must agree
+    "q_bfs_histogram" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS MATERIALIZED (
+        |  SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 4),
+        |walk(src, node, dist) AS (
+        |  (SELECT s, s, 0 FROM srcs)
+        |  UNION
+        |  SELECT w.src, u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30),
+        |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT CAST(dist AS BIGINT) AS hop, count(*) AS n_pairs
+        |FROM d GROUP BY 1""".stripMargin,
     // three-branch UNION ALL — a different formulation of the same
     // melt; parquet doubles pass through both engines unchanged
     "q_unpivot" ->
@@ -2469,6 +2494,30 @@ object SparkEntry {
         |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
         |${BpeRoundCtes(12)}
         |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM s12 GROUP BY sym""".stripMargin,
+    // the stopping rule replayed over the SAME unrolled rounds:
+    // merges are prefix-stable, so "stop at the first round whose
+    // distinct-symbol count reaches the target" selects one of the
+    // s0..s12 states — computed per round, chosen by a scalar min
+    "ta_bpe_vocab_until" -> {
+      val vRows = (0 to 12).map(i =>
+        s"SELECT $i AS r, count(DISTINCT sym) AS vs FROM s$i").mkString("\n  UNION ALL ")
+      val branches = (0 to 12).map(i =>
+        s"SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM s$i " +
+          s"WHERE (SELECT r FROM chosen) = $i GROUP BY sym").mkString("\nUNION ALL\n")
+      s"""WITH wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
+        |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
+        |${BpeRoundCtes(12)},
+        |v AS MATERIALIZED (
+        |  $vRows),
+        |chosen AS MATERIALIZED (
+        |  SELECT coalesce(min(r), 12) AS r FROM v WHERE vs >= 30)
+        |$branches""".stripMargin
+    },
     // s12's per-word row count IS the word's segmentation length;
     // join the corpus tokens and sum per doc
     "ta_bpe_encode" ->

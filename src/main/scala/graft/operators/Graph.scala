@@ -79,8 +79,16 @@ object Graph {
     * All-integer distances (weights are integers, sums are Long), so
     * the oracle's unrolled relax-ladder must agree on every value —
     * no float accumulation order to diverge on.
+    *
+    * `strict = true` (the default, and what every entry runs) FAILS
+    * LOUD if the round budget is exhausted while relaxations still
+    * improve — a truncated result would silently hash-drift from any
+    * fixpoint oracle. `strict = false` keeps the bounded-ladder
+    * semantics (result = exactly a maxRounds-unrolled Bellman ladder)
+    * for callers that want the truncation deliberately.
     */
-  def sssp(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def sssp(edges0: DataFrame, maxRounds: Int = 20,
+           strict: Boolean = true): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
     val und = edges0.select(col("u").as("a"), col("v").as("b"), col("w"))
@@ -129,7 +137,7 @@ object Graph {
     // ITS fixpoint, so the two would hash-drift on a deeper graph).
     // One extra bounded probe of the untested wave is cheap relative
     // to the rounds already paid.
-    if (continue) {
+    if (continue && strict) {
       val leftover = frontier.join(und, frontier("node") === und("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min(col("nd")).as("nd"))
@@ -392,6 +400,67 @@ object Graph {
     }
     val seed = seedRow.getLong(0)
     bfsFromUnd(und, seed, maxRounds)
+  }
+
+  /** Sampled-source hop-distance HISTOGRAM — the distance-structure
+    * diagnostic (the 21x skew-profile analogue for graph distances):
+    * BFS from the k smallest node ids SIMULTANEOUSLY and histogram
+    * the (source, node) hop distances. The distribution's shape is
+    * the radius/expansion read a pipeline checks before committing to
+    * an O(diameter)-round algorithm; k sampled sources approximate
+    * the all-pairs distribution at k/n of its O(n·m) cost — the
+    * standard scale path (HyperANF's motivation; exact per-source
+    * BFS here keeps every integer oracle-checkable).
+    *
+    * Scale: ONE shared adjacency serves all k sources; the frontier
+    * carries (src, node) pairs, so per-round cost is bounded by k×
+    * the single-source frontier, and first-discovery = min hop (the
+    * BFS invariant) keeps the state append-only — the same
+    * left-anti-join loop as [[bfsHops]], lineage-truncated per round.
+    */
+  def bfsHopHistogram(edges0: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val und = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    val srcs = und.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(k)
+    var dist = srcs.select(col("node").as("src"), col("node"),
+      lit(0L).as("dist")).localCheckpoint(true)
+    if (dist.isEmpty) {
+      Checkpoints.free(und)
+      Checkpoints.free(dist)
+      return spark.emptyDataset[(Long, Long)].toDF("hop", "n_pairs")
+    }
+    var frontier = dist.select("src", "node")
+    var frontierCp: DataFrame = null
+    var round = 1L
+    var continue = true
+    while (continue && round <= maxRounds) {
+      val next = frontier.join(und, frontier("node") === und("a"))
+        .select(col("src"), col("b").as("node")).distinct()
+        .join(dist.select("src", "node"), Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(round).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        Checkpoints.free(next)
+        continue = false
+      } else {
+        val superseded = dist
+        dist = dist.unionAll(next).localCheckpoint(true)
+        Checkpoints.free(superseded)
+        if (frontierCp != null) Checkpoints.free(frontierCp)
+        frontierCp = next
+        frontier = next.select("src", "node")
+      }
+      round += 1
+    }
+    if (frontierCp != null) Checkpoints.free(frontierCp)
+    Checkpoints.free(und)
+    dist.groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
   }
 
   /** [[bfsHops]] from an EXPLICIT source node instead of the min-id

@@ -895,8 +895,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** [[bpeVocab]] under a VOCAB-SIZE STOPPING RULE instead of a fixed
+    * round count — how tokenizers are actually sized ("train until
+    * |vocab| = 32000"): learn merges until the distinct-symbol count
+    * first reaches `targetVocab` (checked BEFORE any merge too — an
+    * already-rich character inventory learns nothing), capped at
+    * `maxRounds`. Merges are prefix-stable (round i's choice doesn't
+    * depend on later rounds), so the learned state equals the
+    * fixed-round state truncated at the stopping round — which is
+    * what lets the oracle unroll `maxRounds` CTEs, compute each
+    * round's vocab size, and SELECT the first qualifying round's
+    * vocabulary. One extra vocabulary-sized distinct-count per round;
+    * the corpus is still read once.
+    */
+  def bpeVocabUntil(documents: DataFrame, targetVocab: Long,
+                    maxRounds: Int = 12): DataFrame = {
+    val (_, seg) = bpeLearnUntil(documents, maxRounds, Some(targetVocab))
+    seg.select(col("cnt"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum(col("cnt")).as("n"))
+  }
+
   private def bpeLearn(documents: DataFrame,
-                       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+                       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeLearnUntil(documents, rounds, None)
+
+  private def bpeLearnUntil(documents: DataFrame, rounds: Int,
+                            targetVocab: Option[Long]): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, CAST(i AS INT), 1))")
@@ -916,8 +940,10 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def vocabSize(): Long = seg.select(explode(col("syms")).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
     var r = 1
-    var exhausted = false
+    var exhausted = targetVocab.exists(t => vocabSize() >= t)
     while (r <= rounds && !exhausted) {
       val best = seg
         .select(col("cnt"), explode(expr(pairSql)).as("p"))
@@ -934,6 +960,7 @@ object TextAnalysis {
         seg = seg.select(col("word"), col("cnt"), mergeFold(l, rt).as("syms"))
           .localCheckpoint(true)
         Checkpoints.free(superseded)
+        if (targetVocab.exists(t => vocabSize() >= t)) exhausted = true
       }
       r += 1
     }

@@ -1610,7 +1610,13 @@ object EventStreams {
       .select(col("shingle"), col("cnt"), col("wb"))
       // materialize BEFORE touching the files the plan reads
       .localCheckpoint(true)
-    merged.write.mode("overwrite").partitionBy("wb").parquet(winPath)
+    // cluster by bucket so each partition directory collapses to one
+    // file — without this the rewrite keeps one file per shuffle
+    // partition per bucket and the file count (what bounds per-batch
+    // pruned-read listing cost) never actually shrinks (measured in
+    // SpansRehearsal: 1024 delta files -> 16 after compaction)
+    merged.repartition(col("wb"))
+      .write.mode("overwrite").partitionBy("wb").parquet(winPath)
     graft.operators.Checkpoints.free(merged)
   }
 

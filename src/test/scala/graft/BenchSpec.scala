@@ -54,6 +54,23 @@ class BenchSpec extends AnyFunSuite {
     assert(got == Seq("q_a", "q_b"), s"got $got")
   }
 
+  test("stream_* noisy band holds a 1.5x looser bar; non-stream twins still flag") {
+    val b = Map("stream_a" -> 2.0, "stream_b" -> 2.0, "q_a" -> 2.0, "q_b" -> 2.0)
+    // adjacent pair at 2.5x: flags for plain queries (>= 2x run bar),
+    // NOT for the sim band (its run bar is 3x)
+    assert(Bench.contaminatedWindows(
+      Seq("q_a" -> 5.0, "q_b" -> 5.0), b) == Seq("q_a", "q_b"))
+    assert(Bench.contaminatedWindows(
+      Seq("stream_a" -> 5.0, "stream_b" -> 5.0), b).isEmpty)
+    // sim singleton at 3.5x: under the band's 4.5x singleton bar
+    assert(Bench.contaminatedWindows(Seq("stream_a" -> 7.0), b).isEmpty)
+    // sim singleton at 5x: past even the loosened bar -> flags
+    assert(Bench.contaminatedWindows(Seq("stream_a" -> 10.0), b) == Seq("stream_a"))
+    // sim pair at 3.5x: past the 3x run bar -> flags
+    assert(Bench.contaminatedWindows(
+      Seq("stream_a" -> 7.0, "stream_b" -> 7.0), b) == Seq("stream_a", "stream_b"))
+  }
+
   test("parseBaseline drops non-positive entries (poisoned -1.0 baselines)") {
     val line = """{"metric":"total","value":5.0,"unit":"sec","queries":{"q_a":1.5,"q_b":-1.0,"q_c":0.0},"contaminated":[],"sf":"/x"}"""
     assert(Bench.parseBaseline(line) == Map("q_a" -> 1.5))

@@ -216,6 +216,28 @@ class GraphSpec extends AnyFunSuite {
     assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("bfsHopHistogram: equals per-source bfsHopsFrom histograms; disjoint component invisible; k caps sources") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus disjoint pair 10-11; k=3 sources = {1,2,3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("u", "v")
+    val got = Graph.bfsHopHistogram(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent expectation: union of single-source BFS runs
+    val expect = Seq(1L, 2L, 3L).flatMap { s =>
+      Graph.bfsHopsFrom(edges, s).collect().map(r => r.getLong(1))
+    }.groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+    assert(got == expect, s"got $got want $expect")
+    // hand check: dists from 1: 0,1,2,3,4; from 2: 1,0,1,2,3; from 3:
+    // 2,1,0,1,2 -> hop histogram 0:3, 1:5, 2:4, 3:2, 4:1
+    assert(got == Map(0L -> 3L, 1L -> 5L, 2L -> 4L, 3L -> 2L, 4L -> 1L))
+    // k larger than the node count degrades to all-sources
+    val all = Graph.bfsHopHistogram(Seq((1L, 2L)).toDF("u", "v"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(0L -> 2L, 1L -> 2L))
+    // empty input
+    assert(Graph.bfsHopHistogram(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
+  }
+
   test("bfsHops: a ring is walked in both directions (true shortest hops, not traversal order)") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("u", "v")
@@ -232,12 +254,19 @@ class GraphSpec extends AnyFunSuite {
       (10L, 11L, 2L)).toDF("u", "v", "w")
     val d = Graph.sssp(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
-    // maxRounds = 1: only one relaxation — node 4 keeps the direct
-    // edge's 10 (the detour needs 3 rounds), exactly what a 1-round
-    // unrolled Bellman ladder computes.
-    val r1 = Graph.sssp(edges, maxRounds = 1).collect()
+    // maxRounds = 1, strict off: only one relaxation — node 4 keeps
+    // the direct edge's 10 (the detour needs 3 rounds), exactly what
+    // a 1-round unrolled Bellman ladder computes.
+    val r1 = Graph.sssp(edges, maxRounds = 1, strict = false).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1 === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // strict (the entry default) fails LOUD on the same truncation
+    // instead of returning distances that would hash-drift from a
+    // fixpoint oracle
+    val e = intercept[IllegalStateException] {
+      Graph.sssp(edges, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("exhausted before fixpoint"))
   }
 
   test("sssp: ring relaxes in both directions; later rounds improve earlier estimates") {

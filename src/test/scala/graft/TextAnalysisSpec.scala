@@ -454,6 +454,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     check(Seq("a b c a b"), 4)
   }
 
+  test("bpeVocabUntil: stops at the first round reaching the target; degenerate targets match char-level and full-round vocab") {
+    import spark.implicits._
+    // small alphabet, long random words: merged pairs coexist with
+    // surviving singles, so the vocabulary genuinely GROWS per round
+    // (an all-prefix corpus like "low lower lowest" shrinks it —
+    // merges consume their constituents)
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.fill(3)(Seq.fill(30)(
+      Seq.fill(2 + rnd.nextInt(6))("abcd" (rnd.nextInt(4))).mkString).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def vocabAt(rounds: Int): Map[String, Long] =
+      TextAnalysis.bpeVocab(docs, rounds).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab-size trajectory under fixed-round learning; round 0 is
+    // the character inventory (a target at or below it stops with
+    // zero merges)
+    val size0 = texts.flatMap(_.split("[^A-Za-z]+")).flatten.distinct.size
+    val sizes = (1 to 12).map(r => r -> vocabAt(r).size)
+    // a target just past the char inventory: expect the state of the
+    // FIRST round whose size reaches it
+    val target = size0 + 2
+    val rStar = sizes.find(_._2 >= target).get._1
+    val got = TextAnalysis.bpeVocabUntil(docs, target.toLong, 12).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == vocabAt(rStar), s"target=$target rStar=$rStar")
+    // target below the character inventory: zero merges — the
+    // char-level segmentation (every sym is one char)
+    val charLevel = TextAnalysis.bpeVocabUntil(docs, 1L, 12).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(charLevel.keys.forall(_.length == 1), s"expected char-level, got $charLevel")
+    // unreachable target: degrades to the full fixed-round vocab
+    assert(TextAnalysis.bpeVocabUntil(docs, 10000L, 12).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == vocabAt(12))
+  }
+
   test("weightedSample prefers heavy docs: inclusion tracks weight on a planted corpus") {
     import spark.implicits._
     // 5 heavy docs (w=5000) among 200 light ones (w=10): with k=10,
