@@ -298,6 +298,10 @@ object SparkEntry {
     // frontier carries (src, node) pairs
     "q_bfs_histogram" -> ((s, dir) => Graph.bfsHopHistogram(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 4, 30)),
+    // sampled harmonic centrality over the same multi-source BFS:
+    // per-term integer micros before the sum, (hc desc, node) top-k
+    "q_harmonic" -> ((s, dir) => Graph.harmonicCentrality(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 4, 20, 30)),
     // delta-relaxing Bellman-Ford from the same seed over
     // multiplicity-weighted edges; the oracle unrolls 20 relax
     // rounds as chained min-aggregates — rounds past the fixpoint
@@ -1229,6 +1233,28 @@ object SparkEntry {
         |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
         |SELECT CAST(dist AS BIGINT) AS hop, count(*) AS n_pairs
         |FROM d GROUP BY 1""".stripMargin,
+    // per-term micros floor BEFORE the sum (the 33j discipline) makes
+    // the harmonic sum exact; (hc desc, node) is a total order
+    "q_harmonic" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS MATERIALIZED (
+        |  SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 4),
+        |walk(src, node, dist) AS (
+        |  (SELECT s, s, 0 FROM srcs)
+        |  UNION
+        |  SELECT w.src, u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30),
+        |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2),
+        |h AS (SELECT node,
+        |        CAST(sum(CAST(floor(1000000.0 / dist + 0.5) AS BIGINT))
+        |             AS BIGINT) AS hc_micros
+        |      FROM d WHERE dist > 0 GROUP BY node)
+        |SELECT node, hc_micros,
+        |  CAST(row_number() OVER (ORDER BY hc_micros DESC, node) AS BIGINT) AS rk
+        |FROM h ORDER BY hc_micros DESC, node LIMIT 20""".stripMargin,
     // three-branch UNION ALL — a different formulation of the same
     // melt; parquet doubles pass through both engines unchanged
     "q_unpivot" ->

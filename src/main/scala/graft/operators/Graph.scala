@@ -418,7 +418,40 @@ object Graph {
     * BFS invariant) keeps the state append-only — the same
     * left-anti-join loop as [[bfsHops]], lineage-truncated per round.
     */
-  def bfsHopHistogram(edges0: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame = {
+  def bfsHopHistogram(edges0: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame =
+    multiSourceBfs(edges0, k, maxRounds)
+      .groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+
+  /** Sampled HARMONIC centrality, integer-exact: for the k smallest
+    * node ids as sources, H(v) = Σ_src≠v ⌊10⁶/d(src,v) + ½⌋ — each
+    * term floors to integer micros BEFORE the sum (the 33j surprisal
+    * discipline), so the aggregate is exact in any reduction order
+    * and the (hc desc, node) top-k is a total order the oracle
+    * reproduces rank-for-rank. Harmonic rather than closeness
+    * because it is well-defined under disconnection (unreachable
+    * pairs contribute 0, no infinite sum) — the standard form for
+    * sampled centrality on real graphs (Boldi & Vigna 2014). Cost:
+    * the same shared-adjacency multi-source BFS as
+    * [[bfsHopHistogram]] plus one node-keyed aggregate and a
+    * TakeOrderedAndProject top-k.
+    */
+  def harmonicCentrality(edges0: DataFrame, k: Int = 4, topK: Int = 20,
+                         maxRounds: Int = 30): DataFrame = {
+    val d = multiSourceBfs(edges0, k, maxRounds).filter(col("dist") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hc_micros").desc, col("node").asc)
+    d.select(col("node"),
+        floor(lit(1000000.0) / col("dist").cast("double") + lit(0.5))
+          .cast("long").as("m"))
+      .groupBy("node").agg(sum(col("m")).as("hc_micros"))
+      .orderBy(col("hc_micros").desc, col("node").asc).limit(topK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  /** Shared multi-source BFS: exact hop distances from the k smallest
+    * node ids over ONE checkpointed adjacency — (src, node, dist)
+    * rows, first-discovery = min hop. */
+  private def multiSourceBfs(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
@@ -433,7 +466,7 @@ object Graph {
     if (dist.isEmpty) {
       Checkpoints.free(und)
       Checkpoints.free(dist)
-      return spark.emptyDataset[(Long, Long)].toDF("hop", "n_pairs")
+      return spark.emptyDataset[(Long, Long, Long)].toDF("src", "node", "dist")
     }
     var frontier = dist.select("src", "node")
     var frontierCp: DataFrame = null
@@ -460,7 +493,7 @@ object Graph {
     }
     if (frontierCp != null) Checkpoints.free(frontierCp)
     Checkpoints.free(und)
-    dist.groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+    dist
   }
 
   /** [[bfsHops]] from an EXPLICIT source node instead of the min-id

@@ -187,13 +187,22 @@ object Multimodal {
     * [[features]]; a real deployment swaps in a DCT/aHash over
     * decoded pixels and keeps every downstream shape.
     */
-  def phashBands(documents: DataFrame, dim: Int = 64, nBands: Int = 4): DataFrame = {
+  def phashBands(documents: DataFrame, dim: Int = 64, nBands: Int = 4): DataFrame =
+    phashBandsFromPayload(
+      withPayload(documents).select(col("doc_id"), col("payload")), dim, nBands)
+
+  /** [[phashBands]] over RAW payload rows (doc_id, payload) — the
+    * genuinely-binary face: media bytes arriving from a `binaryFile`
+    * source never round-trip through a string column (which would
+    * corrupt non-UTF-8 payloads). */
+  def phashBandsFromPayload(payloads: DataFrame, dim: Int = 64,
+                            nBands: Int = 4): DataFrame = {
     require(dim % nBands == 0, "dim must split evenly into bands")
     val bandWidth = dim / nBands
     require(bandWidth <= 62, "band values must fit a long")
-    val spark = documents.sparkSession
+    val spark = payloads.sparkSession
     import spark.implicits._
-    withPayload(documents)
+    payloads
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>

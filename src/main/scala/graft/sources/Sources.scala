@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Input/output surface (SURVEY §2 sources/sinks).
   *
@@ -57,6 +57,31 @@ object Sources {
                        glob: String = "*", maxBytes: Long = 512L << 20): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .select(element_at(split(col("path"), "/"), -1).as("media_name"),
+        col("length"), col("content"))
+
+  /** STREAMING twin of [[readBinaryCorpus]] — continuous media ingest
+    * (the `binaryFile` FileFormat works under FileStreamSource, so a
+    * landing directory becomes an unbounded source; files process in
+    * modification-time order). Same projection, same pushed length
+    * guard, same glob prune — a batch pipeline over a media drop and
+    * an always-on ingest share one row shape, which is what lets the
+    * phash maintenance face ([[graft.streaming.EventStreams
+    * .mediaPhashIngest]]) consume either.
+    */
+  def readBinaryCorpusStream(spark: SparkSession, dir: String,
+                             glob: String = "*",
+                             maxBytes: Long = 512L << 20): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", org.apache.spark.sql.types.StringType),
+        StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        StructField("length", org.apache.spark.sql.types.LongType),
+        StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", "16")
       .load(dir)
       .filter(col("length") <= maxBytes)
       .select(element_at(split(col("path"), "/"), -1).as("media_name"),

@@ -1038,6 +1038,24 @@ object EventStreams {
     phashResolve(spark, s"$base/state")
   }
 
+  /** CONTINUOUS MEDIA ingest — [[phashIngest]] fed from a streaming
+    * `binaryFile` landing directory ([[graft.sources.Sources
+    * .readBinaryCorpusStream]]): each arriving media file becomes a
+    * payload row (doc_id = xxhash64 of the file name — stable across
+    * redelivery; raw bytes, never a string round-trip), and the same
+    * phashBatch maintenance applies — bands/pairs state, pruned
+    * partition reads, commit markers. The media twin of the
+    * documents-table ingest family, completing the 37m/37q machinery
+    * with a genuinely-binary source face.
+    */
+  def mediaPhashIngest(binStream: DataFrame, statePath: String,
+                       checkpoint: String, nBuckets: Int = 16): Unit = {
+    val docs = binStream.select(
+      xxhash64(col("media_name")).as("doc_id"),
+      col("content").as("payload"))
+    phashIngest(docs, statePath, checkpoint, nBuckets)
+  }
+
   /** Streaming ingest for phash near-dup maintenance. State under
     * `statePath`: `phs` — per-doc band arrays, pmod(doc_id)-
     * partitioned (the verification side reads only candidate docs'
@@ -1073,7 +1091,10 @@ object EventStreams {
       val phsPath = s"$statePath/phs"
       val bandsPath = s"$statePath/bands"
       val pairsPath = s"$statePath/pairs"
-      val newPh = graft.operators.Multimodal.phashBands(batch).localCheckpoint(true)
+      val newPh = (if (batch.columns.contains("payload"))
+          graft.operators.Multimodal.phashBandsFromPayload(batch)
+        else graft.operators.Multimodal.phashBands(batch))
+        .localCheckpoint(true)
       val newEx = newPh
         .select(col("doc_id"), posexplode(col("phash_bands")).as(Seq("band", "bv")))
         .localCheckpoint(true)

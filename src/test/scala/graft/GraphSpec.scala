@@ -238,6 +238,27 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.bfsHopHistogram(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
   }
 
+  test("harmonicCentrality: hand-computed on a star+chain; self-distance excluded; micros exact") {
+    import spark.implicits._
+    // star center 1 with leaves 2,3,4 plus a chain 4-5; sources k=3
+    // = {1,2,3}. d(1,*): 2,3,4=1, 5=2; d(2,*): 1=1, 3,4=2, 5=3;
+    // d(3,*): 1=1, 2,4=2, 5=3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = Graph.harmonicCentrality(edges, k = 3, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hc = got.map(g => g._1 -> g._2).toMap
+    // H(1) = 1e6 + 1e6 (from 2 and 3) = 2_000_000
+    // H(2) = 1e6 (from 1) + 500_000 (from 3) = 1_500_000; H(3) same
+    // H(4) = 1e6 + 500_000 + 500_000 = 2_000_000
+    // H(5) = 500_000 + 333_333 + 333_333 = 1_166_666
+    assert(hc == Map(1L -> 2000000L, 2L -> 1500000L, 3L -> 1500000L,
+      4L -> 2000000L, 5L -> 1166666L), s"got $hc")
+    // rank: ties broken by node id — 1 before 4, 2 before 3
+    assert(got.sortBy(_._3).map(_._1).toSeq == Seq(1L, 4L, 2L, 3L, 5L))
+    // topK caps the output
+    assert(Graph.harmonicCentrality(edges, k = 3, topK = 2).count() == 2)
+  }
+
   test("bfsHops: a ring is walked in both directions (true shortest hops, not traversal order)") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("u", "v")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Sources
+import graft.streaming.EventStreams
 
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
@@ -40,6 +41,52 @@ class SourcesSpec extends AnyFunSuite {
     val sizes = Sources.readBinaryCorpus(spark, dir.toString, "*.bin", maxBytes = 1024)
       .select(octet_length(col("content"))).collect().map(_.getInt(0)).toSet
     assert(sizes == Set(256, 64))
+  }
+
+  test("readBinaryCorpusStream: streamed rows == batch read; feeds mediaPhashIngest (dup payloads pair, fresh ones don't)") {
+    val dir = Files.createTempDirectory("graft-media-str-")
+    // wave 1: two distinct payloads; wave 2: an exact COPY of m1's
+    // payload under a new name plus a fresh payload — the copy must
+    // pair with m1 across the wave boundary (hamming 0), fresh stays
+    // unpaired. Non-UTF8 bytes (0x80+) pin the no-string-round-trip
+    // claim.
+    val p1 = Array.tabulate[Byte](200)(i => (i * 7 + 128).toByte)
+    val p2 = Array.tabulate[Byte](150)(i => (255 - i * 3).toByte)
+    val p3 = Array.tabulate[Byte](90)(i => (i * i + 161).toByte)
+    Files.write(dir.resolve("m1.bin"), p1)
+    Files.write(dir.resolve("m2.bin"), p2)
+    Files.writeString(dir.resolve("skip.txt"), "not media")
+    val base = Files.createTempDirectory("graft-media-state-").toString
+    val stream1 = Sources.readBinaryCorpusStream(spark, dir.toString, "*.bin")
+    EventStreams.mediaPhashIngest(stream1, s"$base/state", s"$base/ckpt")
+    // wave 2 lands later; a NEW checkpoint dir would reprocess, the
+    // same one resumes — use the same (continuous-ingest semantics)
+    Files.write(dir.resolve("m1copy.bin"), p1)
+    Files.write(dir.resolve("m3.bin"), p3)
+    val stream2 = Sources.readBinaryCorpusStream(spark, dir.toString, "*.bin")
+    EventStreams.mediaPhashIngest(stream2, s"$base/state", s"$base/ckpt")
+    val resolved = EventStreams.phashResolve(spark, s"$base/state").collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_near"))).toMap
+    def id(name: String): Long =
+      spark.range(1).select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.lit(name))).head.getLong(0)
+    assert(resolved.keySet == Set(id("m1.bin"), id("m2.bin"), id("m1copy.bin"), id("m3.bin")),
+      s"expected all four media docs, got $resolved")
+    assert(resolved(id("m1.bin")) == 1L && resolved(id("m1copy.bin")) == 1L,
+      s"identical payloads must pair across waves: $resolved")
+    assert(resolved(id("m2.bin")) == 0L && resolved(id("m3.bin")) == 0L,
+      s"distinct payloads must not pair: $resolved")
+    // the streamed source itself equals the batch read, bytes intact
+    val qn = "graft_binstream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Sources.readBinaryCorpusStream(spark, dir.toString, "*.bin")
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(qn).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val batch = Sources.readBinaryCorpus(spark, dir.toString, "*.bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(streamed == batch && streamed.size == 4)
   }
 
   test("csv and jsonl round-trip with explicit schema") {
