@@ -308,4 +308,22 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+  test("dedup_url: canonicalization stays inside one codegen'd scan; ONE aggregate shuffle") {
+    val p = plan("dedup_url")
+    assert(p.contains("HashAggregate"), "canonical-url dedup is an aggregate")
+    assert(p.contains("partial_min"), "survivor election must combine map-side")
+    // scalar string canonicalization must not introduce joins
+    assert(!p.contains("Join"), "pure expression canonicalization must not join")
+    val exchanges = p.split("\n").count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected the single aggregate shuffle, got $exchanges")
+  }
+
+  test("ta_quality_clf: weight table broadcasts; no shuffle before the per-doc aggregate") {
+    val p = executedPlan("ta_quality_clf")
+    assert(p.contains("BroadcastHashJoin"), "the micros weight table must broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc aggregate must combine map-side")
+  }
+
+
 }
