@@ -302,6 +302,11 @@ object SparkEntry {
     // per-term integer micros before the sum, (hc desc, node) top-k
     "q_harmonic" -> ((s, dir) => Graph.harmonicCentrality(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 4, 20, 30)),
+    // sampled Brandes betweenness (k sources, forward sigma counts +
+    // backward rational dependencies) — rows-only: delta ratios are
+    // rational, the spec's local Brandes is the oracle
+    "q_betweenness" -> ((s, dir) => Graph.betweennessApprox(
+      Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 4, 20, 30)),
     // delta-relaxing Bellman-Ford from the same seed over
     // multiplicity-weighted edges; the oracle unrolls 20 relax
     // rounds as chained min-aggregates — rounds past the fixpoint

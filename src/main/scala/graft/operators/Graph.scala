@@ -448,6 +448,123 @@ object Graph {
       .withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** Sampled BETWEENNESS centrality (Brandes 1.0.1 over k sources) —
+    * which nodes sit ON the most shortest paths (the broker/cut-point
+    * read; harmonic says who is CLOSE, betweenness says who is
+    * BETWEEN). Exact Brandes is O(n·m); sampling k sources is the
+    * standard estimator (Brandes & Pich 2007) at k/n of the cost.
+    *
+    * Two passes over ONE shared adjacency, both level-synchronous:
+    * forward — BFS levels with shortest-path counts σ (σ(v) = Σ σ(u)
+    * over predecessors one level up; pure integer, overflow
+    * fail-loud guarded since a dense layered graph multiplies counts
+    * per level); backward — pair dependencies δ(u) = Σ_w σu/σw ·
+    * (1 + δw) accumulated level by level from the deepest frontier
+    * inward. δ ratios are genuinely rational, so this operator is
+    * ROWS-ONLY at the driver gate (the q_mst precedent): the spec
+    * oracle is an independent local Brandes, and with k ≥ n the
+    * sampled sum is EXACTLY the classic source-summed dependency
+    * (2× unordered-pair betweenness on undirected graphs — hand
+    * values pinned). Output: top-k by (rounded centrality, node).
+    */
+  def betweennessApprox(edges0: DataFrame, k: Int = 4, topK: Int = 20,
+                        maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val und = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
+      .distinct().localCheckpoint(true)
+    val srcs = und.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(k)
+    // forward: (src, node, dist, sigma) level by level
+    var dist = srcs.select(col("node").as("src"), col("node"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+    if (dist.isEmpty) {
+      Checkpoints.free(und)
+      Checkpoints.free(dist)
+      return spark.emptyDataset[(Long, Double, Long)].toDF("node", "bc", "rk")
+    }
+    var frontier = dist
+    var frontierCp: DataFrame = null
+    var level = 1L
+    var continue = true
+    while (continue && level <= maxRounds) {
+      val next = frontier.join(und, frontier("node") === und("a"))
+        .select(col("src"), col("b").as("node"), col("sigma"))
+        .join(dist.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
+        .select(col("src"), col("node"), lit(level).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        Checkpoints.free(next)
+        continue = false
+      } else {
+        val superseded = dist
+        dist = dist.unionAll(next).localCheckpoint(true)
+        Checkpoints.free(superseded)
+        if (frontierCp != null) Checkpoints.free(frontierCp)
+        frontierCp = next
+        frontier = next
+      }
+      level += 1
+    }
+    if (frontierCp != null) Checkpoints.free(frontierCp)
+    val maxSigma = dist.agg(max(col("sigma"))).head().getLong(0)
+    if (maxSigma > (1L << 52)) {
+      Checkpoints.free(dist)
+      Checkpoints.free(und)
+      throw new IllegalStateException(
+        s"betweennessApprox: path count $maxSigma exceeds the exact-Long/" +
+          "double-mantissa budget — sample fewer sources or a sparser graph")
+    }
+    val lMax = dist.agg(max(col("dist"))).head().getLong(0)
+    // backward, level by level from the global deepest frontier: a
+    // level's delta is one join against the level below (every
+    // (src, node) one level down already has a dm row — nodes with
+    // no deeper successors, e.g. a shallower source's OWN deepest
+    // frontier, are zero-filled each iteration, which is what keeps
+    // sources of DIFFERENT depths correct)
+    var dm = dist.limit(0)
+      .select(col("src"), col("node"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    var l = lMax
+    while (l >= 1) {
+      val atL = dist.filter(col("dist") === l)
+      val below = dist.filter(col("dist") === l + 1)
+        .join(dm, Seq("src", "node"))
+        .select(col("src").as("wsrc"), col("node").as("wnode"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val here = atL
+        .join(und, col("node") === col("a"))
+        .join(below, col("src") === col("wsrc") && col("b") === col("wnode"))
+        .groupBy(col("src"), col("node"))
+        .agg(sum(col("sigma").cast("double") / col("sigma_w").cast("double")
+          * (lit(1.0) + col("delta_w"))).as("delta"))
+      val zero = atL.select("src", "node")
+        .join(here.select("src", "node"), Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(0.0).as("delta"))
+      val superseded = dm
+      dm = dm.unionAll(here.select(col("src"), col("node"), col("delta")))
+        .unionAll(zero)
+        .localCheckpoint(true)
+      Checkpoints.free(superseded)
+      l -= 1
+    }
+    val out = dm.filter(col("node") =!= col("src"))
+      .groupBy("node").agg(round(sum(col("delta")), 4).as("bc"))
+      .orderBy(col("bc").desc, col("node").asc).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bc").desc, col("node").asc)
+    // materialize the tiny top-k BEFORE freeing the state it reads
+    val res = out.withColumn("rk", row_number().over(w).cast("long"))
+      .localCheckpoint(true)
+    Checkpoints.free(dist)
+    Checkpoints.free(dm)
+    Checkpoints.free(und)
+    res
+  }
+
   /** Shared multi-source BFS: exact hop distances from the k smallest
     * node ids over ONE checkpointed adjacency — (src, node, dist)
     * rows, first-discovery = min hop. */

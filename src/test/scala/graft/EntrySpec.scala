@@ -37,8 +37,11 @@ class EntrySpec extends AnyFunSuite {
                     // reason); recall spec gates the shipped defaults at >= 0.8
       "sim_ann_ivfpq",   // same trained-codebook reason; recall spec >= 0.85
       "sim_ann_ivfpq_res", // residual variant; recall spec >= plain IVFPQ
-      "q_mst") // Borůvka union-find is not DuckDB-CTE-expressible without
+      "q_mst", // Borůvka union-find is not DuckDB-CTE-expressible without
                // path enumeration; local-Kruskal edge-set spec is the oracle
+      "q_betweenness") // Brandes backward-pass delta ratios are rational
+                       // (level-recursive float accumulation); the spec's
+                       // independent local Brandes is the oracle
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
   }
 }

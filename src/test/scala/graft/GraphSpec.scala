@@ -259,6 +259,69 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.harmonicCentrality(edges, k = 3, topK = 2).count() == 2)
   }
 
+  test("betweennessApprox: hand values on path and star; == independent local Brandes on seeded graphs") {
+    import spark.implicits._
+    // independent local Brandes (source-summed dependency, the
+    // operator's declared convention = 2x unordered-pair betweenness)
+    def localBrandes(edges: Seq[(Long, Long)], sources: Seq[Long]): Map[Long, Double] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+      val nodes = adj.keySet
+      val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      sources.filter(nodes.contains).foreach { s =>
+        val distM = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+        val order = scala.collection.mutable.ArrayBuffer(s)
+        var q = List(s)
+        while (q.nonEmpty) {
+          val u = q.head; q = q.tail
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!distM.contains(v)) {
+              distM(v) = distM(u) + 1; order += v; q = q :+ v
+            }
+            if (distM(v) == distM(u) + 1) sigma(v) += sigma(u)
+          }
+        }
+        val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        order.reverse.foreach { w =>
+          adj.getOrElse(w, Nil).foreach { u =>
+            if (distM.contains(u) && distM(u) == distM(w) - 1)
+              delta(u) += sigma(u).toDouble / sigma(w) * (1.0 + delta(w))
+          }
+          if (w != s) bc(w) += delta(w)
+        }
+      }
+      bc.toMap
+    }
+    def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Double] =
+      graft.operators.Graph.betweennessApprox(edges.toDF("u", "v"), k, topK = 100)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // path 1-2-3-4-5, all sources: interior brokers 6/8/6, endpoints 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(path, 5) == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0))
+    // star: all leaf pairs route through the center (3 pairs x 2)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(run(star, 4) == Map(0L -> 6.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+    // seeded random graphs, k = 4 smallest sources — the operator's
+    // sampled semantics replicated locally
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(500 + seed)
+      val es = (1 to 40).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val sources = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(4)
+      val got = run(es, 4)
+      val want = localBrandes(es, sources)
+        .map { case (n, v) => n -> math.floor(v * 1e4 + 0.5) / 1e4 }
+      val keys = got.keySet ++ want.keySet
+      keys.foreach { n =>
+        assert(math.abs(got.getOrElse(n, 0.0) - want.getOrElse(n, 0.0)) < 1e-3,
+          s"seed=$seed node=$n got=${got.get(n)} want=${want.get(n)}")
+      }
+    }
+  }
+
   test("bfsHops: a ring is walked in both directions (true shortest hops, not traversal order)") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("u", "v")
