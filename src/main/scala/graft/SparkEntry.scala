@@ -603,6 +603,9 @@ object SparkEntry {
     "stream_theta_window_day" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyThetaWindow(s, dir, windowHours = 24)),
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
+    // streamed URL-level dedup: pure per-batch deltas, order-
+    // independent merge-on-read resolve -- shares dedup_url's oracle
+    "stream_url_dedup" -> ((s, dir) => graft.streaming.EventStreams.streamedUrlDedup(s, dir)),
     "stream_funnel" -> ((s, dir) => graft.streaming.EventStreams.streamFunnel(s, dir)),
     "stream_retention" -> ((s, dir) => graft.streaming.EventStreams.streamRetention(s, dir)),
     "stream_source_cap" -> ((s, dir) => graft.streaming.EventStreams.streamSourceCap(s, dir, 15)),
@@ -919,6 +922,51 @@ object SparkEntry {
 
   /** The phash summary pipeline in SQL — shared verbatim by the
     * batch entry and its streaming maintenance face. */
+  private val UrlDedupSql: String =
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM:80'
+        |             WHEN doc_id % 3 = 1 THEN 'www.example.com'
+        |             ELSE 'example.com' END)
+        |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+        |             WHEN doc_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, scheme, rest, regexp_extract(rest, '^[^/?]*') AS host0
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+        |                   ':(80|443)$', '') AS host,
+        |    substr(rest, length(host0) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, scheme, host,
+        |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path1,
+        |    -- DuckDB array_to_string([]) is NULL where Spark
+        |    -- array_join([]) is '' -> coalesce
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(split_part(pathq, '?', 2), '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS kept
+        |  FROM p3)
+        |SELECT
+        |  scheme || '://' || host
+        |    || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
+        |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM p4 GROUP BY 1""".stripMargin
+
   private val PhashSummarySql: String =
     """WITH chars AS (
         |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
@@ -1862,50 +1910,10 @@ object SparkEntry {
         |GROUP BY content_hash""".stripMargin,
     // mirrors Dedup.syntheticUrls + Dedup.canonicalizeUrl step for
     // step (doc_id is non-negative so % == pmod here)
-    "dedup_url" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM:80'
-        |             WHEN doc_id % 3 = 1 THEN 'www.example.com'
-        |             ELSE 'example.com' END)
-        |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
-        |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
-        |             WHEN doc_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=x'
-        |             ELSE '' END)
-        |    || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
-        |  FROM documents),
-        |p1 AS (
-        |  SELECT doc_id,
-        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
-        |  FROM u),
-        |p2 AS (
-        |  SELECT doc_id, scheme, rest, regexp_extract(rest, '^[^/?]*') AS host0
-        |  FROM p1),
-        |p3 AS (
-        |  SELECT doc_id, scheme,
-        |    regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
-        |                   ':(80|443)$', '') AS host,
-        |    substr(rest, length(host0) + 1) AS pathq
-        |  FROM p2),
-        |p4 AS (
-        |  SELECT doc_id, scheme, host,
-        |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path1,
-        |    -- DuckDB array_to_string([]) is NULL where Spark
-        |    -- array_join([]) is '' -> coalesce
-        |    coalesce(array_to_string(list_sort(list_filter(
-        |      string_split(split_part(pathq, '?', 2), '&'),
-        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS kept
-        |  FROM p3)
-        |SELECT
-        |  scheme || '://' || host
-        |    || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
-        |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url,
-        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
-        |FROM p4 GROUP BY 1""".stripMargin,
+    "dedup_url" -> UrlDedupSql,
+    // the streamed face's maintained deltas resolve to the identical
+    // table -- the dedup_url oracle verbatim
+    "stream_url_dedup" -> UrlDedupSql,
     "dedup_incremental" ->
       // ((x % 10) + 10) % 10 mirrors Spark's pmod (always >= 0), so
       // the split cannot diverge if doc_ids were ever negative

@@ -139,6 +139,92 @@ object EventStreams {
     spark.table(qname)
   }
 
+  /** Streamed URL-level dedup — the ingest face of
+    * [[graft.operators.Dedup.urlDedup]], and the simplest member of
+    * the maintenance family because its state is PURE DELTAS: per
+    * batch, one aggregate produces (canonical_url, batch-min doc_id,
+    * batch count), written to a per-batch directory with overwrite
+    * semantics (replay-safe in the crash window by construction, the
+    * r10 quality-audit pattern) — and resolve's merge-on-read
+    * (global min, global sum) is ORDER-INDEPENDENT: the survivor is
+    * the min of per-batch minima whatever order shards land in, so
+    * unlike the quality audit there is no arrival-order contract at
+    * all, and the entry shares `dedup_url`'s SQL oracle verbatim.
+    * Nothing is ever rewritten or rescanned; per-batch cost is the
+    * batch's own canonical aggregate.
+    */
+  def streamedUrlDedup(spark: SparkSession, dir: String,
+                       nBuckets: Int = 16): DataFrame = {
+    val urls = graft.operators.Dedup.syntheticUrls(
+      graft.Tables.documents(spark, dir)).localCheckpoint(true)
+    if (urls.isEmpty) {
+      graft.operators.Checkpoints.free(urls)
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)]
+        .toDF("canonical_url", "keep_doc_id", "n_copies")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-url-ing-").toString
+    val incoming = s"$base/incoming"
+    urls.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    urls.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(urls)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("url", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    urlDedupIngest(stream, s"$base/state", s"$base/ckpt", nBuckets)
+    urlDedupResolve(spark, s"$base/state")
+  }
+
+  def urlDedupIngest(urlStream: DataFrame, statePath: String,
+                     checkpoint: String, nBuckets: Int = 16): Unit = {
+    val q = urlStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        urlDedupBatch(b, id, statePath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[urlDedupIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def urlDedupBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String,
+                                   nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_url_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    batch0.select(col("doc_id"), col("url")).dropDuplicates("doc_id")
+      .select(col("doc_id"),
+        graft.operators.Dedup.canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .withColumn("bucket", pmod(xxhash64(col("canonical_url")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$statePath/deltas/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Resolve the maintained URL-dedup deltas: global min survivor,
+    * global copy count per canonical URL. */
+  def urlDedupResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/deltas")) {
+      return Seq.empty[(String, Long, Long)]
+        .toDF("canonical_url", "keep_doc_id", "n_copies")
+    }
+    spark.read.parquet(s"$statePath/deltas")
+      .groupBy("canonical_url")
+      .agg(min(col("keep_doc_id")).as("keep_doc_id"),
+        sum(col("n_copies")).as("n_copies"))
+  }
+
   /** Stream-static enrichment join + aggregate: the streaming face of
     * the broadcast dimension join (each micro-batch joins against the
     * STATIC customer dimension — stateless, no join state at all,

@@ -976,6 +976,44 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the audit counts")
   }
 
+  test("streamedUrlDedup == batch urlDedup; replay and crash-window retry are no-ops; shard order irrelevant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // full-fixture parity with the batch operator (shared oracle)
+    val streamed = asMap(EventStreams.streamedUrlDedup(spark, sf).collect())
+    val batch = asMap(graft.operators.Dedup.urlDedup(
+      graft.operators.Dedup.syntheticUrls(Tables.documents(spark, sf))).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven batches in REVERSED doc_id order: resolve's global
+    // min is order-independent, the later-arriving smaller doc_id
+    // must still win survivorship
+    val state = java.nio.file.Files.createTempDirectory("graft-url-replay-").toString + "/state"
+    val b0 = Seq((10L, "http://example.com/p?a=1"), (11L, "http://other.com/q"))
+      .toDF("doc_id", "url")
+    val b1 = Seq((2L, "HTTP://Example.COM/p/?a=1&utm_x=1"), (3L, "http://example.com/p?a=2"))
+      .toDF("doc_id", "url")
+    EventStreams.urlDedupBatch(b0, 0L, state, 16)
+    EventStreams.urlDedupBatch(b1, 1L, state, 16)
+    val after = asMap(EventStreams.urlDedupResolve(spark, state).collect())
+    assert(after == Map(
+      "http://example.com/p?a=1" -> ((2L, 2L)),
+      "http://example.com/p?a=2" -> ((3L, 1L)),
+      "http://other.com/q" -> ((11L, 1L))), s"got $after")
+    // full replay: marker short-circuits
+    EventStreams.urlDedupBatch(b1, 1L, state, 16)
+    assert(asMap(EventStreams.urlDedupResolve(spark, state).collect()) == after)
+    // crash-window retry: state written, marker missing — the
+    // per-batch overwrite must not double-count
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_url_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    EventStreams.urlDedupBatch(b1, 1L, state, 16)
+    assert(asMap(EventStreams.urlDedupResolve(spark, state).collect()) == after,
+      "crash-window retry drifted the url dedup table")
+  }
+
   test("stateful transitions: single-batch == batch eventTransitions; two-batch carry links across the boundary") {
     import org.apache.spark.sql.functions._
     val got = EventStreams.transitionsStateful(spark, sf).collect()
