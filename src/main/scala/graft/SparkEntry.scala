@@ -536,6 +536,12 @@ object SparkEntry {
     // fastText-style hashed n-gram quality classifier: driver-trained
     // micros weights, broadcast weight join, exact integer logits
     "ta_quality_clf" -> ((s, dir) => TextAnalysis.qualityClassify(Tables.documents(s, dir))),
+    // rules-vs-classifier 2x2 agreement matrix: one doc_id join of
+    // two per-doc verdicts, one tiny aggregate
+    "ta_quality_agreement" -> ((s, dir) => TextAnalysis.qualityAgreement(Tables.documents(s, dir))),
+    // stateless streamed scoring: per-batch overwrite dirs + commit
+    // markers; shares ta_quality_clf's oracle verbatim
+    "stream_quality_clf" -> ((s, dir) => graft.streaming.EventStreams.streamedQualityClassify(s, dir)),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
@@ -920,8 +926,42 @@ object SparkEntry {
        |     * 281474976710656) // least(c.theta, w.theta) END AS est_churned
        |FROM meta c LEFT JOIN wmeta w ON w.h = c.h""".stripMargin
 
-  /** The phash summary pipeline in SQL — shared verbatim by the
-    * batch entry and its streaming maintenance face. */
+  /** The classifier scoring pipeline in SQL (weights embedded as a
+    * VALUES list from the shipped artifact) — shared verbatim by the
+    * batch entry and its stateless streamed face. */
+  private lazy val QualityClfSql: String = {
+      val (cws, cbias, cdim) = graft.operators.TextAnalysis.qualityClfArtifact
+      val cvals = cws.map { case (k, wm) => s"($k, $wm)" }.mkString(", ")
+      s"""WITH wt(bucket, wm) AS (VALUES $cvals),
+         |t AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |                    x -> x <> '') AS ws
+         |      FROM documents),
+         |f AS (
+         |  SELECT doc_id, 'u:' || unnest(ws) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, unnest(['b:' || ws[i] || ' ' || ws[i+1]
+         |                         FOR i IN generate_series(1, len(ws) - 1)]) AS f
+         |  FROM t WHERE len(ws) >= 2),
+         |b AS (SELECT doc_id,
+         |        ('0x' || substr(md5(f), 1, 12))::BIGINT % $cdim AS bucket
+         |      FROM f),
+         |s AS (SELECT doc_id, count(*) AS n_feats, coalesce(sum(wm), 0) AS sum_m
+         |      FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id),
+         |sc AS (SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
+         |         coalesce(sum_m, 0) AS sum_m
+         |       FROM documents LEFT JOIN s USING (doc_id)),
+         |l AS (SELECT doc_id, n_feats,
+         |        CASE WHEN n_feats > 0
+         |          THEN (CAST($cbias AS DOUBLE)
+         |                + CAST(sum_m AS DOUBLE) / CAST(n_feats AS DOUBLE))
+         |               / 1000000.0
+         |          ELSE CAST($cbias AS DOUBLE) / 1000000.0 END AS lr
+         |      FROM sc)
+         |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
+         |FROM l""".stripMargin
+  }
+
   private val UrlDedupSql: String =
       """WITH u AS (
         |  SELECT doc_id,
@@ -967,6 +1007,8 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM p4 GROUP BY 1""".stripMargin
 
+  /** The phash summary pipeline in SQL — shared verbatim by the
+    * batch entry and its streaming maintenance face. */
   private val PhashSummarySql: String =
     """WITH chars AS (
         |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
@@ -2353,7 +2395,12 @@ object SparkEntry {
     // (generated from the same artifact the Spark scorer broadcasts)
     // and re-derives the identical md5 feature buckets, so scoring is
     // hash-exact while training stays a driver-side artifact build.
-    "ta_quality_clf" -> {
+    "ta_quality_clf" -> QualityClfSql,
+    "stream_quality_clf" -> QualityClfSql,
+    // the two per-doc verdict pipelines composed: classifier logit
+    // CTEs (weights as data) + the gopher integer-rule CTEs, one
+    // doc_id join, 2x2 count matrix
+    "ta_quality_agreement" -> {
       val (cws, cbias, cdim) = graft.operators.TextAnalysis.qualityClfArtifact
       val cvals = cws.map { case (k, wm) => s"($k, $wm)" }.mkString(", ")
       s"""WITH wt(bucket, wm) AS (VALUES $cvals),
@@ -2370,20 +2417,36 @@ object SparkEntry {
          |b AS (SELECT doc_id,
          |        ('0x' || substr(md5(f), 1, 12))::BIGINT % $cdim AS bucket
          |      FROM f),
-         |s AS (SELECT doc_id, count(*) AS n_feats, coalesce(sum(wm), 0) AS sum_m
+         |sagg AS (SELECT doc_id, count(*) AS n_feats, coalesce(sum(wm), 0) AS sum_m
          |      FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id),
-         |sc AS (SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
-         |         coalesce(sum_m, 0) AS sum_m
-         |       FROM documents LEFT JOIN s USING (doc_id)),
-         |l AS (SELECT doc_id, n_feats,
-         |        CASE WHEN n_feats > 0
-         |          THEN (CAST($cbias AS DOUBLE)
-         |                + CAST(sum_m AS DOUBLE) / CAST(n_feats AS DOUBLE))
-         |               / 1000000.0
-         |          ELSE CAST($cbias AS DOUBLE) / 1000000.0 END AS lr
-         |      FROM sc)
-         |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
-         |FROM l""".stripMargin
+         |clf AS (SELECT d.doc_id,
+         |          CASE WHEN coalesce(n_feats, 0) > 0
+         |            THEN (CAST($cbias AS DOUBLE)
+         |                  + CAST(coalesce(sum_m, 0) AS DOUBLE)
+         |                    / CAST(n_feats AS DOUBLE)) / 1000000.0 > 0
+         |            ELSE CAST($cbias AS DOUBLE) / 1000000.0 > 0 END AS clf_keep
+         |        FROM documents d LEFT JOIN sagg USING (doc_id)),
+         |gw AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |gwc AS (SELECT doc_id, w, count(*) AS c FROM gw GROUP BY doc_id, w),
+         |gst AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(sum(length(w) * c) AS BIGINT) AS tot_chars,
+         |    count(*) AS n_distinct,
+         |    max(c) AS max_cnt,
+         |    count(DISTINCT CASE WHEN w IN ('the','and','of','to','in','is',
+         |      'that','for','with','was') THEN w END) AS n_stop
+         |  FROM gwc GROUP BY doc_id),
+         |rules AS (SELECT doc_id,
+         |    (n_words >= 20 AND n_words <= 2000)
+         |      AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+         |      AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
+         |      AND 2 * (n_words - n_distinct) <= n_words AS rules_keep
+         |  FROM gst)
+         |SELECT clf_keep, rules_keep, count(*) AS n_docs
+         |FROM clf JOIN rules USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
     },
     "ta_repetition" ->
       """WITH w AS (

@@ -1129,6 +1129,25 @@ object TextAnalysis {
         (logitRaw > lit(0.0)).as("keep"))
   }
 
+  /** Rules-vs-classifier agreement matrix: the 2×2 (gopher keep ×
+    * classifier keep) doc counts — the calibration read a pipeline
+    * checks before swapping a rule filter for a learned one (how
+    * much do they disagree, and in which direction?). Pure
+    * composition: both verdicts are per-doc scalars, one doc_id
+    * join, one tiny aggregate; the oracle composes the two
+    * entries' SQL verbatim.
+    */
+  def qualityAgreement(documents: DataFrame,
+                       artifact: (Seq[(Long, Long)], Long, Int) = qualityClfArtifact): DataFrame = {
+    val clf = qualityClassify(documents, artifact)
+      .select(col("doc_id"), col("keep").as("clf_keep"))
+    val rules = gopherFlags(documents)
+      .select(col("doc_id"), col("keep").as("rules_keep"))
+    clf.join(rules, "doc_id")
+      .groupBy("clf_keep", "rules_keep")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def weightedSample(documents: DataFrame, k: Int = 50,
                      seed: String = "wsamp"): DataFrame = {
     val h = conv(substring(

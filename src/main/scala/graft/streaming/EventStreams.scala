@@ -177,6 +177,65 @@ object EventStreams {
     urlDedupResolve(spark, s"$base/state")
   }
 
+  /** Streamed quality-classifier scoring — the always-on face of
+    * `ta_quality_clf`: per-doc scoring is STATELESS (broadcast
+    * weights, no corpus statistics), so each micro-batch scores
+    * independently and the drained table equals the batch scorer
+    * over the whole corpus — the entry shares its SQL oracle
+    * verbatim. Per-batch results land in per-batch directories with
+    * overwrite semantics + commit markers (replay-safe in the crash
+    * window, the urlDedup pattern). This is the deployment shape of
+    * the learned filter: train once, broadcast micros weights, score
+    * every arriving shard at scan speed.
+    */
+  def streamedQualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Boolean)]
+        .toDF("doc_id", "n_feats", "logit", "keep")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-clf-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        qualityClassifyBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$state/scored")
+      .select("doc_id", "n_feats", "logit", "keep")
+  }
+
+  /** One [[streamedQualityClassify]] micro-batch, exposed for the
+    * replay spec. */
+  private[graft] def qualityClassifyBatch(batch0: org.apache.spark.sql.DataFrame,
+                                          batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_clf_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis.qualityClassify(
+        batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+      .write.mode("overwrite").parquet(s"$statePath/scored/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
   def urlDedupIngest(urlStream: DataFrame, statePath: String,
                      checkpoint: String, nBuckets: Int = 16): Unit = {
     val q = urlStream

@@ -976,6 +976,31 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the audit counts")
   }
 
+  test("streamedQualityClassify == batch scorer; replay and crash-window retry are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val streamed = asMap(EventStreams.streamedQualityClassify(spark, sf)
+      .select("doc_id", "n_feats", "logit", "keep").collect())
+    val batch = asMap(graft.operators.TextAnalysis.qualityClassify(
+      Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // crash-window retry on a hand-driven batch
+    val state = java.nio.file.Files.createTempDirectory("graft-clf-replay-").toString + "/state"
+    val b = Seq((1L, "join merge window stream"), (2L, "a the a the")).toDF("doc_id", "text")
+    EventStreams.qualityClassifyBatch(b, 0L, state)
+    val after = spark.read.parquet(s"$state/scored").count()
+    EventStreams.qualityClassifyBatch(b, 0L, state) // full replay: marker no-op
+    assert(spark.read.parquet(s"$state/scored").count() == after)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_clf_commits/0")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    EventStreams.qualityClassifyBatch(b, 0L, state) // retry: overwrite, no dup rows
+    assert(spark.read.parquet(s"$state/scored").count() == after,
+      "crash-window retry duplicated scored rows")
+  }
+
   test("streamedUrlDedup == batch urlDedup; replay and crash-window retry are no-ops; shard order irrelevant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -489,6 +489,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == vocabAt(12))
   }
 
+  test("qualityAgreement: 2x2 matrix equals composing the two verdicts; counts conserve the corpus") {
+    import spark.implicits._
+    val good = "the and cat dog bird fish goat lion wolf bear deer mole " +
+      "horse sheep mouse tiger otter eagle crow dove"
+    val docs = Seq((1L, good), (2L, "too short"), (3L, good + " join merge window"),
+      (4L, "a a a a a a a a a a a a a a a a a a a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityAgreement(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(got.values.sum == 4L, "matrix must conserve the corpus")
+    val clf = TextAnalysis.qualityClassify(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val rules = TextAnalysis.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val want = (1L to 4L).groupBy(i => (clf(i), rules(i)))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("weightedSample prefers heavy docs: inclusion tracks weight on a planted corpus") {
     import spark.implicits._
     // 5 heavy docs (w=5000) among 200 light ones (w=10): with k=10,
