@@ -504,6 +504,10 @@ object SparkEntry {
     "sim_ann_ivfpq_res" -> ((s, dir) => Similarity.annTopKIvfPqResidual(
       Tables.embeddings(s, dir), probes = 13, shortlistFactor = 8,
       index = Some(pqResidualIndexFor(s, dir)), coarse = Some(coarseFor(s, dir)))),
+    // OPQ: learned orthogonal rotation ahead of PQ (Ge et al. 2013);
+    // rows-only -- float-iterated training, recall spec is the oracle
+    "sim_ann_opq" -> ((s, dir) => Similarity.annTopKOpqRerank(
+      Tables.embeddings(s, dir), 8, 10, m = 8, ksub = 16, iters = 2, opqIters = 2)),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),

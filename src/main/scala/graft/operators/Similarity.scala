@@ -1176,4 +1176,207 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"))
     rerankExact(embeddings, short, numQueries, k)
   }
+
+  // ------------------------------------------------------------------
+  // OPQ — Optimized Product Quantization (Ge et al. CVPR 2013,
+  // non-parametric form): learn an ORTHOGONAL rotation R so that the
+  // rotated space's coordinate blocks carry balanced, decorrelated
+  // energy before PQ slices them into subspaces. Plain PQ's error is
+  // dominated by whatever correlation/energy imbalance straddles its
+  // fixed block boundaries; alternating (train PQ in rotated space) ↔
+  // (Procrustes-update R toward the current reconstruction) provably
+  // decreases quantization error per iteration. Deployment artifact =
+  // (R, codebooks): rotation is one plan-literal matvec at encode and
+  // query time, everything downstream is the existing PQ machinery in
+  // rotated space — cosines are rotation-invariant, so exact re-rank
+  // scores are unchanged.
+  // ------------------------------------------------------------------
+
+  /** Rotate each embedding by plan-literal matrix rows (y_j = r_j·x):
+    * d native-codegen dot products per row, zero shuffle, the same
+    * plan-literal pattern as the PQ code expressions. */
+  def rotateEmbeddings(embeddings: DataFrame, r: Seq[Seq[Float]],
+                       embCol: String = "embedding"): DataFrame =
+    embeddings.withColumn(embCol, array(
+      r.map(row => vecDot(col(embCol), typedlit(row)).cast("float")): _*))
+
+  /** One-sided Jacobi SVD of a small (d×d) driver-side matrix C =
+    * U·S·Vᵀ, returning the Procrustes rotation U·Vᵀ — the argmax of
+    * tr(Rᵀ·C) over orthogonal R. Plain deterministic Scala: sweeps of
+    * column-pair rotations until off-diagonal correlation dies.
+    */
+  private[operators] def procrustesRotation(c: Array[Array[Double]]): Seq[Seq[Float]] = {
+    val d = c.length
+    // a = working copy (becomes U·S as columns orthogonalize);
+    // v accumulates the right rotations
+    val a = Array.tabulate(d, d)((i, j) => c(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 60 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < d) {
+            app += a(i)(p) * a(i)(p); aqq += a(i)(q) * a(i)(q)
+            apq += a(i)(p) * a(i)(q); i += 1
+          }
+          if (math.abs(apq) > 1e-15 * math.sqrt(app * aqq) + 1e-300) {
+            off = math.max(off, math.abs(apq) / (math.sqrt(app * aqq) + 1e-300))
+            val tau = (aqq - app) / (2.0 * apq)
+            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val cs = 1.0 / math.sqrt(1.0 + t * t)
+            val sn = cs * t
+            i = 0
+            while (i < d) {
+              val ap = a(i)(p); val aq = a(i)(q)
+              a(i)(p) = cs * ap - sn * aq; a(i)(q) = sn * ap + cs * aq
+              val vp = v(i)(p); val vq = v(i)(q)
+              v(i)(p) = cs * vp - sn * vq; v(i)(q) = sn * vp + cs * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // normalize columns of a -> U; R = U · Vᵀ
+    val u = Array.tabulate(d, d) { (i, j) =>
+      var n = 0.0; var i2 = 0
+      while (i2 < d) { n += a(i2)(j) * a(i2)(j); i2 += 1 }
+      val nn = math.sqrt(n)
+      if (nn > 1e-300) a(i)(j) / nn else (if (i == j) 1.0 else 0.0)
+    }
+    (0 until d).map { i =>
+      (0 until d).map { j =>
+        var s = 0.0; var k2 = 0
+        while (k2 < d) { s += u(i)(k2) * v(j)(k2); k2 += 1 }
+        s.toFloat
+      }
+    }
+  }
+
+  /** Non-parametric OPQ training: alternate PQ in the rotated space
+    * with the Procrustes rotation update R = U·Vᵀ of C = Σ x·ŷᵀ
+    * (ŷ = the PQ reconstruction of the rotated vector). C is a d×d
+    * per-partition accumulation (mapPartitions + driver reduce —
+    * 32 KB per partition at d=64, never row data); the codebooks
+    * ride the existing pqTrain. Float-ITERATED training like
+    * sim_kmeans/PQ — the artifact deploys via save/load, the entry
+    * is rows-only with the recall spec as its oracle.
+    */
+  def opqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+               opqIters: Int = 3, pqIters: Int = 2,
+               sampleFraction: Double = 1.0): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val train = hashSample(embeddings, sampleFraction, "opq:")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val dim = embDim(train, "embedding")
+    if (dim == 0) {
+      graft.operators.Checkpoints.free(train)
+      return (Seq.empty, Seq.empty)
+    }
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var r: Seq[Seq[Float]] =
+      (0 until dim).map(i => (0 until dim).map(j => if (i == j) 1.0f else 0.0f))
+    var books: Seq[Seq[Seq[Float]]] = Seq.empty
+    var it = 0
+    while (it < opqIters) {
+      val rotated = rotateEmbeddings(train, r)
+      books = pqTrain(rotated, m, ksub, pqIters)
+      val bb = books
+      val withCodes = rotated
+        .join(train.select(col("vec_id"), col("embedding").as("x")), "vec_id")
+        .select(col("x"), pqCodes(col("embedding"), bb).as("codes"))
+        .as[(Seq[Float], Seq[Long])]
+      val c = withCodes.rdd.mapPartitions { it0 =>
+        val acc = Array.ofDim[Double](dim, dim)
+        it0.foreach { case (x, codes) =>
+          val y = new Array[Double](dim)
+          var s = 0
+          while (s < m) {
+            val cent = bb(s)(codes(s).toInt)
+            var j = 0
+            while (j < dsub) { y(s * dsub + j) = cent(j).toDouble; j += 1 }
+            s += 1
+          }
+          var i = 0
+          while (i < dim) {
+            val xi = x(i).toDouble
+            if (xi != 0.0) {
+              var j = 0
+              while (j < dim) { acc(i)(j) += xi * y(j); j += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { a(i)(j) += b(i)(j); j += 1 }
+          i += 1
+        }
+        a
+      }
+      // y = Rᵀx convention: rotated row j = r_j·x, so maximize
+      // tr(Rᵀ·C) with C = Σ x·ŷᵀ — Procrustes gives the new R rows
+      r = procrustesRotation(c).transpose.map(_.toSeq)
+      it += 1
+    }
+    // final codebooks under the final rotation
+    books = pqTrain(rotateEmbeddings(train, r), m, ksub, pqIters)
+    graft.operators.Checkpoints.free(train)
+    (r, books)
+  }
+
+  /** OPQ ANN with exact re-rank: rotate the corpus (one plan-literal
+    * matvec), then the whole PQ ADC + shortlist + exact-rerank
+    * machinery runs unchanged in rotated space — rotation is
+    * orthogonal, so the exact re-rank cosines equal the originals.
+    */
+  def annTopKOpqRerank(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                       m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                       opqIters: Int = 3, shortlistFactor: Int = 5,
+                       index: Option[(Seq[Seq[Float]], Seq[Seq[Seq[Float]]])] = None,
+                       sampleFraction: Double = 1.0): DataFrame = {
+    val (r, books) = index.getOrElse(
+      opqTrain(embeddings, m, ksub, opqIters, iters, sampleFraction))
+    if (books.isEmpty) {
+      return embeddings.select(col("vec_id").as("query_id"),
+        col("vec_id").as("corpus_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rk")).limit(0)
+    }
+    annTopKPqRerank(rotateEmbeddings(embeddings, r), numQueries, k, m, ksub,
+      iters, shortlistFactor, index = Some(books))
+  }
+
+  /** Persist an OPQ index: rotation rows + codebook, two parquet
+    * tables under one directory. */
+  def opqSaveIndex(index: (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]), path: String,
+                   spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    index._1.zipWithIndex.map { case (row, j) => (j, row) }
+      .toDF("j", "r").coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    pqSaveCodebook(index._2, s"$path/books", spark)
+  }
+
+  /** Load an index saved by [[opqSaveIndex]]. */
+  def opqLoadIndex(path: String,
+                   spark: org.apache.spark.sql.SparkSession): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
+    import spark.implicits._
+    val r = spark.read.parquet(s"$path/rotation")
+      .select(col("j"), col("r")).as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toSeq).toSeq
+    (r, pqLoadCodebook(s"$path/books", spark))
+  }
 }

@@ -37,6 +37,9 @@ class EntrySpec extends AnyFunSuite {
                     // reason); recall spec gates the shipped defaults at >= 0.8
       "sim_ann_ivfpq",   // same trained-codebook reason; recall spec >= 0.85
       "sim_ann_ivfpq_res", // residual variant; recall spec >= plain IVFPQ
+      "sim_ann_opq", // learned rotation + codebooks (float-iterated);
+                     // recall specs: >= PQ - eps on the fixture, > PQ
+                     // on planted anisotropic data
       "q_mst", // Borůvka union-find is not DuckDB-CTE-expressible without
                // path enumeration; local-Kruskal edge-set spec is the oracle
       "q_betweenness") // Brandes backward-pass delta ratios are rational

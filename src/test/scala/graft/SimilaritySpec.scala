@@ -268,6 +268,102 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rerank.groupBy(_._1).forall(_._2.size == 10), "k rows per query")
   }
 
+  test("OPQ: learned rotation is orthogonal and cosine-preserving; recall >= plain PQ at the same dials; index round-trips") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val (r, books) = Similarity.opqTrain(emb, m = 8, ksub = 16, opqIters = 3, pqIters = 2)
+    val d = r.length
+    assert(d > 0 && books.nonEmpty)
+    // R·Rᵀ == I within float tolerance (Procrustes must stay on the
+    // orthogonal manifold through every alternation)
+    val maxOff = (0 until d).flatMap(i => (0 until d).map { j =>
+      val dot = (0 until d).map(k2 => r(i)(k2).toDouble * r(j)(k2).toDouble).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(maxOff < 1e-4, s"rotation drifted off orthogonal: $maxOff")
+    // rotation preserves pairwise cosine (what makes the exact
+    // re-rank in rotated space legitimate)
+    import graft.functions.VectorFunctions.vecCosine
+    import org.apache.spark.sql.functions._
+    val two = emb.orderBy("vec_id").limit(2).collect()
+    val rot = Similarity.rotateEmbeddings(emb.orderBy("vec_id").limit(2), r).collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map(x => x._1.toDouble * x._2.toDouble).sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val c0 = cos(two(0).getSeq[Float](1), two(1).getSeq[Float](1))
+    val c1 = cos(rot(0).getSeq[Float](1), rot(1).getSeq[Float](1))
+    assert(math.abs(c0 - c1) < 1e-5, s"rotation changed cosine: $c0 vs $c1")
+    // recall at the same (m, ksub, shortlist) dials: OPQ's rotated
+    // blocks must not lose to plain PQ's fixed blocks
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pq = Similarity.annTopKPqRerank(emb, 8, 10, m = 8, ksub = 16, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val opq = Similarity.annTopKOpqRerank(emb, 8, 10, m = 8, ksub = 16,
+        iters = 2, opqIters = 3, index = Some((r, books)))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pqR = (exact intersect pq).size.toDouble / exact.size
+    val opqR = (exact intersect opq).size.toDouble / exact.size
+    info(f"recall@10: pq=$pqR%.3f opq=$opqR%.3f")
+    assert(opqR >= pqR - 0.051, s"OPQ recall $opqR collapsed vs PQ $pqR")
+    assert(opqR >= 0.5, s"OPQ recall unusable: $opqR")
+    // deployable index: save/load round-trip, search via the loaded
+    // index equals search via the in-memory one
+    val dir = java.nio.file.Files.createTempDirectory("opq-idx-").toString + "/idx"
+    Similarity.opqSaveIndex((r, books), dir, spark)
+    val loaded = Similarity.opqLoadIndex(dir, spark)
+    assert(loaded._1 == r && loaded._2 == books)
+    val viaLoaded = Similarity.annTopKOpqRerank(emb, 8, 10, m = 8, ksub = 16,
+        iters = 2, index = Some(loaded))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(viaLoaded == opq)
+  }
+
+  test("OPQ beats plain PQ on planted anisotropic data (correlated energy straddling block boundaries)") {
+    import spark.implicits._
+    // 16-dim vectors whose energy lives in 4 heavy directions that a
+    // fixed seeded orthogonal mix SPREADS ACROSS every PQ block —
+    // plain PQ (m=4, blocks of 4) pays the correlation it cannot
+    // see; OPQ's learned rotation can undo the mix. Generation is
+    // seeded and deterministic.
+    val d = 16
+    val rnd = new scala.util.Random(424242L)
+    // a fixed random orthogonal mix via Gram-Schmidt on a seeded
+    // gaussian matrix
+    val g = Array.fill(d, d)(rnd.nextGaussian())
+    for (i <- 0 until d) {
+      for (j <- 0 until i) {
+        val dot = (0 until d).map(k2 => g(i)(k2) * g(j)(k2)).sum
+        for (k2 <- 0 until d) g(i)(k2) -= dot * g(j)(k2)
+      }
+      val n = math.sqrt((0 until d).map(k2 => g(i)(k2) * g(i)(k2)).sum)
+      for (k2 <- 0 until d) g(i)(k2) /= n
+    }
+    val scales = Array(8.0, 6.0, 5.0, 4.0) ++ Array.fill(d - 4)(0.25)
+    val rows = (0L until 400L).map { id =>
+      val z = Array.fill(d)(rnd.nextGaussian())
+      val x = (0 until d).map { i =>
+        (0 until d).map(j => g(j)(i) * scales(j) * z(j)).sum.toFloat
+      }
+      (id, x.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    def recallOf(got: Set[(Long, Long)]): Double =
+      (exact intersect got).size.toDouble / exact.size
+    // shortlistFactor 1: recall IS the ADC ranking quality — no
+    // exact-rerank cushion to hide quantization error behind
+    val pq = recallOf(Similarity.annTopKPqRerank(emb, 8, 10, m = 4, ksub = 16,
+      iters = 3, shortlistFactor = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet)
+    val opq = recallOf(Similarity.annTopKOpqRerank(emb, 8, 10, m = 4, ksub = 16,
+      iters = 3, opqIters = 4, shortlistFactor = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet)
+    info(f"anisotropic recall@10 (shortlist=k): pq=$pq%.3f opq=$opq%.3f")
+    assert(opq > pq, s"OPQ must beat PQ on anisotropic data: opq=$opq pq=$pq")
+  }
+
   test("PQ codebook: save/load roundtrip is exact; precomputed index skips retraining and matches") {
     val emb = Tables.embeddings(spark, SharedSpark.sf)
     val books = Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 3)
