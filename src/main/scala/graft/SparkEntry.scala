@@ -26,6 +26,13 @@ object SparkEntry {
     * JVM the memo IS the persisted artifact (training is
     * deterministic, so the loaded and retrained books are identical).
     */
+  private val opqIndex = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[Float]], Seq[Seq[Seq[Float]]])]
+  private def opqIndexFor(s: SparkSession, dir: String): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) =
+    opqIndex.getOrElseUpdate(dir,
+      Similarity.opqTrain(Tables.embeddings(s, dir), m = 8, ksub = 16,
+        opqIters = 2, pqIters = 2))
+
   private val pqBooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
   private def pqIndexFor(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
@@ -505,9 +512,11 @@ object SparkEntry {
       Tables.embeddings(s, dir), probes = 13, shortlistFactor = 8,
       index = Some(pqResidualIndexFor(s, dir)), coarse = Some(coarseFor(s, dir)))),
     // OPQ: learned orthogonal rotation ahead of PQ (Ge et al. 2013);
-    // rows-only -- float-iterated training, recall spec is the oracle
+    // rows-only -- float-iterated training, recall spec is the oracle;
+    // index memoized per corpus (the pqIndexFor train-once pattern)
     "sim_ann_opq" -> ((s, dir) => Similarity.annTopKOpqRerank(
-      Tables.embeddings(s, dir), 8, 10, m = 8, ksub = 16, iters = 2, opqIters = 2)),
+      Tables.embeddings(s, dir), 8, 10, m = 8, ksub = 16, iters = 2,
+      index = Some(opqIndexFor(s, dir)))),
     // §2.5 text analysis
     "ta_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
