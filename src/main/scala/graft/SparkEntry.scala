@@ -649,6 +649,11 @@ object SparkEntry {
     // weighted sibling: dynamic relaxation over the multiplicity-
     // weighted edges; shares q_sssp's relax-ladder oracle verbatim
     "stream_sssp" -> ((s, dir) => graft.streaming.EventStreams.streamedSssp(s, dir)),
+    // multi-source BFS maintenance, histogram + harmonic resolves:
+    // source ELECTION per batch (late smaller ids join the set, a
+    // fresh seed relaxes to fixpoint); both share batch oracles
+    "stream_bfs_histogram" -> ((s, dir) => graft.streaming.EventStreams.streamedBfsHistogram(s, dir)),
+    "stream_harmonic" -> ((s, dir) => graft.streaming.EventStreams.streamedHarmonic(s, dir)),
     // O(1)-per-user carry: each event emits one step against the
     // user's last event; counts ≡ batch q_transitions (shared oracle)
     "stream_transitions" -> ((s, dir) => graft.streaming.EventStreams.transitionsStateful(s, dir)),
@@ -974,6 +979,46 @@ object SparkEntry {
          |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
          |FROM l""".stripMargin
   }
+
+  /** Multi-source BFS hop histogram / harmonic centrality in SQL —
+    * each shared verbatim by the batch entry and its streamed
+    * maintenance face. */
+  private val BfsHistogramSql: String =
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS MATERIALIZED (
+        |  SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 4),
+        |walk(src, node, dist) AS (
+        |  (SELECT s, s, 0 FROM srcs)
+        |  UNION
+        |  SELECT w.src, u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30),
+        |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT CAST(dist AS BIGINT) AS hop, count(*) AS n_pairs
+        |FROM d GROUP BY 1""".stripMargin
+
+  private val HarmonicSql: String =
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS MATERIALIZED (
+        |  SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 4),
+        |walk(src, node, dist) AS (
+        |  (SELECT s, s, 0 FROM srcs)
+        |  UNION
+        |  SELECT w.src, u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
+        |  WHERE w.dist < 30),
+        |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2),
+        |h AS (SELECT node,
+        |        CAST(sum(CAST(floor(1000000.0 / dist + 0.5) AS BIGINT))
+        |             AS BIGINT) AS hc_micros
+        |      FROM d WHERE dist > 0 GROUP BY node)
+        |SELECT node, hc_micros,
+        |  CAST(row_number() OVER (ORDER BY hc_micros DESC, node) AS BIGINT) AS rk
+        |FROM h ORDER BY hc_micros DESC, node LIMIT 20""".stripMargin
 
   private val UrlDedupSql: String =
       """WITH u AS (
@@ -1326,43 +1371,12 @@ object SparkEntry {
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
     // the same recursive re-walk seeded with the 4 smallest nodes;
     // min over (src, node) then histogram — every integer must agree
-    "q_bfs_histogram" ->
-      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-        |srcs AS MATERIALIZED (
-        |  SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 4),
-        |walk(src, node, dist) AS (
-        |  (SELECT s, s, 0 FROM srcs)
-        |  UNION
-        |  SELECT w.src, u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
-        |  WHERE w.dist < 30),
-        |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
-        |SELECT CAST(dist AS BIGINT) AS hop, count(*) AS n_pairs
-        |FROM d GROUP BY 1""".stripMargin,
+    "q_bfs_histogram" -> BfsHistogramSql,
+    "stream_bfs_histogram" -> BfsHistogramSql,
     // per-term micros floor BEFORE the sum (the 33j discipline) makes
     // the harmonic sum exact; (hc desc, node) is a total order
-    "q_harmonic" ->
-      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-        |srcs AS MATERIALIZED (
-        |  SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 4),
-        |walk(src, node, dist) AS (
-        |  (SELECT s, s, 0 FROM srcs)
-        |  UNION
-        |  SELECT w.src, u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
-        |  WHERE w.dist < 30),
-        |d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2),
-        |h AS (SELECT node,
-        |        CAST(sum(CAST(floor(1000000.0 / dist + 0.5) AS BIGINT))
-        |             AS BIGINT) AS hc_micros
-        |      FROM d WHERE dist > 0 GROUP BY node)
-        |SELECT node, hc_micros,
-        |  CAST(row_number() OVER (ORDER BY hc_micros DESC, node) AS BIGINT) AS rk
-        |FROM h ORDER BY hc_micros DESC, node LIMIT 20""".stripMargin,
+    "q_harmonic" -> HarmonicSql,
+    "stream_harmonic" -> HarmonicSql,
     // three-branch UNION ALL — a different formulation of the same
     // melt; parquet doubles pass through both engines unchanged
     "q_unpivot" ->

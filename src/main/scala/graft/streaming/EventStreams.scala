@@ -1155,6 +1155,187 @@ object EventStreams {
       .groupBy("node").agg(min("dist").as("dist"))
   }
 
+  // ------------------------------------------------------------------
+  // Streamed MULTI-SOURCE BFS maintenance: one maintained (src, node,
+  // dist) claim store serves BOTH distance-structure reads — the hop
+  // histogram (stream_bfs_histogram) and harmonic centrality
+  // (stream_harmonic) — each sharing its batch twin's SQL oracle
+  // verbatim. The single-source dynamic-BFS argument applies per
+  // source unchanged (added edges only decrease distances; relax from
+  // the new edges' reached endpoints to fixpoint). The wrinkle the
+  // single-source face doesn't have is SOURCE ELECTION: "the k
+  // smallest node ids" is a property of the GRAPH SO FAR, so a
+  // later-arriving smaller id must join the source set — its seed
+  // claim starts a fresh full relaxation in that batch (cost = one
+  // batch BFS, exactly what the batch operator pays) — and a node
+  // that drops out of the top-k keeps its (bounded, still-valid)
+  // claims, which RESOLVE simply filters to the current top-k: stale
+  // sources cost storage, never correctness.
+  // ------------------------------------------------------------------
+
+  private def multiBfsHarness(spark: SparkSession, dir: String,
+                              k: Int): Option[String] = {
+    val edges = graft.operators.Graph.coPurchaseEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    if (edges.isEmpty) {
+      graft.operators.Checkpoints.free(edges)
+      return None
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-mbfs-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        multiBfsBatch(b, id, s"$base/state", k)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Some(s"$base/state")
+  }
+
+  /** Streamed hop-distance histogram — shares `q_bfs_histogram`'s
+    * recursive-CTE oracle verbatim. */
+  def streamedBfsHistogram(spark: SparkSession, dir: String,
+                           k: Int = 4): DataFrame = {
+    import spark.implicits._
+    multiBfsHarness(spark, dir, k) match {
+      case None => Seq.empty[(Long, Long)].toDF("hop", "n_pairs")
+      case Some(state) => multiBfsResolve(spark, state, k)
+        .groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+    }
+  }
+
+  /** Streamed harmonic centrality — shares `q_harmonic`'s oracle
+    * verbatim (same integer-micros discipline as the batch twin). */
+  def streamedHarmonic(spark: SparkSession, dir: String, k: Int = 4,
+                       topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    multiBfsHarness(spark, dir, k) match {
+      case None => Seq.empty[(Long, Long, Long)].toDF("node", "hc_micros", "rk")
+      case Some(state) =>
+        val d = multiBfsResolve(spark, state, k).filter(col("dist") > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("hc_micros").desc, col("node").asc)
+        d.select(col("node"),
+            floor(lit(1000000.0) / col("dist").cast("double") + lit(0.5))
+              .cast("long").as("m"))
+          .groupBy("node").agg(sum(col("m")).as("hc_micros"))
+          .orderBy(col("hc_micros").desc, col("node").asc).limit(topK)
+          .withColumn("rk", row_number().over(w).cast("long"))
+    }
+  }
+
+  /** One multi-source BFS micro-batch, exposed for the replay spec. */
+  private[graft] def multiBfsBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String, k: Int,
+                                   maxRounds: Int = 40): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_mb_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val batch = batch0.select(col("u"), col("v")).distinct().persist()
+    try {
+      val edgesPath = s"$statePath/edges"
+      val distPath = s"$statePath/dist"
+      batch.write.mode("append").parquet(edgesPath)
+      def bidir(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(df.select(col("v").as("a"), col("u").as("b")))
+      val und = bidir(spark.read.parquet(edgesPath).distinct())
+        .localCheckpoint(true)
+      // source ELECTION over the maintained graph
+      val srcs = und.select(col("a").as("s")).distinct()
+        .orderBy(col("s")).limit(k).as[Long].collect().toSeq
+      val dist0 =
+        (if (hasVisibleData(spark, distPath))
+          spark.read.parquet(distPath)
+            .groupBy("src", "node").agg(min("dist").as("dist"))
+        else Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist"))
+          .localCheckpoint(true)
+      val seeded = dist0.filter(col("node") === col("src"))
+        .select(col("src")).as[Long].collect().toSet
+      val newSeeds = srcs.filterNot(seeded)
+        .map(s => (s, s, 0L)).toDF("src", "node", "dist")
+      val hop = dist0.join(bidir(batch), col("node") === col("a"))
+        .select(col("src"), col("b").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy("src", "node").agg(min("dist").as("dist"))
+      var cand = newSeeds.unionByName(hop)
+      var dist = dist0
+      val claimParts = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      var round = 0
+      var continue = true
+      while (continue && round <= maxRounds) {
+        val improved = cand
+          .join(dist.withColumnRenamed("dist", "old"), Seq("src", "node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("src", "node", "dist")
+          .localCheckpoint(true)
+        if (improved.isEmpty) {
+          graft.operators.Checkpoints.free(improved)
+          continue = false
+        } else {
+          claimParts += improved
+          val superseded = dist
+          dist = dist.join(improved, Seq("src", "node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+          if (superseded ne dist0) graft.operators.Checkpoints.free(superseded)
+          cand = improved.join(und, col("node") === col("a"))
+            .select(col("src"), col("b").as("node"), (col("dist") + 1L).as("dist"))
+            .groupBy("src", "node").agg(min("dist").as("dist"))
+          round += 1
+        }
+      }
+      if (continue) {
+        val leftover = cand
+          .join(dist.withColumnRenamed("dist", "old"), Seq("src", "node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .limit(1).count()
+        if (leftover > 0) throw new IllegalStateException(
+          s"multiBfsBatch: maxRounds=$maxRounds exhausted before fixpoint " +
+            s"in batch $batchId — raise maxRounds")
+      }
+      if (claimParts.nonEmpty) {
+        claimParts.reduce(_ unionAll _).write.mode("append").parquet(distPath)
+      }
+      claimParts.foreach(graft.operators.Checkpoints.free)
+      graft.operators.Checkpoints.free(und)
+      graft.operators.Checkpoints.free(dist0)
+      if (dist ne dist0) graft.operators.Checkpoints.free(dist)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Resolve the maintained multi-source claims: min per (src, node),
+    * filtered to the CURRENT k smallest node ids of the maintained
+    * graph (stale sources' claims stay stored, never surface). */
+  def multiBfsResolve(spark: SparkSession, statePath: String,
+                      k: Int): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/dist")) {
+      return Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist")
+    }
+    val nodes = spark.read.parquet(s"$statePath/edges").distinct()
+    val srcs = nodes.select(col("u").as("s"))
+      .unionAll(nodes.select(col("v").as("s"))).distinct()
+      .orderBy(col("s")).limit(k).as[Long].collect().toSeq
+    spark.read.parquet(s"$statePath/dist")
+      .groupBy("src", "node").agg(min("dist").as("dist"))
+      .filter(col("src").isin(srcs: _*))
+  }
+
   /** Streamed perceptual-hash near-dup maintenance — the MEDIA twin
     * of [[nearDedupIngest]] (minhash is the text face, aHash bands
     * the media face): shard the payload docs into two micro-batches,

@@ -976,6 +976,40 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the audit counts")
   }
 
+  test("multiBfsBatch: late smaller ids re-elect the source set; resolves == batch twins; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val state = java.nio.file.Files.createTempDirectory("graft-mbfs-replay-").toString + "/state"
+    // batch 0: a path among LARGE ids (sources elected: 10, 11, 12)
+    val b0 = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("u", "v")
+    EventStreams.multiBfsBatch(b0, 0L, state, 3)
+    val r0 = EventStreams.multiBfsResolve(spark, state, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r0.keySet.map(_._1) == Set(10L, 11L, 12L), s"initial sources wrong: $r0")
+    // batch 1: smaller ids 1-2 attach to the path at 10 — the top-3
+    // source set becomes {1, 2, 10}; the fresh seeds must relax over
+    // the WHOLE maintained graph, and 11/12's stale claims must not
+    // surface
+    val b1 = Seq((1L, 2L), (2L, 10L)).toDF("u", "v")
+    EventStreams.multiBfsBatch(b1, 1L, state, 3)
+    val r1 = EventStreams.multiBfsResolve(spark, state, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r1.keySet.map(_._1) == Set(1L, 2L, 10L), s"re-election failed: $r1")
+    // full distances from the late source 1 across the old region
+    assert(r1((1L, 13L)) == 5L && r1((1L, 10L)) == 2L && r1((2L, 12L)) == 3L,
+      s"late seed did not relax across the maintained graph: $r1")
+    // exact parity with the batch operator over the union
+    val union = b0.unionAll(b1)
+    val batchHist = graft.operators.Graph.bfsHopHistogram(union, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamHist = r1.toSeq.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    assert(streamHist == batchHist, s"histogram drifted: $streamHist vs $batchHist")
+    // replay: marker short-circuits, nothing drifts
+    EventStreams.multiBfsBatch(b1, 1L, state, 3)
+    assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
+  }
+
   test("streamedQualityClassify == batch scorer; replay and crash-window retry are no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
