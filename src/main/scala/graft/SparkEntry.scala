@@ -391,6 +391,10 @@ object SparkEntry {
     // deterministically from doc_id (fixture has no URL column)
     "dedup_url" -> ((s, dir) =>
       Dedup.urlDedup(Dedup.syntheticUrls(Tables.documents(s, dir)))),
+    // content-defined chunking: rolling-fingerprint boundaries ->
+    // insertion-robust chunk table + chunk-level dedup
+    "dedup_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), 8, 63)),
+    "dedup_cdc" -> ((s, dir) => Dedup.cdcDedup(Tables.documents(s, dir), 8, 63)),
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
@@ -1019,6 +1023,29 @@ object SparkEntry {
         |SELECT node, hc_micros,
         |  CAST(row_number() OVER (ORDER BY hc_micros DESC, node) AS BIGINT) AS rk
         |FROM h ORDER BY hc_micros DESC, node LIMIT 20""".stripMargin
+
+  /** CDC chunk table in SQL (window 8, mask 63) — shared by the
+    * chunk-table entry and the dedup aggregate built over it. */
+  private val CdcChunksBody: String =
+    """SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+      |  md5(substr(text, CAST(chunk_start + 1 AS INT), CAST(chunk_len AS INT))) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    CAST(j - 1 AS BIGINT) AS chunk_idx,
+      |    cuts[j] AS chunk_start,
+      |    cuts[j + 1] - cuts[j] AS chunk_len
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_concat(list_concat([CAST(0 AS BIGINT)],
+      |        [CAST(i AS BIGINT) FOR i IN generate_series(8, length(text))
+      |         IF ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT % 64 = 0
+      |            AND i < length(text)]),
+      |        [CAST(length(text) AS BIGINT)]) AS cuts
+      |    FROM documents),
+      |  unnest(generate_series(1, len(cuts) - 1)) AS g(j))
+      |WHERE chunk_len > 0""".stripMargin
+
+  private val CdcChunksSql: String = CdcChunksBody
 
   private val UrlDedupSql: String =
       """WITH u AS (
@@ -1980,6 +2007,14 @@ object SparkEntry {
     // mirrors Dedup.syntheticUrls + Dedup.canonicalizeUrl step for
     // step (doc_id is non-negative so % == pmod here)
     "dedup_url" -> UrlDedupSql,
+    // mirrors cdcChunks step for step: position fingerprints, the
+    // boundary residue, consecutive-pair slices, chunk md5
+    "dedup_cdc_chunks" -> CdcChunksSql,
+    "dedup_cdc" ->
+      (s"""WITH ch AS ($CdcChunksBody)
+        |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies, min(chunk_len) AS chunk_len
+        |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin),
     // the streamed face's maintained deltas resolve to the identical
     // table -- the dedup_url oracle verbatim
     "stream_url_dedup" -> UrlDedupSql,

@@ -875,6 +875,64 @@ object Dedup {
     urls.select(col("doc_id"), canonicalizeUrl(col("url")).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking (CDC) — the rsync/LBFS boundary rule
+  // that makes chunk-level dedup INSERTION-ROBUST: a chunk boundary
+  // falls wherever the rolling fingerprint of the last `w` characters
+  // hits a fixed residue, so boundaries are a function of LOCAL
+  // content only. Insert a word near the start of a document and
+  // fixed windows (dedup_spans' granularity) all shift — every
+  // downstream window hash changes — while CDC boundaries re-sync at
+  // the first post-insertion boundary and every later chunk hashes
+  // identically. That is the property storage dedup (venti/LBFS/
+  // borg/restic lineage) is built on, and it complements the span
+  // family: spans find duplicated REGIONS inside documents, CDC finds
+  // shared CONTENT BLOCKS across edited copies.
+  // ------------------------------------------------------------------
+
+  /** Per-document CDC chunk table: (doc_id, chunk_idx, chunk_start
+    * 0-based, chunk_len, chunk_md5). Boundary after position i iff
+    * bucket(md5(text[i-w+1..i])) ≡ 0 (mod `mask`+1); expected chunk
+    * length ≈ mask+1 characters. One pure per-row expression chain
+    * (positions → boundary filter → consecutive-pair slices) then a
+    * single explode — no shuffle at all; the md5-per-position cost is
+    * the positioned-shingles cost class the span family already pays,
+    * and every step reproduces verbatim in the oracle.
+    */
+  def cdcChunks(documents: DataFrame, w: Int = 8, mask: Int = 63): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(mask >= 1, s"mask must be >= 1, got $mask")
+    val m = mask + 1
+    val bnds = s"filter(sequence(${w}L, length(text)), i -> " +
+      s"pmod(CAST(conv(substring(md5(substring(text, CAST(i - $w + 1 AS INT), $w)), 1, 12), 16, 10) AS BIGINT), $m) = 0)"
+    val cuts = s"concat(array(0L), filter($bnds, b -> b < length(text)), array(CAST(length(text) AS BIGINT)))"
+    val chunks = s"filter(transform(sequence(1, size($cuts) - 1), j -> " +
+      s"struct(CAST(j - 1 AS BIGINT) AS chunk_idx, " +
+      s"element_at($cuts, j) AS chunk_start, " +
+      s"element_at($cuts, j + 1) - element_at($cuts, j) AS chunk_len)), " +
+      "c -> c.chunk_len > 0)"
+    documents
+      .select(col("doc_id"), col("text"), expr(chunks).as("cs"))
+      .select(col("doc_id"), col("text"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
+        col("c.chunk_len"),
+        md5(expr("substring(text, CAST(c.chunk_start + 1 AS INT), CAST(c.chunk_len AS INT))"))
+          .as("chunk_md5"))
+  }
+
+  /** Chunk-level dedup over [[cdcChunks]] — the [[exact]] survivor
+    * contract at CDC-chunk granularity, duplicated chunks only:
+    * which content blocks exist in more than one place (across docs
+    * OR repeated within one), who holds the canonical copy, and how
+    * many copies a chunk store would collapse. One map-side-combined
+    * aggregate over the chunk table. */
+  def cdcDedup(documents: DataFrame, w: Int = 8, mask: Int = 63): DataFrame =
+    cdcChunks(documents, w, mask)
+      .groupBy("chunk_md5")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") >= 2)
 }
 
 /** Vote buffer for [[Dedup.simhash]]: 64 signed counters, one per

@@ -363,6 +363,49 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("cdcChunks: boundaries re-sync after an insertion (chunks shared where fixed windows all shift); chunk table well-formed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val base = Seq.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    // B = A with 5 characters inserted near the front: every fixed
+    // window past the insertion shifts, but CDC boundaries re-sync
+    val ins = base.substring(0, 20) + "XYZQW" + base.substring(20)
+    val docs = Seq((1L, base), (2L, ins)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, 8, 63).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // well-formed: per doc, chunks tile the text exactly
+    for (id <- Seq(1L, 2L)) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      val text = if (id == 1L) base else ins
+      assert(cs.head._3 == 0L && cs.map(_._4).sum == text.length.toLong,
+        s"doc $id chunks don't tile: $cs")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in doc $id")
+        case _ =>
+      }
+    }
+    // insertion robustness: a majority of doc 1's chunks reappear
+    // verbatim in doc 2 (everything after the first post-insertion
+    // boundary re-syncs)
+    val h1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    val shared = (h1 intersect h2).size
+    assert(shared >= h1.size / 2,
+      s"CDC must re-sync after insertion: only $shared of ${h1.size} chunks shared")
+    // and the dedup face reports exactly those shared blocks
+    val dups = Dedup.cdcDedup(docs, 8, 63).collect()
+      .map(r => r.getString(0)).toSet
+    assert((h1 intersect h2).subsetOf(dups),
+      "every cross-doc shared chunk must surface in cdcDedup")
+    // the fixed-window CONTRAST that motivates CDC: 8-char windows at
+    // matching positions all differ after the shift
+    val winA = base.sliding(8).toSeq
+    val winB = ins.sliding(8).toSeq
+    val aligned = winA.zip(winB).count { case (x, y) => x == y }
+    assert(aligned * 5 < winA.size,
+      "position-aligned fixed windows should nearly all shift under the insertion")
+  }
+
   test("urlDedup: every planted spelling variant collapses; distinct pages stay distinct") {
     import spark.implicits._
     // eight spellings of ONE page: scheme/host case, www, default
