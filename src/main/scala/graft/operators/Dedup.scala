@@ -906,15 +906,21 @@ object Dedup {
     val m = mask + 1
     val bnds = s"filter(sequence(${w}L, length(text)), i -> " +
       s"pmod(CAST(conv(substring(md5(substring(text, CAST(i - $w + 1 AS INT), $w)), 1, 12), 16, 10) AS BIGINT), $m) = 0)"
-    val cuts = s"concat(array(0L), filter($bnds, b -> b < length(text)), array(CAST(length(text) AS BIGINT)))"
-    val chunks = s"filter(transform(sequence(1, size($cuts) - 1), j -> " +
-      s"struct(CAST(j - 1 AS BIGINT) AS chunk_idx, " +
-      s"element_at($cuts, j) AS chunk_start, " +
-      s"element_at($cuts, j + 1) - element_at($cuts, j) AS chunk_len)), " +
+    // cuts MUST materialize as its own projection: inlining it into
+    // each element_at below would re-evaluate the whole md5 boundary
+    // scan once per chunk reference (measured: 105 s vs 3 s at sf0.1
+    // — Catalyst does not common-subexpression an array this large
+    // across a transform lambda)
+    val cuts = s"concat(array(0L), filter($bnds, b -> b < length(text)), " +
+      "array(CAST(length(text) AS BIGINT)))"
+    val chunks = "filter(transform(sequence(1, size(cuts) - 1), j -> " +
+      "struct(CAST(j - 1 AS BIGINT) AS chunk_idx, " +
+      "element_at(cuts, j) AS chunk_start, " +
+      "element_at(cuts, j + 1) - element_at(cuts, j) AS chunk_len)), " +
       "c -> c.chunk_len > 0)"
     documents
-      .select(col("doc_id"), col("text"), expr(chunks).as("cs"))
-      .select(col("doc_id"), col("text"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("text"), expr(cuts).as("cuts"))
+      .select(col("doc_id"), col("text"), explode(expr(chunks)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
         col("c.chunk_len"),
         md5(expr("substring(text, CAST(c.chunk_start + 1 AS INT), CAST(c.chunk_len AS INT))"))
