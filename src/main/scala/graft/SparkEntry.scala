@@ -395,6 +395,9 @@ object SparkEntry {
     // insertion-robust chunk table + chunk-level dedup
     "dedup_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), 8, 63)),
     "dedup_cdc" -> ((s, dir) => Dedup.cdcDedup(Tables.documents(s, dir), 8, 63)),
+    // streamed chunk-store maintenance: pure per-batch deltas, order-
+    // independent min/sum resolve -- shares dedup_cdc's oracle
+    "stream_cdc" -> ((s, dir) => graft.streaming.EventStreams.streamedCdcDedup(s, dir)),
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
@@ -1046,6 +1049,15 @@ object SparkEntry {
       |WHERE chunk_len > 0""".stripMargin
 
   private val CdcChunksSql: String = CdcChunksBody
+
+  /** Duplicated-chunk accounting over the CDC chunk table — shared
+    * verbatim by the batch entry and its streamed chunk-store face
+    * (the delta resolve's min/sum merge is order-independent). */
+  private val CdcDedupSql: String =
+    s"""WITH ch AS ($CdcChunksBody)
+      |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies, min(chunk_len) AS chunk_len
+      |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
 
   private val UrlDedupSql: String =
       """WITH u AS (
@@ -2010,11 +2022,8 @@ object SparkEntry {
     // mirrors cdcChunks step for step: position fingerprints, the
     // boundary residue, consecutive-pair slices, chunk md5
     "dedup_cdc_chunks" -> CdcChunksSql,
-    "dedup_cdc" ->
-      (s"""WITH ch AS ($CdcChunksBody)
-        |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
-        |  count(*) AS n_copies, min(chunk_len) AS chunk_len
-        |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin),
+    "dedup_cdc" -> CdcDedupSql,
+    "stream_cdc" -> CdcDedupSql,
     // the streamed face's maintained deltas resolve to the identical
     // table -- the dedup_url oracle verbatim
     "stream_url_dedup" -> UrlDedupSql,

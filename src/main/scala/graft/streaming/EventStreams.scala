@@ -236,6 +236,85 @@ object EventStreams {
     cfs.create(marker, true).close()
   }
 
+  /** Streamed CDC chunk-store maintenance — the [[streamedUrlDedup]]
+    * pure-delta pattern keyed by CDC chunk hash: per batch, chunk the
+    * arriving docs ([[graft.operators.Dedup.cdcChunks]] — boundaries
+    * are a function of local content, so per-batch chunking equals
+    * whole-corpus chunking exactly) and write one (chunk_md5,
+    * batch-min doc, batch count, len) aggregate to a per-batch
+    * overwrite directory; resolve's global min/sum merge is
+    * order-independent and filters to duplicated chunks, so the entry
+    * shares `dedup_cdc`'s oracle verbatim. This is the always-on
+    * chunk store a storage-dedup deployment maintains: each arriving
+    * shard's blocks land as deltas, duplicated-block accounting stays
+    * continuously current, nothing is rewritten or rescanned.
+    */
+  def streamedCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("chunk_md5", "keep_doc_id", "n_copies", "chunk_len")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        cdcDedupBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cdcDedupResolve(spark, state)
+  }
+
+  /** One [[streamedCdcDedup]] micro-batch, exposed for the replay
+    * spec. */
+  private[graft] def cdcDedupBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_cdc_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.Dedup.cdcChunks(
+        batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+      .groupBy("chunk_md5")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        min(col("chunk_len")).as("chunk_len"))
+      .write.mode("overwrite").parquet(s"$statePath/deltas/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Resolve the maintained chunk-store deltas to the duplicated-
+    * chunk accounting table (the batch `cdcDedup` shape). */
+  def cdcDedupResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/deltas")) {
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("chunk_md5", "keep_doc_id", "n_copies", "chunk_len")
+    }
+    spark.read.parquet(s"$statePath/deltas")
+      .groupBy("chunk_md5")
+      .agg(min(col("keep_doc_id")).as("keep_doc_id"),
+        sum(col("n_copies")).as("n_copies"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") >= 2)
+  }
+
   def urlDedupIngest(urlStream: DataFrame, statePath: String,
                      checkpoint: String, nBuckets: Int = 16): Unit = {
     val q = urlStream

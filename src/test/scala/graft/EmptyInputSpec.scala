@@ -226,4 +226,24 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.pagerankMicros(emptyPairs, 3).count() == 0)
   }
+
+  test("round-10 operators return empty on empty inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.cdcChunks(emptyDocs).count() == 0)
+    assert(Dedup.cdcDedup(emptyDocs).count() == 0)
+    assert(Dedup.urlDedup(Seq.empty[(Long, String)].toDF("doc_id", "url")).count() == 0)
+    assert(TextAnalysis.qualityClassify(emptyDocs).count() == 0)
+    assert(TextAnalysis.qualityAgreement(emptyDocs).count() == 0)
+    assert(TextAnalysis.packIntoShardsBpe(emptyDocs).count() == 0)
+    assert(TextAnalysis.bpeVocabUntil(emptyDocs, 10L).count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(graft.operators.Graph.bfsHopHistogram(emptyEdges).count() == 0)
+    assert(graft.operators.Graph.harmonicCentrality(emptyEdges).count() == 0)
+    assert(graft.operators.Graph.betweennessApprox(emptyEdges).count() == 0)
+    // a single-char doc: shorter than the fingerprint window, still
+    // one whole-text chunk (no boundary positions exist)
+    val tiny = Dedup.cdcChunks(Seq((1L, "x")).toDF("doc_id", "text")).collect()
+    assert(tiny.length == 1 && tiny(0).getLong(3) == 1L)
+  }
 }

@@ -976,6 +976,39 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the audit counts")
   }
 
+  test("streamedCdcDedup == batch cdcDedup; cross-batch block accounting; replay and crash-window retry are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = asMap(EventStreams.streamedCdcDedup(spark, sf).collect())
+    val batch = asMap(graft.operators.Dedup.cdcDedup(
+      Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven: a chunk whose two copies arrive in DIFFERENT
+    // batches must still account (the whole point of the store)
+    val rnd = new scala.util.Random(31L)
+    val blk = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    val other = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    val state = java.nio.file.Files.createTempDirectory("graft-cdc-replay-").toString + "/state"
+    EventStreams.cdcDedupBatch(Seq((1L, blk)).toDF("doc_id", "text"), 0L, state)
+    assert(EventStreams.cdcDedupResolve(spark, state).count() == 0L,
+      "single copies must not account as duplicated")
+    EventStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
+    val after = asMap(EventStreams.cdcDedupResolve(spark, state).collect())
+    assert(after.nonEmpty && after.values.forall(v => v._1 == 1L && v._2 == 2L),
+      s"cross-batch duplicate blocks must resolve to (survivor 1, copies 2): $after")
+    // replay + crash-window retry
+    EventStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
+    assert(asMap(EventStreams.cdcDedupResolve(spark, state).collect()) == after)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_cdc_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    EventStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
+    assert(asMap(EventStreams.cdcDedupResolve(spark, state).collect()) == after,
+      "crash-window retry drifted the chunk store")
+  }
+
   test("multiBfsBatch: late smaller ids re-elect the source set; resolves == batch twins; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
