@@ -1084,8 +1084,12 @@ object SparkEntry {
         |  FROM p1),
         |p3 AS (
         |  SELECT doc_id, scheme,
-        |    regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
-        |                   ':(80|443)$', '') AS host,
+        |    -- drop a port only when it is the scheme's default
+        |    (CASE WHEN scheme = 'http' THEN regexp_replace(
+        |            regexp_replace(lower(host0), '^www\.', ''), ':80$', '')
+        |          WHEN scheme = 'https' THEN regexp_replace(
+        |            regexp_replace(lower(host0), '^www\.', ''), ':443$', '')
+        |          ELSE regexp_replace(lower(host0), '^www\.', '') END) AS host,
         |    substr(rest, length(host0) + 1) AS pathq
         |  FROM p2),
         |p4 AS (

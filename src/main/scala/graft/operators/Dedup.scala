@@ -832,8 +832,12 @@ object Dedup {
     val scheme = lower(split_part(noFrag, lit("://"), lit(1)))
     val rest = split_part(noFrag, lit("://"), lit(2))
     val host0 = regexp_extract(rest, "^[^/?]*", 0)
-    val host = regexp_replace(
-      regexp_replace(lower(host0), "^www\\.", ""), ":(80|443)$", "")
+    val host1 = regexp_replace(lower(host0), "^www\\.", "")
+    // A port is droppable only when it is the SCHEME'S default —
+    // http://host:443/x and https://host:80/x are distinct resources.
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
     val pathq = substring(rest, length(host0) + 1, lit(1000000))
     val path0 = split_part(pathq, lit("?"), lit(1))
     val path1 = regexp_replace(path0, "/+$", "")

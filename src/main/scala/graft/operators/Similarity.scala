@@ -1205,7 +1205,7 @@ object Similarity {
     * tr(Rᵀ·C) over orthogonal R. Plain deterministic Scala: sweeps of
     * column-pair rotations until off-diagonal correlation dies.
     */
-  private[operators] def procrustesRotation(c: Array[Array[Double]]): Seq[Seq[Float]] = {
+  private[graft] def procrustesRotation(c: Array[Array[Double]]): Seq[Seq[Float]] = {
     val d = c.length
     // a = working copy (becomes U·S as columns orthogonalize);
     // v accumulates the right rotations
@@ -1246,19 +1246,85 @@ object Similarity {
       }
       sweep += 1
     }
-    // normalize columns of a -> U; R = U · Vᵀ
-    val u = Array.tabulate(d, d) { (i, j) =>
-      var n = 0.0; var i2 = 0
-      while (i2 < d) { n += a(i2)(j) * a(i2)(j); i2 += 1 }
+    // normalize columns of a -> U. A zero-singular-value column has
+    // no direction of its own; substituting a raw basis vector there
+    // would leave U (hence R) off the orthogonal manifold, so
+    // degenerate columns are COMPLETED by Gram-Schmidt: project basis
+    // vectors against every surviving/completed column until one
+    // keeps a non-trivial residual, and take that residual.
+    val ucols = Array.ofDim[Double](d, d) // column-major: ucols(j)(i)
+    val done = Array.fill(d)(false)
+    var j = 0
+    while (j < d) {
+      var n = 0.0; var i = 0
+      while (i < d) { n += a(i)(j) * a(i)(j); i += 1 }
       val nn = math.sqrt(n)
-      if (nn > 1e-300) a(i)(j) / nn else (if (i == j) 1.0 else 0.0)
+      if (nn > 1e-150) {
+        done(j) = true
+        i = 0
+        while (i < d) { ucols(j)(i) = a(i)(j) / nn; i += 1 }
+      }
+      j += 1
     }
+    j = 0
+    while (j < d) {
+      if (!done(j)) {
+        var k = 0
+        while (k < d && !done(j)) {
+          val cand = new Array[Double](d); cand(k) = 1.0
+          var j2 = 0
+          while (j2 < d) {
+            if (done(j2)) {
+              var dot = 0.0; var i = 0
+              while (i < d) { dot += cand(i) * ucols(j2)(i); i += 1 }
+              i = 0
+              while (i < d) { cand(i) -= dot * ucols(j2)(i); i += 1 }
+            }
+            j2 += 1
+          }
+          var n = 0.0; var i = 0
+          while (i < d) { n += cand(i) * cand(i); i += 1 }
+          val nn = math.sqrt(n)
+          if (nn > 1e-6) {
+            i = 0
+            while (i < d) { ucols(j)(i) = cand(i) / nn; i += 1 }
+            done(j) = true
+          }
+          k += 1
+        }
+        if (!done(j)) throw new IllegalStateException(
+          "procrustesRotation: Gram-Schmidt completion of a degenerate " +
+            "singular direction found no independent basis vector")
+      }
+      j += 1
+    }
+    // R = U · Vᵀ
     (0 until d).map { i =>
       (0 until d).map { j =>
         var s = 0.0; var k2 = 0
-        while (k2 < d) { s += u(i)(k2) * v(j)(k2); k2 += 1 }
+        while (k2 < d) { s += ucols(k2)(i) * v(j)(k2); k2 += 1 }
         s.toFloat
       }
+    }
+  }
+
+  /** Fail-loud orthogonality gate: ‖R·Rᵀ − I‖∞ must stay within
+    * float tolerance, else downstream "exact re-rank cosines are
+    * rotation-invariant" claims silently break. */
+  private[graft] def requireOrthogonal(r: Seq[Seq[Float]], tol: Double = 1e-3): Unit = {
+    val d = r.size
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += r(i)(k).toDouble * r(j)(k).toDouble; k += 1 }
+        val want = if (i == j) 1.0 else 0.0
+        if (math.abs(s - want) > tol) throw new IllegalStateException(
+          f"procrustes rotation drifted off the orthogonal manifold: (R·Rᵀ)($i,$j) = $s%.6f")
+        j += 1
+      }
+      i += 1
     }
   }
 
@@ -1331,6 +1397,7 @@ object Similarity {
       // y = Rᵀx convention: rotated row j = r_j·x, so maximize
       // tr(Rᵀ·C) with C = Σ x·ŷᵀ — Procrustes gives the new R rows
       r = procrustesRotation(c).transpose.map(_.toSeq)
+      requireOrthogonal(r) // degenerate C must fail loud, not drift
       it += 1
     }
     // final codebooks under the final rotation

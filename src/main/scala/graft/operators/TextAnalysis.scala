@@ -1074,25 +1074,32 @@ object TextAnalysis {
   }
 
   /** Persist a trained weight table as (bucket, wm, bias, dim)
-    * parquet — train once, deploy everywhere. */
+    * parquet — train once, deploy everywhere. A sentinel row
+    * (bucket = -1, wm = 0) always rides along so bias and dim
+    * survive a model whose nonzero-weight set is empty: real
+    * buckets are non-negative, so the sentinel can never collide. */
   def qualityClfSaveWeights(artifact: (Seq[(Long, Long)], Long, Int),
                             path: String,
                             spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     val (ws, bias, dim) = artifact
-    ws.map { case (k, wm) => (k, wm, bias, dim) }
+    ((-1L, 0L) +: ws).map { case (k, wm) => (k, wm, bias, dim) }
       .toDF("bucket", "wm", "bias", "dim")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a weight table saved by [[qualityClfSaveWeights]]. */
+  /** Load a weight table saved by [[qualityClfSaveWeights]]: the
+    * sentinel row carries bias/dim; everything else is weights. */
   def qualityClfLoadWeights(path: String,
                             spark: org.apache.spark.sql.SparkSession): (Seq[(Long, Long)], Long, Int) = {
     import spark.implicits._
     val rows = spark.read.parquet(path)
       .select(col("bucket"), col("wm"), col("bias"), col("dim"))
       .as[(Long, Long, Long, Int)].collect()
-    (rows.map(r => (r._1, r._2)).toSeq.sortBy(_._1), rows.head._3, rows.head._4)
+    val sentinel = rows.find(_._1 < 0L).getOrElse(throw new IllegalStateException(
+      s"qualityClfLoadWeights: no sentinel row in $path — not a qualityClfSaveWeights table"))
+    (rows.iterator.filter(_._1 >= 0L).map(r => (r._1, r._2)).toSeq.sortBy(_._1),
+      sentinel._3, sentinel._4)
   }
 
   /** Score every document with the linear model: logit =

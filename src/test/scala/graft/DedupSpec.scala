@@ -425,14 +425,18 @@ class DedupSpec extends AnyFunSuite {
       10L -> "http://example.com/docs/2?a=1&b=2",
       11L -> "http://example.com/docs/1?a=9&b=2",
       12L -> "https://example.com/docs/1?a=1&b=2",
-      13L -> "http://example.com/docs/1")
+      13L -> "http://example.com/docs/1",
+      // NON-default ports are different origins: :443 on http and
+      // :80 on https must NOT collapse with the portless spellings
+      14L -> "http://example.com:443/docs/1?a=1&b=2",
+      15L -> "https://example.com:80/docs/1?a=1&b=2")
     val urls = (variants ++ distinct).toDF("doc_id", "url")
     val got = Dedup.urlDedup(urls).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val byUrl = got.map(g => g._1 -> ((g._2, g._3))).toMap
     assert(byUrl("http://example.com/docs/1?a=1&b=2") == ((1L, 8L)),
       s"variant group wrong: $byUrl")
-    assert(got.length == 5, s"expected 5 canonical urls, got: ${got.toSeq}")
+    assert(got.length == 7, s"expected 7 canonical urls, got: ${got.toSeq}")
     distinct.foreach { case (id, _) =>
       assert(got.exists(g => g._2 == id && g._3 == 1L), s"doc $id merged wrongly")
     }

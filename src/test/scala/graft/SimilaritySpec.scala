@@ -471,4 +471,25 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(res.subsetOf(ivfReach), "residual IVFPQ must respect the probed-cell bound")
   }
+
+  test("procrustesRotation: rank-deficient correlation matrices still return an orthogonal R") {
+    def assertOrtho(r: Seq[Seq[Float]]): Unit = Similarity.requireOrthogonal(r, 1e-4)
+    // rank 2 in d=4: two zero singular directions get Gram-Schmidt
+    // completed, not identity-substituted
+    val c1 = Array(
+      Array(2.0, 1.0, 0.0, 0.0),
+      Array(1.0, 3.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0))
+    assertOrtho(Similarity.procrustesRotation(c1))
+    // rank-1 outer product: three degenerate directions, and the one
+    // surviving U column is NOT axis-aligned — the completion must
+    // orthogonalize against it, which is exactly where the old
+    // identity-basis fallback broke
+    val x = Array(1.0, 2.0, 3.0, 4.0)
+    val c2 = Array.tabulate(4, 4)((i, j) => x(i) * x(j))
+    assertOrtho(Similarity.procrustesRotation(c2))
+    // all-zero C: pure completion
+    assertOrtho(Similarity.procrustesRotation(Array.ofDim[Double](4, 4)))
+  }
 }

@@ -610,5 +610,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     val viaLoaded = TextAnalysis.qualityClassify(df, loaded).collect()
       .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
     assert(viaLoaded == got)
+    // an all-zero-weight artifact round-trips too: bias and dim ride
+    // the sentinel row, not the (empty) weight rows
+    val path0 = java.nio.file.Files.createTempDirectory("graft-clf0-").toString + "/w"
+    TextAnalysis.qualityClfSaveWeights((Seq.empty, -123456L, 2048), path0, spark)
+    assert(TextAnalysis.qualityClfLoadWeights(path0, spark) ==
+      ((Seq.empty, -123456L, 2048)))
   }
 }
