@@ -419,8 +419,30 @@ object Graph {
     * left-anti-join loop as [[bfsHops]], lineage-truncated per round.
     */
   def bfsHopHistogram(edges0: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame =
-    multiSourceBfs(edges0, k, maxRounds)
-      .groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+    hopHistogramOf(multiSourceBfs(edges0, k, maxRounds))
+
+  /** Roll a (src, node, dist) hop-claim table up to the hop
+    * histogram — ONE shared implementation for the batch operator
+    * and the streamed maintenance resolve, so the two faces (and
+    * their shared SQL oracle) cannot drift apart. */
+  def hopHistogramOf(dists: DataFrame): DataFrame =
+    dists.groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+
+  /** Roll a (src, node, dist) table up to the integer-micros
+    * harmonic-centrality top-k (terms floor to micros BEFORE the
+    * sum — exact in any reduction order). Shared by the batch
+    * operator and the streamed maintenance resolve. */
+  def harmonicTopKOf(dists: DataFrame, topK: Int): DataFrame = {
+    val d = dists.filter(col("dist") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hc_micros").desc, col("node").asc)
+    d.select(col("node"),
+        floor(lit(1000000.0) / col("dist").cast("double") + lit(0.5))
+          .cast("long").as("m"))
+      .groupBy("node").agg(sum(col("m")).as("hc_micros"))
+      .orderBy(col("hc_micros").desc, col("node").asc).limit(topK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
 
   /** Sampled HARMONIC centrality, integer-exact: for the k smallest
     * node ids as sources, H(v) = Σ_src≠v ⌊10⁶/d(src,v) + ½⌋ — each
@@ -436,17 +458,8 @@ object Graph {
     * TakeOrderedAndProject top-k.
     */
   def harmonicCentrality(edges0: DataFrame, k: Int = 4, topK: Int = 20,
-                         maxRounds: Int = 30): DataFrame = {
-    val d = multiSourceBfs(edges0, k, maxRounds).filter(col("dist") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("hc_micros").desc, col("node").asc)
-    d.select(col("node"),
-        floor(lit(1000000.0) / col("dist").cast("double") + lit(0.5))
-          .cast("long").as("m"))
-      .groupBy("node").agg(sum(col("m")).as("hc_micros"))
-      .orderBy(col("hc_micros").desc, col("node").asc).limit(topK)
-      .withColumn("rk", row_number().over(w).cast("long"))
-  }
+                         maxRounds: Int = 30): DataFrame =
+    harmonicTopKOf(multiSourceBfs(edges0, k, maxRounds), topK)
 
   /** Sampled BETWEENNESS centrality (Brandes 1.0.1 over k sources) —
     * which nodes sit ON the most shortest paths (the broker/cut-point
@@ -573,6 +586,11 @@ object Graph {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
     import spark.implicits._
+    // NOTE: duplicate input edges are harmless HERE (the frontier
+    // .distinct() below absorbs them) — but the betweenness sibling's
+    // σ-counting adjacency ([[betweennessApprox]], which DOES
+    // .distinct()) must dedup; add one here if this ever feeds path
+    // COUNTS.
     val und = edges0.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint(true)

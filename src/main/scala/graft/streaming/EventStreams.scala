@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
   * small record per active user, evicted on timeout in a real
   * always-on stream.
   */
+/** Spec-visible I/O counters for the graph-maintenance batch path:
+  * the scale contract ("a no-improvement batch never scans the
+  * maintained edge store; dist reads are bucket-pruned") is asserted
+  * by diffing these across a batch, not taken on faith. */
+private[graft] object MaintIO {
+  /** Full edge-store materializations (the lazy `adj()` firing). */
+  val edgeStoreReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Claim-store bucket partitions read (pruned dist loads). */
+  val distBucketReads = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 object EventStreams {
 
   /** events.parquet declared schema for the given `ts` physical type.
@@ -1126,6 +1137,13 @@ object EventStreams {
     * the union — which is what lets both entries share their batch
     * twins' SQL oracles verbatim.
     */
+  /** pmod(node) partition count for maintained claim stores — the
+    * unit of pruned dist reads (the 37l/37q read shape). */
+  private[graft] val DistBuckets = 16
+
+  private def distBucketCol(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(DistBuckets.toLong))
+
   private def relaxBatch(batch0: org.apache.spark.sql.DataFrame,
                          batchId: Long, statePath: String,
                          seed: Long, maxRounds: Int, weighted: Boolean): Unit = {
@@ -1140,11 +1158,11 @@ object EventStreams {
     try {
       val edgesPath = s"$statePath/edges"
       val distPath = s"$statePath/dist"
-      batch.write.mode("append").parquet(edgesPath)
-      val dist0 =
-        (if (hasVisibleData(spark, distPath))
-          spark.read.parquet(distPath).groupBy("node").agg(min("dist").as("dist"))
-        else Seq.empty[(Long, Long)].toDF("node", "dist")).localCheckpoint(true)
+      // per-batch delta directory with OVERWRITE semantics (the
+      // urlDedupBatch/cdcDedupBatch deltas pattern): a crash-retry
+      // REPLACES this batch's edges instead of appending a second
+      // copy, so the store never grows with retries
+      batch.write.mode("overwrite").parquet(s"$edgesPath/batch=$batchId")
       def bidir(df: org.apache.spark.sql.DataFrame) = {
         val wCol = if (weighted) col("w") else lit(1L).as("w")
         df.select(col("u").as("a"), col("v").as("b"), wCol)
@@ -1161,24 +1179,69 @@ object EventStreams {
       var und: org.apache.spark.sql.DataFrame = null
       def adj() = {
         if (und == null) {
-          und = bidir(spark.read.parquet(edgesPath).distinct())
+          MaintIO.edgeStoreReads.incrementAndGet()
+          und = bidir(spark.read.parquet(edgesPath).select(cols: _*).distinct())
             .localCheckpoint(true)
         }
         und
       }
+      // Maintained distances load LAZILY too, bucket by bucket: the
+      // claim store is pmod(node)-partitioned, and a batch reads
+      // ONLY the buckets its candidate nodes fall in — a
+      // distance-neutral batch touches the batch-endpoint buckets
+      // and nothing else, never the whole store.
+      val distStoreExists = hasVisibleData(spark, distPath)
+      val loaded = scala.collection.mutable.Set.empty[Long]
+      var dist = Seq.empty[(Long, Long)].toDF("node", "dist")
+      var distCp: org.apache.spark.sql.DataFrame = null
+      def ensureLoaded(buckets: Seq[Long]): Unit = {
+        val need = buckets.filterNot(loaded)
+        if (need.nonEmpty) {
+          if (distStoreExists) {
+            MaintIO.distBucketReads.addAndGet(need.size.toLong)
+            val add = spark.read.parquet(distPath)
+              .filter(col("db").isin(need: _*))
+              .groupBy("node").agg(min("dist").as("dist"))
+            val superseded = distCp
+            dist = dist.unionAll(add).localCheckpoint(true)
+            distCp = dist
+            if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          }
+          loaded ++= need
+        }
+      }
+      def bucketsOf(nodes: org.apache.spark.sql.DataFrame): Seq[Long] =
+        nodes.select(distBucketCol(col("node")).as("db")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      // Bucket tracking costs a checkpoint + a tiny job per round, so
+      // it runs only while it can still prune: once every bucket is
+      // loaded (or the store doesn't exist yet), rounds run at the
+      // untracked cost exactly like the pre-bucketing design.
+      def trackingNeeded: Boolean =
+        distStoreExists && loaded.size < DistBuckets
+      ensureLoaded(bucketsOf(batch.select(col("u").as("node"))
+        .unionAll(batch.select(col("v").as("node")))
+        .unionAll(Seq(seed).toDF("node"))))
       // Initial claims: the standing seed claim (first batch, or a
       // no-op improvement afterwards) + one-hop relaxations of the
       // NEW edges from currently-known distances.
-      val hop = dist0.join(bidir(batch), col("node") === col("a"))
+      val hop = dist.join(bidir(batch), col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("dist"))
       var cand = Seq((seed, 0L)).toDF("node", "dist").unionAll(hop)
-      var dist = dist0
+      var candCp: org.apache.spark.sql.DataFrame = null
       val claimParts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
       var round = 0
       var continue = true
       while (continue && round <= maxRounds) {
-        val improved = cand
+        val candEval = if (trackingNeeded) {
+          val prevCand = candCp
+          candCp = cand.localCheckpoint(true)
+          if (prevCand != null) graft.operators.Checkpoints.free(prevCand)
+          ensureLoaded(bucketsOf(candCp.select("node")))
+          candCp
+        } else cand
+        val improved = candEval
           .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
           .filter(col("old").isNull || col("dist") < col("old"))
           .select("node", "dist")
@@ -1188,10 +1251,11 @@ object EventStreams {
           continue = false
         } else {
           claimParts += improved
-          val superseded = dist
+          val superseded = distCp
           dist = dist.join(improved, Seq("node"), "left_anti")
             .unionAll(improved).localCheckpoint(true)
-          if (superseded ne dist0) graft.operators.Checkpoints.free(superseded)
+          distCp = dist
+          if (superseded != null) graft.operators.Checkpoints.free(superseded)
           cand = improved.join(adj(), col("node") === col("a"))
             .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
             .groupBy("node").agg(min("nd").as("dist"))
@@ -1204,24 +1268,54 @@ object EventStreams {
       // hash-drift from both the batch twin and the shared SQL
       // oracle on a fixture deep enough to need more rounds.
       if (continue) {
-        val leftover = cand
+        val lastCand = cand.localCheckpoint(true)
+        if (trackingNeeded) ensureLoaded(bucketsOf(lastCand.select("node")))
+        val leftover = lastCand
           .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
           .filter(col("old").isNull || col("dist") < col("old"))
           .limit(1).count()
+        graft.operators.Checkpoints.free(lastCand)
         if (leftover > 0) throw new IllegalStateException(
           s"relaxBatch: maxRounds=$maxRounds exhausted before fixpoint " +
             s"in batch $batchId — raise maxRoundsPerBatch")
       }
       if (claimParts.nonEmpty) {
-        claimParts.reduce(_ unionAll _).write.mode("append").parquet(distPath)
+        // cluster by bucket so the write lands ~one file per bucket,
+        // not (tasks × buckets) shards — the pruned reads this store
+        // exists for are priced by file count
+        claimParts.reduce(_ unionAll _)
+          .withColumn("db", distBucketCol(col("node")))
+          .repartition(col("db"))
+          .write.mode("append").partitionBy("db").parquet(distPath)
       }
       claimParts.foreach(graft.operators.Checkpoints.free)
+      if (candCp != null) graft.operators.Checkpoints.free(candCp)
       if (und != null) graft.operators.Checkpoints.free(und)
-      graft.operators.Checkpoints.free(dist0)
-      if (dist ne dist0) graft.operators.Checkpoints.free(dist)
+      if (distCp != null) graft.operators.Checkpoints.free(distCp)
       cfs.mkdirs(commitDir)
       cfs.create(marker, true).close()
     } finally batch.unpersist()
+  }
+
+  /** Compact a [[bfsIngest]]/[[ssspIngest]] claim store: fold the
+    * append-only claims to their min per node and rewrite, one file
+    * per bucket (the [[spanStateCompact]] schedule — claims "cost
+    * storage, never correctness", and this is where the storage gets
+    * reclaimed). Commit markers survive: a replayed batch must still
+    * skip. Resolution before and after is identical because
+    * [[bfsResolve]] and every pruned batch read already fold
+    * min-per-node on read. */
+  def bfsStateCompact(spark: SparkSession, statePath: String): Unit = {
+    val distPath = s"$statePath/dist"
+    if (!hasVisibleData(spark, distPath)) return
+    val folded = spark.read.parquet(distPath)
+      .groupBy("node").agg(min("dist").as("dist"))
+      .withColumn("db", distBucketCol(col("node")))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    folded.repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(distPath)
+    graft.operators.Checkpoints.free(folded)
   }
 
   /** Resolve the maintained BFS state: min claim per node. */
@@ -1288,8 +1382,8 @@ object EventStreams {
     import spark.implicits._
     multiBfsHarness(spark, dir, k) match {
       case None => Seq.empty[(Long, Long)].toDF("hop", "n_pairs")
-      case Some(state) => multiBfsResolve(spark, state, k)
-        .groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+      case Some(state) =>
+        graft.operators.Graph.hopHistogramOf(multiBfsResolve(spark, state, k))
     }
   }
 
@@ -1301,19 +1395,23 @@ object EventStreams {
     multiBfsHarness(spark, dir, k) match {
       case None => Seq.empty[(Long, Long, Long)].toDF("node", "hc_micros", "rk")
       case Some(state) =>
-        val d = multiBfsResolve(spark, state, k).filter(col("dist") > 0)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("hc_micros").desc, col("node").asc)
-        d.select(col("node"),
-            floor(lit(1000000.0) / col("dist").cast("double") + lit(0.5))
-              .cast("long").as("m"))
-          .groupBy("node").agg(sum(col("m")).as("hc_micros"))
-          .orderBy(col("hc_micros").desc, col("node").asc).limit(topK)
-          .withColumn("rk", row_number().over(w).cast("long"))
+        graft.operators.Graph.harmonicTopKOf(multiBfsResolve(spark, state, k), topK)
     }
   }
 
-  /** One multi-source BFS micro-batch, exposed for the replay spec. */
+  /** One multi-source BFS micro-batch, exposed for the replay spec.
+    *
+    * Same scale contract as [[relaxBatch]]: the full adjacency
+    * materializes LAZILY (only a batch that actually improves a
+    * distance or seeds a new source scans the maintained edge
+    * store), the claim store loads bucket-by-bucket, and the batch's
+    * edges land in a per-batch overwrite delta. Source ELECTION
+    * never needs an edge scan either: the node set only grows, so
+    * the new top-k ⊆ old top-k ∪ this batch's nodes — the old
+    * top-k persists in a k-row `srcs` table. Seeded-ness is read
+    * from the CLAIM store (a source with its own 0-claim), not the
+    * srcs table, so a crash between the srcs overwrite and the
+    * commit marker replays correctly. */
   private[graft] def multiBfsBatch(batch0: org.apache.spark.sql.DataFrame,
                                    batchId: Long, statePath: String, k: Int,
                                    maxRounds: Int = 40): Unit = {
@@ -1327,36 +1425,82 @@ object EventStreams {
     try {
       val edgesPath = s"$statePath/edges"
       val distPath = s"$statePath/dist"
-      batch.write.mode("append").parquet(edgesPath)
+      val srcsPath = s"$statePath/srcs"
+      batch.write.mode("overwrite").parquet(s"$edgesPath/batch=$batchId")
       def bidir(df: org.apache.spark.sql.DataFrame) =
         df.select(col("u").as("a"), col("v").as("b"))
           .unionAll(df.select(col("v").as("a"), col("u").as("b")))
-      val und = bidir(spark.read.parquet(edgesPath).distinct())
-        .localCheckpoint(true)
-      // source ELECTION over the maintained graph
-      val srcs = und.select(col("a").as("s")).distinct()
+      var und: org.apache.spark.sql.DataFrame = null
+      def adj() = {
+        if (und == null) {
+          MaintIO.edgeStoreReads.incrementAndGet()
+          und = bidir(spark.read.parquet(edgesPath).select(col("u"), col("v"))
+            .distinct()).localCheckpoint(true)
+        }
+        und
+      }
+      // source ELECTION from the persisted top-k plus this batch
+      val oldSrcs: Seq[Long] =
+        if (hasVisibleData(spark, srcsPath))
+          spark.read.parquet(srcsPath).select(col("s")).as[Long].collect().toSeq
+        else Seq.empty
+      val batchTopK = batch.select(col("u").as("s"))
+        .unionAll(batch.select(col("v").as("s"))).distinct()
         .orderBy(col("s")).limit(k).as[Long].collect().toSeq
-      val dist0 =
-        (if (hasVisibleData(spark, distPath))
-          spark.read.parquet(distPath)
-            .groupBy("src", "node").agg(min("dist").as("dist"))
-        else Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist"))
-          .localCheckpoint(true)
-      val seeded = dist0.filter(col("node") === col("src"))
+      val srcs = (oldSrcs ++ batchTopK).distinct.sorted.take(k)
+      // lazily-loaded, bucket-pruned claim state (the relaxBatch shape)
+      val distStoreExists = hasVisibleData(spark, distPath)
+      val loaded = scala.collection.mutable.Set.empty[Long]
+      var dist = Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist")
+      var distCp: org.apache.spark.sql.DataFrame = null
+      def ensureLoaded(buckets: Seq[Long]): Unit = {
+        val need = buckets.filterNot(loaded)
+        if (need.nonEmpty) {
+          if (distStoreExists) {
+            MaintIO.distBucketReads.addAndGet(need.size.toLong)
+            val add = spark.read.parquet(distPath)
+              .filter(col("db").isin(need: _*))
+              .groupBy("src", "node").agg(min("dist").as("dist"))
+            val superseded = distCp
+            dist = dist.unionAll(add).localCheckpoint(true)
+            distCp = dist
+            if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          }
+          loaded ++= need
+        }
+      }
+      def bucketsOf(nodes: org.apache.spark.sql.DataFrame): Seq[Long] =
+        nodes.select(distBucketCol(col("node")).as("db")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      // tracking prunes only while some bucket is still unloaded
+      // (see relaxBatch)
+      def trackingNeeded: Boolean =
+        distStoreExists && loaded.size < DistBuckets
+      ensureLoaded(bucketsOf(batch.select(col("u").as("node"))
+        .unionAll(batch.select(col("v").as("node")))
+        .unionAll(srcs.toDF("node"))))
+      val seeded = dist.filter(col("node") === col("src"))
         .select(col("src")).as[Long].collect().toSet
       val newSeeds = srcs.filterNot(seeded)
         .map(s => (s, s, 0L)).toDF("src", "node", "dist")
-      val hop = dist0.join(bidir(batch), col("node") === col("a"))
+      val hop = dist.join(bidir(batch), col("node") === col("a"))
         .select(col("src"), col("b").as("node"), (col("dist") + 1L).as("dist"))
         .groupBy("src", "node").agg(min("dist").as("dist"))
       var cand = newSeeds.unionByName(hop)
-      var dist = dist0
+      var candCp: org.apache.spark.sql.DataFrame = null
       val claimParts = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.DataFrame]
       var round = 0
       var continue = true
       while (continue && round <= maxRounds) {
-        val improved = cand
+        val candEval = if (trackingNeeded) {
+          val prevCand = candCp
+          candCp = cand.localCheckpoint(true)
+          if (prevCand != null) graft.operators.Checkpoints.free(prevCand)
+          ensureLoaded(bucketsOf(candCp.select("node")))
+          candCp
+        } else cand
+        val improved = candEval
           .join(dist.withColumnRenamed("dist", "old"), Seq("src", "node"), "left_outer")
           .filter(col("old").isNull || col("dist") < col("old"))
           .select("src", "node", "dist")
@@ -1366,32 +1510,40 @@ object EventStreams {
           continue = false
         } else {
           claimParts += improved
-          val superseded = dist
+          val superseded = distCp
           dist = dist.join(improved, Seq("src", "node"), "left_anti")
             .unionAll(improved).localCheckpoint(true)
-          if (superseded ne dist0) graft.operators.Checkpoints.free(superseded)
-          cand = improved.join(und, col("node") === col("a"))
+          distCp = dist
+          if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          cand = improved.join(adj(), col("node") === col("a"))
             .select(col("src"), col("b").as("node"), (col("dist") + 1L).as("dist"))
             .groupBy("src", "node").agg(min("dist").as("dist"))
           round += 1
         }
       }
       if (continue) {
-        val leftover = cand
+        val lastCand = cand.localCheckpoint(true)
+        if (trackingNeeded) ensureLoaded(bucketsOf(lastCand.select("node")))
+        val leftover = lastCand
           .join(dist.withColumnRenamed("dist", "old"), Seq("src", "node"), "left_outer")
           .filter(col("old").isNull || col("dist") < col("old"))
           .limit(1).count()
+        graft.operators.Checkpoints.free(lastCand)
         if (leftover > 0) throw new IllegalStateException(
           s"multiBfsBatch: maxRounds=$maxRounds exhausted before fixpoint " +
             s"in batch $batchId — raise maxRounds")
       }
       if (claimParts.nonEmpty) {
-        claimParts.reduce(_ unionAll _).write.mode("append").parquet(distPath)
+        claimParts.reduce(_ unionAll _)
+          .withColumn("db", distBucketCol(col("node")))
+          .repartition(col("db"))
+          .write.mode("append").partitionBy("db").parquet(distPath)
       }
+      srcs.toDF("s").coalesce(1).write.mode("overwrite").parquet(srcsPath)
       claimParts.foreach(graft.operators.Checkpoints.free)
-      graft.operators.Checkpoints.free(und)
-      graft.operators.Checkpoints.free(dist0)
-      if (dist ne dist0) graft.operators.Checkpoints.free(dist)
+      if (candCp != null) graft.operators.Checkpoints.free(candCp)
+      if (und != null) graft.operators.Checkpoints.free(und)
+      if (distCp != null) graft.operators.Checkpoints.free(distCp)
       cfs.mkdirs(commitDir)
       cfs.create(marker, true).close()
     } finally { batch.unpersist(); () }
@@ -1399,20 +1551,46 @@ object EventStreams {
 
   /** Resolve the maintained multi-source claims: min per (src, node),
     * filtered to the CURRENT k smallest node ids of the maintained
-    * graph (stale sources' claims stay stored, never surface). */
+    * graph (the persisted election — stale sources' claims stay
+    * stored until [[multiBfsStateCompact]], never surface). */
   def multiBfsResolve(spark: SparkSession, statePath: String,
                       k: Int): DataFrame = {
     import spark.implicits._
-    if (!hasVisibleData(spark, s"$statePath/dist")) {
+    if (!hasVisibleData(spark, s"$statePath/dist") ||
+        !hasVisibleData(spark, s"$statePath/srcs")) {
       return Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist")
     }
-    val nodes = spark.read.parquet(s"$statePath/edges").distinct()
-    val srcs = nodes.select(col("u").as("s"))
-      .unionAll(nodes.select(col("v").as("s"))).distinct()
-      .orderBy(col("s")).limit(k).as[Long].collect().toSeq
+    val srcs = spark.read.parquet(s"$statePath/srcs")
+      .select(col("s")).as[Long].collect().toSeq.sorted.take(k)
     spark.read.parquet(s"$statePath/dist")
       .groupBy("src", "node").agg(min("dist").as("dist"))
       .filter(col("src").isin(srcs: _*))
+  }
+
+  /** Compact a [[multiBfsBatch]] claim store: fold claims to their
+    * min per (src, node) and DROP claims from sources no longer in
+    * the election — safe because the node set only grows, so a
+    * source that fell out of the top-k can never re-enter it.
+    * Markers survive; resolution before and after is identical. */
+  def multiBfsStateCompact(spark: SparkSession, statePath: String): Unit = {
+    import spark.implicits._
+    val distPath = s"$statePath/dist"
+    val srcsPath = s"$statePath/srcs"
+    if (!hasVisibleData(spark, distPath)) return
+    val folded0 = spark.read.parquet(distPath)
+      .groupBy("src", "node").agg(min("dist").as("dist"))
+    val folded = (
+      if (hasVisibleData(spark, srcsPath)) {
+        val srcs = spark.read.parquet(srcsPath)
+          .select(col("s")).as[Long].collect().toSeq
+        folded0.filter(col("src").isin(srcs: _*))
+      } else folded0)
+      .withColumn("db", distBucketCol(col("node")))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    folded.repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(distPath)
+    graft.operators.Checkpoints.free(folded)
   }
 
   /** Streamed perceptual-hash near-dup maintenance — the MEDIA twin

@@ -1041,6 +1041,34 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.multiBfsBatch(b1, 1L, state, 3)
     assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
+    // a distance-neutral batch (re-delivered known edge, no new
+    // source) must NOT scan the maintained edge store, and reads
+    // only its endpoints' + sources' dist buckets
+    val er0 = graft.streaming.MaintIO.edgeStoreReads.get()
+    val db0 = graft.streaming.MaintIO.distBucketReads.get()
+    EventStreams.multiBfsBatch(Seq((11L, 12L)).toDF("u", "v"), 2L, state, 3)
+    assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
+    assert(graft.streaming.MaintIO.edgeStoreReads.get() == er0,
+      "distance-neutral batch scanned the maintained edge store")
+    assert(graft.streaming.MaintIO.distBucketReads.get() - db0 <= 5,
+      "distance-neutral batch read beyond its endpoint + source buckets")
+    // compaction: stale sources' (11, 12) claims drop, resolve is
+    // bit-identical, markers survive replay
+    val rawClaims = spark.read.parquet(s"$state/dist").count()
+    EventStreams.multiBfsStateCompact(spark, state)
+    val afterCompact = EventStreams.multiBfsResolve(spark, state, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterCompact == r1, "compaction changed the resolve")
+    val compClaims = spark.read.parquet(s"$state/dist").count()
+    assert(compClaims == r1.size && compClaims < rawClaims,
+      s"expected exactly the ${r1.size} live claims, got $compClaims (was $rawClaims)")
+    assert(spark.read.parquet(s"$state/dist")
+        .select("src").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L),
+      "stale-source claims survived compaction")
+    EventStreams.multiBfsBatch(b1, 1L, state, 3)
+    assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
   }
 
   test("streamedQualityClassify == batch scorer; replay and crash-window retry are no-ops") {
@@ -1169,9 +1197,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(resolve() == after, "replayed batch changed resolved distances")
     assert(spark.read.parquet(s"$state/dist").count() == nClaims,
       "replay appended duplicate claims")
-    // a batch entirely inside settled territory adds no claims
+    // a batch entirely inside settled territory adds no claims…
     EventStreams.bfsBatch(Seq((2L, 3L)).toDF("u", "v"), 2L, state, 1L, 30)
     assert(resolve() == after)
+    // …and, per the maintenance family's scale contract, a
+    // distance-neutral batch NEVER scans the maintained edge store
+    // and loads only its own endpoints' (+ seed's) dist buckets
+    val er0 = graft.streaming.MaintIO.edgeStoreReads.get()
+    val db0 = graft.streaming.MaintIO.distBucketReads.get()
+    EventStreams.bfsBatch(Seq((3L, 4L)).toDF("u", "v"), 3L, state, 1L, 30)
+    assert(resolve() == after)
+    assert(graft.streaming.MaintIO.edgeStoreReads.get() == er0,
+      "distance-neutral batch scanned the maintained edge store")
+    assert(graft.streaming.MaintIO.distBucketReads.get() - db0 <= 3,
+      "distance-neutral batch read beyond its endpoint + seed buckets")
+  }
+
+  test("bfsStateCompact: claims fold to min-per-node, resolve unchanged, later shortcuts still relax") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bfs-compact-").toString
+    val state = s"$base/state"
+    def resolve() = EventStreams.bfsResolve(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val b1 = Seq((1L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    EventStreams.bfsBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
+    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    val before = resolve()
+    val rawClaims = spark.read.parquet(s"$state/dist").count()
+    assert(rawClaims > before.size, "fixture should carry superseded claims")
+    EventStreams.bfsStateCompact(spark, state)
+    assert(resolve() == before, "compaction changed resolved distances")
+    assert(spark.read.parquet(s"$state/dist").count() == before.size,
+      "compaction left more than one claim per node")
+    // replayed committed batch still short-circuits (markers survive)
+    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    assert(resolve() == before)
+    // a post-compaction shortcut batch relaxes against compacted state
+    EventStreams.bfsBatch(Seq((1L, 6L)).toDF("u", "v"), 2L, state, 1L, 30)
+    val want = graft.operators.Graph.bfsHopsFrom(
+        b0.unionByName(b1).unionByName(Seq((1L, 6L)).toDF("u", "v")), 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolve() == want, "post-compaction relaxation drifted")
   }
 
   test("ssspBatch: a later cheap edge REVISITS settled nodes and re-relaxes downstream; replay no-op") {
