@@ -395,6 +395,10 @@ object SparkEntry {
     // insertion-robust chunk table + chunk-level dedup
     "dedup_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), 8, 63)),
     "dedup_cdc" -> ((s, dir) => Dedup.cdcDedup(Tables.documents(s, dir), 8, 63)),
+    // LBFS minimum-chunk rule: boundaries closer than minLen to the
+    // last kept one are suppressed (sequential fold) -- kills the
+    // tiny-chunk noise tail CdcRehearsal measured at 10^7 chunks
+    "dedup_cdc_min" -> ((s, dir) => Dedup.cdcDedupMin(Tables.documents(s, dir), 8, 63, 16)),
     // streamed chunk-store maintenance: pure per-batch deltas, order-
     // independent min/sum resolve -- shares dedup_cdc's oracle
     "stream_cdc" -> ((s, dir) => graft.streaming.EventStreams.streamedCdcDedup(s, dir)),
@@ -1050,11 +1054,45 @@ object SparkEntry {
 
   private val CdcChunksSql: String = CdcChunksBody
 
+  /** [[CdcChunksBody]] with the LBFS minimum-chunk fold: DuckDB's
+    * `reduce` replays the same sequential keep-if->=16-after-last
+    * rule Spark's `aggregate` runs (single-element lists so the
+    * accumulator seeds as [0]); the end cut appends unconditionally. */
+  private val CdcChunksMinBody: String =
+    """SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+      |  md5(substr(text, CAST(chunk_start + 1 AS INT), CAST(chunk_len AS INT))) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    CAST(j - 1 AS BIGINT) AS chunk_idx,
+      |    cuts[j] AS chunk_start,
+      |    cuts[j + 1] - cuts[j] AS chunk_len
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_append(
+      |        reduce(
+      |          list_concat([[CAST(0 AS BIGINT)]],
+      |            list_transform(
+      |              [CAST(i AS BIGINT) FOR i IN generate_series(8, length(text))
+      |                IF ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT % 64 = 0
+      |                   AND i < length(text)],
+      |              b -> [b])),
+      |          (acc, x) -> CASE WHEN x[1] - acc[-1] >= 16 THEN list_concat(acc, x) ELSE acc END),
+      |        CAST(length(text) AS BIGINT)) AS cuts
+      |    FROM documents),
+      |  unnest(generate_series(1, len(cuts) - 1)) AS g(j))
+      |WHERE chunk_len > 0""".stripMargin
+
   /** Duplicated-chunk accounting over the CDC chunk table — shared
     * verbatim by the batch entry and its streamed chunk-store face
     * (the delta resolve's min/sum merge is order-independent). */
   private val CdcDedupSql: String =
     s"""WITH ch AS ($CdcChunksBody)
+      |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies, min(chunk_len) AS chunk_len
+      |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
+
+  private val CdcDedupMinSql: String =
+    s"""WITH ch AS ($CdcChunksMinBody)
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
@@ -2027,6 +2065,7 @@ object SparkEntry {
     // boundary residue, consecutive-pair slices, chunk md5
     "dedup_cdc_chunks" -> CdcChunksSql,
     "dedup_cdc" -> CdcDedupSql,
+    "dedup_cdc_min" -> CdcDedupMinSql,
     "stream_cdc" -> CdcDedupSql,
     // the streamed face's maintained deltas resolve to the identical
     // table -- the dedup_url oracle verbatim
@@ -3432,4 +3471,30 @@ object SparkEntry {
         |        WHERE y.event_type = p.type_b AND y.hv = x.hv)) * 281474976710656) // p.t AS est_diff
         |FROM pairs p JOIN umeta u USING (type_a, type_b)""".stripMargin
   )
+
+  /** Pinned EXPECTED ROW COUNTS at the driver's verify scale
+    * (sf0.01) for every rows-only query — the set with no DuckDB
+    * oracle (EntrySpec pins why, per key). Each count is implied by
+    * the query's ScalaTest oracle (pair sets, top-k shapes, recall
+    * fixtures); Verify dumps this as `expected_rows.json` next to
+    * `oracle_sql.json` and FAILS LOUD on drift, so the driver can
+    * rows-gate entries it cannot hash-gate. */
+  def expectedRows: Map[String, Long] = Map(
+    "dedup_minhash" -> 25L,        // verified near-dup pair set (DedupSpec)
+    "dedup_simhash" -> 17L,        // hamming-band pair set
+    "dedup_embedding" -> 25L,      // cosine near-dup pair set
+    "dedup_contamination" -> 1L,   // one summary row
+    "stream_near_dedup" -> 25L,    // == dedup_minhash by batch parity
+    "sim_ann_lsh" -> 80L,          // 8 queries x top-10
+    "sim_ann_ivf" -> 80L,
+    "stream_ann_ivf" -> 80L,
+    "stream_ann_ivfpq" -> 80L,
+    "sim_kmeans" -> 16L,           // k = 16 centroid rows
+    "q_approx_distinct_hll" -> 5L, // one row per event type
+    "sim_ann_pq" -> 80L,
+    "sim_ann_ivfpq" -> 80L,
+    "sim_ann_ivfpq_res" -> 80L,
+    "sim_ann_opq" -> 80L,
+    "q_mst" -> 1999L,              // spanning forest: n_nodes - n_components
+    "q_betweenness" -> 20L)        // top-20 centrality rows
 }

@@ -15,6 +15,7 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     selected.foreach { case (name, fn) =>
       // pre-delete so a failing query can never leave a stale result
       // from an earlier run for the comparator to "pass" against
@@ -23,10 +24,24 @@ object Verify {
         import scala.reflect.io.Directory
         new Directory(target).deleteRecursively()
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        rowCounts(name) = spark.read.parquet(s"$outDir/$name").count()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    // Rows-only queries have no DuckDB oracle; their PINNED sf0.01
+    // row counts ship as an artifact the driver can rows-gate
+    // against, and drift fails loud right here at the verify scale.
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) {
+      SparkEntry.expectedRows.foreach { case (name, want) =>
+        rowCounts.get(name).foreach { got =>
+          if (got != want) System.err.println(
+            s"[verify] EXPECTED-ROWS MISMATCH $name: got $got, pinned $want")
+          else System.err.println(s"[verify] rows-gate ok $name: $got")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +59,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // expected sf0.01 row counts for the rows-only set, next to the
+    // oracle SQL so the driver can rows-gate what it cannot hash-gate
+    // (full dumps only — a partial dev dump isn't the driver shape)
+    if (only.isEmpty) {
+      val er = SparkEntry.expectedRows.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/expected_rows.json"), er)
+    }
     spark.stop()
   }
 }

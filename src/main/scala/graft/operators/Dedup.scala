@@ -943,6 +943,58 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
         min(col("chunk_len")).as("chunk_len"))
       .filter(col("n_copies") >= 2)
+
+  /** [[cdcChunks]] with the LBFS MINIMUM-CHUNK rule: a boundary is
+    * suppressed when it lands fewer than `minLen` characters after
+    * the previous KEPT boundary (a sequential left fold over the
+    * ascending candidate list — `aggregate`, still one pure per-row
+    * expression chain, no shuffle). CdcRehearsal at 10⁷ chunks is
+    * why this exists: with an expected length of only mask+1, the
+    * geometric boundary spacing emits a long tail of tiny chunks
+    * (sub-25-char content like `"q17 w"` carries no identifying
+    * text), and those cross-duplicate between unrelated docs —
+    * metadata overhead and noise matches a chunk store pays for
+    * nothing, the exact problem LBFS's min-size clamp solves. The
+    * doc's final cut is always kept, so a forced short FINAL chunk
+    * can still appear (content coverage beats the clamp); minLen=1
+    * reproduces [[cdcChunks]] exactly (spec-pinned). */
+  def cdcChunksMin(documents: DataFrame, w: Int = 8, mask: Int = 63,
+                   minLen: Int = 16): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(mask >= 1, s"mask must be >= 1, got $mask")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val m = mask + 1
+    val bnds = s"filter(sequence(${w}L, length(text)), i -> " +
+      s"pmod(CAST(conv(substring(md5(substring(text, CAST(i - $w + 1 AS INT), $w)), 1, 12), 16, 10) AS BIGINT), $m) = 0)"
+    // left fold keeping only boundaries >= minLen after the last
+    // kept one; the 0 start rides as the fold's seed, the end cut
+    // appends unconditionally (materialized projection — the
+    // cdcChunks element_at lesson)
+    val folded = s"aggregate(filter($bnds, b -> b < length(text)), array(0L), " +
+      s"(acc, b) -> IF(b - element_at(acc, -1) >= ${minLen}L, concat(acc, array(b)), acc))"
+    val cuts = s"concat($folded, array(CAST(length(text) AS BIGINT)))"
+    val chunks = "filter(transform(sequence(1, size(cuts) - 1), j -> " +
+      "struct(CAST(j - 1 AS BIGINT) AS chunk_idx, " +
+      "element_at(cuts, j) AS chunk_start, " +
+      "element_at(cuts, j + 1) - element_at(cuts, j) AS chunk_len)), " +
+      "c -> c.chunk_len > 0)"
+    documents
+      .select(col("doc_id"), col("text"), expr(cuts).as("cuts"))
+      .select(col("doc_id"), col("text"), explode(expr(chunks)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
+        col("c.chunk_len"),
+        md5(expr("substring(text, CAST(c.chunk_start + 1 AS INT), CAST(c.chunk_len AS INT))"))
+          .as("chunk_md5"))
+  }
+
+  /** [[cdcDedup]] over the min-length-clamped chunk table. */
+  def cdcDedupMin(documents: DataFrame, w: Int = 8, mask: Int = 63,
+                  minLen: Int = 16): DataFrame =
+    cdcChunksMin(documents, w, mask, minLen)
+      .groupBy("chunk_md5")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") >= 2)
 }
 
 /** Vote buffer for [[Dedup.simhash]]: 64 signed counters, one per

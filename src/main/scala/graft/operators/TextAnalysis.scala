@@ -1044,6 +1044,129 @@ object TextAnalysis {
     (w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i.toLong, v) }.toSeq, b)
   }
 
+  /** One doc's hashed-feature view: (sorted (bucket, count) pairs,
+    * feature total, label as 0/1). Shared by every trainer face. */
+  private def clfDocFeat(t: String, y: Boolean,
+                         dim: Int): (Seq[(Long, Int)], Double, Double) = {
+    val fs = clfFeatures(t).map(clfBucketLocal(_, dim))
+    val counts = fs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    (counts, fs.size.toDouble, if (y) 1.0 else 0.0)
+  }
+
+  /** One doc's full-batch gradient contribution, floored to integer
+    * MICROS per feature before any summation — the 33j surprisal
+    * discipline. Longs sum exactly in any partitioning and reduction
+    * order, which is what makes the distributed epoch bit-equal to
+    * the local one. Returns (per-bucket grad micros, bias grad
+    * micros). */
+  private def clfGradMicros(doc: (Seq[(Long, Int)], Double, Double),
+                            w: Array[Double], b: Double): (Seq[(Long, Long)], Long) = {
+    val (counts, nf, y) = doc
+    if (nf == 0) (Seq.empty, 0L)
+    else {
+      var z = b
+      counts.foreach { case (k, c) => z += w(k.toInt) * c / nf }
+      val p = 1.0 / (1.0 + math.exp(-z))
+      val g = p - y
+      (counts.map { case (k, c) =>
+        (k, math.floor(g * c / nf * 1e6 + 0.5).toLong) },
+        math.floor(g * 1e6 + 0.5).toLong)
+    }
+  }
+
+  /** Apply one summed epoch gradient (exact Long micros) to (w, b) —
+    * the single shared update rule for both full-batch faces. */
+  private def clfApplyGrad(w: Array[Double], b: Double, lr: Double, nDocs: Long,
+                           grad: collection.Map[Long, Long], gBias: Long): Double = {
+    grad.foreach { case (k, m) =>
+      w(k.toInt) -= lr * (m.toDouble / 1e6) / nDocs.toDouble
+    }
+    b - lr * (gBias.toDouble / 1e6) / nDocs.toDouble
+  }
+
+  /** FULL-BATCH local twin of [[qualityClfTrainDistributed]]: one
+    * epoch = one exact whole-corpus gradient, per-doc contributions
+    * micro-floored before the (exact, associative) Long sum. This is
+    * the reference the distributed trainer must match bit-for-bit.
+    * The SHIPPED `ta_quality_clf` artifact still comes from the SGD
+    * [[qualityClfTrain]] (unchanged weights, unchanged oracle
+    * hashes); this pair is the corpus-scale training path. */
+  def qualityClfTrainFullLocal(corpus: Seq[(String, Boolean)], dim: Int = 4096,
+                               epochs: Int = 40, lr: Double = 0.5): (Seq[(Long, Double)], Double) = {
+    val feats = corpus.map { case (t, y) => clfDocFeat(t, y, dim) }
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val n = feats.size.toLong
+    if (n == 0) return (Seq.empty, 0.0)
+    var e = 0
+    while (e < epochs) {
+      val acc = scala.collection.mutable.LongMap.empty[Long]
+      var gBias = 0L
+      feats.foreach { d =>
+        val (gs, gb) = clfGradMicros(d, w, b)
+        gs.foreach { case (k, m) => acc(k) = acc.getOrElse(k, 0L) + m }
+        gBias += gb
+      }
+      b = clfApplyGrad(w, b, lr, n, acc, gBias)
+      e += 1
+    }
+    (w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i.toLong, v) }.toSeq, b)
+  }
+
+  /** Distributed full-batch trainer over a (text, label) DataFrame —
+    * the OPQ pattern (Similarity.opqTrain): features extract once and
+    * persist; each epoch broadcasts (w, b), mapPartitions folds
+    * per-partition gradient micros into a bounded map (≤ dim + 1
+    * Longs per partition — model-sized, never row data), and the
+    * driver reduces and applies the update. Because per-doc
+    * contributions floor to micros BEFORE the sum, the epoch
+    * gradient is a Long sum — exact under any partitioning — so the
+    * result is BIT-EQUAL to [[qualityClfTrainFullLocal]] regardless
+    * of parallelism (the spec asserts it at several partitionings).
+    */
+  def qualityClfTrainDistributed(docs: DataFrame, dim: Int = 4096,
+                                 epochs: Int = 40, lr: Double = 0.5,
+                                 textCol: String = "text",
+                                 labelCol: String = "label"): (Seq[(Long, Double)], Double) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val featRdd = docs
+      .select(col(textCol).cast("string"), col(labelCol).cast("boolean"))
+      .as[(String, Boolean)].rdd
+      .map { case (t, y) => clfDocFeat(t, y, dim) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = featRdd.count()
+      if (n == 0) return (Seq.empty, 0.0)
+      val w = new Array[Double](dim)
+      var b = 0.0
+      var e = 0
+      while (e < epochs) {
+        val bw = spark.sparkContext.broadcast((w.clone(), b))
+        val (grad, gBias) = featRdd.mapPartitions { it =>
+          val (wv, bv) = bw.value
+          val acc = scala.collection.mutable.LongMap.empty[Long]
+          var bm = 0L
+          it.foreach { d =>
+            val (gs, gb) = clfGradMicros(d, wv, bv)
+            gs.foreach { case (k, m) => acc(k) = acc.getOrElse(k, 0L) + m }
+            bm += gb
+          }
+          Iterator.single((acc.toMap, bm))
+        }.reduce { (x, y) =>
+          val merged = scala.collection.mutable.LongMap.empty[Long]
+          x._1.foreach { case (k, v) => merged(k) = v }
+          y._1.foreach { case (k, v) => merged(k) = merged.getOrElse(k, 0L) + v }
+          (merged.toMap, x._2 + y._2)
+        }
+        bw.destroy()
+        b = clfApplyGrad(w, b, lr, n, grad, gBias)
+        e += 1
+      }
+      (w.iterator.zipWithIndex.collect { case (v, i) if v != 0.0 => (i.toLong, v) }.toSeq, b)
+    } finally { featRdd.unpersist(); () }
+  }
+
   /** Planted labeled corpus the shipped model trains on, drawn from
     * the fixture corpus's own register: "low quality" = filler-token
     * soup, "high quality" = operator-content prose. Seeded, so the

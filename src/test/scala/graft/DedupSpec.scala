@@ -406,6 +406,64 @@ class DedupSpec extends AnyFunSuite {
       "position-aligned fixed windows should nearly all shift under the insertion")
   }
 
+  test("cdcChunksMin: minLen=1 reproduces cdcChunks exactly; boundaries inside the clamp are suppressed; tiling holds; re-sync survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(177L)
+    val base = Seq.fill(600)(('a' + rnd.nextInt(26)).toChar).mkString
+    val ins = base.substring(0, 20) + "XYZQW" + base.substring(20)
+    val docs = Seq((1L, base), (2L, ins)).toDF("doc_id", "text")
+    // minLen = 1 is the identity clamp: bit-equal chunk tables
+    val plain = Dedup.cdcChunks(docs, 8, 63)
+    val id1 = Dedup.cdcChunksMin(docs, 8, 63, minLen = 1)
+    assert(plain.exceptAll(id1).isEmpty && id1.exceptAll(plain).isEmpty,
+      "minLen=1 must reproduce cdcChunks exactly")
+    val clamped = Dedup.cdcChunksMin(docs, 8, 63, minLen = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // every chunk honors the clamp except a forced FINAL chunk
+    for (id <- Seq(1L, 2L)) {
+      val text = if (id == 1L) base else ins
+      val cs = clamped.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L && cs.map(_._4).sum == text.length.toLong,
+        s"doc $id clamped chunks don't tile")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in doc $id")
+        case _ =>
+      }
+      cs.dropRight(1).foreach { c =>
+        assert(c._4 >= 16L, s"non-final chunk under minLen in doc $id: $c")
+      }
+    }
+    // the clamp must not break insertion re-sync: doc 1 and doc 2
+    // still share a majority of chunks
+    val h1 = clamped.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = clamped.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 intersect h2).size >= h1.size / 2,
+      "min-clamped CDC lost insertion robustness")
+    // the clamp strictly coarsens: never more chunks than unclamped
+    val plainCount = plain.count()
+    assert(clamped.length <= plainCount,
+      s"clamp produced MORE chunks (${clamped.length} > $plainCount)")
+    // dedup face agrees with a local recomputation of the fold
+    def localCuts(text: String, minLen: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bnds = (8 to text.length).filter { i =>
+        val h = md.digest(text.substring(i - 8, i).getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h, 16) % 64 == 0
+      }.filter(_ < text.length).map(_.toLong)
+      val kept = bnds.foldLeft(Vector(0L)) { (acc, b) =>
+        if (b - acc.last >= minLen) acc :+ b else acc
+      }
+      kept :+ text.length.toLong
+    }
+    for (id <- Seq(1L, 2L)) {
+      val text = if (id == 1L) base else ins
+      val want = localCuts(text, 16)
+      val got = clamped.filter(_._1 == id).sortBy(_._2).map(_._3) :+ text.length.toLong
+      assert(got.toSeq == want, s"doc $id fold drifted: $got vs $want")
+    }
+  }
+
   test("urlDedup: every planted spelling variant collapses; distinct pages stay distinct") {
     import spark.implicits._
     // eight spellings of ONE page: scheme/host case, www, default

@@ -46,5 +46,11 @@ class EntrySpec extends AnyFunSuite {
                        // (level-recursive float accumulation); the spec's
                        // independent local Brandes is the oracle
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
+    // every rows-only query carries a pinned sf0.01 row count for the
+    // driver's rows-gate, and nothing else does
+    assert(SparkEntry.expectedRows.keySet == expected,
+      s"expectedRows keys drifted from the rows-only set: " +
+        s"${SparkEntry.expectedRows.keySet.diff(expected) ++ expected.diff(SparkEntry.expectedRows.keySet)}")
+    assert(SparkEntry.expectedRows.values.forall(_ > 0L))
   }
 }

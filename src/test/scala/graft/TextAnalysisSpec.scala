@@ -617,4 +617,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.qualityClfLoadWeights(path0, spark) ==
       ((Seq.empty, -123456L, 2048)))
   }
+
+  test("qualityClfTrainDistributed: bit-equal to the local full-batch trainer at any partitioning; separates the planted corpus") {
+    import spark.implicits._
+    val corpus = TextAnalysis.clfPlantedCorpus
+    val local = TextAnalysis.qualityClfTrainFullLocal(corpus, dim = 4096, epochs = 25)
+    assert(local._1.nonEmpty, "local full-batch trainer learned nothing")
+    val df = corpus.toDF("text", "label")
+    // micros-floored Long gradients sum exactly in ANY partitioning,
+    // so 1, 7 and 32 partitions must all reproduce the local weights
+    // BIT-for-bit (== on Double, no tolerance)
+    Seq(1, 7, 32).foreach { p =>
+      val dist = TextAnalysis.qualityClfTrainDistributed(
+        df.repartition(p), dim = 4096, epochs = 25)
+      assert(dist._2 == local._2, s"bias drifted at $p partitions")
+      assert(dist._1 == local._1, s"weights drifted at $p partitions")
+    }
+    // the full-batch model is a working classifier on held-out docs
+    // of the same registers (reusing the shipped-model fixture shape)
+    val rnd = new scala.util.Random(7L)
+    val filler = Vector("a", "the", "value", "row", "part", "key",
+      "small", "slow", "dup", "the", "a", "value")
+    val content = Vector("join", "merge", "window", "stream", "query",
+      "agg", "group", "sort", "scan", "batch", "vector", "hash")
+    def doc(words: Vector[String], n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val held = (1L to 10L).map(i => (i, doc(filler, 24), false)) ++
+      (11L to 20L).map(i => (i, doc(content, 24), true))
+    def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val artifact = (local._1.map { case (k, v) => (k, micros(v)) }.filter(_._2 != 0L),
+      micros(local._2), 4096)
+    val got = TextAnalysis.qualityClassify(
+        held.map(h => (h._1, h._2)).toDF("doc_id", "text"), artifact).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    held.foreach { case (id, _, label) =>
+      assert(got(id) == label, s"full-batch model misclassified doc $id")
+    }
+    // empty input: both faces return the zero model
+    assert(TextAnalysis.qualityClfTrainFullLocal(Seq.empty) == ((Seq.empty, 0.0)))
+    assert(TextAnalysis.qualityClfTrainDistributed(
+      Seq.empty[(String, Boolean)].toDF("text", "label")) == ((Seq.empty, 0.0)))
+  }
 }

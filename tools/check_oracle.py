@@ -94,6 +94,20 @@ def main(outdir, sfdir):
         else:
             print(f"PASS {name}: {len(s_rows)} rows exact")
             n_pass += 1
+    # rows-only queries: no SQL oracle, but a pinned expected row
+    # count (expected_rows.json, written by graft.Verify) rows-gates
+    # them when the dump ran at the driver's verify scale (sf0.01)
+    er_path = f"{outdir}/expected_rows.json"
+    if os.path.exists(er_path) and os.path.basename(sfdir.rstrip("/")) == "sf0.01":
+        for name, want in sorted(json.load(open(er_path)).items()):
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"SKIP {name}: not in this dump (rows-gate)"); continue
+            got = pq.read_table(files[0]).num_rows
+            if got == want:
+                print(f"PASS {name}: {got} rows (rows-gate, no SQL oracle)"); n_pass += 1
+            else:
+                print(f"FAIL {name}: rows-gate {got} vs pinned {want}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
