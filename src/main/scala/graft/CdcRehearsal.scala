@@ -77,7 +77,7 @@ object CdcRehearsal {
     * exact equality of the delta-merged resolve with batch cdcDedup
     * over the union. */
   def streamRehearsal(spark: SparkSession, n: Long, nBatches: Int): Unit = {
-    import graft.streaming.EventStreams
+    import graft.streaming.{EventStreams, GraphStreams, IngestStreams}
     val docs = corpus(spark, n, 500).localCheckpoint(true)
     val perBatch = n / nBatches
     val state = java.nio.file.Files.createTempDirectory("graft-cdc-rhsl-").toString + "/state"
@@ -87,11 +87,11 @@ object CdcRehearsal {
     for (b <- 0 until nBatches) {
       val batch = docs.filter(col("doc_id") >= b * perBatch &&
         (col("doc_id") < (b + 1) * perBatch || lit(b == nBatches - 1)))
-      val (_, sec) = time(EventStreams.cdcDedupBatch(batch, b.toLong, state))
+      val (_, sec) = time(IngestStreams.cdcDedupBatch(batch, b.toLong, state))
       println(f"| ingest batch $b | $sec%.1f | ~${perBatch} docs |")
     }
     val (resolved, resolveSec) = time {
-      val r = EventStreams.cdcDedupResolve(spark, state).localCheckpoint(true)
+      val r = IngestStreams.cdcDedupResolve(spark, state).localCheckpoint(true)
       r.count()
       r
     }
@@ -106,9 +106,9 @@ object CdcRehearsal {
     // replay idempotence at scale: a re-delivered committed batch is
     // marker-skipped, the resolve is unchanged
     val nBefore = resolved.count()
-    val (_, replaySec) = time(EventStreams.cdcDedupBatch(
+    val (_, replaySec) = time(IngestStreams.cdcDedupBatch(
       docs.filter(col("doc_id") < perBatch), 0L, state))
-    assert(graft.streaming.EventStreams.cdcDedupResolve(spark, state).count() == nBefore)
+    assert(graft.streaming.IngestStreams.cdcDedupResolve(spark, state).count() == nBefore)
     println(f"| replay batch 0 | $replaySec%.1f | marker skip, resolve unchanged |")
     graft.operators.Checkpoints.free(resolved)
     graft.operators.Checkpoints.free(twin)

@@ -143,7 +143,7 @@ object GraphRehearsal {
     // pays O(diameter) frontier rounds over everything. Asserts the
     // maintained result still equals the recompute bit-for-bit.
     if (args.contains("incremental")) {
-      import graft.streaming.EventStreams
+      import graft.streaming.{EventStreams, GraphStreams, IngestStreams}
       val uni = uniformGraph(spark, 100000L, 2000000L).localCheckpoint(true)
       val seed = uni.agg(least(min(col("u")), min(col("v")))).head().getLong(0)
       val nAll = uni.count()
@@ -152,11 +152,11 @@ object GraphRehearsal {
       val tiny = delta.limit(200).localCheckpoint(true)
       val deltaRest = delta.exceptAll(tiny).localCheckpoint(true)
       val state = java.nio.file.Files.createTempDirectory("graft-inc-").toString + "/s"
-      val (_, secBase) = time(EventStreams.bfsBatch(head, 0L, state, seed, 40))
-      val (_, secDelta) = time(EventStreams.bfsBatch(deltaRest, 1L, state, seed, 40))
-      val (_, secTiny) = time(EventStreams.bfsBatch(tiny, 2L, state, seed, 40))
+      val (_, secBase) = time(GraphStreams.bfsBatch(head, 0L, state, seed, 40))
+      val (_, secDelta) = time(GraphStreams.bfsBatch(deltaRest, 1L, state, seed, 40))
+      val (_, secTiny) = time(GraphStreams.bfsBatch(tiny, 2L, state, seed, 40))
       val (_, secFull) = time(Graph.bfsHopsFrom(uni, seed, 40).count())
-      val maintained = EventStreams.bfsResolve(spark, state).collect()
+      val maintained = GraphStreams.bfsResolve(spark, state).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val recomputed = Graph.bfsHopsFrom(uni, seed, 40).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap

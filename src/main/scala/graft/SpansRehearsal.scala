@@ -46,19 +46,19 @@ object SpansRehearsal {
   }
 
   /** Streaming-ingest rehearsal at ≥10⁷ maintained windows: drive
-    * [[graft.streaming.EventStreams.spanDedupBatch]] over `nBatches`
+    * [[graft.streaming.IngestStreams.spanDedupBatch]] over `nBatches`
     * arrival waves of the 50%-duplicated corpus, then measure what
     * the always-on deployment prices — per-batch ingest wall, the
-    * delta-file growth [[graft.streaming.EventStreams.spanStateCompact]]
+    * delta-file growth [[graft.streaming.IngestStreams.spanStateCompact]]
     * exists to bound, compaction wall and its file/row collapse, and
-    * the [[graft.streaming.EventStreams.spanRetroAudit]] full-scan
+    * the [[graft.streaming.IngestStreams.spanRetroAudit]] full-scan
     * wall. One doc (id 7) is planted as batch 0's ONLY footer
     * carrier, so the retro audit has exactly one true positive: its
     * 13 footer windows became duplicated after it shipped — asserted,
     * along with every later footer doc being flagged AT ingest.
     */
   def streamRehearsal(spark: SparkSession, n: Long, nBatches: Int): Unit = {
-    import graft.streaming.EventStreams
+    import graft.streaming.{EventStreams, GraphStreams, IngestStreams}
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
@@ -87,7 +87,7 @@ object SpansRehearsal {
     for (b <- 0 until nBatches) {
       val batch = docs.filter(col("doc_id") >= b * perBatch &&
         (col("doc_id") < (b + 1) * perBatch || lit(b == nBatches - 1)))
-      val (_, sec) = time(EventStreams.spanDedupBatch(batch, b.toLong, state, 8, 16))
+      val (_, sec) = time(IngestStreams.spanDedupBatch(batch, b.toLong, state, 8, 16))
       println(f"| ingest batch $b | $sec%.1f | ${perBatch * 53L} windows |")
     }
     val winPath = s"$state/windows"
@@ -101,12 +101,12 @@ object SpansRehearsal {
     }
     val rowsBefore = spark.read.parquet(winPath).count()
     val filesBefore = winFiles()
-    val (_, compactSec) = time(EventStreams.spanStateCompact(spark, state))
+    val (_, compactSec) = time(IngestStreams.spanStateCompact(spark, state))
     val rowsAfter = spark.read.parquet(winPath).count()
     val filesAfter = winFiles()
     println(f"| compaction | $compactSec%.1f | rows $rowsBefore -> $rowsAfter, files $filesBefore -> $filesAfter |")
     val ((retroRows, retroWins), retroSec) = time {
-      val r = EventStreams.spanRetroAudit(spark, docs, state, 8)
+      val r = IngestStreams.spanRetroAudit(spark, docs, state, 8)
         .collect().map(x => (x.getLong(0), x.getLong(1)))
       (r.length.toLong, r.map(_._2).sum)
     }
@@ -125,7 +125,7 @@ object SpansRehearsal {
     // merge-on-read invariance claim, exercised at scale)
     val extra = spark.range(n, n + 1000L).select(col("id").as("doc_id"),
       concat_ws(" ", uniq(0, 40), lit(footer)).as("text"))
-    val (_, postSec) = time(EventStreams.spanDedupBatch(extra, nBatches.toLong, state, 8, 16))
+    val (_, postSec) = time(IngestStreams.spanDedupBatch(extra, nBatches.toLong, state, 8, 16))
     val flaggedAfter = spark.read.parquet(s"$state/spans")
       .select("doc_id").distinct().count()
     assert(flaggedAfter == expectFlagged + 1000L,

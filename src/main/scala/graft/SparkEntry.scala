@@ -401,7 +401,7 @@ object SparkEntry {
     "dedup_cdc_min" -> ((s, dir) => Dedup.cdcDedupMin(Tables.documents(s, dir), 8, 63, 16)),
     // streamed chunk-store maintenance: pure per-batch deltas, order-
     // independent min/sum resolve -- shares dedup_cdc's oracle
-    "stream_cdc" -> ((s, dir) => graft.streaming.EventStreams.streamedCdcDedup(s, dir)),
+    "stream_cdc" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir)),
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
@@ -438,18 +438,18 @@ object SparkEntry {
     // same seeded-xxhash64 reason, with the batch-parity spec as the
     // oracle (StreamingSpec pins streamed == batch bit-for-bit)
     "stream_near_dedup" -> ((s, dir) =>
-      graft.streaming.EventStreams.streamedNearDedup(s, dir)),
+      graft.streaming.IngestStreams.streamedNearDedup(s, dir)),
     // streaming span-level substring dedup: even docs arrive in batch
     // 1, odd in batch 2; exact string/integer logic throughout, so
     // the two chained window-count rounds rebuild in SQL — the one
     // streaming ingest operator that is fully hash-oracled
     "stream_spans" -> ((s, dir) =>
-      graft.streaming.EventStreams.streamedSpanDedup(s, dir)),
+      graft.streaming.IngestStreams.streamedSpanDedup(s, dir)),
     // the retro-flag audit over the same harness: first-batch docs
     // whose windows became duplicated after shipping — the
     // re-cleaning-cadence number; fully hash-oracled like its parent
     "stream_span_retro" -> ((s, dir) =>
-      graft.streaming.EventStreams.streamedSpanRetroAudit(s, dir)),
+      graft.streaming.IngestStreams.streamedSpanRetroAudit(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max pairwise cosine ≈0.48), so a production 0.9 cut would make
@@ -565,7 +565,7 @@ object SparkEntry {
     "ta_quality_agreement" -> ((s, dir) => TextAnalysis.qualityAgreement(Tables.documents(s, dir))),
     // stateless streamed scoring: per-batch overwrite dirs + commit
     // markers; shares ta_quality_clf's oracle verbatim
-    "stream_quality_clf" -> ((s, dir) => graft.streaming.EventStreams.streamedQualityClassify(s, dir)),
+    "stream_quality_clf" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityClassify(s, dir)),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
@@ -606,7 +606,7 @@ object SparkEntry {
     "mm_tiles" -> ((s, dir) => Multimodal.tilePlan(Tables.documents(s, dir), 8)),
     // streamed media near-dup maintenance (the minhash ingest
     // story's aHash twin); resolves the batch summary shape
-    "stream_phash_dedup" -> ((s, dir) => graft.streaming.EventStreams.streamedPhashDedup(s, dir)),
+    "stream_phash_dedup" -> ((s, dir) => graft.streaming.IngestStreams.streamedPhashDedup(s, dir)),
     // §2.10 sketch / synopsis operators
     "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir), 10, 512)),
     "q_bloom_semi_join" -> ((s, dir) => Sketches.bloomPrunedOrderItems(
@@ -635,7 +635,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.dedupCounts(s, dir)),
     // streamed URL-level dedup: pure per-batch deltas, order-
     // independent merge-on-read resolve -- shares dedup_url's oracle
-    "stream_url_dedup" -> ((s, dir) => graft.streaming.EventStreams.streamedUrlDedup(s, dir)),
+    "stream_url_dedup" -> ((s, dir) => graft.streaming.IngestStreams.streamedUrlDedup(s, dir)),
     "stream_funnel" -> ((s, dir) => graft.streaming.EventStreams.streamFunnel(s, dir)),
     "stream_retention" -> ((s, dir) => graft.streaming.EventStreams.streamRetention(s, dir)),
     "stream_source_cap" -> ((s, dir) => graft.streaming.EventStreams.streamSourceCap(s, dir, 15)),
@@ -652,19 +652,19 @@ object SparkEntry {
     // wm > left_ts + Δ; right: wm > right_ts) — −1 sentinels
     "stream_interval_join_full" -> ((s, dir) => graft.streaming.EventStreams.intervalJoinFull(s, dir)),
     "stream_enrich" -> ((s, dir) => graft.streaming.EventStreams.enrichCounts(s, dir)),
-    "stream_snapshot_diff" -> ((s, dir) => graft.streaming.EventStreams.streamedSnapshotDiff(s, dir)),
-    "stream_cc" -> ((s, dir) => graft.streaming.EventStreams.streamedComponents(s, dir)),
+    "stream_snapshot_diff" -> ((s, dir) => graft.streaming.IngestStreams.streamedSnapshotDiff(s, dir)),
+    "stream_cc" -> ((s, dir) => graft.streaming.GraphStreams.streamedComponents(s, dir)),
     // incremental BFS maintenance; final state ≡ batch bfsHops over
     // the union, so it shares q_bfs's recursive-CTE oracle verbatim
-    "stream_bfs" -> ((s, dir) => graft.streaming.EventStreams.streamedBfs(s, dir)),
+    "stream_bfs" -> ((s, dir) => graft.streaming.GraphStreams.streamedBfs(s, dir)),
     // weighted sibling: dynamic relaxation over the multiplicity-
     // weighted edges; shares q_sssp's relax-ladder oracle verbatim
-    "stream_sssp" -> ((s, dir) => graft.streaming.EventStreams.streamedSssp(s, dir)),
+    "stream_sssp" -> ((s, dir) => graft.streaming.GraphStreams.streamedSssp(s, dir)),
     // multi-source BFS maintenance, histogram + harmonic resolves:
     // source ELECTION per batch (late smaller ids join the set, a
     // fresh seed relaxes to fixpoint); both share batch oracles
-    "stream_bfs_histogram" -> ((s, dir) => graft.streaming.EventStreams.streamedBfsHistogram(s, dir)),
-    "stream_harmonic" -> ((s, dir) => graft.streaming.EventStreams.streamedHarmonic(s, dir)),
+    "stream_bfs_histogram" -> ((s, dir) => graft.streaming.GraphStreams.streamedBfsHistogram(s, dir)),
+    "stream_harmonic" -> ((s, dir) => graft.streaming.GraphStreams.streamedHarmonic(s, dir)),
     // O(1)-per-user carry: each event emits one step against the
     // user's last event; counts ≡ batch q_transitions (shared oracle)
     "stream_transitions" -> ((s, dir) => graft.streaming.EventStreams.transitionsStateful(s, dir)),
@@ -676,7 +676,7 @@ object SparkEntry {
     "pipeline_quality_audit" -> ((s, dir) => Pipeline.qualityDedupAudit(Tables.documents(s, dir))),
     // streamed ingest face: range-sharded batches + maintained
     // kept-hash store converge to the batch audit (shared oracle)
-    "stream_quality_audit" -> ((s, dir) => graft.streaming.EventStreams.streamedQualityAudit(s, dir))
+    "stream_quality_audit" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityAudit(s, dir))
   )
 
   /** Shared CTE block producing verified n-gram Jaccard pairs `jp`

@@ -334,7 +334,7 @@ object Dedup {
 
   /** (doc_id, band, bucket) LSH rows — [[minhashLsh]]'s candidate key,
     * exposed so the streaming maintenance face
-    * ([[graft.streaming.EventStreams.nearDedupIngest]]) bands each
+    * ([[graft.streaming.IngestStreams.nearDedupIngest]]) bands each
     * micro-batch with the IDENTICAL hash family the batch operator
     * uses (xxhash64 signatures and band keys — no RNG, so a
     * maintained bucket table and a from-scratch banding agree

@@ -1,0 +1,853 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamState.hasVisibleData
+
+/** Streaming GRAPH maintenance (SURVEY §2.7 rows 37l, 37r, 37r\',
+  * 37r\'\', 37r\'\'\'): incremental connected components, the
+  * BFS/SSSP relaxation family and its multi-source face, plus their
+  * claim-store compaction. Split out of EventStreams in r11 (pure
+  * move, no behavior change).
+  */
+object GraphStreams {
+  /** Incremental connected components under streaming edge arrivals —
+    * the maintenance face of [[graft.operators.Dedup
+    * .connectedComponents]]: near-dup pairs arrive in micro-batches
+    * and the component labels stay continuously current WITHOUT ever
+    * rewriting the big table. Two artifacts:
+    *
+    *  - `labelsPath`: APPEND-ONLY (doc_id, component_id) — each doc
+    *    written once, at arrival, with its component AS OF that
+    *    batch; bucketed by doc_id so a batch's endpoint lookups read
+    *    only the buckets they touch.
+    *  - `mergesPath`: the small (old_comp → new_comp) record stream —
+    *    one row per component merge, ever. Resolution closes this
+    *    map transitively on the driver (components only merge
+    *    DOWNWARD to smaller min-ids, so the chain is acyclic and the
+    *    closed map is O(merged components), not O(docs)) and
+    *    broadcasts it; current labels = one broadcast join at read.
+    *
+    * Per batch: resolve the batch endpoints' current components
+    * (bucket-pruned label read + the closed merge map), collapse the
+    * batch edges to COMPONENT-level edges, run the existing
+    * distributed CC on that (tiny) component graph, append the new
+    * merge records and the new docs' labels. No label row is ever
+    * updated — the lazy-relabel design; a deployment compacts by
+    * applying the closed map and truncating the merge log whenever
+    * it grows past taste. Replayed batchIds skip via commit markers
+    * ([[IngestStreams.scd2MergeBatch]]'s idempotence pattern).
+    *
+    * The final resolved table equals batch CC over all edges seen —
+    * min-label components are invariant under incremental min-merge
+    * — so `stream_cc` shares `dedup_components`' RECURSIVE oracle.
+    */
+  def ccIngest(pairStream: DataFrame, labelsPath: String, mergesPath: String,
+               checkpoint: String, nBuckets: Int = 16): Unit = {
+    val q = pairStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ccMergeBatch(b, id, labelsPath, mergesPath, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+
+  /** Transitively-closed merge map (old component → current root).
+    * Closed iteratively with memoization — each key's root resolved
+    * once, intermediate hops cached — so an un-compacted merge log
+    * with an L-deep chain costs O(L) total and constant stack, not
+    * O(L²) walks and L recursion frames.
+    */
+  private def closedMerges(spark: SparkSession, mergesPath: String): Map[Long, Long] = {
+    if (!hasVisibleData(spark, mergesPath)) return Map.empty
+    import spark.implicits._
+    val raw = spark.read.parquet(mergesPath)
+      .select(col("old_comp").as[Long], col("new_comp").as[Long])
+      .collect().toMap
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def root(c: Long): Long = {
+      // walk to the first memoized or terminal node, then write the
+      // answer back along the whole path
+      val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = c
+      while (!memo.contains(cur) && raw.contains(cur)) {
+        path += cur
+        cur = raw(cur)
+      }
+      val r = memo.getOrElse(cur, cur)
+      path.foreach(memo(_) = r)
+      r
+    }
+    raw.keys.map(k => k -> root(k)).toMap
+  }
+
+  /** One [[ccIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def ccMergeBatch(batch0: org.apache.spark.sql.DataFrame,
+                                  batchId: Long, labelsPath: String,
+                                  mergesPath: String, nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(mergesPath, "_cc_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    val b = batch0.select(col("doc_a"), col("doc_b")).dropDuplicates().persist()
+    try {
+      if (b.isEmpty) { mark(); return }
+      val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+      val eps = b.select(col("doc_a").as("doc_id"))
+        .unionByName(b.select(col("doc_b").as("doc_id"))).distinct()
+      val lp = new org.apache.hadoop.fs.Path(labelsPath)
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val known =
+        if (lfs.exists(lp)) {
+          val epBuckets = eps
+            .select(pmod(col("doc_id"), lit(nBuckets.toLong)).as[Long])
+            .distinct().collect().toSeq
+          // partition pruning: only the endpoint buckets are read
+          spark.read.parquet(labelsPath)
+            .filter(col("bucket").isin(epBuckets: _*))
+            .join(eps, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("component_id"))
+        } else Seq.empty[(Long, Long)].toDF("doc_id", "component_id")
+      val cur = known
+        .join(broadcast(closureDf), col("component_id") === col("mc_old"), "left")
+        .select(col("doc_id"), coalesce(col("mc_new"), col("component_id")).as("comp"))
+        .persist()
+      // collapse batch edges to component-level edges (unknown
+      // endpoint → its own id is the component)
+      val ca = cur.select(col("doc_id").as("doc_a"), col("comp").as("comp_a"))
+      val cb = cur.select(col("doc_id").as("doc_b"), col("comp").as("comp_b"))
+      val compEdges = b
+        .join(ca, Seq("doc_a"), "left").join(cb, Seq("doc_b"), "left")
+        .select(coalesce(col("comp_a"), col("doc_a")).as("doc_a"),
+          coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
+        .localCheckpoint(true)
+      // the component graph is collapsed — usually tiny relative to
+      // the batch. Under the gate, a driver union-find (min-label,
+      // identical output) replaces the iterative distributed CC whose
+      // per-round job overhead dominates at this size; past it, the
+      // distributed path stands (the triangleCount broadcast-gate
+      // pattern)
+      val cc =
+        if (compEdges.count() <= 100000L) {
+          val edges = compEdges.select(col("doc_a").as[Long], col("doc_b").as[Long]).collect()
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          // iterative find + second-pass path compression: a batch
+          // whose chain edges arrive in decreasing-min order builds an
+          // O(n) parent chain, far past the JVM default stack at the
+          // 100k gate — constant stack regardless of chain shape
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (c != r) { val next = parent(c); parent(c) = r; c = next }
+            r
+          }
+          edges.foreach { case (a, b2) =>
+            val (ra, rb) = (find(a), find(b2))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val nodes = edges.flatMap { case (a, b2) => Seq(a, b2) }.distinct
+          nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "component_id")
+        } else graft.operators.Dedup.connectedComponents(compEdges)
+      graft.operators.Checkpoints.free(compEdges)
+      // merge records: existing components whose root changed
+      val newMerges = cc
+        .join(cur.select(col("comp").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") =!= col("component_id"))
+        .select(col("doc_id").as("old_comp"), col("component_id").as("new_comp"))
+      if (!newMerges.isEmpty) {
+        newMerges.write.mode("append").parquet(mergesPath)
+      }
+      // new docs: labeled once, with their component as of THIS batch
+      val lbl = eps.join(known.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("component_id"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      if (!lbl.isEmpty) {
+        lbl.write.mode("append").partitionBy("bucket").parquet(labelsPath)
+      }
+      cur.unpersist()
+      mark()
+    } finally { b.unpersist(); () }
+  }
+
+  /** Current component per doc: the append-only labels resolved
+    * through the closed merge map — ONE broadcast join, no rewrite
+    * ever happened.
+    */
+  def ccResolve(spark: SparkSession, labelsPath: String,
+                mergesPath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, labelsPath)) {
+      return Seq.empty[(Long, Long)].toDF("doc_id", "component_id")
+    }
+    val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+    spark.read.parquet(labelsPath)
+      .dropDuplicates("doc_id")
+      .join(broadcast(closureDf), col("component_id") === col("mc_old"), "left")
+      .select(col("doc_id"), coalesce(col("mc_new"), col("component_id")).as("component_id"))
+  }
+
+  /** Compact the incremental-CC state: apply the closed merge map to
+    * every label row ONCE, rewrite the labels table, truncate the
+    * merge log (commit markers survive — a replayed batch must still
+    * skip). After compaction resolution is a plain read (the closure
+    * join hits an empty map) and the log restarts from zero; run it
+    * whenever the merge log grows past taste. One full label pass —
+    * the cost [[ccMergeBatch]] defers every batch, paid on the
+    * operator's schedule instead of the ingest path's.
+    */
+  def ccCompact(spark: SparkSession, labelsPath: String, mergesPath: String,
+                nBuckets: Int = 16): Unit = {
+    if (!hasVisibleData(spark, labelsPath)) return
+    val resolved = ccResolve(spark, labelsPath, mergesPath)
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    resolved.write.mode("overwrite").partitionBy("bucket").parquet(labelsPath)
+    graft.operators.Checkpoints.free(resolved)
+    val mp = new org.apache.hadoop.fs.Path(mergesPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      fs.listStatus(mp).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(s.getPath, true)
+      }
+    }
+  }
+
+  /** End-to-end streamed CC over the documents near-dup graph (the
+    * `stream_cc` entry): the same n-gram Jaccard pairs as
+    * `dedup_components`, arriving as TWO shard files → two
+    * micro-batches; the resolved table must equal batch CC, so it
+    * shares the RECURSIVE reachability oracle.
+    */
+  def streamedComponents(spark: SparkSession, dir: String,
+                         nBuckets: Int = 16): DataFrame = {
+    // checkpoint: the candidate generator (shingle join) must run
+    // once, not once per shard write
+    val shards = graft.operators.Dedup.ngramJaccard(
+        graft.Tables.documents(spark, dir), 3, 0.2)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-ing-").toString
+    val incoming = s"$base/incoming"
+    shards.filter(col("doc_a") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    shards.filter(col("doc_a") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(shards)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    ccIngest(stream, s"$base/labels", s"$base/merges", s"$base/ckpt", nBuckets)
+    ccResolve(spark, s"$base/labels", s"$base/merges")
+  }
+
+  /** Streamed BFS over the co-purchase edge stream: shard the edge
+    * list into two micro-batches (the [[streamedComponents]] ingest
+    * shape), maintain hop distances incrementally from the configured
+    * query point (the graph's global min node id — deterministic from
+    * the fixture), and resolve. Final state ≡ batch
+    * [[graft.operators.Graph.bfsHops]] over the union, which is why
+    * the entry can share `q_bfs`'s recursive-CTE SQL oracle verbatim
+    * — a fully hash-checked STREAMING graph query.
+    */
+  def streamedBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.coPurchaseEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    val seedRow = edges.agg(least(min(col("u")), min(col("v")))).head()
+    if (seedRow.isNullAt(0)) {
+      graft.operators.Checkpoints.free(edges)
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    }
+    val seed = seedRow.getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft-bfs-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    bfsIngest(stream, s"$base/state", s"$base/ckpt", seed)
+    bfsResolve(spark, s"$base/state")
+  }
+
+  /** Incremental BFS maintenance over a stream of (u, v) edge
+    * batches: hop distances from a FIXED query point stay
+    * continuously current as edges arrive. New edges can only
+    * DECREASE distances, so each batch seeds its relaxation from the
+    * one-hop neighborhoods of the NEW edges' already-reached
+    * endpoints (plus the standing seed claim) and propagates
+    * improvements to fixpoint — per-batch rounds are bounded by how
+    * far the improvement wave actually travels, never by the graph's
+    * diameter, and a batch touching only settled regions converges
+    * in one empty round. The classic dynamic-BFS argument makes this
+    * exact: any node whose distance drops has a shortest path through
+    * a new edge, and the wave from that edge's endpoints reaches it.
+    *
+    * State under `statePath`, all append-only (the [[ccIngest]]
+    * story): `edges` — the maintained canonical edge list (deduped on
+    * read, so replayed appends are harmless); `dist` — (node, dist)
+    * improvement CLAIMS, resolved by min-per-node at read time
+    * ([[bfsResolve]]), so a batch writes only its improvements and
+    * never rewrites the distance table; `_bfs_commits` batchId
+    * markers make whole-batch replays no-ops.
+    */
+  def bfsIngest(edgeStream: DataFrame, statePath: String, checkpoint: String,
+                seed: Long, maxRoundsPerBatch: Int = 30): Unit = {
+    val q = edgeStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        bfsBatch(b, id, statePath, seed, maxRoundsPerBatch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streamed WEIGHTED shortest paths — [[streamedBfs]]'s sibling
+    * over the multiplicity-weighted co-purchase edges: same
+    * append-only claims state, same dynamic-relaxation argument
+    * (adding edges only decreases distances), so the final state ≡
+    * batch `Graph.sssp` over the union and the entry shares
+    * `q_sssp`'s 20-round relax-ladder oracle verbatim (the fixture
+    * converges well inside both budgets). Unlike BFS, an improvement
+    * here can REVISIT an already-settled node (a cheaper weighted
+    * path through a new edge), which the min-over-claims resolution
+    * absorbs without rewriting anything.
+    */
+  def streamedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.coPurchaseWeightedEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    val seedRow = edges.agg(least(min(col("u")), min(col("v")))).head()
+    if (seedRow.isNullAt(0)) {
+      graft.operators.Checkpoints.free(edges)
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    }
+    val seed = seedRow.getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft-sssp-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType),
+        StructField("w", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    ssspIngest(stream, s"$base/state", s"$base/ckpt", seed)
+    bfsResolve(spark, s"$base/state")
+  }
+
+  /** Incremental weighted-SSSP maintenance over a stream of
+    * (u, v, w) edge batches — [[bfsIngest]] with weighted steps;
+    * same state layout, same replay idempotence. */
+  def ssspIngest(edgeStream: DataFrame, statePath: String, checkpoint: String,
+                 seed: Long, maxRoundsPerBatch: Int = 30): Unit = {
+    val q = edgeStream
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ssspBatch(b, id, statePath, seed, maxRoundsPerBatch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One [[bfsIngest]] micro-batch, exposed for the replay spec. */
+  private[graft] def bfsBatch(batch0: org.apache.spark.sql.DataFrame,
+                              batchId: Long, statePath: String,
+                              seed: Long, maxRounds: Int): Unit =
+    relaxBatch(batch0, batchId, statePath, seed, maxRounds, weighted = false)
+
+  /** One [[ssspIngest]] micro-batch (weighted relaxation). */
+  private[graft] def ssspBatch(batch0: org.apache.spark.sql.DataFrame,
+                               batchId: Long, statePath: String,
+                               seed: Long, maxRounds: Int): Unit =
+    relaxBatch(batch0, batchId, statePath, seed, maxRounds, weighted = true)
+
+  /** Shared dynamic-relaxation micro-batch for [[bfsIngest]] (step
+    * cost 1) and [[ssspIngest]] (step cost = the edge's integer
+    * weight). The dynamic-SSSP argument is the same in both: added
+    * edges only DECREASE distances, so seeding the relaxation from
+    * the new edges' already-reached endpoints and propagating
+    * improvements to fixpoint reaches exactly the batch result over
+    * the union — which is what lets both entries share their batch
+    * twins' SQL oracles verbatim.
+    */
+  /** pmod(node) partition count for maintained claim stores — the
+    * unit of pruned dist reads (the 37l/37q read shape). */
+  private[graft] val DistBuckets = 16
+
+  private def distBucketCol(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(DistBuckets.toLong))
+
+  private def relaxBatch(batch0: org.apache.spark.sql.DataFrame,
+                         batchId: Long, statePath: String,
+                         seed: Long, maxRounds: Int, weighted: Boolean): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_bfs_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return // replayed batch: already applied
+    val cols = if (weighted) Seq(col("u"), col("v"), col("w")) else Seq(col("u"), col("v"))
+    val batch = batch0.select(cols: _*).distinct().persist()
+    try {
+      val edgesPath = s"$statePath/edges"
+      val distPath = s"$statePath/dist"
+      // per-batch delta directory with OVERWRITE semantics (the
+      // urlDedupBatch/cdcDedupBatch deltas pattern): a crash-retry
+      // REPLACES this batch's edges instead of appending a second
+      // copy, so the store never grows with retries
+      batch.write.mode("overwrite").parquet(s"$edgesPath/batch=$batchId")
+      def bidir(df: org.apache.spark.sql.DataFrame) = {
+        val wCol = if (weighted) col("w") else lit(1L).as("w")
+        df.select(col("u").as("a"), col("v").as("b"), wCol)
+          .unionAll(df.select(col("v").as("a"), col("u").as("b"), wCol))
+      }
+      // The full adjacency materializes LAZILY, on the first round
+      // that actually improves something: a batch whose one-hop
+      // relaxations all fail (the common always-on case — most
+      // arrivals change no distance) commits without ever scanning
+      // the maintained edge list. A batch that does improve pays ONE
+      // checkpoint reused across its rounds (per-round pruned parquet
+      // re-reads were rehearsed and measured 2x slower on full-graph
+      // builds than the single checkpoint).
+      var und: org.apache.spark.sql.DataFrame = null
+      def adj() = {
+        if (und == null) {
+          MaintIO.edgeStoreReads.incrementAndGet()
+          und = bidir(spark.read.parquet(edgesPath).select(cols: _*).distinct())
+            .localCheckpoint(true)
+        }
+        und
+      }
+      // Maintained distances load LAZILY too, bucket by bucket: the
+      // claim store is pmod(node)-partitioned, and a batch reads
+      // ONLY the buckets its candidate nodes fall in — a
+      // distance-neutral batch touches the batch-endpoint buckets
+      // and nothing else, never the whole store.
+      val distStoreExists = hasVisibleData(spark, distPath)
+      val loaded = scala.collection.mutable.Set.empty[Long]
+      var dist = Seq.empty[(Long, Long)].toDF("node", "dist")
+      var distCp: org.apache.spark.sql.DataFrame = null
+      def ensureLoaded(buckets: Seq[Long]): Unit = {
+        val need = buckets.filterNot(loaded)
+        if (need.nonEmpty) {
+          if (distStoreExists) {
+            MaintIO.distBucketReads.addAndGet(need.size.toLong)
+            val add = spark.read.parquet(distPath)
+              .filter(col("db").isin(need: _*))
+              .groupBy("node").agg(min("dist").as("dist"))
+            val superseded = distCp
+            dist = dist.unionAll(add).localCheckpoint(true)
+            distCp = dist
+            if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          }
+          loaded ++= need
+        }
+      }
+      def bucketsOf(nodes: org.apache.spark.sql.DataFrame): Seq[Long] =
+        nodes.select(distBucketCol(col("node")).as("db")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      // Bucket tracking costs a checkpoint + a tiny job per round, so
+      // it runs only while it can still prune: once every bucket is
+      // loaded (or the store doesn't exist yet), rounds run at the
+      // untracked cost exactly like the pre-bucketing design.
+      def trackingNeeded: Boolean =
+        distStoreExists && loaded.size < DistBuckets
+      ensureLoaded(bucketsOf(batch.select(col("u").as("node"))
+        .unionAll(batch.select(col("v").as("node")))
+        .unionAll(Seq(seed).toDF("node"))))
+      // Initial claims: the standing seed claim (first batch, or a
+      // no-op improvement afterwards) + one-hop relaxations of the
+      // NEW edges from currently-known distances.
+      val hop = dist.join(bidir(batch), col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("dist"))
+      var cand = Seq((seed, 0L)).toDF("node", "dist").unionAll(hop)
+      var candCp: org.apache.spark.sql.DataFrame = null
+      val claimParts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      var round = 0
+      var continue = true
+      while (continue && round <= maxRounds) {
+        val candEval = if (trackingNeeded) {
+          val prevCand = candCp
+          candCp = cand.localCheckpoint(true)
+          if (prevCand != null) graft.operators.Checkpoints.free(prevCand)
+          ensureLoaded(bucketsOf(candCp.select("node")))
+          candCp
+        } else cand
+        val improved = candEval
+          .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("node", "dist")
+          .localCheckpoint(true)
+        if (improved.isEmpty) {
+          graft.operators.Checkpoints.free(improved)
+          continue = false
+        } else {
+          claimParts += improved
+          val superseded = distCp
+          dist = dist.join(improved, Seq("node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+          distCp = dist
+          if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          cand = improved.join(adj(), col("node") === col("a"))
+            .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+            .groupBy("node").agg(min("nd").as("dist"))
+          round += 1
+        }
+      }
+      // Round budget exhausted while the last wave still improved:
+      // probe whether the untested candidates would improve anything
+      // and fail loud if so — a silently truncated relaxation would
+      // hash-drift from both the batch twin and the shared SQL
+      // oracle on a fixture deep enough to need more rounds.
+      if (continue) {
+        val lastCand = cand.localCheckpoint(true)
+        if (trackingNeeded) ensureLoaded(bucketsOf(lastCand.select("node")))
+        val leftover = lastCand
+          .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .limit(1).count()
+        graft.operators.Checkpoints.free(lastCand)
+        if (leftover > 0) throw new IllegalStateException(
+          s"relaxBatch: maxRounds=$maxRounds exhausted before fixpoint " +
+            s"in batch $batchId — raise maxRoundsPerBatch")
+      }
+      if (claimParts.nonEmpty) {
+        // cluster by bucket so the write lands ~one file per bucket,
+        // not (tasks × buckets) shards — the pruned reads this store
+        // exists for are priced by file count
+        claimParts.reduce(_ unionAll _)
+          .withColumn("db", distBucketCol(col("node")))
+          .repartition(col("db"))
+          .write.mode("append").partitionBy("db").parquet(distPath)
+      }
+      claimParts.foreach(graft.operators.Checkpoints.free)
+      if (candCp != null) graft.operators.Checkpoints.free(candCp)
+      if (und != null) graft.operators.Checkpoints.free(und)
+      if (distCp != null) graft.operators.Checkpoints.free(distCp)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally batch.unpersist()
+  }
+
+  /** Compact a [[bfsIngest]]/[[ssspIngest]] claim store: fold the
+    * append-only claims to their min per node and rewrite, one file
+    * per bucket (the [[spanStateCompact]] schedule — claims "cost
+    * storage, never correctness", and this is where the storage gets
+    * reclaimed). Commit markers survive: a replayed batch must still
+    * skip. Resolution before and after is identical because
+    * [[bfsResolve]] and every pruned batch read already fold
+    * min-per-node on read. */
+  def bfsStateCompact(spark: SparkSession, statePath: String): Unit = {
+    val distPath = s"$statePath/dist"
+    if (!hasVisibleData(spark, distPath)) return
+    val folded = spark.read.parquet(distPath)
+      .groupBy("node").agg(min("dist").as("dist"))
+      .withColumn("db", distBucketCol(col("node")))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    folded.repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(distPath)
+    graft.operators.Checkpoints.free(folded)
+  }
+
+  /** Resolve the maintained BFS state: min claim per node. */
+  def bfsResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/dist")) {
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    }
+    spark.read.parquet(s"$statePath/dist")
+      .groupBy("node").agg(min("dist").as("dist"))
+  }
+
+  // ------------------------------------------------------------------
+  // Streamed MULTI-SOURCE BFS maintenance: one maintained (src, node,
+  // dist) claim store serves BOTH distance-structure reads — the hop
+  // histogram (stream_bfs_histogram) and harmonic centrality
+  // (stream_harmonic) — each sharing its batch twin's SQL oracle
+  // verbatim. The single-source dynamic-BFS argument applies per
+  // source unchanged (added edges only decrease distances; relax from
+  // the new edges' reached endpoints to fixpoint). The wrinkle the
+  // single-source face doesn't have is SOURCE ELECTION: "the k
+  // smallest node ids" is a property of the GRAPH SO FAR, so a
+  // later-arriving smaller id must join the source set — its seed
+  // claim starts a fresh full relaxation in that batch (cost = one
+  // batch BFS, exactly what the batch operator pays) — and a node
+  // that drops out of the top-k keeps its (bounded, still-valid)
+  // claims, which RESOLVE simply filters to the current top-k: stale
+  // sources cost storage, never correctness.
+  // ------------------------------------------------------------------
+
+  private def multiBfsHarness(spark: SparkSession, dir: String,
+                              k: Int): Option[String] = {
+    val edges = graft.operators.Graph.coPurchaseEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    if (edges.isEmpty) {
+      graft.operators.Checkpoints.free(edges)
+      return None
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-mbfs-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        multiBfsBatch(b, id, s"$base/state", k)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Some(s"$base/state")
+  }
+
+  /** Streamed hop-distance histogram — shares `q_bfs_histogram`'s
+    * recursive-CTE oracle verbatim. */
+  def streamedBfsHistogram(spark: SparkSession, dir: String,
+                           k: Int = 4): DataFrame = {
+    import spark.implicits._
+    multiBfsHarness(spark, dir, k) match {
+      case None => Seq.empty[(Long, Long)].toDF("hop", "n_pairs")
+      case Some(state) =>
+        graft.operators.Graph.hopHistogramOf(multiBfsResolve(spark, state, k))
+    }
+  }
+
+  /** Streamed harmonic centrality — shares `q_harmonic`'s oracle
+    * verbatim (same integer-micros discipline as the batch twin). */
+  def streamedHarmonic(spark: SparkSession, dir: String, k: Int = 4,
+                       topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    multiBfsHarness(spark, dir, k) match {
+      case None => Seq.empty[(Long, Long, Long)].toDF("node", "hc_micros", "rk")
+      case Some(state) =>
+        graft.operators.Graph.harmonicTopKOf(multiBfsResolve(spark, state, k), topK)
+    }
+  }
+
+  /** One multi-source BFS micro-batch, exposed for the replay spec.
+    *
+    * Same scale contract as [[relaxBatch]]: the full adjacency
+    * materializes LAZILY (only a batch that actually improves a
+    * distance or seeds a new source scans the maintained edge
+    * store), the claim store loads bucket-by-bucket, and the batch's
+    * edges land in a per-batch overwrite delta. Source ELECTION
+    * never needs an edge scan either: the node set only grows, so
+    * the new top-k ⊆ old top-k ∪ this batch's nodes — the old
+    * top-k persists in a k-row `srcs` table. Seeded-ness is read
+    * from the CLAIM store (a source with its own 0-claim), not the
+    * srcs table, so a crash between the srcs overwrite and the
+    * commit marker replays correctly. */
+  private[graft] def multiBfsBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String, k: Int,
+                                   maxRounds: Int = 40): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_mb_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val batch = batch0.select(col("u"), col("v")).distinct().persist()
+    try {
+      val edgesPath = s"$statePath/edges"
+      val distPath = s"$statePath/dist"
+      val srcsPath = s"$statePath/srcs"
+      batch.write.mode("overwrite").parquet(s"$edgesPath/batch=$batchId")
+      def bidir(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(df.select(col("v").as("a"), col("u").as("b")))
+      var und: org.apache.spark.sql.DataFrame = null
+      def adj() = {
+        if (und == null) {
+          MaintIO.edgeStoreReads.incrementAndGet()
+          und = bidir(spark.read.parquet(edgesPath).select(col("u"), col("v"))
+            .distinct()).localCheckpoint(true)
+        }
+        und
+      }
+      // source ELECTION from the persisted top-k plus this batch
+      val oldSrcs: Seq[Long] =
+        if (hasVisibleData(spark, srcsPath))
+          spark.read.parquet(srcsPath).select(col("s")).as[Long].collect().toSeq
+        else Seq.empty
+      val batchTopK = batch.select(col("u").as("s"))
+        .unionAll(batch.select(col("v").as("s"))).distinct()
+        .orderBy(col("s")).limit(k).as[Long].collect().toSeq
+      val srcs = (oldSrcs ++ batchTopK).distinct.sorted.take(k)
+      // lazily-loaded, bucket-pruned claim state (the relaxBatch shape)
+      val distStoreExists = hasVisibleData(spark, distPath)
+      val loaded = scala.collection.mutable.Set.empty[Long]
+      var dist = Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist")
+      var distCp: org.apache.spark.sql.DataFrame = null
+      def ensureLoaded(buckets: Seq[Long]): Unit = {
+        val need = buckets.filterNot(loaded)
+        if (need.nonEmpty) {
+          if (distStoreExists) {
+            MaintIO.distBucketReads.addAndGet(need.size.toLong)
+            val add = spark.read.parquet(distPath)
+              .filter(col("db").isin(need: _*))
+              .groupBy("src", "node").agg(min("dist").as("dist"))
+            val superseded = distCp
+            dist = dist.unionAll(add).localCheckpoint(true)
+            distCp = dist
+            if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          }
+          loaded ++= need
+        }
+      }
+      def bucketsOf(nodes: org.apache.spark.sql.DataFrame): Seq[Long] =
+        nodes.select(distBucketCol(col("node")).as("db")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      // tracking prunes only while some bucket is still unloaded
+      // (see relaxBatch)
+      def trackingNeeded: Boolean =
+        distStoreExists && loaded.size < DistBuckets
+      ensureLoaded(bucketsOf(batch.select(col("u").as("node"))
+        .unionAll(batch.select(col("v").as("node")))
+        .unionAll(srcs.toDF("node"))))
+      val seeded = dist.filter(col("node") === col("src"))
+        .select(col("src")).as[Long].collect().toSet
+      val newSeeds = srcs.filterNot(seeded)
+        .map(s => (s, s, 0L)).toDF("src", "node", "dist")
+      val hop = dist.join(bidir(batch), col("node") === col("a"))
+        .select(col("src"), col("b").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy("src", "node").agg(min("dist").as("dist"))
+      var cand = newSeeds.unionByName(hop)
+      var candCp: org.apache.spark.sql.DataFrame = null
+      val claimParts = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      var round = 0
+      var continue = true
+      while (continue && round <= maxRounds) {
+        val candEval = if (trackingNeeded) {
+          val prevCand = candCp
+          candCp = cand.localCheckpoint(true)
+          if (prevCand != null) graft.operators.Checkpoints.free(prevCand)
+          ensureLoaded(bucketsOf(candCp.select("node")))
+          candCp
+        } else cand
+        val improved = candEval
+          .join(dist.withColumnRenamed("dist", "old"), Seq("src", "node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("src", "node", "dist")
+          .localCheckpoint(true)
+        if (improved.isEmpty) {
+          graft.operators.Checkpoints.free(improved)
+          continue = false
+        } else {
+          claimParts += improved
+          val superseded = distCp
+          dist = dist.join(improved, Seq("src", "node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+          distCp = dist
+          if (superseded != null) graft.operators.Checkpoints.free(superseded)
+          cand = improved.join(adj(), col("node") === col("a"))
+            .select(col("src"), col("b").as("node"), (col("dist") + 1L).as("dist"))
+            .groupBy("src", "node").agg(min("dist").as("dist"))
+          round += 1
+        }
+      }
+      if (continue) {
+        val lastCand = cand.localCheckpoint(true)
+        if (trackingNeeded) ensureLoaded(bucketsOf(lastCand.select("node")))
+        val leftover = lastCand
+          .join(dist.withColumnRenamed("dist", "old"), Seq("src", "node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .limit(1).count()
+        graft.operators.Checkpoints.free(lastCand)
+        if (leftover > 0) throw new IllegalStateException(
+          s"multiBfsBatch: maxRounds=$maxRounds exhausted before fixpoint " +
+            s"in batch $batchId — raise maxRounds")
+      }
+      if (claimParts.nonEmpty) {
+        claimParts.reduce(_ unionAll _)
+          .withColumn("db", distBucketCol(col("node")))
+          .repartition(col("db"))
+          .write.mode("append").partitionBy("db").parquet(distPath)
+      }
+      srcs.toDF("s").coalesce(1).write.mode("overwrite").parquet(srcsPath)
+      claimParts.foreach(graft.operators.Checkpoints.free)
+      if (candCp != null) graft.operators.Checkpoints.free(candCp)
+      if (und != null) graft.operators.Checkpoints.free(und)
+      if (distCp != null) graft.operators.Checkpoints.free(distCp)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Resolve the maintained multi-source claims: min per (src, node),
+    * filtered to the CURRENT k smallest node ids of the maintained
+    * graph (the persisted election — stale sources' claims stay
+    * stored until [[multiBfsStateCompact]], never surface). */
+  def multiBfsResolve(spark: SparkSession, statePath: String,
+                      k: Int): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/dist") ||
+        !hasVisibleData(spark, s"$statePath/srcs")) {
+      return Seq.empty[(Long, Long, Long)].toDF("src", "node", "dist")
+    }
+    val srcs = spark.read.parquet(s"$statePath/srcs")
+      .select(col("s")).as[Long].collect().toSeq.sorted.take(k)
+    spark.read.parquet(s"$statePath/dist")
+      .groupBy("src", "node").agg(min("dist").as("dist"))
+      .filter(col("src").isin(srcs: _*))
+  }
+
+  /** Compact a [[multiBfsBatch]] claim store: fold claims to their
+    * min per (src, node) and DROP claims from sources no longer in
+    * the election — safe because the node set only grows, so a
+    * source that fell out of the top-k can never re-enter it.
+    * Markers survive; resolution before and after is identical. */
+  def multiBfsStateCompact(spark: SparkSession, statePath: String): Unit = {
+    import spark.implicits._
+    val distPath = s"$statePath/dist"
+    val srcsPath = s"$statePath/srcs"
+    if (!hasVisibleData(spark, distPath)) return
+    val folded0 = spark.read.parquet(distPath)
+      .groupBy("src", "node").agg(min("dist").as("dist"))
+    val folded = (
+      if (hasVisibleData(spark, srcsPath)) {
+        val srcs = spark.read.parquet(srcsPath)
+          .select(col("s")).as[Long].collect().toSeq
+        folded0.filter(col("src").isin(srcs: _*))
+      } else folded0)
+      .withColumn("db", distBucketCol(col("node")))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    folded.repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(distPath)
+    graft.operators.Checkpoints.free(folded)
+  }
+}

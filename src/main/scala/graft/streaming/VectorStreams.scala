@@ -25,7 +25,7 @@ import graft.operators.Similarity
   * plus one partitioned append — no maintained-state read at all on
   * the ingest path (cells never change under a fixed quantizer; the
   * refresh path below owns re-mapping). Replayed batchIds skip via
-  * commit markers ([[EventStreams.scd2MergeBatch]]'s pattern).
+  * commit markers ([[IngestStreams.scd2MergeBatch]]'s pattern).
   * Vector ids are assumed upstream-deduplicated (the 37b exact-dedup
   * contract — this operator maintains geometry, not identity).
   *

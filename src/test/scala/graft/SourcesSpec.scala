@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Sources
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, GraphStreams, IngestStreams}
 
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
@@ -58,14 +58,14 @@ class SourcesSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("skip.txt"), "not media")
     val base = Files.createTempDirectory("graft-media-state-").toString
     val stream1 = Sources.readBinaryCorpusStream(spark, dir.toString, "*.bin")
-    EventStreams.mediaPhashIngest(stream1, s"$base/state", s"$base/ckpt")
+    IngestStreams.mediaPhashIngest(stream1, s"$base/state", s"$base/ckpt")
     // wave 2 lands later; a NEW checkpoint dir would reprocess, the
     // same one resumes — use the same (continuous-ingest semantics)
     Files.write(dir.resolve("m1copy.bin"), p1)
     Files.write(dir.resolve("m3.bin"), p3)
     val stream2 = Sources.readBinaryCorpusStream(spark, dir.toString, "*.bin")
-    EventStreams.mediaPhashIngest(stream2, s"$base/state", s"$base/ckpt")
-    val resolved = EventStreams.phashResolve(spark, s"$base/state").collect()
+    IngestStreams.mediaPhashIngest(stream2, s"$base/state", s"$base/ckpt")
+    val resolved = IngestStreams.phashResolve(spark, s"$base/state").collect()
       .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_near"))).toMap
     def id(name: String): Long =
       spark.range(1).select(org.apache.spark.sql.functions.xxhash64(

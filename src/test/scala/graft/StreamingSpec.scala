@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, GraphStreams, IngestStreams}
 
 /** §2.7: streaming results must agree with their batch twins on a
   * finite source.
@@ -263,13 +263,13 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-ingest-").toString
     val out = s"$base/events_by_hour"
-    EventStreams.ingestPartitioned(spark, sf, out, s"$base/ckpt1")
+    IngestStreams.ingestPartitioned(spark, sf, out, s"$base/ckpt1")
     val once = spark.read.parquet(out).count()
     assert(once == Tables.events(spark, sf).count())
     // replay the whole source with a FRESH checkpoint (manifest lost /
     // backfill re-run): dynamic overwrite rewrites the same hour
     // partitions, so the row count must be unchanged
-    EventStreams.ingestPartitioned(spark, sf, out, s"$base/ckpt2")
+    IngestStreams.ingestPartitioned(spark, sf, out, s"$base/ckpt2")
     assert(spark.read.parquet(out).count() == once, "replay duplicated rows")
     // and the partition layout is the event-hour directories
     assert(spark.read.parquet(out).select("event_hour").distinct().count() > 1)
@@ -297,7 +297,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$src/$name.parquet"))
     }
-    def runOnce(): Unit = EventStreams.ingestPartitioned(
+    def runOnce(): Unit = IngestStreams.ingestPartitioned(
       spark.readStream.schema(schema).parquet(src), out, ckpt)
     // run 1: hour 10 gets events 1 and 2
     addFile("f1", Seq(
@@ -333,7 +333,7 @@ class StreamingSpec extends AnyFunSuite {
       (6L, 8L, "view", 2.0, ts("2024-01-01 10:30:00")))
       .toDF("event_id", "user_id", "event_type", "value", "ts")
       .coalesce(1).write.mode("append").parquet(src)
-    EventStreams.ingestPartitioned(
+    IngestStreams.ingestPartitioned(
       spark.readStream.schema(schema).parquet(src), out, ckpt)
     val got = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(5L, 6L), s"within-batch duplicate not collapsed: ${got.toSeq}")
@@ -841,7 +841,7 @@ class StreamingSpec extends AnyFunSuite {
       // straggler for u1 older than the open run (valid_from 5000):
       // must be dropped, not rewrite closed history
       ev(1L, 3000L, "z")))
-    EventStreams.scd2Ingest(eventStreamFrom(src), out, ckpt)
+    IngestStreams.scd2Ingest(eventStreamFrom(src), out, ckpt)
     val got = spark.read.parquet(out)
       .select("user_id", "run_id", "state", "valid_from_us", "valid_to_us", "n_obs")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
@@ -864,15 +864,15 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-cc-replay-").toString
     val labels = s"$base/labels"; val merges = s"$base/merges"
-    def resolve() = EventStreams.ccResolve(spark, labels, merges)
+    def resolve() = GraphStreams.ccResolve(spark, labels, merges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // batch 0: components {1,2} and {5,6}
     val b0 = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
-    EventStreams.ccMergeBatch(b0, 0L, labels, merges, 16)
+    GraphStreams.ccMergeBatch(b0, 0L, labels, merges, 16)
     assert(resolve() == Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
     // batch 1: edge 2-5 MERGES them, and a new pair {9,10} arrives
     val b1 = Seq((2L, 5L), (9L, 10L)).toDF("doc_a", "doc_b")
-    EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
+    GraphStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
     val after = resolve()
     // equals batch CC over all edges seen
     val want = graft.operators.Dedup.connectedComponents(
@@ -886,23 +886,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(raw(5L) == 5L && raw(6L) == 5L, s"labels were rewritten: $raw")
     // replayed batchId: no duplicate labels, no duplicate merges
-    EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
+    GraphStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
     assert(resolve() == after, "replayed batch changed the resolved table")
     assert(spark.read.parquet(labels).count() == 6L, "replay appended duplicate labels")
     // compaction: labels rewritten to current roots, merge log
     // truncated, resolution unchanged
-    EventStreams.ccCompact(spark, labels, merges, 16)
+    GraphStreams.ccCompact(spark, labels, merges, 16)
     assert(resolve() == after, "compaction changed the resolved table")
     val compacted = spark.read.parquet(labels)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(compacted(5L) == 1L && compacted(6L) == 1L,
       s"compaction must bake merges into labels: $compacted")
     // commit markers survived truncation: the replayed batch is STILL a no-op
-    EventStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
+    GraphStreams.ccMergeBatch(b1, 1L, labels, merges, 16)
     assert(resolve() == after && spark.read.parquet(labels).count() == 6L,
       "post-compaction replay must still skip")
     // and the log restarts cleanly: a genuinely new merge applies
-    EventStreams.ccMergeBatch(Seq((6L, 9L)).toDF("doc_a", "doc_b"), 2L, labels, merges, 16)
+    GraphStreams.ccMergeBatch(Seq((6L, 9L)).toDF("doc_a", "doc_b"), 2L, labels, merges, 16)
     assert(resolve() == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 1L), (10L, 1L)),
       s"post-compaction merge drifted: ${resolve()}")
   }
@@ -912,7 +912,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
-    val streamed = asMap(EventStreams.streamedPhashDedup(spark, sf).collect())
+    val streamed = asMap(IngestStreams.streamedPhashDedup(spark, sf).collect())
     val batch = asMap(graft.operators.Multimodal
       .phashSummary(Tables.documents(spark, sf)).collect())
     assert(streamed == batch)
@@ -924,13 +924,13 @@ class StreamingSpec extends AnyFunSuite {
     val b0 = Seq((2L, "abcdef", "web"), (4L, "zzzzzzzzqqqq", "web"))
       .toDF("doc_id", "text", "source")
     val b1 = Seq((11L, "fedcba", "web")).toDF("doc_id", "text", "source")
-    EventStreams.phashBatch(b0, 0L, state, 16)
-    EventStreams.phashBatch(b1, 1L, state, 16)
-    val res = EventStreams.phashResolve(spark, state).collect()
+    IngestStreams.phashBatch(b0, 0L, state, 16)
+    IngestStreams.phashBatch(b1, 1L, state, 16)
+    val res = IngestStreams.phashResolve(spark, state).collect()
       .map(r => r.getLong(0) -> r.getLong(5)).toMap
     assert(res(2L) === 1L && res(11L) === 1L, s"cross-batch permutation pair missed: $res")
     val nPairs = spark.read.parquet(s"$state/pairs").count()
-    EventStreams.phashBatch(b1, 1L, state, 16)
+    IngestStreams.phashBatch(b1, 1L, state, 16)
     assert(spark.read.parquet(s"$state/pairs").count() == nPairs,
       "replay appended duplicate pairs")
   }
@@ -942,7 +942,7 @@ class StreamingSpec extends AnyFunSuite {
       rows.map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // full-fixture parity with the batch audit (shared oracle claim)
-    val streamed = asMap(EventStreams.streamedQualityAudit(spark, sf).collect())
+    val streamed = asMap(IngestStreams.streamedQualityAudit(spark, sf).collect())
     val batch = asMap(graft.operators.Pipeline
       .qualityDedupAudit(Tables.documents(spark, sf)).collect())
     assert(streamed == batch)
@@ -954,16 +954,16 @@ class StreamingSpec extends AnyFunSuite {
     val state = java.nio.file.Files.createTempDirectory("graft-qa-replay-").toString + "/state"
     val b0 = Seq((2L, good, "web"), (3L, "too short", "web")).toDF("doc_id", "text", "source")
     val b1 = Seq((11L, good, "web"), (12L, good + " extra", "web")).toDF("doc_id", "text", "source")
-    EventStreams.qualityAuditBatch(b0, 0L, state, 16)
-    val after0 = asMap(EventStreams.qualityAuditResolve(spark, state).collect())
+    IngestStreams.qualityAuditBatch(b0, 0L, state, 16)
+    val after0 = asMap(IngestStreams.qualityAuditResolve(spark, state).collect())
     assert(after0("web") === ((2L, 1L, 1L, 20L)))
-    EventStreams.qualityAuditBatch(b1, 1L, state, 16)
-    val after1 = asMap(EventStreams.qualityAuditResolve(spark, state).collect())
+    IngestStreams.qualityAuditBatch(b1, 1L, state, 16)
+    val after1 = asMap(IngestStreams.qualityAuditResolve(spark, state).collect())
     // doc 11: kept but a cross-batch dup; doc 12: kept and unique
     assert(after1("web") === ((4L, 3L, 2L, 41L)))
     // replay: no state or count drift
-    EventStreams.qualityAuditBatch(b1, 1L, state, 16)
-    assert(asMap(EventStreams.qualityAuditResolve(spark, state).collect()) == after1)
+    IngestStreams.qualityAuditBatch(b1, 1L, state, 16)
+    assert(asMap(IngestStreams.qualityAuditResolve(spark, state).collect()) == after1)
     // crash-window retry: state writes landed but the commit marker
     // did NOT — delete batch 1's marker and re-run. The per-batch
     // counts overwrite must not double-count and the batch_id-tagged
@@ -971,8 +971,8 @@ class StreamingSpec extends AnyFunSuite {
     val markerPath = new org.apache.hadoop.fs.Path(s"$state/_qa_commits/1")
     val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(mfs.delete(markerPath, false), "expected batch 1 marker to exist")
-    EventStreams.qualityAuditBatch(b1, 1L, state, 16)
-    assert(asMap(EventStreams.qualityAuditResolve(spark, state).collect()) == after1,
+    IngestStreams.qualityAuditBatch(b1, 1L, state, 16)
+    assert(asMap(IngestStreams.qualityAuditResolve(spark, state).collect()) == after1,
       "crash-window retry drifted the audit counts")
   }
 
@@ -981,7 +981,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val streamed = asMap(EventStreams.streamedCdcDedup(spark, sf).collect())
+    val streamed = asMap(IngestStreams.streamedCdcDedup(spark, sf).collect())
     val batch = asMap(graft.operators.Dedup.cdcDedup(
       Tables.documents(spark, sf)).collect())
     assert(streamed == batch && streamed.nonEmpty)
@@ -991,21 +991,21 @@ class StreamingSpec extends AnyFunSuite {
     val blk = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
     val other = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
     val state = java.nio.file.Files.createTempDirectory("graft-cdc-replay-").toString + "/state"
-    EventStreams.cdcDedupBatch(Seq((1L, blk)).toDF("doc_id", "text"), 0L, state)
-    assert(EventStreams.cdcDedupResolve(spark, state).count() == 0L,
+    IngestStreams.cdcDedupBatch(Seq((1L, blk)).toDF("doc_id", "text"), 0L, state)
+    assert(IngestStreams.cdcDedupResolve(spark, state).count() == 0L,
       "single copies must not account as duplicated")
-    EventStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
-    val after = asMap(EventStreams.cdcDedupResolve(spark, state).collect())
+    IngestStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
+    val after = asMap(IngestStreams.cdcDedupResolve(spark, state).collect())
     assert(after.nonEmpty && after.values.forall(v => v._1 == 1L && v._2 == 2L),
       s"cross-batch duplicate blocks must resolve to (survivor 1, copies 2): $after")
     // replay + crash-window retry
-    EventStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
-    assert(asMap(EventStreams.cdcDedupResolve(spark, state).collect()) == after)
+    IngestStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
+    assert(asMap(IngestStreams.cdcDedupResolve(spark, state).collect()) == after)
     val marker = new org.apache.hadoop.fs.Path(s"$state/_cdc_commits/1")
     val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(mfs.delete(marker, false))
-    EventStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
-    assert(asMap(EventStreams.cdcDedupResolve(spark, state).collect()) == after,
+    IngestStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
+    assert(asMap(IngestStreams.cdcDedupResolve(spark, state).collect()) == after,
       "crash-window retry drifted the chunk store")
   }
 
@@ -1015,8 +1015,8 @@ class StreamingSpec extends AnyFunSuite {
     val state = java.nio.file.Files.createTempDirectory("graft-mbfs-replay-").toString + "/state"
     // batch 0: a path among LARGE ids (sources elected: 10, 11, 12)
     val b0 = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("u", "v")
-    EventStreams.multiBfsBatch(b0, 0L, state, 3)
-    val r0 = EventStreams.multiBfsResolve(spark, state, 3).collect()
+    GraphStreams.multiBfsBatch(b0, 0L, state, 3)
+    val r0 = GraphStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(r0.keySet.map(_._1) == Set(10L, 11L, 12L), s"initial sources wrong: $r0")
     // batch 1: smaller ids 1-2 attach to the path at 10 — the top-3
@@ -1024,8 +1024,8 @@ class StreamingSpec extends AnyFunSuite {
     // the WHOLE maintained graph, and 11/12's stale claims must not
     // surface
     val b1 = Seq((1L, 2L), (2L, 10L)).toDF("u", "v")
-    EventStreams.multiBfsBatch(b1, 1L, state, 3)
-    val r1 = EventStreams.multiBfsResolve(spark, state, 3).collect()
+    GraphStreams.multiBfsBatch(b1, 1L, state, 3)
+    val r1 = GraphStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(r1.keySet.map(_._1) == Set(1L, 2L, 10L), s"re-election failed: $r1")
     // full distances from the late source 1 across the old region
@@ -1038,16 +1038,16 @@ class StreamingSpec extends AnyFunSuite {
     val streamHist = r1.toSeq.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
     assert(streamHist == batchHist, s"histogram drifted: $streamHist vs $batchHist")
     // replay: marker short-circuits, nothing drifts
-    EventStreams.multiBfsBatch(b1, 1L, state, 3)
-    assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
+    GraphStreams.multiBfsBatch(b1, 1L, state, 3)
+    assert(GraphStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
     // a distance-neutral batch (re-delivered known edge, no new
     // source) must NOT scan the maintained edge store, and reads
     // only its endpoints' + sources' dist buckets
     val er0 = graft.streaming.MaintIO.edgeStoreReads.get()
     val db0 = graft.streaming.MaintIO.distBucketReads.get()
-    EventStreams.multiBfsBatch(Seq((11L, 12L)).toDF("u", "v"), 2L, state, 3)
-    assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
+    GraphStreams.multiBfsBatch(Seq((11L, 12L)).toDF("u", "v"), 2L, state, 3)
+    assert(GraphStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
     assert(graft.streaming.MaintIO.edgeStoreReads.get() == er0,
       "distance-neutral batch scanned the maintained edge store")
@@ -1056,8 +1056,8 @@ class StreamingSpec extends AnyFunSuite {
     // compaction: stale sources' (11, 12) claims drop, resolve is
     // bit-identical, markers survive replay
     val rawClaims = spark.read.parquet(s"$state/dist").count()
-    EventStreams.multiBfsStateCompact(spark, state)
-    val afterCompact = EventStreams.multiBfsResolve(spark, state, 3).collect()
+    GraphStreams.multiBfsStateCompact(spark, state)
+    val afterCompact = GraphStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(afterCompact == r1, "compaction changed the resolve")
     val compClaims = spark.read.parquet(s"$state/dist").count()
@@ -1066,8 +1066,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$state/dist")
         .select("src").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L),
       "stale-source claims survived compaction")
-    EventStreams.multiBfsBatch(b1, 1L, state, 3)
-    assert(EventStreams.multiBfsResolve(spark, state, 3).collect()
+    GraphStreams.multiBfsBatch(b1, 1L, state, 3)
+    assert(GraphStreams.multiBfsResolve(spark, state, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == r1)
   }
 
@@ -1076,7 +1076,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
-    val streamed = asMap(EventStreams.streamedQualityClassify(spark, sf)
+    val streamed = asMap(IngestStreams.streamedQualityClassify(spark, sf)
       .select("doc_id", "n_feats", "logit", "keep").collect())
     val batch = asMap(graft.operators.TextAnalysis.qualityClassify(
       Tables.documents(spark, sf)).collect())
@@ -1084,14 +1084,14 @@ class StreamingSpec extends AnyFunSuite {
     // crash-window retry on a hand-driven batch
     val state = java.nio.file.Files.createTempDirectory("graft-clf-replay-").toString + "/state"
     val b = Seq((1L, "join merge window stream"), (2L, "a the a the")).toDF("doc_id", "text")
-    EventStreams.qualityClassifyBatch(b, 0L, state)
+    IngestStreams.qualityClassifyBatch(b, 0L, state)
     val after = spark.read.parquet(s"$state/scored").count()
-    EventStreams.qualityClassifyBatch(b, 0L, state) // full replay: marker no-op
+    IngestStreams.qualityClassifyBatch(b, 0L, state) // full replay: marker no-op
     assert(spark.read.parquet(s"$state/scored").count() == after)
     val marker = new org.apache.hadoop.fs.Path(s"$state/_clf_commits/0")
     val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(mfs.delete(marker, false))
-    EventStreams.qualityClassifyBatch(b, 0L, state) // retry: overwrite, no dup rows
+    IngestStreams.qualityClassifyBatch(b, 0L, state) // retry: overwrite, no dup rows
     assert(spark.read.parquet(s"$state/scored").count() == after,
       "crash-window retry duplicated scored rows")
   }
@@ -1102,7 +1102,7 @@ class StreamingSpec extends AnyFunSuite {
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // full-fixture parity with the batch operator (shared oracle)
-    val streamed = asMap(EventStreams.streamedUrlDedup(spark, sf).collect())
+    val streamed = asMap(IngestStreams.streamedUrlDedup(spark, sf).collect())
     val batch = asMap(graft.operators.Dedup.urlDedup(
       graft.operators.Dedup.syntheticUrls(Tables.documents(spark, sf))).collect())
     assert(streamed == batch && streamed.nonEmpty)
@@ -1114,23 +1114,23 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "url")
     val b1 = Seq((2L, "HTTP://Example.COM/p/?a=1&utm_x=1"), (3L, "http://example.com/p?a=2"))
       .toDF("doc_id", "url")
-    EventStreams.urlDedupBatch(b0, 0L, state, 16)
-    EventStreams.urlDedupBatch(b1, 1L, state, 16)
-    val after = asMap(EventStreams.urlDedupResolve(spark, state).collect())
+    IngestStreams.urlDedupBatch(b0, 0L, state, 16)
+    IngestStreams.urlDedupBatch(b1, 1L, state, 16)
+    val after = asMap(IngestStreams.urlDedupResolve(spark, state).collect())
     assert(after == Map(
       "http://example.com/p?a=1" -> ((2L, 2L)),
       "http://example.com/p?a=2" -> ((3L, 1L)),
       "http://other.com/q" -> ((11L, 1L))), s"got $after")
     // full replay: marker short-circuits
-    EventStreams.urlDedupBatch(b1, 1L, state, 16)
-    assert(asMap(EventStreams.urlDedupResolve(spark, state).collect()) == after)
+    IngestStreams.urlDedupBatch(b1, 1L, state, 16)
+    assert(asMap(IngestStreams.urlDedupResolve(spark, state).collect()) == after)
     // crash-window retry: state written, marker missing — the
     // per-batch overwrite must not double-count
     val marker = new org.apache.hadoop.fs.Path(s"$state/_url_commits/1")
     val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(mfs.delete(marker, false))
-    EventStreams.urlDedupBatch(b1, 1L, state, 16)
-    assert(asMap(EventStreams.urlDedupResolve(spark, state).collect()) == after,
+    IngestStreams.urlDedupBatch(b1, 1L, state, 16)
+    assert(asMap(IngestStreams.urlDedupResolve(spark, state).collect()) == after,
       "crash-window retry drifted the url dedup table")
   }
 
@@ -1170,16 +1170,16 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-bfs-replay-").toString
     val state = s"$base/state"
-    def resolve() = EventStreams.bfsResolve(spark, state)
+    def resolve() = GraphStreams.bfsResolve(spark, state)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // batch 0: chain 1-2-3-4 (seed 1)
     val b0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
-    EventStreams.bfsBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.bfsBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
     assert(resolve() == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
     // batch 1: a SHORTCUT 1-4 (must improve 4 from 3 to 1) and a new
     // region 4-5-6 reached through it (dynamic-BFS wave travels on)
     val b1 = Seq((1L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
-    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     val after = resolve()
     val want = graft.operators.Graph.bfsHopsFrom(b0.unionByName(b1), 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1193,19 +1193,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(claims == Set(3L, 1L), s"expected both claims for node 4, got $claims")
     // replayed batchId: a no-op for state AND claims
     val nClaims = spark.read.parquet(s"$state/dist").count()
-    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     assert(resolve() == after, "replayed batch changed resolved distances")
     assert(spark.read.parquet(s"$state/dist").count() == nClaims,
       "replay appended duplicate claims")
     // a batch entirely inside settled territory adds no claims…
-    EventStreams.bfsBatch(Seq((2L, 3L)).toDF("u", "v"), 2L, state, 1L, 30)
+    GraphStreams.bfsBatch(Seq((2L, 3L)).toDF("u", "v"), 2L, state, 1L, 30)
     assert(resolve() == after)
     // …and, per the maintenance family's scale contract, a
     // distance-neutral batch NEVER scans the maintained edge store
     // and loads only its own endpoints' (+ seed's) dist buckets
     val er0 = graft.streaming.MaintIO.edgeStoreReads.get()
     val db0 = graft.streaming.MaintIO.distBucketReads.get()
-    EventStreams.bfsBatch(Seq((3L, 4L)).toDF("u", "v"), 3L, state, 1L, 30)
+    GraphStreams.bfsBatch(Seq((3L, 4L)).toDF("u", "v"), 3L, state, 1L, 30)
     assert(resolve() == after)
     assert(graft.streaming.MaintIO.edgeStoreReads.get() == er0,
       "distance-neutral batch scanned the maintained edge store")
@@ -1217,24 +1217,24 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-bfs-compact-").toString
     val state = s"$base/state"
-    def resolve() = EventStreams.bfsResolve(spark, state)
+    def resolve() = GraphStreams.bfsResolve(spark, state)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
     val b1 = Seq((1L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
-    EventStreams.bfsBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
-    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.bfsBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     val before = resolve()
     val rawClaims = spark.read.parquet(s"$state/dist").count()
     assert(rawClaims > before.size, "fixture should carry superseded claims")
-    EventStreams.bfsStateCompact(spark, state)
+    GraphStreams.bfsStateCompact(spark, state)
     assert(resolve() == before, "compaction changed resolved distances")
     assert(spark.read.parquet(s"$state/dist").count() == before.size,
       "compaction left more than one claim per node")
     // replayed committed batch still short-circuits (markers survive)
-    EventStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     assert(resolve() == before)
     // a post-compaction shortcut batch relaxes against compacted state
-    EventStreams.bfsBatch(Seq((1L, 6L)).toDF("u", "v"), 2L, state, 1L, 30)
+    GraphStreams.bfsBatch(Seq((1L, 6L)).toDF("u", "v"), 2L, state, 1L, 30)
     val want = graft.operators.Graph.bfsHopsFrom(
         b0.unionByName(b1).unionByName(Seq((1L, 6L)).toDF("u", "v")), 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1245,17 +1245,17 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sssp-replay-").toString
     val state = s"$base/state"
-    def resolve() = EventStreams.bfsResolve(spark, state)
+    def resolve() = GraphStreams.bfsResolve(spark, state)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // batch 0: chain 1-2-3-4 with heavy weights
     val b0 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L)).toDF("u", "v", "w")
-    EventStreams.ssspBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.ssspBatch(b0, 0L, state, seed = 1L, maxRounds = 30)
     assert(resolve() == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 30L))
     // batch 1: cheap shortcut 1-3 (w=2) must improve node 3 (settled
     // at 20) AND re-relax node 4 through it — the weighted case BFS
     // never has (a settled node improving)
     val b1 = Seq((1L, 3L, 2L)).toDF("u", "v", "w")
-    EventStreams.ssspBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.ssspBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     val after = resolve()
     assert(after == Map(1L -> 0L, 2L -> 10L, 3L -> 2L, 4L -> 12L), s"got $after")
     val want = graft.operators.Graph.sssp(
@@ -1263,12 +1263,12 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after == want)
     val nClaims = spark.read.parquet(s"$state/dist").count()
-    EventStreams.ssspBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
+    GraphStreams.ssspBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     assert(resolve() == after && spark.read.parquet(s"$state/dist").count() == nClaims)
   }
 
   test("streamedSssp two-batch ingest == batch sssp over the weighted co-purchase graph") {
-    val streamed = EventStreams.streamedSssp(spark, sf)
+    val streamed = GraphStreams.streamedSssp(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = graft.operators.Graph.sssp(
         graft.operators.Graph.coPurchaseWeightedEdges(Tables.lineitem(spark, sf)))
@@ -1278,7 +1278,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streamedBfs two-batch ingest == batch bfsHops over the co-purchase graph") {
-    val streamed = EventStreams.streamedBfs(spark, sf)
+    val streamed = GraphStreams.streamedBfs(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = graft.operators.Graph.bfsHops(
         graft.operators.Graph.coPurchaseEdges(Tables.lineitem(spark, sf)))
@@ -1302,7 +1302,7 @@ class StreamingSpec extends AnyFunSuite {
     Seq((42L, depth.toLong + 1L, 10L), (7L, 1L, 7L))
       .toDF("doc_id", "component_id", "bucket")
       .write.partitionBy("bucket").parquet(labels)
-    val resolved = EventStreams.ccResolve(spark, labels, merges)
+    val resolved = GraphStreams.ccResolve(spark, labels, merges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(resolved == Map(42L -> 1L, 7L -> 1L),
       s"deep merge chain must close to the root: $resolved")
@@ -1319,8 +1319,8 @@ class StreamingSpec extends AnyFunSuite {
     // find() recurses to chain depth; must neither crash nor drift
     val edges = spark.range(1L, n)
       .select((lit(n) - col("id")).as("doc_a"), (lit(n) - col("id") + lit(1L)).as("doc_b"))
-    EventStreams.ccMergeBatch(edges.toDF(), 0L, labels, merges, 16)
-    val resolved = EventStreams.ccResolve(spark, labels, merges)
+    GraphStreams.ccMergeBatch(edges.toDF(), 0L, labels, merges, 16)
+    val resolved = GraphStreams.ccResolve(spark, labels, merges)
     assert(resolved.count() == n, "every chain node must be labeled")
     assert(resolved.select(countDistinct(col("component_id"))).head().getLong(0) == 1L,
       "a connected chain must resolve to one component")
@@ -1370,7 +1370,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
     // the end-to-end entry: the corpus drains through TWO micro-batches
-    val got = EventStreams.streamedNearDedup(spark, sf)
+    val got = IngestStreams.streamedNearDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val want = Dedup.minhashLsh(docs, 3, 32, 8, 0.5)
@@ -1383,25 +1383,25 @@ class StreamingSpec extends AnyFunSuite {
     val st = s"$base/state"
     val b0 = docs.filter(col("doc_id") % 2 === 0)
     val b1 = docs.filter(col("doc_id") % 2 =!= 0)
-    EventStreams.nearDedupBatch(b0, 0L, st, 3, 32, 8, 0.5, 16)
-    EventStreams.nearDedupBatch(b1, 1L, st, 3, 32, 8, 0.5, 16)
-    def pairs() = EventStreams.nearDedupPairs(spark, st)
+    IngestStreams.nearDedupBatch(b0, 0L, st, 3, 32, 8, 0.5, 16)
+    IngestStreams.nearDedupBatch(b1, 1L, st, 3, 32, 8, 0.5, 16)
+    def pairs() = IngestStreams.nearDedupPairs(spark, st)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val after = pairs()
     assert(after == want, "hand-driven two-batch run must match batch too")
     val nPairRows = spark.read.parquet(s"$st/pairs").count()
     // replayed batchId: commit marker makes it a no-op
-    EventStreams.nearDedupBatch(b1, 1L, st, 3, 32, 8, 0.5, 16)
+    IngestStreams.nearDedupBatch(b1, 1L, st, 3, 32, 8, 0.5, 16)
     assert(pairs() == after && spark.read.parquet(s"$st/pairs").count() == nPairRows,
       "replayed batch must not re-append pairs")
     // re-delivered CONTENT under a new batchId: already-maintained
     // docs are skipped, so nothing new is found either
-    EventStreams.nearDedupBatch(b1, 2L, st, 3, 32, 8, 0.5, 16)
+    IngestStreams.nearDedupBatch(b1, 2L, st, 3, 32, 8, 0.5, 16)
     assert(spark.read.parquet(s"$st/pairs").count() == nPairRows,
       "re-delivered docs must be no-ops")
     // the verified edges fed incremental CC: resolved components ==
     // batch CC over the batch pair set
-    val gotCc = EventStreams.ccResolve(spark, s"$st/labels", s"$st/merges")
+    val gotCc = GraphStreams.ccResolve(spark, s"$st/labels", s"$st/merges")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wantCc = Dedup.connectedComponents(
         Dedup.minhashLsh(docs, 3, 32, 8, 0.5).select(col("doc_a"), col("doc_b")))
@@ -1424,8 +1424,8 @@ class StreamingSpec extends AnyFunSuite {
       (1L, s"u1a u1b u1c $para v1a v1b"),
       (2L, s"$para w2a w2b w2c w2d"),
       (3L, "nothing here repeats in any way at all today friends"))
-    EventStreams.spanDedupBatch(b0, 0L, st, 8, 16)
-    def spans() = EventStreams.spanDedupSpans(spark, st)
+    IngestStreams.spanDedupBatch(b0, 0L, st, 8, 16)
+    def spans() = IngestStreams.spanDedupSpans(spark, st)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val afterB0 = spans()
     assert(afterB0 == Set((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L)),
@@ -1436,23 +1436,23 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = docsDf(
       (4L, s"$para x4a x4b x4c"),
       (5L, s"y5a y5b $fresh"))
-    EventStreams.spanDedupBatch(b1, 1L, st, 8, 16)
+    IngestStreams.spanDedupBatch(b1, 1L, st, 8, 16)
     val afterB1 = spans()
     assert(afterB1.contains((4L, 1L, 10L, 10L)), "later copy must flag against maintained counts")
     assert(!afterB1.exists(_._1 == 5L), "first copy of fresh boilerplate must not flag yet")
     // batch 2: doc 6 copies doc 5's boilerplate — 6 flags, 5 is NEVER
     // retro-flagged (its batch already shipped)
     val b2 = docsDf((6L, s"$fresh z6a z6b z6c"))
-    EventStreams.spanDedupBatch(b2, 2L, st, 8, 16)
+    IngestStreams.spanDedupBatch(b2, 2L, st, 8, 16)
     val afterB2 = spans()
     assert(afterB2.exists(_._1 == 6L), "second copy must flag")
     assert(!afterB2.exists(_._1 == 5L), "append-only: the first copy is never retro-flagged")
     // replayed batchId: commit marker no-op; re-delivered content
     // under a new batchId: seen-docs table makes it a no-op
     val nSpanRows = spark.read.parquet(s"$st/spans").count()
-    EventStreams.spanDedupBatch(b2, 2L, st, 8, 16)
+    IngestStreams.spanDedupBatch(b2, 2L, st, 8, 16)
     assert(spark.read.parquet(s"$st/spans").count() == nSpanRows, "replay must not re-append")
-    EventStreams.spanDedupBatch(b2, 3L, st, 8, 16)
+    IngestStreams.spanDedupBatch(b2, 3L, st, 8, 16)
     assert(spark.read.parquet(s"$st/spans").count() == nSpanRows, "re-delivery must be a no-op")
     // a SINGLE batch holding the whole corpus == the batch operator
     val all = docsDf(
@@ -1461,8 +1461,8 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "nothing here repeats in any way at all today friends"),
       (4L, s"$para x4a x4b x4c"))
     val st2 = s"$base/state2"
-    EventStreams.spanDedupBatch(all, 0L, st2, 8, 16)
-    val gotOne = EventStreams.spanDedupSpans(spark, st2)
+    IngestStreams.spanDedupBatch(all, 0L, st2, 8, 16)
+    val gotOne = IngestStreams.spanDedupSpans(spark, st2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val wantOne = Dedup.duplicatedSpans(all, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -1473,7 +1473,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("shingle").agg(sum("cnt").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val preRows = spark.read.parquet(s"$st/windows").count()
-    EventStreams.spanStateCompact(spark, st)
+    IngestStreams.spanStateCompact(spark, st)
     val postCounts = spark.read.parquet(s"$st/windows")
       .groupBy("shingle").agg(sum("cnt").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1481,14 +1481,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$st/windows").count() < preRows,
       "compaction must merge delta rows")
     val b3 = docsDf((7L, s"$para compacted7a compacted7b"))
-    EventStreams.spanDedupBatch(b3, 4L, st, 8, 16)
+    IngestStreams.spanDedupBatch(b3, 4L, st, 8, 16)
     assert(spans().contains((7L, 1L, 10L, 10L)),
       "a batch after compaction must flag against the merged counts")
     // retro audit: ONLY doc 5 shipped before its duplicate — its two
     // boilerplate windows (positions 3 and 4) are the whole retro
     // surface; every flagged doc's duplicated windows are covered
     val allDocs = b0.unionByName(b1).unionByName(b2).unionByName(b3)
-    val retro = EventStreams.spanRetroAudit(spark, allDocs, st, 8)
+    val retro = IngestStreams.spanRetroAudit(spark, allDocs, st, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(retro === Set((5L, 2L)),
       s"retro audit must flag exactly the shipped-first copy: $retro")
@@ -1532,7 +1532,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     // the end-to-end entry: v_new drains through TWO micro-batches
     // (maxFilesPerTrigger=1 over two shard files)
-    val got = EventStreams.streamedSnapshotDiff(spark, sf)
+    val got = IngestStreams.streamedSnapshotDiff(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val docs = Tables.documents(spark, sf)
     val vOld = docs.filter(col("doc_id") % 41 =!= 0)
@@ -1549,17 +1549,17 @@ class StreamingSpec extends AnyFunSuite {
     // unit-level replay: a re-delivered batchId must not double-count
     val base = java.nio.file.Files.createTempDirectory("graft-snapdiff-replay-").toString
     val tablePath = s"$base/table"; val diffPath = s"$base/diff"
-    EventStreams.writeSnapshotTable(
+    IngestStreams.writeSnapshotTable(
       Seq((1L, "a"), (2L, "b"), (17L, "c")).toDF("doc_id", "text"),
       "doc_id", "text", tablePath, nBuckets = 16)
     val b0 = Seq((1L, "a"), (2L, "CHANGED"), (33L, "new"))
       .toDF("k", "text").select(col("k"), md5(col("text")).as("nh"))
-    EventStreams.snapshotDiffBatch(b0, 0L, tablePath, diffPath, 16)
-    def summary() = EventStreams.snapshotDiffSummary(spark, tablePath, diffPath)
+    IngestStreams.snapshotDiffBatch(b0, 0L, tablePath, diffPath, 16)
+    def summary() = IngestStreams.snapshotDiffSummary(spark, tablePath, diffPath)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val first = summary()
     assert(first == Map("unchanged" -> 1L, "changed" -> 1L, "added" -> 1L, "removed" -> 1L))
-    EventStreams.snapshotDiffBatch(b0, 0L, tablePath, diffPath, 16)
+    IngestStreams.snapshotDiffBatch(b0, 0L, tablePath, diffPath, 16)
     assert(summary() == first, "replayed batchId must not append duplicate status rows")
     // the diff table lands bucket-partitioned (pruned rewrites/reads)
     val dirs = new java.io.File(diffPath).listFiles().map(_.getName).filter(_.startsWith("bucket="))
@@ -1576,16 +1576,16 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     val b0 = Seq((1L, 1L, "a", 1000L), (2L, 1L, "a", 2000L), (3L, 1L, "b", 5000L))
       .toDF("event_id", "user_id", "event_type", "tus")
-    EventStreams.scd2MergeBatch(b0, 0L, out, 16)
+    IngestStreams.scd2MergeBatch(b0, 0L, out, 16)
     val first = snap()
     assert(first.contains((1L, 1L, "a", 1000L, 5000L, 2L)))
     // simulate the foreachBatch at-least-once contract: the engine
     // re-delivers batch 0 after a restart. Without the commit marker
     // this re-fold would double n_obs and split the open run.
-    EventStreams.scd2MergeBatch(b0, 0L, out, 16)
+    IngestStreams.scd2MergeBatch(b0, 0L, out, 16)
     assert(snap() == first, "replayed batchId must not re-fold observations")
     // a genuinely new batch still applies on top
-    EventStreams.scd2MergeBatch(
+    IngestStreams.scd2MergeBatch(
       Seq((4L, 1L, "b", 9000L)).toDF("event_id", "user_id", "event_type", "tus"),
       1L, out, 16)
     assert(snap().contains((1L, 2L, "b", 5000L, Long.MaxValue, 2L)),
