@@ -402,6 +402,7 @@ object SparkEntry {
     // streamed chunk-store maintenance: pure per-batch deltas, order-
     // independent min/sum resolve -- shares dedup_cdc's oracle
     "stream_cdc" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir)),
+    "stream_cdc_min" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir, minLen = 16)),
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
@@ -560,6 +561,17 @@ object SparkEntry {
     // fastText-style hashed n-gram quality classifier: driver-trained
     // micros weights, broadcast weight join, exact integer logits
     "ta_quality_clf" -> ((s, dir) => TextAnalysis.qualityClassify(Tables.documents(s, dir))),
+    // trains the full-batch model DISTRIBUTED (mapPartitions micros
+    // gradients) from the planted corpus each run, then scores; the
+    // oracle embeds the LOCAL full-batch twin's weights, so the hash
+    // compare pins local/distributed trainer bit-equality end-to-end
+    "ta_quality_clf_full" -> ((s, dir) => {
+      import s.implicits._
+      val model = TextAnalysis.qualityClfTrainDistributed(
+        TextAnalysis.clfPlantedCorpus.toDF("text", "label"), 4096)
+      TextAnalysis.qualityClassify(Tables.documents(s, dir),
+        TextAnalysis.clfMicrosArtifact(model, 4096))
+    }),
     // rules-vs-classifier 2x2 agreement matrix: one doc_id join of
     // two per-doc verdicts, one tiny aggregate
     "ta_quality_agreement" -> ((s, dir) => TextAnalysis.qualityAgreement(Tables.documents(s, dir))),
@@ -958,8 +970,8 @@ object SparkEntry {
   /** The classifier scoring pipeline in SQL (weights embedded as a
     * VALUES list from the shipped artifact) — shared verbatim by the
     * batch entry and its stateless streamed face. */
-  private lazy val QualityClfSql: String = {
-      val (cws, cbias, cdim) = graft.operators.TextAnalysis.qualityClfArtifact
+  private def qualityClfSqlFor(artifact: (Seq[(Long, Long)], Long, Int)): String = {
+      val (cws, cbias, cdim) = artifact
       val cvals = cws.map { case (k, wm) => s"($k, $wm)" }.mkString(", ")
       s"""WITH wt(bucket, wm) AS (VALUES $cvals),
          |t AS (SELECT doc_id,
@@ -990,6 +1002,15 @@ object SparkEntry {
          |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
          |FROM l""".stripMargin
   }
+
+  private lazy val QualityClfSql: String =
+    qualityClfSqlFor(graft.operators.TextAnalysis.qualityClfArtifact)
+
+  /** Same scoring SQL under the FULL-BATCH weights — the local
+    * reference artifact; the Spark side trains DISTRIBUTED, so the
+    * hash compare IS the local/distributed bit-equality gate. */
+  private lazy val QualityClfFullSql: String =
+    qualityClfSqlFor(graft.operators.TextAnalysis.qualityClfFullArtifact)
 
   /** Multi-source BFS hop histogram / harmonic centrality in SQL —
     * each shared verbatim by the batch entry and its streamed
@@ -2066,6 +2087,7 @@ object SparkEntry {
     "dedup_cdc_chunks" -> CdcChunksSql,
     "dedup_cdc" -> CdcDedupSql,
     "dedup_cdc_min" -> CdcDedupMinSql,
+    "stream_cdc_min" -> CdcDedupMinSql,
     "stream_cdc" -> CdcDedupSql,
     // the streamed face's maintained deltas resolve to the identical
     // table -- the dedup_url oracle verbatim
@@ -2510,6 +2532,7 @@ object SparkEntry {
     // and re-derives the identical md5 feature buckets, so scoring is
     // hash-exact while training stays a driver-side artifact build.
     "ta_quality_clf" -> QualityClfSql,
+    "ta_quality_clf_full" -> QualityClfFullSql,
     "stream_quality_clf" -> QualityClfSql,
     // the two per-doc verdict pipelines composed: classifier logit
     // CTEs (weights as data) + the gopher integer-rule CTEs, one

@@ -1196,6 +1196,23 @@ object TextAnalysis {
     (ws.map { case (k, v) => (k, micros(v)) }.filter(_._2 != 0L), micros(b), dim)
   }
 
+  /** Micros-quantized deployable form of a trained (weights, bias)
+    * model — the [[qualityClfArtifact]] packaging rule, shared so
+    * every trainer face ships identically. */
+  def clfMicrosArtifact(model: (Seq[(Long, Double)], Double),
+                        dim: Int): (Seq[(Long, Long)], Long, Int) = {
+    def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    (model._1.map { case (k, v) => (k, micros(v)) }.filter(_._2 != 0L),
+      micros(model._2), dim)
+  }
+
+  /** The full-batch model in deployable micros form — the LOCAL
+    * reference the `ta_quality_clf_full` oracle embeds; the driver
+    * query trains DISTRIBUTED from the same planted corpus, so the
+    * hash gate pins local/distributed bit-equality end-to-end. */
+  lazy val qualityClfFullArtifact: (Seq[(Long, Long)], Long, Int) =
+    clfMicrosArtifact(qualityClfTrainFullLocal(clfPlantedCorpus, 4096), 4096)
+
   /** Persist a trained weight table as (bucket, wm, bias, dim)
     * parquet — train once, deploy everywhere. A sentinel row
     * (bucket = -1, wm = 0) always rides along so bias and dim

@@ -124,7 +124,8 @@ object IngestStreams {
     * shard's blocks land as deltas, duplicated-block accounting stays
     * continuously current, nothing is rewritten or rescanned.
     */
-  def streamedCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamedCdcDedup(spark: SparkSession, dir: String,
+                       minLen: Int = 0): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     if (docs.isEmpty) {
@@ -146,7 +147,7 @@ object IngestStreams {
     val state = s"$base/state"
     val q = stream.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        cdcDedupBatch(b, id, state)
+        cdcDedupBatch(b, id, state, minLen)
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -156,16 +157,22 @@ object IngestStreams {
   }
 
   /** One [[streamedCdcDedup]] micro-batch, exposed for the replay
-    * spec. */
+    * spec. minLen > 0 chunks through [[graft.operators.Dedup
+    * .cdcChunksMin]] — the clamp fold is per-DOC local (the kept-
+    * boundary chain never crosses documents), so per-batch chunking
+    * still equals whole-corpus chunking exactly and the min variant
+    * shares `dedup_cdc_min`'s oracle verbatim. */
   private[graft] def cdcDedupBatch(batch0: org.apache.spark.sql.DataFrame,
-                                   batchId: Long, statePath: String): Unit = {
+                                   batchId: Long, statePath: String,
+                                   minLen: Int = 0): Unit = {
     val spark = batch0.sparkSession
     val commitDir = new org.apache.hadoop.fs.Path(statePath, "_cdc_commits")
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
-    graft.operators.Dedup.cdcChunks(
-        batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+    val in = batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+    (if (minLen > 0) graft.operators.Dedup.cdcChunksMin(in, minLen = minLen)
+     else graft.operators.Dedup.cdcChunks(in))
       .groupBy("chunk_md5")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
         min(col("chunk_len")).as("chunk_len"))

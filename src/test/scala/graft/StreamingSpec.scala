@@ -1007,6 +1007,12 @@ class StreamingSpec extends AnyFunSuite {
     IngestStreams.cdcDedupBatch(Seq((2L, blk), (3L, other)).toDF("doc_id", "text"), 1L, state)
     assert(asMap(IngestStreams.cdcDedupResolve(spark, state).collect()) == after,
       "crash-window retry drifted the chunk store")
+    // the min-clamp face: per-doc-local fold means per-batch chunking
+    // still equals whole-corpus chunking — streamed == batch at minLen 16
+    val streamedMin = asMap(IngestStreams.streamedCdcDedup(spark, sf, minLen = 16).collect())
+    val batchMin = asMap(graft.operators.Dedup.cdcDedupMin(
+      Tables.documents(spark, sf)).collect())
+    assert(streamedMin == batchMin && streamedMin.nonEmpty)
   }
 
   test("multiBfsBatch: late smaller ids re-elect the source set; resolves == batch twins; replay is a no-op") {
