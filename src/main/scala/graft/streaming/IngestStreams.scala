@@ -1294,10 +1294,22 @@ object IngestStreams {
     spanDedupSpans(spark, runSpanIngestHarness(spark, dir, spanTokens, nBuckets))
 
   /** Drive the even/odd two-batch span ingest over the documents
-    * table; returns the state path for the result readers.
-    */
+    * table; returns the state path for the result readers. ONE
+    * maintained window store serves both `stream_spans` and
+    * `stream_span_retro` (the retro audit is explicitly an offline
+    * read of the SAME store), so the ingest runs once per
+    * (dir, spanTokens, nBuckets) per JVM — the 37r'' / sim_ann_opq
+    * memoization pattern. */
+  private val spanStates =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
   private def runSpanIngestHarness(spark: SparkSession, dir: String,
-                                   spanTokens: Int, nBuckets: Int): String = {
+                                   spanTokens: Int, nBuckets: Int): String =
+    spanStates.getOrElseUpdate((dir, spanTokens, nBuckets),
+      runSpanIngestHarnessOnce(spark, dir, spanTokens, nBuckets))
+
+  private def runSpanIngestHarnessOnce(spark: SparkSession, dir: String,
+                                       spanTokens: Int, nBuckets: Int): String = {
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val base = java.nio.file.Files.createTempDirectory("graft-sp-ing-").toString
     val incoming = s"$base/incoming"
