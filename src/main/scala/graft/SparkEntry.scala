@@ -399,6 +399,9 @@ object SparkEntry {
     // last kept one are suppressed (sequential fold) -- kills the
     // tiny-chunk noise tail CdcRehearsal measured at 10^7 chunks
     "dedup_cdc_min" -> ((s, dir) => Dedup.cdcDedupMin(Tables.documents(s, dir), 8, 63, 16)),
+    // the FULL LBFS size envelope: min rule + forced boundaries at
+    // maxLen -- bounds the worst-case chunk a low-entropy run can emit
+    "dedup_cdc_clamped" -> ((s, dir) => Dedup.cdcDedupClamped(Tables.documents(s, dir), 8, 63, 16, 128)),
     // streamed chunk-store maintenance: pure per-batch deltas, order-
     // independent min/sum resolve -- shares dedup_cdc's oracle
     "stream_cdc" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir)),
@@ -1108,6 +1111,53 @@ object SparkEntry {
     * (the delta resolve's min/sum merge is order-independent). */
   private val CdcDedupSql: String =
     s"""WITH ch AS ($CdcChunksBody)
+      |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies, min(chunk_len) AS chunk_len
+      |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
+
+  /** [[CdcChunksMinBody]] plus the MAXIMUM rule: DuckDB `reduce`
+    * replays the same online walk (forced cuts at last + k*128 when a
+    * gap exceeds 128; a forced cut resets the min window), and the
+    * tail CASE forces cuts between the last kept boundary and the doc
+    * end — arithmetic identical to the Spark fold step for step. */
+  private val CdcChunksClampedBody: String =
+    """SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+      |  md5(substr(text, CAST(chunk_start + 1 AS INT), CAST(chunk_len AS INT))) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    CAST(j - 1 AS BIGINT) AS chunk_idx,
+      |    cuts[j] AS chunk_start,
+      |    cuts[j + 1] - cuts[j] AS chunk_len
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_append(
+      |        CASE WHEN length(text) - fold0[-1] > 128
+      |             THEN list_concat(fold0, generate_series(fold0[-1] + 128, length(text) - 1, 128))
+      |             ELSE fold0 END,
+      |        CAST(length(text) AS BIGINT)) AS cuts
+      |    FROM (
+      |      SELECT doc_id, text,
+      |        reduce(
+      |          list_concat([[CAST(0 AS BIGINT)]],
+      |            list_transform(
+      |              [CAST(i AS BIGINT) FOR i IN generate_series(8, length(text))
+      |                IF ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT % 64 = 0
+      |                   AND i < length(text)],
+      |              b -> [b])),
+      |          (acc, x) -> CASE WHEN x[1] - acc[-1] > 128 THEN
+      |              (CASE WHEN x[1] - (acc[-1] + 128 * ((x[1] - 1 - acc[-1]) // 128)) >= 16
+      |                    THEN list_append(list_concat(acc, generate_series(acc[-1] + 128, x[1] - 1, 128)), x[1])
+      |                    ELSE list_concat(acc, generate_series(acc[-1] + 128, x[1] - 1, 128)) END)
+      |            ELSE
+      |              (CASE WHEN x[1] - acc[-1] >= 16 THEN list_append(acc, x[1]) ELSE acc END)
+      |            END)
+      |        AS fold0
+      |      FROM documents)),
+      |  unnest(generate_series(1, len(cuts) - 1)) AS g(j))
+      |WHERE chunk_len > 0""".stripMargin
+
+  private val CdcDedupClampedSql: String =
+    s"""WITH ch AS ($CdcChunksClampedBody)
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
@@ -2088,6 +2138,7 @@ object SparkEntry {
     "dedup_cdc" -> CdcDedupSql,
     "dedup_cdc_min" -> CdcDedupMinSql,
     "stream_cdc_min" -> CdcDedupMinSql,
+    "dedup_cdc_clamped" -> CdcDedupClampedSql,
     "stream_cdc" -> CdcDedupSql,
     // the streamed face's maintained deltas resolve to the identical
     // table -- the dedup_url oracle verbatim

@@ -995,6 +995,71 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
         min(col("chunk_len")).as("chunk_len"))
       .filter(col("n_copies") >= 2)
+
+  /** The FULL LBFS size envelope: [[cdcChunksMin]]'s minimum rule
+    * plus a MAXIMUM — whenever the next kept boundary (or the doc
+    * end) is more than `maxLen` past the last cut, boundaries are
+    * FORCED at `last + maxLen, last + 2·maxLen, …`, exactly the
+    * online walk LBFS does (a forced cut resets the min window, so a
+    * natural candidate closer than minLen to the last FORCED cut is
+    * suppressed too). The max clamp is what bounds a chunk store's
+    * worst case: with only a residue rule, boundary gaps are
+    * geometric and the tail is unbounded — a low-entropy run that
+    * never hits the residue becomes one giant chunk whose hash
+    * changes on any edit (no dedup at all); with the clamp every
+    * chunk is ≤ maxLen and re-sync resumes at the next natural
+    * boundary. Still one pure per-row expression chain (the fold
+    * emits forced cuts arithmetically: newLast = last +
+    * maxLen·⌊(b−1−last)/maxLen⌋), mirrored step for step in the
+    * DuckDB oracle; maxLen ≥ text length reproduces [[cdcChunksMin]]
+    * exactly (spec-pinned). */
+  def cdcChunksClamped(documents: DataFrame, w: Int = 8, mask: Int = 63,
+                       minLen: Int = 16, maxLen: Int = 128): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(mask >= 1, s"mask must be >= 1, got $mask")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(maxLen >= minLen, s"maxLen $maxLen must be >= minLen $minLen")
+    val m = mask + 1
+    val bnds = s"filter(sequence(${w}L, length(text)), i -> " +
+      s"pmod(CAST(conv(substring(md5(substring(text, CAST(i - $w + 1 AS INT), $w)), 1, 12), 16, 10) AS BIGINT), $m) = 0)"
+    val last = "element_at(acc, -1)"
+    val forced = s"sequence($last + ${maxLen}L, b - 1, ${maxLen}L)"
+    val newLast = s"($last + ${maxLen}L * ((b - 1 - $last) div ${maxLen}L))"
+    val folded =
+      s"aggregate(filter($bnds, b -> b < length(text)), array(0L), (acc, b) -> " +
+        s"IF(b - $last > ${maxLen}L, " +
+        s"IF(b - $newLast >= ${minLen}L, concat(acc, $forced, array(b)), concat(acc, $forced)), " +
+        s"IF(b - $last >= ${minLen}L, concat(acc, array(b)), acc)))"
+    // forced cuts between the last kept boundary and the doc end,
+    // then the end cut itself (materialized projection — the
+    // cdcChunks element_at lesson)
+    val cuts =
+      s"concat(CASE WHEN length(text) - element_at(fold0, -1) > ${maxLen}L " +
+        s"THEN concat(fold0, sequence(element_at(fold0, -1) + ${maxLen}L, length(text) - 1, ${maxLen}L)) " +
+        s"ELSE fold0 END, array(CAST(length(text) AS BIGINT)))"
+    val chunks = "filter(transform(sequence(1, size(cuts) - 1), j -> " +
+      "struct(CAST(j - 1 AS BIGINT) AS chunk_idx, " +
+      "element_at(cuts, j) AS chunk_start, " +
+      "element_at(cuts, j + 1) - element_at(cuts, j) AS chunk_len)), " +
+      "c -> c.chunk_len > 0)"
+    documents
+      .select(col("doc_id"), col("text"), expr(folded).as("fold0"))
+      .select(col("doc_id"), col("text"), expr(cuts).as("cuts"))
+      .select(col("doc_id"), col("text"), explode(expr(chunks)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
+        col("c.chunk_len"),
+        md5(expr("substring(text, CAST(c.chunk_start + 1 AS INT), CAST(c.chunk_len AS INT))"))
+          .as("chunk_md5"))
+  }
+
+  /** [[cdcDedup]] over the fully size-enveloped chunk table. */
+  def cdcDedupClamped(documents: DataFrame, w: Int = 8, mask: Int = 63,
+                      minLen: Int = 16, maxLen: Int = 128): DataFrame =
+    cdcChunksClamped(documents, w, mask, minLen, maxLen)
+      .groupBy("chunk_md5")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") >= 2)
 }
 
 /** Vote buffer for [[Dedup.simhash]]: 64 signed counters, one per

@@ -464,6 +464,67 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunksClamped: every chunk <= maxLen; huge maxLen reproduces cdcChunksMin; forced cuts match a local online walk; re-sync survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(271L)
+    val base = Seq.fill(900)(('a' + rnd.nextInt(26)).toChar).mkString
+    val ins = base.substring(0, 20) + "XYZQW" + base.substring(20)
+    val docs = Seq((1L, base), (2L, ins)).toDF("doc_id", "text")
+    // identity: a maxLen no gap can exceed reproduces the min-only fold
+    val minOnly = Dedup.cdcChunksMin(docs, 8, 63, minLen = 16)
+    val ident = Dedup.cdcChunksClamped(docs, 8, 63, minLen = 16, maxLen = 100000)
+    assert(minOnly.exceptAll(ident).isEmpty && ident.exceptAll(minOnly).isEmpty,
+      "huge maxLen must reproduce cdcChunksMin exactly")
+    val clamped = Dedup.cdcChunksClamped(docs, 8, 63, minLen = 16, maxLen = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(clamped.forall(_._4 <= 64L), "a chunk exceeded maxLen")
+    for (id <- Seq(1L, 2L)) {
+      val text = if (id == 1L) base else ins
+      val cs = clamped.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L && cs.map(_._4).sum == text.length.toLong,
+        s"doc $id clamped chunks don't tile")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in doc $id")
+        case _ =>
+      }
+    }
+    // independent local ONLINE walk: natural candidates from the md5
+    // residue rule, forced cuts at last + k*maxLen, min window reset
+    // by forced cuts — the exact LBFS rule the fold must reproduce
+    def localCuts(text: String, minLen: Int, maxLen: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cands = (8 to text.length).filter { i =>
+        val h = md.digest(text.substring(i - 8, i).getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h, 16) % 64 == 0
+      }.filter(_ < text.length).map(_.toLong)
+      var cuts = Vector(0L)
+      cands.foreach { b =>
+        var last = cuts.last
+        while (b - last > maxLen) { last += maxLen; cuts :+= last }
+        if (b - last >= minLen) cuts :+= b
+      }
+      var last = cuts.last
+      while (text.length - last > maxLen) { last += maxLen; cuts :+= last }
+      cuts :+ text.length.toLong
+    }
+    for (id <- Seq(1L, 2L)) {
+      val text = if (id == 1L) base else ins
+      val want = localCuts(text, 16, 64)
+      val got = clamped.filter(_._1 == id).sortBy(_._2).map(_._3) :+ text.length.toLong
+      assert(got.toSeq == want, s"doc $id clamped fold drifted: ${got.toSeq} vs $want")
+      // the clamp actually fired somewhere on a 900-char doc (gaps
+      // beyond 64 occur w.h.p. at expected spacing 64)
+      assert(want.sliding(2).exists { case Seq(a, b) => b - a == 64L; case _ => false },
+        s"fixture never exercised a forced cut in doc $id")
+    }
+    // re-sync: the insertion still shares a majority of chunks
+    val h1 = clamped.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = clamped.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 intersect h2).size >= h1.size / 2,
+      "clamped CDC lost insertion robustness")
+  }
+
   test("urlDedup: every planted spelling variant collapses; distinct pages stay distinct") {
     import spark.implicits._
     // eight spellings of ONE page: scheme/host case, www, default
