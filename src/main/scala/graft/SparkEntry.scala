@@ -406,6 +406,7 @@ object SparkEntry {
     // independent min/sum resolve -- shares dedup_cdc's oracle
     "stream_cdc" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir)),
     "stream_cdc_min" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir, minLen = 16)),
+    "stream_cdc_clamped" -> ((s, dir) => graft.streaming.IngestStreams.streamedCdcDedup(s, dir, minLen = 16, maxLen = 128)),
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
@@ -2139,6 +2140,7 @@ object SparkEntry {
     "dedup_cdc_min" -> CdcDedupMinSql,
     "stream_cdc_min" -> CdcDedupMinSql,
     "dedup_cdc_clamped" -> CdcDedupClampedSql,
+    "stream_cdc_clamped" -> CdcDedupClampedSql,
     "stream_cdc" -> CdcDedupSql,
     // the streamed face's maintained deltas resolve to the identical
     // table -- the dedup_url oracle verbatim

@@ -125,7 +125,7 @@ object IngestStreams {
     * continuously current, nothing is rewritten or rescanned.
     */
   def streamedCdcDedup(spark: SparkSession, dir: String,
-                       minLen: Int = 0): DataFrame = {
+                       minLen: Int = 0, maxLen: Int = 0): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     if (docs.isEmpty) {
@@ -147,7 +147,7 @@ object IngestStreams {
     val state = s"$base/state"
     val q = stream.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        cdcDedupBatch(b, id, state, minLen)
+        cdcDedupBatch(b, id, state, minLen, maxLen)
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -164,14 +164,17 @@ object IngestStreams {
     * shares `dedup_cdc_min`'s oracle verbatim. */
   private[graft] def cdcDedupBatch(batch0: org.apache.spark.sql.DataFrame,
                                    batchId: Long, statePath: String,
-                                   minLen: Int = 0): Unit = {
+                                   minLen: Int = 0, maxLen: Int = 0): Unit = {
     val spark = batch0.sparkSession
     val commitDir = new org.apache.hadoop.fs.Path(statePath, "_cdc_commits")
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
     val in = batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-    (if (minLen > 0) graft.operators.Dedup.cdcChunksMin(in, minLen = minLen)
+    // maxLen > 0 selects the full size envelope; the clamp folds are
+    // per-DOC local either way, so per-batch == whole-corpus holds
+    (if (maxLen > 0) graft.operators.Dedup.cdcChunksClamped(in, minLen = minLen, maxLen = maxLen)
+     else if (minLen > 0) graft.operators.Dedup.cdcChunksMin(in, minLen = minLen)
      else graft.operators.Dedup.cdcChunks(in))
       .groupBy("chunk_md5")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),

@@ -1013,6 +1013,12 @@ class StreamingSpec extends AnyFunSuite {
     val batchMin = asMap(graft.operators.Dedup.cdcDedupMin(
       Tables.documents(spark, sf)).collect())
     assert(streamedMin == batchMin && streamedMin.nonEmpty)
+    // ...and the full size envelope streams identically too
+    val streamedCl = asMap(IngestStreams.streamedCdcDedup(
+      spark, sf, minLen = 16, maxLen = 128).collect())
+    val batchCl = asMap(graft.operators.Dedup.cdcDedupClamped(
+      Tables.documents(spark, sf)).collect())
+    assert(streamedCl == batchCl && streamedCl.nonEmpty)
   }
 
   test("multiBfsBatch: late smaller ids re-elect the source set; resolves == batch twins; replay is a no-op") {
