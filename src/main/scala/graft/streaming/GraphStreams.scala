@@ -838,6 +838,33 @@ object GraphStreams {
       .filter(col("src").isin(srcs: _*))
   }
 
+  /** Compaction-CADENCE metric for the relaxation family's claim
+    * stores (the [[VectorStreams.cellStats]] shape): stored claim
+    * rows vs LIVE rows (one per distinct key) and parquet data
+    * files — the two costs compaction reclaims (merge-on-read fold
+    * work and pruned-read listing). `multi` selects the (src, node)
+    * key of [[multiBfsBatch]] stores over [[bfsIngest]]'s (node).
+    * Schedule [[bfsStateCompact]]/[[multiBfsStateCompact]] when
+    * claims/live or files/bucket grows past taste — an operator-side
+    * read, never an ingest-path cost. */
+  def bfsStateStats(spark: SparkSession, statePath: String,
+                    multi: Boolean = false): (Long, Long, Long) = {
+    val distPath = s"$statePath/dist"
+    if (!StreamState.hasVisibleData(spark, distPath)) return (0L, 0L, 0L)
+    val claims = spark.read.parquet(distPath)
+    val nClaims = claims.count()
+    val keyCols = if (multi) Seq("src", "node") else Seq("node")
+    val nLive = claims.select(keyCols.map(col): _*).distinct().count()
+    val p = new org.apache.hadoop.fs.Path(distPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var nFiles = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    (nClaims, nLive, nFiles)
+  }
+
   /** Compact a [[multiBfsBatch]] claim store: fold claims to their
     * min per (src, node) and DROP claims from sources no longer in
     * the election — safe because the node set only grows, so a

@@ -1075,6 +1075,8 @@ class StreamingSpec extends AnyFunSuite {
     val compClaims = spark.read.parquet(s"$state/dist").count()
     assert(compClaims == r1.size && compClaims < rawClaims,
       s"expected exactly the ${r1.size} live claims, got $compClaims (was $rawClaims)")
+    val (mc, ml, _) = GraphStreams.bfsStateStats(spark, state, multi = true)
+    assert(mc == ml && ml == r1.size, "multi stats disagree post-compaction")
     assert(spark.read.parquet(s"$state/dist")
         .select("src").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L),
       "stale-source claims survived compaction")
@@ -1238,10 +1240,16 @@ class StreamingSpec extends AnyFunSuite {
     val before = resolve()
     val rawClaims = spark.read.parquet(s"$state/dist").count()
     assert(rawClaims > before.size, "fixture should carry superseded claims")
+    // the cadence metric sees the bloat compaction will reclaim...
+    val (c0, l0, f0) = GraphStreams.bfsStateStats(spark, state)
+    assert(c0 == rawClaims && l0 == before.size && f0 > 0)
     GraphStreams.bfsStateCompact(spark, state)
     assert(resolve() == before, "compaction changed resolved distances")
     assert(spark.read.parquet(s"$state/dist").count() == before.size,
       "compaction left more than one claim per node")
+    // ...and reports it fully reclaimed (one claim per key) after
+    val (c1, l1, f1) = GraphStreams.bfsStateStats(spark, state)
+    assert(c1 == l1 && l1 == before.size && f1 <= f0)
     // replayed committed batch still short-circuits (markers survive)
     GraphStreams.bfsBatch(b1, 1L, state, seed = 1L, maxRounds = 30)
     assert(resolve() == before)
