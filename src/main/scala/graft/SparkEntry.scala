@@ -582,6 +582,11 @@ object SparkEntry {
     // stateless streamed scoring: per-batch overwrite dirs + commit
     // markers; shares ta_quality_clf's oracle verbatim
     "stream_quality_clf" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityClassify(s, dir)),
+    // streamed RETRAIN: labeled shards -> accumulated store ->
+    // distributed retrain -> score; exact-Long gradients make the
+    // result a pure function of the accumulated SET, so it shares
+    // ta_quality_clf_full's oracle verbatim
+    "stream_quality_retrain" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityRetrain(s, dir)),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
@@ -2586,6 +2591,7 @@ object SparkEntry {
     // hash-exact while training stays a driver-side artifact build.
     "ta_quality_clf" -> QualityClfSql,
     "ta_quality_clf_full" -> QualityClfFullSql,
+    "stream_quality_retrain" -> QualityClfFullSql,
     "stream_quality_clf" -> QualityClfSql,
     // the two per-doc verdict pipelines composed: classifier logit
     // CTEs (weights as data) + the gopher integer-rule CTEs, one

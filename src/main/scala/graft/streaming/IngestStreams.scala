@@ -95,6 +95,65 @@ object IngestStreams {
       .select("doc_id", "n_feats", "logit", "keep")
   }
 
+  /** Streamed RETRAIN face of the learned quality filter: labeled
+    * (id, text, label) shards land in an append-only labeled store
+    * (per-batch overwrite delta dirs + commit markers — the
+    * urlDedupBatch pattern), the model retrains DISTRIBUTED over the
+    * accumulated store after the drain, and the documents table is
+    * scored with the fresh weights. Training is a pure function of
+    * the accumulated SET: the micros-gradient sums are exact Longs
+    * in any order and re-delivered ids dedup on read, so the
+    * streamed retrain equals batch training on the whole labeled
+    * corpus — the entry shares `ta_quality_clf_full`'s oracle
+    * VERBATIM (which also re-proves local/distributed bit-equality
+    * through the same hash). */
+  def streamedQualityRetrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val labeled = TextAnalysis.clfPlantedCorpus.zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+    val base = java.nio.file.Files.createTempDirectory("graft-clfrt-ing-").toString
+    val incoming = s"$base/incoming"
+    labeled.filter(_._1 % 2 == 0).toDF("id", "text", "label")
+      .coalesce(1).write.mode("append").parquet(incoming)
+    labeled.filter(_._1 % 2 != 0).toDF("id", "text", "label")
+      .coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType), StructField("label", BooleanType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        labeledCorpusBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val corpus = spark.read.parquet(s"$state/labeled")
+      .dropDuplicates("id").select(col("text"), col("label"))
+    val model = TextAnalysis.qualityClfTrainDistributed(corpus, 4096)
+    TextAnalysis.qualityClassify(graft.Tables.documents(spark, dir),
+      TextAnalysis.clfMicrosArtifact(model, 4096))
+  }
+
+  /** One [[streamedQualityRetrain]] labeled-store micro-batch,
+    * exposed for the replay spec. */
+  private[graft] def labeledCorpusBatch(batch0: org.apache.spark.sql.DataFrame,
+                                        batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_lc_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    batch0.select(col("id"), col("text"), col("label")).dropDuplicates("id")
+      .write.mode("overwrite").parquet(s"$statePath/labeled/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
   /** One [[streamedQualityClassify]] micro-batch, exposed for the
     * replay spec. */
   private[graft] def qualityClassifyBatch(batch0: org.apache.spark.sql.DataFrame,

@@ -1021,6 +1021,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedCl == batchCl && streamedCl.nonEmpty)
   }
 
+  test("streamedQualityRetrain: accumulated-store distributed retrain == local full-batch model; labeled-store replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val got = asMap(IngestStreams.streamedQualityRetrain(spark, sf).collect())
+    // the streamed face must reproduce scoring under the LOCAL
+    // full-batch reference artifact — exact-Long gradients make the
+    // distributed retrain over the accumulated store bit-equal
+    val want = asMap(TextAnalysis.qualityClassify(
+      Tables.documents(spark, sf), TextAnalysis.qualityClfFullArtifact).collect())
+    assert(got == want && got.nonEmpty)
+    // labeled-store replay: a committed batch re-delivery is a no-op
+    val state = java.nio.file.Files.createTempDirectory("graft-clfrt-replay-").toString + "/state"
+    val b0 = Seq((0L, "join merge window", true)).toDF("id", "text", "label")
+    IngestStreams.labeledCorpusBatch(b0, 0L, state)
+    val n0 = spark.read.parquet(s"$state/labeled").count()
+    IngestStreams.labeledCorpusBatch(b0, 0L, state)
+    assert(spark.read.parquet(s"$state/labeled").count() == n0,
+      "replayed labeled batch appended duplicates")
+  }
+
   test("multiBfsBatch: late smaller ids re-elect the source set; resolves == batch twins; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
