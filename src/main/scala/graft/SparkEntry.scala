@@ -634,6 +634,7 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_approx_distinct_hll" -> ((s, dir) => Sketches.hllDistinctUsers(Tables.events(s, dir))),
     "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.documents(s, dir))),
+    "q_kll_sketch" -> ((s, dir) => Sketches.kllQuantiles(Tables.documents(s, dir))),
     "q_join_size_est" -> ((s, dir) => Sketches.cmsJoinSizeEstimate(
       Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
     "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
@@ -3578,5 +3579,6 @@ object SparkEntry {
     "sim_ann_ivfpq_res" -> 80L,
     "sim_ann_opq" -> 80L,
     "q_mst" -> 1999L,              // spanning forest: n_nodes - n_components
-    "q_betweenness" -> 20L)        // top-20 centrality rows
+    "q_betweenness" -> 20L,        // top-20 centrality rows
+    "q_kll_sketch" -> 6L)          // one audited estimate per permille probe
 }

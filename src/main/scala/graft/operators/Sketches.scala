@@ -259,6 +259,75 @@ object Sketches {
     histogramQuantiles(histogramBySource(documents, valueCol, binWidth),
       qPermille, binWidth)
 
+  /** End-to-end KLL quantile query (the `q_kll_sketch` entry): one
+    * KLL sketch per source in a single map-side-combined pass
+    * ([[graft.functions.KllAggregator]]), driver merge (O(sources·k)
+    * arithmetic — the [[histogramQuantiles]] read path), then each
+    * permille probe's estimate WITH its own exact-rank audit: a
+    * second one-pass aggregate computes rank(est) = #{v ≤ est} for
+    * all probes at once (one conditional sum per probe, no sort), so
+    * the emitted `rank_err_ppm` IS the measured KLL rank error —
+    * the artifact carries its own accuracy evidence.
+    *
+    * vs [[quantileSketch]]'s equi-width histogram: the histogram is
+    * deterministic and hash-checkable but needs a bin width chosen
+    * up front and carries O(range/binWidth) state; KLL adapts to any
+    * distribution with O(k·log(n/k)) state and ~1/k rank error —
+    * the sketch you reach for when the value range is unknown
+    * (latencies, token counts, arbitrary user metrics). Rows-only by
+    * design: compaction depends on Spark's partial-merge order
+    * (EntrySpec pins the reason; SketchesSpec gates the error).
+    */
+  def kllQuantiles(documents: DataFrame, valueCol: String = "n_chars",
+                   k: Int = 256,
+                   qPermille: Seq[Int] = Seq(10, 250, 500, 750, 900, 990)): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles in 1..1000 permille")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import graft.functions.{Kll, KllAggregator, KllSketch}
+    val kllUdaf = udaf(new KllAggregator(k), org.apache.spark.sql.Encoders.scalaLong)
+    val sketches = documents
+      .select(col("source"), col(valueCol).cast("long").as("v"))
+      .groupBy("source").agg(kllUdaf(col("v")).as("sk"))
+      .as[(String, KllSketch)].collect()
+    val probes = qPermille.distinct.sorted
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_permille", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("est", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank_lo", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank_hi", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("target_rank", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank_err_ppm", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_total", org.apache.spark.sql.types.LongType, nullable = false)))
+    if (sketches.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val merged = sketches.map(_._2).reduce(Kll.merge)
+    val ests = probes.map(q => q -> Kll.quantile(merged, q)).toMap
+    // one-pass exact-rank audit, all conditional sums in a single
+    // aggregate (never a sort). A duplicated value occupies the rank
+    // INTERVAL (#{v < est}, #{v ≤ est}]; the estimate is wrong only
+    // by its distance from that interval to the target — measuring
+    // #{v ≤ est} alone would call the exact quantile of a two-point
+    // distribution 90% wrong.
+    val audit = documents.agg(
+      count(lit(1)).as("n"),
+      probes.flatMap(q => Seq(
+        sum(when(col(valueCol).cast("long") < ests(q), 1L).otherwise(0L))
+          .as(s"lo$q"),
+        sum(when(col(valueCol).cast("long") <= ests(q), 1L).otherwise(0L))
+          .as(s"hi$q"))): _*).head()
+    val n = audit.getLong(0)
+    val rows = probes.zipWithIndex.map { case (q, i) =>
+      val (lo, hi) = (audit.getLong(1 + 2 * i), audit.getLong(2 + 2 * i))
+      val target = (q.toLong * n + 999L) / 1000L
+      val err = math.max(0L, math.max(lo + 1L - target, target - hi))
+      val errPpm = err * 1000000L / math.max(n, 1L)
+      org.apache.spark.sql.Row(q, ests(q), lo, hi, target, errPpm, n)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Pre-flight join-size estimation from two count-min sketches:
     * |A ⋈_k B| = Σ_k cntA(k)·cntB(k), estimated as the MIN over
     * sketch rows of the cell-wise inner product — collisions only

@@ -42,9 +42,12 @@ class EntrySpec extends AnyFunSuite {
                      // on planted anisotropic data
       "q_mst", // Borůvka union-find is not DuckDB-CTE-expressible without
                // path enumeration; local-Kruskal edge-set spec is the oracle
-      "q_betweenness") // Brandes backward-pass delta ratios are rational
+      "q_betweenness", // Brandes backward-pass delta ratios are rational
                        // (level-recursive float accumulation); the spec's
                        // independent local Brandes is the oracle
+      "q_kll_sketch") // KLL compaction depends on Spark's partial-merge
+                      // order; SketchesSpec gates rank error and the query
+                      // emits its own exact-rank audit columns
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
     // every rows-only query carries a pinned sf0.01 row count for the
     // driver's rows-gate, and nothing else does

@@ -322,4 +322,136 @@ class SketchesSpec extends AnyFunSuite {
     val b = Sketches.countMinWordFreq(docs.repartition(13), probes).collect().toList
     assert(a === b)
   }
+
+  // ---- KLL quantile sketch ----
+
+  import graft.functions.{Kll, KllAggregator, KllSketch}
+
+  /** Deterministic value scrambler for planted streams (no RNG
+    * object — same constants as Kll's coin stream).
+    */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private def sketchOf(values: Seq[Long], k: Int, parts: Int = 8): KllSketch = {
+    import spark.implicits._
+    values.toDS().repartition(parts)
+      .select(new KllAggregator(k).toColumn).head()
+  }
+
+  /** Rank-interval distance: a duplicated value occupies ranks
+    * (#{v < est}, #{v ≤ est}]; the estimate's error is its distance
+    * from the target to that interval (0 when the target falls
+    * inside — the exact quantile of a two-point distribution must
+    * measure as exact).
+    */
+  private def rankErr(sorted: IndexedSeq[Long], est: Long, target: Long): Long = {
+    def search(strict: Boolean): Long = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val in = if (strict) sorted(mid) < est else sorted(mid) <= est
+        if (in) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    }
+    val (lo, hi) = (search(strict = true), search(strict = false))
+    math.max(0L, math.max(lo + 1L - target, target - hi))
+  }
+
+  private def maxRankErr(values: Seq[Long], s: KllSketch,
+                         probes: Seq[Int] = Seq(10, 100, 250, 500, 750, 900, 990)): Long = {
+    val sorted = values.sorted.toIndexedSeq
+    probes.map { q =>
+      val target = (q.toLong * s.n + 999L) / 1000L
+      rankErr(sorted, Kll.quantile(s, q), target)
+    }.max
+  }
+
+  test("KLL: weight conservation, bounded state, and ≤2% rank error across distributions") {
+    val n = 200000
+    val k = 256
+    // uniform permutation / heavy-skew / pre-sorted / two-point mass —
+    // the shapes that break naive samplers differently
+    val streams: Seq[(String, Seq[Long])] = Seq(
+      "uniform" -> (1 to n).map(i => mix(i.toLong) & 0xFFFFFFFL),
+      "skewed" -> (1 to n).map { i =>
+        val h = mix(i.toLong * 31L); (h & 0xFFFL) * (h & 0xFFFL) },
+      "sorted" -> (1 to n).map(_.toLong),
+      "twopoint" -> (1 to n).map(i => if (i % 10 == 0) 1000000L else 7L))
+    streams.foreach { case (name, values) =>
+      val s = sketchOf(values, k)
+      assert(s.n == n.toLong, s"$name: n")
+      assert(Kll.totalWeight(s) == n.toLong,
+        s"$name: compaction must conserve total weight exactly")
+      assert(Kll.size(s) < n / 10,
+        s"$name: sketch must actually compact (size ${Kll.size(s)})")
+      assert(Kll.size(s) <= 4 * k,
+        s"$name: state must stay O(k·log), got ${Kll.size(s)}")
+      val err = maxRankErr(values, s)
+      assert(err <= n / 50, s"$name: rank error $err over n=$n exceeds 2%")
+    }
+  }
+
+  test("KLL: small streams stay exact (no compaction below the capacity budget)") {
+    val values = (1 to 200).map(i => mix(i.toLong) & 0xFFFFL)
+    val s = sketchOf(values, 256, parts = 3)
+    assert(Kll.size(s) == values.length, "no compaction expected")
+    val sorted = values.sorted
+    Seq(1, 250, 500, 750, 1000).foreach { q =>
+      val target = ((q.toLong * values.length + 999L) / 1000L).toInt
+      assert(Kll.quantile(s, q) == sorted(target - 1), s"q=$q must be the exact order statistic")
+    }
+  }
+
+  test("KLL: merge of per-bucket sketches keeps the error bound; empty merges are identity") {
+    val n = 120000
+    val values = (1 to n).map(i => mix(i.toLong * 7L) & 0xFFFFFFL)
+    val (a, b, c) = (values.take(n / 3), values.slice(n / 3, 2 * n / 3), values.drop(2 * n / 3))
+    val merged = Seq(a, b, c).map(sketchOf(_, 256)).reduce(Kll.merge)
+    assert(merged.n == n.toLong && Kll.totalWeight(merged) == n.toLong)
+    assert(maxRankErr(values, merged) <= n / 50,
+      "bucket-merged sketch must keep the rank-error bound")
+    val e = Kll.empty(256)
+    assert(Kll.merge(e, merged) eq merged)
+    assert(Kll.merge(merged, e) eq merged)
+    intercept[IllegalArgumentException](Kll.merge(merged, Kll.empty(128)))
+  }
+
+  test("KLL: error bound holds at any input partitioning") {
+    val n = 100000
+    val values = (1 to n).map(i => mix(i.toLong * 13L) & 0x3FFFFFL)
+    for (parts <- Seq(1, 13, 32)) {
+      val s = sketchOf(values, 256, parts)
+      assert(s.n == n.toLong)
+      assert(maxRankErr(values, s) <= n / 50, s"error blown at $parts partitions")
+    }
+  }
+
+  test("kllQuantiles: end-to-end audit rows on the corpus, monotone and within 2%") {
+    val out = Sketches.kllQuantiles(docs).collect()
+    assert(out.length == 6)
+    val nDocs = docs.count()
+    val ests = out.map(_.getLong(1))
+    assert(ests.zip(ests.tail).forall { case (x, y) => x <= y },
+      "estimates must be monotone in q")
+    out.foreach { r =>
+      assert(r.getLong(6) == nDocs)
+      assert(r.getLong(5) <= 20000L,
+        s"q=${r.getInt(0)}: measured rank error ${r.getLong(5)} ppm exceeds 2%")
+      // audit self-consistency: err = distance from target to the
+      // occupied rank interval (rank_lo, rank_hi]
+      val (lo, hi, target) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val expectErr = math.max(0L, math.max(lo + 1L - target, target - hi)) * 1000000L / nDocs
+      assert(r.getLong(5) == expectErr)
+      assert(lo <= hi && hi <= nDocs)
+    }
+    // empty input: zero rows, not a throw
+    val empty = docs.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Sketches.kllQuantiles(empty).count() == 0)
+  }
 }
