@@ -545,6 +545,8 @@ object SparkEntry {
     // exact integer KS distance between the train/valid word-count
     // distributions — the split-bias pre-flight
     "ta_split_drift" -> ((s, dir) => TextAnalysis.splitDrift(Tables.documents(s, dir))),
+    "ta_source_drift" -> ((s, dir) => TextAnalysis.sourceDriftAlarm(Tables.documents(s, dir))),
+    "stream_source_drift" -> ((s, dir) => graft.streaming.IngestStreams.streamedSourceDrift(s, dir)),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
@@ -587,6 +589,7 @@ object SparkEntry {
     // result a pure function of the accumulated SET, so it shares
     // ta_quality_clf_full's oracle verbatim
     "stream_quality_retrain" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityRetrain(s, dir)),
+    "stream_quality_hotswap" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityHotswap(s, dir)),
     "ta_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "ta_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir), 15)),
     "ta_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLmCounts(Tables.documents(s, dir), 2, 100)),
@@ -980,38 +983,63 @@ object SparkEntry {
   /** The classifier scoring pipeline in SQL (weights embedded as a
     * VALUES list from the shipped artifact) — shared verbatim by the
     * batch entry and its stateless streamed face. */
-  private def qualityClfSqlFor(artifact: (Seq[(Long, Long)], Long, Int)): String = {
+  private def qualityClfSqlFor(artifact: (Seq[(Long, Long)], Long, Int)): String =
+    s"""WITH ${clfScoreCtes("", artifact, "")}
+       |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
+       |FROM l""".stripMargin
+
+  /** The scoring pipeline as a tagged CTE chain (`filterSql`
+    * restricts the scored slice) — ONE body shared by the batch
+    * entry, its stateless streamed face, the retrain face and both
+    * versions inside the hot-swap oracle, so the scoring SQL cannot
+    * drift between them. */
+  private def clfScoreCtes(tag: String, artifact: (Seq[(Long, Long)], Long, Int),
+                           filterSql: String): String = {
       val (cws, cbias, cdim) = artifact
       val cvals = cws.map { case (k, wm) => s"($k, $wm)" }.mkString(", ")
-      s"""WITH wt(bucket, wm) AS (VALUES $cvals),
-         |t AS (SELECT doc_id,
+      s"""wt$tag(bucket, wm) AS (VALUES $cvals),
+         |docs$tag AS (SELECT doc_id, text FROM documents$filterSql),
+         |t$tag AS (SELECT doc_id,
          |        list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
          |                    x -> x <> '') AS ws
-         |      FROM documents),
-         |f AS (
-         |  SELECT doc_id, 'u:' || unnest(ws) AS f FROM t
+         |      FROM docs$tag),
+         |f$tag AS (
+         |  SELECT doc_id, 'u:' || unnest(ws) AS f FROM t$tag
          |  UNION ALL
          |  SELECT doc_id, unnest(['b:' || ws[i] || ' ' || ws[i+1]
          |                         FOR i IN generate_series(1, len(ws) - 1)]) AS f
-         |  FROM t WHERE len(ws) >= 2),
-         |b AS (SELECT doc_id,
+         |  FROM t$tag WHERE len(ws) >= 2),
+         |b$tag AS (SELECT doc_id,
          |        ('0x' || substr(md5(f), 1, 12))::BIGINT % $cdim AS bucket
-         |      FROM f),
-         |s AS (SELECT doc_id, count(*) AS n_feats, coalesce(sum(wm), 0) AS sum_m
-         |      FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id),
-         |sc AS (SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
+         |      FROM f$tag),
+         |s$tag AS (SELECT doc_id, count(*) AS n_feats, coalesce(sum(wm), 0) AS sum_m
+         |      FROM b$tag LEFT JOIN wt$tag USING (bucket) GROUP BY doc_id),
+         |sc$tag AS (SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
          |         coalesce(sum_m, 0) AS sum_m
-         |       FROM documents LEFT JOIN s USING (doc_id)),
-         |l AS (SELECT doc_id, n_feats,
+         |       FROM docs$tag LEFT JOIN s$tag USING (doc_id)),
+         |l$tag AS (SELECT doc_id, n_feats,
          |        CASE WHEN n_feats > 0
          |          THEN (CAST($cbias AS DOUBLE)
          |                + CAST(sum_m AS DOUBLE) / CAST(n_feats AS DOUBLE))
          |               / 1000000.0
          |          ELSE CAST($cbias AS DOUBLE) / 1000000.0 END AS lr
-         |      FROM sc)
-         |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
-         |FROM l""".stripMargin
+         |      FROM sc$tag)""".stripMargin
   }
+
+  /** The hot-swap face's oracle: the deterministic harness scores
+    * even docs under the v1 artifact and odd docs under v2, so the
+    * SQL embeds BOTH weight tables and unions the two scored parity
+    * slices with their version stamps. */
+  private lazy val QualityClfHotswapSql: String =
+    s"""WITH ${clfScoreCtes("1", graft.operators.TextAnalysis.qualityClfArtifact,
+                            " WHERE doc_id % 2 = 0")},
+       |${clfScoreCtes("2", graft.operators.TextAnalysis.qualityClfFullArtifact,
+                       " WHERE doc_id % 2 = 1")}
+       |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep,
+       |  CAST(1 AS BIGINT) AS weights_version FROM l1
+       |UNION ALL
+       |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep,
+       |  CAST(2 AS BIGINT) AS weights_version FROM l2""".stripMargin
 
   private lazy val QualityClfSql: String =
     qualityClfSqlFor(graft.operators.TextAnalysis.qualityClfArtifact)
@@ -1021,6 +1049,36 @@ object SparkEntry {
     * hash compare IS the local/distributed bit-equality gate. */
   private lazy val QualityClfFullSql: String =
     qualityClfSqlFor(graft.operators.TextAnalysis.qualityClfFullArtifact)
+
+  /** Per-source KS drift alarm in SQL — shared verbatim by the batch
+    * entry and its pure-delta streamed face (count merge is
+    * order-independent). Integer cross-multiplied sup-gap, floor
+    * division, empty window = maximal drift. */
+  private val SourceDriftSql: String =
+      """WITH s AS (
+        |  SELECT source, (doc_id % 2 = 0) AS is_ref, n_chars AS x
+        |  FROM documents),
+        |c AS (SELECT source, x,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM s GROUP BY 1, 2),
+        |k AS (SELECT source,
+        |    sum(cr) OVER (PARTITION BY source ORDER BY x) AS cumR,
+        |    sum(cc) OVER (PARTITION BY source ORDER BY x) AS cumC,
+        |    sum(cr) OVER (PARTITION BY source) AS nR,
+        |    sum(cc) OVER (PARTITION BY source) AS nC
+        |  FROM c),
+        |d AS (SELECT source,
+        |    CAST(max(nR) AS BIGINT) AS n_ref,
+        |    CAST(max(nC) AS BIGINT) AS n_cur,
+        |    CAST(max(abs(cumR * nC - cumC * nR)) AS BIGINT) AS d_raw
+        |  FROM k GROUP BY 1)
+        |SELECT source, n_ref, n_cur, d_raw,
+        |  CAST(CASE WHEN n_ref * n_cur = 0 THEN 1000000
+        |       ELSE (d_raw * 1000000) // (n_ref * n_cur) END AS BIGINT) AS ks_ppm,
+        |  (CASE WHEN n_ref * n_cur = 0 THEN 1000000
+        |        ELSE (d_raw * 1000000) // (n_ref * n_cur) END) >= 150000 AS alarm
+        |FROM d""".stripMargin
 
   /** Multi-source BFS hop histogram / harmonic centrality in SQL —
     * each shared verbatim by the batch entry and its streamed
@@ -2593,6 +2651,7 @@ object SparkEntry {
     "ta_quality_clf" -> QualityClfSql,
     "ta_quality_clf_full" -> QualityClfFullSql,
     "stream_quality_retrain" -> QualityClfFullSql,
+    "stream_quality_hotswap" -> QualityClfHotswapSql,
     "stream_quality_clf" -> QualityClfSql,
     // the two per-doc verdict pipelines composed: classifier logit
     // CTEs (weights as data) + the gopher integer-rule CTEs, one
@@ -2947,6 +3006,11 @@ object SparkEntry {
         |       ELSE max(abs(cumT * nV - cumV * nT)) * 1000000 // (max(nT) * max(nV))
         |       END AS BIGINT) AS d_ppm
         |FROM k""".stripMargin,
+    // the splitDrift KS machinery per SOURCE between the even/odd
+    // doc_id windows over n_chars; shared verbatim by the streamed
+    // face (order-independent delta merge)
+    "ta_source_drift" -> SourceDriftSql,
+    "stream_source_drift" -> SourceDriftSql,
     // doc-bounded pair fan-out; (n DESC, w1, w2) total order makes
     // the top-20 cut deterministic
     "ta_cooccur" ->

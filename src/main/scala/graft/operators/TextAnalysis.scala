@@ -235,6 +235,65 @@ object TextAnalysis {
           .as("d_ppm"))
   }
 
+  /** Per-source (source, value) window counts for the drift alarm:
+    * reference window = even doc_id, current = odd (deterministic
+    * stand-ins for yesterday's / today's partitions), value =
+    * n_chars. Bounded by sources × distinct values, map-side
+    * combined — the mergeable delta shape the streamed face appends
+    * per batch. */
+  private[graft] def sourceDriftCounts(documents: DataFrame): DataFrame =
+    documents.select(col("source"),
+        (col("doc_id") % 2 === 0).as("is_ref"),
+        col("n_chars").cast("long").as("x"))
+      .groupBy("source", "x").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+
+  /** [[splitDrift]]'s KS machinery from a (source, x, cr, cc) count
+    * table — shared by the batch alarm and the streamed resolve so
+    * the two cannot drift (the r10 harmonic-roll-up lesson). Exact
+    * integer cross-multiplied sup-gap; the CDF window runs over the
+    * bounded count table, never the corpus. Spark 4's ANSI mode
+    * makes the d_raw·10⁶ product fail loud if a window ever exceeds
+    * the ~3M-docs-per-source Long budget — at that scale pre-bucket
+    * x (the KLL/histogram path) before the KS. */
+  private[graft] def sourceDriftFromCounts(counts: DataFrame,
+                                           thresholdPpm: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCdf = W.partitionBy("source").orderBy(col("x"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.partitionBy("source").orderBy(col("x"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    counts
+      .withColumn("cumR", sum(col("cr")).over(wCdf))
+      .withColumn("cumC", sum(col("cc")).over(wCdf))
+      .withColumn("nR", sum(col("cr")).over(wAll))
+      .withColumn("nC", sum(col("cc")).over(wAll))
+      .groupBy("source")
+      .agg(max(col("nR")).as("n_ref"), max(col("nC")).as("n_cur"),
+        max(abs(col("cumR") * col("nC") - col("cumC") * col("nR"))).as("d_raw"))
+      .select(col("source"), col("n_ref"), col("n_cur"), col("d_raw"),
+        when(col("n_ref") * col("n_cur") === 0L, lit(1000000L))
+          .otherwise(expr("d_raw * 1000000 div (n_ref * n_cur)")).as("ks_ppm"))
+      .withColumn("alarm", col("ks_ppm") >= thresholdPpm)
+  }
+
+  /** Per-source drift alarms (`ta_source_drift`): the exact-integer
+    * KS distance of [[splitDrift]], computed PER SOURCE between the
+    * reference and current windows over the n_chars distribution,
+    * with an alarm flag at the ppm threshold. This is the retrain
+    * CADENCE signal (the 37n cellStats story for text): a source
+    * whose arriving data no longer matches the distribution the
+    * quality filter was calibrated on is the source that should
+    * trigger a retrain — and the hot-swap face
+    * (`stream_quality_hotswap`) is the cut-over mechanism the alarm
+    * feeds. An empty window reports maximal drift (10⁶ ppm): a
+    * source that stopped (or just started) sending IS an alarm, not
+    * a divide-by-zero. */
+  def sourceDriftAlarm(documents: DataFrame,
+                       thresholdPpm: Long = 150000L): DataFrame =
+    sourceDriftFromCounts(sourceDriftCounts(documents), thresholdPpm)
+
   /** TF-IDF top terms per document: tf · ln(N/df), one aggregation
     * for term frequencies, one bounded aggregation for document
     * frequencies (vocabulary-sized, broadcast back), top-k via

@@ -154,6 +154,126 @@ object IngestStreams {
     cfs.create(marker, true).close()
   }
 
+  /** HOT-SWAP face of the learned quality filter: scoring keeps
+    * running while a retrain publishes a NEW weight version — no
+    * stream restart, no half-scored batch. Weight tables live at
+    * `weights/version=V` and become visible only when their commit
+    * marker lands (write-then-mark, so a scoring batch can never
+    * read a half-written table); each micro-batch resolves the
+    * LATEST committed version at its start, scores the whole batch
+    * under it, and stamps every output row with `weights_version` —
+    * the lineage a later re-cleaning decision needs ("which docs
+    * were admitted by the old model?"). In this harness the retrain
+    * lands between batch 0 and batch 1 (v1 = the shipped
+    * planted-corpus model, v2 = the full-batch model) and the batch
+    * split is parity-deterministic with mtime-pinned order (the
+    * qualityAudit rule), so the result is SQL-expressible: even docs
+    * score under v1, odd under v2 — the oracle embeds BOTH
+    * artifacts. At 100 TB the swap costs one ~weights-sized
+    * broadcast on the next batch; nothing rescans, nothing restarts.
+    */
+  def streamedQualityHotswap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Boolean, Long)]
+        .toDF("doc_id", "n_feats", "logit", "keep", "weights_version")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-hs-ing-").toString
+    val incoming = s"$base/incoming"
+    val inPath = new org.apache.hadoop.fs.Path(incoming)
+    val infs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stampShard(mtime: Long): Unit =
+      infs.listStatus(inPath).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".") && s.getModificationTime >= mtime)
+          infs.setTimes(s.getPath, mtime, -1)
+      }
+    // version-dependent output needs the batch ORDER pinned: even
+    // shard scores first (v1), odd second (v2)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    stampShard(1000000L)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    stampShard(2000000L)
+    graft.operators.Checkpoints.free(docs)
+    val state = s"$base/state"
+    publishWeights(spark, state, 1L, TextAnalysis.qualityClfArtifact)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the retrain lands while batch 0 is already scored: v2
+        // publishes just before batch 1 — the cut-over moment this
+        // face exists to model
+        if (id >= 1L) publishWeights(spark, state, 2L, TextAnalysis.qualityClfFullArtifact)
+        qualityHotswapBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$state/scored")
+      .select("doc_id", "n_feats", "logit", "keep", "weights_version")
+  }
+
+  /** Publish one weight version: write the table, THEN the commit
+    * marker — readers trust only marked versions, so a crash between
+    * the two leaves an invisible directory a retry overwrites.
+    * Idempotent per version. */
+  private[graft] def publishWeights(spark: SparkSession, statePath: String,
+      version: Long, artifact: (Seq[(Long, Long)], Long, Int)): Unit = {
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_w_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, version.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis.qualityClfSaveWeights(
+      artifact, s"$statePath/weights/version=$version", spark)
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Latest COMMITTED weight version — marker presence, never a
+    * directory listing (a half-published version is invisible). */
+  private[graft] def currentWeightsVersion(spark: SparkSession,
+                                           statePath: String): Long = {
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_w_commits")
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(cfs.exists(commitDir), s"no committed weight versions under $statePath")
+    val vs = cfs.listStatus(commitDir).map(_.getPath.getName.toLong)
+    require(vs.nonEmpty, s"no committed weight versions under $statePath")
+    vs.max
+  }
+
+  /** One hot-swap scoring micro-batch: resolve the latest committed
+    * version at batch start, score the WHOLE batch under it, stamp
+    * rows with the version. Replay is a marker no-op; a crash-window
+    * RETRY rescores the whole batch under the then-current version
+    * (overwrite semantics — the version column records the truth,
+    * and a batch is never half-old half-new). */
+  private[graft] def qualityHotswapBatch(batch0: org.apache.spark.sql.DataFrame,
+                                         batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_hs_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val v = currentWeightsVersion(spark, statePath)
+    val artifact = graft.operators.TextAnalysis.qualityClfLoadWeights(
+      s"$statePath/weights/version=$v", spark)
+    graft.operators.TextAnalysis.qualityClassify(
+        batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"), artifact)
+      .withColumn("weights_version", lit(v))
+      .write.mode("overwrite").parquet(s"$statePath/scored/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
   /** One [[streamedQualityClassify]] micro-batch, exposed for the
     * replay spec. */
   private[graft] def qualityClassifyBatch(batch0: org.apache.spark.sql.DataFrame,
@@ -305,6 +425,85 @@ object IngestStreams {
       .groupBy("canonical_url")
       .agg(min(col("keep_doc_id")).as("keep_doc_id"),
         sum(col("n_copies")).as("n_copies"))
+  }
+
+  /** Streamed per-source drift alarms — the always-on face of
+    * `ta_source_drift`, and a [[streamedUrlDedup]]-family PURE-DELTA
+    * member: each micro-batch appends its own (source, x, cr, cc)
+    * count deltas (bounded by sources × distinct values, never doc
+    * rows) to a per-batch overwrite directory, and resolve merges
+    * with a cell-wise SUM — order-independent, so the entry shares
+    * the batch oracle verbatim. The KS roll-up itself is
+    * [[graft.operators.TextAnalysis.sourceDriftFromCounts]], the
+    * same code the batch operator runs (no drift between faces).
+    * Deployment story: the alarm table refreshes per batch at
+    * count-table cost; an alarming source triggers the retrain whose
+    * cut-over is [[streamedQualityHotswap]].
+    */
+  def streamedSourceDrift(spark: SparkSession, dir: String,
+                          thresholdPpm: Long = 150000L): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long, Boolean)]
+        .toDF("source", "n_ref", "n_cur", "d_raw", "ks_ppm", "alarm")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-ing-").toString
+    val incoming = s"$base/incoming"
+    // shards split ACROSS the ref/cur windows (doc_id mod 4), so each
+    // batch carries deltas for both windows — the merge, not the
+    // shard layout, produces the final counts
+    docs.filter(col("doc_id") % 4 < 2).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 4 >= 2).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("n_chars", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sourceDriftBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sourceDriftResolve(spark, state, thresholdPpm)
+  }
+
+  /** One [[streamedSourceDrift]] micro-batch: the batch's own count
+    * deltas, overwrite + marker (replay-safe). */
+  private[graft] def sourceDriftBatch(batch0: org.apache.spark.sql.DataFrame,
+                                      batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_drift_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis.sourceDriftCounts(
+        batch0.dropDuplicates("doc_id"))
+      .write.mode("overwrite").parquet(s"$statePath/deltas/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Merge the maintained count deltas (cell-wise sum — exact and
+    * order-independent) and run the shared KS roll-up. */
+  def sourceDriftResolve(spark: SparkSession, statePath: String,
+                         thresholdPpm: Long = 150000L): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/deltas")) {
+      return Seq.empty[(String, Long, Long, Long, Long, Boolean)]
+        .toDF("source", "n_ref", "n_cur", "d_raw", "ks_ppm", "alarm")
+    }
+    val merged = spark.read.parquet(s"$statePath/deltas")
+      .groupBy("source", "x")
+      .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))
+    graft.operators.TextAnalysis.sourceDriftFromCounts(merged, thresholdPpm)
   }
 
   /** Production ingest sink: stream → `foreachBatch` → MERGE-on-write

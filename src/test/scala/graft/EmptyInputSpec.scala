@@ -45,6 +45,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // CMS on an empty corpus: a zero matrix — estimates 0, exacts 0
     assert(Sketches.countMinWordFreq(emptyDocs, Seq("a", "b")).collect()
       .forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // KLL / drift alarm: empty output, not a throw
+    assert(Sketches.kllQuantiles(emptyDocs).count() == 0)
+    assert(TextAnalysis.sourceDriftAlarm(emptyDocs).count() == 0)
   }
 
   test("duplicatedSpans on empty documents is empty") {

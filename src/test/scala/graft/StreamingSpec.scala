@@ -1045,6 +1045,95 @@ class StreamingSpec extends AnyFunSuite {
       "replayed labeled batch appended duplicates")
   }
 
+  test("streamedQualityHotswap: mid-stream versioned cut-over; uncommitted weights invisible; retry rescores whole-batch under the current version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getLong(4)))).toMap
+    val got = asMap(IngestStreams.streamedQualityHotswap(spark, sf).collect())
+    // even docs scored under v1, odd under v2 — each slice must equal
+    // its batch scorer twin, version-stamped
+    val docs = Tables.documents(spark, sf)
+    val wantV1 = TextAnalysis.qualityClassify(
+        docs.filter(col("doc_id") % 2 === 0), TextAnalysis.qualityClfArtifact)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), 1L))).toMap
+    val wantV2 = TextAnalysis.qualityClassify(
+        docs.filter(col("doc_id") % 2 =!= 0), TextAnalysis.qualityClfFullArtifact)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), 2L))).toMap
+    assert(got == wantV1 ++ wantV2 && wantV1.nonEmpty && wantV2.nonEmpty)
+    // the swap must be observable: the two artifacts disagree on at
+    // least one weight, else the cut-over test is vacuous
+    assert(TextAnalysis.qualityClfArtifact._1 != TextAnalysis.qualityClfFullArtifact._1)
+
+    // hand-driven state machine
+    val state = java.nio.file.Files.createTempDirectory("graft-hs-replay-").toString + "/state"
+    val b = Seq((1L, "join merge window stream"), (2L, "a the a the")).toDF("doc_id", "text")
+    IngestStreams.publishWeights(spark, state, 1L, TextAnalysis.qualityClfArtifact)
+    // a HALF-PUBLISHED version (table written, no marker) is invisible
+    TextAnalysis.qualityClfSaveWeights(TextAnalysis.qualityClfFullArtifact,
+      s"$state/weights/version=2", spark)
+    assert(IngestStreams.currentWeightsVersion(spark, state) == 1L,
+      "unmarked weight version became visible")
+    IngestStreams.qualityHotswapBatch(b, 0L, state)
+    val scored0 = spark.read.parquet(s"$state/scored")
+    assert(scored0.select("weights_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // committing the marker makes v2 current; a replay of the
+    // committed batch is a no-op (stays v1)
+    IngestStreams.publishWeights(spark, state, 2L, TextAnalysis.qualityClfFullArtifact)
+    assert(IngestStreams.currentWeightsVersion(spark, state) == 2L)
+    IngestStreams.qualityHotswapBatch(b, 0L, state)
+    assert(spark.read.parquet(s"$state/scored")
+      .select("weights_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L), "replayed committed batch rescored")
+    // crash-window RETRY (marker lost): the whole batch rescores
+    // under the CURRENT version — never half-old half-new, no dups
+    val n0 = spark.read.parquet(s"$state/scored").count()
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_hs_commits/0")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.qualityHotswapBatch(b, 0L, state)
+    val retried = spark.read.parquet(s"$state/scored")
+    assert(retried.count() == n0, "retry duplicated scored rows")
+    assert(retried.select("weights_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "retried batch must rescore uniformly under the current version")
+  }
+
+  test("streamedSourceDrift == batch sourceDriftAlarm; delta replay is a no-op; empty state resolves empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val streamed = asMap(IngestStreams.streamedSourceDrift(spark, sf).collect())
+    val batch = asMap(graft.operators.TextAnalysis.sourceDriftAlarm(
+      Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven delta replay: a committed batch re-delivery is a no-op
+    val state = java.nio.file.Files.createTempDirectory("graft-drift-replay-").toString + "/state"
+    val b = Seq((0L, "a", 10L), (1L, "a", 20L)).toDF("doc_id", "source", "n_chars")
+    IngestStreams.sourceDriftBatch(b, 0L, state)
+    val r0 = asMap(IngestStreams.sourceDriftResolve(spark, state).collect())
+    IngestStreams.sourceDriftBatch(b, 0L, state)
+    assert(asMap(IngestStreams.sourceDriftResolve(spark, state).collect()) == r0,
+      "replayed drift deltas double-counted")
+    // crash-window retry (marker lost): overwrite semantics, counts unchanged
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_drift_commits/0")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.sourceDriftBatch(b, 0L, state)
+    assert(asMap(IngestStreams.sourceDriftResolve(spark, state).collect()) == r0,
+      "crash-window retry drifted the counts")
+    // empty state resolves to an empty alarm table, not a throw
+    val emptyState = java.nio.file.Files.createTempDirectory("graft-drift-empty-").toString + "/state"
+    assert(IngestStreams.sourceDriftResolve(spark, emptyState).count() == 0)
+  }
+
   test("multiBfsBatch: late smaller ids re-elect the source set; resolves == batch twins; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

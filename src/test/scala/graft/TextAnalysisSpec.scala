@@ -98,6 +98,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       ((4L, 4L, 4L, 250000L)))
   }
 
+  test("sourceDriftAlarm: per-source KS with alarm threshold; empty window = maximal drift") {
+    import spark.implicits._
+    // ref window = even doc_id, cur = odd; ids interleave per source
+    def rows(source: String, ref: Seq[Long], cur: Seq[Long], base: Long) =
+      ref.zipWithIndex.map { case (n, i) => (base + 2L * i, source, n) } ++
+        cur.zipWithIndex.map { case (n, i) => (base + 2L * i + 1L, source, n) }
+    val docs = (
+      rows("stable", Seq(10L, 20L, 30L), Seq(30L, 10L, 20L), 0L) ++
+        rows("drifted", Seq(10L, 10L, 10L), Seq(100L, 100L, 100L), 100L) ++
+        rows("onesided", Seq(10L, 20L), Seq.empty, 200L) ++
+        // hand case: ref {3,3,5,7}, cur {3,5,5,7} → sup-gap at x=3:
+        // |2·4−1·4| = 4 → 4·10⁶/16 = 250000 ppm
+        rows("hand", Seq(3L, 3L, 5L, 7L), Seq(3L, 5L, 5L, 7L), 300L)
+      ).toDF("doc_id", "source", "n_chars")
+    def asMap(threshold: Long) =
+      graft.operators.TextAnalysis.sourceDriftAlarm(docs, threshold).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    val got = asMap(150000L)
+    assert(got("stable") == ((3L, 3L, 0L, false)), s"stable: ${got("stable")}")
+    assert(got("drifted") == ((3L, 3L, 1000000L, true)), s"drifted: ${got("drifted")}")
+    assert(got("onesided") == ((2L, 0L, 1000000L, true)), s"onesided: ${got("onesided")}")
+    assert(got("hand") == ((4L, 4L, 250000L, true)), s"hand: ${got("hand")}")
+    // the threshold is the knob: at 300000 ppm the hand case stops alarming
+    assert(!asMap(300000L)("hand")._4)
+  }
+
   test("cooccurrence: doc-level pair counts, canonical order, deterministic top-k cut") {
     import spark.implicits._
     val df = Seq(
