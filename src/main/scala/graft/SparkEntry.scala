@@ -393,6 +393,7 @@ object SparkEntry {
       Dedup.urlDedup(Dedup.syntheticUrls(Tables.documents(s, dir)))),
     // content-defined chunking: rolling-fingerprint boundaries ->
     // insertion-robust chunk table + chunk-level dedup
+    "dedup_suffix_profile" -> ((s, dir) => graft.operators.Suffix.dupMassProfile(Tables.documents(s, dir))),
     "dedup_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), 8, 63)),
     "dedup_cdc" -> ((s, dir) => Dedup.cdcDedup(Tables.documents(s, dir), 8, 63)),
     // LBFS minimum-chunk rule: boundaries closer than minLen to the
@@ -2199,6 +2200,34 @@ object SparkEntry {
     "dedup_url" -> UrlDedupSql,
     // mirrors cdcChunks step for step: position fingerprints, the
     // boundary residue, consecutive-pair slices, chunk md5
+    // direct substring grouping per probed length — a genuinely
+    // different algorithm from the prefix-doubling rank chain,
+    // agreeing on every integer (the q_triangles oracle philosophy)
+    "dedup_suffix_profile" ->
+      """WITH lens(l) AS (VALUES (8), (16), (32), (64), (128), (256)),
+        |w AS (
+        |  SELECT lens.l AS l, d.doc_id AS doc_id, substr(d.text, i, lens.l) AS win
+        |  FROM documents d, lens,
+        |    unnest(generate_series(1, length(d.text) - lens.l + 1)) AS g(i)
+        |  WHERE length(d.text) >= lens.l),
+        |g AS (SELECT l, win, count(*) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT l,
+        |    CAST(sum(c) AS BIGINT) AS n_windows,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_positions,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_windows
+        |  FROM g GROUP BY 1),
+        |nd AS (SELECT w.l, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs
+        |  FROM w JOIN g ON g.l = w.l AND g.win = w.win
+        |  WHERE g.c > 1 GROUP BY 1)
+        |SELECT CAST(lens.l AS BIGINT) AS match_len,
+        |  coalesce(a.n_windows, 0) AS n_windows,
+        |  coalesce(a.n_dup_positions, 0) AS n_dup_positions,
+        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(nd.n_docs, 0) AS n_docs_touched,
+        |  CAST(CASE WHEN coalesce(a.n_windows, 0) = 0 THEN 0
+        |       ELSE (coalesce(a.n_dup_positions, 0) * 1000000) // a.n_windows
+        |       END AS BIGINT) AS dup_mass_ppm
+        |FROM lens LEFT JOIN a ON a.l = lens.l LEFT JOIN nd ON nd.l = lens.l""".stripMargin,
     "dedup_cdc_chunks" -> CdcChunksSql,
     "dedup_cdc" -> CdcDedupSql,
     "dedup_cdc_min" -> CdcDedupMinSql,
