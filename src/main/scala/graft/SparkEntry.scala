@@ -391,6 +391,12 @@ object SparkEntry {
     // deterministically from doc_id (fixture has no URL column)
     "dedup_url" -> ((s, dir) =>
       Dedup.urlDedup(Dedup.syntheticUrls(Tables.documents(s, dir)))),
+    // C4-style corpus-level line dedup: every segment occurrence
+    // after the corpus-first (min (doc_id, seg_idx) per content) is
+    // cut and docs reassemble in order; one map-side-combined
+    // aggregate on the content key, text never rides the survivor
+    // shuffle
+    "dedup_lines" -> ((s, dir) => Dedup.lineDedup(Tables.documents(s, dir), 8)),
     // content-defined chunking: rolling-fingerprint boundaries ->
     // insertion-robust chunk table + chunk-level dedup
     "dedup_suffix_profile" -> ((s, dir) => graft.operators.Suffix.dupMassProfile(Tables.documents(s, dir))),
@@ -639,6 +645,7 @@ object SparkEntry {
     "q_approx_distinct_hll" -> ((s, dir) => Sketches.hllDistinctUsers(Tables.events(s, dir))),
     "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.documents(s, dir))),
     "q_kll_sketch" -> ((s, dir) => Sketches.kllQuantiles(Tables.documents(s, dir))),
+    "stream_kll" -> ((s, dir) => graft.streaming.IngestStreams.streamedKllQuantiles(s, dir)),
     "q_join_size_est" -> ((s, dir) => Sketches.cmsJoinSizeEstimate(
       Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
     "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
@@ -662,6 +669,7 @@ object SparkEntry {
     // streamed URL-level dedup: pure per-batch deltas, order-
     // independent merge-on-read resolve -- shares dedup_url's oracle
     "stream_url_dedup" -> ((s, dir) => graft.streaming.IngestStreams.streamedUrlDedup(s, dir)),
+    "stream_line_dedup" -> ((s, dir) => graft.streaming.IngestStreams.streamedLineDedup(s, dir)),
     "stream_funnel" -> ((s, dir) => graft.streaming.EventStreams.streamFunnel(s, dir)),
     "stream_retention" -> ((s, dir) => graft.streaming.EventStreams.streamRetention(s, dir)),
     "stream_source_cap" -> ((s, dir) => graft.streaming.EventStreams.streamSourceCap(s, dir, 15)),
@@ -1233,6 +1241,30 @@ object SparkEntry {
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
+
+  /** Shared segment CTE for the line-dedup oracles — mirrors
+    * Dedup.lineSegments at wordsPerSeg=8 (the ta_passages transform). */
+  private val LineSegsSql: String =
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(r['idx'] AS BIGINT) AS seg_idx, r['s'] AS seg FROM (
+      |    SELECT doc_id,
+      |      unnest([{'idx': i - 1, 's': array_to_string(ws[(i-1)*8+1 : i*8], ' ')}
+      |              FOR i IN generate_series(1, (len(ws) - 1) // 8 + 1)]) AS r
+      |    FROM w))""".stripMargin
+
+  /** Segment-survivor oracle — shared verbatim by the streamed face
+    * (its min-of-minima / sum-of-counts merge is order-independent). */
+  private val LineSurvivorsSql: String =
+    s"""WITH $LineSegsSql,
+      |ranked AS (
+      |  SELECT md5(seg) AS seg_md5, doc_id, seg_idx,
+      |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn,
+      |    count(*) OVER (PARTITION BY md5(seg)) AS n_copies
+      |  FROM segs)
+      |SELECT seg_md5, doc_id AS keep_doc_id, seg_idx AS keep_seg_idx, n_copies
+      |FROM ranked WHERE rn = 1 AND n_copies >= 2""".stripMargin
 
   private val UrlDedupSql: String =
       """WITH u AS (
@@ -2198,6 +2230,21 @@ object SparkEntry {
     // mirrors Dedup.syntheticUrls + Dedup.canonicalizeUrl step for
     // step (doc_id is non-negative so % == pmod here)
     "dedup_url" -> UrlDedupSql,
+    // C4-style line dedup: corpus-first occurrence per segment md5
+    // (the Spark min(struct) ≡ the window's (doc_id, seg_idx) rank-1
+    // row), reassembly = ordered string_agg of kept segments
+    "dedup_lines" ->
+      s"""WITH $LineSegsSql,
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+        |    AS clean_text
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+    "stream_line_dedup" -> LineSurvivorsSql,
     // mirrors cdcChunks step for step: position fingerprints, the
     // boundary residue, consecutive-pair slices, chunk md5
     // direct substring grouping per probed length — a genuinely
@@ -3673,5 +3720,6 @@ object SparkEntry {
     "sim_ann_opq" -> 80L,
     "q_mst" -> 1999L,              // spanning forest: n_nodes - n_components
     "q_betweenness" -> 20L,        // top-20 centrality rows
-    "q_kll_sketch" -> 6L)          // one audited estimate per permille probe
+    "q_kll_sketch" -> 6L,          // one audited estimate per permille probe
+    "stream_kll" -> 6L)            // same probe set, sketch-store merged
 }

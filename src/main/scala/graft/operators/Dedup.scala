@@ -881,6 +881,84 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   // ------------------------------------------------------------------
+  // C4-style corpus-level line dedup (Raffel et al. 2020 §2.2: "we
+  // removed any line that occurred more than once in the data set",
+  // keeping ONE canonical occurrence) — the segment-granularity
+  // member between exact whole-doc dedup and the span family: exact
+  // whole-doc misses boilerplate shared across otherwise-distinct
+  // pages, spans find arbitrary-offset repeats but pay a positioned
+  // shingle per character. Line dedup pays ONE key per segment.
+  // The synthetic corpus has no newlines, so "lines" are fixed
+  // non-overlapping word windows (the ta_passages segmentation).
+  // ------------------------------------------------------------------
+
+  /** (doc_id, seg_idx, seg): non-overlapping `wordsPerSeg`-word
+    * segments per doc — [[graft.operators.TextAnalysis.passages]]'s
+    * transform, pure per-row projection + one explode, zero shuffle. */
+  private[graft] def lineSegments(documents: DataFrame, wordsPerSeg: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(ws) - 1) div $wordsPerSeg), " +
+            s"i -> array_join(slice(ws, i * $wordsPerSeg + 1, $wordsPerSeg), ' '))"))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+
+  /** Segment-survivor table: per distinct segment content (keyed by
+    * md5 — the [[exact]] identity at segment granularity), the
+    * corpus-first occurrence in (doc_id, seg_idx) order and the copy
+    * count. ONE map-side-combined aggregate on the content key — a
+    * hot boilerplate segment repeated 10⁹× partial-aggregates to one
+    * row per map task, where a window-rank formulation would funnel
+    * all its copies through a single reducer (the q_salted_agg skew
+    * lesson, solved here by min() being combinable). Duplicated-only
+    * filter keeps the output bounded by actual duplication. */
+  def lineSurvivors(documents: DataFrame, wordsPerSeg: Int = 8): DataFrame =
+    lineSegments(documents, wordsPerSeg)
+      .select(md5(col("seg")).as("seg_md5"), col("doc_id"), col("seg_idx"))
+      .groupBy("seg_md5")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(col("seg_md5"), col("first.doc_id").as("keep_doc_id"),
+        col("first.seg_idx").as("keep_seg_idx"), col("n_copies"))
+
+  /** C4-style global line dedup APPLIED: every segment occurrence
+    * except the corpus-first (min (doc_id, seg_idx) per content) is
+    * cut, and each doc's surviving segments reassemble in order —
+    * (doc_id, n_segs, n_kept, clean_text). A doc made entirely of
+    * already-seen segments survives as an empty string with its
+    * counts, so the caller owns the drop policy.
+    *
+    * Plan: segment explode (zero shuffle) → first-occurrence
+    * aggregate on the md5 key (map-side combined; only (md5, ids)
+    * ride it, never text) → join back on the SAME key (co-partitioned
+    * with the aggregate output, no extra exchange on the survivor
+    * side) → one doc_id aggregate to reassemble. The text-carrying
+    * path is shuffled exactly twice (by content key, by doc), both
+    * unavoidable for a global-first rule with reassembly.
+    */
+  def lineDedup(documents: DataFrame, wordsPerSeg: Int = 8): DataFrame = {
+    require(wordsPerSeg >= 1, s"wordsPerSeg must be >= 1, got $wordsPerSeg")
+    val segs = lineSegments(documents, wordsPerSeg)
+      .withColumn("seg_md5", md5(col("seg")))
+    val firsts = segs
+      .groupBy("seg_md5")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+      .select(col("seg_md5"), col("first.doc_id").as("k_doc"),
+        col("first.seg_idx").as("k_idx"))
+    segs.join(firsts, "seg_md5")
+      .withColumn("kept", col("doc_id") === col("k_doc") && col("seg_idx") === col("k_idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        array_join(transform(array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))), x => x.getField("seg")), " ")
+          .as("clean_text"))
+  }
+
+  // ------------------------------------------------------------------
   // Content-defined chunking (CDC) — the rsync/LBFS boundary rule
   // that makes chunk-level dedup INSERTION-ROBUST: a chunk boundary
   // falls wherever the rolling fingerprint of the last `w` characters

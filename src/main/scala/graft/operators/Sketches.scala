@@ -281,8 +281,6 @@ object Sketches {
   def kllQuantiles(documents: DataFrame, valueCol: String = "n_chars",
                    k: Int = 256,
                    qPermille: Seq[Int] = Seq(10, 250, 500, 750, 900, 990)): DataFrame = {
-    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
-      "quantiles in 1..1000 permille")
     val spark = documents.sparkSession
     import spark.implicits._
     import graft.functions.{Kll, KllAggregator, KllSketch}
@@ -291,6 +289,23 @@ object Sketches {
       .select(col("source"), col(valueCol).cast("long").as("v"))
       .groupBy("source").agg(kllUdaf(col("v")).as("sk"))
       .as[(String, KllSketch)].collect()
+    val merged =
+      if (sketches.isEmpty) None else Some(sketches.map(_._2).reduce(Kll.merge))
+    kllProbeAudit(documents, valueCol, merged, qPermille)
+  }
+
+  /** Probe + exact-rank-audit tail of [[kllQuantiles]], shared with
+    * the streamed sketch-store face so the output contract cannot
+    * drift: each permille estimate from the merged sketch beside the
+    * measured rank-interval distance from one conditional-sum pass
+    * over the corpus. */
+  private[graft] def kllProbeAudit(documents: DataFrame, valueCol: String,
+                                   merged: Option[graft.functions.KllSketch],
+                                   qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles in 1..1000 permille")
+    val spark = documents.sparkSession
+    import graft.functions.Kll
     val probes = qPermille.distinct.sorted
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("q_permille", org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -300,10 +315,9 @@ object Sketches {
       org.apache.spark.sql.types.StructField("target_rank", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("rank_err_ppm", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("n_total", org.apache.spark.sql.types.LongType, nullable = false)))
-    if (sketches.isEmpty)
+    if (merged.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val merged = sketches.map(_._2).reduce(Kll.merge)
-    val ests = probes.map(q => q -> Kll.quantile(merged, q)).toMap
+    val ests = probes.map(q => q -> Kll.quantile(merged.get, q)).toMap
     // one-pass exact-rank audit, all conditional sums in a single
     // aggregate (never a sort). A duplicated value occupies the rank
     // INTERVAL (#{v < est}, #{v ≤ est}]; the estimate is wrong only

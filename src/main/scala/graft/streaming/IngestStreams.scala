@@ -52,6 +52,96 @@ object IngestStreams {
     urlDedupResolve(spark, s"$base/state")
   }
 
+  /** Streamed C4-style line dedup — the ingest face of
+    * [[graft.operators.Dedup.lineSurvivors]] and a
+    * [[streamedUrlDedup]]-family PURE-DELTA member: each micro-batch
+    * segments its OWN docs (zero-shuffle explode), aggregates one
+    * (seg_md5, batch-first (doc_id, seg_idx), batch count) row per
+    * distinct segment, and writes it to a per-batch overwrite
+    * directory with a commit marker. Resolve's merge-on-read is
+    * ORDER-INDEPENDENT (min of per-batch first-occurrence structs,
+    * sum of counts — the survivor is the global (doc_id, seg_idx)
+    * minimum whatever order shards land in), so the entry shares the
+    * batch survivor SQL oracle verbatim. The ≥2-copies filter runs
+    * ONLY at resolve: a segment unique within every batch but shared
+    * across two IS duplicated. Per-batch cost = the batch's own
+    * segment aggregate; nothing is rescanned or rewritten.
+    */
+  def streamedLineDedup(spark: SparkSession, dir: String,
+                        wordsPerSeg: Int = 8): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("seg_md5", "keep_doc_id", "keep_seg_idx", "n_copies")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-line-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        lineDedupBatch(b, id, s"$base/state", wordsPerSeg)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lineDedupResolve(spark, s"$base/state")
+  }
+
+  /** One [[streamedLineDedup]] micro-batch, exposed for the replay
+    * spec: the batch's own segment first-occurrence aggregate,
+    * overwrite + marker (retries replace, never re-append). */
+  private[graft] def lineDedupBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    wordsPerSeg: Int): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_line_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.Dedup.lineSegments(
+        batch0.dropDuplicates("doc_id").select(col("doc_id"), col("text")),
+        wordsPerSeg)
+      .select(md5(col("seg")).as("seg_md5"), col("doc_id"), col("seg_idx"))
+      .groupBy("seg_md5")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("seg_md5"), col("first.doc_id").as("keep_doc_id"),
+        col("first.seg_idx").as("keep_seg_idx"), col("n_copies"))
+      .write.mode("overwrite").parquet(s"$statePath/deltas/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Resolve the maintained line-dedup deltas: global first
+    * occurrence (min of per-batch minima), global copy count,
+    * duplicated segments only — [[graft.operators.Dedup
+    * .lineSurvivors]]'s exact contract. */
+  def lineDedupResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/deltas")) {
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("seg_md5", "keep_doc_id", "keep_seg_idx", "n_copies")
+    }
+    spark.read.parquet(s"$statePath/deltas")
+      .groupBy("seg_md5")
+      .agg(min(struct(col("keep_doc_id"), col("keep_seg_idx"))).as("first"),
+        sum(col("n_copies")).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(col("seg_md5"), col("first.keep_doc_id").as("keep_doc_id"),
+        col("first.keep_seg_idx").as("keep_seg_idx"), col("n_copies"))
+  }
+
   /** Streamed quality-classifier scoring — the always-on face of
     * `ta_quality_clf`: per-doc scoring is STATELESS (broadcast
     * weights, no corpus statistics), so each micro-batch scores
@@ -504,6 +594,84 @@ object IngestStreams {
       .groupBy("source", "x")
       .agg(sum(col("cr")).as("cr"), sum(col("cc")).as("cc"))
     graft.operators.TextAnalysis.sourceDriftFromCounts(merged, thresholdPpm)
+  }
+
+  /** Streamed KLL sketch-store maintenance — the mergeable-quantile
+    * deployment story ([[graft.operators.Sketches.kllQuantiles]]'s
+    * always-on face): each micro-batch writes ONE KLL sketch per
+    * source over its own values — a ~KB row regardless of batch
+    * size — to a per-batch overwrite dir with a commit marker;
+    * resolve merges the accumulated sketches ([[graft.functions
+    * .Kll.merge]], O(batches·sources·k) driver arithmetic, no corpus
+    * rescan) and answers the probe set through the SAME
+    * probe-and-audit tail the batch query uses. Rows-only by the
+    * batch entry's own reason (merge order shifts compaction
+    * coins); the spec gates the rank-error bound and state
+    * boundedness instead.
+    */
+  def streamedKllQuantiles(spark: SparkSession, dir: String, k: Int = 256,
+      qPermille: Seq[Int] = Seq(10, 250, 500, 750, 900, 990)): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      return graft.operators.Sketches.kllProbeAudit(
+        graft.Tables.documents(spark, dir), "n_chars", None, qPermille)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-kll-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 4 < 2).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 4 >= 2).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("n_chars", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        kllSketchBatch(b, id, state, k)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Sketches.kllProbeAudit(
+      graft.Tables.documents(spark, dir), "n_chars",
+      kllSketchResolve(spark, state), qPermille)
+  }
+
+  /** One [[streamedKllQuantiles]] micro-batch: the batch's own
+    * per-source sketches, overwrite + marker (replay-safe). */
+  private[graft] def kllSketchBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    k: Int): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_kll_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val kllUdaf = udaf(new graft.functions.KllAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    batch0.dropDuplicates("doc_id")
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy("source").agg(kllUdaf(col("v")).as("sk"))
+      .write.mode("overwrite").parquet(s"$statePath/sketches/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Merge the maintained sketch store to one corpus sketch —
+    * O(store rows · k) driver arithmetic, never a corpus rescan. */
+  private[graft] def kllSketchResolve(spark: SparkSession,
+                                      statePath: String): Option[graft.functions.KllSketch] = {
+    import graft.functions.{Kll, KllSketch}
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/sketches")) return None
+    val sketches = spark.read.parquet(s"$statePath/sketches")
+      .select(col("sk.*")).as[KllSketch].collect()
+    if (sketches.isEmpty) None else Some(sketches.reduce(Kll.merge))
   }
 
   /** Production ingest sink: stream → `foreachBatch` → MERGE-on-write

@@ -525,6 +525,38 @@ class DedupSpec extends AnyFunSuite {
       "clamped CDC lost insertion robustness")
   }
 
+  test("lineDedup: only the corpus-first occurrence of a segment survives, within and across docs; reassembly preserves order") {
+    import spark.implicits._
+    val A = "common boiler plate seg"
+    val docs = Seq(
+      (1L, s"$A u11 u12 u13 u14"),              // first holder of A
+      (2L, s"$A u21 u22 u23 u24"),              // A cut, unique tail kept
+      (3L, "rep rep rep rep rep rep rep rep"),  // in-doc repeat: 2nd copy cut
+      (4L, A),                                   // entirely duplicate -> empty
+      (5L, "tail words only three")              // short partial segment, unique
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val out = asMap(Dedup.lineDedup(docs, 4))
+    assert(out == Map(
+      1L -> ((2L, 2L, s"$A u11 u12 u13 u14")),
+      2L -> ((2L, 1L, "u21 u22 u23 u24")),
+      3L -> ((2L, 1L, "rep rep rep rep")),
+      4L -> ((1L, 0L, "")),
+      5L -> ((1L, 1L, "tail words only three"))), s"got $out")
+    // partitioning invariance: the min(struct) survivor rule cannot
+    // depend on which task saw a segment first
+    assert(asMap(Dedup.lineDedup(docs.repartition(7), 4)) == out)
+    // the survivor table carries exactly the duplicated segments
+    val surv = Dedup.lineSurvivors(docs, 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val md5A = java.security.MessageDigest.getInstance("MD5")
+      .digest(A.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md5R = java.security.MessageDigest.getInstance("MD5")
+      .digest("rep rep rep rep".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(surv == Map(md5A -> ((1L, 0L, 3L)), md5R -> ((3L, 0L, 2L))), s"got $surv")
+  }
+
   test("urlDedup: every planted spelling variant collapses; distinct pages stay distinct") {
     import spark.implicits._
     // eight spellings of ONE page: scheme/host case, www, default

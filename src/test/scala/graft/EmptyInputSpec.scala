@@ -249,4 +249,18 @@ class EmptyInputSpec extends AnyFunSuite {
     val tiny = Dedup.cdcChunks(Seq((1L, "x")).toDF("doc_id", "text")).collect()
     assert(tiny.length == 1 && tiny(0).getLong(3) == 1L)
   }
+
+  test("round-11 operators return empty on empty inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.cdcDedupMin(emptyDocs).count() == 0)
+    assert(Dedup.cdcDedupClamped(emptyDocs).count() == 0)
+    assert(Dedup.lineSurvivors(emptyDocs).count() == 0)
+    assert(Dedup.lineDedup(emptyDocs).count() == 0)
+    // the profile's shape is one summary row per probed length — on an
+    // empty corpus every count is zero, not a throw
+    val prof = graft.operators.Suffix.dupMassProfile(emptyDocs, Seq(8, 16)).collect()
+    assert(prof.length == 2 &&
+      prof.forall(r => (1 to 4).forall(i => r.getLong(i) == 0L)), s"got ${prof.toSeq}")
+  }
 }

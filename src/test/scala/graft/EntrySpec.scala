@@ -45,9 +45,11 @@ class EntrySpec extends AnyFunSuite {
       "q_betweenness", // Brandes backward-pass delta ratios are rational
                        // (level-recursive float accumulation); the spec's
                        // independent local Brandes is the oracle
-      "q_kll_sketch") // KLL compaction depends on Spark's partial-merge
+      "q_kll_sketch", // KLL compaction depends on Spark's partial-merge
                       // order; SketchesSpec gates rank error and the query
                       // emits its own exact-rank audit columns
+      "stream_kll") // streamed q_kll_sketch twin: same merge-order reason,
+                    // StreamingSpec gates the bound + state boundedness
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
     // every rows-only query carries a pinned sf0.01 row count for the
     // driver's rows-gate, and nothing else does

@@ -1104,6 +1104,41 @@ class StreamingSpec extends AnyFunSuite {
       "retried batch must rescore uniformly under the current version")
   }
 
+  test("streamedKllQuantiles: error bound holds through the sketch store; replay/retry no-ops; state stays KB-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Kll
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = IngestStreams.streamedKllQuantiles(spark, sf).collect()
+    assert(out.length == 6)
+    // the audit columns carry the proof: measured rank error <= 2%
+    out.foreach { r =>
+      assert(r.getLong(6) == n)
+      assert(r.getLong(5) <= 20000L,
+        s"q=${r.getInt(0)}: streamed-store rank error ${r.getLong(5)} ppm")
+    }
+    // hand-driven store: replay and crash-window retry are no-ops,
+    // and each stored sketch is bounded (state size independent of rows)
+    val state = java.nio.file.Files.createTempDirectory("graft-kll-replay-").toString + "/state"
+    val b = (1L to 500L).map(i => (i, "a", i % 97)).toDF("doc_id", "source", "n_chars")
+    IngestStreams.kllSketchBatch(b, 0L, state, 64)
+    val s0 = IngestStreams.kllSketchResolve(spark, state).get
+    assert(s0.n == 500L && Kll.totalWeight(s0) == 500L)
+    assert(Kll.size(s0) <= 4 * 64, s"stored sketch too large: ${Kll.size(s0)}")
+    IngestStreams.kllSketchBatch(b, 0L, state, 64) // full replay: marker no-op
+    assert(IngestStreams.kllSketchResolve(spark, state).get == s0)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_kll_commits/0")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.kllSketchBatch(b, 0L, state, 64) // retry: overwrite, no dup sketch
+    assert(IngestStreams.kllSketchResolve(spark, state).get.n == 500L,
+      "crash-window retry double-counted the batch")
+    // empty store resolves None
+    val emptyState = java.nio.file.Files.createTempDirectory("graft-kll-empty-").toString + "/state"
+    assert(IngestStreams.kllSketchResolve(spark, emptyState).isEmpty)
+  }
+
   test("streamedSourceDrift == batch sourceDriftAlarm; delta replay is a no-op; empty state resolves empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -1259,6 +1294,44 @@ class StreamingSpec extends AnyFunSuite {
     IngestStreams.urlDedupBatch(b1, 1L, state, 16)
     assert(asMap(IngestStreams.urlDedupResolve(spark, state).collect()) == after,
       "crash-window retry drifted the url dedup table")
+  }
+
+  test("streamedLineDedup == batch lineSurvivors; cross-batch duplicates surface at resolve; replay/retry no-ops") {
+    import spark.implicits._
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // full-fixture parity with the batch operator (shared oracle)
+    val streamed = asMap(IngestStreams.streamedLineDedup(spark, sf).collect())
+    val batch = asMap(graft.operators.Dedup.lineSurvivors(
+      Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven batches arriving in REVERSED doc order: a segment
+    // unique within each batch but shared ACROSS them must surface
+    // only at resolve, with the global (doc_id, seg_idx) minimum
+    // winning survivorship over the earlier-ARRIVING copy
+    val state = java.nio.file.Files.createTempDirectory("graft-line-replay-").toString + "/state"
+    val shared = "x1 x2 x3 x4"
+    val b0 = Seq((10L, s"$shared late tail words here")).toDF("doc_id", "text")
+    val b1 = Seq((2L, s"early head words go $shared")).toDF("doc_id", "text")
+    IngestStreams.lineDedupBatch(b0, 0L, state, 4)
+    val afterB0 = asMap(IngestStreams.lineDedupResolve(spark, state).collect())
+    assert(afterB0.isEmpty, s"no duplicate exists after one batch: $afterB0")
+    IngestStreams.lineDedupBatch(b1, 1L, state, 4)
+    val md5S = java.security.MessageDigest.getInstance("MD5")
+      .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val after = asMap(IngestStreams.lineDedupResolve(spark, state).collect())
+    assert(after == Map(md5S -> ((2L, 1L, 2L))), s"got $after")
+    // full replay: marker short-circuits
+    IngestStreams.lineDedupBatch(b1, 1L, state, 4)
+    assert(asMap(IngestStreams.lineDedupResolve(spark, state).collect()) == after)
+    // crash-window retry: delta written, marker missing — overwrite
+    // semantics must not double-count the batch
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_line_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.lineDedupBatch(b1, 1L, state, 4)
+    assert(asMap(IngestStreams.lineDedupResolve(spark, state).collect()) == after,
+      "crash-window retry drifted the line-dedup table")
   }
 
   test("stateful transitions: single-batch == batch eventTransitions; two-batch carry links across the boundary") {
