@@ -468,6 +468,14 @@ object SparkEntry {
     // the driver's rows-only check vacuous; specs verify 0.9 on
     // planted near-dups.
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
+    // SemDeDup: cluster-bounded pairwise cosine over the SHARED
+    // cached trained quantizer; survivors are the lowest-centroid-cos
+    // members of each duplicate chain (the paper's keep policy).
+    // tau=0.8 is the structureless-gaussian dial: the testdata has no
+    // true paraphrase pairs, so the spec's planted corpus carries the
+    // semantics and this entry exercises the full plan shape
+    "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(
+      Tables.embeddings(s, dir), tau = 0.8, coarse = Some(coarseFor(s, dir)))),
     "dedup_components" -> ((s, dir) => Dedup.connectedComponents(
       Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     "dedup_components_fast" -> ((s, dir) => Dedup.connectedComponentsAlternating(
@@ -3721,5 +3729,6 @@ object SparkEntry {
     "q_mst" -> 1999L,              // spanning forest: n_nodes - n_components
     "q_betweenness" -> 20L,        // top-20 centrality rows
     "q_kll_sketch" -> 6L,          // one audited estimate per permille probe
-    "stream_kll" -> 6L)            // same probe set, sketch-store merged
+    "stream_kll" -> 6L,            // same probe set, sketch-store merged
+    "dedup_semantic" -> 500L)      // one verdict row per embedding
 }

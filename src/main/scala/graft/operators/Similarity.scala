@@ -436,6 +436,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup — SEMANTIC dedup over embeddings (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the corpus, then call two documents
+    * duplicates when their embeddings' cosine exceeds `tau` WITHIN a
+    * cluster, keeping one representative per duplicate chain. The
+    * embedding-space complement of the lexical family: paraphrases
+    * and re-encodings share no n-grams (MinHash/CDC/lines all miss
+    * them) but land on near-identical embeddings.
+    *
+    * Keep policy (the paper's): survivors are the examples with the
+    * LOWEST cosine to their cluster centroid — rank each cluster by
+    * (centroid_cos asc, vec_id asc), and drop a row iff some
+    * earlier-ranked clustermate sits within `tau` of it. The
+    * triangular max-over-priors formulation is exactly the paper's
+    * implementation of its duplicate groups.
+    *
+    * Scale design: candidate pairs come ONLY from the cell equality
+    * join — the paper's own trick for making all-pairs cosine
+    * tractable at web scale (they run k=50,000 clusters on 5B
+    * embeddings; `nCells` ≈ [[sizeCells]] bounds E[cell²] candidate
+    * volume). Clustering reuses the trained, cached, persisted IVF
+    * coarse quantizer ([[trainCoarseQuantizer]]), so the dedup pass
+    * shares the ANN index's one training cost. Rows-only for the
+    * sim_kmeans reason (float Lloyd iterations); the spec pins the
+    * kept set against an independent local implementation and a
+    * planted-duplicate corpus.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 16, tau: Double = 0.95,
+                    iters: Int = 2,
+                    coarse: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = coarse.getOrElse(trainCoarseQuantizer(embeddings, nCells, iters))
+    if (cents.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0L).as("cell"),
+        lit(0.0).as("centroid_cos"), lit(true).as("kept")).limit(0)
+    val ranked = cellAssign(embeddings, "vec_id", "embedding", cents, 1)
+      .join(broadcast(cents.toDF("cell", "cell_emb")), "cell")
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        vecCosine(col("embedding"), col("cell_emb")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)))
+    val dropped = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk"))
+      .filter(vecCosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"),
+        coalesce(!col("dup"), lit(true)).as("kept"))
+  }
+
   /** Symmetric int8 quantization per vector — the storage/serving
     * compression step of an embedding pipeline (4× smaller than
     * float32, 128× than the float64 a naive pipeline accumulates in).

@@ -257,6 +257,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.cdcDedupClamped(emptyDocs).count() == 0)
     assert(Dedup.lineSurvivors(emptyDocs).count() == 0)
     assert(Dedup.lineDedup(emptyDocs).count() == 0)
+    assert(Similarity.semanticDedup(emptyEmb).count() == 0)
     // the profile's shape is one summary row per probed length — on an
     // empty corpus every count is zero, not a throw
     val prof = graft.operators.Suffix.dupMassProfile(emptyDocs, Seq(8, 16)).collect()

@@ -29,6 +29,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.select(vecDot($"a", $"b")).head.getDouble(0) == 3.0)
   }
 
+  test("semanticDedup: planted near-dup chains collapse to the lowest-centroid-cos survivor; local oracle agrees on the fixture") {
+    import spark.implicits._
+    // fixed 2-cell quantizer on orthogonal axes so routing is pinned
+    val coarse = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.02f, 0f, 0f)),     // cell 0, dup chain {1, 2}
+      (2L, Seq(1.0f, 0.05f, 0.01f, 0f)),  // lower ccos than 1 -> survives
+      (3L, Seq(0.8f, 0f, 0.6f, 0f)),      // cell 0, distinct direction
+      (4L, Seq(0f, 1f, 0f, 0.01f)),       // cell 1, dup chain {4, 5}
+      (5L, Seq(0.01f, 1f, 0f, 0f))        // ccos ties 4 -> vec_id breaks it
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, tau = 0.95, coarse = Some(coarse))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> false),
+      s"got $out")
+    // independent local implementation on the real fixture: same
+    // trained quantizer, same left-to-right double cosine — the kept
+    // set must agree exactly, and be partitioning-invariant
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val trained = Similarity.trainCoarseQuantizer(emb, 16)
+    val tau = 0.8
+    val rows = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val expected = rows
+      .map { case (id, e) =>
+        val (cell, ccos) = trained.map { case (c, ce) => (c, cos(e, ce)) }
+          .maxBy { case (c, s) => (s, -c) } // argmax cosine, ties lowest cell
+        (id, e, cell, ccos)
+      }
+      .groupBy(_._3).valuesIterator.flatMap { members =>
+        val order = members.sortBy { case (id, _, _, ccos) => (ccos, id) }
+        order.zipWithIndex.map { case ((id, e, _, _), i) =>
+          // the paper's triangular rule: dropped iff ANY earlier-ranked
+          // clustermate (kept or not) sits within tau
+          id -> !order.take(i).exists(p => cos(p._2, e) >= tau)
+        }
+      }.toMap
+    val got = Similarity.semanticDedup(emb, tau = tau, coarse = Some(trained))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k))
+      s"kept-set drift on ${diff.size} ids: ${diff.take(5)}"
+    })
+    val reparted = Similarity.semanticDedup(
+        emb.repartition(13), tau = tau, coarse = Some(trained))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(reparted == got)
+  }
+
   test("brute force topk: k rows per query, descending, self excluded") {
     val got = Similarity.bruteForceTopK(Tables.embeddings(spark, SharedSpark.sf), 4, 5).collect()
     val byQuery = got.groupBy(_.getLong(0))
