@@ -629,6 +629,12 @@ object SparkEntry {
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
+    // DSIR: hashed-ngram importance weights of every pool doc against
+    // the src0 target slice (integer micros, one bucket aggregate +
+    // one scalar-totals broadcast), then Gumbel-top-k resampling
+    // with md5-seeded noise — both ends hash-exact in SQL
+    "ta_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
+    "ta_dsir_sample" -> ((s, dir) => TextAnalysis.dsirSample(Tables.documents(s, dir), 64)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
@@ -1249,6 +1255,41 @@ object SparkEntry {
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
+
+  /** Shared CTE chain for the DSIR oracles — the quality classifier's
+    * feature space (lowercase [^a-z]+ tokens, u:/b: features, md5
+    * buckets mod 4096), one bucket aggregate carrying both LMs'
+    * counts, scalar totals, ln-micros lambdas, exact per-doc sums;
+    * `w2` = one (doc_id, n_feats, w_micros) row per pool doc. */
+  private val DsirWeightsCtes: String =
+    """t AS (SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents),
+      |f0 AS (
+      |  SELECT doc_id, source, 'u:' || unnest(ws) AS f FROM t
+      |  UNION ALL
+      |  SELECT doc_id, source, unnest(['b:' || ws[i] || ' ' || ws[i+1]
+      |                                 FOR i IN generate_series(1, len(ws) - 1)]) AS f
+      |  FROM t WHERE len(ws) >= 2),
+      |f AS (SELECT doc_id, source,
+      |    ('0x' || substr(md5(f), 1, 12))::BIGINT % 4096 AS bucket
+      |  FROM f0),
+      |c AS (SELECT bucket,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM f GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM c),
+      |lam AS (SELECT bucket,
+      |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |    - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lam_m
+      |  FROM c, tot),
+      |wsum AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(lam_m) AS BIGINT) AS w_micros
+      |  FROM f JOIN lam USING (bucket) WHERE source <> 'src0' GROUP BY 1),
+      |w2 AS (SELECT d.doc_id, coalesce(wsum.n_feats, 0) AS n_feats,
+      |    coalesce(wsum.w_micros, 0) AS w_micros
+      |  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+      |  LEFT JOIN wsum USING (doc_id))""".stripMargin
 
   /** Shared segment CTE for the line-dedup oracles — mirrors
     * Dedup.lineSegments at wordsPerSeg=8 (the ta_passages transform). */
@@ -3008,6 +3049,23 @@ object SparkEntry {
         |FROM agg ORDER BY micros DESC, doc_id LIMIT 20""".stripMargin,
     // u = (48-bit md5 prefix + 0.5) / 2^48; sort key u^(1/weight)
     // floored to integer nanos so libm pow() noise cannot flip ranks.
+    // mirrors dsirWeights expression for expression: the classifier
+    // feature CTE shape, one bucket-count CTE for both LMs, scalar
+    // totals, ln-micros lambdas, exact integer per-doc sums
+    "ta_dsir_weights" ->
+      s"""WITH $DsirWeightsCtes
+        |SELECT doc_id, n_feats, w_micros FROM w2""".stripMargin,
+    "ta_dsir_sample" ->
+      s"""WITH $DsirWeightsCtes,
+        |smp AS (SELECT doc_id, n_feats, w_micros,
+        |    CAST(floor(-ln(-ln(
+        |      CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1 AS DOUBLE)
+        |        / 281474976710657.0)) * 1000000.0 + 0.5) AS BIGINT) AS g_micros
+        |  FROM w2)
+        |SELECT doc_id, n_feats, w_micros, g_micros,
+        |  w_micros + g_micros AS priority,
+        |  CAST(row_number() OVER (ORDER BY w_micros + g_micros DESC, doc_id) AS BIGINT) AS rk
+        |FROM smp ORDER BY priority DESC, doc_id LIMIT 64""".stripMargin,
     "ta_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id, n_chars AS weight,

@@ -1369,4 +1369,94 @@ object TextAnalysis {
       .orderBy(col("key_nanos").desc, col("doc_id").asc)
     top.withColumn("rk", row_number().over(w).cast("long"))
   }
+
+  // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): select pretraining documents that LOOK LIKE a
+  // small target domain by importance weighting in a hashed n-gram
+  // feature space. Two bag-of-buckets unigram LMs — p̂_target from
+  // the target slice, p̂_raw from the selection pool — give each pool
+  // doc the log importance weight Σ_f c_doc(f)·(ln p̂_t(f) − ln
+  // p̂_r(f)); resampling without replacement with probability ∝
+  // exp(w) is the Gumbel-top-k trick. The per-feature log ratios
+  // floor to integer MICROS before the per-doc sum (the 33j
+  // surprisal discipline), so weights are exact Longs in any
+  // partitioning and the whole pipeline hash-checks in SQL.
+  // ------------------------------------------------------------------
+
+  /** One (doc_id, source, bucket) row per hashed feature — the
+    * quality classifier's exact feature space ([[clfBucket]]:
+    * lowercase `[^a-z]+` tokens, `u:`/`b:` unigrams+bigrams, md5
+    * bucket) so DSIR and the learned filter read one representation. */
+  private def dsirFeatures(documents: DataFrame, dim: Int): DataFrame = {
+    val ws = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val uni = expr("transform(ws, w -> concat('u:', w))")
+    val bi = expr("transform(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+      "(w, i) -> concat('b:', w, ' ', element_at(ws, i + 2)))")
+    documents.select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(col("doc_id"), col("source"), explode(concat(uni, bi)).as("f"))
+      .select(col("doc_id"), col("source"), clfBucket(col("f"), dim).as("bucket"))
+  }
+
+  /** Per-pool-doc DSIR importance weight (integer micros), target =
+    * the `targetSource` slice, pool = everything else. Plan: one
+    * feature explode (zero shuffle) → ONE bucket aggregate carrying
+    * both LMs' counts (map-side combined, state ≤ dim rows) → a
+    * single-row totals broadcast (the scalar-cross pattern) → the
+    * per-doc weight aggregate. The corpus is read once; no step
+    * scales worse than the wordcount shuffle, which is what lets
+    * DSIR run ahead of a 100 TB pretraining mix. Add-1 smoothing
+    * over `dim` buckets keeps unseen-bucket ratios finite; pool docs
+    * with zero features keep weight 0 (selection-neutral).
+    */
+  def dsirWeights(documents: DataFrame, targetSource: String = "src0",
+                  dim: Int = 4096): DataFrame = {
+    val feats = dsirFeatures(documents, dim)
+    val isTarget = col("source") === targetSource
+    val counts = feats.groupBy("bucket").agg(
+      sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"),
+      sum(when(isTarget, lit(0L)).otherwise(lit(1L))).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lnMicros = (c: Column, n: Column) =>
+      floor(log((c + lit(1L)).cast("double") / (n + lit(dim.toLong)).cast("double"))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (lnMicros(col("ct"), col("nt")) - lnMicros(col("cr"), col("nr"))).as("lam_m"))
+    val pooled = feats.filter(!isTarget)
+      .join(lam, "bucket") // every observed bucket has a lambda row
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_m")).as("w_micros"))
+    documents.filter(!isTarget).select(col("doc_id"))
+      .join(pooled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_micros"), lit(0L)).as("w_micros"))
+  }
+
+  /** DSIR importance RESAMPLING: `k` pool docs without replacement
+    * with probability ∝ exp(weight) — the Gumbel-top-k trick (add
+    * G = −ln(−ln(u)) per doc, take the top k), with u drawn
+    * deterministically from md5(`dsir:`‖doc_id) exactly like
+    * [[weightedSample]]'s E-S keys, so the sample reproduces
+    * bit-for-bit in SQL. Selection is TakeOrderedAndProject(k) — one
+    * bounded reduction, never a global sort; the rank window runs
+    * over the k selected rows only. */
+  def dsirSample(documents: DataFrame, k: Int = 64,
+                 targetSource: String = "src0", dim: Int = 4096): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(281474976710657.0) // 2^48 + 1
+    val g = floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+    val keyed = dsirWeights(documents, targetSource, dim)
+      .withColumn("g_micros", g)
+      .withColumn("priority", col("w_micros") + col("g_micros"))
+    val top = keyed.orderBy(col("priority").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_feats"), col("w_micros"),
+        col("g_micros"), col("priority"), col("rk"))
+  }
 }

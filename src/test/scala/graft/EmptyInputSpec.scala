@@ -258,6 +258,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.lineSurvivors(emptyDocs).count() == 0)
     assert(Dedup.lineDedup(emptyDocs).count() == 0)
     assert(Similarity.semanticDedup(emptyEmb).count() == 0)
+    val emptySourced = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextAnalysis.dsirWeights(emptySourced).count() == 0)
+    assert(TextAnalysis.dsirSample(emptySourced).count() == 0)
     // the profile's shape is one summary row per probed length — on an
     // empty corpus every count is zero, not a throw
     val prof = graft.operators.Suffix.dupMassProfile(emptyDocs, Seq(8, 16)).collect()

@@ -685,4 +685,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.qualityClfTrainDistributed(
       Seq.empty[(String, Boolean)].toDF("text", "label")) == ((Seq.empty, 0.0)))
   }
+
+  test("dsirWeights: target-like pool docs outweigh off-domain ones; weights exact under partitioning; sample tracks the weights") {
+    import spark.implicits._
+    // target domain (src0): medical-ish vocabulary; pool: one doc
+    // speaking the target's language, many speaking another
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val target = (1L to 8L).map(i =>
+      (i, rep("dose patient trial clinical symptom", 6), "src0"))
+    val mimic = Seq((100L, rep("dose patient trial clinical symptom", 6), "srcX"))
+    val offDomain = (101L to 120L).map(i =>
+      (i, rep("engine torque piston valve exhaust", 6), "srcX"))
+    val empty = Seq((200L, "12345 67890", "srcX")) // no [a-z] tokens at all
+    val docs = (target ++ mimic ++ offDomain ++ empty)
+      .toDF("doc_id", "text", "source")
+    val w = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w.keySet == (Seq(100L, 200L) ++ (101L to 120L)).toSet,
+      "one weight row per POOL doc, target excluded")
+    val (_, wMimic) = w(100L)
+    assert((101L to 120L).forall(i => w(i)._2 < wMimic),
+      s"mimic doc must outweigh every off-domain doc: $w")
+    assert(wMimic > 0L && w(101L)._2 < 0L,
+      "log ratios: target-like positive, off-domain negative")
+    assert(w(200L) == ((0L, 0L)), "featureless doc is selection-neutral")
+    // exact integer weights: partitioning cannot drift them
+    val reparted = TextAnalysis.dsirWeights(docs.repartition(11)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(reparted == w)
+    // resampling: with this weight separation (millions of micros vs
+    // Gumbel noise ~1e6) the mimic doc must always be drawn first
+    val smp = TextAnalysis.dsirSample(docs, k = 5).collect()
+    assert(smp.length == 5 && smp.map(_.getLong(5)).toSeq == (1L to 5L))
+    assert(smp.head.getLong(0) == 100L,
+      s"mimic doc must rank first, got ${smp.head}")
+    assert(smp.forall(r => !(1L to 8L).contains(r.getLong(0))),
+      "sample never draws target docs")
+  }
 }
