@@ -635,6 +635,10 @@ object SparkEntry {
     // with md5-seeded noise — both ends hash-exact in SQL
     "ta_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "ta_dsir_sample" -> ((s, dir) => TextAnalysis.dsirSample(Tables.documents(s, dir), 64)),
+    // frozen-artifact streamed DSIR scoring: train the lambda table
+    // once, score arriving pool shards statelessly -- drained table
+    // == batch weights, oracle shared verbatim
+    "stream_dsir" -> ((s, dir) => graft.streaming.IngestStreams.streamedDsirScore(s, dir)),
     // §2.6 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featureCounts(Tables.documents(s, dir), 16)),
@@ -3053,6 +3057,9 @@ object SparkEntry {
     // feature CTE shape, one bucket-count CTE for both LMs, scalar
     // totals, ln-micros lambdas, exact integer per-doc sums
     "ta_dsir_weights" ->
+      s"""WITH $DsirWeightsCtes
+        |SELECT doc_id, n_feats, w_micros FROM w2""".stripMargin,
+    "stream_dsir" ->
       s"""WITH $DsirWeightsCtes
         |SELECT doc_id, n_feats, w_micros FROM w2""".stripMargin,
     "ta_dsir_sample" ->

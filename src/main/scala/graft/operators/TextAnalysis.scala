@@ -1411,24 +1411,62 @@ object TextAnalysis {
     */
   def dsirWeights(documents: DataFrame, targetSource: String = "src0",
                   dim: Int = 4096): DataFrame = {
+    val lam = dsirLambdas(documents, targetSource, dim)
+    val feats = dsirFeatures(documents, dim)
+    val pooled = feats.filter(col("source") =!= targetSource)
+      .join(lam, "bucket") // the lambda table covers every bucket
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_m")).as("w_micros"))
+    documents.filter(col("source") =!= targetSource).select(col("doc_id"))
+      .join(pooled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_micros"), lit(0L)).as("w_micros"))
+  }
+
+  /** The DSIR artifact: one integer-micros log-ratio per feature
+    * bucket — COMPLETE over all `dim` buckets (unseen buckets get
+    * the smoothing-floor lambda), so a frozen copy can score shards
+    * containing features the training corpus never produced. This
+    * table, collected, IS what a deployment persists and broadcasts
+    * — the qualityClf weight-artifact contract. */
+  def dsirLambdas(documents: DataFrame, targetSource: String = "src0",
+                  dim: Int = 4096): DataFrame = {
+    val spark = documents.sparkSession
     val feats = dsirFeatures(documents, dim)
     val isTarget = col("source") === targetSource
     val counts = feats.groupBy("bucket").agg(
       sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"),
       sum(when(isTarget, lit(0L)).otherwise(lit(1L))).as("cr"))
-    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val totals = counts.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"),
+      coalesce(sum(col("cr")), lit(0L)).as("nr"))
     val lnMicros = (c: Column, n: Column) =>
       floor(log((c + lit(1L)).cast("double") / (n + lit(dim.toLong)).cast("double"))
         * lit(1e6) + lit(0.5)).cast("long")
-    val lam = counts.crossJoin(broadcast(totals))
+    spark.range(dim).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(totals))
       .select(col("bucket"),
         (lnMicros(col("ct"), col("nt")) - lnMicros(col("cr"), col("nr"))).as("lam_m"))
-    val pooled = feats.filter(!isTarget)
-      .join(lam, "bucket") // every observed bucket has a lambda row
+  }
+
+  /** Score (doc_id, text) rows against a FROZEN collected lambda
+    * artifact — the stateless deployment read path ([[dsirWeights]]
+    * with training amortized away): one feature explode, one
+    * broadcast join, one per-doc aggregate; featureless docs score 0.
+    * Because the artifact is integer micros and covers every bucket,
+    * per-shard scoring equals whole-corpus scoring exactly. */
+  def dsirScoreFrozen(docs: DataFrame, lambdas: Seq[(Long, Long)],
+                      dim: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lam = broadcast(lambdas.toDF("bucket", "lam_m"))
+    val scored = dsirFeatures(docs.withColumn("source", lit("")), dim)
+      .join(lam, "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("lam_m")).as("w_micros"))
-    documents.filter(!isTarget).select(col("doc_id"))
-      .join(pooled, Seq("doc_id"), "left")
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("w_micros"), lit(0L)).as("w_micros"))

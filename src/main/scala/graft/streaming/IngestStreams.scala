@@ -52,6 +52,77 @@ object IngestStreams {
     urlDedupResolve(spark, s"$base/state")
   }
 
+  /** Streamed DSIR scoring — the deployment face of
+    * [[graft.operators.TextAnalysis.dsirWeights]]: the lambda
+    * artifact (integer-micros log ratios, complete over all buckets)
+    * is trained ONCE on the static corpus and frozen; pool shards
+    * then score STATELESSLY per micro-batch against the broadcast
+    * artifact (one explode + one broadcast join + one per-doc
+    * aggregate — scan speed, no corpus statistics consulted), so the
+    * drained table equals the batch weights exactly and the entry
+    * shares `ta_dsir_weights`' SQL oracle verbatim. Per-batch
+    * results land in per-batch overwrite dirs with commit markers
+    * (the stream_quality_clf pattern — replay-safe in the crash
+    * window). This is how DSIR runs ahead of a 100 TB mix: train the
+    * tiny LM artifact once, then weigh every arriving shard without
+    * ever rescanning history.
+    */
+  def streamedDsirScore(spark: SparkSession, dir: String,
+                        targetSource: String = "src0", dim: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source")).localCheckpoint(true)
+    if (all.isEmpty) {
+      graft.operators.Checkpoints.free(all)
+      return Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_feats", "w_micros")
+    }
+    val lambdas = graft.operators.TextAnalysis
+      .dsirLambdas(all, targetSource, dim)
+      .as[(Long, Long)].collect().toSeq
+    val pool = all.filter(col("source") =!= targetSource)
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-dsir-ing-").toString
+    val incoming = s"$base/incoming"
+    pool.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    pool.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(all)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        dsirScoreBatch(b, id, state, lambdas, dim)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$state/scored")
+      .select("doc_id", "n_feats", "w_micros")
+  }
+
+  /** One [[streamedDsirScore]] micro-batch, exposed for the replay
+    * spec: stateless scoring under the frozen artifact, overwrite +
+    * marker. */
+  private[graft] def dsirScoreBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    lambdas: Seq[(Long, Long)], dim: Int): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_dsir_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis.dsirScoreFrozen(
+        batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"),
+        lambdas, dim)
+      .write.mode("overwrite").parquet(s"$statePath/scored/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
   /** Streamed C4-style line dedup — the ingest face of
     * [[graft.operators.Dedup.lineSurvivors]] and a
     * [[streamedUrlDedup]]-family PURE-DELTA member: each micro-batch

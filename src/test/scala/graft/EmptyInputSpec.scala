@@ -261,6 +261,8 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptySourced = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(TextAnalysis.dsirWeights(emptySourced).count() == 0)
     assert(TextAnalysis.dsirSample(emptySourced).count() == 0)
+    assert(TextAnalysis.dsirScoreFrozen(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), Seq((0L, 5L))).count() == 0)
     // the profile's shape is one summary row per probed length — on an
     // empty corpus every count is zero, not a throw
     val prof = graft.operators.Suffix.dupMassProfile(emptyDocs, Seq(8, 16)).collect()

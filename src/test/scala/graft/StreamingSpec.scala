@@ -1296,6 +1296,37 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the url dedup table")
   }
 
+  test("streamedDsirScore == batch dsirWeights under the frozen artifact; replay/retry no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val streamed = asMap(IngestStreams.streamedDsirScore(spark, sf).collect())
+    val batch = asMap(graft.operators.TextAnalysis.dsirWeights(
+      Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven: frozen scoring is stateless, so replay and
+    // crash-window retry must leave the scored store unchanged
+    val docs = Tables.documents(spark, sf)
+    val lambdas = graft.operators.TextAnalysis.dsirLambdas(docs)
+      .as[(Long, Long)].collect().toSeq
+    val state = java.nio.file.Files.createTempDirectory("graft-dsir-replay-").toString + "/state"
+    val b = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).limit(20)
+    IngestStreams.dsirScoreBatch(b, 0L, state, lambdas, 4096)
+    val after = asMap(spark.read.parquet(s"$state/scored").collect())
+    assert(after.size == 20 && after.forall { case (id, v) => batch(id) == v },
+      "frozen per-shard scoring must equal whole-corpus weights")
+    IngestStreams.dsirScoreBatch(b, 0L, state, lambdas, 4096) // replay: marker no-op
+    assert(asMap(spark.read.parquet(s"$state/scored").collect()) == after)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_dsir_commits/0")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.dsirScoreBatch(b, 0L, state, lambdas, 4096) // retry: overwrite
+    assert(asMap(spark.read.parquet(s"$state/scored").collect()) == after,
+      "crash-window retry drifted the scored store")
+  }
+
   test("streamedLineDedup == batch lineSurvivors; cross-batch duplicates surface at resolve; replay/retry no-ops") {
     import spark.implicits._
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
