@@ -400,6 +400,9 @@ object SparkEntry {
     // content-defined chunking: rolling-fingerprint boundaries ->
     // insertion-robust chunk table + chunk-level dedup
     "dedup_suffix_profile" -> ((s, dir) => graft.operators.Suffix.dupMassProfile(Tables.documents(s, dir))),
+    // the profile's operating-point read: cheapest probed span length
+    // within the duplication-mass budget (else longest + fallback flag)
+    "dedup_span_elect" -> ((s, dir) => graft.operators.Suffix.spanLengthElect(Tables.documents(s, dir))),
     "dedup_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir), 8, 63)),
     "dedup_cdc" -> ((s, dir) => Dedup.cdcDedup(Tables.documents(s, dir), 8, 63)),
     // LBFS minimum-chunk rule: boundaries closer than minLen to the
@@ -1259,6 +1262,37 @@ object SparkEntry {
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
+
+  /** Suffix duplication profile in SQL — direct substring grouping
+    * per probed length (a genuinely different algorithm from the
+    * prefix-doubling rank chain, agreeing on every integer — the
+    * q_triangles oracle philosophy); shared by the profile entry and
+    * the span-length election built on top of it. */
+  private val SuffixProfileSql: String =
+      """WITH lens(l) AS (VALUES (8), (16), (32), (64), (128), (256)),
+        |w AS (
+        |  SELECT lens.l AS l, d.doc_id AS doc_id, substr(d.text, i, lens.l) AS win
+        |  FROM documents d, lens,
+        |    unnest(generate_series(1, length(d.text) - lens.l + 1)) AS g(i)
+        |  WHERE length(d.text) >= lens.l),
+        |g AS (SELECT l, win, count(*) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT l,
+        |    CAST(sum(c) AS BIGINT) AS n_windows,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_positions,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_windows
+        |  FROM g GROUP BY 1),
+        |nd AS (SELECT w.l, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs
+        |  FROM w JOIN g ON g.l = w.l AND g.win = w.win
+        |  WHERE g.c > 1 GROUP BY 1)
+        |SELECT CAST(lens.l AS BIGINT) AS match_len,
+        |  coalesce(a.n_windows, 0) AS n_windows,
+        |  coalesce(a.n_dup_positions, 0) AS n_dup_positions,
+        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(nd.n_docs, 0) AS n_docs_touched,
+        |  CAST(CASE WHEN coalesce(a.n_windows, 0) = 0 THEN 0
+        |       ELSE (coalesce(a.n_dup_positions, 0) * 1000000) // a.n_windows
+        |       END AS BIGINT) AS dup_mass_ppm
+        |FROM lens LEFT JOIN a ON a.l = lens.l LEFT JOIN nd ON nd.l = lens.l""".stripMargin
 
   /** Shared CTE chain for the DSIR oracles — the quality classifier's
     * feature space (lowercase [^a-z]+ tokens, u:/b: features, md5
@@ -2303,31 +2337,19 @@ object SparkEntry {
     // direct substring grouping per probed length — a genuinely
     // different algorithm from the prefix-doubling rank chain,
     // agreeing on every integer (the q_triangles oracle philosophy)
-    "dedup_suffix_profile" ->
-      """WITH lens(l) AS (VALUES (8), (16), (32), (64), (128), (256)),
-        |w AS (
-        |  SELECT lens.l AS l, d.doc_id AS doc_id, substr(d.text, i, lens.l) AS win
-        |  FROM documents d, lens,
-        |    unnest(generate_series(1, length(d.text) - lens.l + 1)) AS g(i)
-        |  WHERE length(d.text) >= lens.l),
-        |g AS (SELECT l, win, count(*) AS c FROM w GROUP BY 1, 2),
-        |a AS (SELECT l,
-        |    CAST(sum(c) AS BIGINT) AS n_windows,
-        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_positions,
-        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_windows
-        |  FROM g GROUP BY 1),
-        |nd AS (SELECT w.l, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs
-        |  FROM w JOIN g ON g.l = w.l AND g.win = w.win
-        |  WHERE g.c > 1 GROUP BY 1)
-        |SELECT CAST(lens.l AS BIGINT) AS match_len,
-        |  coalesce(a.n_windows, 0) AS n_windows,
-        |  coalesce(a.n_dup_positions, 0) AS n_dup_positions,
-        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
-        |  coalesce(nd.n_docs, 0) AS n_docs_touched,
-        |  CAST(CASE WHEN coalesce(a.n_windows, 0) = 0 THEN 0
-        |       ELSE (coalesce(a.n_dup_positions, 0) * 1000000) // a.n_windows
-        |       END AS BIGINT) AS dup_mass_ppm
-        |FROM lens LEFT JOIN a ON a.l = lens.l LEFT JOIN nd ON nd.l = lens.l""".stripMargin,
+    "dedup_suffix_profile" -> SuffixProfileSql,
+    // election over the shared profile CTE: cheapest probed length
+    // within the ppm budget, else the longest (fallback)
+    "dedup_span_elect" ->
+      s"""WITH prof AS ($SuffixProfileSql),
+        |e AS (SELECT
+        |    coalesce(min(CASE WHEN dup_mass_ppm <= 100000 THEN match_len END),
+        |             max(match_len)) AS elected_len,
+        |    min(CASE WHEN dup_mass_ppm <= 100000 THEN match_len END) IS NULL AS fallback
+        |  FROM prof)
+        |SELECT e.elected_len, e.fallback, CAST(100000 AS BIGINT) AS budget_ppm,
+        |  p.dup_mass_ppm, p.n_dup_positions, p.n_windows
+        |FROM prof p JOIN e ON p.match_len = e.elected_len""".stripMargin,
     "dedup_cdc_chunks" -> CdcChunksSql,
     "dedup_cdc" -> CdcDedupSql,
     "dedup_cdc_min" -> CdcDedupMinSql,

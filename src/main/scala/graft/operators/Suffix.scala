@@ -172,4 +172,32 @@ object Suffix {
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  /** Span-cut length ELECTION over [[dupMassProfile]] — the
+    * operating-point read the profile exists for: the SMALLEST
+    * probed length whose duplicated-position mass is within
+    * `maxDupPpm` (shorter cuts catch more duplication but cost more
+    * re-cleaning; the election takes the cheapest length whose
+    * residual duplication a pipeline has budgeted for), falling back
+    * to the LONGEST probed length when no length fits the budget
+    * (`fallback=true` — the most conservative cut, and the signal to
+    * widen the probe set). One row out: the elected length's profile
+    * columns plus the verdict flags. Driver arithmetic is O(lengths);
+    * all the work is the profile itself.
+    */
+  def spanLengthElect(documents: DataFrame,
+                      lengths: Seq[Int] = Seq(8, 16, 32, 64, 128, 256),
+                      maxDupPpm: Long = 100000L): DataFrame = {
+    val profile = dupMassProfile(documents, lengths)
+    val verdict = profile.agg(
+      min(when(col("dup_mass_ppm") <= maxDupPpm, col("match_len"))).as("fit"),
+      coalesce(max(col("match_len")), lit(0L)).as("longest"))
+      .select(coalesce(col("fit"), col("longest")).as("elected_len"),
+        col("fit").isNull.as("fallback"))
+    profile.join(broadcast(verdict),
+        col("match_len") === col("elected_len"))
+      .select(col("elected_len"), col("fallback"),
+        lit(maxDupPpm).as("budget_ppm"), col("dup_mass_ppm"),
+        col("n_dup_positions"), col("n_windows"))
+  }
 }

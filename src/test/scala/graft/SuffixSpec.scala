@@ -65,6 +65,34 @@ class SuffixSpec extends AnyFunSuite {
     assert(got(4L)._1 == (1L + 1L + 2L), "n_windows must come from doc lengths even on skipped rounds")
   }
 
+  test("spanLengthElect: cheapest length within budget wins; no fit falls back to the longest probe") {
+    import spark.implicits._
+    // half the corpus is one repeated phrase -> short windows are
+    // heavily duplicated, long windows are not: the election must
+    // walk past the over-budget short lengths
+    val phrase = "lorem ipsum dolor sit amet consectetur"
+    val docs = (1L to 6L).map(i => (i, phrase)) ++
+      (7L to 12L).map(i => (i, s"unique${i}a content${i}b words${i}c tail${i}d padding${i}e"))
+    val df = docs.toDF("doc_id", "text")
+    val prof = asMap(Suffix.dupMassProfile(df, Seq(4, 8, 16, 32)))
+    val budget = 300000L
+    val expectFit = Seq(4L, 8L, 16L, 32L).filter(l => prof(l)._5 <= budget)
+    val elect = Suffix.spanLengthElect(df, Seq(4, 8, 16, 32), budget).collect()
+    assert(elect.length == 1)
+    val r = elect.head
+    if (expectFit.nonEmpty) {
+      assert(r.getLong(0) == expectFit.min && !r.getBoolean(1),
+        s"elected ${r.getLong(0)}, profile $prof")
+    } else assert(r.getLong(0) == 32L && r.getBoolean(1))
+    assert(r.getLong(2) == budget && r.getLong(3) == prof(r.getLong(0))._5)
+    // an impossible budget forces the conservative fallback
+    val fb = Suffix.spanLengthElect(df, Seq(4, 8), maxDupPpm = -1L).collect().head
+    assert(fb.getLong(0) == 8L && fb.getBoolean(1))
+    // the duplicated phrase IS over budget at short lengths on this
+    // corpus — make sure the test exercises the walk, not just rank 0
+    assert(prof(4L)._5 > budget, s"fixture no longer stresses the election: $prof")
+  }
+
   test("partitioning invariance and empty corpus") {
     import spark.implicits._
     val docs = Seq(
