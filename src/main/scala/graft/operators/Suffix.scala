@@ -187,8 +187,14 @@ object Suffix {
     */
   def spanLengthElect(documents: DataFrame,
                       lengths: Seq[Int] = Seq(8, 16, 32, 64, 128, 256),
-                      maxDupPpm: Long = 100000L): DataFrame = {
-    val profile = dupMassProfile(documents, lengths)
+                      maxDupPpm: Long = 100000L): DataFrame =
+    electFromProfile(dupMassProfile(documents, lengths), maxDupPpm)
+
+  /** The election alone, over an already-computed profile — the
+    * SparkEntry wiring memoizes one profile per corpus and runs this
+    * on top (the sim_ann_opq train-once shape: the chain is priced by
+    * the profile entry, the election prices its own read path). */
+  def electFromProfile(profile: DataFrame, maxDupPpm: Long): DataFrame = {
     val verdict = profile.agg(
       min(when(col("dup_mass_ppm") <= maxDupPpm, col("match_len"))).as("fit"),
       coalesce(max(col("match_len")), lit(0L)).as("longest"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
 import graft.operators.Similarity
+import graft.streaming.StreamState.hasVisibleData
 
 /** Streaming IVF maintenance — the vector face of the always-on
   * ingest story (exact-hash dedup 37b → near-dup dedup 37m → cluster
@@ -380,6 +381,143 @@ object VectorStreams {
     val st = ingestShards(spark, dir, coarse, nBuckets, Some(books))
     ivfSearchMaintainedPq(spark, st, coarse, books, numQueries, k, probes,
       shortlistFactor, nBuckets)
+  }
+
+  /** Streamed SemDeDup maintenance — the semantic member of the
+    * streamed-dedup family (exact 37b, URL, lines, CDC, minhash,
+    * spans, phash — and now embeddings), maintaining
+    * [[Similarity.semanticDedup]]'s verdicts as vectors arrive under
+    * the FROZEN trained quantizer.
+    *
+    * Per batch: assign new vectors to cells (zero-shuffle
+    * plan-literal scoring) and score their centroid cosine; generate
+    * candidate pairs ONLY from cell equality — new×new in-batch plus
+    * new×existing against the maintained member table read PRUNED to
+    * the batch's touched cell buckets (the 37m shape) — verify
+    * cos ≥ tau, and write pairs + members to per-batch overwrite
+    * dirs with commit markers (replay/crash-retry safe). A pair is
+    * found exactly once, in its later member's batch.
+    *
+    * Resolve: one join of the pair log against the member ranks —
+    * a vector is dropped iff SOME partner precedes it in the
+    * paper's (centroid_cos asc, vec_id asc) order; because the
+    * triangular rule never consults the partner's own verdict, the
+    * verdict is a pure function of the accumulated SET and the
+    * streamed result equals batch [[Similarity.semanticDedup]]
+    * row-for-row (spec-pinned). Late arrivals are handled for free:
+    * a new lower-ccos member demotes an earlier survivor at the
+    * next resolve, with no state rewrite.
+    */
+  def streamedSemanticDedup(spark: SparkSession, dir: String,
+                            coarse: Seq[(Long, Seq[Float])], tau: Double = 0.8,
+                            nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    if (emb.isEmpty) {
+      graft.operators.Checkpoints.free(emb)
+      return Seq.empty[(Long, Long, Double, Boolean)]
+        .toDF("vec_id", "cell", "centroid_cos", "kept")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-sem-ing-").toString
+    val incoming = s"$base/incoming"
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(emb)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        semanticIngestBatch(b, id, state, coarse, tau, nBuckets)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    semanticResolve(spark, state)
+  }
+
+  /** One [[streamedSemanticDedup]] micro-batch, exposed for the
+    * replay spec. */
+  private[graft] def semanticIngestBatch(batch0: org.apache.spark.sql.DataFrame,
+                                         batchId: Long, statePath: String,
+                                         coarse: Seq[(Long, Seq[Float])],
+                                         tau: Double, nBuckets: Int): Unit = {
+    import graft.functions.VectorFunctions.vecCosine
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_sem_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val cents = broadcast(coarse.toDF("cell", "cell_emb"))
+    val assigned = Similarity.cellAssign(
+        batch0.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id"),
+        "vec_id", "embedding", coarse, probes = 1)
+      .join(cents, "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        vecCosine(col("embedding"), col("cell_emb")).as("ccos"),
+        pmod(col("cell"), lit(nBuckets.toLong)).as("cb"))
+      .localCheckpoint(true)
+    val touched = assigned.select(col("cb")).distinct()
+      .collect().map(_.getLong(0)) // bounded by nBuckets
+    val existing =
+      if (hasVisibleData(spark, s"$statePath/members"))
+        spark.read.parquet(s"$statePath/members")
+          .filter(col("cb").isin(touched: _*)) // partition-pruned read
+      else assigned.limit(0)
+    val newOld = assigned.as("a")
+      .join(existing.as("b"), col("a.cell") === col("b.cell"))
+      .filter(vecCosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    val newNew = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(vecCosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    newOld.union(newNew)
+      .write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
+    assigned.select(col("vec_id"), col("embedding"), col("cell"), col("ccos"), col("cb"))
+      .write.mode("overwrite").partitionBy("cb")
+      .parquet(s"$statePath/members/batch=$batchId")
+    graft.operators.Checkpoints.free(assigned)
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Resolve the maintained member + pair stores to per-vector
+    * verdicts — [[Similarity.semanticDedup]]'s exact output
+    * contract. One join of the (symmetrized) pair log against the
+    * member ranks; O(members + pairs), no embedding is re-scored. */
+  def semanticResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/members")) {
+      return Seq.empty[(Long, Long, Double, Boolean)]
+        .toDF("vec_id", "cell", "centroid_cos", "kept")
+    }
+    val members = spark.read.parquet(s"$statePath/members")
+      .select(col("vec_id"), col("cell"), col("ccos"))
+    val pairs0 =
+      if (hasVisibleData(spark, s"$statePath/pairs"))
+        spark.read.parquet(s"$statePath/pairs").select(col("v1"), col("v2"))
+      else Seq.empty[(Long, Long)].toDF("v1", "v2")
+    val pairs = pairs0.union(pairs0.select(col("v2").as("v1"), col("v1").as("v2")))
+    val dropped = pairs
+      .join(members.select(col("vec_id").as("v1"), col("ccos").as("c1")), "v1")
+      .join(members.select(col("vec_id").as("v2"), col("ccos").as("c2")), "v2")
+      .filter(col("c2") < col("c1") ||
+        (col("c2") === col("c1") && col("v2") < col("v1")))
+      .select(col("v1").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    members.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"),
+        coalesce(!col("dup"), lit(true)).as("kept"))
   }
 
   /** Shared two-shard ingest used by the end-to-end entries. */

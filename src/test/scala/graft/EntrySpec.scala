@@ -50,9 +50,11 @@ class EntrySpec extends AnyFunSuite {
                       // emits its own exact-rank audit columns
       "stream_kll", // streamed q_kll_sketch twin: same merge-order reason,
                     // StreamingSpec gates the bound + state boundedness
-      "dedup_semantic") // SemDeDup clusters via float-iterated k-means (the
+      "dedup_semantic", // SemDeDup clusters via float-iterated k-means (the
                         // sim_kmeans reason); SimilaritySpec pins the kept
                         // set against an independent local implementation
+      "stream_semantic") // its maintained twin: same float reason,
+                         // VectorStreamsSpec pins streamed == batch
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
     // every rows-only query carries a pinned sf0.01 row count for the
     // driver's rows-gate, and nothing else does

@@ -33,6 +33,48 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "parity is vacuous on an empty result")
   }
 
+  test("streamedSemanticDedup == batch semanticDedup; cross-batch duplicates surface; replay/retry no-ops") {
+    def asVerdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = Similarity.trainCoarseQuantizer(emb, 16)
+    val streamed = asVerdicts(VectorStreams.streamedSemanticDedup(spark, sf, coarse))
+    val batch = asVerdicts(Similarity.semanticDedup(emb, tau = 0.8,
+      coarse = Some(coarse)))
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven: a duplicate pair SPLIT across batches must be
+    // found in the later member's batch, and the paper's keep policy
+    // (lowest centroid cos survives) must hold through the store —
+    // here the LATER arrival is the survivor, so the earlier
+    // arrival's verdict flips at resolve with no state rewrite
+    val cents = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)))
+    val state = java.nio.file.Files.createTempDirectory("graft-sem-replay-").toString + "/state"
+    val b0 = Seq((10L, Seq(1.0f, 0.01f, 0f))).toDF("vec_id", "embedding")
+    val b1 = Seq((2L, Seq(1.0f, 0.02f, 0.03f)), // dup of 10, lower ccos -> survives
+      (3L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    VectorStreams.semanticIngestBatch(b0, 0L, state, cents, 0.95, 4)
+    val after0 = asVerdicts(VectorStreams.semanticResolve(spark, state))
+    assert(after0.keySet == Set(10L) && after0(10L)._3, "first arrival starts kept")
+    VectorStreams.semanticIngestBatch(b1, 1L, state, cents, 0.95, 4)
+    val after1 = asVerdicts(VectorStreams.semanticResolve(spark, state))
+    assert(after1(2L)._3 && !after1(10L)._3 && after1(3L)._3,
+      s"late lower-ccos arrival must demote the earlier survivor: $after1")
+    // full replay: marker short-circuits
+    VectorStreams.semanticIngestBatch(b1, 1L, state, cents, 0.95, 4)
+    assert(asVerdicts(VectorStreams.semanticResolve(spark, state)) == after1)
+    // crash-window retry: overwrite dirs must not duplicate members/pairs
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_sem_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    VectorStreams.semanticIngestBatch(b1, 1L, state, cents, 0.95, 4)
+    assert(asVerdicts(VectorStreams.semanticResolve(spark, state)) == after1,
+      "crash-window retry drifted the maintained verdicts")
+    // empty store resolves empty
+    val emptyState = java.nio.file.Files.createTempDirectory("graft-sem-empty-").toString + "/state"
+    assert(VectorStreams.semanticResolve(spark, emptyState).count() == 0)
+  }
+
   test("replayed ingest batch is a no-op; the cell table is partitioned by cell bucket") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val coarse = Similarity.trainCoarseQuantizer(emb, 16, iters = 2)
