@@ -592,6 +592,9 @@ object SparkEntry {
     "ta_source_drift" -> ((s, dir) => TextAnalysis.sourceDriftAlarm(Tables.documents(s, dir))),
     "stream_source_drift" -> ((s, dir) => graft.streaming.IngestStreams.streamedSourceDrift(s, dir)),
     "ta_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // temperature-based source mixing (share^alpha, integer-micros
+    // weights before the normalizing sum -- all-integer output)
+    "ta_mix_temperature" -> ((s, dir) => TextAnalysis.mixTemperature(Tables.documents(s, dir))),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
     "ta_scrub" -> ((s, dir) => TextAnalysis.scrub(Tables.documents(s, dir))),
@@ -3246,6 +3249,26 @@ object SparkEntry {
         |    AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
         |    AND 2 * (n_words - n_distinct) <= n_words AS keep
         |FROM st""".stripMargin,
+    // mirrors mixTemperature: double division + pow + micros floor
+    // per source, exact integer sums and floor divisions after
+    "ta_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+        |w AS (SELECT source, n_tokens, total,
+        |    CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.3)
+        |               * 1000000.0 + 0.5) AS BIGINT) AS wm
+        |  FROM s, t),
+        |n AS (SELECT CAST(sum(wm) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_tokens,
+        |  (n_tokens * 1000000) // total AS share_ppm,
+        |  (wm * 1000000) // wsum AS temp_share_ppm,
+        |  CAST(CASE WHEN (n_tokens * 1000000) // total = 0 THEN 0
+        |       ELSE ((wm * 1000000) // wsum * 1000000) // ((n_tokens * 1000000) // total)
+        |       END AS BIGINT) AS boost_ppm
+        |FROM w, n""".stripMargin,
     "ta_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

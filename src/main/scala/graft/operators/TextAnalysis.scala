@@ -179,6 +179,44 @@ object TextAnalysis {
       sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
       count(lit(1)).as("n_docs"))
 
+  /** Temperature-based source mixing (the mT5/XLM-R α-sampling rule,
+    * Xue et al. 2021 §3.2 / Conneau et al. 2020 §3.1): resample
+    * sources with probability ∝ share^α so low-resource sources are
+    * upweighted (α<1 flattens the mix; α=1 keeps raw shares, α=0
+    * equalizes). The read a pretraining mix does right after the
+    * per-source token budget exists.
+    *
+    * Output per source: whitespace-token count, raw share (ppm),
+    * temperature share (ppm), and the boost ratio (temp/raw, ppm) a
+    * sampler applies. Determinism: each source's pow(share, α) floors
+    * to integer MICROS before the normalizing sum (the 33j
+    * discipline — a float sum over sources would drift with
+    * aggregation order), and every later step is integer floor
+    * division, so the entry hash-checks in SQL. One token aggregate
+    * (map-side combined) + driver-size arithmetic over |sources|
+    * rows; the corpus is read once.
+    */
+  def mixTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val perSource = documents
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("total"))
+    val shared = perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("total"),
+        floor(pow(col("n_tokens").cast("double") / col("total").cast("double"),
+          lit(alpha)) * lit(1e6) + lit(0.5)).cast("long").as("wm"))
+    val wsum = shared.agg(sum(col("wm")).as("wsum"))
+    shared.crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div total").as("share_ppm"),
+        expr("(wm * 1000000L) div wsum").as("temp_share_ppm"))
+      .withColumn("boost_ppm",
+        when(col("share_ppm") === 0L, lit(0L))
+          .otherwise(expr("(temp_share_ppm * 1000000L) div share_ppm")))
+  }
+
   /** Deterministic train/validation split by content-stable hash:
     * the assignment depends only on doc_id, so it is reproducible
     * across runs, engines, and repartitions — the property a held-out

@@ -686,6 +686,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq.empty[(String, Boolean)].toDF("text", "label")) == ((Seq.empty, 0.0)))
   }
 
+  test("mixTemperature: alpha<1 boosts low-resource sources; alpha=1 keeps raw shares; shares conserve; partitioning-invariant") {
+    import spark.implicits._
+    // 90/9/1 token split across three sources
+    def doc(src: String, words: Int) = (src.hashCode.toLong, ("w " * words).trim, src)
+    val docs = Seq(doc("big", 900), doc("mid", 90), doc("small", 10))
+      .toDF("doc_id", "text", "source")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val m = asMap(TextAnalysis.mixTemperature(docs, alpha = 0.3))
+    assert(m("big")._1 == 900L && m("small")._1 == 10L)
+    // flattening: small boosted above parity, big damped below
+    assert(m("small")._4 > 1000000L && m("big")._4 < 1000000L, s"got $m")
+    // temperature preserves the ordering but compresses the ratios
+    assert(m("big")._3 > m("mid")._3 && m("mid")._3 > m("small")._3)
+    val rawRatio = m("big")._2.toDouble / m("small")._2
+    val tempRatio = m("big")._3.toDouble / m("small")._3
+    assert(tempRatio < rawRatio / 2, s"alpha=0.3 must compress 90:1 sharply, got $tempRatio vs $rawRatio")
+    // shares are distributions (up to ppm flooring)
+    assert(math.abs(m.values.map(_._2).sum - 1000000L) <= 3)
+    assert(math.abs(m.values.map(_._3).sum - 1000000L) <= 3)
+    // alpha = 1: temperature share == raw share (identical flooring path)
+    val id = asMap(TextAnalysis.mixTemperature(docs, alpha = 1.0))
+    id.values.foreach { case (_, raw, temp, _) =>
+      assert(math.abs(raw - temp) <= 2, s"alpha=1 drifted: $id") }
+    // alpha = 0: equal shares regardless of size
+    val eq = asMap(TextAnalysis.mixTemperature(docs, alpha = 0.0))
+    assert(eq.values.map(_._3).toSet.size == 1, s"alpha=0 must equalize: $eq")
+    // integer-micros weights: partitioning cannot drift anything
+    assert(asMap(TextAnalysis.mixTemperature(docs.repartition(7), alpha = 0.3)) == m)
+  }
+
   test("dsirWeights: target-like pool docs outweigh off-domain ones; weights exact under partitioning; sample tracks the weights") {
     import spark.implicits._
     // target domain (src0): medical-ish vocabulary; pool: one doc
