@@ -658,6 +658,9 @@ object SparkEntry {
     // the encode face: per-doc subword counts under the learned
     // merges — the context-budget number a packer actually needs
     "ta_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir), 12)),
+    // per-source tokenizer fertility under the learned BPE: subwords
+    // per word + chars per subword, integer ppm
+    "ta_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(Tables.documents(s, dir), 12)),
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
@@ -814,6 +817,28 @@ object SparkEntry {
     * and passes the segmentation through unchanged, matching the
     * Scala early stop.
     */
+  /** The full 12-round BPE learn + per-doc encode as a CTE chain
+    * ending in `encdoc(doc_id, n_words, n_subwords)` — shared by
+    * `ta_bpe_encode` and the `ta_fertility` roll-up. */
+  private lazy val BpeEncodeCtes: String =
+    s"""wc AS MATERIALIZED (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
+      |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
+      |${BpeRoundCtes(12)},
+      |sz AS (SELECT word, count(*) AS n_sub FROM s12 GROUP BY word),
+      |toks AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+      |    FROM documents)
+      |  WHERE word <> ''),
+      |encdoc AS (
+      |  SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      |  FROM toks JOIN sz USING (word) GROUP BY doc_id)""".stripMargin
+
   private def BpeRoundCtes(rounds: Int): String = (1 to rounds).map { i =>
     // MATERIALIZED throughout: DuckDB inlines plain CTEs per
     // reference (the q_kcore oracle lesson) — pr/b are each read
@@ -3059,22 +3084,25 @@ object SparkEntry {
     // s12's per-word row count IS the word's segmentation length;
     // join the corpus tokens and sum per doc
     "ta_bpe_encode" ->
-      s"""WITH wc AS MATERIALIZED (
-        |  SELECT word, count(*) AS cnt FROM (
-        |    SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |s0 AS MATERIALIZED (
-        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) AS sym FROM (
-        |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM wc)),
-        |${BpeRoundCtes(12)},
-        |sz AS (SELECT word, count(*) AS n_sub FROM s12 GROUP BY word),
-        |toks AS (
-        |  SELECT doc_id, word FROM (
-        |    SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
-        |    FROM documents)
-        |  WHERE word <> '')
-        |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
-        |FROM toks JOIN sz USING (word) GROUP BY doc_id""".stripMargin,
+      s"""WITH $BpeEncodeCtes
+        |SELECT doc_id, n_words, n_subwords FROM encdoc""".stripMargin,
+    // per-source roll-up of the same unrolled-BPE encode, all-integer
+    // ppm ratios; letterless docs count zero words so totals conserve
+    "ta_fertility" ->
+      s"""WITH $BpeEncodeCtes,
+        |j AS (SELECT d.source, coalesce(e.n_words, 0) AS w,
+        |    coalesce(e.n_subwords, 0) AS sw, d.n_chars
+        |  FROM documents d LEFT JOIN encdoc e USING (doc_id)),
+        |a AS (SELECT source, CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_words, n_subwords, n_chars,
+        |  CAST(CASE WHEN n_words = 0 THEN 0
+        |       ELSE (n_subwords * 1000000) // n_words END AS BIGINT) AS fertility_ppm,
+        |  CAST(CASE WHEN n_subwords = 0 THEN 0
+        |       ELSE (n_chars * 1000000) // n_subwords END AS BIGINT) AS chars_per_subword_ppm
+        |FROM a""".stripMargin,
     // Per-(doc, term) BM25 weights floor to integer micros BEFORE the
     // per-doc sum (ta_surprisal pattern): the sum is then exact in any
     // reduction order and ranking compares integers only.

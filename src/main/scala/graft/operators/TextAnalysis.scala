@@ -992,6 +992,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** Tokenizer FERTILITY per source under the learned BPE: subwords
+    * per word and characters per subword — the numbers that decide
+    * whether a tokenizer fits a corpus (high fertility on one source
+    * means its text costs disproportionate context budget; the read
+    * behind "train until fertility ≤ x" sizing decisions). Pure
+    * composition: [[bpeEncode]]'s per-doc counts roll up per source
+    * with integer-ppm ratios, so the entry hash-checks through the
+    * same unrolled-rounds oracle. Docs with no letter tokens count
+    * zero words (coalesced, not dropped) so corpus totals conserve.
+    */
+  def tokenizerFertility(documents: DataFrame, rounds: Int = 12): DataFrame = {
+    val enc = bpeEncode(documents, rounds)
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("n_words"), lit(0L)).as("w"),
+        coalesce(col("n_subwords"), lit(0L)).as("sw"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(sum(col("w")).as("n_words"), sum(col("sw")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(expr("(n_subwords * 1000000L) div n_words")))
+      .withColumn("chars_per_subword_ppm",
+        when(col("n_subwords") === 0L, lit(0L))
+          .otherwise(expr("(n_chars * 1000000L) div n_subwords")))
+  }
+
   /** [[bpeVocab]] under a VOCAB-SIZE STOPPING RULE instead of a fixed
     * round count — how tokenizers are actually sized ("train until
     * |vocab| = 32000"): learn merges until the distinct-symbol count

@@ -686,6 +686,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq.empty[(String, Boolean)].toDF("text", "label")) == ((Seq.empty, 0.0)))
   }
 
+  test("tokenizerFertility: merge-friendly source lands lower fertility than unseen-vocabulary source; totals conserve") {
+    import spark.implicits._
+    // source A: one word repeated -> BPE learns its merges, few
+    // subwords per word; source B: long words sharing no bigrams with
+    // the learned merges -> near character-level segmentation
+    val docs = Seq(
+      (1L, ("spark " * 40).trim, "A"), (2L, ("spark " * 40).trim, "A"),
+      (3L, "xylophonic qwertzuiop bvcxymnkj dfghjklqw", "B"),
+      (4L, "", "B") // letterless doc: zero words, chars still counted
+    ).map { case (id, t, s) => (id, t, s, t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val m = TextAnalysis.tokenizerFertility(docs, 12).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(m.keySet == Set("A", "B"))
+    assert(m("A")._1 == 80L && m("B")._1 == 4L, s"word totals conserve: $m")
+    val fertA = m("A")._4; val fertB = m("B")._4
+    assert(fertA < fertB, s"merge-friendly A must beat unseen-vocab B: $m")
+    assert(fertA >= 1000000L, "fertility is >= 1 subword per word")
+    // chars-per-subword moves the other way
+    assert(m("A")._5 > m("B")._5, s"A's subwords cover more chars: $m")
+  }
+
   test("mixTemperature: alpha<1 boosts low-resource sources; alpha=1 keeps raw shares; shares conserve; partitioning-invariant") {
     import spark.implicits._
     // 90/9/1 token split across three sources
