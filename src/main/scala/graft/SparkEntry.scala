@@ -595,6 +595,9 @@ object SparkEntry {
     // temperature-based source mixing (share^alpha, integer-micros
     // weights before the normalizing sum -- all-integer output)
     "ta_mix_temperature" -> ((s, dir) => TextAnalysis.mixTemperature(Tables.documents(s, dir))),
+    // pure-delta streamed face: per-batch per-source count deltas,
+    // resolve = exact sum + the shared temperature arithmetic
+    "stream_mix" -> ((s, dir) => graft.streaming.IngestStreams.streamedMixTemperature(s, dir)),
     "ta_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), 8)),
     "ta_split" -> ((s, dir) => TextAnalysis.trainValidSplit(Tables.documents(s, dir))),
     "ta_scrub" -> ((s, dir) => TextAnalysis.scrub(Tables.documents(s, dir))),
@@ -1316,6 +1319,27 @@ object SparkEntry {
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
+
+  /** Temperature mixing in SQL — shared verbatim by the batch entry
+    * and its pure-delta streamed face. */
+  private val MixTemperatureSql: String =
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+        |w AS (SELECT source, n_tokens, total,
+        |    CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.3)
+        |               * 1000000.0 + 0.5) AS BIGINT) AS wm
+        |  FROM s, t),
+        |n AS (SELECT CAST(sum(wm) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_tokens,
+        |  (n_tokens * 1000000) // total AS share_ppm,
+        |  (wm * 1000000) // wsum AS temp_share_ppm,
+        |  CAST(CASE WHEN (n_tokens * 1000000) // total = 0 THEN 0
+        |       ELSE ((wm * 1000000) // wsum * 1000000) // ((n_tokens * 1000000) // total)
+        |       END AS BIGINT) AS boost_ppm
+        |FROM w, n""".stripMargin
 
   /** Suffix duplication profile in SQL — direct substring grouping
     * per probed length (a genuinely different algorithm from the
@@ -3279,24 +3303,10 @@ object SparkEntry {
         |FROM st""".stripMargin,
     // mirrors mixTemperature: double division + pow + micros floor
     // per source, exact integer sums and floor divisions after
-    "ta_mix_temperature" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
-        |w AS (SELECT source, n_tokens, total,
-        |    CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.3)
-        |               * 1000000.0 + 0.5) AS BIGINT) AS wm
-        |  FROM s, t),
-        |n AS (SELECT CAST(sum(wm) AS BIGINT) AS wsum FROM w)
-        |SELECT source, n_tokens,
-        |  (n_tokens * 1000000) // total AS share_ppm,
-        |  (wm * 1000000) // wsum AS temp_share_ppm,
-        |  CAST(CASE WHEN (n_tokens * 1000000) // total = 0 THEN 0
-        |       ELSE ((wm * 1000000) // wsum * 1000000) // ((n_tokens * 1000000) // total)
-        |       END AS BIGINT) AS boost_ppm
-        |FROM w, n""".stripMargin,
+    "ta_mix_temperature" -> MixTemperatureSql,
+    // the streamed face's count-delta merge is an exact sum, so the
+    // resolved table shares the batch oracle verbatim
+    "stream_mix" -> MixTemperatureSql,
     "ta_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

@@ -196,12 +196,23 @@ object TextAnalysis {
     * (map-side combined) + driver-size arithmetic over |sources|
     * rows; the corpus is read once.
     */
-  def mixTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
-    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
-    val perSource = documents
+  def mixTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame =
+    mixTemperatureFromCounts(perSourceTokenCounts(documents), alpha)
+
+  /** The one aggregate [[mixTemperature]] runs over the corpus —
+    * also the per-batch DELTA of its streamed face (token counts
+    * merge by exact sum, order-independent). */
+  def perSourceTokenCounts(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
       .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+
+  /** Temperature arithmetic over an existing per-source count table —
+    * shared by the batch entry and the streamed face's resolve, so
+    * the two cannot drift. */
+  def mixTemperatureFromCounts(perSource: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
     val total = perSource.agg(sum(col("n_tokens")).as("total"))
     val shared = perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_tokens"), col("total"),

@@ -667,6 +667,80 @@ object IngestStreams {
     graft.operators.TextAnalysis.sourceDriftFromCounts(merged, thresholdPpm)
   }
 
+  /** Streamed temperature-mix maintenance — a
+    * [[streamedSourceDrift]]-family PURE-DELTA member: each
+    * micro-batch appends its own per-source token-count aggregate
+    * (bounded by |sources| rows, never doc rows) to a per-batch
+    * overwrite dir; resolve merges with an exact sum
+    * (order-independent) and runs the SHARED temperature arithmetic
+    * ([[graft.operators.TextAnalysis.mixTemperatureFromCounts]] — the
+    * same code the batch entry runs), so `stream_mix` shares
+    * `ta_mix_temperature`'s oracle verbatim. Deployment story: the
+    * mix table a sampler reads stays continuously current as shards
+    * land, at count-table cost.
+    */
+  def streamedMixTemperature(spark: SparkSession, dir: String,
+                             alpha: Double = 0.3): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_tokens", "share_ppm", "temp_share_ppm", "boost_ppm")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-mix-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        mixCountBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    mixResolve(spark, state, alpha)
+  }
+
+  /** One [[streamedMixTemperature]] micro-batch: the batch's own
+    * per-source token counts, overwrite + marker (replay-safe). */
+  private[graft] def mixCountBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_mix_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis.perSourceTokenCounts(
+        batch0.dropDuplicates("doc_id"))
+      .write.mode("overwrite").parquet(s"$statePath/deltas/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Merge the maintained count deltas (exact sum) and run the shared
+    * temperature arithmetic. */
+  def mixResolve(spark: SparkSession, statePath: String,
+                 alpha: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/deltas")) {
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_tokens", "share_ppm", "temp_share_ppm", "boost_ppm")
+    }
+    graft.operators.TextAnalysis.mixTemperatureFromCounts(
+      spark.read.parquet(s"$statePath/deltas")
+        .groupBy("source").agg(sum(col("n_tokens")).as("n_tokens")), alpha)
+  }
+
   /** Streamed KLL sketch-store maintenance — the mergeable-quantile
     * deployment story ([[graft.operators.Sketches.kllQuantiles]]'s
     * always-on face): each micro-batch writes ONE KLL sketch per

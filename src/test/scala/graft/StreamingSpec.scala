@@ -1296,6 +1296,37 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the url dedup table")
   }
 
+  test("streamedMixTemperature == batch mixTemperature; count deltas merge exactly; replay/retry no-ops") {
+    import spark.implicits._
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val streamed = asMap(IngestStreams.streamedMixTemperature(spark, sf).collect())
+    val batch = asMap(graft.operators.TextAnalysis.mixTemperature(
+      Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven: a source split across batches must resolve to the
+    // merged count, and replay/crash-retry must not double it
+    val state = java.nio.file.Files.createTempDirectory("graft-mix-replay-").toString + "/state"
+    val b0 = Seq((1L, "a b c", "s1"), (2L, "d e", "s2")).toDF("doc_id", "text", "source")
+    val b1 = Seq((3L, "f g h i", "s1")).toDF("doc_id", "text", "source")
+    IngestStreams.mixCountBatch(b0, 0L, state)
+    IngestStreams.mixCountBatch(b1, 1L, state)
+    val after = asMap(IngestStreams.mixResolve(spark, state).collect())
+    assert(after("s1")._1 == 7L && after("s2")._1 == 2L, s"got $after")
+    IngestStreams.mixCountBatch(b1, 1L, state) // replay: marker no-op
+    assert(asMap(IngestStreams.mixResolve(spark, state).collect()) == after)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_mix_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.mixCountBatch(b1, 1L, state) // retry: overwrite, no double count
+    assert(asMap(IngestStreams.mixResolve(spark, state).collect()) == after,
+      "crash-window retry double-counted a source")
+    // empty store resolves empty
+    val emptyState = java.nio.file.Files.createTempDirectory("graft-mix-empty-").toString + "/state"
+    assert(IngestStreams.mixResolve(spark, emptyState).count() == 0)
+  }
+
   test("streamedDsirScore == batch dsirWeights under the frozen artifact; replay/retry no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
