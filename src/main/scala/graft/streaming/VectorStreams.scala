@@ -490,6 +490,62 @@ object VectorStreams {
     cfs.create(marker, true).close()
   }
 
+  /** Compact the semantic PAIR LOG: per victim keep only the single
+    * minimal witness — the partner earliest in the (ccos, vec_id)
+    * rank order. Sound because (a) the resolve drops x iff ANY
+    * partner precedes it, so one preceding witness is as good as
+    * many, (b) members are never deleted, so a witness can never
+    * disappear, and (c) a pair that witnesses NEITHER direction
+    * today may only become a witness for the LATER-ranked member —
+    * which the kept minimal witness already covers (the kept partner
+    * precedes every discarded one, and rank order between two fixed
+    * members never changes as arrivals only insert). Bounds the log
+    * at ≤ |members| rows however many duplicates pile into a cluster
+    * (a 10⁶-copy boilerplate embedding would otherwise log ~10⁶
+    * pairs of witnesses for the same verdicts). The
+    * ccCompact/bfsStateCompact shape: run on the operator's
+    * schedule, one fold + one rewrite, resolve bit-identical
+    * (spec-pinned).
+    */
+  def semanticPairCompact(spark: SparkSession, statePath: String): Unit = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/pairs")) return
+    val members = spark.read.parquet(s"$statePath/members")
+      .select(col("vec_id"), col("ccos"))
+    val pairs0 = spark.read.parquet(s"$statePath/pairs").select(col("v1"), col("v2"))
+    val sym = pairs0.union(pairs0.select(col("v2").as("v1"), col("v1").as("v2")))
+    // per victim v1: the minimal-(ccos, id) partner as its witness;
+    // keep the pair only when that partner actually precedes v1
+    val best = sym
+      .join(members.select(col("vec_id").as("v2"), col("ccos").as("c2")), "v2")
+      .groupBy("v1")
+      .agg(min(struct(col("c2"), col("v2"))).as("w"))
+      .select(col("v1"), col("w.v2").as("v2"), col("w.c2").as("c2"))
+    val kept = best
+      .join(members.select(col("vec_id").as("v1"), col("ccos").as("c1")), "v1")
+      .filter(col("c2") < col("c1") ||
+        (col("c2") === col("c1") && col("v2") < col("v1")))
+      .select(col("v1"), col("v2"))
+    val staging = s"$statePath/pairs_compact_staging"
+    kept.write.mode("overwrite").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$statePath/pairs")
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+  }
+
+  /** Pair-log row count — the compaction-cadence metric (the
+    * bfsStateStats shape): a deployment compacts when this grows
+    * past a multiple of the member count. */
+  def semanticPairStats(spark: SparkSession, statePath: String): (Long, Long) = {
+    val m = if (hasVisibleData(spark, s"$statePath/members"))
+      spark.read.parquet(s"$statePath/members").count() else 0L
+    val p = if (hasVisibleData(spark, s"$statePath/pairs"))
+      spark.read.parquet(s"$statePath/pairs").count() else 0L
+    (m, p)
+  }
+
   /** Resolve the maintained member + pair stores to per-vector
     * verdicts — [[Similarity.semanticDedup]]'s exact output
     * contract. One join of the (symmetrized) pair log against the

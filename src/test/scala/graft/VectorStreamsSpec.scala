@@ -70,6 +70,29 @@ class VectorStreamsSpec extends AnyFunSuite {
     VectorStreams.semanticIngestBatch(b1, 1L, state, cents, 0.95, 4)
     assert(asVerdicts(VectorStreams.semanticResolve(spark, state)) == after1,
       "crash-window retry drifted the maintained verdicts")
+    // pair-log compaction: a third duplicate in the same cluster
+    // logs pairs against BOTH existing members (two witnesses for
+    // one verdict); compaction keeps one minimal witness per victim,
+    // resolve stays bit-identical, and the log is bounded by members
+    val b2 = Seq((20L, Seq(1.0f, 0.015f, 0.01f))).toDF("vec_id", "embedding")
+    VectorStreams.semanticIngestBatch(b2, 2L, state, cents, 0.95, 4)
+    val full = asVerdicts(VectorStreams.semanticResolve(spark, state))
+    val (mBefore, pBefore) = VectorStreams.semanticPairStats(spark, state)
+    assert(pBefore >= 3, s"fixture must have redundant witnesses: $pBefore pairs")
+    VectorStreams.semanticPairCompact(spark, state)
+    val (mAfter, pAfter) = VectorStreams.semanticPairStats(spark, state)
+    assert(mAfter == mBefore && pAfter <= mAfter && pAfter < pBefore,
+      s"compaction must shrink the log: $pBefore -> $pAfter over $mAfter members")
+    assert(asVerdicts(VectorStreams.semanticResolve(spark, state)) == full,
+      "compaction changed the resolved verdicts")
+    // a post-compaction arrival pairing with a compacted-away
+    // witness's victim still resolves correctly
+    val b3 = Seq((30L, Seq(1.0f, 0.017f, 0.02f))).toDF("vec_id", "embedding")
+    VectorStreams.semanticIngestBatch(b3, 3L, state, cents, 0.95, 4)
+    val after3 = asVerdicts(VectorStreams.semanticResolve(spark, state))
+    assert(!after3(30L)._3, "new arrival above existing minima must be dropped")
+    assert(after3.removed(30L) == full,
+      "post-compaction ingest disturbed existing verdicts")
     // empty store resolves empty
     val emptyState = java.nio.file.Files.createTempDirectory("graft-sem-empty-").toString + "/state"
     assert(VectorStreams.semanticResolve(spark, emptyState).count() == 0)
