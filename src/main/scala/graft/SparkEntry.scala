@@ -673,6 +673,9 @@ object SparkEntry {
     // with md5-seeded noise — both ends hash-exact in SQL
     "ta_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "ta_dsir_sample" -> ((s, dir) => TextAnalysis.dsirSample(Tables.documents(s, dir), 64)),
+    // lambda-drift alarm between the even/odd doc windows: the
+    // retrain trigger for the frozen DSIR artifact, all-integer
+    "ta_dsir_drift" -> ((s, dir) => TextAnalysis.dsirDrift(Tables.documents(s, dir))),
     // frozen-artifact streamed DSIR scoring: train the lambda table
     // once, score arriving pool shards statelessly -- drained table
     // == batch weights, oracle shared verbatim
@@ -1377,29 +1380,40 @@ object SparkEntry {
     * buckets mod 4096), one bucket aggregate carrying both LMs'
     * counts, scalar totals, ln-micros lambdas, exact per-doc sums;
     * `w2` = one (doc_id, n_feats, w_micros) row per pool doc. */
-  private val DsirWeightsCtes: String =
-    """t AS (SELECT doc_id, source,
+  /** The lambda-table CTE chain for one doc slice, tagged so the
+    * drift oracle can instantiate it twice; `lam$tag` is COMPLETE
+    * over all 4096 buckets (unseen buckets at the smoothing floor —
+    * mirrors `dsirLambdas`' range completion). */
+  private def DsirLamCtes(tag: String, filterSql: String): String =
+    s"""t$tag AS (SELECT doc_id, source,
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
       |                x -> x <> '') AS ws
-      |  FROM documents),
-      |f0 AS (
-      |  SELECT doc_id, source, 'u:' || unnest(ws) AS f FROM t
+      |  FROM documents$filterSql),
+      |f0$tag AS (
+      |  SELECT doc_id, source, 'u:' || unnest(ws) AS f FROM t$tag
       |  UNION ALL
       |  SELECT doc_id, source, unnest(['b:' || ws[i] || ' ' || ws[i+1]
       |                                 FOR i IN generate_series(1, len(ws) - 1)]) AS f
-      |  FROM t WHERE len(ws) >= 2),
-      |f AS (SELECT doc_id, source,
+      |  FROM t$tag WHERE len(ws) >= 2),
+      |f$tag AS (SELECT doc_id, source,
       |    ('0x' || substr(md5(f), 1, 12))::BIGINT % 4096 AS bucket
-      |  FROM f0),
-      |c AS (SELECT bucket,
+      |  FROM f0$tag),
+      |c0$tag AS (SELECT bucket,
       |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
       |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cr
-      |  FROM f GROUP BY 1),
-      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM c),
-      |lam AS (SELECT bucket,
+      |  FROM f$tag GROUP BY 1),
+      |c$tag AS (SELECT allb.bucket, coalesce(c0$tag.ct, 0) AS ct,
+      |    coalesce(c0$tag.cr, 0) AS cr
+      |  FROM allb LEFT JOIN c0$tag USING (bucket)),
+      |tot$tag AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM c$tag),
+      |lam$tag AS (SELECT bucket,
       |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
       |    - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lam_m
-      |  FROM c, tot),
+      |  FROM c$tag, tot$tag)""".stripMargin
+
+  private val DsirWeightsCtes: String =
+    s"""allb AS (SELECT range AS bucket FROM range(4096)),
+      |${DsirLamCtes("", "")},
       |wsum AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(lam_m) AS BIGINT) AS w_micros
       |  FROM f JOIN lam USING (bucket) WHERE source <> 'src0' GROUP BY 1),
       |w2 AS (SELECT d.doc_id, coalesce(wsum.n_feats, 0) AS n_feats,
@@ -3165,6 +3179,20 @@ object SparkEntry {
     "stream_dsir" ->
       s"""WITH $DsirWeightsCtes
         |SELECT doc_id, n_feats, w_micros FROM w2""".stripMargin,
+    // two tagged instantiations of the same completed lambda chain
+    // over the even/odd windows, integer drift summary
+    "ta_dsir_drift" ->
+      s"""WITH allb AS (SELECT range AS bucket FROM range(4096)),
+        |${DsirLamCtes("r", " WHERE doc_id % 2 = 0")},
+        |${DsirLamCtes("c2", " WHERE doc_id % 2 <> 0")},
+        |d AS (SELECT abs(lamr.lam_m - lamc2.lam_m) AS d
+        |  FROM lamr JOIN lamc2 USING (bucket))
+        |SELECT count(*) AS n_buckets,
+        |  CAST(max(d) AS BIGINT) AS max_dlam,
+        |  CAST(sum(d) // 4096 AS BIGINT) AS mean_dlam,
+        |  count(CASE WHEN d >= 200000 THEN 1 END) AS n_over,
+        |  max(d) >= 200000 AS alarm
+        |FROM d""".stripMargin,
     "ta_dsir_sample" ->
       s"""WITH $DsirWeightsCtes,
         |smp AS (SELECT doc_id, n_feats, w_micros,

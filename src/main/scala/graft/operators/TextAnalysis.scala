@@ -1529,6 +1529,35 @@ object TextAnalysis {
         (lnMicros(col("ct"), col("nt")) - lnMicros(col("cr"), col("nr"))).as("lam_m"))
   }
 
+  /** DSIR lambda-DRIFT alarm — the retrain trigger for the frozen
+    * artifact ([[dsirScoreFrozen]]'s deployment contract): compare
+    * the lambda table computed from a reference window (even doc_ids
+    * — the ta_split_drift convention) against the current window's,
+    * bucket for bucket, and alarm when any bucket's log-ratio moved
+    * more than `thresholdMicros`. Both tables are COMPLETE over all
+    * `dim` buckets, so vocabulary that appears only in one window
+    * compares against the other's smoothing floor instead of
+    * silently dropping — exactly the drift case the alarm exists
+    * for. All-integer summary (max/mean/over-count in micros), one
+    * row out; the cellStats→ivfCompact story for text selection:
+    * alarm → retrain [[dsirLambdas]] → hot-swap the broadcast
+    * artifact (the stream_quality_hotswap cut-over mechanics).
+    */
+  def dsirDrift(documents: DataFrame, targetSource: String = "src0",
+                dim: Int = 4096, thresholdMicros: Long = 200000L): DataFrame = {
+    val ref = dsirLambdas(documents.filter(col("doc_id") % 2 === 0L),
+      targetSource, dim).withColumnRenamed("lam_m", "lr")
+    val cur = dsirLambdas(documents.filter(col("doc_id") % 2 =!= 0L),
+      targetSource, dim).withColumnRenamed("lam_m", "lc")
+    ref.join(cur, "bucket")
+      .select(abs(col("lr") - col("lc")).as("d"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("d")).as("max_dlam"),
+        expr(s"sum(d) div ${dim}L").as("mean_dlam"),
+        count(when(col("d") >= thresholdMicros, lit(1))).as("n_over"))
+      .withColumn("alarm", col("max_dlam") >= thresholdMicros)
+  }
+
   /** Score (doc_id, text) rows against a FROZEN collected lambda
     * artifact — the stateless deployment read path ([[dsirWeights]]
     * with training amortized away): one feature explode, one

@@ -686,6 +686,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq.empty[(String, Boolean)].toDF("text", "label")) == ((Seq.empty, 0.0)))
   }
 
+  test("dsirDrift: mirrored windows measure zero; a vocabulary shift in one window alarms; unseen buckets hit the floor, not silence") {
+    import spark.implicits._
+    def docsOf(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "text", "source")
+    // mirrored corpus: every doc exists at an even AND an odd id, so
+    // the two windows' LMs are identical -> exact zero drift
+    val base = Seq(("alpha beta gamma delta", "src0"), ("epsilon zeta eta theta", "srcX"),
+      ("iota kappa lambda mu", "srcX"))
+    val mirrored = docsOf(base.zipWithIndex.flatMap { case ((t, s), i) =>
+      Seq((2L * i, t, s), (2L * i + 1, t, s)) })
+    val zero = TextAnalysis.dsirDrift(mirrored).collect().head
+    assert(zero.getLong(0) == 4096L && zero.getLong(1) == 0L &&
+      zero.getLong(3) == 0L && !zero.getBoolean(4), s"mirrored windows drifted: $zero")
+    // drifted corpus: the odd window's POOL speaks a brand-new
+    // vocabulary the even window never produced — those buckets
+    // compare against the even window's smoothing floor and the
+    // max bucket delta must clear the alarm threshold
+    val drifted = docsOf(
+      (0L to 18L by 2).map(i => (i, ("steady target words here " * 3).trim,
+        if (i < 8) "src0" else "srcX")) ++
+      (1L to 19L by 2).map(i => (i, ("novel drifted vocabulary burst " * 3).trim,
+        if (i < 8) "src0" else "srcX")))
+    val hit = TextAnalysis.dsirDrift(drifted).collect().head
+    assert(hit.getBoolean(4) && hit.getLong(1) >= 200000L && hit.getLong(3) > 0L,
+      s"vocabulary shift must alarm: $hit")
+  }
+
   test("tokenizerFertility: merge-friendly source lands lower fertility than unseen-vocabulary source; totals conserve") {
     import spark.implicits._
     // source A: one word repeated -> BPE learns its merges, few
