@@ -609,6 +609,10 @@ object SparkEntry {
     // token-EXACT packing: shard budgets count learned-tokenizer
     // (BPE) subwords, composing ta_bpe_encode into ta_pack's sharder
     "ta_pack_bpe" -> ((s, dir) => TextAnalysis.packIntoShardsBpe(Tables.documents(s, dir), 2000L, 12)),
+    // fertility-CALIBRATED packing: per-doc cost = letter words x the
+    // source's measured fertility (scan-speed estimator; no per-doc
+    // BPE segmentation) through the same prefix-sum sharder
+    "ta_pack_fertility" -> ((s, dir) => TextAnalysis.packIntoShardsFertility(Tables.documents(s, dir), 2000L, 12)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
     "ta_langid_eval" -> ((s, dir) => TextAnalysis.languageIdEval(Tables.documents(s, dir))),
@@ -3387,6 +3391,28 @@ object SparkEntry {
       """WITH sized AS (
         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM sized""".stripMargin,
+    // the fertility table composed into ta_pack's prefix-sum sharder:
+    // per-doc estimate = letter words x source fertility_ppm div 1e6
+    "ta_pack_fertility" ->
+      s"""WITH $BpeEncodeCtes,
+        |j AS (SELECT d.source, coalesce(e.n_words, 0) AS w,
+        |    coalesce(e.n_subwords, 0) AS sw
+        |  FROM documents d LEFT JOIN encdoc e USING (doc_id)),
+        |fert AS (SELECT source,
+        |    CAST(CASE WHEN sum(w) = 0 THEN 0
+        |         ELSE (CAST(sum(sw) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT)
+        |         END AS BIGINT) AS fertility_ppm
+        |  FROM j GROUP BY 1),
+        |wdoc AS (SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |sized AS (SELECT doc_id,
+        |    CAST((w * coalesce(f.fertility_ppm, 1000000)) // 1000000 AS BIGINT) AS n_tokens
+        |  FROM wdoc LEFT JOIN fert f USING (source))
         |SELECT doc_id, n_tokens,
         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard

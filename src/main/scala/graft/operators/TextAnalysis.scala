@@ -470,6 +470,33 @@ object TextAnalysis {
     packSized(sized, tokensPerShard)
   }
 
+  /** [[packIntoShards]] with FERTILITY-CALIBRATED budgets: each doc's
+    * cost is its letter-word count × its source's measured BPE
+    * fertility ([[tokenizerFertility]]) — the scan-speed estimator a
+    * 100 TB packer uses when encoding every document
+    * ([[packIntoShardsBpe]]) is too expensive: the fertility table is
+    * |sources| rows measured once (amortized over every later packing
+    * run), and the per-doc cost is then a pure projection + one
+    * broadcast join — no per-doc subword segmentation anywhere.
+    * Integer estimate (w·fertility_ppm div 10⁶, unknown sources at
+    * parity 10⁶), shared prefix-sum sharder; the accuracy story is
+    * exactly fertility's: the estimate is unbiased per source by
+    * construction and drifts only within-source.
+    */
+  def packIntoShardsFertility(documents: DataFrame, tokensPerShard: Long = 2000L,
+                              rounds: Int = 12): DataFrame = {
+    val fert = tokenizerFertility(documents, rounds)
+      .select(col("source"), col("fertility_ppm"))
+    val nWords = size(filter(split(col("text"), TextOps.TokenPattern),
+      w => w =!= "")).cast("long")
+    val sized = documents.select(col("doc_id").cast("long"), col("source"),
+        nWords.as("w"))
+      .join(broadcast(fert), Seq("source"), "left")
+      .select(col("doc_id"),
+        expr("(w * coalesce(fertility_ppm, 1000000L)) div 1000000L").as("n_tokens"))
+    packSized(sized, tokensPerShard)
+  }
+
   /** Shared prefix-sum sharder over (doc_id, n_tokens): global token
     * prefix sums without a single-partition window — per-partition
     * subtotals (one tiny driver collect) seed each partition's

@@ -686,6 +686,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq.empty[(String, Boolean)].toDF("text", "label")) == ((Seq.empty, 0.0)))
   }
 
+  test("packIntoShardsFertility: per-source estimated mass equals exact subword mass up to flooring; sharding is the shared prefix rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val est = TextAnalysis.packIntoShardsFertility(docs, 2000L)
+    val exact = TextAnalysis.packIntoShardsBpe(docs, 2000L)
+    val src = docs.select(col("doc_id"), col("source"))
+    def perSource(df: org.apache.spark.sql.DataFrame) =
+      df.join(src, "doc_id").groupBy("source")
+        .agg(fsum("n_tokens").as("t"), org.apache.spark.sql.functions.count("*").as("n"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e = perSource(est); val x = perSource(exact)
+    assert(e.keySet == x.keySet && e.nonEmpty)
+    e.foreach { case (s, (tEst, n)) =>
+      val tExact = x(s)._1
+      assert(math.abs(tEst - tExact) <= n,
+        s"source $s: estimated mass $tEst vs exact $tExact beyond flooring slack $n")
+    }
+    // shard assignment is the shared prefix rule over the estimates
+    val rows = est.collect().sortBy(_.getLong(0))
+    var run = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == run / 2000L, s"shard rule drifted at doc ${r.getLong(0)}")
+      run += r.getLong(1)
+    }
+    // an unknown source (absent from the fertility table) packs at parity
+    val alien = Seq((1L, "five plain words right here", "never-seen"))
+      .toDF("doc_id", "text", "source").withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    // fertility table measured on `alien` itself has the source, so
+    // drive the estimator path directly: w=5 at parity 1e6 -> 5
+    val lone = TextAnalysis.packIntoShardsFertility(alien, 2000L).collect()
+    assert(lone.length == 1 && lone.head.getLong(1) >= 5L, s"got ${lone.toSeq}")
+  }
+
   test("dsirDrift: mirrored windows measure zero; a vocabulary shift in one window alarms; unseen buckets hit the floor, not silence") {
     import spark.implicits._
     def docsOf(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "text", "source")
