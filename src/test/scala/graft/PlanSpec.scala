@@ -325,5 +325,39 @@ class PlanSpec extends AnyFunSuite {
       "per-doc aggregate must combine map-side")
   }
 
+  test("dedup_lines: survivor election combines map-side on the content key; no cartesian anywhere") {
+    val p = plan("dedup_lines")
+    assert(p.contains("partial_min"),
+      "the first-occurrence min(struct) must partial-aggregate — a hot " +
+        "boilerplate segment would otherwise funnel through one reducer")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "segment join must stay an equality join on the md5 key")
+  }
 
+  test("ta_dsir_weights: LM state is ONE bucket aggregate; totals ride a single-row broadcast; text never joins") {
+    val p = plan("ta_dsir_weights")
+    assert(p.contains("partial_sum"), "bucket LM counts must combine map-side")
+    // the only nested-loop join allowed is the single-row scalar
+    // totals broadcast (the documented scalar-cross pattern); count
+    // the formatted plan's "(n) Operator" detail headers, which list
+    // each physical node exactly once
+    val bnl = p.split("\n").count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnl <= 1, s"only the scalar totals cross is allowed, found $bnl")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ta_mix_temperature: one token aggregate; every join is a single-row scalar broadcast") {
+    val p = plan("ta_mix_temperature")
+    assert(p.contains("partial_sum"), "per-source token counts combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing in this plan is allowed to shuffle-join")
+  }
+
+  test("dedup_semantic: candidate pairs come from a cell equality join, never a cross product") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "within-cell pairing is an equality join on the cell id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SemDeDup's whole point is bounding pairs by the cell join")
+  }
 }
