@@ -1160,4 +1160,119 @@ object Graph {
       .head().getLong(0) / 2
     (naive, ordered)
   }
+
+  /** DIRECTED item-sequence edges: within each order, consecutive
+    * lineitems in l_linenumber order give part[i] → part[i+1] —
+    * "what gets added to the basket next", the directed complement
+    * of the undirected co-purchase graph. One equality self-join on
+    * (order, linenumber+1); self-loops dropped, edges deduped. */
+  def itemSequenceEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("o"),
+      col("l_linenumber").as("ln"), col("l_partkey").as("p"))
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Strongly connected components by iterated FORWARD-coloring /
+    * BACKWARD-confirmation (the FW-BW / ColorSCC family — Fleischer,
+    * Hendrickson & Pinar 2000; the Pregel-style min-label variant):
+    *
+    * Each OUTER round, (1) propagate min-label FORWARD to a fixpoint
+    * over the remaining subgraph — color(v) = the minimum node id
+    * that can reach v; a color class is nonempty only for pivots c
+    * with color(c) = c, and SCC(c) ⊆ class(c) (reachers(v) =
+    * reachers(c) for v ↔ c, so their minima agree); (2) BACKWARD
+    * pass restricted to each class confirms exactly SCC(c) = class
+    * members reaching c (any v→…→c path through v ∈ class(c) stays
+    * inside SCC(c) ⊆ class(c), so the restriction loses nothing);
+    * (3) extract every pivot's SCC simultaneously, remove, repeat.
+    *
+    * Every inner step is one equality join + one min aggregate on
+    * the node key (hash-partitioned, frontier-bounded), with
+    * per-round localCheckpoint + free (the 26b lineage lesson).
+    * Outer rounds: a strongly-connected core extracts in ONE round;
+    * the known adversary is a long chain of singleton SCCs (one
+    * pivot per class per round) — `maxOuter` fails loud rather than
+    * silently truncating a decomposition, and the honest mitigation
+    * at scale (trim rounds peeling degree-0 nodes) is documented in
+    * SURVEY. Output: (node, scc_label = min member id) — the CC
+    * output contract, directed.
+    */
+  def stronglyConnectedComponents(edges0: DataFrame, maxOuter: Int = 40,
+                                  maxInner: Int = 60): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var remaining = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct().localCheckpoint(true)
+    var result = Seq.empty[(Long, Long)].toDF("node", "scc_label")
+      .localCheckpoint(true)
+    var outer = 0
+    while (!remaining.isEmpty && outer < maxOuter) {
+      val e = edges.join(remaining.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(remaining.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      // forward min-label fixpoint
+      var colors = remaining.select(col("node"), col("node").as("color"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var inner = 0
+      while (changed > 0 && inner < maxInner) {
+        val incoming = colors.join(e, colors("node") === e("u"))
+          .groupBy(col("v").as("node")).agg(min(col("color")).as("inc"))
+        val next = colors.join(incoming, Seq("node"), "left")
+          .select(col("node"), least(col("color"), coalesce(col("inc"),
+            col("color"))).as("color")).localCheckpoint(true)
+        changed = next.as("n").join(colors.as("c"), "node")
+          .filter(col("n.color") =!= col("c.color")).count()
+        Checkpoints.free(colors)
+        colors = next
+        inner += 1
+      }
+      require(changed == 0,
+        s"SCC forward coloring did not reach a fixpoint in $maxInner rounds")
+      // backward confirmation within each class, all pivots at once:
+      // seed = the pivots (color(c) = c); expand along REVERSED edges
+      // restricted to same-color endpoints
+      val ecol = e.join(colors.select(col("node").as("u"), col("color").as("cu")), "u")
+        .join(colors.select(col("node").as("v"), col("color").as("cv")), "v")
+        .filter(col("cu") === col("cv"))
+        .select(col("u"), col("v"), col("cu").as("color")).localCheckpoint(true)
+      var reached = colors.filter(col("node") === col("color"))
+        .select(col("node"), col("color")).localCheckpoint(true)
+      changed = 1L
+      inner = 0
+      while (changed > 0 && inner < maxInner) {
+        val expand = reached.join(ecol,
+            reached("node") === ecol("v") && reached("color") === ecol("color"))
+          .select(ecol("u").as("node"), ecol("color").as("color"))
+        val next = reached.union(expand).distinct().localCheckpoint(true)
+        changed = next.count() - reached.count()
+        Checkpoints.free(reached)
+        reached = next
+        inner += 1
+      }
+      require(changed == 0,
+        s"SCC backward confirmation did not converge in $maxInner rounds")
+      val sccRows = reached.select(col("node"), col("color").as("scc_label"))
+      val newResult = result.union(sccRows).localCheckpoint(true)
+      val newRemaining = remaining
+        .join(sccRows.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      Checkpoints.free(result); Checkpoints.free(remaining)
+      Checkpoints.free(colors); Checkpoints.free(ecol); Checkpoints.free(reached)
+      Checkpoints.free(e)
+      result = newResult
+      remaining = newRemaining
+      outer += 1
+    }
+    require(remaining.isEmpty,
+      s"SCC decomposition did not finish in $maxOuter outer rounds")
+    Checkpoints.free(edges)
+    result
+  }
 }

@@ -503,6 +503,44 @@ class GraphSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("scc: planted cycles/bridges/DAG tail peel correctly; matches a brute-force closure on a seeded random digraph; partitioning-invariant") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two cycles joined one-way, plus a DAG tail: four SCCs, and the
+    // outer loop must PEEL (the one-class-per-round adversary shape)
+    val planted = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L), // cycle {1,2,3}
+      (3L, 10L),                                            // one-way bridge
+      (10L, 11L), (11L, 10L),                               // cycle {10,11}
+      (11L, 20L), (20L, 21L)))                              // DAG tail
+    val got = asMap(Graph.stronglyConnectedComponents(planted))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L), s"got $got")
+    // a pure chain: every node a singleton SCC, one peel per round
+    val chain = edgeDf((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq)
+    assert(asMap(Graph.stronglyConnectedComponents(chain)) ==
+      (1L to 6L).map(i => i -> i).toMap)
+    // seeded random digraph vs an independent local closure oracle
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val randomEdges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val reach = Array.fill(n, n)(false)
+    randomEdges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val nodes = randomEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map { v =>
+      val mutual = nodes.filter(w =>
+        w != v && reach(v.toInt)(w.toInt) && reach(w.toInt)(v.toInt))
+      v -> (mutual :+ v).min
+    }.toMap
+    val df = edgeDf(randomEdges)
+    assert(asMap(Graph.stronglyConnectedComponents(df)) == expected)
+    assert(asMap(Graph.stronglyConnectedComponents(df.repartition(7))) == expected)
+    // empty edges -> empty decomposition
+    assert(Graph.stronglyConnectedComponents(edgeDf(Seq.empty)).count() == 0)
+  }
+
   test("co-purchase weighted edges: canonical, multiplicity-derived lengths in [1, 9]") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val we = Graph.coPurchaseWeightedEdges(li).cache()
