@@ -1193,13 +1193,14 @@ object Graph {
     * Every inner step is one equality join + one min aggregate on
     * the node key (hash-partitioned, frontier-bounded), with
     * per-round localCheckpoint + free (the 26b lineage lesson).
-    * Outer rounds: a strongly-connected core extracts in ONE round;
-    * the known adversary is a long chain of singleton SCCs (one
-    * pivot per class per round) — `maxOuter` fails loud rather than
-    * silently truncating a decomposition, and the honest mitigation
-    * at scale (trim rounds peeling degree-0 nodes) is documented in
-    * SURVEY. Output: (node, scc_label = min member id) — the CC
-    * output contract, directed.
+    * Outer rounds: TRIM passes peel no-in/no-out nodes as singleton
+    * SCCs before every coloring (the classic FW-BW trim — a pure
+    * DAG, the one-pivot-per-round adversary, dissolves entirely in
+    * cheap trim passes and never pays a coloring fixpoint); a
+    * strongly-connected core then extracts in ONE coloring round.
+    * `maxOuter` fails loud rather than silently truncating a
+    * decomposition. Output: (node, scc_label = min member id) — the
+    * CC output contract, directed.
     */
   def stronglyConnectedComponents(edges0: DataFrame, maxOuter: Int = 40,
                                   maxInner: Int = 60): DataFrame = {
@@ -1213,6 +1214,39 @@ object Graph {
       .localCheckpoint(true)
     var outer = 0
     while (!remaining.isEmpty && outer < maxOuter) {
+      // TRIM: a node with no in-edges or no out-edges in the
+      // remaining subgraph is a singleton SCC — peel them repeatedly
+      // BEFORE paying a coloring fixpoint. This is the classic FW-BW
+      // trim step, and the defense against the long-singleton-chain
+      // adversary: a pure DAG dissolves entirely in cheap trim
+      // passes (one distinct + two anti joins each) without ever
+      // running a coloring round.
+      var trimmed = true
+      var trims = 0
+      while (trimmed && trims < maxInner && !remaining.isEmpty) {
+        val et = edges
+          .join(remaining.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(remaining.select(col("node").as("v")), Seq("v"), "left_semi")
+        val core = remaining
+          .join(et.select(col("v").as("node")).distinct(), Seq("node"), "left_semi")
+          .join(et.select(col("u").as("node")).distinct(), Seq("node"), "left_semi")
+          .localCheckpoint(true)
+        val singles = remaining.join(core, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("scc_label"))
+        if (singles.isEmpty) {
+          Checkpoints.free(core)
+          trimmed = false
+        } else {
+          val nr = result.union(singles).localCheckpoint(true)
+          Checkpoints.free(result); Checkpoints.free(remaining)
+          result = nr
+          remaining = core
+        }
+        trims += 1
+      }
+      if (remaining.isEmpty) {
+        outer += 1
+      } else {
       val e = edges.join(remaining.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(remaining.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint(true)
@@ -1269,6 +1303,7 @@ object Graph {
       result = newResult
       remaining = newRemaining
       outer += 1
+      }
     }
     require(remaining.isEmpty,
       s"SCC decomposition did not finish in $maxOuter outer rounds")
