@@ -273,6 +273,9 @@ object SparkEntry {
     // by GraphSpec's planted graphs and the closure oracle
     "q_scc" -> ((s, dir) => Graph.stronglyConnectedComponents(
       Graph.itemSequenceEdges(Tables.lineitem(s, dir)))),
+    // incremental SCC maintenance: append-only labels + merge log +
+    // a maintained condensation store; shares q_scc's oracle
+    "stream_scc" -> ((s, dir) => graft.streaming.GraphStreams.streamedScc(s, dir)),
     // Peeling at k=70 erodes the co-purchase graph's low-degree tail
     // (29 of 2000 parts cascade out at sf0.01) — the community-core
     // primitive; 8 unrolled rounds in the oracle, identical by
@@ -1333,6 +1336,27 @@ object SparkEntry {
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
 
+  /** SCC labels in SQL (transitive closure + mutual reachability) —
+    * shared verbatim by the batch entry and its incremental
+    * maintenance face. */
+  private val SccSql: String =
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
+        |n AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
+        |reach(s, t) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t),
+        |mutual AS MATERIALIZED (
+        |  SELECT r1.s AS a, r1.t AS b FROM reach r1
+        |  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+        |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a)
+        |SELECT node, CAST(least(node, coalesce(mm.mb, node)) AS BIGINT) AS scc_label
+        |FROM n LEFT JOIN mm ON mm.a = n.node""".stripMargin
+
   /** Temperature mixing in SQL — shared verbatim by the batch entry
     * and its pure-delta streamed face. */
   private val MixTemperatureSql: String =
@@ -1777,23 +1801,12 @@ object SparkEntry {
     // a genuinely different algorithm (transitive closure + mutual
     // reachability vs FW-BW coloring) agreeing on every label — the
     // q_triangles oracle philosophy
-    "q_scc" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
-        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
-        |n AS MATERIALIZED (SELECT DISTINCT node FROM
-        |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
-        |reach(s, t) AS (
-        |  SELECT u, v FROM e
-        |  UNION
-        |  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t),
-        |mutual AS MATERIALIZED (
-        |  SELECT r1.s AS a, r1.t AS b FROM reach r1
-        |  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
-        |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a)
-        |SELECT node, CAST(least(node, coalesce(mm.mb, node)) AS BIGINT) AS scc_label
-        |FROM n LEFT JOIN mm ON mm.a = n.node""".stripMargin,
+    "q_scc" -> SccSql,
+    // incremental maintenance converges to the batch decomposition
+    // (min-label SCCs are invariant under incremental min-merge;
+    // condensation is associative), so the face shares the closure
+    // oracle verbatim
+    "stream_scc" -> SccSql,
     // the PagerankRoundCtes ladder over the co-purchase graph: same
     // integer fixed-point arithmetic, so pr10 is bit-identical
     "q_pagerank" ->

@@ -255,6 +255,156 @@ object GraphStreams {
     ccResolve(spark, s"$base/labels", s"$base/merges")
   }
 
+  /** Incremental STRONGLY connected components under streaming edge
+    * arrivals — the directed maintenance face of
+    * [[graft.operators.Graph.stronglyConnectedComponents]], built on
+    * the [[ccMergeBatch]] state design (append-only labels + the
+    * closed merge log) plus one directed-only artifact:
+    *
+    *  - `qPath`: the maintained CONDENSATION — the cross-SCC edges in
+    *    current label space, REWRITTEN each batch (it is the batch's
+    *    own working set). Directed-cycle detection cannot prune it:
+    *    one new edge can close a cycle through arbitrarily old
+    *    condensation edges (the spec plants exactly that), so the
+    *    honest per-batch cost is O(condensation ∪ batch) — never the
+    *    raw edge count, and the condensation SHRINKS as cycles
+    *    collapse (insertions only ever merge SCCs).
+    *
+    * Per batch: map the batch edges' endpoints through current labels
+    * (bucket-pruned label read + closed merge map; unseen endpoints
+    * are their own ids), union with the maintained condensation, run
+    * the batch SCC (trim + FW-BW coloring) on that label-space graph,
+    * append merge records for quotient nodes whose label changed,
+    * append labels for new nodes, and rewrite the condensation with
+    * intra-SCC edges dropped. Labels resolve exactly like CC —
+    * min-id SCC labels are invariant under incremental min-merge and
+    * condensation is associative (SCC(G ∪ H) = lift(SCC(condense(G)
+    * ∪ H))) — so `stream_scc` shares `q_scc`'s closure oracle
+    * VERBATIM. Replay/crash-retry: commit markers; duplicate merge
+    * rows close to the same map; duplicate label rows dedup at
+    * resolve.
+    */
+  def streamedScc(spark: SparkSession, dir: String,
+                  nBuckets: Int = 16): DataFrame = {
+    val edges = graft.operators.Graph.itemSequenceEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    if (edges.isEmpty) {
+      graft.operators.Checkpoints.free(edges)
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "scc_label")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-scc-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sccMergeBatch(b, id, s"$base/labels", s"$base/merges", s"$base/qedges", nBuckets)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sccResolve(spark, s"$base/labels", s"$base/merges")
+  }
+
+  /** One [[streamedScc]] micro-batch, exposed for the replay spec. */
+  private[graft] def sccMergeBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, labelsPath: String,
+                                   mergesPath: String, qPath: String,
+                                   nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    val b = batch0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).dropDuplicates().persist()
+    try {
+      if (b.isEmpty) { mark(); return }
+      val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+      val eps = b.select(col("u").as("node"))
+        .unionByName(b.select(col("v").as("node"))).distinct()
+      val lp = new org.apache.hadoop.fs.Path(labelsPath)
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val known =
+        if (lfs.exists(lp)) {
+          val epBuckets = eps
+            .select(pmod(col("node"), lit(nBuckets.toLong)).as[Long])
+            .distinct().collect().toSeq
+          spark.read.parquet(labelsPath)
+            .filter(col("bucket").isin(epBuckets: _*))
+            .join(eps, Seq("node"), "left_semi")
+            .dropDuplicates("node")
+            .select(col("node"), col("scc_id"))
+        } else Seq.empty[(Long, Long)].toDF("node", "scc_id")
+      val cur = known
+        .join(broadcast(closureDf), col("scc_id") === col("mc_old"), "left")
+        .select(col("node"), coalesce(col("mc_new"), col("scc_id")).as("scc"))
+        .persist()
+      val cu = cur.select(col("node").as("u"), col("scc").as("scc_u"))
+      val cv = cur.select(col("node").as("v"), col("scc").as("scc_v"))
+      val mapped = b.join(cu, Seq("u"), "left").join(cv, Seq("v"), "left")
+        .select(coalesce(col("scc_u"), col("u")).as("u"),
+          coalesce(col("scc_v"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val qOld =
+        if (hasVisibleData(spark, qPath)) spark.read.parquet(qPath).select(col("u"), col("v"))
+        else Seq.empty[(Long, Long)].toDF("u", "v")
+      val qAll = qOld.unionByName(mapped).distinct().localCheckpoint(true)
+      val scc = graft.operators.Graph.stronglyConnectedComponents(qAll)
+        .localCheckpoint(true)
+      val newMerges = scc.filter(col("node") =!= col("scc_label"))
+        .select(col("node").as("old_comp"), col("scc_label").as("new_comp"))
+      if (!newMerges.isEmpty) newMerges.write.mode("append").parquet(mergesPath)
+      // new nodes: labeled once, with their SCC as of THIS batch
+      val lbl = eps.join(known.select("node"), Seq("node"), "left_anti")
+        .join(scc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("scc_label"), col("node")).as("scc_id"))
+        .withColumn("bucket", pmod(col("node"), lit(nBuckets.toLong)))
+      if (!lbl.isEmpty) lbl.write.mode("append").partitionBy("bucket").parquet(labelsPath)
+      // rewrite the condensation in the new label space, intra-SCC
+      // edges dropped (materialized BEFORE overwriting what it reads)
+      val su = scc.select(col("node").as("u"), col("scc_label").as("lu"))
+      val sv = scc.select(col("node").as("v"), col("scc_label").as("lv"))
+      val relabeled = qAll.join(su, Seq("u"), "left").join(sv, Seq("v"), "left")
+        .select(coalesce(col("lu"), col("u")).as("u"),
+          coalesce(col("lv"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      relabeled.write.mode("overwrite").parquet(qPath)
+      graft.operators.Checkpoints.free(relabeled)
+      graft.operators.Checkpoints.free(qAll)
+      graft.operators.Checkpoints.free(scc)
+      cur.unpersist()
+      mark()
+    } finally { b.unpersist(); () }
+  }
+
+  /** Current SCC label per node: the append-only labels resolved
+    * through the closed merge map — the [[ccResolve]] contract,
+    * directed. */
+  def sccResolve(spark: SparkSession, labelsPath: String,
+                 mergesPath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, labelsPath)) {
+      return Seq.empty[(Long, Long)].toDF("node", "scc_label")
+    }
+    val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+    spark.read.parquet(labelsPath)
+      .dropDuplicates("node")
+      .join(broadcast(closureDf), col("scc_id") === col("mc_old"), "left")
+      .select(col("node"), coalesce(col("mc_new"), col("scc_id")).as("scc_label"))
+  }
+
   /** Streamed BFS over the co-purchase edge stream: shard the edge
     * list into two micro-batches (the [[streamedComponents]] ingest
     * shape), maintain hop distances incrementally from the configured

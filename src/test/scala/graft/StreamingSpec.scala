@@ -1296,6 +1296,53 @@ class StreamingSpec extends AnyFunSuite {
       "crash-window retry drifted the url dedup table")
   }
 
+  test("streamedScc == batch SCC; a late edge closes a cycle through OLD condensation edges; replay/retry no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GraphStreams
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full-fixture parity with the batch operator (shared oracle)
+    val streamed = asMap(GraphStreams.streamedScc(spark, sf).collect())
+    val batch = asMap(graft.operators.Graph.stronglyConnectedComponents(
+      graft.operators.Graph.itemSequenceEdges(Tables.lineitem(spark, sf))).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven: batch 0 is a pure DAG (every node a singleton);
+    // batch 1's single edge closes a cycle that runs through BOTH of
+    // batch 0's edges — only the maintained condensation makes that
+    // merge findable
+    val base = java.nio.file.Files.createTempDirectory("graft-scc-replay-").toString
+    val (lbls, mrg, qe) = (s"$base/labels", s"$base/merges", s"$base/qedges")
+    GraphStreams.sccMergeBatch(Seq((5L, 7L), (7L, 9L)).toDF("u", "v"), 0L, lbls, mrg, qe, 4)
+    val after0 = asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect())
+    assert(after0 == Map(5L -> 5L, 7L -> 7L, 9L -> 9L), s"got $after0")
+    GraphStreams.sccMergeBatch(Seq((9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    val after1 = asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect())
+    assert(after1 == Map(5L -> 5L, 7L -> 5L, 9L -> 5L),
+      s"cycle through old condensation edges must merge: $after1")
+    // a later NEW node cycling with the merged SCC joins it; a plain
+    // dangling edge stays a singleton
+    GraphStreams.sccMergeBatch(Seq((11L, 5L), (7L, 11L), (13L, 5L)).toDF("u", "v"),
+      2L, lbls, mrg, qe, 4)
+    val after2 = asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect())
+    assert(after2 == Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 11L -> 5L, 13L -> 13L),
+      s"got $after2")
+    // full replay: marker short-circuits
+    GraphStreams.sccMergeBatch(Seq((9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    assert(asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect()) == after2)
+    // crash-window retry of batch 2: duplicate merge/label rows must
+    // close to the same map and dedup at resolve
+    val marker = new org.apache.hadoop.fs.Path(s"$mrg/_scc_commits/2")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    GraphStreams.sccMergeBatch(Seq((11L, 5L), (7L, 11L), (13L, 5L)).toDF("u", "v"),
+      2L, lbls, mrg, qe, 4)
+    assert(asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect()) == after2,
+      "crash-window retry drifted the maintained SCC labels")
+    // empty state resolves empty
+    assert(GraphStreams.sccResolve(spark, s"$base/nope", mrg).count() == 0)
+  }
+
   test("streamedMixTemperature == batch mixTemperature; count deltas merge exactly; replay/retry no-ops") {
     import spark.implicits._
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
