@@ -389,6 +389,19 @@ object GraphStreams {
     } finally { b.unpersist(); () }
   }
 
+  /** SCC state sizes — the compaction-cadence metric (the
+    * bfsStateStats shape): (label rows, merge-log rows, condensation
+    * edges). A deployment watches the merge log against the label
+    * count (compact labels + truncate the log when it grows past
+    * taste — [[ccCompact]]'s schedule) and the condensation size
+    * against the batch budget (it IS the per-batch working set). */
+  def sccStateStats(spark: SparkSession, labelsPath: String,
+                    mergesPath: String, qPath: String): (Long, Long, Long) = {
+    def n(p: String) =
+      if (hasVisibleData(spark, p)) spark.read.parquet(p).count() else 0L
+    (n(labelsPath), n(mergesPath), n(qPath))
+  }
+
   /** Current SCC label per node: the append-only labels resolved
     * through the closed merge map — the [[ccResolve]] contract,
     * directed. */

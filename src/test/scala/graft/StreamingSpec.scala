@@ -1339,6 +1339,12 @@ class StreamingSpec extends AnyFunSuite {
       2L, lbls, mrg, qe, 4)
     assert(asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect()) == after2,
       "crash-window retry drifted the maintained SCC labels")
+    // state stats: labels cover all five nodes, merges recorded the
+    // three collapses (7, 9 into 5; 11 into 5 — plus the retried
+    // batch's harmless duplicates), and the condensation holds only
+    // the surviving cross-SCC edge 13 -> 5
+    val (nl, nm, nq) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(nl == 5L && nm >= 3L && nq == 1L, s"state stats ($nl, $nm, $nq)")
     // empty state resolves empty
     assert(GraphStreams.sccResolve(spark, s"$base/nope", mrg).count() == 0)
   }
