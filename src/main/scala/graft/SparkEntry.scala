@@ -362,6 +362,12 @@ object SparkEntry {
     // the spec oracle is local Kruskal edge-set equality
     "q_mst" -> ((s, dir) => Graph.mstBoruvka(
       Graph.coPurchaseWeightedEdges(Tables.lineitem(s, dir)))),
+    // the MST family's hash gate: (n_edges, total_weight,
+    // n_components) is unique across ALL minimum spanning forests
+    // (weight-multiset uniqueness), and the weight has a closed form
+    // over per-threshold component counts the oracle can unroll
+    "q_mst_summary" -> ((s, dir) => Graph.mstSummary(
+      Graph.coPurchaseWeightedEdges(Tables.lineitem(s, dir)))),
     // double-sweep diameter lower bound: two BFS traversals, O(1)
     // driver aggregates, one all-integer summary row
     "q_diameter" -> ((s, dir) => Graph.diameterDoubleSweep(
@@ -704,6 +710,9 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("n_bytes"))
     }),
     "mm_phash_dedup" -> ((s, dir) => Multimodal.phashSummary(Tables.documents(s, dir))),
+    // CLIP-style caption↔media pair audit: per-source matched /
+    // conflict / orphan counts in deterministic fingerprint space
+    "mm_pair_audit" -> ((s, dir) => Multimodal.pairAudit(Tables.documents(s, dir))),
     // ViT-style patch schedule: pure projection + bounded explodes,
     // clipped edge tiles, zero shuffles
     "mm_tiles" -> ((s, dir) => Multimodal.tilePlan(Tables.documents(s, dir), 8)),
@@ -969,6 +978,22 @@ object SparkEntry {
       |     FROM wund HAVING min(a) IS NOT NULL),
       |$SsspRoundCtes
       |SELECT node, dist FROM s20""".stripMargin
+
+  /** 16 unrolled min-label rounds over the (threshold, node) plane —
+    * the q_mst_summary oracle's per-threshold component counter:
+    * threshold t keeps edges with w ≤ t, and one chained flood
+    * handles all nine thresholds at once because t rides along as a
+    * grouping column. Converges in 11 rounds at sf0.01 (measured);
+    * rounds past the fixpoint are no-ops.
+    */
+  private val MstLabelRounds: String = (1 to 16).map { i =>
+    s"""l$i AS MATERIALIZED (
+       |  SELECT l.t, l.node, LEAST(l.lab, COALESCE(m.mn, l.lab)) AS lab
+       |  FROM l${i - 1} l LEFT JOIN (
+       |    SELECT l2.t, e.b AS node, min(l2.lab) AS mn
+       |    FROM l${i - 1} l2 JOIN wund e ON e.a = l2.node AND e.w <= l2.t
+       |    GROUP BY l2.t, e.b) m ON m.t = l.t AND m.node = l.node)""".stripMargin
+  }.mkString(",\n")
 
   /** 8 unrolled k-core peel rounds (k=70) as chained CTEs — the
     * PagerankRoundCtes pattern: each round recomputes degrees over
@@ -1953,6 +1978,28 @@ object SparkEntry {
     // the streamed maintenance face converges to the same distances
     // (dynamic weighted relaxation), so the oracle is q_sssp's
     "stream_sssp" -> SsspSql,
+    // the MST family's hash gate: any minimum spanning forest has the
+    // same (n_edges, total_weight, n_components), and weight =
+    // Σ_{t=0}^{W-1} (c(t) − c(W)) over per-threshold component
+    // counts — computed here by the unrolled multi-threshold
+    // min-label flood (weights live in [1, 9] by construction)
+    "q_mst_summary" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v, 10 - LEAST(9, count(*)) AS w
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+        |wund AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we),
+        |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM wund),
+        |ts AS MATERIALIZED (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS t),
+        |l0 AS MATERIALIZED (SELECT ts.t, n.node, n.node AS lab FROM nodes n CROSS JOIN ts),
+        |$MstLabelRounds,
+        |c AS MATERIALIZED (SELECT t, count(DISTINCT lab) AS c FROM l16 GROUP BY t),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |cf AS (SELECT c AS cfull FROM c WHERE t = 9)
+        |SELECT CAST(nn.n - cf.cfull AS BIGINT) AS n_edges,
+        |  CAST((nn.n - cf.cfull)
+        |    + (SELECT sum(c) FROM c WHERE t <= 8) - 8 * cf.cfull AS BIGINT) AS total_weight,
+        |  CAST(cf.cfull AS BIGINT) AS n_components
+        |FROM nn, cf""".stripMargin,
     // synchronous LPA: 5 unrolled rounds, (count DESC, label ASC)
     // winner per node — all-integer, must agree label-for-label
     "q_label_prop" ->
@@ -2849,6 +2896,52 @@ object SparkEntry {
     // -> per-doc near-dup degree. Bands a doc never touches coalesce
     // to 0 (no hist rows -> no bits -> band value 0).
     "mm_phash_dedup" -> PhashSummarySql,
+    // the caption↔media audit recomputed end-to-end: the same
+    // character-code band pipeline, the same residue-rule pair
+    // fixture, the same hamming verdicts — all-integer per-source
+    // counts must agree exactly
+    "mm_pair_audit" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ord(c) % 64 AS bucket, count(*) AS cnt
+        |  FROM chars GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |bits AS (
+        |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
+        |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
+        |  FROM hist h JOIN len USING (doc_id)),
+        |bands AS MATERIALIZED (
+        |  SELECT d.doc_id, b.band,
+        |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+        |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id AS caption_id, source,
+        |    CASE WHEN doc_id % 23 = 5 THEN doc_id + 1000000
+        |         WHEN doc_id % 17 = 3 THEN doc_id + 1
+        |         ELSE doc_id END AS media_id
+        |  FROM documents),
+        |ham AS (
+        |  SELECT p.caption_id, p.media_id,
+        |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |  FROM pairs p
+        |  JOIN bands x ON x.doc_id = p.caption_id
+        |  JOIN bands y ON y.doc_id = p.media_id AND y.band = x.band
+        |  GROUP BY 1, 2),
+        |aud AS (
+        |  SELECT p.source,
+        |    CASE WHEN h.hamming IS NULL THEN 'orphan'
+        |         WHEN h.hamming <= 3 THEN 'match' ELSE 'conflict' END AS v
+        |  FROM pairs p LEFT JOIN ham h
+        |    ON h.caption_id = p.caption_id AND h.media_id = p.media_id)
+        |SELECT source, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN v = 'match' THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST(sum(CASE WHEN v = 'conflict' THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+        |  CAST(sum(CASE WHEN v = 'orphan' THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+        |FROM aud GROUP BY source""".stripMargin,
     // streamed maintenance converges to the same summary (pairs
     // generated once, in the later member's batch; no RNG)
     "stream_phash_dedup" -> PhashSummarySql,

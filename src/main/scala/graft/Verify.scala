@@ -34,14 +34,26 @@ object Verify {
     }
     // Rows-only queries have no DuckDB oracle; their PINNED sf0.01
     // row counts ship as an artifact the driver can rows-gate
-    // against, and drift fails loud right here at the verify scale.
+    // against, and drift fails loud right here at the verify scale —
+    // a nonzero exit, not just a stderr line, plus a machine-readable
+    // rows_gate.json (query → expected/actual/pass) in the dump.
+    var rowsGateFailures = 0
     if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) {
-      SparkEntry.expectedRows.foreach { case (name, want) =>
-        rowCounts.get(name).foreach { got =>
-          if (got != want) System.err.println(
-            s"[verify] EXPECTED-ROWS MISMATCH $name: got $got, pinned $want")
-          else System.err.println(s"[verify] rows-gate ok $name: $got")
-        }
+      val verdicts = SparkEntry.expectedRows.toSeq.sortBy(_._1).flatMap {
+        case (name, want) =>
+          rowCounts.get(name).map { got =>
+            val pass = got == want
+            if (!pass) {
+              rowsGateFailures += 1
+              System.err.println(
+                s"[verify] EXPECTED-ROWS MISMATCH $name: got $got, pinned $want")
+            } else System.err.println(s"[verify] rows-gate ok $name: $got")
+            s""""$name": {"expected": $want, "actual": $got, "pass": $pass}"""
+          }
+      }
+      if (verdicts.nonEmpty) {
+        Files.writeString(Paths.get(s"$outDir/rows_gate.json"),
+          verdicts.mkString("{", ",", "}"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -68,5 +80,9 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/expected_rows.json"), er)
     }
     spark.stop()
+    if (rowsGateFailures > 0) {
+      System.err.println(s"[verify] $rowsGateFailures rows-gate failure(s)")
+      sys.exit(1)
+    }
   }
 }

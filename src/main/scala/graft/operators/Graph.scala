@@ -947,6 +947,33 @@ object Graph {
     chosen
   }
 
+  /** One-row MST-family summary (the `q_mst_summary` entry): forest
+    * edge count, total weight, and component count. The edge SET is
+    * rows-only by necessity (union-find isn't CTE-expressible), but
+    * these three integers are ORACLE-CHECKABLE: any two minimum
+    * spanning forests have the same weight multiset (the standard
+    * exchange argument), and the weight has a closed form over
+    * per-threshold component counts — weight = Σ_{t=0}^{W-1} (c(t) −
+    * c(W)) where c(t) = components of the subgraph with edge weight
+    * ≤ t — which the DuckDB side computes by unrolled min-label
+    * rounds per threshold. So the summary hash-gates the same
+    * mstBoruvka plan whose edge set only the Kruskal spec can pin.
+    */
+  def mstSummary(edges0: DataFrame): DataFrame = {
+    val edges = edges0.filter(col("u") =!= col("v")).localCheckpoint(true)
+    val mst = mstBoruvka(edges)
+    val nodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+    val forest = mst.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum(col("w")), lit(0L)).cast("long").as("total_weight"))
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val out = forest.crossJoin(n).select(col("n_edges"), col("total_weight"),
+      (col("n_nodes") - col("n_edges")).as("n_components"))
+      .localCheckpoint(true)
+    Checkpoints.free(edges)
+    out
+  }
+
   /** Community detection via synchronous label propagation (Raghavan
     * et al. 2007, public literature) with a DETERMINISTIC tie-break:
     * every node starts labeled with its own id; each round it adopts
@@ -1203,11 +1230,25 @@ object Graph {
     * CC output contract, directed.
     */
   def stronglyConnectedComponents(edges0: DataFrame, maxOuter: Int = 40,
-                                  maxInner: Int = 60): DataFrame = {
+                                  maxInner: Int = 60,
+                                  driverGate: Long = 1000000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val edges = edges0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // Bounded-size gate (the ccMergeBatch / Borůvka driver-tail
+    // convention): under the gate an iterative driver Tarjan replaces
+    // the FW-BW fixpoint whose per-round job overhead dominates at
+    // this size — identical min-label output, one collect of a
+    // provably bounded edge set. Past the gate the distributed
+    // decomposition below stands; the partitioning-invariance spec
+    // pins both paths equal with driverGate = 0.
+    if (edges.count() <= driverGate) {
+      val out = driverTarjan(edges.select(col("u").as[Long], col("v").as[Long]).collect())
+        .toSeq.toDF("node", "scc_label")
+      Checkpoints.free(edges)
+      return out
+    }
     var remaining = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct().localCheckpoint(true)
     var result = Seq.empty[(Long, Long)].toDF("node", "scc_label")
@@ -1250,24 +1291,39 @@ object Graph {
       val e = edges.join(remaining.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(remaining.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint(true)
-      // forward min-label fixpoint
+      // forward min-label fixpoint, DELTA-propagated: only nodes
+      // whose color just improved feed the next round's join (the
+      // q_bfs frontier discipline), and the improvement set doubles
+      // as the convergence test — no full-table change-count join.
       var colors = remaining.select(col("node"), col("node").as("color"))
         .localCheckpoint(true)
-      var changed = 1L
+      var fwdFrontier = colors // round 0: every node is its own new color
+      var fwdOwned = false // frontier aliases colors until first delta
       var inner = 0
-      while (changed > 0 && inner < maxInner) {
-        val incoming = colors.join(e, colors("node") === e("u"))
+      var converged = false
+      while (!converged && inner < maxInner) {
+        val incoming = fwdFrontier.join(e, fwdFrontier("node") === e("u"))
           .groupBy(col("v").as("node")).agg(min(col("color")).as("inc"))
-        val next = colors.join(incoming, Seq("node"), "left")
-          .select(col("node"), least(col("color"), coalesce(col("inc"),
-            col("color"))).as("color")).localCheckpoint(true)
-        changed = next.as("n").join(colors.as("c"), "node")
-          .filter(col("n.color") =!= col("c.color")).count()
-        Checkpoints.free(colors)
-        colors = next
+        val improved = colors.join(incoming, Seq("node"))
+          .filter(col("inc") < col("color"))
+          .select(col("node"), col("inc").as("color"))
+          .localCheckpoint(true)
+        if (improved.isEmpty) {
+          Checkpoints.free(improved)
+          converged = true
+        } else {
+          val nc = colors.join(improved, Seq("node"), "left_anti")
+            .union(improved).localCheckpoint(true)
+          Checkpoints.free(colors)
+          if (fwdOwned) Checkpoints.free(fwdFrontier)
+          colors = nc
+          fwdFrontier = improved
+          fwdOwned = true
+        }
         inner += 1
       }
-      require(changed == 0,
+      if (fwdOwned) Checkpoints.free(fwdFrontier)
+      require(converged,
         s"SCC forward coloring did not reach a fixpoint in $maxInner rounds")
       // backward confirmation within each class, all pivots at once:
       // seed = the pivots (color(c) = c); expand along REVERSED edges
@@ -1276,21 +1332,39 @@ object Graph {
         .join(colors.select(col("node").as("v"), col("color").as("cv")), "v")
         .filter(col("cu") === col("cv"))
         .select(col("u"), col("v"), col("cu").as("color")).localCheckpoint(true)
-      var reached = colors.filter(col("node") === col("color"))
+      // DELTA frontier (the q_bfs discipline): expand only the
+      // newly-confirmed nodes, anti-join fresh arrivals against the
+      // accumulated reached set, append WITHOUT distinct (fresh is
+      // disjoint by construction) — O(class edges) total instead of
+      // O(rounds × reached-incident edges) re-expansion.
+      val pivots = colors.filter(col("node") === col("color"))
         .select(col("node"), col("color")).localCheckpoint(true)
-      changed = 1L
+      val reachedParts =
+        scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](pivots)
+      var reached = pivots // lazily-built union of checkpointed deltas
+      var bwdFrontier = pivots
       inner = 0
-      while (changed > 0 && inner < maxInner) {
-        val expand = reached.join(ecol,
-            reached("node") === ecol("v") && reached("color") === ecol("color"))
+      converged = false
+      while (!converged && inner < maxInner) {
+        // a node has exactly one color and ecol is same-color-
+        // restricted, so the anti join can key on node alone
+        val fresh = bwdFrontier.join(ecol,
+            bwdFrontier("node") === ecol("v") && bwdFrontier("color") === ecol("color"))
           .select(ecol("u").as("node"), ecol("color").as("color"))
-        val next = reached.union(expand).distinct().localCheckpoint(true)
-        changed = next.count() - reached.count()
-        Checkpoints.free(reached)
-        reached = next
+          .distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        if (fresh.isEmpty) {
+          Checkpoints.free(fresh)
+          converged = true
+        } else {
+          reachedParts += fresh
+          reached = reached.union(fresh)
+          bwdFrontier = fresh
+        }
         inner += 1
       }
-      require(changed == 0,
+      require(converged,
         s"SCC backward confirmation did not converge in $maxInner rounds")
       val sccRows = reached.select(col("node"), col("color").as("scc_label"))
       val newResult = result.union(sccRows).localCheckpoint(true)
@@ -1298,7 +1372,8 @@ object Graph {
         .join(sccRows.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint(true)
       Checkpoints.free(result); Checkpoints.free(remaining)
-      Checkpoints.free(colors); Checkpoints.free(ecol); Checkpoints.free(reached)
+      Checkpoints.free(colors); Checkpoints.free(ecol)
+      reachedParts.foreach(Checkpoints.free)
       Checkpoints.free(e)
       result = newResult
       remaining = newRemaining
@@ -1309,5 +1384,77 @@ object Graph {
       s"SCC decomposition did not finish in $maxOuter outer rounds")
     Checkpoints.free(edges)
     result
+  }
+
+  /** Iterative Tarjan over a gate-bounded collected edge list —
+    * explicit frame stack (a 20k-node chain overflows the JVM stack
+    * recursively), output = (node, min member id) matching the
+    * distributed decomposition's contract exactly.
+    */
+  private def driverTarjan(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val ids = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toArray.distinct
+    val n = ids.length
+    if (n == 0) return Seq.empty
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    // CSR adjacency
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (a, _) => outDeg(idx.get(a)) += 1 }
+    val start = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { start(i + 1) = start(i) + outDeg(i); i += 1 }
+    val adj = new Array[Int](edges.length)
+    val fill = start.clone()
+    edges.foreach { case (a, b) =>
+      val ai = idx.get(a); adj(fill(ai)) = idx.get(b); fill(ai) += 1
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val stk = new java.util.ArrayDeque[Integer](n)
+    val label = new Array[Long](n)
+    val callV = new Array[Int](n + 1)
+    val callC = new Array[Int](n + 1)
+    var counter = 0
+    var root = 0
+    while (root < n) {
+      if (index(root) == -1) {
+        var sp = 0
+        callV(0) = root; callC(0) = start(root)
+        index(root) = counter; low(root) = counter; counter += 1
+        stk.push(root); onStk(root) = true
+        while (sp >= 0) {
+          val v = callV(sp)
+          if (callC(sp) < start(v + 1)) {
+            val w = adj(callC(sp)); callC(sp) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stk.push(w); onStk(w) = true
+              sp += 1; callV(sp) = w; callC(sp) = start(w)
+            } else if (onStk(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) {
+              val members = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var w = -1
+              while (w != v) {
+                w = stk.pop(); onStk(w) = false; members += w
+              }
+              var lbl = Long.MaxValue
+              members.foreach(m => if (ids(m) < lbl) lbl = ids(m))
+              members.foreach(m => label(m) = lbl)
+            }
+            sp -= 1
+            if (sp >= 0) {
+              val p = callV(sp)
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    (0 until n).map(j => (ids(j), label(j)))
   }
 }

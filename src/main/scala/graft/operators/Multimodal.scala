@@ -268,6 +268,67 @@ object Multimodal {
     * whole hash+band+hamming pipeline from character codes and must
     * agree exactly.
     */
+  /** Deterministic caption↔media PAIR fixture over the documents
+    * table — the shape of a scraped captioned-media corpus where the
+    * caption row carries a reference to its media item. Most
+    * captions point at their own payload; two fixed residue rules
+    * plant the failure modes a real crawl produces: `% 23 == 5`
+    * points far out of range (dead media link), `% 17 == 3` points
+    * one item over (off-by-one misalignment — the classic shifted
+    * scrape). The rules are pure column arithmetic so the DuckDB
+    * oracle reproduces the fixture exactly.
+    */
+  def pairFixture(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("caption_id"),
+      when(pmod(col("doc_id"), lit(23L)) === 5L, col("doc_id") + 1000000L)
+        .when(pmod(col("doc_id"), lit(17L)) === 3L, col("doc_id") + 1L)
+        .otherwise(col("doc_id")).as("media_id"))
+
+  /** Image↔text pair audit (the `mm_pair_audit` entry) — the
+    * CLIP-data cleaning step: every caption→media pair is checked in
+    * fingerprint space and each source gets matched / conflict /
+    * orphan counts. Caption-side fingerprint = the text fingerprint;
+    * media-side = the payload phash — with the deterministic stub the
+    * two are the SAME function of the same bytes, which is exactly
+    * what keeps the whole audit hash-checkable (the mm_phash_dedup
+    * precedent); a real deployment swaps in a text encoder and an
+    * image encoder and keeps every join shape.
+    *
+    * Scale shape: fingerprints are computed ONCE PER DOC (never per
+    * pair), both pair sides resolve by equality join on the id, the
+    * hamming compare runs in codegen over the band arrays, and the
+    * final per-source rollup is a low-cardinality map-side-combined
+    * aggregate. No candidate generation exists to blow up — the pair
+    * table IS the work list.
+    */
+  def pairAudit(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
+                maxHamming: Int = 3): DataFrame = {
+    val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
+    val pairs = pairFixture(documents)
+    val withCap = pairs
+      .join(documents.select(col("doc_id").as("caption_id"), col("source")),
+        Seq("caption_id"))
+      .join(ph.select(col("doc_id").as("caption_id"), col("phash_bands").as("cap_ph")),
+        Seq("caption_id"))
+    val joined = withCap.join(
+      ph.select(col("doc_id").as("media_id"), col("phash_bands").as("med_ph")),
+      Seq("media_id"), "left")
+    val verdicts = joined
+      .withColumn("hamming",
+        expr("aggregate(zip_with(cap_ph, med_ph, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+          .cast("long"))
+      .withColumn("v",
+        when(col("med_ph").isNull, lit("orphan"))
+          .when(col("hamming") <= maxHamming, lit("match"))
+          .otherwise(lit("conflict")))
+    verdicts.groupBy("source").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("v") === "match", 1L).otherwise(0L)).as("n_match"),
+      sum(when(col("v") === "conflict", 1L).otherwise(0L)).as("n_conflict"),
+      sum(when(col("v") === "orphan", 1L).otherwise(0L)).as("n_orphan"))
+  }
+
   def phashSummary(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
     // one checkpointed band frame feeds BOTH the pair generation and

@@ -63,7 +63,10 @@ object GraphStreams {
     * Closed iteratively with memoization — each key's root resolved
     * once, intermediate hops cached — so an un-compacted merge log
     * with an L-deep chain costs O(L) total and constant stack, not
-    * O(L²) walks and L recursion frames.
+    * O(L²) walks and L recursion frames. This FULL read is the
+    * resolve-time (and crash-window) path; the per-batch hot path is
+    * [[closedMergesFor]], which loads only the buckets its seeds'
+    * chains touch.
     */
   private def closedMerges(spark: SparkSession, mergesPath: String): Map[Long, Long] = {
     if (!hasVisibleData(spark, mergesPath)) return Map.empty
@@ -88,6 +91,62 @@ object GraphStreams {
     raw.keys.map(k => k -> root(k)).toMap
   }
 
+  /** Seed-pruned closed merge map — the per-batch path (r12). The
+    * merge log is pmod(old_comp)-partitioned (`mb`); the walker loads
+    * a bucket only when a seed's chain actually enters it, so a batch
+    * touching few components reads few buckets of the log, never the
+    * whole thing (the relaxBatch ensureLoaded discipline, driver-side
+    * — bucket loads are counted in [[MaintIO.mergeBucketReads]] for
+    * the spec). Returns the resolved root for every walked key; keys
+    * resolving to themselves are dropped (they need no relabel).
+    */
+  private[graft] def closedMergesFor(spark: SparkSession, mergesPath: String,
+                                     seeds: Seq[Long],
+                                     nBuckets: Int): Map[Long, Long] = {
+    if (seeds.isEmpty || !hasVisibleData(spark, mergesPath)) return Map.empty
+    import spark.implicits._
+    val raw = scala.collection.mutable.Map.empty[Long, Long]
+    val loaded = scala.collection.mutable.Set.empty[Long]
+    def load(bucket: Long): Unit = {
+      if (!loaded(bucket)) {
+        MaintIO.mergeBucketReads.incrementAndGet()
+        spark.read.parquet(mergesPath)
+          .filter(col("mb") === bucket)
+          .select(col("old_comp").as[Long], col("new_comp").as[Long])
+          .collect().foreach { case (o, nw) => raw(o) = nw }
+        loaded += bucket
+      }
+    }
+    def bucketOf(c: Long): Long = java.lang.Math.floorMod(c, nBuckets.toLong)
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def root(c: Long): Long = {
+      val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = c
+      var done = false
+      while (!done) {
+        if (memo.contains(cur)) done = true
+        else {
+          load(bucketOf(cur))
+          if (raw.contains(cur)) { path += cur; cur = raw(cur) }
+          else done = true
+        }
+      }
+      val r = memo.getOrElse(cur, cur)
+      path.foreach(memo(_) = r)
+      r
+    }
+    seeds.foreach(root)
+    memo.filter { case (k, v) => k != v }.toMap
+  }
+
+  /** Append merge records pmod(old_comp)-partitioned so
+    * [[closedMergesFor]] can prune its per-batch reads. */
+  private def appendMerges(newMerges: DataFrame, mergesPath: String,
+                           nBuckets: Int): Unit =
+    newMerges
+      .withColumn("mb", pmod(col("old_comp"), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("mb").parquet(mergesPath)
+
   /** One [[ccIngest]] micro-batch, exposed for the replay spec. */
   private[graft] def ccMergeBatch(batch0: org.apache.spark.sql.DataFrame,
                                   batchId: Long, labelsPath: String,
@@ -102,7 +161,6 @@ object GraphStreams {
     val b = batch0.select(col("doc_a"), col("doc_b")).dropDuplicates().persist()
     try {
       if (b.isEmpty) { mark(); return }
-      val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
       val eps = b.select(col("doc_a").as("doc_id"))
         .unionByName(b.select(col("doc_b").as("doc_id"))).distinct()
       val lp = new org.apache.hadoop.fs.Path(labelsPath)
@@ -117,7 +175,14 @@ object GraphStreams {
             .filter(col("bucket").isin(epBuckets: _*))
             .join(eps, Seq("doc_id"), "left_semi")
             .select(col("doc_id"), col("component_id"))
+            .localCheckpoint(true)
         } else Seq.empty[(Long, Long)].toDF("doc_id", "component_id")
+      // merge-log reads pruned to the endpoint components' chains
+      // (r12): the closure walker loads only the buckets those
+      // chains touch, never the whole log
+      val seeds = known.select(col("component_id").as[Long]).distinct().collect().toSeq
+      val closureDf = closedMergesFor(spark, mergesPath, seeds, nBuckets)
+        .toSeq.toDF("mc_old", "mc_new")
       val cur = known
         .join(broadcast(closureDf), col("component_id") === col("mc_old"), "left")
         .select(col("doc_id"), coalesce(col("mc_new"), col("component_id")).as("comp"))
@@ -168,7 +233,7 @@ object GraphStreams {
         .filter(col("doc_id") =!= col("component_id"))
         .select(col("doc_id").as("old_comp"), col("component_id").as("new_comp"))
       if (!newMerges.isEmpty) {
-        newMerges.write.mode("append").parquet(mergesPath)
+        appendMerges(newMerges, mergesPath, nBuckets)
       }
       // new docs: labeled once, with their component as of THIS batch
       val lbl = eps.join(known.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -179,6 +244,7 @@ object GraphStreams {
         lbl.write.mode("append").partitionBy("bucket").parquet(labelsPath)
       }
       cur.unpersist()
+      graft.operators.Checkpoints.free(known)
       mark()
     } finally { b.unpersist(); () }
   }
@@ -314,7 +380,32 @@ object GraphStreams {
     sccResolve(spark, s"$base/labels", s"$base/merges")
   }
 
-  /** One [[streamedScc]] micro-batch, exposed for the replay spec. */
+  /** Spec-only failpoint: when set, the next [[sccMergeBatch]] throws
+    * AFTER appending its merge records but BEFORE the label append /
+    * condensation rewrite — the exact crash window the pending-marker
+    * protocol exists for. One-shot (resets itself when it fires). */
+  private[graft] var sccFailAfterMerges: Boolean = false
+
+  /** One [[streamedScc]] micro-batch, exposed for the replay spec.
+    *
+    * Crash-retry exactness (r12): the batch writes a PENDING marker
+    * before touching any state and clears it only after the
+    * condensation rewrite. A clean batch (no pending marker) reads
+    * the condensation as-is — its labels are current by construction
+    * — and resolves endpoint labels through the SEED-PRUNED closure
+    * ([[closedMergesFor]]: only the touched chains' buckets of the
+    * merge log load, never the whole thing). A retry that finds a
+    * pending marker is inside the crash window: the merge log may be
+    * ahead of the condensation, so it loads the FULL closure and
+    * relabels the condensation's endpoints through it before the
+    * union (identity when the crash landed before the merge append;
+    * exact when it landed after) — without that relabel a retried
+    * batch drops its cycle-closing edge as a remapped self-loop
+    * against stale condensation labels and the merge is silently
+    * lost. Current labels never appear as old_comp (labels only ever
+    * merge downward to smaller min-ids), so relabeling a condensation
+    * that already got rewritten is the identity too.
+    */
   private[graft] def sccMergeBatch(batch0: org.apache.spark.sql.DataFrame,
                                    batchId: Long, labelsPath: String,
                                    mergesPath: String, qPath: String,
@@ -326,11 +417,12 @@ object GraphStreams {
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
     def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    val pendingDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_pending")
+    val inCrashWindow = cfs.exists(pendingDir) && cfs.listStatus(pendingDir).nonEmpty
     val b = batch0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).dropDuplicates().persist()
     try {
       if (b.isEmpty) { mark(); return }
-      val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
       val eps = b.select(col("u").as("node"))
         .unionByName(b.select(col("v").as("node"))).distinct()
       val lp = new org.apache.hadoop.fs.Path(labelsPath)
@@ -345,7 +437,13 @@ object GraphStreams {
             .join(eps, Seq("node"), "left_semi")
             .dropDuplicates("node")
             .select(col("node"), col("scc_id"))
+            .localCheckpoint(true)
         } else Seq.empty[(Long, Long)].toDF("node", "scc_id")
+      val closureDf = (
+        if (inCrashWindow) closedMerges(spark, mergesPath)
+        else closedMergesFor(spark, mergesPath,
+          known.select(col("scc_id").as[Long]).distinct().collect().toSeq, nBuckets)
+        ).toSeq.toDF("mc_old", "mc_new")
       val cur = known
         .join(broadcast(closureDf), col("scc_id") === col("mc_old"), "left")
         .select(col("node"), coalesce(col("mc_new"), col("scc_id")).as("scc"))
@@ -356,15 +454,36 @@ object GraphStreams {
         .select(coalesce(col("scc_u"), col("u")).as("u"),
           coalesce(col("scc_v"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-      val qOld =
+      val qOld0 =
         if (hasVisibleData(spark, qPath)) spark.read.parquet(qPath).select(col("u"), col("v"))
         else Seq.empty[(Long, Long)].toDF("u", "v")
+      // crash-window retry: bring the condensation into the closed
+      // label space before the union (see the method doc)
+      val qOld =
+        if (!inCrashWindow) qOld0
+        else {
+          val mu = closureDf.select(col("mc_old").as("u"), col("mc_new").as("nu"))
+          val mv = closureDf.select(col("mc_old").as("v"), col("mc_new").as("nv"))
+          qOld0.join(broadcast(mu), Seq("u"), "left")
+            .join(broadcast(mv), Seq("v"), "left")
+            .select(coalesce(col("nu"), col("u")).as("u"),
+              coalesce(col("nv"), col("v")).as("v"))
+            .filter(col("u") =!= col("v"))
+        }
       val qAll = qOld.unionByName(mapped).distinct().localCheckpoint(true)
       val scc = graft.operators.Graph.stronglyConnectedComponents(qAll)
         .localCheckpoint(true)
+      // open the crash window: state mutations start here
+      cfs.mkdirs(pendingDir)
+      cfs.create(new org.apache.hadoop.fs.Path(pendingDir, batchId.toString), true).close()
       val newMerges = scc.filter(col("node") =!= col("scc_label"))
         .select(col("node").as("old_comp"), col("scc_label").as("new_comp"))
-      if (!newMerges.isEmpty) newMerges.write.mode("append").parquet(mergesPath)
+      if (!newMerges.isEmpty) appendMerges(newMerges, mergesPath, nBuckets)
+      if (sccFailAfterMerges) {
+        sccFailAfterMerges = false
+        throw new IllegalStateException(
+          "injected crash: merges appended, condensation not rewritten")
+      }
       // new nodes: labeled once, with their SCC as of THIS batch
       val lbl = eps.join(known.select("node"), Seq("node"), "left_anti")
         .join(scc, Seq("node"), "left")
@@ -381,12 +500,45 @@ object GraphStreams {
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
       relabeled.write.mode("overwrite").parquet(qPath)
+      // condensation caught up with the merge log: close the window
+      cfs.delete(pendingDir, true)
       graft.operators.Checkpoints.free(relabeled)
       graft.operators.Checkpoints.free(qAll)
       graft.operators.Checkpoints.free(scc)
+      graft.operators.Checkpoints.free(known)
       cur.unpersist()
       mark()
     } finally { b.unpersist(); () }
+  }
+
+  /** Compact the incremental-SCC state — the [[ccCompact]] treatment
+    * for the directed face: bake the closed merge map into every
+    * label row once, rewrite the bucketed labels, truncate the merge
+    * log (commit markers survive — a replayed batch must still
+    * skip). The condensation needs no rewrite: every committed batch
+    * leaves it in current label space already, so after compaction
+    * batches resolve against an empty closure and an unchanged
+    * condensation. Run on the operator's schedule whenever
+    * [[sccStateStats]] shows the log grown past taste.
+    */
+  def sccCompact(spark: SparkSession, labelsPath: String, mergesPath: String,
+                 nBuckets: Int = 16): Unit = {
+    if (!hasVisibleData(spark, labelsPath)) return
+    val resolved = sccResolve(spark, labelsPath, mergesPath)
+      .withColumnRenamed("scc_label", "scc_id")
+      .withColumn("bucket", pmod(col("node"), lit(nBuckets.toLong)))
+      // materialize BEFORE touching the files the plan reads
+      .localCheckpoint(true)
+    resolved.write.mode("overwrite").partitionBy("bucket").parquet(labelsPath)
+    graft.operators.Checkpoints.free(resolved)
+    val mp = new org.apache.hadoop.fs.Path(mergesPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      fs.listStatus(mp).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(s.getPath, true)
+      }
+    }
   }
 
   /** SCC state sizes — the compaction-cadence metric (the

@@ -11,6 +11,8 @@ private[graft] object MaintIO {
   val edgeStoreReads = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Claim-store bucket partitions read (pruned dist loads). */
   val distBucketReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Merge-log bucket partitions read (the pruned closure walker). */
+  val mergeBucketReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Shared state-store probes for the streaming maintenance modules. */

@@ -454,6 +454,10 @@ object VectorStreams {
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
+    // a batch appending into the pairs dir must not resurrect it
+    // AROUND a crashed compaction's retired copy (the append would
+    // strand the retired log forever) — heal first
+    healPairs(spark, statePath)
     val cents = broadcast(coarse.toDF("cell", "cell_emb"))
     val assigned = Similarity.cellAssign(
         batch0.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -507,8 +511,23 @@ object VectorStreams {
     * schedule, one fold + one rewrite, resolve bit-identical
     * (spec-pinned).
     */
+  /** Crash recovery for the pair-log swap: if a compaction died
+    * between retiring the live log and installing the staged one,
+    * the retired copy IS the log — put it back before reading.
+    * No-op in every other state. */
+  private def healPairs(spark: SparkSession, statePath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$statePath/pairs")
+    val retired = new org.apache.hadoop.fs.Path(s"$statePath/pairs_compact_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(retired)) {
+      require(fs.rename(retired, live),
+        s"semantic pair-log recovery: could not restore $retired")
+    }
+  }
+
   def semanticPairCompact(spark: SparkSession, statePath: String): Unit = {
     import spark.implicits._
+    healPairs(spark, statePath)
     if (!hasVisibleData(spark, s"$statePath/pairs")) return
     val members = spark.read.parquet(s"$statePath/members")
       .select(col("vec_id"), col("ccos"))
@@ -531,14 +550,29 @@ object VectorStreams {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$statePath/pairs")
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+    // swap via rename-aside, never delete-then-rename: a crash
+    // between a delete and the rename-in would silently EMPTY the
+    // pair log (every semantic duplicate resolving kept=true, no
+    // error). With the aside, every crash point leaves either the
+    // old log or the new one in place; the retired copy goes last.
+    val retired = new org.apache.hadoop.fs.Path(s"$statePath/pairs_compact_retired")
+    fs.delete(retired, true) // clear any leftover from a crashed run
+    require(fs.rename(live, retired),
+      s"semanticPairCompact: could not retire $live")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live)) {
+      // put the old log back rather than leave no log at all
+      fs.rename(retired, live)
+      throw new IllegalStateException(
+        s"semanticPairCompact: could not install $staging")
+    }
+    fs.delete(retired, true)
   }
 
   /** Pair-log row count — the compaction-cadence metric (the
     * bfsStateStats shape): a deployment compacts when this grows
     * past a multiple of the member count. */
   def semanticPairStats(spark: SparkSession, statePath: String): (Long, Long) = {
+    healPairs(spark, statePath)
     val m = if (hasVisibleData(spark, s"$statePath/members"))
       spark.read.parquet(s"$statePath/members").count() else 0L
     val p = if (hasVisibleData(spark, s"$statePath/pairs"))
@@ -552,6 +586,7 @@ object VectorStreams {
     * member ranks; O(members + pairs), no embedding is re-scored. */
   def semanticResolve(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
+    healPairs(spark, statePath)
     if (!hasVisibleData(spark, s"$statePath/members")) {
       return Seq.empty[(Long, Long, Double, Boolean)]
         .toDF("vec_id", "cell", "centroid_cos", "kept")

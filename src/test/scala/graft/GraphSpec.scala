@@ -470,6 +470,52 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.mstBoruvka(Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")).isEmpty)
   }
 
+  test("mstSummary: one-row (n_edges, total_weight, n_components) matches the forest; agrees with the threshold identity on a seeded random graph") {
+    import spark.implicits._
+    def summary(edges: Seq[(Long, Long, Long)]) = {
+      val r = Graph.mstSummary(edges.toDF("u", "v", "w")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // hand graph from the mstBoruvka test: forest {1-2, 3-4, 2-3}
+    assert(summary(Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (1L, 4L, 5L), (1L, 3L, 10L))) == ((3L, 4L, 1L)))
+    // disconnected: two components
+    assert(summary(Seq((1L, 2L, 3L), (10L, 11L, 7L))) == ((2L, 10L, 2L)))
+    // seeded random graph: summary must equal local Kruskal's, and
+    // weight must satisfy the threshold identity the oracle uses:
+    // weight = sum_{t=0}^{W-1} (c(t) - c(W))
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(60)((rnd.nextInt(20).toLong + 1L, rnd.nextInt(20).toLong + 1L,
+        rnd.nextInt(9).toLong + 1L))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .map { case ((a, b), g) => (a, b, g.map(_._3).min) }.toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    var (kEdges, kWeight) = (0L, 0L)
+    es.sortBy(e => (e._3, e._1, e._2)).foreach { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(math.max(ru, rv)) = math.min(ru, rv); kEdges += 1; kWeight += w }
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val got = summary(es)
+    assert(got == ((kEdges, kWeight, nodes.size - kEdges)), s"got $got")
+    // threshold identity cross-check (the oracle's formula)
+    def comps(t: Long): Long = {
+      val p = scala.collection.mutable.Map.empty[Long, Long]
+      def f(x: Long): Long = { var r = x; while (p.getOrElse(r, r) != r) r = p(r); r }
+      es.filter(_._3 <= t).foreach { case (u, v, _) =>
+        val (ru, rv) = (f(u), f(v)); if (ru != rv) p(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      nodes.map(f).distinct.size.toLong
+    }
+    val cFull = comps(9L)
+    val identityWeight = (0L until 9L).map(t => comps(t) - cFull).sum
+    assert(identityWeight == kWeight, s"threshold identity broke: $identityWeight vs $kWeight")
+  }
+
   test("labelPropagation: two cliques joined by a bridge -> two communities; CC would say one") {
     import spark.implicits._
     // K4 on {1..4}, K4 on {11..14}, bridge 4-11.
@@ -515,9 +561,15 @@ class GraphSpec extends AnyFunSuite {
     val got = asMap(Graph.stronglyConnectedComponents(planted))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 21L), s"got $got")
+    // driverGate = 0 forces the distributed FW-BW path: both paths
+    // must agree on the planted decomposition
+    val gotDist = asMap(Graph.stronglyConnectedComponents(planted, driverGate = 0L))
+    assert(gotDist == got, s"distributed path drifted: $gotDist")
     // a pure chain: every node a singleton SCC, one peel per round
     val chain = edgeDf((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq)
     assert(asMap(Graph.stronglyConnectedComponents(chain)) ==
+      (1L to 6L).map(i => i -> i).toMap)
+    assert(asMap(Graph.stronglyConnectedComponents(chain, driverGate = 0L)) ==
       (1L to 6L).map(i => i -> i).toMap)
     // seeded random digraph vs an independent local closure oracle
     val rnd = new scala.util.Random(7)
@@ -537,8 +589,15 @@ class GraphSpec extends AnyFunSuite {
     val df = edgeDf(randomEdges)
     assert(asMap(Graph.stronglyConnectedComponents(df)) == expected)
     assert(asMap(Graph.stronglyConnectedComponents(df.repartition(7))) == expected)
-    // empty edges -> empty decomposition
+    // the distributed path must match the same closure oracle,
+    // partitioning-invariant
+    assert(asMap(Graph.stronglyConnectedComponents(df, driverGate = 0L)) == expected)
+    assert(asMap(Graph.stronglyConnectedComponents(
+      df.repartition(7), driverGate = 0L)) == expected)
+    // empty edges -> empty decomposition, both paths
     assert(Graph.stronglyConnectedComponents(edgeDf(Seq.empty)).count() == 0)
+    assert(Graph.stronglyConnectedComponents(
+      edgeDf(Seq.empty), driverGate = 0L).count() == 0)
   }
 
   test("co-purchase weighted edges: canonical, multiplicity-derived lengths in [1, 9]") {

@@ -104,4 +104,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.values.forall(bs => bs.size == 4 && bs.forall(v => v >= 0 && v < 65536)))
   }
+
+  test("pairAudit: planted aligned / shifted / dead-link pairs land in match / conflict / orphan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ids chosen to hit each fixture rule exactly:
+    //   5  -> % 23 == 5  -> media 1000005 (absent)       -> orphan
+    //   3  -> % 17 == 3  -> media 4 (present, different) -> conflict
+    //   1, 2, 4 -> self-paired                           -> match
+    // 20 -> % 17 == 3 -> media 21 (absent: max id + 1)   -> orphan
+    val texts = Map(
+      1L -> "aaaa bbbb cccc dddd",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different content with other letters",
+      4L -> "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq",
+      5L -> "some caption whose media link is dead",
+      20L -> "shifted reference off the end of the corpus")
+    val docs = texts.toSeq.map { case (id, t) =>
+      (id, t, if (id <= 3) "web" else "books")
+    }.toDF("doc_id", "text", "source")
+    val out = Multimodal.pairAudit(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // web: ids 1, 2 match; 3 conflicts (paired with 4's very
+    // different band signature)
+    assert(out("web") == ((3L, 2L, 1L, 0L)), s"web got ${out("web")}")
+    // books: 4 matches; 5 and 20 orphan
+    assert(out("books") == ((3L, 1L, 0L, 2L)), s"books got ${out("books")}")
+    // fixture rules are the declared residue arithmetic
+    val pf = Multimodal.pairFixture(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pf == Map(1L -> 1L, 2L -> 2L, 3L -> 4L, 4L -> 4L,
+      5L -> 1000005L, 20L -> 21L))
+    // full-fixture sanity: every source row's counts add up
+    val full = Multimodal.pairAudit(Tables.documents(spark, SharedSpark.sf))
+    assert(full.filter(col("n_pairs") =!=
+      col("n_match") + col("n_conflict") + col("n_orphan")).isEmpty)
+  }
 }

@@ -1349,6 +1349,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(GraphStreams.sccResolve(spark, s"$base/nope", mrg).count() == 0)
   }
 
+  test("scc crash window: merges appended but condensation stale — retry exact, later cycles still merge; sccCompact bakes labels, truncates the log, pruned closure reads") {
+    import spark.implicits._
+    import graft.streaming.{GraphStreams, MaintIO}
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = java.nio.file.Files.createTempDirectory("graft-scc-crash-").toString
+    val (lbls, mrg, qe) = (s"$base/labels", s"$base/merges", s"$base/qedges")
+    def res() = asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect())
+    // batch 0: DAG chain 5 -> 7 -> 9, all singletons
+    GraphStreams.sccMergeBatch(Seq((5L, 7L), (7L, 9L)).toDF("u", "v"), 0L, lbls, mrg, qe, 4)
+    // batch 1 CRASHES inside the window: its merge records (7->5,
+    // 9->5) land, labels and the condensation rewrite do not
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    }
+    // retry: the relabeled condensation must keep the cycle findable
+    GraphStreams.sccMergeBatch(Seq((9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    assert(res() == Map(5L -> 5L, 7L -> 5L, 9L -> 5L),
+      s"crash-window retry lost the merge: ${res()}")
+    // a LATER cross-batch cycle THROUGH the collapsed SCC must still
+    // merge (the corruption mode: stale condensation labels would
+    // disconnect it). Batch 2 leaves condensation edge 11 -> 5;
+    // batch 3's 9 -> 11 maps to 5 -> 11 and closes the cycle.
+    GraphStreams.sccMergeBatch(Seq((11L, 7L)).toDF("u", "v"), 2L, lbls, mrg, qe, 4)
+    val mr0 = MaintIO.mergeBucketReads.get()
+    GraphStreams.sccMergeBatch(Seq((9L, 11L)).toDF("u", "v"), 3L, lbls, mrg, qe, 4)
+    // pruned closure: batch 3's seed chains touch ≤ 2 of the 4 merge
+    // buckets — never the whole log
+    assert(MaintIO.mergeBucketReads.get() - mr0 <= 2,
+      s"merge-log read was not pruned (${MaintIO.mergeBucketReads.get() - mr0} buckets)")
+    assert(res() == Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 11L -> 5L), s"got ${res()}")
+    // DOUBLE crash in the same window, then a clean retry
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((13L, 5L), (9L, 13L)).toDF("u", "v"), 4L, lbls, mrg, qe, 4)
+    }
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((13L, 5L), (9L, 13L)).toDF("u", "v"), 4L, lbls, mrg, qe, 4)
+    }
+    GraphStreams.sccMergeBatch(Seq((13L, 5L), (9L, 13L)).toDF("u", "v"), 4L, lbls, mrg, qe, 4)
+    val after4 = res()
+    assert(after4 == Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 11L -> 5L, 13L -> 5L),
+      s"double-crash retry drifted: $after4")
+    // sccCompact: resolution bit-identical, log truncated, labels baked
+    val (_, nmBefore, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(nmBefore > 0)
+    GraphStreams.sccCompact(spark, lbls, mrg, 4)
+    assert(res() == after4, "sccCompact changed resolution")
+    val (nl2, nm2, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(nm2 == 0L && nl2 == after4.size.toLong, s"post-compact stats ($nl2, $nm2)")
+    // commit markers survive compaction: a replayed batch still skips
+    GraphStreams.sccMergeBatch(Seq((9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    assert(res() == after4)
+    // post-compaction batches keep merging through the baked labels
+    GraphStreams.sccMergeBatch(Seq((15L, 7L), (9L, 15L)).toDF("u", "v"), 5L, lbls, mrg, qe, 4)
+    assert(res() == after4 + (15L -> 5L), s"post-compaction merge failed: ${res()}")
+    // The PERMANENT-loss shape: the crashed batch's NEW MIN-ID node
+    // (5) merges with the owner (9) of a standing condensation edge
+    // (9 -> 40). Without the crash-window relabel the retry leaves
+    // (9, 40) stale, both batch edges collapse to remapped
+    // self-loops, and the later 40 -> 5 edge can never close the
+    // 5 -> 40 -> 5 cycle — 40 stays unmerged forever.
+    val base2 = java.nio.file.Files.createTempDirectory("graft-scc-crash2-").toString
+    val (l2, m2, q2) = (s"$base2/labels", s"$base2/merges", s"$base2/qedges")
+    def res2() = asMap(GraphStreams.sccResolve(spark, l2, m2).collect())
+    GraphStreams.sccMergeBatch(Seq((9L, 40L)).toDF("u", "v"), 0L, l2, m2, q2, 4)
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((5L, 9L), (9L, 5L)).toDF("u", "v"), 1L, l2, m2, q2, 4)
+    }
+    GraphStreams.sccMergeBatch(Seq((5L, 9L), (9L, 5L)).toDF("u", "v"), 1L, l2, m2, q2, 4)
+    assert(res2() == Map(5L -> 5L, 9L -> 5L, 40L -> 40L), s"got ${res2()}")
+    GraphStreams.sccMergeBatch(Seq((40L, 5L)).toDF("u", "v"), 2L, l2, m2, q2, 4)
+    assert(res2() == Map(5L -> 5L, 9L -> 5L, 40L -> 5L),
+      s"condensation connectivity lost across the crash window: ${res2()}")
+  }
+
   test("streamedMixTemperature == batch mixTemperature; count deltas merge exactly; replay/retry no-ops") {
     import spark.implicits._
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
