@@ -271,6 +271,23 @@ object SparkEntry {
     // graph (FW-BW coloring; label = min member id). The fixture's
     // graph is one giant SCC -- the multi-SCC semantics are carried
     // by GraphSpec's planted graphs and the closure oracle
+    // the condensation DAG over a 150-permille md5-sampled
+    // item-sequence graph (the full fixture is ONE giant SCC —
+    // condensation empty; sampling leaves a core SCC + a real DAG
+    // periphery, and md5 sampling reproduces in the oracle)
+    "q_scc_condensation" -> ((s, dir) => Graph.sccCondensation(
+      Graph.sampleEdges(Graph.itemSequenceEdges(Tables.lineitem(s, dir)),
+        150, "scc:"))),
+    // critical-path depth of each SCC in the condensation DAG — the
+    // wave schedule a dependency executor runs; condense + layer
+    "q_topo_layers" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Graph.topoLayers(Graph.sccCondensation(
+          Graph.sampleEdges(Graph.itemSequenceEdges(Tables.lineitem(s, dir)),
+            150, "scc:"))
+          .select(col("src_scc").as("u"), col("dst_scc").as("v")))
+        .select(col("node").as("scc"), col("depth"))
+    }),
     "q_scc" -> ((s, dir) => Graph.stronglyConnectedComponents(
       Graph.itemSequenceEdges(Tables.lineitem(s, dir)))),
     // incremental SCC maintenance: append-only labels + merge log +
@@ -978,6 +995,19 @@ object SparkEntry {
       |     FROM wund HAVING min(a) IS NOT NULL),
       |$SsspRoundCtes
       |SELECT node, dist FROM s20""".stripMargin
+
+  /** 14 unrolled longest-path rounds — the q_topo_layers oracle:
+    * depth(v) = max over in-edges of depth(u) + 1, iterated to
+    * fixpoint (measured depth 8 / 9 rounds at sf0.01; rounds past
+    * the fixpoint are no-ops). */
+  private val TopoRoundCtes: String = (1 to 14).map { i =>
+    s"""t$i AS MATERIALIZED (
+       |  SELECT l.node, GREATEST(l.lvl, COALESCE(m.mx, l.lvl)) AS lvl
+       |  FROM t${i - 1} l LEFT JOIN (
+       |    SELECT c.v AS node, max(l2.lvl + 1) AS mx
+       |    FROM t${i - 1} l2 JOIN cond c ON c.u = l2.node
+       |    GROUP BY c.v) m ON m.node = l.node)""".stripMargin
+  }.mkString(",\n")
 
   /** 16 unrolled min-label rounds over the (threshold, node) plane —
     * the q_mst_summary oracle's per-threshold component counter:
@@ -1832,6 +1862,63 @@ object SparkEntry {
     // condensation is associative), so the face shares the closure
     // oracle verbatim
     "stream_scc" -> SccSql,
+    // the closure oracle over the md5-sampled edge set (sampling
+    // reproduced character-for-character: 150 permille -> first 4
+    // md5 hex chars < '2666'), then distinct cross-SCC label pairs
+    "q_scc_condensation" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE substr(md5('scc:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '2666'),
+        |n AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
+        |reach(s, t) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t),
+        |mutual AS MATERIALIZED (
+        |  SELECT r1.s AS a, r1.t AS b FROM reach r1
+        |  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+        |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a),
+        |lab AS MATERIALIZED (
+        |  SELECT node, least(node, coalesce(mm.mb, node)) AS lab
+        |  FROM n LEFT JOIN mm ON mm.a = n.node)
+        |SELECT DISTINCT CAST(lu.lab AS BIGINT) AS src_scc, CAST(lv.lab AS BIGINT) AS dst_scc
+        |FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+        |WHERE lu.lab <> lv.lab""".stripMargin,
+    // same condensation, then the unrolled longest-path ladder —
+    // every (scc, depth) integer must agree with the delta-propagated
+    // Spark fixpoint
+    "q_topo_layers" ->
+      s"""WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE substr(md5('scc:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '2666'),
+        |n AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
+        |reach(s, t) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t),
+        |mutual AS MATERIALIZED (
+        |  SELECT r1.s AS a, r1.t AS b FROM reach r1
+        |  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+        |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a),
+        |lab AS MATERIALIZED (
+        |  SELECT node, least(node, coalesce(mm.mb, node)) AS lab
+        |  FROM n LEFT JOIN mm ON mm.a = n.node),
+        |cond AS MATERIALIZED (
+        |  SELECT DISTINCT lu.lab AS u, lv.lab AS v
+        |  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+        |  WHERE lu.lab <> lv.lab),
+        |t0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS lvl FROM
+        |  (SELECT u AS node FROM cond UNION ALL SELECT v FROM cond)),
+        |$TopoRoundCtes
+        |SELECT node AS scc, CAST(lvl AS BIGINT) AS depth FROM t14""".stripMargin,
     // the PagerankRoundCtes ladder over the co-purchase graph: same
     // integer fixed-point arithmetic, so pr10 is bit-identical
     "q_pagerank" ->

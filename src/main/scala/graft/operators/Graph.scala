@@ -947,6 +947,81 @@ object Graph {
     chosen
   }
 
+  /** Condensation DAG (the `q_scc_condensation` entry): the distinct
+    * cross-SCC edges of the input digraph in SCC-label space — the
+    * acyclic quotient every cycle-removal preprocessing, reachability
+    * index, and dependency scheduler actually runs on (and the exact
+    * structure the streamed SCC face maintains continuously as its
+    * `qPath` artifact; this is its batch twin). One decomposition,
+    * two label joins, one distinct — the condensation costs two
+    * broadcast-or-shuffle equality joins on top of the SCC itself.
+    */
+  def sccCondensation(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val scc = stronglyConnectedComponents(edges).localCheckpoint(true)
+    val su = scc.select(col("node").as("u"), col("scc_label").as("cu"))
+    val sv = scc.select(col("node").as("v"), col("scc_label").as("cv"))
+    val out = edges.join(su, Seq("u")).join(sv, Seq("v"))
+      .select(col("cu").as("src_scc"), col("cv").as("dst_scc"))
+      .filter(col("src_scc") =!= col("dst_scc")).distinct()
+      .localCheckpoint(true)
+    Checkpoints.free(edges)
+    Checkpoints.free(scc)
+    out
+  }
+
+  /** Longest-path layering of a DAG (the `q_topo_layers` entry):
+    * depth(v) = length of the longest path from any source to v —
+    * the classic scheduling depth (critical-path level) a dependency
+    * executor runs wave-by-wave. Composes with [[sccCondensation]]:
+    * condense first, layer the quotient (the condensation is acyclic
+    * by construction, which is exactly what makes the layering
+    * well-defined). Delta-propagated max-label fixpoint (the r12 SCC
+    * coloring shape): only nodes whose depth just grew feed the next
+    * round's join; rounds = DAG depth; `maxRounds` FAILS LOUD on a
+    * cyclic input rather than looping (levels would grow forever).
+    */
+  def topoLayers(dag0: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val spark = dag0.sparkSession
+    import spark.implicits._
+    val dag = dag0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var lvl = dag.select(col("u").as("node"))
+      .union(dag.select(col("v").as("node"))).distinct()
+      .select(col("node"), lit(0L).as("depth")).localCheckpoint(true)
+    var frontier = lvl
+    var owned = false
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val pushed = frontier.join(dag, frontier("node") === dag("u"))
+        .groupBy(dag("v").as("node")).agg(max(col("depth") + 1L).as("nd"))
+      val improved = lvl.join(pushed, Seq("node"))
+        .filter(col("nd") > col("depth"))
+        .select(col("node"), col("nd").as("depth"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) {
+        Checkpoints.free(improved)
+        converged = true
+      } else {
+        val nl = lvl.join(improved, Seq("node"), "left_anti")
+          .union(improved).localCheckpoint(true)
+        Checkpoints.free(lvl)
+        if (owned) Checkpoints.free(frontier)
+        lvl = nl
+        frontier = improved
+        owned = true
+      }
+      round += 1
+    }
+    if (owned) Checkpoints.free(frontier)
+    require(converged,
+      s"topoLayers did not converge in $maxRounds rounds — cyclic input?")
+    Checkpoints.free(dag)
+    lvl
+  }
+
   /** One-row MST-family summary (the `q_mst_summary` entry): forest
     * edge count, total weight, and component count. The edge SET is
     * rows-only by necessity (union-find isn't CTE-expressible), but

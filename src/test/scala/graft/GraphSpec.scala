@@ -470,6 +470,50 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.mstBoruvka(Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")).isEmpty)
   }
 
+  test("sccCondensation: planted cycles collapse to their labels, cross-SCC edges dedup, intra-SCC edges vanish") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cycle {1,2,3} -> label 1; cycle {10,11} -> label 10; DAG tail
+    // 20 -> 21; two parallel bridges 3->10 and 1->11 collapse to ONE
+    // condensation edge (1, 10)
+    val g = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 10L),
+      (3L, 10L), (1L, 11L),
+      (11L, 20L), (20L, 21L)))
+    val got = asSet(Graph.sccCondensation(g))
+    assert(got == Set((1L, 10L), (10L, 20L), (20L, 21L)), s"got $got")
+    // a fully strongly-connected graph condenses to ZERO edges
+    val cyc = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(Graph.sccCondensation(cyc).isEmpty)
+    // empty input -> empty condensation
+    assert(Graph.sccCondensation(edgeDf(Seq.empty)).isEmpty)
+  }
+
+  test("topoLayers: longest-path depths on a planted DAG; composes with sccCondensation; fails loud on a cycle") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // diamond + a long arm: depth is the LONGEST path, not the shortest
+    //   1 -> 2 -> 4, 1 -> 3 -> 5 -> 4, 4 -> 6
+    val dag = edgeDf(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (5L, 4L), (4L, 6L)))
+    val got = asMap(Graph.topoLayers(dag))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 2L, 4L -> 3L, 6L -> 4L),
+      s"got $got")
+    // condense-then-layer: the cycle {10,11} is one node at depth 1
+    val mixed = edgeDf(Seq((1L, 10L), (10L, 11L), (11L, 10L), (11L, 20L)))
+    val layered = asMap(Graph.topoLayers(
+      Graph.sccCondensation(mixed)
+        .select(col("src_scc").as("u"), col("dst_scc").as("v"))))
+    assert(layered == Map(1L -> 0L, 10L -> 1L, 20L -> 2L), s"got $layered")
+    // a cyclic input must fail loud, never loop or truncate
+    val ex = intercept[IllegalArgumentException] {
+      Graph.topoLayers(edgeDf(Seq((1L, 2L), (2L, 1L))), maxRounds = 5)
+    }
+    assert(ex.getMessage.contains("cyclic"))
+    // empty input -> empty layering
+    assert(Graph.topoLayers(edgeDf(Seq.empty)).isEmpty)
+  }
+
   test("mstSummary: one-row (n_edges, total_weight, n_components) matches the forest; agrees with the threshold identity on a seeded random graph") {
     import spark.implicits._
     def summary(edges: Seq[(Long, Long, Long)]) = {
