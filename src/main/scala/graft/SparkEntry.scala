@@ -730,6 +730,11 @@ object SparkEntry {
     // CLIP-style caption↔media pair audit: per-source matched /
     // conflict / orphan counts in deterministic fingerprint space
     "mm_pair_audit" -> ((s, dir) => Multimodal.pairAudit(Tables.documents(s, dir))),
+    // its always-on ingest face: pairs resolve the batch their second
+    // side arrives (retro-resolution), unresolved pendings are the
+    // orphans — converges to the batch audit, same oracle
+    "stream_pair_audit" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedPairAudit(s, dir)),
     // ViT-style patch schedule: pure projection + bounded explodes,
     // clipped edge tiles, zero shuffles
     "mm_tiles" -> ((s, dir) => Multimodal.tilePlan(Tables.documents(s, dir), 8)),
@@ -1627,6 +1632,53 @@ object SparkEntry {
         |  CAST(COALESCE(max(n_near), 0) AS BIGINT) AS n_near
         |FROM bands b LEFT JOIN deg USING (doc_id)
         |GROUP BY b.doc_id""".stripMargin
+
+  /** The caption↔media pair audit in SQL — the full pipeline
+    * (character-code bands → residue-rule pair fixture → hamming
+    * verdicts → per-source counts), shared verbatim by the batch
+    * entry and its streamed retro-resolving face. */
+  private val PairAuditSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+      |hist AS (
+      |  SELECT doc_id, ord(c) % 64 AS bucket, count(*) AS cnt
+      |  FROM chars GROUP BY 1, 2),
+      |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+      |bits AS (
+      |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
+      |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
+      |  FROM hist h JOIN len USING (doc_id)),
+      |bands AS MATERIALIZED (
+      |  SELECT d.doc_id, b.band,
+      |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+      |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_id AS caption_id, source,
+      |    CASE WHEN doc_id % 23 = 5 THEN doc_id + 1000000
+      |         WHEN doc_id % 17 = 3 THEN doc_id + 1
+      |         ELSE doc_id END AS media_id
+      |  FROM documents),
+      |ham AS (
+      |  SELECT p.caption_id, p.media_id,
+      |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+      |  FROM pairs p
+      |  JOIN bands x ON x.doc_id = p.caption_id
+      |  JOIN bands y ON y.doc_id = p.media_id AND y.band = x.band
+      |  GROUP BY 1, 2),
+      |aud AS (
+      |  SELECT p.source,
+      |    CASE WHEN h.hamming IS NULL THEN 'orphan'
+      |         WHEN h.hamming <= 3 THEN 'match' ELSE 'conflict' END AS v
+      |  FROM pairs p LEFT JOIN ham h
+      |    ON h.caption_id = p.caption_id AND h.media_id = p.media_id)
+      |SELECT source, count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN v = 'match' THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |  CAST(sum(CASE WHEN v = 'conflict' THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+      |  CAST(sum(CASE WHEN v = 'orphan' THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+      |FROM aud GROUP BY source""".stripMargin
 
   /** The gopher->dedup audit composition in SQL — shared verbatim
     * by the batch entry and its streaming maintenance face. */
@@ -2987,48 +3039,11 @@ object SparkEntry {
     // character-code band pipeline, the same residue-rule pair
     // fixture, the same hamming verdicts — all-integer per-source
     // counts must agree exactly
-    "mm_pair_audit" ->
-      """WITH chars AS (
-        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
-        |hist AS (
-        |  SELECT doc_id, ord(c) % 64 AS bucket, count(*) AS cnt
-        |  FROM chars GROUP BY 1, 2),
-        |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
-        |bits AS (
-        |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
-        |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
-        |  FROM hist h JOIN len USING (doc_id)),
-        |bands AS MATERIALIZED (
-        |  SELECT d.doc_id, b.band,
-        |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
-        |  FROM documents d
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
-        |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_id AS caption_id, source,
-        |    CASE WHEN doc_id % 23 = 5 THEN doc_id + 1000000
-        |         WHEN doc_id % 17 = 3 THEN doc_id + 1
-        |         ELSE doc_id END AS media_id
-        |  FROM documents),
-        |ham AS (
-        |  SELECT p.caption_id, p.media_id,
-        |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
-        |  FROM pairs p
-        |  JOIN bands x ON x.doc_id = p.caption_id
-        |  JOIN bands y ON y.doc_id = p.media_id AND y.band = x.band
-        |  GROUP BY 1, 2),
-        |aud AS (
-        |  SELECT p.source,
-        |    CASE WHEN h.hamming IS NULL THEN 'orphan'
-        |         WHEN h.hamming <= 3 THEN 'match' ELSE 'conflict' END AS v
-        |  FROM pairs p LEFT JOIN ham h
-        |    ON h.caption_id = p.caption_id AND h.media_id = p.media_id)
-        |SELECT source, count(*) AS n_pairs,
-        |  CAST(sum(CASE WHEN v = 'match' THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-        |  CAST(sum(CASE WHEN v = 'conflict' THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
-        |  CAST(sum(CASE WHEN v = 'orphan' THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
-        |FROM aud GROUP BY source""".stripMargin,
+    "mm_pair_audit" -> PairAuditSql,
+    // the streamed face converges to the batch audit (every pair
+    // resolves with the same verdict once its second side has
+    // arrived or provably never will), so it shares the oracle
+    "stream_pair_audit" -> PairAuditSql,
     // streamed maintenance converges to the same summary (pairs
     // generated once, in the later member's batch; no RNG)
     "stream_phash_dedup" -> PhashSummarySql,

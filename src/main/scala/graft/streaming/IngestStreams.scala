@@ -1905,4 +1905,170 @@ object IngestStreams {
     spanDedupIngest(stream, s"$base/state", s"$base/ckpt", spanTokens, nBuckets)
     s"$base/state"
   }
+
+  // ------------------------------------------------------------------
+  // Streamed caption↔media pair audit (37u): the always-on face of
+  // Multimodal.pairAudit. The streaming-only wrinkle is ARRIVAL
+  // ORDER: a caption's media item may land in a LATER batch, so a
+  // pair is either resolved the batch its second side arrives
+  // (retro-resolution — the stream_span_retro precedent) or stays
+  // pending; resolve-time pendings whose media never arrived are the
+  // orphans, which is exactly the batch operator's left-join-null
+  // verdict. After the drain every pair carries the same verdict as
+  // the batch audit, so the entry shares mm_pair_audit's oracle
+  // VERBATIM.
+  // ------------------------------------------------------------------
+
+  /** One [[streamedPairAudit]] micro-batch. State under `statePath`,
+    * all PER-BATCH OVERWRITE delta dirs (retries replace, never
+    * re-append): `ph` — per-doc band fingerprints, pmod(doc_id)-
+    * bucketed (media lookups read only the buckets the batch's
+    * pair references land in); `pending` — pairs whose media was
+    * unseen at caption time, pmod(media_id)-bucketed (retro-
+    * resolution reads only the arriving docs' buckets); `verdicts` —
+    * resolved (caption_id, source, v) rows. Commit markers. */
+  private[graft] def pairAuditBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    nBuckets: Int = 16,
+                                    maxHamming: Int = 3): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_pa_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val batch = batch0.select(col("doc_id"), col("text"), col("source"))
+      .dropDuplicates("doc_id").persist()
+    try {
+      val phPath = s"$statePath/ph"
+      val pendingPath = s"$statePath/pending"
+      val verdictsPath = s"$statePath/verdicts"
+      val hammingExpr = expr(
+        "aggregate(zip_with(cap_ph, med_ph, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+        .cast("long")
+      def verdictCol = when(col("hamming") <= maxHamming, lit("match"))
+        .otherwise(lit("conflict"))
+      val newPh = graft.operators.Multimodal.phashBands(batch)
+        .localCheckpoint(true)
+      // the batch's own pairs, caption side always resolvable locally
+      val pairs = graft.operators.Multimodal.pairFixture(batch)
+        .join(batch.select(col("doc_id").as("caption_id"), col("source")),
+          Seq("caption_id"))
+        .join(newPh.select(col("doc_id").as("caption_id"),
+          col("phash_bands").as("cap_ph")), Seq("caption_id"))
+        .localCheckpoint(true)
+      // media lookup: this batch's fingerprints + PRUNED stored buckets
+      val mediaBuckets = pairs
+        .select(pmod(col("media_id"), lit(nBuckets.toLong)).as("bk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val mediaPh =
+        (if (hasVisibleData(spark, phPath) && mediaBuckets.nonEmpty)
+          newPh.unionByName(spark.read.parquet(phPath)
+            .filter(col("bucket").isin(mediaBuckets: _*))
+            .select("doc_id", "phash_bands"))
+        else newPh)
+          .select(col("doc_id").as("media_id"), col("phash_bands").as("med_ph"))
+      val looked = pairs.join(mediaPh, Seq("media_id"), "left")
+        .localCheckpoint(true)
+      val resolvedNow = looked.filter(col("med_ph").isNotNull)
+        .withColumn("hamming", hammingExpr)
+        .select(col("caption_id"), col("source"), verdictCol.as("v"))
+      // retro-resolution: pending pairs whose media just arrived
+      val docBuckets = batch
+        .select(pmod(col("doc_id"), lit(nBuckets.toLong)).as("bk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val retro =
+        if (hasVisibleData(spark, pendingPath) && docBuckets.nonEmpty) {
+          spark.read.parquet(pendingPath)
+            .filter(col("mb").isin(docBuckets: _*))
+            .select(col("caption_id"), col("media_id"), col("source"),
+              col("cap_ph"))
+            .join(newPh.select(col("doc_id").as("media_id"),
+              col("phash_bands").as("med_ph")), Seq("media_id"))
+            .withColumn("hamming", hammingExpr)
+            .select(col("caption_id"), col("source"), verdictCol.as("v"))
+        } else resolvedNow.limit(0)
+      resolvedNow.unionByName(retro)
+        .write.mode("overwrite").parquet(s"$verdictsPath/batch=$batchId")
+      looked.filter(col("med_ph").isNull)
+        .select(col("caption_id"), col("media_id"), col("source"), col("cap_ph"),
+          pmod(col("media_id"), lit(nBuckets.toLong)).as("mb"))
+        .write.mode("overwrite").partitionBy("mb")
+        .parquet(s"$pendingPath/batch=$batchId")
+      newPh.withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$phPath/batch=$batchId")
+      graft.operators.Checkpoints.free(looked)
+      graft.operators.Checkpoints.free(pairs)
+      graft.operators.Checkpoints.free(newPh)
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Resolve the maintained pair-audit state into the batch
+    * [[graft.operators.Multimodal.pairAudit]] shape: per source,
+    * (n_pairs, n_match, n_conflict, n_orphan). A pending pair with a
+    * verdict row resolved retroactively; a pending pair without one
+    * is an orphan — its media never arrived, the batch operator's
+    * left-join-null case. */
+  def pairAuditResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/verdicts") &&
+        !hasVisibleData(spark, s"$statePath/pending")) {
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_pairs", "n_match", "n_conflict", "n_orphan")
+    }
+    val verdicts =
+      if (hasVisibleData(spark, s"$statePath/verdicts"))
+        spark.read.parquet(s"$statePath/verdicts")
+          .select(col("caption_id"), col("source"), col("v"))
+          .dropDuplicates("caption_id")
+      else Seq.empty[(Long, String, String)].toDF("caption_id", "source", "v")
+    val orphans =
+      if (hasVisibleData(spark, s"$statePath/pending"))
+        spark.read.parquet(s"$statePath/pending")
+          .select(col("caption_id"), col("source"))
+          .dropDuplicates("caption_id")
+          .join(verdicts.select("caption_id"), Seq("caption_id"), "left_anti")
+          .select(col("caption_id"), col("source"), lit("orphan").as("v"))
+      else verdicts.limit(0)
+    verdicts.unionByName(orphans).groupBy("source").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("v") === "match", 1L).otherwise(0L)).as("n_match"),
+      sum(when(col("v") === "conflict", 1L).otherwise(0L)).as("n_conflict"),
+      sum(when(col("v") === "orphan", 1L).otherwise(0L)).as("n_orphan"))
+  }
+
+  /** End-to-end streamed pair audit over the documents table (the
+    * `stream_pair_audit` entry): two shards → two micro-batches, so
+    * both arrival orders occur in the fixture (even-id media precede
+    * their odd-id captions AND vice versa — retro-resolution runs on
+    * real data, not just in the spec). Shares `mm_pair_audit`'s
+    * oracle verbatim. */
+  def streamedPairAudit(spark: SparkSession, dir: String,
+                        nBuckets: Int = 16): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-pa-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        pairAuditBatch(b, id, state, nBuckets)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    pairAuditResolve(spark, state)
+  }
 }

@@ -1428,6 +1428,53 @@ class StreamingSpec extends AnyFunSuite {
       s"condensation connectivity lost across the crash window: ${res2()}")
   }
 
+  test("streamedPairAudit == batch pairAudit; late media retro-resolves; never-arriving media orphans; replay no-ops") {
+    import spark.implicits._
+    import graft.streaming.IngestStreams
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // full-fixture parity with the batch operator (shared oracle) —
+    // the %2 sharding makes both arrival orders happen on real data
+    val streamed = asMap(IngestStreams.streamedPairAudit(spark, sf))
+    val batch = asMap(graft.operators.Multimodal.pairAudit(Tables.documents(spark, sf)))
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven: caption 3 (media 4) arrives BEFORE its media;
+    // caption 5's media never arrives; caption 1 self-resolves
+    val base = java.nio.file.Files.createTempDirectory("graft-pa-replay-").toString
+    val state = s"$base/state"
+    def docs(rows: (Long, String, String)*) = rows.toSeq.toDF("doc_id", "text", "source")
+    IngestStreams.pairAuditBatch(docs(
+      (1L, "aaaa bbbb cccc", "web"),
+      (3L, "first words here", "web"),
+      (5L, "dead media link caption", "web")), 0L, state, 4)
+    val after0 = asMap(IngestStreams.pairAuditResolve(spark, state))
+    // at this point 3 and 5 are both pending -> counted orphan
+    assert(after0 == Map("web" -> ((3L, 1L, 0L, 2L))), s"got $after0")
+    // media 4 arrives: pair (3 -> 4) retro-resolves (different text
+    // -> conflict); 5 stays orphan
+    IngestStreams.pairAuditBatch(docs(
+      (4L, "totally other content zzzz qqqq xxxx", "books")), 1L, state, 4)
+    val after1 = asMap(IngestStreams.pairAuditResolve(spark, state))
+    assert(after1 == Map("web" -> ((3L, 1L, 1L, 1L)), "books" -> ((1L, 1L, 0L, 0L))),
+      s"retro-resolution failed: $after1")
+    // crash-window replay of batch 1: overwrite deltas + marker make
+    // it a no-op for the counts
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_pa_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.pairAuditBatch(docs(
+      (4L, "totally other content zzzz qqqq xxxx", "books")), 1L, state, 4)
+    assert(asMap(IngestStreams.pairAuditResolve(spark, state)) == after1,
+      "crash-window retry drifted the pair audit")
+    // full replay with marker present: short-circuits
+    IngestStreams.pairAuditBatch(docs(
+      (4L, "totally other content zzzz qqqq xxxx", "books")), 1L, state, 4)
+    assert(asMap(IngestStreams.pairAuditResolve(spark, state)) == after1)
+    // empty state resolves empty
+    assert(IngestStreams.pairAuditResolve(spark, s"$base/nope").count() == 0)
+  }
+
   test("streamedMixTemperature == batch mixTemperature; count deltas merge exactly; replay/retry no-ops") {
     import spark.implicits._
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
