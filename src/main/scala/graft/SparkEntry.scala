@@ -385,6 +385,11 @@ object SparkEntry {
     // over per-threshold component counts the oracle can unroll
     "q_mst_summary" -> ((s, dir) => Graph.mstSummary(
       Graph.coPurchaseWeightedEdges(Tables.lineitem(s, dir)))),
+    // streamed MSF maintenance: per batch, Borůvka over (previous
+    // forest ∪ batch) — the sparsification identity bounds the
+    // working set at O(nodes + batch) and makes crash-retry free
+    "stream_mst_summary" -> ((s, dir) =>
+      graft.streaming.GraphStreams.streamedMstSummary(s, dir)),
     // double-sweep diameter lower bound: two BFS traversals, O(1)
     // driver aggregates, one all-integer summary row
     "q_diameter" -> ((s, dir) => Graph.diameterDoubleSweep(
@@ -1000,6 +1005,26 @@ object SparkEntry {
       |     FROM wund HAVING min(a) IS NOT NULL),
       |$SsspRoundCtes
       |SELECT node, dist FROM s20""".stripMargin
+
+  /** The MST-summary identity in SQL — shared verbatim by the batch
+    * entry and its streamed forest-maintenance face. */
+  private lazy val MstSummarySql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v, 10 - LEAST(9, count(*)) AS w
+      |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+      |wund AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we),
+      |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM wund),
+      |ts AS MATERIALIZED (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS t),
+      |l0 AS MATERIALIZED (SELECT ts.t, n.node, n.node AS lab FROM nodes n CROSS JOIN ts),
+      |$MstLabelRounds,
+      |c AS MATERIALIZED (SELECT t, count(DISTINCT lab) AS c FROM l16 GROUP BY t),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |cf AS (SELECT c AS cfull FROM c WHERE t = 9)
+      |SELECT CAST(nn.n - cf.cfull AS BIGINT) AS n_edges,
+      |  CAST((nn.n - cf.cfull)
+      |    + (SELECT sum(c) FROM c WHERE t <= 8) - 8 * cf.cfull AS BIGINT) AS total_weight,
+      |  CAST(cf.cfull AS BIGINT) AS n_components
+      |FROM nn, cf""".stripMargin
 
   /** 14 unrolled longest-path rounds — the q_topo_layers oracle:
     * depth(v) = max over in-edges of depth(u) + 1, iterated to
@@ -2122,23 +2147,12 @@ object SparkEntry {
     // Σ_{t=0}^{W-1} (c(t) − c(W)) over per-threshold component
     // counts — computed here by the unrolled multi-threshold
     // min-label flood (weights live in [1, 9] by construction)
-    "q_mst_summary" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |we AS MATERIALIZED (SELECT a.p AS u, b.p AS v, 10 - LEAST(9, count(*)) AS w
-        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
-        |wund AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we),
-        |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM wund),
-        |ts AS MATERIALIZED (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS t),
-        |l0 AS MATERIALIZED (SELECT ts.t, n.node, n.node AS lab FROM nodes n CROSS JOIN ts),
-        |$MstLabelRounds,
-        |c AS MATERIALIZED (SELECT t, count(DISTINCT lab) AS c FROM l16 GROUP BY t),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |cf AS (SELECT c AS cfull FROM c WHERE t = 9)
-        |SELECT CAST(nn.n - cf.cfull AS BIGINT) AS n_edges,
-        |  CAST((nn.n - cf.cfull)
-        |    + (SELECT sum(c) FROM c WHERE t <= 8) - 8 * cf.cfull AS BIGINT) AS total_weight,
-        |  CAST(cf.cfull AS BIGINT) AS n_components
-        |FROM nn, cf""".stripMargin,
+    "q_mst_summary" -> MstSummarySql,
+    // the maintained forest equals the batch MST over the union (the
+    // sparsification identity MST(A ∪ B) = MST(MST(A) ∪ B) under the
+    // unique (w,u,v) total order), so the streamed summary shares
+    // the oracle verbatim
+    "stream_mst_summary" -> MstSummarySql,
     // synchronous LPA: 5 unrolled rounds, (count DESC, label ASC)
     // winner per node — all-integer, must agree label-for-label
     "q_label_prop" ->

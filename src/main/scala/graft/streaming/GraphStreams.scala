@@ -570,6 +570,93 @@ object GraphStreams {
       .select(col("node"), coalesce(col("mc_new"), col("scc_id")).as("scc_label"))
   }
 
+  // ------------------------------------------------------------------
+  // Streamed minimum-spanning-forest maintenance (37v): the classic
+  // MST SPARSIFICATION identity — MST(A ∪ B) = MST(MST(A) ∪ B)
+  // whenever the MST is unique, which the (w, u, v) total order
+  // guarantees — means the maintained forest IS the per-batch working
+  // set: each batch runs Borůvka over (previous forest ∪ batch), an
+  // input bounded by O(nodes + batch) regardless of how many edges
+  // ever streamed past. A cheaper late edge genuinely EVICTS a
+  // heavier forest edge on its cycle (the replacement case grow-only
+  // designs get wrong; spec plants it). Crash-retry is free algebra:
+  // re-running a batch computes MST(MST(A ∪ B) ∪ B) = MST(A ∪ B).
+  // ------------------------------------------------------------------
+
+  /** One streamed-MSF micro-batch, exposed for the replay spec. */
+  private[graft] def mstBatch(batch0: org.apache.spark.sql.DataFrame,
+                              batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_mst_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val forestPath = s"$statePath/forest"
+    val b = batch0.select(col("u"), col("v"), col("w"))
+      .filter(col("u") =!= col("v")).dropDuplicates()
+    val prev =
+      if (hasVisibleData(spark, forestPath))
+        spark.read.parquet(forestPath).select(col("u"), col("v"), col("w"))
+      else Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    val next = graft.operators.Graph.mstBoruvka(prev.unionByName(b))
+      // materialize BEFORE overwriting the files the plan reads
+      .localCheckpoint(true)
+    next.write.mode("overwrite").parquet(forestPath)
+    graft.operators.Checkpoints.free(next)
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Resolve the maintained forest to the one-row
+    * [[graft.operators.Graph.mstSummary]] shape. The forest alone
+    * carries everything: it spans every non-isolated node, so
+    * n_components = distinct forest nodes − forest edges. */
+  def mstResolveSummary(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    val forestPath = s"$statePath/forest"
+    if (!hasVisibleData(spark, forestPath)) {
+      return Seq((0L, 0L, 0L)).toDF("n_edges", "total_weight", "n_components")
+    }
+    val f = spark.read.parquet(forestPath)
+    val agg = f.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum(col("w")), lit(0L)).cast("long").as("total_weight"))
+    val n = f.select(col("u").as("node")).unionAll(f.select(col("v").as("node")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    agg.crossJoin(n).select(col("n_edges"), col("total_weight"),
+      (col("n_nodes") - col("n_edges")).as("n_components"))
+  }
+
+  /** End-to-end streamed MSF over the weighted co-purchase edges (the
+    * `stream_mst_summary` entry): two shards → two micro-batches;
+    * the final forest equals batch Borůvka over the union (the
+    * sparsification identity), so the summary shares
+    * `q_mst_summary`'s threshold-identity oracle verbatim. */
+  def streamedMstSummary(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.coPurchaseWeightedEdges(
+        graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-mst-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType),
+        StructField("w", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        mstBatch(b, id, s"$base/state")
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    mstResolveSummary(spark, s"$base/state")
+  }
+
   /** Streamed BFS over the co-purchase edge stream: shard the edge
     * list into two micro-batches (the [[streamedComponents]] ingest
     * shape), maintain hop distances incrementally from the configured

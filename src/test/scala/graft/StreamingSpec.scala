@@ -1349,6 +1349,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(GraphStreams.sccResolve(spark, s"$base/nope", mrg).count() == 0)
   }
 
+  test("streamedMst: maintained forest == batch Borůvka over the union; a cheap late edge EVICTS its cycle's heavy edge; replay/retry no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GraphStreams
+    // full-fixture parity through the shared threshold-identity
+    // oracle shape: streamed summary == batch summary
+    val streamed = GraphStreams.streamedMstSummary(spark, sf).head()
+    val batch = graft.operators.Graph.mstSummary(
+      graft.operators.Graph.coPurchaseWeightedEdges(Tables.lineitem(spark, sf))).head()
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // hand-driven eviction: batch 0 forest {(1,2,5), (2,3,9)}; batch
+    // 1's cheap (1,3,5) closes the cycle and EVICTS the 9-edge
+    val base = java.nio.file.Files.createTempDirectory("graft-mst-replay-").toString
+    val state = s"$base/state"
+    def forest() = spark.read.parquet(s"$state/forest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    GraphStreams.mstBatch(Seq((1L, 2L, 5L), (2L, 3L, 9L)).toDF("u", "v", "w"),
+      0L, state)
+    assert(forest() == Set((1L, 2L, 5L), (2L, 3L, 9L)))
+    GraphStreams.mstBatch(Seq((1L, 3L, 5L)).toDF("u", "v", "w"), 1L, state)
+    assert(forest() == Set((1L, 2L, 5L), (1L, 3L, 5L)),
+      s"heavy cycle edge must be evicted: ${forest()}")
+    // crash-window retry: marker deleted, rerun — the identity makes
+    // it idempotent (MST(MST(A ∪ B) ∪ B) = MST(A ∪ B))
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_mst_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    GraphStreams.mstBatch(Seq((1L, 3L, 5L)).toDF("u", "v", "w"), 1L, state)
+    assert(forest() == Set((1L, 2L, 5L), (1L, 3L, 5L)))
+    // committed replay short-circuits
+    GraphStreams.mstBatch(Seq((9L, 10L, 1L)).toDF("u", "v", "w"), 1L, state)
+    assert(forest() == Set((1L, 2L, 5L), (1L, 3L, 5L)))
+    // summary from the maintained forest
+    val s1 = GraphStreams.mstResolveSummary(spark, state).head()
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2)) == ((2L, 10L, 1L)))
+    // empty state resolves to the zero row
+    val s0 = GraphStreams.mstResolveSummary(spark, s"$base/nope").head()
+    assert((s0.getLong(0), s0.getLong(1), s0.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("scc crash window: merges appended but condensation stale — retry exact, later cycles still merge; sccCompact bakes labels, truncates the log, pruned closure reads") {
     import spark.implicits._
     import graft.streaming.{GraphStreams, MaintIO}
