@@ -816,6 +816,9 @@ object SparkEntry {
     // per-source budget audit through the gopher gate + exact dedup —
     // the table a mix design reads before setting source weights
     "pipeline_quality_audit" -> ((s, dir) => Pipeline.qualityDedupAudit(Tables.documents(s, dir))),
+    // the multimodal capstone: alignment-verified pairs minus phash
+    // near-dup losers — the CLIP-corpus cleaning composition
+    "pipeline_mm_clean" -> ((s, dir) => Pipeline.mmCleanCorpus(Tables.documents(s, dir))),
     // streamed ingest face: range-sharded batches + maintained
     // kept-hash store converge to the batch audit (shared oracle)
     "stream_quality_audit" -> ((s, dir) => graft.streaming.IngestStreams.streamedQualityAudit(s, dir))
@@ -3512,6 +3515,56 @@ object SparkEntry {
     // the whole gopher->dedup composition recomputed in SQL: same
     // rule ladder, kept-scoped min-doc_id survivor, integer sums
     "pipeline_quality_audit" -> QualityAuditSql,
+    // both passes composed from the shared band CTEs: alignment
+    // verdicts (pair fixture + hamming) and near-dup losers (band
+    // collisions + hamming ≤ 3, doc_b side) over the same bands
+    "pipeline_mm_clean" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ord(c) % 64 AS bucket, count(*) AS cnt
+        |  FROM chars GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |bits AS (
+        |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
+        |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
+        |  FROM hist h JOIN len USING (doc_id)),
+        |bands AS MATERIALIZED (
+        |  SELECT d.doc_id, b.band,
+        |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+        |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
+        |  GROUP BY 1, 2),
+        |cpairs AS (
+        |  SELECT doc_id AS caption_id,
+        |    CASE WHEN doc_id % 23 = 5 THEN doc_id + 1000000
+        |         WHEN doc_id % 17 = 3 THEN doc_id + 1
+        |         ELSE doc_id END AS media_id
+        |  FROM documents),
+        |cham AS (
+        |  SELECT p.caption_id,
+        |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |  FROM cpairs p
+        |  JOIN bands x ON x.doc_id = p.caption_id
+        |  JOIN bands y ON y.doc_id = p.media_id AND y.band = x.band
+        |  GROUP BY 1),
+        |aligned AS (SELECT caption_id AS doc_id FROM cham WHERE hamming <= 3),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |nd AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |    FROM cand
+        |    JOIN bands x ON x.doc_id = doc_a
+        |    JOIN bands y ON y.doc_id = doc_b AND y.band = x.band
+        |    GROUP BY 1, 2) WHERE hamming <= 0)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN aligned a ON a.doc_id = d.doc_id
+        |WHERE NOT EXISTS (SELECT 1 FROM nd WHERE nd.doc_b = d.doc_id)""".stripMargin,
     // the maintained streaming audit converges to the same table
     // (range-ordered arrival preserves the min-kept-doc survivor)
     "stream_quality_audit" -> QualityAuditSql,

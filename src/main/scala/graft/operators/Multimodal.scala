@@ -302,8 +302,11 @@ object Multimodal {
     * aggregate. No candidate generation exists to blow up — the pair
     * table IS the work list.
     */
-  def pairAudit(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
-                maxHamming: Int = 3): DataFrame = {
+  /** Per-caption pair verdicts — the row-level face [[pairAudit]]
+    * aggregates and the mm-clean pipeline filters on: one row per
+    * caption with its match / conflict / orphan verdict. */
+  def pairVerdicts(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
     val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
     val pairs = pairFixture(documents)
     val withCap = pairs
@@ -314,7 +317,7 @@ object Multimodal {
     val joined = withCap.join(
       ph.select(col("doc_id").as("media_id"), col("phash_bands").as("med_ph")),
       Seq("media_id"), "left")
-    val verdicts = joined
+    joined
       .withColumn("hamming",
         expr("aggregate(zip_with(cap_ph, med_ph, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
           .cast("long"))
@@ -322,7 +325,12 @@ object Multimodal {
         when(col("med_ph").isNull, lit("orphan"))
           .when(col("hamming") <= maxHamming, lit("match"))
           .otherwise(lit("conflict")))
-    verdicts.groupBy("source").agg(
+      .select(col("caption_id"), col("source"), col("v"))
+  }
+
+  def pairAudit(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
+                maxHamming: Int = 3): DataFrame = {
+    pairVerdicts(documents, dim, nBands, maxHamming).groupBy("source").agg(
       count(lit(1)).as("n_pairs"),
       sum(when(col("v") === "match", 1L).otherwise(0L)).as("n_match"),
       sum(when(col("v") === "conflict", 1L).otherwise(0L)).as("n_conflict"),

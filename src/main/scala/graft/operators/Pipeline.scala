@@ -140,6 +140,37 @@ object Pipeline {
       sum(when(col("survivor"), col("n_words")).otherwise(lit(0L))).as("tokens_unique"))
   }
 
+  /** The multimodal cleaning capstone (the `pipeline_mm_clean`
+    * entry): the two passes every captioned-media corpus runs before
+    * training — keep only ALIGNMENT-VERIFIED pairs (the caption's
+    * media arrived and fingerprints agree within `alignHamming` —
+    * [[Multimodal.pairVerdicts]] == match) and drop fingerprint
+    * DUPLICATES (any doc with a ≤`dupHamming` twin of smaller id
+    * loses — [[Multimodal.phashNearDup]]'s doc_b side, the
+    * dedup_apply election over pairs). The two tolerances are
+    * deliberately different: alignment is a lenient agreement check
+    * (the caption should roughly describe its media), dedup is
+    * strict (default 0 — exact fingerprint twins), because the
+    * stub's 64-bucket histogram makes loose near-dup thresholds
+    * degenerate on homogeneous corpora (measured at sf0.01:
+    * hamming ≤ 3 marks 483 of 500 docs as someone's twin; hamming 0
+    * marks 196 — a real decoder's DCT phash separates far better
+    * and a deployment re-widens the threshold with it). Output: the
+    * surviving (doc_id, source) corpus; fingerprints computed once
+    * per doc, one semi join + one anti join on doc_id.
+    */
+  def mmCleanCorpus(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
+                    alignHamming: Int = 3, dupHamming: Int = 0): DataFrame = {
+    val aligned = Multimodal.pairVerdicts(documents, dim, nBands, alignHamming)
+      .filter(col("v") === "match")
+      .select(col("caption_id").as("doc_id"))
+    val losers = Multimodal.phashNearDup(documents, dim, nBands, dupHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+    documents.select(col("doc_id"), col("source"))
+      .join(aligned, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   def pretrainMix(documents: DataFrame,
                   minAlphaRatio: Double = 0.5,
                   minWords: Int = 10,

@@ -152,4 +152,33 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toList
     assert(a === b)
   }
+
+  test("mmCleanCorpus: keeps aligned pairs, drops conflicts/orphans, evicts the larger near-dup twin") {
+    import spark.implicits._
+    import graft.operators.{Multimodal, Pipeline}
+    // 1, 2, 4 self-aligned; 3 pairs with 4 (conflict); 5's media is
+    // dead (orphan); 8 and 9 are identical twins (both self-aligned,
+    // 9 loses the near-dup election to 8)
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web"),
+      (3L, "completely different content with other letters", "web"),
+      (4L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq", "books"),
+      (5L, "some caption whose media link is dead", "books"),
+      (8L, "eeee ffff gggg hhhh eeee ffff gggg hhhh", "books"),
+      (9L, "eeee ffff gggg hhhh eeee ffff gggg hhhh", "books")
+    ).toDF("doc_id", "text", "source")
+    val kept = Pipeline.mmCleanCorpus(docs).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 8L), s"got $kept")
+    // composition honesty: kept ⊆ match-verdict captions, and no
+    // kept doc is the doc_b of any near-dup pair
+    val matches = Multimodal.pairVerdicts(docs)
+      .filter(org.apache.spark.sql.functions.col("v") === "match")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(matches))
+    val losers = Multimodal.phashNearDup(docs, maxHamming = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept.intersect(losers).isEmpty)
+  }
 }
