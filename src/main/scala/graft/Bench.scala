@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * Each query runs twice and reports the faster run: pass 1 pays
   * one-time JVM/codegen/JIT warmup that a long-lived cluster never
   * re-pays, pass 2 is the steady-state cost the 100 TB design cares
-  * about. Timing includes full plan execution (count() forces every
-  * operator; nothing is cached between passes).
+  * about. Timing forces FULL materialization through the noop sink
+  * (r12 — count() let the optimizer eliminate unreferenced join
+  * branches and under-price them); nothing is cached between passes.
   *
   * Contention evidence (round 7): the artifact records BOTH pass
   * times per query (`passes`), not just the min. External machine
@@ -119,9 +120,19 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // Force FULL materialization through the noop sink, never
+    // count(): count() lets Catalyst eliminate unreferenced
+    // left-join branches whose build side is unique on the join key,
+    // silently un-pricing them — measured r12: mm_phash_dedup
+    // "cost" 0.15 s under count() while its near-dup degree branch
+    // (the whole 26.8M-candidate pipeline) was optimized away; the
+    // honest all-columns price is ~16 s. The driver's correctness
+    // path always wrote full parquet, so only the bench was lied to.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
       finally clearPersisted()
       (System.nanoTime() - t0) / 1e9
     }
@@ -135,7 +146,7 @@ object Bench {
     // predicts cluster throughput, where cold-start amortizes to zero
     // over a 100 TB run; min-of-2 after a full warmup measures that.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       clearPersisted()
     }
     val baselineFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_out.json")

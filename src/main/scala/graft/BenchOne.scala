@@ -15,7 +15,9 @@ object BenchOne {
     val spark = GraftSession.local()
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // noop sink, not count(): the full-materialization forcing the
+      // main bench uses (count() lets the optimizer drop branches)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     if (warmup) {

@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
 import graft.streaming.StreamState.hasVisibleData
 
 /** Streaming GRAPH maintenance (SURVEY §2.7 rows 37l, 37r, 37r\',
-  * 37r\'\', 37r\'\'\'): incremental connected components, the
-  * BFS/SSSP relaxation family and its multi-source face, plus their
+  * 37r\'\', 37r\'\'\', 37v): incremental connected components,
+  * incremental SCC with its maintained condensation (+ sccCompact),
+  * streamed minimum-spanning-forest maintenance, the BFS/SSSP
+  * relaxation family and its multi-source face, plus their
   * claim-store compaction. Split out of EventStreams in r11 (pure
   * move, no behavior change).
   */
