@@ -360,4 +360,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "SemDeDup's whole point is bounding pairs by the cell join")
   }
+
+  test("r12 multimodal/pair plans: every join an equality join, never cartesian/nested-loop; fingerprints feed both sides from one checkpoint") {
+    for (name <- Seq("mm_pair_audit", "pipeline_mm_clean")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: nested-loop join")
+    }
+    // the pair audit's media lookup and caption lookup are both
+    // equality joins against the SAME materialized band frame (the
+    // localCheckpoint scan), never a recomputed decode pass
+    val p = plan("mm_pair_audit")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "band frame must come from the checkpointed scan")
+  }
+
+  test("q_mst_summary: consumer plan is the constant-size checkpoint scan (the Borůvka build ran eagerly inside the builder)") {
+    val p = plan("q_mst_summary")
+    // mstSummary materializes its one-row result via localCheckpoint
+    // (the iterative-builder pattern the CC family documents), so
+    // the consumer-visible plan must be a bare checkpointed scan —
+    // re-planning the Borůvka rounds here would mean the checkpoint
+    // regressed to lazy lineage
+    assert(p.contains("Scan ExistingRDD"), "expected the checkpointed scan")
+    assert(!p.contains("Exchange"), "a one-row checkpoint scan must not shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
