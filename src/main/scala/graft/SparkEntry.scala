@@ -111,6 +111,10 @@ object SparkEntry {
     "q_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     "q_events_window" -> ((s, dir) => Relational.eventsWindow(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), 30)),
+    // sweep-line interval-union coverage per part: merged shipping-
+    // activity islands, covered/span days, utilization ppm
+    "q_interval_coverage" -> ((s, dir) =>
+      Relational.intervalCoverage(Tables.lineitem(s, dir))),
     "q_session_window" -> ((s, dir) => Relational.sessionWindowAgg(Tables.events(s, dir), 30)),
     "q_hopping_window" -> ((s, dir) => Relational.hoppingWindow(Tables.events(s, dir))),
     // two deterministic synthetic "snapshots" of the documents table:
@@ -2244,6 +2248,38 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    // the same two-window sweep (running max-end flags island
+    // starts, running sum numbers them) — all-integer day arithmetic
+    // so every count/length/ppm must agree exactly
+    "q_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l_partkey AS k,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      + 1 + (CAST(l_quantity AS BIGINT) % 14) AS BIGINT) AS e
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |g AS (
+        |  SELECT k, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM f),
+        |h AS (
+        |  SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |pi AS (
+        |  SELECT k, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+        |  FROM h GROUP BY 1, 2)
+        |SELECT k AS part_id,
+        |  CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered_days,
+        |  CAST(max(i_e) - min(i_s) + 1 AS BIGINT) AS span_days,
+        |  CAST(sum(i_e - i_s + 1) * 1000000 // (max(i_e) - min(i_s) + 1) AS BIGINT) AS utilization_ppm
+        |FROM pi GROUP BY k""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),

@@ -748,4 +748,53 @@ object Relational {
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("key"), col("n"), col("ppm"))
   }
+
+  /** Interval-union coverage per key (the `q_interval_coverage`
+    * entry) — the sweep-line / gaps-and-islands primitive behind
+    * utilization, SLA-coverage, and on-call-overlap reads: merge
+    * each key's (possibly overlapping) closed integer intervals
+    * into maximal islands (adjacent intervals — gap 0 — merge too)
+    * and report interval/island counts, total covered length, the
+    * key's span, and utilization in integer ppm.
+    *
+    * Intervals derive deterministically from the fixture: per
+    * lineitem, [shipdate, shipdate + 1 + (quantity mod 14)] in days
+    * since 1992-01-01 — a part's "shipping activity windows".
+    *
+    * Shape: two windows over ONE (key, start, end) sort — running
+    * max-end (excluding current) flags island starts, a running sum
+    * numbers them — then two grouped aggregates. One shuffle on the
+    * key; ties in the sort are fully identical rows, so every window
+    * value is order-insensitive (the §3 determinism rule).
+    */
+  def intervalCoverage(lineitem: DataFrame): DataFrame = {
+    val iv = lineitem.select(
+        col("l_partkey").as("k"),
+        datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long").as("s"),
+        (datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long")
+          + 1L + pmod(col("l_quantity").cast("long"), lit(14L))).as("e"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val flagged = iv
+      .withColumn("prev_max", prevMax)
+      .withColumn("ni",
+        when(col("prev_max").isNull || col("s") > col("prev_max") + 1L, 1L)
+          .otherwise(0L))
+    val islands = flagged.withColumn("island", sum(col("ni")).over(
+      ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val perIsland = islands.groupBy("k", "island")
+      .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"),
+        count(lit(1)).as("n"))
+    perIsland.groupBy("k").agg(
+        sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_e") - col("i_s") + 1L).as("covered_days"),
+        (max(col("i_e")) - min(col("i_s")) + 1L).as("span_days"))
+      .withColumn("utilization_ppm",
+        expr("covered_days * 1000000 div span_days"))
+      .select(col("k").as("part_id"), col("n_intervals"), col("n_islands"),
+        col("covered_days"), col("span_days"), col("utilization_ppm"))
+  }
 }

@@ -312,6 +312,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(got13 === got)
   }
 
+  test("intervalCoverage: overlaps merge, adjacency merges, gaps split islands; exact covered/span/ppm; partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // part 1: [1,4] ∪ [3,7] ∪ [2,3] merge to island [1,7]; [9,10]
+    // starts a new island (gap: 9 > 7 + 1)
+    // part 2: single [0,1]
+    // part 3: [1,3] then [4,5] — ADJACENT (4 = 3 + 1) merges
+    val li = Seq(
+      (1L, "1992-01-02", 2.0),
+      (1L, "1992-01-04", 3.0),
+      (1L, "1992-01-03", 0.0),
+      (1L, "1992-01-10", 0.0),
+      (2L, "1992-01-01", 14.0),
+      (3L, "1992-01-02", 1.0),
+      (3L, "1992-01-05", 0.0)
+    ).toDF("l_partkey", "ship", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(col("ship")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.intervalCoverage(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    val got = run(li)
+    assert(got(1L) == ((4L, 2L, 9L, 10L, 900000L)), s"part 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 2L, 2L, 1000000L)), s"part 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 1L, 5L, 5L, 1000000L)), s"part 3: ${got(3L)}")
+    // window ties are identical rows -> partitioning-invariant
+    assert(run(li.repartition(13)) == got)
+    // a duplicated identical interval changes the count, nothing else
+    val dup = li.unionAll(li.filter(col("l_partkey") === 2L))
+    val got2 = run(dup)
+    assert(got2(2L) == ((2L, 1L, 2L, 2L, 1000000L)))
+  }
+
   test("skewProfile surfaces a planted hot key with exact ppm share") {
     import spark.implicits._
     // 900 rows of key 7, 10 each of keys 1..10 => total 1000
