@@ -1621,7 +1621,10 @@ object SparkEntry {
         |FROM p4 GROUP BY 1""".stripMargin
 
   /** The phash summary pipeline in SQL — shared verbatim by the
-    * batch entry and its streaming maintenance face. */
+    * batch entry and its streaming maintenance face. Mirrors the
+    * `maxBandDf = 100` bucket cap (`bdf` CTE): candidate pairs come
+    * only from (band, value) buckets holding ≤ 100 docs, so the gate
+    * pins the capped semantics the Spark side ships. */
   private val PhashSummarySql: String =
     """WITH chars AS (
         |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
@@ -1633,16 +1636,21 @@ object SparkEntry {
         |  SELECT h.doc_id, bucket // 16 AS band, bucket % 16 AS pos,
         |    CASE WHEN cnt * 64 > n THEN 1 ELSE 0 END AS bit
         |  FROM hist h JOIN len USING (doc_id)),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT d.doc_id, b.band,
         |    CAST(COALESCE(sum(bit << pos), 0) AS BIGINT) AS bv
         |  FROM documents d
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
         |  LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.band = b.band
         |  GROUP BY 1, 2),
+        |bdf AS (
+        |  SELECT band, bv FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 100),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM bands a
+        |  JOIN bdf k ON k.band = a.band AND k.bv = a.bv
+        |  JOIN bands b
         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
         |ham AS (
         |  SELECT doc_a, doc_b,
@@ -3586,9 +3594,14 @@ object SparkEntry {
         |  JOIN bands y ON y.doc_id = p.media_id AND y.band = x.band
         |  GROUP BY 1),
         |aligned AS (SELECT caption_id AS doc_id FROM cham WHERE hamming <= 3),
+        |bdf AS (
+        |  SELECT band, bv FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 100),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM bands a
+        |  JOIN bdf k ON k.band = a.band AND k.bv = a.bv
+        |  JOIN bands b
         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
         |nd AS (
         |  SELECT doc_a, doc_b FROM (

@@ -231,23 +231,48 @@ object Multimodal {
     * join is an equality join on a scalar (band, value) key; the
     * phash frame is checkpointed once for its three consumers so the
     * decode pass never re-runs.
+    *
+    * `maxBandDf` caps candidate fan-out exactly like the
+    * `maxShingleDf` cap on [[Dedup.ngramJaccard]]'s posting lists:
+    * a (band, value) bucket holding more than the cap is dropped
+    * whole before pair expansion. Without it the self-join costs
+    * Σ bucket² — and the histogram stub concentrates homogeneous
+    * corpora into a handful of buckets (measured at sf0.1: ONE
+    * bucket holds all 5 000 docs, 12.5 M candidate pairs; capped at
+    * 100 the same corpus emits 51 k). The cap affects RECALL only,
+    * conservatively: a pair is missed only when EVERY band it
+    * collides in is hotter than the cap — buckets so hot they carry
+    * no near-dup signal. Worst case is cap²/2 candidates per kept
+    * bucket regardless of corpus size. The SQL oracles mirror the
+    * cap, so the gate pins the capped semantics.
     */
   def phashNearDup(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3, maxBandDf: Int = 100): DataFrame =
     phashNearDupFromBands(
-      phashBands(documents, dim, nBands).localCheckpoint(true), nBands, maxHamming)
+      phashBands(documents, dim, nBands).localCheckpoint(true), nBands, maxHamming,
+      maxBandDf)
 
   /** Near-dup pairs from an ALREADY-materialized band frame — so a
     * caller that needs both the bands and the pairs ([[phashSummary]])
     * pays the (stubbed-decode) band computation exactly once.
     */
   private def phashNearDupFromBands(ph: DataFrame, nBands: Int,
-                                    maxHamming: Int): DataFrame = {
+                                    maxHamming: Int, maxBandDf: Int): DataFrame = {
     require(nBands > maxHamming,
       s"pigeonhole guarantee needs nBands > maxHamming ($nBands <= $maxHamming)")
     val exploded = ph.select(col("doc_id"),
       posexplode(col("phash_bands")).as(Seq("band", "bv")))
-    val cand = exploded.as("a").join(exploded.as("b"),
+    // Bucket df first as a map-side-combinable COUNT — never a
+    // materialized posting list, so a corpus-scale hot bucket costs
+    // one counter, not an array — then prune both self-join sides to
+    // under-cap buckets. Both the count and the join shuffle on the
+    // same (band, bv) key, so the exchange is reused.
+    val kept = exploded.groupBy("band", "bv")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxBandDf))
+      .select("band", "bv")
+    val pruned = exploded.join(kept, Seq("band", "bv"))
+    val cand = pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -338,11 +363,11 @@ object Multimodal {
   }
 
   def phashSummary(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBandDf: Int = 100): DataFrame = {
     // one checkpointed band frame feeds BOTH the pair generation and
     // the final projection — the decode pass runs once per invocation
     val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
-    val pairs = phashNearDupFromBands(ph, nBands, maxHamming)
+    val pairs = phashNearDupFromBands(ph, nBands, maxHamming, maxBandDf)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))

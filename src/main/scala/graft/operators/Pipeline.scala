@@ -160,11 +160,12 @@ object Pipeline {
     * per doc, one semi join + one anti join on doc_id.
     */
   def mmCleanCorpus(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
-                    alignHamming: Int = 3, dupHamming: Int = 0): DataFrame = {
+                    alignHamming: Int = 3, dupHamming: Int = 0,
+                    maxBandDf: Int = 100): DataFrame = {
     val aligned = Multimodal.pairVerdicts(documents, dim, nBands, alignHamming)
       .filter(col("v") === "match")
       .select(col("caption_id").as("doc_id"))
-    val losers = Multimodal.phashNearDup(documents, dim, nBands, dupHamming)
+    val losers = Multimodal.phashNearDup(documents, dim, nBands, dupHamming, maxBandDf)
       .select(col("doc_b").as("doc_id")).distinct()
     documents.select(col("doc_id"), col("source"))
       .join(aligned, Seq("doc_id"), "left_semi")

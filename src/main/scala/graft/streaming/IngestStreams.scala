@@ -1228,10 +1228,25 @@ object IngestStreams {
     q.awaitTermination()
   }
 
-  /** One [[phashIngest]] micro-batch, exposed for the replay spec. */
+  /** One [[phashIngest]] micro-batch, exposed for the replay spec.
+    *
+    * Candidate generation is df-capped like batch
+    * [[graft.operators.Multimodal.phashNearDup]]: a (band, value)
+    * bucket whose CUMULATIVE df (stored + this batch) exceeds
+    * `maxBandDf` is dropped before pair expansion. Since the corpus
+    * is append-only the cumulative df only grows, so batch-time
+    * pruning is a conservative SUPERSET of the final capped
+    * semantics — a bucket under the cap now may cross it later, and
+    * pairs it emitted must then disappear from the resolved answer.
+    * [[phashResolve]] closes that window with an exact re-filter
+    * against the final bucket dfs, so the drained state equals the
+    * batch result bit-for-bit while every batch stays
+    * cap²-per-bucket bounded.
+    */
   private[graft] def phashBatch(batch0: org.apache.spark.sql.DataFrame,
                                 batchId: Long, statePath: String,
-                                nBuckets: Int, maxHamming: Int = 3): Unit = {
+                                nBuckets: Int, maxHamming: Int = 3,
+                                maxBandDf: Int = 100): Unit = {
     val spark = batch0.sparkSession
     val commitDir = new org.apache.hadoop.fs.Path(statePath, "_ph_commits")
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
@@ -1249,25 +1264,45 @@ object IngestStreams {
       val newEx = newPh
         .select(col("doc_id"), posexplode(col("phash_bands")).as(Seq("band", "bv")))
         .localCheckpoint(true)
-      // candidates: new×new within the batch…
-      val nn = newEx.as("a").join(newEx.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // …plus new×existing against the PRUNED stored band partitions
+      // the PRUNED stored band partitions this batch's values land in
       val touched = newEx.select(pmod(col("bv"), lit(nBuckets.toLong)).as("bk"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      val ex =
-        if (hasVisibleData(spark, bandsPath) && touched.nonEmpty) {
-          val stored = spark.read.parquet(bandsPath)
+      val stored =
+        if (hasVisibleData(spark, bandsPath) && touched.nonEmpty)
+          spark.read.parquet(bandsPath)
             .filter(col("bucket").isin(touched: _*))
             .select(col("doc_id").as("ex_doc"), col("band").as("eband"),
               col("bv").as("ebv"))
-          newEx.join(stored,
+            .localCheckpoint(true)
+        else null
+      // cumulative bucket df (stored + new) over the batch's buckets;
+      // counts only — no posting list is ever materialized
+      val newCnt = newEx.groupBy("band", "bv").agg(count(lit(1)).as("n_new"))
+      val cumDf =
+        if (stored != null)
+          newCnt.join(
+            stored.groupBy(col("eband").as("band"), col("ebv").as("bv"))
+              .agg(count(lit(1)).as("n_old")),
+            Seq("band", "bv"), "left")
+            .select(col("band"), col("bv"),
+              (col("n_new") + coalesce(col("n_old"), lit(0L))).as("df"))
+        else newCnt.select(col("band"), col("bv"), col("n_new").as("df"))
+      val keptBv = cumDf.filter(col("df") <= maxBandDf).select("band", "bv")
+        .localCheckpoint(true)
+      val newKept = newEx.join(keptBv, Seq("band", "bv"))
+      // candidates: new×new within the batch (under-cap buckets only)…
+      val nn = newKept.as("a").join(newKept.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // …plus new×existing, same pruned buckets
+      val ex =
+        if (stored != null)
+          newKept.join(stored,
               col("band") === col("eband") && col("bv") === col("ebv"))
             .select(least(col("doc_id"), col("ex_doc")).as("doc_a"),
               greatest(col("doc_id"), col("ex_doc")).as("doc_b"))
-        } else nn.limit(0)
+        else nn.limit(0)
       val cand = nn.unionAll(ex).distinct().localCheckpoint(true)
       // verification lookup: new docs' arrays + PRUNED stored arrays
       val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -1295,6 +1330,8 @@ object IngestStreams {
       newEx.withColumn("bucket", pmod(col("bv"), lit(nBuckets.toLong)))
         .write.mode("append").partitionBy("bucket").parquet(bandsPath)
       graft.operators.Checkpoints.free(cand)
+      graft.operators.Checkpoints.free(keptBv)
+      if (stored != null) graft.operators.Checkpoints.free(stored)
       graft.operators.Checkpoints.free(newEx)
       graft.operators.Checkpoints.free(newPh)
       cfs.mkdirs(commitDir)
@@ -1304,9 +1341,18 @@ object IngestStreams {
 
   /** Resolve the maintained phash state into the batch
     * `phashSummary` shape: per doc, the band values + near-dup
-    * degree. */
+    * degree.
+    *
+    * The degree counts only pairs STILL eligible under the final
+    * bucket dfs: a stored pair survives iff it collides in ≥1 band
+    * whose (band, value) bucket ends ≤ `maxBandDf` — exactly the
+    * batch cap semantics. The eligible-candidate regeneration is
+    * itself cap-bounded (≤ cap²/2 per kept bucket), and the stored
+    * pairs carry the already-verified hamming, so no band arrays are
+    * re-compared.
+    */
   def phashResolve(spark: SparkSession, statePath: String,
-                   nBands: Int = 4): DataFrame = {
+                   nBands: Int = 4, maxBandDf: Int = 100): DataFrame = {
     import spark.implicits._
     if (!hasVisibleData(spark, s"$statePath/phs")) {
       return Seq.empty[(Long, Long, Long, Long, Long, Long)]
@@ -1315,7 +1361,20 @@ object IngestStreams {
     val ph = spark.read.parquet(s"$statePath/phs").select("doc_id", "phash_bands")
     val deg =
       if (hasVisibleData(spark, s"$statePath/pairs")) {
+        val bands = spark.read.parquet(s"$statePath/bands")
+          .select("doc_id", "band", "bv")
+        val kept = bands.groupBy("band", "bv")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, maxBandDf))
+          .select("band", "bv")
+        val keptEx = bands.join(kept, Seq("band", "bv"))
+        val eligible = keptEx.as("a").join(keptEx.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
         val pairs = spark.read.parquet(s"$statePath/pairs").distinct()
+          .join(eligible, Seq("doc_a", "doc_b"), "left_semi")
         pairs.select(col("doc_a").as("doc_id"))
           .unionAll(pairs.select(col("doc_b").as("doc_id")))
           .groupBy("doc_id").agg(count(lit(1)).as("n_near"))

@@ -95,6 +95,37 @@ class MultimodalSpec extends AnyFunSuite {
       assert(deg(id) == fromPairs.getOrElse(id, 0L), s"degree mismatch for $id"))
   }
 
+  test("phash band-df cap: over-cap buckets drop their pairs (conservative recall), under-cap pairs identical") {
+    import spark.implicits._
+    val base1 = "the quick brown fox jumps over the lazy dog " * 4
+    val base2 = "0123456789" * 18
+    // A/B/C share one histogram (permutations), D/E share another
+    val df = Seq(
+      (1L, base1, "s"),
+      (2L, base1.split(' ').reverse.mkString(" "), "s"),
+      (3L, base1.split(' ').sorted.mkString(" "), "s"),
+      (4L, base2, "s"),
+      (5L, base2.reverse, "s")
+    ).toDF("doc_id", "text", "source")
+    def pairSet(cap: Int) =
+      Multimodal.phashNearDup(df, maxHamming = 3, maxBandDf = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: both twin families pair up
+    val uncapped = pairSet(1000)
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1L, 3L)) &&
+      uncapped.contains((2L, 3L)) && uncapped.contains((4L, 5L)), s"got $uncapped")
+    // cap = 2: the 3-doc family's buckets all hold 3 docs -> dropped
+    // whole; the 2-doc family still collides in some band where its
+    // value differs from the hot family's (phashes differ, asserted
+    // by the uncapped hamming>3 separation), so (4,5) survives
+    assert(pairSet(2) == Set((4L, 5L)),
+      s"cap must drop exactly the over-cap family: ${pairSet(2)}")
+    // the summary's degrees follow the same capped semantics
+    val deg = Multimodal.phashSummary(df, maxBandDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(deg == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L), s"got $deg")
+  }
+
   test("phash bands are partitioning-invariant and within 16-bit range") {
     val docs = Tables.documents(spark, SharedSpark.sf)
     val a = Multimodal.phashBands(docs).collect()

@@ -935,6 +935,31 @@ class StreamingSpec extends AnyFunSuite {
       "replay appended duplicate pairs")
   }
 
+  test("phash cap crossing: a bucket that outgrows the cap retro-drops its stored pairs at resolve") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-ph-cap-").toString + "/state"
+    // A and B are permutations (identical histogram); C joins the
+    // same bucket in batch 1, pushing its df from 2 to 3 > cap=2
+    val b0 = Seq((1L, "abcdef", "web"), (2L, "fedcba", "web"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Seq((3L, "cbafed", "web")).toDF("doc_id", "text", "source")
+    IngestStreams.phashBatch(b0, 0L, state, 16, maxBandDf = 2)
+    def degrees() = IngestStreams.phashResolve(spark, state, maxBandDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(degrees() == Map(1L -> 1L, 2L -> 1L),
+      s"under-cap pair must resolve: ${degrees()}")
+    IngestStreams.phashBatch(b1, 1L, state, 16, maxBandDf = 2)
+    // the (1,2) pair is still in the pairs store, but the final df
+    // re-filter must exclude it — equal to batch capped semantics
+    assert(spark.read.parquet(s"$state/pairs").count() >= 1L)
+    assert(degrees() == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"over-cap bucket must retro-drop its pairs: ${degrees()}")
+    val batch = graft.operators.Multimodal
+      .phashSummary(b0.unionAll(b1), maxBandDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(degrees() == batch, "streamed resolve drifted from batch capped semantics")
+  }
+
   test("streamedQualityAudit == batch qualityDedupAudit; cross-batch dup suppressed; replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
