@@ -1027,11 +1027,16 @@ object SparkEntry {
       |c AS MATERIALIZED (SELECT t, count(DISTINCT lab) AS c FROM l16 GROUP BY t),
       |nn AS (SELECT count(*) AS n FROM nodes),
       |cf AS (SELECT c AS cfull FROM c WHERE t = 9)
-      |SELECT CAST(nn.n - cf.cfull AS BIGINT) AS n_edges,
-      |  CAST((nn.n - cf.cfull)
-      |    + (SELECT sum(c) FROM c WHERE t <= 8) - 8 * cf.cfull AS BIGINT) AS total_weight,
-      |  CAST(cf.cfull AS BIGINT) AS n_components
-      |FROM nn, cf""".stripMargin
+      |-- LEFT JOIN + COALESCE, not a cross join: on an EMPTY edge set
+      |-- cf has zero rows and the cross join would return zero rows
+      |-- where the operator returns one (0, 0, 0) row — the degenerate
+      |-- shapes must agree even though the fixture is never empty
+      |SELECT CAST(nn.n - COALESCE(cf.cfull, 0) AS BIGINT) AS n_edges,
+      |  CAST((nn.n - COALESCE(cf.cfull, 0))
+      |    + COALESCE((SELECT sum(c) FROM c WHERE t <= 8), 0)
+      |    - 8 * COALESCE(cf.cfull, 0) AS BIGINT) AS total_weight,
+      |  CAST(COALESCE(cf.cfull, 0) AS BIGINT) AS n_components
+      |FROM nn LEFT JOIN cf ON TRUE""".stripMargin
 
   /** 14 unrolled longest-path rounds — the q_topo_layers oracle:
     * depth(v) = max over in-edges of depth(u) + 1, iterated to

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.streaming.StreamState.hasVisibleData
+import graft.streaming.StreamState.{hasVisibleData, healSwap, swapInstall}
 
 /** Streaming GRAPH maintenance (SURVEY §2.7 rows 37l, 37r, 37r\',
   * 37r\'\', 37r\'\'\', 37v): incremental connected components,
@@ -419,6 +419,9 @@ object GraphStreams {
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
     def mark(): Unit = { cfs.mkdirs(commitDir); cfs.create(marker, true).close() }
+    // a crashed sccCompact may have left the labels aside — restore
+    // before the pruned label read below
+    healSwap(spark, labelsPath)
     val pendingDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_pending")
     val inCrashWindow = cfs.exists(pendingDir) && cfs.listStatus(pendingDir).nonEmpty
     val b = batch0.select(col("u"), col("v"))
@@ -525,13 +528,30 @@ object GraphStreams {
     */
   def sccCompact(spark: SparkSession, labelsPath: String, mergesPath: String,
                  nBuckets: Int = 16): Unit = {
+    healSwap(spark, labelsPath)
     if (!hasVisibleData(spark, labelsPath)) return
+    // REFUSE while a crashed batch's window is open (_scc_pending
+    // non-empty): the crashed batch appended merges the condensation
+    // was never relabeled through, and its retry relies on loading
+    // the FULL closure (inCrashWindow). Compacting here would bake
+    // those merges into labels and truncate the log, so the retry's
+    // closure comes back empty and the stale condensation is never
+    // relabeled — permanent merge loss. The retry closes the window;
+    // the operator's scheduled compaction simply runs next time.
+    val pendingDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_pending")
+    val pfs = pendingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pfs.exists(pendingDir) && pfs.listStatus(pendingDir).nonEmpty) return
     val resolved = sccResolve(spark, labelsPath, mergesPath)
       .withColumnRenamed("scc_label", "scc_id")
       .withColumn("bucket", pmod(col("node"), lit(nBuckets.toLong)))
       // materialize BEFORE touching the files the plan reads
       .localCheckpoint(true)
-    resolved.write.mode("overwrite").partitionBy("bucket").parquet(labelsPath)
+    // rename-aside swap: an in-place overwrite would lose ALL label
+    // state on a crash mid-rewrite while the merge log below is
+    // about to be consumed (the mstBatch/semanticPairCompact window)
+    resolved.write.mode("overwrite").partitionBy("bucket")
+      .parquet(labelsPath + "_swap_staging")
+    swapInstall(spark, labelsPath)
     graft.operators.Checkpoints.free(resolved)
     val mp = new org.apache.hadoop.fs.Path(mergesPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -562,6 +582,7 @@ object GraphStreams {
   def sccResolve(spark: SparkSession, labelsPath: String,
                  mergesPath: String): DataFrame = {
     import spark.implicits._
+    healSwap(spark, labelsPath)
     if (!hasVisibleData(spark, labelsPath)) {
       return Seq.empty[(Long, Long)].toDF("node", "scc_label")
     }
@@ -595,6 +616,10 @@ object GraphStreams {
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
     val forestPath = s"$statePath/forest"
+    // a crash between a prior batch's retire and install leaves the
+    // forest aside — restore it before reading, or this batch would
+    // silently compute MST(batch) alone
+    healSwap(spark, forestPath)
     val b = batch0.select(col("u"), col("v"), col("w"))
       .filter(col("u") =!= col("v")).dropDuplicates()
     val prev =
@@ -604,7 +629,11 @@ object GraphStreams {
     val next = graft.operators.Graph.mstBoruvka(prev.unionByName(b))
       // materialize BEFORE overwriting the files the plan reads
       .localCheckpoint(true)
-    next.write.mode("overwrite").parquet(forestPath)
+    // rename-aside swap, never in-place overwrite: an overwrite's
+    // delete-then-write window would silently empty the forest on a
+    // crash (the healPairs/semanticPairCompact lesson, shared)
+    next.write.mode("overwrite").parquet(forestPath + "_swap_staging")
+    swapInstall(spark, forestPath)
     graft.operators.Checkpoints.free(next)
     cfs.mkdirs(commitDir)
     cfs.create(marker, true).close()
@@ -617,6 +646,7 @@ object GraphStreams {
   def mstResolveSummary(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
     val forestPath = s"$statePath/forest"
+    healSwap(spark, forestPath)
     if (!hasVisibleData(spark, forestPath)) {
       return Seq((0L, 0L, 0L)).toDF("n_edges", "total_weight", "n_components")
     }

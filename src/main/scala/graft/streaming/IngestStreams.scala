@@ -2069,7 +2069,17 @@ object IngestStreams {
     * (n_pairs, n_match, n_conflict, n_orphan). A pending pair with a
     * verdict row resolved retroactively; a pending pair without one
     * is an orphan — its media never arrived, the batch operator's
-    * left-join-null case. */
+    * left-join-null case.
+    *
+    * Verdict dedup is DETERMINISTIC by arrival order: resolved
+    * pendings are not pruned from the pending store, so a media
+    * doc_id re-arriving in a later batch retro-resolves the same
+    * pending again — and if the re-arrival carries different bytes
+    * the two verdict rows disagree. The earliest batch's verdict
+    * wins (min over the `batch=` delta-dir partition column), the
+    * same first-arrival semantics the fingerprint store's pruned
+    * lookups give captions. A plain dropDuplicates here would pick
+    * whichever row a shuffle surfaced first. */
   def pairAuditResolve(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
     if (!hasVisibleData(spark, s"$statePath/verdicts") &&
@@ -2080,8 +2090,11 @@ object IngestStreams {
     val verdicts =
       if (hasVisibleData(spark, s"$statePath/verdicts"))
         spark.read.parquet(s"$statePath/verdicts")
-          .select(col("caption_id"), col("source"), col("v"))
-          .dropDuplicates("caption_id")
+          .groupBy("caption_id")
+          .agg(min(struct(col("batch").cast("long").as("b"),
+            col("source"), col("v"))).as("w"))
+          .select(col("caption_id"), col("w.source").as("source"),
+            col("w.v").as("v"))
       else Seq.empty[(Long, String, String)].toDF("caption_id", "source", "v")
     val orphans =
       if (hasVisibleData(spark, s"$statePath/pending"))

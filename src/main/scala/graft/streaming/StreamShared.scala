@@ -28,4 +28,46 @@ private[streaming] object StreamState {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-  }}
+  }
+
+  /** Crash recovery for a [[swapInstall]] that died between retiring
+    * the live table and installing the staged one: the retired copy
+    * IS the table — put it back. No-op in every other state. Call on
+    * entry at every site that reads or rewrites the table (the
+    * VectorStreams `healPairs` contract, shared).
+    */
+  private[streaming] def healSwap(spark: SparkSession, livePath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val retired = new org.apache.hadoop.fs.Path(livePath + "_swap_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(retired)) {
+      require(fs.rename(retired, live),
+        s"swap recovery: could not restore $retired to $live")
+    }
+  }
+
+  /** Install an already-written `<livePath>_swap_staging` over the
+    * live table via rename-aside, never delete-then-write: a crash
+    * between a delete and the new write would silently EMPTY the
+    * maintained table (the retry then computes from nothing, no
+    * error anywhere). With the aside, every crash point leaves
+    * either the old table or the new one on disk; a crash in the one
+    * retire→install gap is healed by [[healSwap]] on next entry.
+    */
+  private[streaming] def swapInstall(spark: SparkSession, livePath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val staging = new org.apache.hadoop.fs.Path(livePath + "_swap_staging")
+    val retired = new org.apache.hadoop.fs.Path(livePath + "_swap_retired")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(retired, true) // leftover from a healed earlier crash
+    if (fs.exists(live)) {
+      require(fs.rename(live, retired), s"swap: could not retire $live")
+    }
+    if (!fs.rename(staging, live)) {
+      // put the old table back rather than leave none at all
+      if (fs.exists(retired)) fs.rename(retired, live)
+      throw new IllegalStateException(s"swap: could not install $staging")
+    }
+    fs.delete(retired, true)
+  }
+}

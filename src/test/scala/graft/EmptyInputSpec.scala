@@ -69,6 +69,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Relational.skewProfile(Seq.empty[Long].toDF("k"), "k").count() == 0)
   }
 
+  test("mstSummary on an empty edge set is the (0, 0, 0) summary row (the oracle's LEFT JOIN guard pins the same shape)") {
+    import spark.implicits._
+    val r = Graph.mstSummary(Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 0L, 0L)))
+  }
+
   test("triangle count on an empty edge set is the (0, 0, 0) summary row") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")

@@ -1493,6 +1493,76 @@ class StreamingSpec extends AnyFunSuite {
       s"condensation connectivity lost across the crash window: ${res2()}")
   }
 
+  test("a scheduled sccCompact inside an open crash window no-ops; after the retry it proceeds; label swap heals") {
+    import spark.implicits._
+    import graft.streaming.GraphStreams
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = java.nio.file.Files.createTempDirectory("graft-scc-cw-").toString
+    val (lbls, mrg, qe) = (s"$base/labels", s"$base/merges", s"$base/qedges")
+    def res() = asMap(GraphStreams.sccResolve(spark, lbls, mrg).collect())
+    def nMerges() = GraphStreams.sccStateStats(spark, lbls, mrg, qe)._2
+    // standing condensation edge 9 -> 40, then a crash that appends
+    // the 9 -> 5 merge without relabeling the condensation
+    GraphStreams.sccMergeBatch(Seq((9L, 40L)).toDF("u", "v"), 0L, lbls, mrg, qe, 4)
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((5L, 9L), (9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    }
+    // the operator's SCHEDULED compaction lands before the retry —
+    // it must refuse: consuming the log here would bake the crashed
+    // merge into labels while the condensation still reads (9, 40),
+    // and the retry's full-closure load would come back empty
+    val before = nMerges()
+    assert(before > 0)
+    GraphStreams.sccCompact(spark, lbls, mrg, 4)
+    assert(nMerges() == before,
+      "sccCompact consumed the merge log inside an open crash window")
+    // the retry closes the window exactly
+    GraphStreams.sccMergeBatch(Seq((5L, 9L), (9L, 5L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    assert(res() == Map(5L -> 5L, 9L -> 5L, 40L -> 40L), s"got ${res()}")
+    // window closed: the same compaction call now proceeds
+    GraphStreams.sccCompact(spark, lbls, mrg, 4)
+    assert(nMerges() == 0L, "post-retry compaction must truncate the log")
+    assert(res() == Map(5L -> 5L, 9L -> 5L, 40L -> 40L))
+    // the cycle through the standing condensation edge still closes
+    GraphStreams.sccMergeBatch(Seq((40L, 5L)).toDF("u", "v"), 2L, lbls, mrg, qe, 4)
+    assert(res() == Map(5L -> 5L, 9L -> 5L, 40L -> 5L),
+      s"condensation connectivity lost across crash->compact->retry: ${res()}")
+    // label-swap healing: a compaction crash between retire and
+    // install leaves only the retired copy — every reader restores it
+    val lp = new org.apache.hadoop.fs.Path(lbls)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(lp, new org.apache.hadoop.fs.Path(lbls + "_swap_retired")))
+    assert(res() == Map(5L -> 5L, 9L -> 5L, 40L -> 5L),
+      "sccResolve did not heal the retired label swap")
+  }
+
+  test("mst forest swap: a crash between retire and install heals on the next entry, batch or resolve") {
+    import spark.implicits._
+    import graft.streaming.GraphStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-mst-swap-").toString
+    val state = s"$base/state"
+    def forest() = spark.read.parquet(s"$state/forest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    GraphStreams.mstBatch(Seq((1L, 2L, 5L), (2L, 3L, 9L)).toDF("u", "v", "w"),
+      0L, state)
+    val fp = new org.apache.hadoop.fs.Path(s"$state/forest")
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(s"$state/forest_swap_retired")
+    // crash point: forest retired, staged copy never installed
+    assert(fs.rename(fp, aside))
+    val s1 = GraphStreams.mstResolveSummary(spark, state).head()
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2)) == ((2L, 14L, 1L)),
+      "resolve did not heal the retired forest")
+    // same crash point, healed by the next BATCH — without healing
+    // it would silently compute MST(batch) alone
+    assert(fs.rename(fp, aside))
+    GraphStreams.mstBatch(Seq((1L, 3L, 5L)).toDF("u", "v", "w"), 1L, state)
+    assert(forest() == Set((1L, 2L, 5L), (1L, 3L, 5L)),
+      s"batch after a swap crash lost the maintained forest: ${forest()}")
+  }
+
   test("streamedPairAudit == batch pairAudit; late media retro-resolves; never-arriving media orphans; replay no-ops") {
     import spark.implicits._
     import graft.streaming.IngestStreams
@@ -1536,6 +1606,16 @@ class StreamingSpec extends AnyFunSuite {
     IngestStreams.pairAuditBatch(docs(
       (4L, "totally other content zzzz qqqq xxxx", "books")), 1L, state, 4)
     assert(asMap(IngestStreams.pairAuditResolve(spark, state)) == after1)
+    // media 4 RE-arrives with DIFFERENT bytes (now identical to
+    // caption 3's text -> the re-resolution would say "match"): the
+    // unpruned pending retro-resolves AGAIN, and the two verdict
+    // rows disagree. The earliest batch's verdict must win,
+    // deterministically — counts unchanged from after1.
+    IngestStreams.pairAuditBatch(docs(
+      (4L, "first words here", "books")), 2L, state, 4)
+    val after2 = asMap(IngestStreams.pairAuditResolve(spark, state))
+    assert(after2 == Map("web" -> ((3L, 1L, 1L, 1L)), "books" -> ((1L, 1L, 0L, 0L))),
+      s"re-arriving media must not flip the earliest verdict: $after2")
     // empty state resolves empty
     assert(IngestStreams.pairAuditResolve(spark, s"$base/nope").count() == 0)
   }
