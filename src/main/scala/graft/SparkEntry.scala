@@ -297,6 +297,11 @@ object SparkEntry {
     // incremental SCC maintenance: append-only labels + merge log +
     // a maintained condensation store; shares q_scc's oracle
     "stream_scc" -> ((s, dir) => graft.streaming.GraphStreams.streamedScc(s, dir)),
+    // critical-path layering read face over the MAINTAINED
+    // condensation (stream_scc's qPath artifact) — resolve-time
+    // delta-fixpoint, never a recompute from raw edges
+    "stream_topo_layers" -> ((s, dir) =>
+      graft.streaming.GraphStreams.streamedTopoLayers(s, dir)),
     // Peeling at k=70 erodes the co-purchase graph's low-degree tail
     // (29 of 2000 parts cascade out at sf0.01) — the community-core
     // primitive; 8 unrolled rounds in the oracle, identical by
@@ -1037,6 +1042,38 @@ object SparkEntry {
       |    - 8 * COALESCE(cf.cfull, 0) AS BIGINT) AS total_weight,
       |  CAST(COALESCE(cf.cfull, 0) AS BIGINT) AS n_components
       |FROM nn LEFT JOIN cf ON TRUE""".stripMargin
+
+  /** The condensation + longest-path-ladder oracle — shared verbatim
+    * by `q_topo_layers` and its streamed resolve face
+    * `stream_topo_layers` (same md5-sampled fixture). */
+  private lazy val TopoLayersSql: String =
+    s"""WITH RECURSIVE li AS (
+      |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
+      |e AS MATERIALIZED (SELECT u, v FROM e0
+      |  WHERE substr(md5('scc:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '2666'),
+      |n AS MATERIALIZED (SELECT DISTINCT node FROM
+      |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
+      |reach(s, t) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t),
+      |mutual AS MATERIALIZED (
+      |  SELECT r1.s AS a, r1.t AS b FROM reach r1
+      |  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+      |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a),
+      |lab AS MATERIALIZED (
+      |  SELECT node, least(node, coalesce(mm.mb, node)) AS lab
+      |  FROM n LEFT JOIN mm ON mm.a = n.node),
+      |cond AS MATERIALIZED (
+      |  SELECT DISTINCT lu.lab AS u, lv.lab AS v
+      |  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+      |  WHERE lu.lab <> lv.lab),
+      |t0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS lvl FROM
+      |  (SELECT u AS node FROM cond UNION ALL SELECT v FROM cond)),
+      |$TopoRoundCtes
+      |SELECT node AS scc, CAST(lvl AS BIGINT) AS depth FROM t14""".stripMargin
 
   /** 14 unrolled longest-path rounds — the q_topo_layers oracle:
     * depth(v) = max over in-edges of depth(u) + 1, iterated to
@@ -1988,34 +2025,10 @@ object SparkEntry {
     // same condensation, then the unrolled longest-path ladder —
     // every (scc, depth) integer must agree with the delta-propagated
     // Spark fixpoint
-    "q_topo_layers" ->
-      s"""WITH RECURSIVE li AS (
-        |  SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
-        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
-        |e AS MATERIALIZED (SELECT u, v FROM e0
-        |  WHERE substr(md5('scc:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '2666'),
-        |n AS MATERIALIZED (SELECT DISTINCT node FROM
-        |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
-        |reach(s, t) AS (
-        |  SELECT u, v FROM e
-        |  UNION
-        |  SELECT r.s, e.v FROM reach r JOIN e ON e.u = r.t),
-        |mutual AS MATERIALIZED (
-        |  SELECT r1.s AS a, r1.t AS b FROM reach r1
-        |  JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
-        |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a),
-        |lab AS MATERIALIZED (
-        |  SELECT node, least(node, coalesce(mm.mb, node)) AS lab
-        |  FROM n LEFT JOIN mm ON mm.a = n.node),
-        |cond AS MATERIALIZED (
-        |  SELECT DISTINCT lu.lab AS u, lv.lab AS v
-        |  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
-        |  WHERE lu.lab <> lv.lab),
-        |t0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS lvl FROM
-        |  (SELECT u AS node FROM cond UNION ALL SELECT v FROM cond)),
-        |$TopoRoundCtes
-        |SELECT node AS scc, CAST(lvl AS BIGINT) AS depth FROM t14""".stripMargin,
+    "q_topo_layers" -> TopoLayersSql,
+    // the maintained condensation lays out to the same waves after
+    // the drain (committed batches keep qPath in current label space)
+    "stream_topo_layers" -> TopoLayersSql,
     // the PagerankRoundCtes ladder over the co-purchase graph: same
     // integer fixed-point arithmetic, so pr10 is bit-identical
     "q_pagerank" ->

@@ -382,6 +382,74 @@ object GraphStreams {
     sccResolve(spark, s"$base/labels", s"$base/merges")
   }
 
+  /** Streamed critical-path layering (the `stream_topo_layers`
+    * entry): the read face `q_topo_layers` was missing — the
+    * incremental-SCC maintenance already keeps the condensation DAG
+    * continuously current as its `qPath` artifact, so the layering
+    * is a RESOLVE-TIME delta-fixpoint over that maintained store,
+    * never a recomputation from raw edges. Same md5-sampled fixture
+    * as the batch twin, so the entry shares `q_topo_layers`'
+    * unrolled-ladder oracle verbatim after the drain. A
+    * cycle-closing batch re-layers the quotient automatically: the
+    * merge rewrites the condensation, and the next resolve lays out
+    * the new DAG (spec-driven).
+    */
+  def streamedTopoLayers(spark: SparkSession, dir: String,
+                         nBuckets: Int = 16): DataFrame = {
+    val edges = graft.operators.Graph.sampleEdges(
+        graft.operators.Graph.itemSequenceEdges(graft.Tables.lineitem(spark, dir)),
+        150, "scc:")
+      .localCheckpoint(true)
+    if (edges.isEmpty) {
+      graft.operators.Checkpoints.free(edges)
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("scc", "depth")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-topo-ing-").toString
+    val incoming = s"$base/incoming"
+    edges.filter(col("u") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    edges.filter(col("u") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(edges)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sccMergeBatch(b, id, s"$base/labels", s"$base/merges", s"$base/qedges", nBuckets)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    topoLayersResolve(spark, s"$base/qedges", s"$base/merges")
+  }
+
+  /** Layer the MAINTAINED condensation: endpoint labels resolved
+    * through the closed merge map first (the identity on clean state
+    * — committed batches leave the condensation in current label
+    * space — but exact if a crashed batch left the log ahead of the
+    * store), then the [[graft.operators.Graph.topoLayers]]
+    * delta-fixpoint over what is by construction a DAG. */
+  def topoLayersResolve(spark: SparkSession, qPath: String,
+                        mergesPath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, qPath)) {
+      return Seq.empty[(Long, Long)].toDF("scc", "depth")
+    }
+    val closureDf = closedMerges(spark, mergesPath).toSeq.toDF("mc_old", "mc_new")
+    val mu = closureDf.select(col("mc_old").as("u"), col("mc_new").as("nu"))
+    val mv = closureDf.select(col("mc_old").as("v"), col("mc_new").as("nv"))
+    val dag = spark.read.parquet(qPath).select(col("u"), col("v"))
+      .join(broadcast(mu), Seq("u"), "left")
+      .join(broadcast(mv), Seq("v"), "left")
+      .select(coalesce(col("nu"), col("u")).as("u"),
+        coalesce(col("nv"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    graft.operators.Graph.topoLayers(dag)
+      .select(col("node").as("scc"), col("depth"))
+  }
+
   /** Spec-only failpoint: when set, the next [[sccMergeBatch]] throws
     * AFTER appending its merge records but BEFORE the label append /
     * condensation rewrite — the exact crash window the pending-marker

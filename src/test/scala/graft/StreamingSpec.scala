@@ -1493,6 +1493,34 @@ class StreamingSpec extends AnyFunSuite {
       s"condensation connectivity lost across the crash window: ${res2()}")
   }
 
+  test("streamedTopoLayers == batch layering after drain; a cycle-closing batch re-layers the quotient") {
+    import spark.implicits._
+    import graft.streaming.GraphStreams
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full-fixture parity: the maintained condensation lays out to
+    // the same waves as condense-then-layer from scratch
+    val streamed = asMap(GraphStreams.streamedTopoLayers(spark, sf).collect())
+    val batch = asMap(SparkEntry.queries("q_topo_layers")(spark, sf).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven re-layering: batch 0 is the chain 1->2->3->4
+    // (depths 0,1,2,3); batch 1's 3->2 closes the {2,3} cycle, the
+    // maintenance rewrites the condensation to 1->2->4, and the
+    // resolve lays out the NEW quotient (depths 0,1,2)
+    val base = java.nio.file.Files.createTempDirectory("graft-topo-replay-").toString
+    val (lbls, mrg, qe) = (s"$base/labels", s"$base/merges", s"$base/qedges")
+    def layers() = asMap(GraphStreams.topoLayersResolve(spark, qe, mrg).collect())
+    GraphStreams.sccMergeBatch(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v"),
+      0L, lbls, mrg, qe, 4)
+    assert(layers() == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"chain layering wrong: ${layers()}")
+    GraphStreams.sccMergeBatch(Seq((3L, 2L)).toDF("u", "v"), 1L, lbls, mrg, qe, 4)
+    assert(layers() == Map(1L -> 0L, 2L -> 1L, 4L -> 2L),
+      s"cycle-closing batch did not re-layer the quotient: ${layers()}")
+    // empty state resolves empty
+    assert(GraphStreams.topoLayersResolve(spark, s"$base/nope", mrg).count() == 0)
+  }
+
   test("a scheduled sccCompact inside an open crash window no-ops; after the retry it proceeds; label swap heals") {
     import spark.implicits._
     import graft.streaming.GraphStreams
