@@ -115,6 +115,10 @@ object SparkEntry {
     // activity islands, covered/span days, utilization ppm
     "q_interval_coverage" -> ((s, dir) =>
       Relational.intervalCoverage(Tables.lineitem(s, dir))),
+    // merged-on-arrival per-key island state over the same fixture;
+    // the store holds islands (bounded), never raw intervals
+    "stream_interval_coverage" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedIntervalCoverage(s, dir)),
     "q_session_window" -> ((s, dir) => Relational.sessionWindowAgg(Tables.events(s, dir), 30)),
     "q_hopping_window" -> ((s, dir) => Relational.hoppingWindow(Tables.events(s, dir))),
     // two deterministic synthetic "snapshots" of the documents table:
@@ -1042,6 +1046,38 @@ object SparkEntry {
       |    - 8 * COALESCE(cf.cfull, 0) AS BIGINT) AS total_weight,
       |  CAST(COALESCE(cf.cfull, 0) AS BIGINT) AS n_components
       |FROM nn LEFT JOIN cf ON TRUE""".stripMargin
+
+  /** The gaps-and-islands coverage sweep in SQL — shared verbatim by
+    * the batch entry and its streamed island-maintenance face. */
+  private val IntervalCoverageSql: String =
+    """WITH iv AS (
+      |  SELECT l_partkey AS k,
+      |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
+      |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+      |      + 1 + (CAST(l_quantity AS BIGINT) % 14) AS BIGINT) AS e
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM iv),
+      |g AS (
+      |  SELECT k, s, e,
+      |    CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END AS ni
+      |  FROM f),
+      |h AS (
+      |  SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM g),
+      |pi AS (
+      |  SELECT k, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+      |  FROM h GROUP BY 1, 2)
+      |SELECT k AS part_id,
+      |  CAST(sum(n) AS BIGINT) AS n_intervals,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered_days,
+      |  CAST(max(i_e) - min(i_s) + 1 AS BIGINT) AS span_days,
+      |  CAST(sum(i_e - i_s + 1) * 1000000 // (max(i_e) - min(i_s) + 1) AS BIGINT) AS utilization_ppm
+      |FROM pi GROUP BY k""".stripMargin
 
   /** The condensation + longest-path-ladder oracle — shared verbatim
     * by `q_topo_layers` and its streamed resolve face
@@ -2277,35 +2313,11 @@ object SparkEntry {
     // the same two-window sweep (running max-end flags island
     // starts, running sum numbers them) — all-integer day arithmetic
     // so every count/length/ppm must agree exactly
-    "q_interval_coverage" ->
-      """WITH iv AS (
-        |  SELECT l_partkey AS k,
-        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
-        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
-        |      + 1 + (CAST(l_quantity AS BIGINT) % 14) AS BIGINT) AS e
-        |  FROM lineitem),
-        |f AS (
-        |  SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-        |  FROM iv),
-        |g AS (
-        |  SELECT k, s, e,
-        |    CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END AS ni
-        |  FROM f),
-        |h AS (
-        |  SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM g),
-        |pi AS (
-        |  SELECT k, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
-        |  FROM h GROUP BY 1, 2)
-        |SELECT k AS part_id,
-        |  CAST(sum(n) AS BIGINT) AS n_intervals,
-        |  CAST(count(*) AS BIGINT) AS n_islands,
-        |  CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered_days,
-        |  CAST(max(i_e) - min(i_s) + 1 AS BIGINT) AS span_days,
-        |  CAST(sum(i_e - i_s + 1) * 1000000 // (max(i_e) - min(i_s) + 1) AS BIGINT) AS utilization_ppm
-        |FROM pi GROUP BY k""".stripMargin,
+    "q_interval_coverage" -> IntervalCoverageSql,
+    // the maintained island store folds to the same summary after
+    // the drain (interval union is associative; weights keep
+    // n_intervals exact)
+    "stream_interval_coverage" -> IntervalCoverageSql,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),

@@ -767,12 +767,28 @@ object Relational {
     * key; ties in the sort are fully identical rows, so every window
     * value is order-insensitive (the §3 determinism rule).
     */
-  def intervalCoverage(lineitem: DataFrame): DataFrame = {
-    val iv = lineitem.select(
-        col("l_partkey").as("k"),
-        datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long").as("s"),
-        (datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long")
-          + 1L + pmod(col("l_quantity").cast("long"), lit(14L))).as("e"))
+  def intervalCoverage(lineitem: DataFrame): DataFrame =
+    coverageSummary(sweepIslands(
+      intervalFixture(lineitem).withColumn("wt", lit(1L))))
+
+  /** The deterministic per-lineitem interval fixture (see
+    * [[intervalCoverage]]): (k, s, e) in days since 1992-01-01. */
+  def intervalFixture(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_partkey").as("k"),
+      datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long").as("s"),
+      (datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).cast("long")
+        + 1L + pmod(col("l_quantity").cast("long"), lit(14L))).as("e"))
+
+  /** The weighted sweep: merge (k, s, e, wt) intervals into maximal
+    * islands (k, i_s, i_e, n) where n sums the weights. With wt = 1
+    * this is exactly the batch coverage sweep; the streamed face
+    * feeds it stored islands carrying their interval counts as
+    * weights — islands(A ∪ B) = islands(islands(A) ∪ B) because
+    * interval union is associative, and the weight sums keep
+    * n_intervals exact across re-sweeps.
+    */
+  def sweepIslands(iv: DataFrame): DataFrame = {
     val ord = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy(col("s"), col("e"))
     val prevMax = max(col("e")).over(
@@ -784,9 +800,16 @@ object Relational {
           .otherwise(0L))
     val islands = flagged.withColumn("island", sum(col("ni")).over(
       ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val perIsland = islands.groupBy("k", "island")
+    islands.groupBy("k", "island")
       .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"),
-        count(lit(1)).as("n"))
+        sum(col("wt")).as("n"))
+      .select("k", "i_s", "i_e", "n")
+  }
+
+  /** Roll merged islands up to the per-key coverage summary — the
+    * `q_interval_coverage` output shape, shared by the streamed
+    * resolve face. */
+  def coverageSummary(perIsland: DataFrame): DataFrame =
     perIsland.groupBy("k").agg(
         sum(col("n")).as("n_intervals"),
         count(lit(1)).as("n_islands"),
@@ -796,5 +819,4 @@ object Relational {
         expr("covered_days * 1000000 div span_days"))
       .select(col("k").as("part_id"), col("n_intervals"), col("n_islands"),
         col("covered_days"), col("span_days"), col("utilization_ppm"))
-  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.streaming.StreamState.hasVisibleData
+import graft.streaming.StreamState.{hasVisibleData, healSwap, swapInstall}
 
 /** Streaming INGEST-DEDUP / table-maintenance faces (SURVEY §2.7
   * rows 37b\'… 37t and §2.8 sinks): URL/CDC/quality/near-dup/span/
@@ -2142,5 +2142,135 @@ object IngestStreams {
       .start()
     q.awaitTermination()
     pairAuditResolve(spark, state)
+  }
+
+  // ------------------------------------------------------------------
+  // Streamed interval-union coverage (the `stream_interval_coverage`
+  // entry): per-key ISLAND state, merged on arrival — an arriving
+  // interval extends an island, bridges two existing islands into
+  // one, or opens a new one, all of which fall out of re-running the
+  // weighted sweep over (stored islands ∪ batch intervals) for the
+  // touched buckets only. The store holds MERGED islands (bounded by
+  // islands, not raw intervals: a key with 10^6 arrivals and 3
+  // activity windows stores 3 rows), each carrying its interval
+  // count as a weight, so n_intervals stays exact across re-sweeps.
+  // ------------------------------------------------------------------
+
+  private def ivBucketDir(statePath: String, bk: Long) = s"$statePath/islands_b$bk"
+
+  /** One streamed-coverage micro-batch, exposed for the replay spec.
+    *
+    * State: per-bucket parquet dirs `islands_b<k%nBuckets>` of
+    * (k, i_s, i_e, n, last_b) — plain sibling dirs, not partitionBy
+    * discovery, so each bucket swaps independently via rename-aside.
+    * Idempotence is PER BUCKET: every rewritten row carries the
+    * rewriting batch id (`last_b`), so a crash-window retry skips
+    * buckets already current through this batch and merges only the
+    * rest — re-merging would double the weights. Only touched
+    * buckets are ever read or rewritten: per-batch cost is
+    * O(islands in touched buckets + batch), however many intervals
+    * ever streamed past.
+    */
+  private[graft] def intervalBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String,
+                                   nBuckets: Int = 16): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_iv_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val batch = batch0.select(col("k"), col("s"), col("e"))
+      .withColumn("bk", pmod(col("k"), lit(nBuckets.toLong)))
+      .persist()
+    try {
+      val touched = batch.select(col("bk")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      touched.foreach(bk => healSwap(spark, ivBucketDir(statePath, bk)))
+      // crash-window retry: skip buckets already merged by this batch
+      val todo = touched.filter { bk =>
+        val p = ivBucketDir(statePath, bk)
+        !hasVisibleData(spark, p) ||
+          spark.read.parquet(p).agg(max(col("last_b"))).head.getLong(0) < batchId
+      }
+      if (todo.nonEmpty) {
+        val existing = todo.map(ivBucketDir(statePath, _))
+          .filter(hasVisibleData(spark, _))
+        val stored =
+          if (existing.nonEmpty)
+            spark.read.parquet(existing: _*)
+              .select(col("k"), col("i_s").as("s"), col("i_e").as("e"),
+                col("n").as("wt"))
+          else batch.limit(0).select(col("k"), col("s"), col("e"),
+            lit(0L).as("wt"))
+        val fresh = batch.filter(col("bk").isin(todo: _*))
+          .select(col("k"), col("s"), col("e"), lit(1L).as("wt"))
+        val merged = graft.operators.Relational
+          .sweepIslands(stored.unionByName(fresh))
+          .withColumn("last_b", lit(batchId))
+          .withColumn("bk", pmod(col("k"), lit(nBuckets.toLong)))
+          .localCheckpoint(true)
+        todo.foreach { bk =>
+          val live = ivBucketDir(statePath, bk)
+          merged.filter(col("bk") === bk).drop("bk")
+            .write.mode("overwrite").parquet(live + "_swap_staging")
+          swapInstall(spark, live)
+        }
+        graft.operators.Checkpoints.free(merged)
+      }
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Resolve the maintained island store to the
+    * [[graft.operators.Relational.intervalCoverage]] summary shape —
+    * a single grouped aggregate: the maintenance already merged every
+    * island on arrival. */
+  def intervalCoverageResolve(spark: SparkSession, statePath: String,
+                              nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val dirs = (0L until nBuckets.toLong).map { bk =>
+      healSwap(spark, ivBucketDir(statePath, bk))
+      ivBucketDir(statePath, bk)
+    }.filter(hasVisibleData(spark, _))
+    if (dirs.isEmpty) {
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("part_id", "n_intervals", "n_islands", "covered_days",
+          "span_days", "utilization_ppm")
+    }
+    graft.operators.Relational.coverageSummary(
+      spark.read.parquet(dirs: _*).select("k", "i_s", "i_e", "n"))
+  }
+
+  /** End-to-end streamed coverage over the lineitem interval fixture
+    * (the `stream_interval_coverage` entry): two u-parity shards →
+    * two micro-batches; after the drain the maintained islands equal
+    * the batch sweep's (interval union is associative), so the entry
+    * shares `q_interval_coverage`'s oracle verbatim. */
+  def streamedIntervalCoverage(spark: SparkSession, dir: String,
+                               nBuckets: Int = 16): DataFrame = {
+    val iv = graft.operators.Relational
+      .intervalFixture(graft.Tables.lineitem(spark, dir))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-iv-ing-").toString
+    val incoming = s"$base/incoming"
+    iv.filter(col("k") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    iv.filter(col("k") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(iv)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("s", LongType), StructField("e", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        intervalBatch(b, id, state, nBuckets)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    intervalCoverageResolve(spark, state, nBuckets)
   }
 }

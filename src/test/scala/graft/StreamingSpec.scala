@@ -1493,6 +1493,53 @@ class StreamingSpec extends AnyFunSuite {
       s"condensation connectivity lost across the crash window: ${res2()}")
   }
 
+  test("streamedIntervalCoverage == batch coverage; a late interval bridges two islands; retry skips merged buckets; swap heals") {
+    import spark.implicits._
+    import graft.streaming.IngestStreams
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // full-fixture parity with the batch sweep (shared oracle claim)
+    val streamed = asMap(IngestStreams.streamedIntervalCoverage(spark, sf))
+    val batch = asMap(graft.operators.Relational
+      .intervalCoverage(Tables.lineitem(spark, sf)))
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven retro-merge: batch 0 plants islands [0,2] and
+    // [10,12] for key 7; batch 1's [3,9] is adjacent to the first
+    // and overlaps the second — it must BRIDGE them into one island
+    val base = java.nio.file.Files.createTempDirectory("graft-iv-replay-").toString
+    val state = s"$base/state"
+    def res() = asMap(IngestStreams.intervalCoverageResolve(spark, state, 4))
+    IngestStreams.intervalBatch(
+      Seq((7L, 0L, 2L), (7L, 10L, 12L)).toDF("k", "s", "e"), 0L, state, 4)
+    assert(res() == Map(7L -> ((2L, 2L, 6L, 13L, 461538L))), s"got ${res()}")
+    IngestStreams.intervalBatch(Seq((7L, 3L, 9L)).toDF("k", "s", "e"), 1L, state, 4)
+    assert(res() == Map(7L -> ((3L, 1L, 13L, 13L, 1000000L))),
+      s"bridging interval did not merge the islands: ${res()}")
+    // the store holds MERGED islands, not raw intervals: one row
+    val bucketDir = s"$state/islands_b${7 % 4}"
+    assert(spark.read.parquet(bucketDir).count() == 1L)
+    // crash-window retry with the bucket already merged: the per-
+    // bucket last_b check must skip it (re-merging doubles weights)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_iv_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.intervalBatch(Seq((7L, 3L, 9L)).toDF("k", "s", "e"), 1L, state, 4)
+    assert(res() == Map(7L -> ((3L, 1L, 13L, 13L, 1000000L))),
+      s"retry re-merged an already-current bucket: ${res()}")
+    // committed replay short-circuits
+    IngestStreams.intervalBatch(Seq((7L, 3L, 9L)).toDF("k", "s", "e"), 1L, state, 4)
+    assert(res() == Map(7L -> ((3L, 1L, 13L, 13L, 1000000L))))
+    // a swap crash between retire and install heals on entry
+    val bp = new org.apache.hadoop.fs.Path(bucketDir)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(bp, new org.apache.hadoop.fs.Path(bucketDir + "_swap_retired")))
+    assert(res() == Map(7L -> ((3L, 1L, 13L, 13L, 1000000L))),
+      "resolve did not heal the retired island bucket")
+    // empty state resolves empty
+    assert(IngestStreams.intervalCoverageResolve(spark, s"$base/nope", 4).count() == 0)
+  }
+
   test("streamedTopoLayers == batch layering after drain; a cycle-closing batch re-layers the quotient") {
     import spark.implicits._
     import graft.streaming.GraphStreams
