@@ -745,6 +745,11 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("n_bytes"))
     }),
     "mm_phash_dedup" -> ((s, dir) => Multimodal.phashSummary(Tables.documents(s, dir))),
+    // the REAL-decoder twin: render docs into real PNGs, ImageIO
+    // decode, DCT phash, same banded near-dup machinery (rows-gated:
+    // DCT doubles aren't DuckDB-replayable)
+    "mm_phash_decoded" -> ((s, dir) =>
+      Multimodal.phashSummaryDecoded(Tables.documents(s, dir))),
     // CLIP-style caption↔media pair audit: per-source matched /
     // conflict / orphan counts in deterministic fingerprint space
     "mm_pair_audit" -> ((s, dir) => Multimodal.pairAudit(Tables.documents(s, dir))),
@@ -4339,5 +4344,6 @@ object SparkEntry {
     "q_kll_sketch" -> 6L,          // one audited estimate per permille probe
     "stream_kll" -> 6L,            // same probe set, sketch-store merged
     "dedup_semantic" -> 500L,      // one verdict row per embedding
-    "stream_semantic" -> 500L)     // its maintained twin, same contract
+    "stream_semantic" -> 500L,     // its maintained twin, same contract
+    "mm_phash_decoded" -> 500L)    // one summary row per rendered PNG
 }

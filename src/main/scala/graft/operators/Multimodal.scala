@@ -205,21 +205,27 @@ object Multimodal {
     payloads
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val h = histStub(bytes, dim)
-        val total = bytes.length.toLong
-        val bs = (0 until nBands).map { b =>
-          var acc = 0L
-          var j = 0
-          while (j < bandWidth) {
-            if (h(b * bandWidth + j) * dim > total) acc |= (1L << j)
-            j += 1
-          }
-          acc
-        }
-        (id, bs)
-      }
+      .map { case (id, bytes) => (id, stubBands(bytes, dim, nBands)) }
       .toDF("doc_id", "phash_bands")
+  }
+
+  /** The histogram-stub band computation for one payload — the
+    * fallback [[phashBandsDecoded]] drops to when a payload isn't a
+    * decodable image. */
+  private[graft] def stubBands(bytes: Array[Byte], dim: Int,
+                               nBands: Int): Seq[Long] = {
+    val bandWidth = dim / nBands
+    val h = histStub(bytes, dim)
+    val total = bytes.length.toLong
+    (0 until nBands).map { b =>
+      var acc = 0L
+      var j = 0
+      while (j < bandWidth) {
+        if (h(b * bandWidth + j) * dim > total) acc |= (1L << j)
+        j += 1
+      }
+      acc
+    }
   }
 
   /** Perceptual-hash near-duplicates: pairs within `maxHamming` bits.
@@ -363,10 +369,16 @@ object Multimodal {
   }
 
   def phashSummary(documents: DataFrame, dim: Int = 64, nBands: Int = 4,
-                   maxHamming: Int = 3, maxBandDf: Int = 100): DataFrame = {
+                   maxHamming: Int = 3, maxBandDf: Int = 100): DataFrame =
     // one checkpointed band frame feeds BOTH the pair generation and
     // the final projection — the decode pass runs once per invocation
-    val ph = phashBands(documents, dim, nBands).localCheckpoint(true)
+    summaryFromBands(phashBands(documents, dim, nBands).localCheckpoint(true),
+      nBands, maxHamming, maxBandDf)
+
+  /** The per-doc summary tail shared by the stub and decoded paths:
+    * band values + near-dup degree from one materialized band frame. */
+  private def summaryFromBands(ph: DataFrame, nBands: Int, maxHamming: Int,
+                               maxBandDf: Int): DataFrame = {
     val pairs = phashNearDupFromBands(ph, nBands, maxHamming, maxBandDf)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
@@ -376,5 +388,196 @@ object Multimodal {
       .select(col("doc_id") +:
         (0 until nBands).map(b => element_at(col("phash_bands"), b + 1).as(s"b$b")) :+
         coalesce(col("n_near"), lit(0L)).as("n_near"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image decode (r13): javax.imageio ships with the JDK, so the
+  // decode stub boundary can be retired for genuinely-image payloads.
+  // The pipeline below is the standard DCT perceptual hash: decode →
+  // grayscale → 32×32 area-average resize → 2D DCT-II → 8×8
+  // low-frequency block → median threshold → 64-bit hash, split into
+  // the SAME 4×16-bit band schema as the stub path, so every
+  // downstream join/cap/summary shape is unchanged — exactly the swap
+  // the stub docs promised. Payloads that aren't decodable images
+  // fall back to the histogram stub (documented fallback), which
+  // keeps mixed corpora total.
+  // ------------------------------------------------------------------
+
+  /** Deterministic 16×16 grayscale PNG rendering a payload's byte
+    * histogram — a REAL ImageIO encode (pure function of bytes), the
+    * media fixture for the decoded-path entry: the container ships no
+    * image corpus, so the documents table is rendered into one. */
+  def pngFromPayload(payload: Array[Byte]): Array[Byte] = {
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < payload.length) {
+      hist(java.lang.Byte.toUnsignedInt(payload(i))) += 1L
+      i += 1
+    }
+    val mx = math.max(1L, hist.max)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < 256) {
+      raster.setSample(p % 16, p / 16, 0, ((hist(p) * 255L) / mx).toInt)
+      p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real JDK decode: (width, height, row-major gray pixels 0..255),
+    * or None when the payload isn't a decodable image (the fallback
+    * trigger). RGB sources reduce by integer ITU-R 601 luminance. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    val px = new Array[Int](w * h)
+    val raster = img.getRaster
+    // single-band (grayscale) sources read RAW samples — getRGB would
+    // push them through a gray→sRGB color-space conversion and the
+    // round-trip would no longer be lossless
+    val gray = raster.getNumBands == 1 &&
+      img.getColorModel.getComponentSize(0) <= 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          if (gray) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            (299 * r + 587 * g + 114 * b) / 1000
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** 32×32 DCT-II cosine table via StrictMath (bit-identical on every
+    * platform — Math.cos is allowed 1 ulp of wobble, which could flip
+    * a threshold bit on some JVM and break determinism). */
+  private lazy val DctCos: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(n, n)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n)))
+  }
+
+  /** The standard DCT perceptual hash over decoded pixels: area-
+    * average resize to 32×32, 2D DCT-II, 8×8 low-frequency block,
+    * bit = coefficient > median of the block. 64 bits. */
+  def dctPhash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val n = 32
+    // area-average resize: each target cell averages its source box
+    val small = new Array[Double](n * n)
+    var ty = 0
+    while (ty < n) {
+      val y0 = ty * h / n
+      val y1 = math.max(y0 + 1, (ty + 1) * h / n)
+      var tx = 0
+      while (tx < n) {
+        val x0 = tx * w / n
+        val x1 = math.max(x0 + 1, (tx + 1) * w / n)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        small(ty * n + tx) = s.toDouble / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    // 2D DCT-II, low 8×8 block only (64 of the 1024 coefficients)
+    val block = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < n) {
+          val cu = DctCos(u)(y)
+          var x = 0
+          while (x < n) { acc += small(y * n + x) * cu * DctCos(v)(x); x += 1 }
+          y += 1
+        }
+        block(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = block.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (block(k) > median) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** Band frame via the REAL decoder — same (doc_id, phash_bands)
+    * schema as [[phashBandsFromPayload]], so candidate generation,
+    * the band-df cap, and the summary all apply unchanged. The
+    * 64-bit DCT hash splits into 4×16-bit bands; undecodable
+    * payloads fall back to the histogram stub. */
+  def phashBandsDecoded(payloads: DataFrame, nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, "64 bits must split evenly into bands")
+    val bandWidth = 64 / nBands
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val bs = decodeImage(bytes) match {
+          case Some((w, h, px)) =>
+            val hash = dctPhash64(w, h, px)
+            (0 until nBands).map(b =>
+              (hash >>> (b * bandWidth)) & ((1L << bandWidth) - 1L))
+          case None => stubBands(bytes, 64, nBands)
+        }
+        (id, bs)
+      }
+      .toDF("doc_id", "phash_bands")
+  }
+
+  /** Decoded-path near-dup summary (the `mm_phash_decoded` entry):
+    * render each doc into a real PNG ([[pngFromPayload]]), decode it
+    * back with ImageIO, DCT-phash the pixels, and run the SAME
+    * banded near-dup + cap + summary as the stub path. maxHamming
+    * stays at 3 — the re-widening the stub path couldn't afford
+    * (Pipeline.mmCleanCorpus docs): the DCT hash separates content,
+    * so ≤3 is a genuine near-dup band, not a degenerate one.
+    * Rows-only gate: the DCT coefficients are doubles, so the DuckDB
+    * oracle can't replay the threshold bits; the spec pins encode→
+    * decode losslessness, hash determinism, and the planted-twin /
+    * far-pair separations, and the row count is pinned for the
+    * driver's rows-gate. */
+  def phashSummaryDecoded(documents: DataFrame, nBands: Int = 4,
+                          maxHamming: Int = 3, maxBandDf: Int = 100): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pngs = documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, pngFromPayload(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF("doc_id", "payload")
+    summaryFromBands(phashBandsDecoded(pngs, nBands).localCheckpoint(true),
+      nBands, maxHamming, maxBandDf)
   }
 }

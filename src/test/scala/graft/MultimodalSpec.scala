@@ -126,6 +126,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(deg == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L), s"got $deg")
   }
 
+  test("real decode: pngFromPayload is a genuine PNG, ImageIO round-trips it losslessly, undecodable payloads fall back to the stub") {
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val png = Multimodal.pngFromPayload(bytes)
+    // PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte, "not a PNG")
+    val Some((w, h, px)) = Multimodal.decodeImage(png)
+    assert(w == 16 && h == 16 && px.length == 256)
+    // lossless: decoded pixels are exactly the rendered histogram
+    val hist = new Array[Long](256)
+    bytes.foreach(b => hist(java.lang.Byte.toUnsignedInt(b)) += 1L)
+    val mx = math.max(1L, hist.max)
+    (0 until 256).foreach(i =>
+      assert(px(i) == ((hist(i) * 255L) / mx).toInt, s"pixel $i lossy"))
+    // a non-image payload is None -> stub fallback in the band frame
+    assert(Multimodal.decodeImage(bytes).isEmpty)
+    import spark.implicits._
+    val mixed = Seq((1L, png), (2L, bytes)).toDF("doc_id", "payload")
+    val bands = Multimodal.phashBandsDecoded(mixed).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val stub = Multimodal.phashBandsFromPayload(
+        Seq((2L, bytes)).toDF("doc_id", "payload")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(2L) == stub(2L), "undecodable payload must take the stub path")
+    // the decoded path's 4x16 bands reassemble the 64-bit DCT hash
+    val hash = Multimodal.dctPhash64(w, h, px)
+    val reassembled = (0 until 4).map(b => (hash >>> (b * 16)) & 0xffffL)
+    assert(bands(1L) == reassembled)
+  }
+
+  test("decoded-path near-dup: identical renders pair at hamming 0, a perturbed render stays near, disjoint content far") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val df = Seq(
+      (1L, base, "s"),
+      (2L, base.split(' ').reverse.mkString(" "), "s"), // same histogram -> same PNG
+      (3L, base + " zq", "s"),                          // tiny histogram perturbation
+      (4L, "0123456789" * 18, "s")                      // disjoint alphabet
+    ).toDF("doc_id", "text", "source")
+    def hashOf(t: String) = {
+      val Some((w, h, px)) = Multimodal.decodeImage(
+        Multimodal.pngFromPayload(t.getBytes("UTF-8")))
+      Multimodal.dctPhash64(w, h, px)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hashOf(base) == hashOf(base.split(' ').reverse.mkString(" ")))
+    val near = hamming(hashOf(base), hashOf(base + " zq"))
+    val far = hamming(hashOf(base), hashOf("0123456789" * 18))
+    assert(near <= 3, s"perturbation drifted $near bits")
+    assert(far > 10, s"disjoint content only $far bits apart")
+    // the full summary finds the planted twin through the band join
+    val deg = Multimodal.phashSummaryDecoded(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(deg(1L) >= 1L && deg(2L) >= 1L,
+      s"identical renders must pair: $deg")
+    assert(deg(4L) == 0L, s"disjoint content must not pair: $deg")
+    // determinism across invocations (StrictMath cosines)
+    assert(hashOf(base) == hashOf(base))
+  }
+
   test("phash bands are partitioning-invariant and within 16-bit range") {
     val docs = Tables.documents(spark, SharedSpark.sf)
     val a = Multimodal.phashBands(docs).collect()
