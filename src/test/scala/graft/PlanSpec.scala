@@ -22,6 +22,23 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("PLANS.md inventory is complete: every non-streaming query has a committed plan section") {
+    // the r12 lesson: q_interval_coverage landed after the last
+    // PlanNotes regeneration and shipped without its plan audited —
+    // nothing failed loud. Now it does: a query added without
+    // re-running `runMain graft.PlanNotes` fails here.
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val sections = plans.linesIterator
+      .filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    val wanted = SparkEntry.queries.keySet.filterNot(_.startsWith("stream_"))
+    val missing = wanted -- sections
+    assert(missing.isEmpty,
+      s"queries with no committed plan (re-run `runMain graft.PlanNotes`): $missing")
+    val stale = sections -- wanted
+    assert(stale.isEmpty, s"PLANS.md sections for queries that no longer exist: $stale")
+  }
+
   test("q1_agg: filter pushed to parquet, columns pruned, partial agg before exchange") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
