@@ -750,6 +750,11 @@ object SparkEntry {
     // DCT doubles aren't DuckDB-replayable)
     "mm_phash_decoded" -> ((s, dir) =>
       Multimodal.phashSummaryDecoded(Tables.documents(s, dir))),
+    // its maintained twin: PNG payloads arrive as binary, the
+    // ImageIO+DCT band function drops into the same phash state
+    // machinery (rows-gated, same DCT-double reason)
+    "stream_phash_decoded" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedPhashDecoded(s, dir)),
     // CLIP-style caption↔media pair audit: per-source matched /
     // conflict / orphan counts in deterministic fingerprint space
     "mm_pair_audit" -> ((s, dir) => Multimodal.pairAudit(Tables.documents(s, dir))),
@@ -4345,5 +4350,6 @@ object SparkEntry {
     "stream_kll" -> 6L,            // same probe set, sketch-store merged
     "dedup_semantic" -> 500L,      // one verdict row per embedding
     "stream_semantic" -> 500L,     // its maintained twin, same contract
-    "mm_phash_decoded" -> 500L)    // one summary row per rendered PNG
+    "mm_phash_decoded" -> 500L,    // one summary row per rendered PNG
+    "stream_phash_decoded" -> 500L) // its maintained twin, same contract
 }

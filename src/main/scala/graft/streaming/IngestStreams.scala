@@ -1189,6 +1189,45 @@ object IngestStreams {
     phashResolve(spark, s"$base/state")
   }
 
+  /** Streamed REAL-decoder phash maintenance (the
+    * `stream_phash_decoded` entry): the decoded twin of
+    * [[streamedPhashDedup]] — each doc renders to a real PNG (the
+    * `mm_phash_decoded` fixture), arrives as a binary payload, and
+    * the maintenance runs ImageIO decode + DCT phash per arrival
+    * with the SAME band state, cumulative-df cap, and resolve
+    * re-filter. Rows-only gate (the DCT-double reason); the spec
+    * pins streamed == batch `phashSummaryDecoded`. */
+  def streamedPhashDecoded(spark: SparkSession, dir: String,
+                           nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, graft.operators.Multimodal.pngFromPayload(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
+      .toDF("doc_id", "payload")
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-phd-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        phashBatch(b, id, s"$base/state", nBuckets, decoded = true)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    phashResolve(spark, s"$base/state")
+  }
+
   /** CONTINUOUS MEDIA ingest — [[phashIngest]] fed from a streaming
     * `binaryFile` landing directory ([[graft.sources.Sources
     * .readBinaryCorpusStream]]): each arriving media file becomes a
@@ -1246,7 +1285,8 @@ object IngestStreams {
   private[graft] def phashBatch(batch0: org.apache.spark.sql.DataFrame,
                                 batchId: Long, statePath: String,
                                 nBuckets: Int, maxHamming: Int = 3,
-                                maxBandDf: Int = 100): Unit = {
+                                maxBandDf: Int = 100,
+                                decoded: Boolean = false): Unit = {
     val spark = batch0.sparkSession
     val commitDir = new org.apache.hadoop.fs.Path(statePath, "_ph_commits")
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
@@ -1257,7 +1297,13 @@ object IngestStreams {
       val phsPath = s"$statePath/phs"
       val bandsPath = s"$statePath/bands"
       val pairsPath = s"$statePath/pairs"
-      val newPh = (if (batch.columns.contains("payload"))
+      // the decode swap the stub docs promised: the REAL ImageIO+DCT
+      // band function drops in here and every downstream state/join/
+      // cap/resolve shape runs unchanged
+      val newPh = (if (decoded)
+          graft.operators.Multimodal.phashBandsDecoded(
+            batch.select(col("doc_id"), col("payload")))
+        else if (batch.columns.contains("payload"))
           graft.operators.Multimodal.phashBandsFromPayload(batch)
         else graft.operators.Multimodal.phashBands(batch))
         .localCheckpoint(true)

@@ -55,10 +55,13 @@ class EntrySpec extends AnyFunSuite {
                         // set against an independent local implementation
       "stream_semantic", // its maintained twin: same float reason,
                          // VectorStreamsSpec pins streamed == batch
-      "mm_phash_decoded") // real ImageIO decode + DCT phash: the DCT
+      "mm_phash_decoded", // real ImageIO decode + DCT phash: the DCT
                           // coefficients are doubles, so DuckDB can't
                           // replay the threshold bits; MultimodalSpec
                           // pins losslessness + twin/far separations
+      "stream_phash_decoded") // its maintained twin: same DCT-double
+                              // reason; StreamingSpec pins streamed
+                              // == batch phashSummaryDecoded
     assert(rowsOnly == expected, s"undocumented rows-only queries: ${rowsOnly -- expected}")
     // every rows-only query carries a pinned sf0.01 row count for the
     // driver's rows-gate, and nothing else does

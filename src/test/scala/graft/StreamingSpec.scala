@@ -935,6 +935,29 @@ class StreamingSpec extends AnyFunSuite {
       "replay appended duplicate pairs")
   }
 
+  test("streamedPhashDecoded == batch phashSummaryDecoded; cross-batch DCT twin found via maintained state") {
+    import spark.implicits._
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val streamed = asMap(IngestStreams.streamedPhashDecoded(spark, sf).collect())
+    val batch = asMap(graft.operators.Multimodal
+      .phashSummaryDecoded(Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand batches: doc 11 (batch 1) renders to the same PNG as doc
+    // 2 (batch 0) — identical byte histogram -> identical pixels ->
+    // DCT hamming 0 — found via the maintained band state
+    def png(t: String) = graft.operators.Multimodal.pngFromPayload(t.getBytes("UTF-8"))
+    val state = java.nio.file.Files.createTempDirectory("graft-phd-replay-").toString + "/state"
+    val b0 = Seq((2L, png("abcdef")), (4L, png("zzzzzzzzqqqq"))).toDF("doc_id", "payload")
+    val b1 = Seq((11L, png("fedcba"))).toDF("doc_id", "payload")
+    IngestStreams.phashBatch(b0, 0L, state, 16, decoded = true)
+    IngestStreams.phashBatch(b1, 1L, state, 16, decoded = true)
+    val res = IngestStreams.phashResolve(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(res(2L) === 1L && res(11L) === 1L,
+      s"cross-batch decoded twin missed: $res")
+  }
+
   test("phash cap crossing: a bucket that outgrows the cap retro-drops its stored pairs at resolve") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("graft-ph-cap-").toString + "/state"
