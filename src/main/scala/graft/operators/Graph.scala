@@ -982,11 +982,26 @@ object Graph {
     * round's join; rounds = DAG depth; `maxRounds` FAILS LOUD on a
     * cyclic input rather than looping (levels would grow forever).
     */
-  def topoLayers(dag0: DataFrame, maxRounds: Int = 60): DataFrame = {
+  def topoLayers(dag0: DataFrame, maxRounds: Int = 60,
+                 driverGate: Long = 1000000L): DataFrame = {
     val spark = dag0.sparkSession
     import spark.implicits._
     val dag = dag0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // the driverTarjan convention (SccRehearsal-justified): the input
+    // here is a CONDENSATION — provably no larger than the raw edge
+    // set and usually orders of magnitude smaller — and the
+    // distributed fixpoint pays rounds = DAG depth of per-round job
+    // overhead on what is typically a few thousand rows. Below the
+    // gate, collect once and run Kahn + longest-path DP on the
+    // driver (O(V+E)); past it, the delta-propagated fixpoint below
+    // is the scale path. driverGate = 0 forces the distributed path
+    // (the invariance spec pins both paths bit-identical).
+    if (driverGate > 0L && dag.count() <= driverGate) {
+      val out = driverTopoLayers(dag)
+      Checkpoints.free(dag)
+      return out
+    }
     var lvl = dag.select(col("u").as("node"))
       .union(dag.select(col("v").as("node"))).distinct()
       .select(col("node"), lit(0L).as("depth")).localCheckpoint(true)
@@ -1020,6 +1035,43 @@ object Graph {
       s"topoLayers did not converge in $maxRounds rounds — cyclic input?")
     Checkpoints.free(dag)
     lvl
+  }
+
+  /** Driver-side longest-path layering: Kahn's topological order
+    * with a depth DP — the collected tail behind [[topoLayers]]'
+    * gate. Fails loud on cyclic input (Kahn leaves nodes unordered),
+    * matching the distributed path's contract. */
+  private def driverTopoLayers(dag: DataFrame): DataFrame = {
+    val spark = dag.sparkSession
+    import spark.implicits._
+    val edges = dag.select(col("u"), col("v")).as[(Long, Long)].collect()
+    if (edges.isEmpty) return Seq.empty[(Long, Long)].toDF("node", "depth")
+    val adj = new scala.collection.mutable.HashMap[Long, List[Long]]()
+    val indeg = new scala.collection.mutable.HashMap[Long, Int]()
+      .withDefaultValue(0)
+    val depth = new scala.collection.mutable.HashMap[Long, Long]()
+    edges.foreach { case (u, v) =>
+      adj(u) = v :: adj.getOrElse(u, Nil)
+      indeg(v) += 1
+      depth.getOrElseUpdate(u, 0L)
+      depth.getOrElseUpdate(v, 0L)
+    }
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    depth.keys.foreach(n => if (indeg(n) == 0) queue.enqueue(n))
+    var ordered = 0L
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      ordered += 1L
+      for (v <- adj.getOrElse(u, Nil)) {
+        if (depth(u) + 1L > depth(v)) depth(v) = depth(u) + 1L
+        indeg(v) -= 1
+        if (indeg(v) == 0) queue.enqueue(v)
+      }
+    }
+    require(ordered == depth.size,
+      s"topoLayers: ${depth.size - ordered} nodes unreachable from any " +
+        "zero-in-degree node — cyclic input?")
+    depth.toSeq.toDF("node", "depth")
   }
 
   /** One-row MST-family summary (the `q_mst_summary` entry): forest

@@ -505,13 +505,27 @@ class GraphSpec extends AnyFunSuite {
       Graph.sccCondensation(mixed)
         .select(col("src_scc").as("u"), col("dst_scc").as("v"))))
     assert(layered == Map(1L -> 0L, 10L -> 1L, 20L -> 2L), s"got $layered")
-    // a cyclic input must fail loud, never loop or truncate
+    // a cyclic input must fail loud on BOTH paths, never loop/truncate
     val ex = intercept[IllegalArgumentException] {
       Graph.topoLayers(edgeDf(Seq((1L, 2L), (2L, 1L))), maxRounds = 5)
     }
     assert(ex.getMessage.contains("cyclic"))
+    val exd = intercept[IllegalArgumentException] {
+      Graph.topoLayers(edgeDf(Seq((1L, 2L), (2L, 1L))), maxRounds = 5,
+        driverGate = 0L)
+    }
+    assert(exd.getMessage.contains("cyclic"))
     // empty input -> empty layering
     assert(Graph.topoLayers(edgeDf(Seq.empty)).isEmpty)
+    // driver-gate invariance (the driverTarjan convention): the
+    // distributed delta-fixpoint at driverGate=0 and the collected
+    // Kahn DP agree on a seeded random DAG, bit for bit
+    val rnd = new scala.util.Random(23)
+    val rdag = edgeDf(Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) })
+    assert(asMap(Graph.topoLayers(rdag)) ==
+      asMap(Graph.topoLayers(rdag, driverGate = 0L)))
   }
 
   test("mstSummary: one-row (n_edges, total_weight, n_components) matches the forest; agrees with the threshold identity on a seeded random graph") {
