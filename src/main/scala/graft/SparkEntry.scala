@@ -671,6 +671,10 @@ object SparkEntry {
     // fastText-style hashed n-gram quality classifier: driver-trained
     // micros weights, broadcast weight join, exact integer logits
     "ta_quality_clf" -> ((s, dir) => TextAnalysis.qualityClassify(Tables.documents(s, dir))),
+    // FineWeb-Edu/DCLM-style curation: keep each source's top-p
+    // fraction by classifier RANK (deterministic total order, exact
+    // integer p cut) rather than a fixed logit threshold
+    "ta_quality_topp" -> ((s, dir) => TextAnalysis.qualityTopP(Tables.documents(s, dir))),
     // trains the full-batch model DISTRIBUTED (mapPartitions micros
     // gradients) from the planted corpus each run, then scores; the
     // oracle embeds the LOCAL full-batch twin's weights, so the hash
@@ -1270,6 +1274,22 @@ object SparkEntry {
     s"""WITH ${clfScoreCtes("", artifact, "")}
        |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep
        |FROM l""".stripMargin
+
+  /** Top-p rank selection over the SAME scoring CTEs — ranks ride on
+    * the rounded logits `ta_quality_clf` already pins hash-exact,
+    * with doc_id breaking ties, so the p cut is oracle-replayable
+    * integer arithmetic. */
+  private lazy val QualityTopPSql: String =
+    s"""WITH ${clfScoreCtes("", graft.operators.TextAnalysis.qualityClfArtifact, "")},
+       |j AS (SELECT l.doc_id, d.source, round(l.lr, 4) AS logit
+       |      FROM l JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, source, logit,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY logit DESC, doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY source) AS n_src
+       |      FROM j)
+       |SELECT doc_id, source, logit, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk * 1000000 <= 250000 * n_src""".stripMargin
 
   /** The scoring pipeline as a tagged CTE chain (`filterSql`
     * restricts the scored slice) — ONE body shared by the batch
@@ -3231,6 +3251,8 @@ object SparkEntry {
     // and re-derives the identical md5 feature buckets, so scoring is
     // hash-exact while training stays a driver-side artifact build.
     "ta_quality_clf" -> QualityClfSql,
+    // same scoring CTEs + a rank window: the exact-integer top-p cut
+    "ta_quality_topp" -> QualityTopPSql,
     "ta_quality_clf_full" -> QualityClfFullSql,
     "stream_quality_retrain" -> QualityClfFullSql,
     "stream_quality_hotswap" -> QualityClfHotswapSql,

@@ -1440,6 +1440,35 @@ object TextAnalysis {
         (logitRaw > lit(0.0)).as("keep"))
   }
 
+  /** Top-p% classifier filtering per source (the `ta_quality_topp`
+    * entry) — the FineWeb-Edu / DCLM curation step: rather than a
+    * fixed logit threshold (whose kept fraction drifts with the
+    * score distribution), keep each source's top p fraction BY RANK.
+    * Rank order is the deterministic total order (logit DESC,
+    * doc_id ASC) over the same rounded logits the `ta_quality_clf`
+    * gate already pins hash-exact, and the p cut is pure integer
+    * arithmetic (`rk · 10⁶ ≤ pPpm · n_source` — floor semantics, no
+    * percent_rank floats), so the whole selection is
+    * oracle-replayable. One score pass + one window over one sort
+    * per source; at 100 TB the rank window shuffles once on source,
+    * the same shape as the source-cap operator.
+    */
+  def qualityTopP(documents: DataFrame, pPpm: Long = 250000L,
+                  artifact: (Seq[(Long, Long)], Long, Int) = qualityClfArtifact): DataFrame = {
+    require(pPpm >= 0L && pPpm <= 1000000L, s"pPpm out of range: $pPpm")
+    val clf = qualityClassify(documents, artifact)
+    val withSrc = clf.select(col("doc_id"), col("logit"))
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val ranked = withSrc
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("logit").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+    ranked.filter(col("rk") * lit(1000000L) <= lit(pPpm) * col("n_src"))
+      .select(col("doc_id"), col("source"), col("logit"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Rules-vs-classifier agreement matrix: the 2×2 (gopher keep ×
     * classifier keep) doc counts — the calibration read a pipeline
     * checks before swapping a rule filter for a learned one (how

@@ -594,6 +594,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length > 1, "fixture too small to cross a shard boundary")
   }
 
+  test("qualityTopP keeps exactly each source's top-p fraction by rank, ties broken by doc_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // full fixture: per source, kept count == floor(p * n_src), the
+    // kept set is rank-1..k, and every kept logit >= every dropped
+    // logit within its source
+    val docs = Tables.documents(spark, SharedSpark.sf)
+    val kept = TextAnalysis.qualityTopP(docs, 250000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val srcTotals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      val want = srcTotals(src) * 250000L / 1000000L
+      assert(rows.length.toLong == want, s"$src kept ${rows.length}, want $want")
+      assert(rows.map(_._4).sorted.toSeq == (1L to want), s"$src ranks not 1..k")
+    }
+    val clf = TextAnalysis.qualityClassify(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val keptIds = kept.map(_._1).toSet
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      val minKept = rows.map(_._3).min
+      val maxDropped = clf.filter(c => c._2 == src && !keptIds(c._1))
+        .map(_._3).maxOption.getOrElse(Double.NegativeInfinity)
+      assert(minKept >= maxDropped,
+        s"$src: kept logit $minKept below a dropped $maxDropped")
+    }
+    // hand fixture: 4 docs in one source at p=50% -> exactly the top
+    // 2 by (logit desc, doc_id); identical texts tie and the smaller
+    // doc_id wins the boundary rank
+    val hand = Seq(
+      (1L, "join merge window stream query agg", "s"),
+      (2L, "join merge window stream query agg", "s"),
+      (3L, "a the a the a the a the", "s"),
+      (4L, "a the a the a the a the", "s")).toDF("doc_id", "text", "source")
+    val h = TextAnalysis.qualityTopP(hand, 500000L).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(h == Set(1L, 2L), s"got $h")
+    // p = 0 keeps nothing; p = 100% keeps everything
+    assert(TextAnalysis.qualityTopP(hand, 0L).count() == 0L)
+    assert(TextAnalysis.qualityTopP(hand, 1000000L).count() == 4L)
+  }
+
   test("qualityClassify separates planted boilerplate from prose; training is reproducible") {
     import spark.implicits._
     // retraining is bit-for-bit reproducible (pinned iteration order,
