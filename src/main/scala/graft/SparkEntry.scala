@@ -665,6 +665,11 @@ object SparkEntry {
     "ta_pack_fertility" -> ((s, dir) => TextAnalysis.packIntoShardsFertility(Tables.documents(s, dir), 2000L, 12)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
+    // the removal step after the audit: drop train docs at >= 50%
+    // eval-shingle overlap (pre-round integer compare), per-source
+    // funnel of what a pretraining run subtracts
+    "pipeline_decontaminate" -> ((s, dir) =>
+      Pipeline.decontaminate(Tables.documents(s, dir))),
     "ta_langid_eval" -> ((s, dir) => TextAnalysis.languageIdEval(Tables.documents(s, dir))),
     "ta_shuffle" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
     "ta_surprisal" -> ((s, dir) => TextAnalysis.surprisal(Tables.documents(s, dir))),
@@ -3206,6 +3211,37 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
         |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
         |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin,
+    // the audit's shingle CTEs + the integer threshold + one rollup:
+    // the per-source removal funnel
+    "pipeline_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |tsh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+        |  )) AS shingle FROM norm WHERE doc_id % 50 <> 0),
+        |esh AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+        |  )) AS shingle FROM norm WHERE doc_id % 50 = 0),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_c FROM tsh
+        |        WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (COALESCE(h.n_c, 0) * 100 >= 50 * c.n_sh) AS dropped
+        |  FROM documents d
+        |  JOIN cnt c ON c.doc_id = d.doc_id
+        |  LEFT JOIN hit h ON h.doc_id = d.doc_id
+        |  WHERE d.doc_id % 50 <> 0)
+        |SELECT source, count(*) AS n_train,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN dropped THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_kept
+        |FROM f GROUP BY source""".stripMargin,
     "ta_langid_eval" ->
       """WITH s AS (
         |  SELECT lang,

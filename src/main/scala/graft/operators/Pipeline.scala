@@ -172,6 +172,34 @@ object Pipeline {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark-decontamination removal (the `pipeline_decontaminate`
+    * entry) — the step AFTER the `ta_contamination` audit: drop
+    * every train doc whose eval-overlapping shingle fraction reaches
+    * `thresholdPct` percent, and report the per-source funnel
+    * (n_train, n_dropped, n_kept, tokens_kept) a pretraining run
+    * reads before subtracting. The threshold compares PRE-ROUND
+    * integers (`100·n_contaminated ≥ pct·n_sh` — no float ratio
+    * anywhere), so the whole funnel is oracle-replayable. Shingle
+    * generation is the audit's own pass; the funnel adds one doc_id
+    * join and one low-cardinality aggregate.
+    */
+  def decontaminate(documents: DataFrame, evalMod: Int = 50, n: Int = 5,
+                    thresholdPct: Long = 50L): DataFrame = {
+    val c = TextAnalysis.contamination(documents, evalMod, n)
+      .select(col("doc_id"), col("n_sh"), col("n_contaminated"))
+    val train = documents.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val flagged = train.join(c, Seq("doc_id"))
+      .withColumn("dropped",
+        col("n_contaminated") * lit(100L) >= lit(thresholdPct) * col("n_sh"))
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_train"),
+      sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(col("dropped"), 0L).otherwise(1L)).as("n_kept"),
+      sum(when(col("dropped"), 0L).otherwise(col("n_tokens"))).as("tokens_kept"))
+  }
+
   def pretrainMix(documents: DataFrame,
                   minAlphaRatio: Double = 0.5,
                   minWords: Int = 10,

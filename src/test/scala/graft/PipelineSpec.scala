@@ -7,6 +7,38 @@ import graft.operators.Pipeline
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
 
+  test("decontaminate: a planted eval copy drops, partial overlap below threshold keeps, funnel integers exact") {
+    import spark.implicits._
+    // doc 50 is EVAL (id % 50 == 0); the others are train
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (50L, evalText, "web"),
+      // verbatim benchmark copy: every 5-shingle hits -> dropped
+      (1L, evalText, "web"),
+      // shares only the first 5 words: 1 of 6 shingles hits (17% < 50%) -> kept
+      (2L, "alpha beta gamma delta epsilon other words entirely here now", "web"),
+      // disjoint -> kept
+      (3L, "one two three four five six seven eight nine ten", "books")
+    ).toDF("doc_id", "text", "source")
+    val got = Pipeline.decontaminate(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // web: 2 train docs, copy dropped, partial kept (10 tokens);
+    // books: disjoint kept (10 tokens)
+    assert(got == Map("web" -> ((2L, 1L, 1L, 10L)), "books" -> ((1L, 0L, 1L, 10L))),
+      s"got $got")
+    // threshold edge: at 17 pct the partial-overlap doc crosses too
+    val strict = Pipeline.decontaminate(df, thresholdPct = 16L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(strict("web") == 2L, s"strict threshold must also drop the partial: $strict")
+    // composition honesty vs the audit: dropped == audit rows at >= 50%
+    val audit = graft.operators.TextAnalysis.contamination(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val auditDropped = audit.filter { case (_, nsh, nc) => nc * 100L >= 50L * nsh }
+      .map(_._1).toSet
+    assert(auditDropped == Set(1L))
+  }
+
   test("cleanCorpus applies quality, language, and dedup gates in order") {
     import spark.implicits._
     val en = "the cat and the dog of the house sat in the garden with the birds was fine"
