@@ -2232,18 +2232,31 @@ object IngestStreams {
       val touched = batch.select(col("bk")).distinct()
         .collect().map(_.getLong(0)).toSeq
       touched.foreach(bk => healSwap(spark, ivBucketDir(statePath, bk)))
+      // ONE read over all touched bucket dirs serves both the retry
+      // check and the merge input — the job count per batch is
+      // constant however many buckets the deployment shards into
+      // (a per-bucket read/write loop would be a sequential-job wall
+      // at production bucket counts)
+      val existingDirs = touched.map(ivBucketDir(statePath, _))
+        .filter(hasVisibleData(spark, _))
+      val stored0 =
+        if (existingDirs.nonEmpty)
+          spark.read.parquet(existingDirs: _*)
+            .withColumn("bk", pmod(col("k"), lit(nBuckets.toLong)))
+            .persist()
+        else null
       // crash-window retry: skip buckets already merged by this batch
-      val todo = touched.filter { bk =>
-        val p = ivBucketDir(statePath, bk)
-        !hasVisibleData(spark, p) ||
-          spark.read.parquet(p).agg(max(col("last_b"))).head.getLong(0) < batchId
-      }
+      val done: Set[Long] =
+        if (stored0 != null)
+          stored0.groupBy("bk").agg(max(col("last_b")).as("mb"))
+            .filter(col("mb") >= batchId)
+            .collect().map(_.getLong(0)).toSet
+        else Set.empty
+      val todo = touched.filterNot(done)
       if (todo.nonEmpty) {
-        val existing = todo.map(ivBucketDir(statePath, _))
-          .filter(hasVisibleData(spark, _))
         val stored =
-          if (existing.nonEmpty)
-            spark.read.parquet(existing: _*)
+          if (stored0 != null)
+            stored0.filter(col("bk").isin(todo: _*))
               .select(col("k"), col("i_s").as("s"), col("i_e").as("e"),
                 col("n").as("wt"))
           else batch.limit(0).select(col("k"), col("s"), col("e"),
@@ -2254,15 +2267,23 @@ object IngestStreams {
           .sweepIslands(stored.unionByName(fresh))
           .withColumn("last_b", lit(batchId))
           .withColumn("bk", pmod(col("k"), lit(nBuckets.toLong)))
-          .localCheckpoint(true)
+        // one partitioned staging write, then per-bucket RENAMES
+        // (metadata ops) into swap position — never a job per bucket
+        val staging = s"$statePath/_iv_staging"
+        val sp = new org.apache.hadoop.fs.Path(staging)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        merged.write.mode("overwrite").partitionBy("bk").parquet(staging)
         todo.foreach { bk =>
           val live = ivBucketDir(statePath, bk)
-          merged.filter(col("bk") === bk).drop("bk")
-            .write.mode("overwrite").parquet(live + "_swap_staging")
+          val aside = new org.apache.hadoop.fs.Path(live + "_swap_staging")
+          fs.delete(aside, true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/bk=$bk"), aside),
+            s"interval coverage: staged bucket $bk missing")
           swapInstall(spark, live)
         }
-        graft.operators.Checkpoints.free(merged)
+        fs.delete(sp, true)
       }
+      if (stored0 != null) stored0.unpersist()
       cfs.mkdirs(commitDir)
       cfs.create(marker, true).close()
     } finally { batch.unpersist(); () }
