@@ -680,6 +680,10 @@ object SparkEntry {
     // fraction by classifier RANK (deterministic total order, exact
     // integer p cut) rather than a fixed logit threshold
     "ta_quality_topp" -> ((s, dir) => TextAnalysis.qualityTopP(Tables.documents(s, dir))),
+    // incremental scoring + resolve-time global rank: re-curations
+    // re-rank without re-paying the scoring pass
+    "stream_quality_topp" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedQualityTopP(s, dir)),
     // trains the full-batch model DISTRIBUTED (mapPartitions micros
     // gradients) from the planted corpus each run, then scores; the
     // oracle embeds the LOCAL full-batch twin's weights, so the hash
@@ -3289,6 +3293,8 @@ object SparkEntry {
     "ta_quality_clf" -> QualityClfSql,
     // same scoring CTEs + a rank window: the exact-integer top-p cut
     "ta_quality_topp" -> QualityTopPSql,
+    // the maintained scored store re-ranks to the same selection
+    "stream_quality_topp" -> QualityTopPSql,
     "ta_quality_clf_full" -> QualityClfFullSql,
     "stream_quality_retrain" -> QualityClfFullSql,
     "stream_quality_hotswap" -> QualityClfHotswapSql,

@@ -256,6 +256,59 @@ object IngestStreams {
       .select("doc_id", "n_feats", "logit", "keep")
   }
 
+  /** Streamed top-p curation (the `stream_quality_topp` entry): the
+    * expensive pass — tokenize + hashed-feature scoring — runs
+    * INCREMENTALLY per batch into the maintained scored store (the
+    * `stream_quality_clf` machinery, reused verbatim), and the
+    * inherently-GLOBAL rank selection runs at resolve over the
+    * accumulated scores: one window over one sort per source, no
+    * re-scoring. That split is the real deployment shape — a
+    * re-curation at a new p re-ranks in seconds without paying the
+    * scoring pass again. Shares `ta_quality_topp`'s oracle verbatim.
+    */
+  def streamedQualityTopP(spark: SparkSession, dir: String,
+                          pPpm: Long = 250000L): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    if (docs.isEmpty) {
+      graft.operators.Checkpoints.free(docs)
+      import spark.implicits._
+      return Seq.empty[(Long, String, Double, Long)]
+        .toDF("doc_id", "source", "logit", "rk")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-topp-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        qualityClassifyBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val scored = spark.read.parquet(s"$state/scored")
+      .select(col("doc_id"), col("logit"))
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    scored
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("logit").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .filter(col("rk") * lit(1000000L) <= lit(pPpm) * col("n_src"))
+      .select(col("doc_id"), col("source"), col("logit"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Streamed RETRAIN face of the learned quality filter: labeled
     * (id, text, label) shards land in an append-only labeled store
     * (per-batch overwrite delta dirs + commit markers — the

@@ -935,6 +935,15 @@ class StreamingSpec extends AnyFunSuite {
       "replay appended duplicate pairs")
   }
 
+  test("streamedQualityTopP == batch qualityTopP: global rank over the incrementally maintained scores") {
+    import graft.operators.TextAnalysis
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val streamed = asSet(IngestStreams.streamedQualityTopP(spark, sf).collect())
+    val batch = asSet(TextAnalysis.qualityTopP(Tables.documents(spark, sf)).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streamedPhashDecoded == batch phashSummaryDecoded; cross-batch DCT twin found via maintained state") {
     import spark.implicits._
     def asMap(rows: Array[org.apache.spark.sql.Row]) =
