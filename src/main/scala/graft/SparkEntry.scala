@@ -571,6 +571,9 @@ object SparkEntry {
       Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
+    // MRL truncation evaluation: per prefix-dim tier, overlap@10 of
+    // the truncated ranking vs full-dim — all-integer, hash-exact
+    "sim_matryoshka" -> ((s, dir) => Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), 8, 10)),
     // probes=13/16 is the dial for THIS corpus: structureless gaussian
     // noise, where honest recall tracks the probed fraction (13/16 →
@@ -3084,6 +3087,34 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rk
         |FROM ranked WHERE rk <= 10""".stripMargin,
+    // the brute-force cosine CTEs per prefix tier (the same
+    // per-term double arithmetic the bruteforce gate pins), ranked
+    // per (tier, query), tier-vs-full overlap counted
+    "sim_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |t(dt) AS (VALUES (8), (16), (32), (64)),
+        |scored AS (
+        |  SELECT t.dt, q.query_id, c.vec_id AS corpus_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |              FOR i IN generate_series(1, t.dt)]) /
+        |    (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1, t.dt)])) *
+        |     sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1, t.dt)]))) AS cosine
+        |  FROM embeddings c, q, t WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT dt, query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY dt, query_id
+        |      ORDER BY cosine DESC, corpus_id ASC) AS rk
+        |  FROM scored),
+        |sel AS (SELECT dt, query_id, corpus_id FROM ranked WHERE rk <= 10)
+        |SELECT CAST(s.dt AS BIGINT) AS dim_tier, s.query_id,
+        |  count(f.corpus_id) AS n_overlap
+        |FROM sel s LEFT JOIN sel f
+        |  ON f.dt = 64 AND f.query_id = s.query_id AND f.corpus_id = s.corpus_id
+        |WHERE s.dt <> 64
+        |GROUP BY 1, 2""".stripMargin,
     "sim_centroids" ->
       """SELECT label, count(*) AS n,
         |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,

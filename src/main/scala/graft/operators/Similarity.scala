@@ -109,6 +109,38 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("score").as("cosine"), col("rk"))
   }
 
+  /** Matryoshka truncation evaluation (the `sim_matryoshka` entry) —
+    * the MRL serving question: how much top-k fidelity survives
+    * truncating embeddings to a prefix of their dimensions? Per
+    * tier, brute-force top-k over prefix-truncated vectors, then
+    * overlap@k against the full-dimension ranking: one
+    * (dim_tier, query_id, n_overlap) integer row per pair —
+    * hash-exact, because both rankings ride the same
+    * gate-proven cosine arithmetic ([[bruteForceTopK]]'s), just on
+    * sliced arrays. Scale shape: queries broadcast, the corpus
+    * scans once per tier with NO corpus shuffle (the per-key top-k
+    * aggregates map-side); a deployment fusing tiers into one scan
+    * computes the tier dots as prefix sums of one elementwise
+    * product pass — same arithmetic, same result.
+    */
+  def matryoshkaRecall(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                       tiers: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val dim = embDim(embeddings, "embedding")
+    require(tiers.forall(t => t > 0 && t < dim), s"tiers must be in (0, $dim)")
+    val sel = (tiers :+ dim).map { t =>
+      val trunc = embeddings.withColumn("embedding",
+        slice(col("embedding"), 1, t))
+      bruteForceTopK(trunc, numQueries, k)
+        .select(lit(t.toLong).as("dim_tier"), col("query_id"), col("corpus_id"))
+    }.reduce(_.unionByName(_))
+    val full = sel.filter(col("dim_tier") === dim.toLong)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+    sel.filter(col("dim_tier") =!= dim.toLong)
+      .join(full, Seq("query_id", "corpus_id"), "left")
+      .groupBy("dim_tier", "query_id")
+      .agg(count(col("hit")).as("n_overlap"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates only from band-bucket
     * collisions, exact re-rank inside the candidate set. The scale
     * path — corpus join key is (band, bucket), never the embedding.

@@ -9,6 +9,31 @@ import graft.operators.Similarity
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
 
+  test("matryoshkaRecall: a planted prefix-flip drops overlap; tiers cover every query; fuller prefixes recover fidelity") {
+    import spark.implicits._
+    // planted flip: full-dim ranks A over B, but the 2-dim prefix
+    // ranks B first (its mass sits in the prefix) -> overlap@1 = 0
+    val planted = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "q"),
+      (10L, Array(0.8f, 0.6f, 0f, 0f), "a"),   // full cos 0.8, prefix-2 cos 0.8
+      (11L, Array(0.7f, 0f, 0.714f, 0f), "b")  // full cos ~0.70, prefix-2 cos 1.0
+    ).toDF("vec_id", "embedding", "label")
+    val flip = Similarity.matryoshkaRecall(planted, numQueries = 1, k = 1,
+        tiers = Seq(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flip.toSeq == Seq((2L, 0L, 0L)),
+      s"prefix flip must zero the overlap: ${flip.toSeq}")
+    // real fixture: 3 tiers x 8 queries, overlaps in [0, 10], and the
+    // widest prefix is at least as faithful as the narrowest on avg
+    val got = Similarity.matryoshkaRecall(Tables.embeddings(spark, SharedSpark.sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 24, s"expected 3 tiers x 8 queries, got ${got.length}")
+    assert(got.forall(t => t._3 >= 0L && t._3 <= 10L))
+    def avg(tier: Long) = { val v = got.filter(_._1 == tier).map(_._3); v.sum.toDouble / v.length }
+    assert(avg(32L) >= avg(8L),
+      s"32-dim prefix less faithful than 8-dim: ${avg(32L)} vs ${avg(8L)}")
+  }
+
   test("vector kernels: dot, norm, cosine on known values") {
     import spark.implicits._
     val df = Seq(
