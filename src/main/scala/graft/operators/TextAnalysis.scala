@@ -1440,6 +1440,28 @@ object TextAnalysis {
         (logitRaw > lit(0.0)).as("keep"))
   }
 
+  /** Per-doc n-gram novelty over training order (the `ta_novelty`
+    * entry) — the curation/memorization signal: what fraction of a
+    * doc's distinct shingles has NO earlier occurrence (doc_id
+    * order)? Low novelty late in the corpus = recycled boilerplate a
+    * dedup pass missed; the aggregate trajectory is the "novel-token
+    * rate" curve memorization studies plot over training. One
+    * shuffle on the shingle (a grouped min — map-side combinable,
+    * no posting list, no self-join, so no df cap is needed); the
+    * novelty ratio rounds the integer pair the output also carries.
+    */
+  def noveltyProfile(documents: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.wordShingles(documents, n)
+    val firstSeen = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_sh"), 4).as("novelty"))
+  }
+
   /** Top-p% classifier filtering per source (the `ta_quality_topp`
     * entry) — the FineWeb-Edu / DCLM curation step: rather than a
     * fixed logit threshold (whose kept fraction drifts with the

@@ -594,6 +594,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length > 1, "fixture too small to cross a shard boundary")
   }
 
+  test("noveltyProfile: first doc fully novel, a verbatim copy fully recycled, partial overlap counted exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // 3 distinct 3-shingles, all first
+      (2L, "alpha beta gamma delta epsilon"),          // verbatim copy -> 0 novel
+      (3L, "alpha beta gamma zeta eta theta iota")     // shares exactly 'alpha beta gamma'
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyProfile(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0)), s"got ${got(2L)}")
+    // doc 3: 5 shingles, 'alpha beta gamma' seen in doc 1 -> 4 novel
+    assert(got(3L) == ((5L, 4L, 0.8)), s"got ${got(3L)}")
+    // corpus identity: novel counts sum to the distinct-shingle total
+    val real = TextAnalysis.noveltyProfile(Tables.documents(spark, SharedSpark.sf))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val distinctTotal = graft.operators.Dedup
+      .wordShingles(Tables.documents(spark, SharedSpark.sf), 3)
+      .select("shingle").distinct().count()
+    assert(real.map(_._2).sum == distinctTotal,
+      "every distinct shingle is novel in exactly one doc")
+    assert(real.forall { case (nsh, nn) => nn >= 0 && nn <= nsh })
+  }
+
   test("qualityTopP keeps exactly each source's top-p fraction by rank, ties broken by doc_id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
