@@ -671,6 +671,10 @@ object SparkEntry {
     // per-doc novel-shingle fraction over doc_id order — the
     // memorization/recycled-boilerplate curation signal
     "ta_novelty" -> ((s, dir) => TextAnalysis.noveltyProfile(Tables.documents(s, dir))),
+    // its maintained face: per-batch first-occurrence deltas, min-fold
+    // resolve (order-free algebra, no range-sharding requirement)
+    "stream_novelty" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedNovelty(s, dir)),
     // the removal step after the audit: drop train docs at >= 50%
     // eval-shingle overlap (pre-round integer compare), per-source
     // funnel of what a pretraining run subtracts
@@ -2837,6 +2841,24 @@ object SparkEntry {
     // same distinct-shingle construction, grouped first-occurrence
     // min, per-doc novel fraction
     "ta_novelty" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
+        |  )) AS shingle FROM norm),
+        |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS novelty
+        |FROM sh s JOIN fs f USING (shingle)
+        |GROUP BY s.doc_id""".stripMargin,
+    // the min-fold over per-batch deltas converges to the same
+    // first occurrences (order-free algebra)
+    "stream_novelty" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_split_to_array(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws

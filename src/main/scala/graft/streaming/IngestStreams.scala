@@ -213,6 +213,86 @@ object IngestStreams {
         col("first.keep_seg_idx").as("keep_seg_idx"), col("n_copies"))
   }
 
+  /** One streamed-novelty micro-batch: per-batch delta dirs (the
+    * lineDedupBatch pattern — overwrite + commit markers) holding
+    * (shingle → min doc_id in batch) and (doc_id → distinct-shingle
+    * count). Novelty is a pure MIN-fold over deltas, so arrival
+    * order cannot matter — no range-sharding requirement. */
+  private[graft] def noveltyBatch(batch0: org.apache.spark.sql.DataFrame,
+                                  batchId: Long, statePath: String,
+                                  n: Int = 3): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_nov_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val sh = graft.operators.Dedup.wordShingles(
+        batch0.dropDuplicates("doc_id").select(col("doc_id"), col("text")), n)
+      .persist()
+    try {
+      sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+        .write.mode("overwrite").parquet(s"$statePath/sh_deltas/batch=$batchId")
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .write.mode("overwrite").parquet(s"$statePath/doc_deltas/batch=$batchId")
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Resolve the maintained novelty deltas to the batch
+    * [[graft.operators.TextAnalysis.noveltyProfile]] shape: global
+    * first occurrence = min of per-batch minima (order-free), novel
+    * count per doc = shingles whose global first occurrence is that
+    * doc. */
+  def noveltyResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/doc_deltas")) {
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("doc_id", "n_sh", "n_novel", "novelty")
+    }
+    val novel = spark.read.parquet(s"$statePath/sh_deltas")
+      .groupBy("shingle").agg(min(col("first_doc")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    spark.read.parquet(s"$statePath/doc_deltas")
+      .groupBy("doc_id").agg(sum(col("n_sh")).as("n_sh"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_sh"), 4)
+          .as("novelty"))
+  }
+
+  /** Streamed novelty maintenance (the `stream_novelty` entry): the
+    * always-on face of `ta_novelty` — corpus shards land, each batch
+    * contributes its shingle first-occurrence minima and per-doc
+    * set sizes as deltas, and the profile resolves by a min-fold.
+    * Shares `ta_novelty`'s oracle verbatim after the drain. */
+  def streamedNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-nov-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        noveltyBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    noveltyResolve(spark, state)
+  }
+
   /** Streamed quality-classifier scoring — the always-on face of
     * `ta_quality_clf`: per-doc scoring is STATELESS (broadcast
     * weights, no corpus statistics), so each micro-batch scores

@@ -935,6 +935,34 @@ class StreamingSpec extends AnyFunSuite {
       "replay appended duplicate pairs")
   }
 
+  test("streamedNovelty == batch noveltyProfile; cross-batch first-occurrence wins in either arrival order; replay no-ops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val streamed = asMap(IngestStreams.streamedNovelty(spark, sf))
+    val batch = asMap(TextAnalysis.noveltyProfile(Tables.documents(spark, sf)))
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand batches in REVERSE doc order: the LATER-arriving doc 1
+    // still wins first occurrence (min-fold is order-free)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-nov-replay-").toString + "/state"
+    IngestStreams.noveltyBatch(docs((2L, "alpha beta gamma delta epsilon")), 0L, state)
+    IngestStreams.noveltyBatch(docs((1L, "alpha beta gamma delta epsilon")), 1L, state)
+    def res() = asMap(IngestStreams.noveltyResolve(spark, state))
+    assert(res() == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 0L, 0.0))),
+      s"reverse arrival broke first-occurrence: ${res()}")
+    // crash-window replay: delta overwrite + marker make it a no-op
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_nov_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.noveltyBatch(docs((1L, "alpha beta gamma delta epsilon")), 1L, state)
+    assert(res() == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 0L, 0.0))))
+    // empty state resolves empty
+    assert(IngestStreams.noveltyResolve(spark, s"$state-nope").count() == 0)
+  }
+
   test("streamedQualityTopP == batch qualityTopP: global rank over the incrementally maintained scores") {
     import graft.operators.TextAnalysis
     def asSet(rows: Array[org.apache.spark.sql.Row]) =
