@@ -422,4 +422,89 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assert(near == naive, s"seed=$seed")
     }
   }
+
+  test("intervalCoverage == naive local interval-union on 12 seeded random interval sets") {
+    import spark.implicits._
+    // independent local implementation: sort, linear merge with the
+    // gap-0 adjacency rule, count/cover/span per key — no windows
+    def local(iv: Seq[(Long, Long, Long)]): Map[Long, (Long, Long, Long, Long, Long)] =
+      iv.groupBy(_._1).map { case (k, rows) =>
+        val sorted = rows.map(r => (r._2, r._3)).sorted
+        val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for ((s, e) <- sorted) {
+          if (islands.nonEmpty && s <= islands.last._2 + 1)
+            islands(islands.length - 1) =
+              (islands.last._1, math.max(islands.last._2, e))
+          else islands += ((s, e))
+        }
+        val covered = islands.map { case (s, e) => e - s + 1 }.sum
+        val span = islands.last._2 - islands.head._1 + 1
+        k -> ((rows.size.toLong, islands.size.toLong, covered, span,
+          covered * 1000000L / span))
+      }
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(700 + seed)
+      val iv = Seq.fill(5 + rnd.nextInt(80))((rnd.nextInt(6).toLong,
+        rnd.nextInt(50).toLong, rnd.nextInt(12).toLong))
+        .map { case (k, s, len) => (k, s, s + len) }
+      // drive the shipped sweep through the same summary tail the
+      // entry uses (weighted, wt = 1)
+      val got = graft.operators.Relational.coverageSummary(
+          graft.operators.Relational.sweepIslands(
+            iv.toDF("k", "s", "e").withColumn("wt", lit(1L))))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(got == local(iv), s"seed=$seed iv=$iv")
+    }
+  }
+
+  test("noveltyProfile == naive local first-occurrence scan on 10 seeded random corpora") {
+    import spark.implicits._
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    def shingles(words: Seq[String], n: Int): Set[String] =
+      if (words.size <= n) Set(words.mkString(" "))
+      else words.sliding(n).map(_.mkString(" ")).toSet
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(800 + seed)
+      val docs = (1L to (3 + rnd.nextInt(10)).toLong).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.sortBy(_._1).map { case (id, text) =>
+        val sh = shingles(text.split(" ").toSeq, 3)
+        val novel = sh.count(s => !seen.contains(s))
+        seen ++= sh
+        id -> ((sh.size.toLong, novel.toLong))
+      }.toMap
+      val got = graft.operators.TextAnalysis.noveltyProfile(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"seed=$seed docs=$docs")
+    }
+  }
+
+  test("qualityTopP == naive local per-source sort cut on 8 seeded random corpora") {
+    import spark.implicits._
+    val vocab = Vector("join", "merge", "the", "a", "window", "value", "scan", "row")
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(900 + seed)
+      val docs = (1L to (8 + rnd.nextInt(20)).toLong).map { id =>
+        (id, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          s"s${rnd.nextInt(3)}")
+      }
+      val df = docs.toDF("doc_id", "text", "source")
+      val pPpm = 1000L * (100 + rnd.nextInt(800)) // 10%..90%
+      // naive: score via the shipped classifier, sort locally, cut
+      val scores = graft.operators.TextAnalysis.qualityClassify(df.select("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val want = docs.groupBy(_._3).flatMap { case (src, rows) =>
+        val ordered = rows.map(_._1).sortBy(id => (-scores(id), id))
+        val keep = (pPpm * rows.size / 1000000L).toInt
+        ordered.take(keep).zipWithIndex.map { case (id, i) => (id, src, i + 1L) }
+      }.toSet
+      val got = graft.operators.TextAnalysis.qualityTopP(df, pPpm)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(got == want, s"seed=$seed pPpm=$pPpm")
+    }
+  }
 }
