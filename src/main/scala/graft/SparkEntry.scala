@@ -668,6 +668,10 @@ object SparkEntry {
     "ta_pack_fertility" -> ((s, dir) => TextAnalysis.packIntoShardsFertility(Tables.documents(s, dir), 2000L, 12)),
     "ta_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "ta_contamination" -> ((s, dir) => TextAnalysis.contamination(Tables.documents(s, dir))),
+    // maintained audit: late eval shingles retro-flag stored train
+    // docs via a bucket-pruned read; hit deltas sum-fold exact-once
+    "stream_contamination" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedContamination(s, dir)),
     // per-doc novel-shingle fraction over doc_id order — the
     // memorization/recycled-boilerplate curation signal
     "ta_novelty" -> ((s, dir) => TextAnalysis.noveltyProfile(Tables.documents(s, dir))),
@@ -743,6 +747,17 @@ object SparkEntry {
     "ta_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(Tables.documents(s, dir), 12)),
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
+    // maintained inverted index: shards land as bucket-partitioned
+    // posting deltas; the query is a pruned read of its terms'
+    // buckets + the shared bm25ScorePostings core
+    "stream_bm25" -> ((s, dir) => graft.streaming.IngestStreams.streamedBm25(
+      s, dir, Seq("spark", "window", "vector"), 20)),
+    // hybrid retrieval: BM25 lexical arm + dense cosine arm fused by
+    // reciprocal-rank fusion — integer floor-division fusion over two
+    // gate-proven rankings, so the hybrid hash-checks end-to-end
+    "ta_hybrid_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(
+      Tables.documents(s, dir), Tables.embeddings(s, dir),
+      Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
     // DSIR: hashed-ngram importance weights of every pool doc against
     // the src0 target slice (integer micros, one bucket aggregate +
@@ -1578,6 +1593,51 @@ object SparkEntry {
 
   /** Temperature mixing in SQL — shared verbatim by the batch entry
     * and its pure-delta streamed face. */
+  private val ContaminationSql: String =
+    """WITH norm AS (
+    |  SELECT doc_id, regexp_split_to_array(
+    |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
+    |  FROM documents),
+    |tsh AS (
+    |  SELECT doc_id, unnest(list_distinct(
+    |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+    |  )) AS shingle FROM norm WHERE doc_id % 50 <> 0),
+    |esh AS (
+    |  SELECT DISTINCT unnest(list_distinct(
+    |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+    |  )) AS shingle FROM norm WHERE doc_id % 50 = 0),
+    |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+    |hit AS (SELECT doc_id, count(*) AS n_c FROM tsh
+    |        WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id)
+    |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
+    |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
+    |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin
+
+  private val Bm25Sql: String =
+    """WITH toks AS (
+    |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+    |  FROM documents),
+    |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
+    |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
+    |       WHERE word IN ('spark', 'window', 'vector') GROUP BY doc_id, word),
+    |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    |scored AS (
+    |  SELECT tf.doc_id,
+    |    CAST(floor(
+    |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+    |      * (CAST(tf AS DOUBLE) * 2.2)
+    |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+    |      * 1000000.0 + 0.5) AS BIGINT) AS w_micros
+    |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+    |agg AS (SELECT doc_id, sum(w_micros) AS micros, count(*) AS n_terms
+    |        FROM scored GROUP BY doc_id)
+    |SELECT doc_id, n_terms,
+    |  round(CAST(micros AS DOUBLE) / 1000000.0, 6) AS score,
+    |  CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rk
+    |FROM agg ORDER BY micros DESC, doc_id LIMIT 20""".stripMargin
+
   private val MixTemperatureSql: String =
       """WITH s AS (
         |  SELECT source,
@@ -3270,25 +3330,10 @@ object SparkEntry {
         |                       ORDER BY score DESC, word ASC) AS rk
         |  FROM scored)
         |SELECT doc_id, word, tf, df, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
-    "ta_contamination" ->
-      """WITH norm AS (
-        |  SELECT doc_id, regexp_split_to_array(
-        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
-        |  FROM documents),
-        |tsh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
-        |  )) AS shingle FROM norm WHERE doc_id % 50 <> 0),
-        |esh AS (
-        |  SELECT DISTINCT unnest(list_distinct(
-        |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
-        |  )) AS shingle FROM norm WHERE doc_id % 50 = 0),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
-        |hit AS (SELECT doc_id, count(*) AS n_c FROM tsh
-        |        WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id)
-        |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
-        |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
-        |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin,
+    "ta_contamination" -> ContaminationSql,
+    // the maintained audit drains to the same train/eval split with
+    // exact-once hit folding — oracle shared verbatim
+    "stream_contamination" -> ContaminationSql,
     // the audit's shingle CTEs + the integer threshold + one rollup:
     // the per-source removal funnel
     "pipeline_decontaminate" ->
@@ -3621,7 +3666,16 @@ object SparkEntry {
     // Per-(doc, term) BM25 weights floor to integer micros BEFORE the
     // per-doc sum (ta_surprisal pattern): the sum is then exact in any
     // reduction order and ranking compares integers only.
-    "ta_bm25" ->
+    "ta_bm25" -> Bm25Sql,
+    // the maintained inverted index drains to the same corpus: same
+    // postings (batches are disjoint doc shards), same exact-integer
+    // (n_docs, tot_dl) stats, same scoring core — oracle shared
+    // verbatim
+    "stream_bm25" -> Bm25Sql,
+    // the BM25 CTEs at kArm=50 + the brute-force cosine CTEs for
+    // query vec 0 (both arms' arithmetic verbatim from their own
+    // gates), fused by exact integer floor division 10^6 // (60+rk)
+    "ta_hybrid_rrf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
         |  FROM documents),
@@ -3639,12 +3693,37 @@ object SparkEntry {
         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
         |      * 1000000.0 + 0.5) AS BIGINT) AS w_micros
         |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT doc_id, sum(w_micros) AS micros, count(*) AS n_terms
-        |        FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_terms,
-        |  round(CAST(micros AS DOUBLE) / 1000000.0, 6) AS score,
-        |  CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rk
-        |FROM agg ORDER BY micros DESC, doc_id LIMIT 20""".stripMargin,
+        |lexagg AS (SELECT doc_id, sum(w_micros) AS micros FROM scored GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rk_lex
+        |  FROM lexagg ORDER BY micros DESC, doc_id LIMIT 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dscored AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |              FOR i IN generate_series(1, len(qe))]) /
+        |    (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1, len(qe))])) *
+        |     sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1, len(qe))]))) AS cosine
+        |  FROM embeddings c, q WHERE c.vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, rk_dense FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rk_dense
+        |    FROM dscored) WHERE rk_dense <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(l.rk_lex, 0) AS rk_lex,
+        |    COALESCE(d.rk_dense, 0) AS rk_dense
+        |  FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id),
+        |sc AS (
+        |  SELECT doc_id, rk_lex, rk_dense,
+        |    (CASE WHEN rk_lex > 0 THEN 1000000 // (60 + rk_lex) ELSE 0 END
+        |   + CASE WHEN rk_dense > 0 THEN 1000000 // (60 + rk_dense) ELSE 0 END) AS rrf_micros
+        |  FROM fused)
+        |SELECT doc_id, rk_lex, rk_dense, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+        |  CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rk
+        |FROM sc ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin,
     // u = (48-bit md5 prefix + 0.5) / 2^48; sort key u^(1/weight)
     // floored to integer nanos so libm pow() noise cannot flip ranks.
     // mirrors dsirWeights expression for expression: the classifier

@@ -869,17 +869,38 @@ object TextAnalysis {
     val stats = dl.agg(count(lit(1)).as("n"),
       coalesce(sum("dl"), lit(0L)).as("tot")).head()
     val nDocs = stats.getLong(0)
-    // empty corpus: every downstream frame is empty regardless of
-    // avgdl; any finite value keeps the plan total
-    val avgdl = if (nDocs == 0) 1.0 else stats.getLong(1).toDouble / nDocs
+    val totDl = stats.getLong(1)
     val tf = toks.filter(col("word").isin(queryTerms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    bm25ScorePostings(tf.join(dl, "doc_id"), nDocs, totDl, k, k1, b)
+  }
+
+  /** The BM25 scoring core shared by [[bm25TopK]] and the streamed
+    * maintained-index face ([[graft.streaming.IngestStreams
+    * .bm25Resolve]]): score query-term postings that already carry
+    * their doc's length. `postings` = (doc_id, word, tf, dl) —
+    * EXACTLY one row per (doc, query-term) pair; df is derived from
+    * it (its rows ARE distinct pairs) and broadcast.
+    *
+    * Both faces floor per-(doc, term) weights to integer micros
+    * BEFORE the per-doc sum, so the reduction is exact integer
+    * arithmetic in any order and both hash-check against the same
+    * oracle. avgdl is passed as the (n_docs, Σdl) pair rather than a
+    * float so the maintained index can accumulate it as exact count
+    * deltas. */
+  private[graft] def bm25ScorePostings(postings: DataFrame, nDocs: Long,
+                                       totDl: Long, k: Int,
+                                       k1: Double = 1.2,
+                                       b: Double = 0.75): DataFrame = {
+    // empty corpus: every downstream frame is empty regardless of
+    // avgdl; any finite value keeps the plan total
+    val avgdl = if (nDocs == 0) 1.0 else totDl.toDouble / nDocs
+    val df = postings.groupBy("word").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val weight = idf * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = tf.join(broadcast(df), "word").join(dl, "doc_id")
+    val scored = postings.join(broadcast(df), "word")
       .select(col("doc_id"),
         floor(weight * lit(1e6) + lit(0.5)).cast("long").as("w_micros"))
     val agg = scored.groupBy("doc_id")
@@ -1681,5 +1702,52 @@ object TextAnalysis {
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("n_feats"), col("w_micros"),
         col("g_micros"), col("priority"), col("rk"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009 — public formula): fuse the LEXICAL ranking
+    * ([[bm25TopK]] over `documents`) with the DENSE ranking
+    * ([[Similarity.bruteForceTopK]] over `embeddings`, query =
+    * vec 0's embedding, ids shared with `doc_id`) by
+    * score(d) = Σ_arm ⌊10⁶ / (c + rank_arm(d))⌋, missing arm = 0.
+    *
+    * RRF is THE standard hybrid-retrieval combiner because it needs
+    * no score calibration between arms — BM25 log-weights and cosine
+    * live on incomparable scales, but ranks are ranks. The integer
+    * floor-division keeps fusion arithmetic exact in any engine, so
+    * the whole operator hash-checks even though one arm ranks by
+    * float cosine (that ranking is itself gate-proven by
+    * `sim_bruteforce_topk`).
+    *
+    * Scale shape: each arm is its own proven bounded plan (BM25 =
+    * query-term postings only + TakeOrderedAndProject; dense = one
+    * broadcast query row + one corpus scan + a k-bounded aggregate);
+    * fusion touches only the ≤ 2·kArm survivors — a full-outer join
+    * of two k-row frames plus one bounded top-k. A corpus without an
+    * embedding for every doc (this fixture at sf0.1: 2000 of 5000)
+    * degrades per-doc, not per-query: a doc missing its dense arm
+    * simply fuses from the lexical rank alone.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String], k: Int = 20, kArm: Int = 50,
+                rrfC: Int = 60): DataFrame = {
+    val lex = bm25TopK(documents, queryTerms, kArm)
+      .select(col("doc_id"), col("rk").as("rk_lex"))
+    val dense = Similarity.bruteForceTopK(embeddings, numQueries = 1, k = kArm)
+      .select(col("corpus_id").as("doc_id"), col("rk").as("rk_dense"))
+    val contrib = (rk: String) =>
+      when(col(rk) > 0, expr(s"CAST(1000000 DIV ($rrfC + $rk) AS BIGINT)"))
+        .otherwise(lit(0L))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rk_lex"), lit(0L)).as("rk_lex"),
+        coalesce(col("rk_dense"), lit(0L)).as("rk_dense"))
+      .withColumn("rrf_micros", contrib("rk_lex") + contrib("rk_dense"))
+    val top = fused.orderBy(col("rrf_micros").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rk_lex"), col("rk_dense"),
+        col("rrf_micros"), col("rk"))
   }
 }

@@ -293,6 +293,251 @@ object IngestStreams {
     noveltyResolve(spark, state)
   }
 
+  /** One maintained-inverted-index micro-batch (the `stream_bm25`
+    * state machine): tokenize the batch's docs and write their FULL
+    * postings — (doc_id, word, tf) with the doc's length dl
+    * denormalized onto every row, since docs are immutable so dl is
+    * known at ingest — to a per-batch overwrite delta dir,
+    * partitioned by `bkt = pmod(xxhash64(word), nBuckets)` so a
+    * query later reads ONLY its terms' buckets. A one-row
+    * (n_docs, tot_dl) delta per batch keeps the corpus stats exact
+    * as integer counts (avgdl derives at resolve — never a stored
+    * float).
+    *
+    * Contract: corpus shards are append-only and DISJOINT across
+    * batches (the ingest contract every maintained face here
+    * shares); within a batch, doc_id duplicates are dropped.
+    * Overwrite + commit marker make replay in the crash window a
+    * no-op (the lineDedupBatch pattern). */
+  private[graft] def bm25IndexBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String,
+                                    nBuckets: Int = 64): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_bm25_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val toks = graft.operators.TextOps.tokens(
+        batch0.dropDuplicates("doc_id").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), lower(col("word")).as("word"))
+      .persist()
+    try {
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .withColumn("bkt",
+          pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$statePath/postings/batch=$batchId")
+      dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("tot_dl"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$statePath/stats/batch=$batchId")
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { toks.unpersist(); () }
+  }
+
+  /** Query the maintained inverted index: BM25 top-k for a literal
+    * term set WITHOUT touching document text — the scatter-gather a
+    * search engine does over a sharded index. Reads exactly the
+    * query terms' `bkt` partitions (partition-pruned — at 100 TB the
+    * posting store is petabyte-shaped but a query reads |terms|
+    * buckets of it) plus the |batches|-row stats table; scoring is
+    * [[graft.operators.TextAnalysis.bm25ScorePostings]] — the SAME
+    * core `ta_bm25` runs, so the drained index hash-checks against
+    * `ta_bm25`'s oracle verbatim. df/avgdl/N are corpus-exact (df
+    * counted from the global postings, stats summed over batch
+    * deltas), not per-shard approximations. */
+  def bm25Resolve(spark: SparkSession, statePath: String,
+                  queryTerms: Seq[String], k: Int = 20,
+                  nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(queryTerms.nonEmpty)
+    if (!hasVisibleData(spark, s"$statePath/stats")) {
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("doc_id", "n_terms", "score", "rk")
+    }
+    val stats = spark.read.parquet(s"$statePath/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("tot_dl"), lit(0L)).as("tot")).head()
+    // the terms' buckets, via the SAME engine hash the writer used
+    val qBkts = queryTerms.toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val postings = spark.read.parquet(s"$statePath/postings")
+      .filter(col("bkt").isin(qBkts: _*) && col("word").isin(queryTerms: _*))
+      .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+    graft.operators.TextAnalysis.bm25ScorePostings(
+      postings, stats.getLong(0), stats.getLong(1), k)
+  }
+
+  /** Streamed BM25 over a maintained inverted index (the
+    * `stream_bm25` entry): the always-on face of `ta_bm25` — corpus
+    * shards land and each batch appends its bucket-partitioned
+    * postings + a stats delta; a query at any moment is a pruned
+    * read of its terms' buckets. The batch face re-tokenizes the
+    * corpus per query; this face pays tokenization ONCE at ingest
+    * and amortizes it across every subsequent query. */
+  def streamedBm25(spark: SparkSession, dir: String,
+                   queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        bm25IndexBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    bm25Resolve(spark, state, queryTerms, k)
+  }
+
+  /** One streamed-contamination micro-batch (the
+    * `stream_contamination` state machine). Exact-once hit
+    * attribution: a (train doc, shingle ∈ eval vocab) hit is counted
+    * in the batch where the LATER of the two sides arrived —
+    *   term1 = this batch's train shingles ⋉ eval vocab through this
+    *           batch (old ∪ new — covers train arriving last),
+    *   term2 = STORED train shingles ⋉ this batch's genuinely-new
+    *           eval shingles (covers eval arriving last — the
+    *           retro-flag the batch audit never needs),
+    * so per-batch hit deltas sum-fold exactly whatever the arrival
+    * order. Stored train shingles are bucket-partitioned by
+    * `pmod(xxhash64(shingle), nBuckets)` and the retro read touches
+    * ONLY the new eval shingles' buckets (partition-pruned — at
+    * 100 TB the stored-shingle table is corpus-sized but a batch
+    * reads the few buckets its eval delta hashes to; eval deltas are
+    * megabytes against the corpus). Contract: shards append-only and
+    * disjoint across batches; overwrite + marker make crash-window
+    * replay a no-op (deltas recompute identically — evalNew derives
+    * from batches strictly before this one). */
+  private[graft] def contaminationBatch(batch0: org.apache.spark.sql.DataFrame,
+                                        batchId: Long, statePath: String,
+                                        evalMod: Int = 50, n: Int = 5,
+                                        nBuckets: Int = 64): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_cont_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val docs = batch0.dropDuplicates("doc_id").select(col("doc_id"), col("text"))
+    val trainB = docs.filter(col("doc_id") % evalMod =!= 0)
+    val evalB = docs.filter(col("doc_id") % evalMod === 0)
+    val bkt = pmod(xxhash64(col("shingle")), lit(nBuckets.toLong)).cast("int")
+    val trainSh = graft.operators.Dedup.wordShingles(trainB, n)
+      .withColumn("bkt", bkt).persist()
+    val evalOld =
+      if (hasVisibleData(spark, s"$statePath/eval_sh"))
+        spark.read.parquet(s"$statePath/eval_sh")
+          .filter(col("batch") < batchId).select("shingle")
+      else Seq.empty[String].toDF("shingle")
+    val evalNew = graft.operators.Dedup.wordShingles(evalB, n)
+      .select("shingle").distinct()
+      .join(evalOld, Seq("shingle"), "left_anti")
+      .withColumn("bkt", bkt).persist()
+    try {
+      graft.operators.Dedup.shingleSetSizes(trainB, n)
+        .write.mode("overwrite").parquet(s"$statePath/train_docs/batch=$batchId")
+      evalNew.write.mode("overwrite").parquet(s"$statePath/eval_sh/batch=$batchId")
+      val term1 = trainSh
+        .join(broadcast(evalOld.union(evalNew.select("shingle"))),
+          Seq("shingle"), "left_semi")
+        .select("doc_id")
+      val newBkts = evalNew.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val term2 =
+        if (newBkts.isEmpty || !hasVisibleData(spark, s"$statePath/train_sh"))
+          spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        else spark.read.parquet(s"$statePath/train_sh")
+          .filter(col("batch") < batchId && col("bkt").isin(newBkts: _*))
+          .join(broadcast(evalNew.select("shingle")), Seq("shingle"), "left_semi")
+          .select("doc_id")
+      term1.union(term2).groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .write.mode("overwrite").parquet(s"$statePath/hits/batch=$batchId")
+      trainSh.select("doc_id", "shingle", "bkt")
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$statePath/train_sh/batch=$batchId")
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { trainSh.unpersist(); evalNew.unpersist(); () }
+  }
+
+  /** Resolve the maintained contamination state to
+    * [[graft.operators.TextAnalysis.contamination]]'s exact shape:
+    * per-batch hit deltas sum-fold (exact-once by construction),
+    * set sizes read as written. Resolve never touches shingles —
+    * it is a fold over two doc-keyed tables. */
+  def contaminationResolve(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    if (!hasVisibleData(spark, s"$statePath/train_docs")) {
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("doc_id", "n_sh", "n_contaminated", "contamination")
+    }
+    val hits =
+      if (hasVisibleData(spark, s"$statePath/hits"))
+        spark.read.parquet(s"$statePath/hits")
+          .groupBy("doc_id").agg(sum("n_hits").as("n_contaminated"))
+      else Seq.empty[(Long, Long)].toDF("doc_id", "n_contaminated")
+    spark.read.parquet(s"$statePath/train_docs")
+      .select("doc_id", "n_sh")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_sh"), 4)
+          .as("contamination"))
+  }
+
+  /** Streamed benchmark-contamination audit (the
+    * `stream_contamination` entry): the always-on face of
+    * `ta_contamination` — corpus shards land carrying BOTH train and
+    * eval docs in any interleaving, and the audit stays continuously
+    * current because a late-arriving eval shingle retro-flags every
+    * already-ingested train doc that contains it (the pruned term2
+    * read), which the batch audit gets for free only by rescanning
+    * the corpus per run. Shares `ta_contamination`'s oracle verbatim
+    * after the drain. */
+  def streamedContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-cont-ing-").toString
+    val incoming = s"$base/incoming"
+    // % 3 split (not % 2): eval ids are % 50 == 0, all even — a
+    // parity split would land every eval doc in one shard and never
+    // drive the retro term at entry scale
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 3 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        contaminationBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    contaminationResolve(spark, state)
+  }
+
   /** Streamed quality-classifier scoring — the always-on face of
     * `ta_quality_clf`: per-doc scoring is STATELESS (broadcast
     * weights, no corpus statistics), so each micro-batch scores

@@ -963,6 +963,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(IngestStreams.noveltyResolve(spark, s"$state-nope").count() == 0)
   }
 
+  test("streamedBm25 == batch bm25TopK; resolve prunes to query-term buckets; replay no-ops; cross-batch df is corpus-exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val terms = Seq("spark", "window", "vector")
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sortBy(_._4)
+    val streamed = asSeq(IngestStreams.streamedBm25(spark, sf, terms))
+    val batch = asSeq(TextAnalysis.bm25TopK(
+      Tables.documents(spark, sf), terms))
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand-driven batches: df/N/avgdl must be CORPUS stats, not
+    // per-shard — "spark" appears once per shard (df=2 globally),
+    // and doc 3 (both terms) must out-rank single-term docs
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-bm25-replay-")
+      .toString + "/state"
+    IngestStreams.bm25IndexBatch(
+      docs((1L, "spark shuffle plan"), (3L, "spark window join")), 0L, state)
+    IngestStreams.bm25IndexBatch(
+      docs((4L, "window frame"), (6L, "alpha beta gamma")), 1L, state)
+    def res() = IngestStreams.bm25Resolve(spark, state, terms, 20)
+    val union = docs((1L, "spark shuffle plan"), (3L, "spark window join"),
+      (4L, "window frame"), (6L, "alpha beta gamma"))
+    assert(asSeq(res()) == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "maintained index != batch scoring on the drained union")
+    assert(res().head.getLong(0) == 3L, "both-term doc must rank first")
+    // pruned read: the resolve plan's posting scan carries a bkt
+    // partition filter (only query-term buckets are touched)
+    val plan = res().queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"posting scan not partition-pruned:\n$plan")
+    // crash-window replay: delta overwrite + marker make it a no-op
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_bm25_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.bm25IndexBatch(
+      docs((4L, "window frame"), (6L, "alpha beta gamma")), 1L, state)
+    assert(asSeq(res()) == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "replayed batch perturbed the index")
+    // empty state resolves empty
+    assert(IngestStreams.bm25Resolve(spark, s"$state-nope", terms).count() == 0)
+  }
+
+  test("streamedContamination == batch contamination; late eval shingle retro-flags stored train doc; replay no-ops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val streamed = asMap(IngestStreams.streamedContamination(spark, sf))
+    val batch = asMap(TextAnalysis.contamination(Tables.documents(spark, sf)))
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand batches, eval ARRIVING LAST: doc 1 (train) lands in batch
+    // 0 with no eval vocab at all; eval doc 50 lands in batch 1 and
+    // must retro-flag doc 1's overlapping shingles via term2
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-cont-replay-")
+      .toString + "/state"
+    val trainTxt = "alpha beta gamma delta epsilon zeta" // 2 5-shingles
+    IngestStreams.contaminationBatch(docs((1L, trainTxt)), 0L, state)
+    def res() = asMap(IngestStreams.contaminationResolve(spark, state))
+    assert(res() == Map(1L -> ((2L, 0L, 0.0))), s"pre-eval state: ${res()}")
+    IngestStreams.contaminationBatch(
+      docs((50L, "alpha beta gamma delta epsilon omega")), 1L, state)
+    assert(res() == Map(1L -> ((2L, 1L, 0.5))),
+      s"late eval failed to retro-flag: ${res()}")
+    // same-batch train+eval and an already-known shingle: doc 7
+    // repeats the flagged shingle (must count once for doc 7, and
+    // NOT recount doc 1); eval doc 100 adds nothing new
+    IngestStreams.contaminationBatch(
+      docs((7L, "alpha beta gamma delta epsilon"),
+        (100L, "alpha beta gamma delta epsilon")), 2L, state)
+    assert(res() == Map(1L -> ((2L, 1L, 0.5)), 7L -> ((1L, 1L, 1.0))),
+      s"same-batch/known-shingle attribution broke: ${res()}")
+    // crash-window replay of the retro batch: a double-counted hit
+    // would show as doc 1 -> n_contaminated 2
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_cont_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.contaminationBatch(
+      docs((50L, "alpha beta gamma delta epsilon omega")), 1L, state)
+    assert(res() == Map(1L -> ((2L, 1L, 0.5)), 7L -> ((1L, 1L, 1.0))),
+      s"replay double-counted: ${res()}")
+    // empty state resolves empty
+    assert(IngestStreams.contaminationResolve(spark, s"$state-nope").count() == 0)
+  }
+
   test("streamedQualityTopP == batch qualityTopP: global rank over the incrementally maintained scores") {
     import graft.operators.TextAnalysis
     def asSet(rows: Array[org.apache.spark.sql.Row]) =

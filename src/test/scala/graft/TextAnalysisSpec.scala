@@ -906,4 +906,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(smp.forall(r => !(1L to 8L).contains(r.getLong(0))),
       "sample never draws target docs")
   }
+
+  test("hybridRrf: both-arm doc beats single-arm tops; fusion micros exact; missing-embedding doc fuses from lexical alone") {
+    import spark.implicits._
+    // lexical: doc 2 matches two query terms (rank 1), doc 9 one
+    // (rank 2); dense vs query vec 0: vec 2 closest, then 5, 7, 9
+    val docs = Seq(
+      (2L, "spark window"), (5L, "alpha beta"),
+      (7L, "gamma delta"), (9L, "spark")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (5L, Seq(0.7f, 0.3f, 0f, 0f)), (7L, Seq(0f, 1f, 0f, 0f)),
+      (9L, Seq(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = TextAnalysis.hybridRrf(docs, embs, Seq("spark", "window", "vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // 10^6 DIV (60 + rank): rank 1 -> 16393, 2 -> 16129, 3 -> 15873,
+    // 4 -> 15625. Doc 2 (both arms, rank 1+1) = 32786; doc 9 (lex 2 +
+    // dense 4) = 31754 STILL beats every single-arm doc -- the RRF
+    // property the operator exists for.
+    assert(got == Seq(
+      (2L, 1L, 1L, 32786L, 1L),
+      (9L, 2L, 4L, 31754L, 2L),
+      (5L, 0L, 2L, 16129L, 3L),
+      (7L, 0L, 3L, 15873L, 4L)), s"got $got")
+    // real fixture: every fused doc is in >=1 arm, ranks contiguous,
+    // scores non-increasing; docs without embeddings (sf0.1) still
+    // retrievable through the lexical arm
+    val real = TextAnalysis.hybridRrf(Tables.documents(spark, SharedSpark.sf),
+      Tables.embeddings(spark, SharedSpark.sf), Seq("spark", "window", "vector"))
+      .collect()
+    assert(real.nonEmpty && real.length <= 20)
+    assert(real.map(_.getLong(4)).toSeq == (1L to real.length).toSeq)
+    assert(real.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
+    val scores = real.sortBy(_.getLong(4)).map(_.getLong(3)).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
 }
