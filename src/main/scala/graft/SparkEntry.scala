@@ -610,6 +610,15 @@ object SparkEntry {
     "sim_balanced_sample" -> ((s, dir) => Similarity.balancedSampleByHash(
       Tables.embeddings(s, dir), (0 until 10).map(l => l -> (if (l < 5) 0.5 else 1.0)).toMap)),
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    // Hampel median/MAD outlier flag on cosine-to-centroid, all
+    // integer micros after the sim_centroids rounded projection
+    "sim_outliers" -> ((s, dir) => Similarity.robustOutliers(Tables.embeddings(s, dir))),
+    // PCA pre-transform ANN: uncentered second-moment eigenbasis
+    // (driver Jacobi over one Gram pass), shortlist in 32 of 64
+    // dims, exact full-dim re-rank; rows-only for the same
+    // float-candidate-set reason as the other ann entries
+    "sim_ann_pca" -> ((s, dir) => Similarity.annTopKPcaRerank(
+      Tables.embeddings(s, dir), 8, 10)),
     "sim_kmeans" -> ((s, dir) => Similarity.kmeans(Tables.embeddings(s, dir), 16, 3)),
     // Deployed-index shape: the codebook is trained ONCE per corpus
     // (deterministic content-hash-sampled Lloyd) and reused by every
@@ -758,7 +767,15 @@ object SparkEntry {
     "ta_hybrid_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(
       Tables.documents(s, dir), Tables.embeddings(s, dir),
       Seq("spark", "window", "vector"), 20)),
+    // both arms over MAINTAINED stores: pruned-bucket BM25 resolve +
+    // brute-force cosine over the streamed vector store, shared fuse
+    "stream_hybrid_rrf" -> ((s, dir) => graft.streaming.IngestStreams.streamedHybridRrf(
+      s, dir, Seq("spark", "window", "vector"), 20)),
     "ta_weighted_sample" -> ((s, dir) => TextAnalysis.weightedSample(Tables.documents(s, dir), 50)),
+    // maintained weighted reservoir: k-bounded per-batch deltas,
+    // resolve = top-k fold — bit-identical to the batch sample
+    "stream_weighted_sample" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedWeightedSample(s, dir, 50)),
     // DSIR: hashed-ngram importance weights of every pool doc against
     // the src0 target slice (integer micros, one bucket aggregate +
     // one scalar-totals broadcast), then Gumbel-top-k resampling
@@ -1612,6 +1629,68 @@ object SparkEntry {
     |SELECT c.doc_id, c.n_sh, COALESCE(n_c, 0) AS n_contaminated,
     |  round(CAST(COALESCE(n_c, 0) AS DOUBLE) / c.n_sh, 4) AS contamination
     |FROM cnt c LEFT JOIN hit USING (doc_id)""".stripMargin
+
+  private val HybridRrfSql: String =
+    """WITH toks AS (
+    |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+    |  FROM documents),
+    |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
+    |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
+    |       WHERE word IN ('spark', 'window', 'vector') GROUP BY doc_id, word),
+    |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    |scored AS (
+    |  SELECT tf.doc_id,
+    |    CAST(floor(
+    |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+    |      * (CAST(tf AS DOUBLE) * 2.2)
+    |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+    |      * 1000000.0 + 0.5) AS BIGINT) AS w_micros
+    |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+    |lexagg AS (SELECT doc_id, sum(w_micros) AS micros FROM scored GROUP BY doc_id),
+    |lex AS (
+    |  SELECT doc_id, CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rk_lex
+    |  FROM lexagg ORDER BY micros DESC, doc_id LIMIT 50),
+    |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    |dscored AS (
+    |  SELECT c.vec_id AS doc_id,
+    |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+    |              FOR i IN generate_series(1, len(qe))]) /
+    |    (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+    |                    FOR i IN generate_series(1, len(qe))])) *
+    |     sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+    |                    FOR i IN generate_series(1, len(qe))]))) AS cosine
+    |  FROM embeddings c, q WHERE c.vec_id <> 0),
+    |dense AS (
+    |  SELECT doc_id, rk_dense FROM (
+    |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rk_dense
+    |    FROM dscored) WHERE rk_dense <= 50),
+    |fused AS (
+    |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+    |    COALESCE(l.rk_lex, 0) AS rk_lex,
+    |    COALESCE(d.rk_dense, 0) AS rk_dense
+    |  FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id),
+    |sc AS (
+    |  SELECT doc_id, rk_lex, rk_dense,
+    |    (CASE WHEN rk_lex > 0 THEN 1000000 // (60 + rk_lex) ELSE 0 END
+    |   + CASE WHEN rk_dense > 0 THEN 1000000 // (60 + rk_dense) ELSE 0 END) AS rrf_micros
+    |  FROM fused)
+    |SELECT doc_id, rk_lex, rk_dense, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+    |  CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rk
+    |FROM sc ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin
+
+  private val WeightedSampleSql: String =
+    """WITH w AS (
+    |  SELECT doc_id, n_chars AS weight,
+    |    CAST(floor(pow(
+    |      (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE) + 0.5)
+    |        / 281474976710656.0,
+    |      1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS key_nanos
+    |  FROM documents WHERE n_chars > 0)
+    |SELECT doc_id, weight, key_nanos,
+    |  CAST(row_number() OVER (ORDER BY key_nanos DESC, doc_id) AS BIGINT) AS rk
+    |FROM w ORDER BY key_nanos DESC, doc_id LIMIT 50""".stripMargin
 
   private val Bm25Sql: String =
     """WITH toks AS (
@@ -3172,6 +3251,44 @@ object SparkEntry {
         |    ON c.component_id = s.component_id AND c.doc_id <> s.survivor)
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
+    // per-label rounded-avg centroid (the sim_centroids float
+    // convention), the bruteforce gate's cosine arithmetic floored
+    // to micros, LOW median + LOW MAD as integer window picks, and
+    // a pure-integer Hampel threshold (3·1.4826 scaled to 10^4)
+    "sim_outliers" ->
+      """WITH c AS (
+        |  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS ci
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |  GROUP BY label, i),
+        |cent AS (SELECT label, list(ci ORDER BY i) AS centroid FROM c GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(floor((
+        |      list_sum([CAST(e.embedding[i] AS DOUBLE) * centroid[i]
+        |                FOR i IN generate_series(1, len(centroid))]) /
+        |      (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                      FOR i IN generate_series(1, len(centroid))])) *
+        |       sqrt(list_sum([centroid[i] * centroid[i]
+        |                      FOR i IN generate_series(1, len(centroid))])))
+        |    ) * 1000000.0 + 0.5) AS BIGINT) AS c_micros
+        |  FROM embeddings e JOIN cent USING (label)),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY c_micros, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS cnt
+        |  FROM scored),
+        |med AS (SELECT label, c_micros AS med_micros FROM r1 WHERE rn = (cnt + 1) // 2),
+        |d AS (
+        |  SELECT s.vec_id, s.label, s.c_micros, m.med_micros,
+        |    abs(s.c_micros - m.med_micros) AS dev
+        |  FROM scored s JOIN med m USING (label)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS cnt
+        |  FROM d),
+        |mad AS (SELECT label, dev AS mad_micros FROM r2 WHERE rn = (cnt + 1) // 2)
+        |SELECT d.vec_id, d.label, d.c_micros, d.med_micros, mad.mad_micros,
+        |  (d.dev * 10000 > 44478 * mad.mad_micros) AS is_outlier
+        |FROM d JOIN mad USING (label)""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -3675,55 +3792,10 @@ object SparkEntry {
     // the BM25 CTEs at kArm=50 + the brute-force cosine CTEs for
     // query vec 0 (both arms' arithmetic verbatim from their own
     // gates), fused by exact integer floor division 10^6 // (60+rk)
-    "ta_hybrid_rrf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
-        |  FROM documents),
-        |t AS (SELECT doc_id, lower(w) AS word FROM toks WHERE w <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
-        |       WHERE word IN ('spark', 'window', 'vector') GROUP BY doc_id, word),
-        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS w_micros
-        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
-        |lexagg AS (SELECT doc_id, sum(w_micros) AS micros FROM scored GROUP BY doc_id),
-        |lex AS (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rk_lex
-        |  FROM lexagg ORDER BY micros DESC, doc_id LIMIT 50),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |dscored AS (
-        |  SELECT c.vec_id AS doc_id,
-        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
-        |              FOR i IN generate_series(1, len(qe))]) /
-        |    (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-        |                    FOR i IN generate_series(1, len(qe))])) *
-        |     sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
-        |                    FOR i IN generate_series(1, len(qe))]))) AS cosine
-        |  FROM embeddings c, q WHERE c.vec_id <> 0),
-        |dense AS (
-        |  SELECT doc_id, rk_dense FROM (
-        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rk_dense
-        |    FROM dscored) WHERE rk_dense <= 50),
-        |fused AS (
-        |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
-        |    COALESCE(l.rk_lex, 0) AS rk_lex,
-        |    COALESCE(d.rk_dense, 0) AS rk_dense
-        |  FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id),
-        |sc AS (
-        |  SELECT doc_id, rk_lex, rk_dense,
-        |    (CASE WHEN rk_lex > 0 THEN 1000000 // (60 + rk_lex) ELSE 0 END
-        |   + CASE WHEN rk_dense > 0 THEN 1000000 // (60 + rk_dense) ELSE 0 END) AS rrf_micros
-        |  FROM fused)
-        |SELECT doc_id, rk_lex, rk_dense, CAST(rrf_micros AS BIGINT) AS rrf_micros,
-        |  CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rk
-        |FROM sc ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin,
+    "ta_hybrid_rrf" -> HybridRrfSql,
+    // both maintained stores drain to the same corpus and the fusion
+    // core is shared — oracle verbatim
+    "stream_hybrid_rrf" -> HybridRrfSql,
     // u = (48-bit md5 prefix + 0.5) / 2^48; sort key u^(1/weight)
     // floored to integer nanos so libm pow() noise cannot flip ranks.
     // mirrors dsirWeights expression for expression: the classifier
@@ -3760,17 +3832,10 @@ object SparkEntry {
         |  w_micros + g_micros AS priority,
         |  CAST(row_number() OVER (ORDER BY w_micros + g_micros DESC, doc_id) AS BIGINT) AS rk
         |FROM smp ORDER BY priority DESC, doc_id LIMIT 64""".stripMargin,
-    "ta_weighted_sample" ->
-      """WITH w AS (
-        |  SELECT doc_id, n_chars AS weight,
-        |    CAST(floor(pow(
-        |      (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE) + 0.5)
-        |        / 281474976710656.0,
-        |      1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS key_nanos
-        |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, weight, key_nanos,
-        |  CAST(row_number() OVER (ORDER BY key_nanos DESC, doc_id) AS BIGINT) AS rk
-        |FROM w ORDER BY key_nanos DESC, doc_id LIMIT 50""".stripMargin,
+    "ta_weighted_sample" -> WeightedSampleSql,
+    // the reservoir fold is an order-free top-k of per-batch top-ks —
+    // oracle shared verbatim
+    "stream_weighted_sample" -> WeightedSampleSql,
     "sim_quantize" ->
       """WITH a AS (
         |  SELECT vec_id, embedding,
@@ -4559,6 +4624,7 @@ object SparkEntry {
     "q_approx_distinct_hll" -> 5L, // one row per event type
     "sim_ann_pq" -> 80L,
     "sim_ann_ivfpq" -> 80L,
+    "sim_ann_pca" -> 80L,
     "sim_ann_ivfpq_res" -> 80L,
     "sim_ann_opq" -> 80L,
     "q_mst" -> 1999L,              // spanning forest: n_nodes - n_components

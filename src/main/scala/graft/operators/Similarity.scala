@@ -1531,4 +1531,220 @@ object Similarity {
       .sortBy(_._1).map(_._2.toSeq).toSeq
     (r, pqLoadCodebook(s"$path/books", spark))
   }
+
+  /** Robust per-label embedding outlier flagging (median/MAD rule —
+    * Hampel's identifier, public statistics): flag a vector whose
+    * cosine to its label centroid deviates from the label's median
+    * by more than `madK/10⁴` · MAD (default 44478 = 3 · 1.4826·10⁴,
+    * the classic 3σ-consistent threshold). Median and MAD, not
+    * mean/stddev, because the contaminants being hunted are exactly
+    * the points that wreck the mean — the breakdown-point argument.
+    *
+    * Hash-exact end to end: the centroid is the `sim_centroids`
+    * gate's own rounded projection (round 6dp per element — the
+    * proven float-avg convention), cosines floor to integer micros,
+    * the median is the LOW median (ascending rank ⌈n/2⌉ — never an
+    * interpolated float), and the threshold compares pure integers.
+    *
+    * Scale shape: one broadcast join (|labels| centroids) + two
+    * per-label windows (rank within label — label partitions are
+    * corpus-sized/|labels|, range-partitioned, never one global
+    * sort). At 100 TB the exact median swaps for the in-house KLL
+    * sketch face at the same call site; the flag rule is unchanged.
+    */
+  def robustOutliers(embeddings: DataFrame, madK: Long = 44478L): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label"),
+        expr("transform(centroid, x -> round(x, 6))").as("centroid"))
+    // cosine in pure double arithmetic against the DOUBLE centroid
+    // (vecCosine is float-typed; casting the rounded centroid to
+    // float would re-perturb the 6dp convention the oracle mirrors)
+    val dot = "aggregate(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    val nE = "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    val nC = "aggregate(centroid, CAST(0.0 AS DOUBLE), (a, y) -> a + y * y)"
+    val scored = embeddings.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        floor(expr(s"$dot / (sqrt($nE) * sqrt($nC))") * lit(1e6) + lit(0.5))
+          .cast("long").as("c_micros"))
+    val wAll = Window.partitionBy("label")
+    val med = scored
+      .withColumn("rn", row_number().over(
+        wAll.orderBy(col("c_micros"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(expr("rn = (cnt + 1) DIV 2"))
+      .select(col("label"), col("c_micros").as("med_micros"))
+    val dev = scored.join(broadcast(med), "label")
+      .withColumn("dev", abs(col("c_micros") - col("med_micros")))
+    val mad = dev
+      .withColumn("rn", row_number().over(
+        wAll.orderBy(col("dev"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(expr("rn = (cnt + 1) DIV 2"))
+      .select(col("label"), col("dev").as("mad_micros"))
+    dev.join(broadcast(mad), "label")
+      .select(col("vec_id"), col("label"), col("c_micros"),
+        col("med_micros"), col("mad_micros"),
+        (col("dev") * lit(10000L) > lit(madK) * col("mad_micros")).as("is_outlier"))
+  }
+
+  /** Classical cyclic Jacobi eigendecomposition of a small SYMMETRIC
+    * driver-side d×d matrix (textbook algorithm — Golub & Van Loan
+    * §8.5): sweeps of (p, q) plane rotations annihilate off-diagonal
+    * entries until the off-diagonal Frobenius mass dies. Returns
+    * (eigenvalues, eigenvectors as rows), sorted by eigenvalue
+    * descending (tie: original index), each vector sign-fixed so its
+    * largest-magnitude component is positive (earliest index on
+    * ties) — fully deterministic, like [[procrustesRotation]].
+    */
+  private[graft] def jacobiEigen(c: Array[Array[Double]]): (Seq[Double], Seq[Seq[Double]]) = {
+    val d = c.length
+    val a = Array.tabulate(d, d)((i, j) => c(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            // rotation angle zeroing a(p)(q) (symmetric Schur)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val cos = 1.0 / math.sqrt(t * t + 1.0)
+            val sin = t * cos
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = cos * aip - sin * aiq
+              a(i)(q) = sin * aip + cos * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = cos * api - sin * aqi
+              a(q)(i) = sin * api + cos * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = cos * vip - sin * viq
+              v(i)(q) = sin * vip + cos * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(j => (-a(j)(j), j))
+    val vals = order.map(j => a(j)(j))
+    val vecs = order.map { j =>
+      val col0 = (0 until d).map(i => v(i)(j))
+      val m = col0.indices.maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(m) < 0) col0.map(-_) else col0
+    }
+    (vals, vecs)
+  }
+
+  /** Train an UNCENTERED-PCA projection (the FAISS PCAMatrix
+    * pre-transform shape, specialized for inner-product/cosine
+    * search): eigenbasis of the second-moment matrix E[x·xᵀ], NOT
+    * the covariance — projecting onto a complete orthonormal basis
+    * preserves dot products EXACTLY (x·y = Σ_j (x·b_j)(y·b_j)), so
+    * truncating to the top dOut components loses only the corpus
+    * energy outside them, while mean-centering would shift every
+    * vector and distort cosine geometry. Returns (basis rows
+    * dOut×dim, energy fractions per kept component).
+    *
+    * Scale shape: ONE corpus pass accumulates the dim×dim Gram sum
+    * per partition (O(d²) buffer, map-side — the [[opqTrain]]
+    * accumulation pattern) + a driver-side O(d³) [[jacobiEigen]];
+    * content-hash sampling ([[hashSample]]) bounds the pass on a
+    * 100 TB corpus, and the basis is a d×dOut plan literal
+    * afterwards — training never touches the serving path.
+    */
+  def pcaTrain(embeddings: DataFrame, dOut: Int,
+               sampleFraction: Double = 1.0): (Seq[Seq[Float]], Seq[Double]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val train = hashSample(embeddings, sampleFraction, "pca:")
+      .select(col("embedding")).as[Seq[Float]]
+    val dim = embDim(embeddings, "embedding")
+    if (dim == 0) return (Seq.empty, Seq.empty)
+    require(dOut > 0 && dOut <= dim, s"dOut $dOut not in (0, $dim]")
+    val gram = train.rdd.mapPartitions { it0 =>
+      val acc = Array.ofDim[Double](dim, dim)
+      it0.foreach { x =>
+        var i = 0
+        while (i < dim) {
+          val xi = x(i).toDouble
+          if (xi != 0.0) {
+            var j = i
+            while (j < dim) { acc(i)(j) += xi * x(j).toDouble; j += 1 }
+          }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { a(i)(j) += b(i)(j); j += 1 }
+        i += 1
+      }
+      a
+    }
+    // mirror the upper triangle (only it was accumulated)
+    var i = 0
+    while (i < dim) {
+      var j = i + 1
+      while (j < dim) { gram(j)(i) = gram(i)(j); j += 1 }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(gram)
+    val total = math.max(vals.map(math.max(_, 0.0)).sum, Double.MinPositiveValue)
+    val basis = vecs.take(dOut).map(_.map(_.toFloat))
+    (basis, vals.take(dOut).map(v => math.max(v, 0.0) / total))
+  }
+
+  /** Project embeddings onto a PCA basis: one plan-literal matvec
+    * per row ([[rotateEmbeddings]] — works rectangular, dOut rows of
+    * dim each), zero shuffles. */
+  def pcaProject(embeddings: DataFrame, basis: Seq[Seq[Float]],
+                 embCol: String = "embedding"): DataFrame =
+    rotateEmbeddings(embeddings, basis, embCol)
+
+  /** PCA-shortlisted ANN with exact re-rank (the `sim_ann_pca`
+    * entry): brute-force cosine in the dOut-dim projected space
+    * produces a per-query shortlist, then the shortlist re-ranks
+    * with exact full-dimension cosine. The projected pass reads
+    * dOut/dim of the float volume (32/64 = 2× less scan + multiply
+    * per candidate), and because uncentered PCA preserves inner
+    * products under truncation up to out-of-basis energy, projected
+    * cosine is a faithful shortlist ranking — recall is gated in
+    * SimilaritySpec and the dial is `shortlist` (the
+    * [[annTopKPqRerank]] contract).
+    */
+  def annTopKPcaRerank(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+                       dOut: Int = 32, shortlist: Int = 100,
+                       sampleFraction: Double = 1.0): DataFrame = {
+    val (basis, _) = pcaTrain(embeddings, dOut, sampleFraction)
+    val proj = pcaProject(embeddings, basis)
+    val short = bruteForceTopK(proj, numQueries, shortlist)
+      .select(col("query_id"), col("corpus_id"))
+    rerankExact(embeddings, short, numQueries, k)
+  }
 }

@@ -1532,15 +1532,29 @@ object TextAnalysis {
   }
 
   def weightedSample(documents: DataFrame, k: Int = 50,
-                     seed: String = "wsamp"): DataFrame = {
+                     seed: String = "wsamp"): DataFrame =
+    weightedSampleTop(weightedSampleKeys(documents, seed), k)
+
+  /** The Efraimidis-Spirakis keying shared by [[weightedSample]] and
+    * the maintained face ([[graft.streaming.IngestStreams
+    * .streamedWeightedSample]]): (doc_id, weight, key_nanos) per doc,
+    * key = u^(1/w) floored to integer nanos, u a content-hash
+    * uniform — a pure per-row projection. */
+  private[graft] def weightedSampleKeys(documents: DataFrame,
+                                        seed: String = "wsamp"): DataFrame = {
     val h = conv(substring(
       md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))), 1, 12),
       16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
     val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
-    val keyed = documents.filter(col("n_chars") > 0)
+    documents.filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars").as("weight"),
         floor(key * lit(1e9) + lit(0.5)).cast("long").as("key_nanos"))
+  }
+
+  /** The k largest keys, ranked — shared between the batch and
+    * streamed faces so both produce the identical output frame. */
+  private[graft] def weightedSampleTop(keyed: DataFrame, k: Int): DataFrame = {
     val top = keyed.orderBy(col("key_nanos").desc, col("doc_id").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("key_nanos").desc, col("doc_id").asc)
@@ -1735,6 +1749,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk").as("rk_lex"))
     val dense = Similarity.bruteForceTopK(embeddings, numQueries = 1, k = kArm)
       .select(col("corpus_id").as("doc_id"), col("rk").as("rk_dense"))
+    rrfFuse(lex, dense, k, rrfC)
+  }
+
+  /** The RRF fusion core shared by [[hybridRrf]] and the
+    * maintained-store face ([[graft.streaming.IngestStreams
+    * .streamedHybridRrf]]): fuse a lexical ranking (doc_id, rk_lex)
+    * with a dense ranking (doc_id, rk_dense) by exact integer floor
+    * division. Both inputs are ≤ kArm rows, so everything here is
+    * driver-trivial: one full-outer join of two k-row frames + one
+    * bounded top-k. */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+                             rrfC: Int): DataFrame = {
     val contrib = (rk: String) =>
       when(col(rk) > 0, expr(s"CAST(1000000 DIV ($rrfC + $rk) AS BIGINT)"))
         .otherwise(lit(0L))

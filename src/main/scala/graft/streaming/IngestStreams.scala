@@ -323,10 +323,14 @@ object IngestStreams {
       .persist()
     try {
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // cluster by bucket before the partitioned write: one file per
+      // (batch, bucket), not one per (task, bucket) — the fan-out
+      // otherwise explodes to tasks×buckets tiny files per batch
       toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         .join(dl, "doc_id")
         .withColumn("bkt",
           pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
+        .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$statePath/postings/batch=$batchId")
       dl.agg(count(lit(1)).as("n_docs"),
@@ -405,6 +409,144 @@ object IngestStreams {
     bm25Resolve(spark, state, queryTerms, k)
   }
 
+  /** One streamed weighted-reservoir micro-batch: the batch's OWN
+    * top-k Efraimidis-Spirakis keys as a k-bounded overwrite delta
+    * (the global top-k is a subset of the union of per-batch
+    * top-ks — an order-free min-k fold, so deltas never exceed k
+    * rows whatever the corpus size). */
+  private[graft] def wsampleBatch(batch0: org.apache.spark.sql.DataFrame,
+                                  batchId: Long, statePath: String,
+                                  k: Int = 50, seed: String = "wsamp"): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_wsamp_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis
+      .weightedSampleKeys(batch0.dropDuplicates("doc_id"), seed)
+      .orderBy(col("key_nanos").desc, col("doc_id").asc).limit(k)
+      .write.mode("overwrite").parquet(s"$statePath/wsamp/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Streamed weighted sample without replacement (the
+    * `stream_weighted_sample` entry): the distributed weighted
+    * reservoir, maintained — because the E-S sort key is a pure
+    * content-hash function of each row, the reservoir algebra is an
+    * order-free top-k fold over per-batch top-ks, and the drained
+    * state equals `ta_weighted_sample` BIT-FOR-BIT (oracle shared
+    * verbatim). State is ≤ k rows per batch — at 100 TB the
+    * maintained sample costs |batches|·k rows, and resolve is a
+    * top-k over that, never a corpus pass. */
+  def streamedWeightedSample(spark: SparkSession, dir: String,
+                             k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-wsamp-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_chars", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        wsampleBatch(b, id, state, k)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!hasVisibleData(spark, s"$state/wsamp")) {
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc_id", "weight", "key_nanos", "rk")
+    }
+    graft.operators.TextAnalysis.weightedSampleTop(
+      spark.read.parquet(s"$state/wsamp")
+        .select("doc_id", "weight", "key_nanos"), k)
+  }
+
+  /** One embedding-store micro-batch for the streamed hybrid: plain
+    * per-batch overwrite delta dirs of (vec_id, embedding) — the
+    * simplest member of the maintenance family (pure append of
+    * immutable rows, no algebra at all), kept separate from the IVF
+    * cell store so the hybrid face carries no quantizer dependency. */
+  private[graft] def vecStoreBatch(batch0: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_vec_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    batch0.dropDuplicates("vec_id").select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$statePath/vecs/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Streamed hybrid retrieval (the `stream_hybrid_rrf` entry): the
+    * always-on face of `ta_hybrid_rrf` — BOTH arms' stores are
+    * maintained (document shards feed the [[bm25IndexBatch]]
+    * inverted index, embedding shards feed the [[vecStoreBatch]]
+    * vector store, in independent streams), and the hybrid query
+    * fuses a pruned-bucket BM25 resolve with a brute-force cosine
+    * pass over the maintained vectors through the SAME
+    * [[graft.operators.TextAnalysis.rrfFuse]] core. Shares
+    * `ta_hybrid_rrf`'s oracle verbatim after the drain: disjoint
+    * shards drain to the same postings/stats/vectors, and fusion is
+    * exact integer arithmetic over the two gate-proven rankings. */
+  def streamedHybridRrf(spark: SparkSession, dir: String,
+                        queryTerms: Seq[String], k: Int = 20,
+                        kArm: Int = 50): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-hyb-ing-").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(s"$base/in_docs")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(s"$base/in_docs")
+    vecs.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(s"$base/in_vecs")
+    vecs.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(s"$base/in_vecs")
+    graft.operators.Checkpoints.free(docs)
+    graft.operators.Checkpoints.free(vecs)
+    val state = s"$base/state"
+    val qDocs = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in_docs")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        bm25IndexBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt_docs")
+      .trigger(Trigger.AvailableNow()).start()
+    val qVecs = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in_vecs")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        vecStoreBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt_vecs")
+      .trigger(Trigger.AvailableNow()).start()
+    qDocs.awaitTermination()
+    qVecs.awaitTermination()
+    val lex = bm25Resolve(spark, state, queryTerms, kArm)
+      .select(col("doc_id"), col("rk").as("rk_lex"))
+    val dense = graft.operators.Similarity.bruteForceTopK(
+        spark.read.parquet(s"$state/vecs").select("vec_id", "embedding"),
+        numQueries = 1, k = kArm)
+      .select(col("corpus_id").as("doc_id"), col("rk").as("rk_dense"))
+    graft.operators.TextAnalysis.rrfFuse(lex, dense, k, 60)
+  }
+
   /** One streamed-contamination micro-batch (the
     * `stream_contamination` state machine). Exact-once hit
     * attribution: a (train doc, shingle ∈ eval vocab) hit is counted
@@ -468,7 +610,10 @@ object IngestStreams {
           .select("doc_id")
       term1.union(term2).groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .write.mode("overwrite").parquet(s"$statePath/hits/batch=$batchId")
+      // cluster by bucket before the partitioned write (one file per
+      // (batch, bucket) — the bm25IndexBatch fan-out note)
       trainSh.select("doc_id", "shingle", "bkt")
+        .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$statePath/train_sh/batch=$batchId")
       cfs.mkdirs(commitDir)

@@ -40,6 +40,9 @@ class EntrySpec extends AnyFunSuite {
       "sim_ann_opq", // learned rotation + codebooks (float-iterated);
                      // recall specs: >= PQ - eps on the fixture, > PQ
                      // on planted anisotropic data
+      "sim_ann_pca", // driver-eigensolved float basis (the sim_kmeans
+                     // reason); specs: full-dim path == brute force
+                     // row-for-row, recall >= 0.8 at shipped dials
       "q_mst", // Borůvka union-find is not DuckDB-CTE-expressible without
                // path enumeration; local-Kruskal edge-set spec is the oracle
       "q_betweenness", // Brandes backward-pass delta ratios are rational

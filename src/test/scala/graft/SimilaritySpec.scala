@@ -575,4 +575,86 @@ class SimilaritySpec extends AnyFunSuite {
     // all-zero C: pure completion
     assertOrtho(Similarity.procrustesRotation(Array.ofDim[Double](4, 4)))
   }
+
+  test("jacobiEigen: known 2x2 and diagonal matrices; descending values, sign-fixed orthonormal vectors") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (-1,1)/sqrt2
+    val (vals, vecs) = Similarity.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Seq(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // sign convention: largest-|.| component positive (first on tie)
+    assert(vecs(1).exists(v => math.abs(math.abs(v) - s) < 1e-9) && vecs(1).max > 0)
+    val (dv, dvecs) = Similarity.jacobiEigen(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(dv == Seq(5.0, 3.0, 1.0))
+    assert(dvecs == Seq(Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0), Seq(1.0, 0.0, 0.0)))
+  }
+
+  test("pcaTrain: orthonormal basis, descending energy, deterministic across runs") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val (basis, energy) = Similarity.pcaTrain(emb, 16)
+    assert(basis.length == 16 && basis.forall(_.length == 64))
+    for (i <- basis.indices; j <- i until basis.length) {
+      val dot = basis(i).zip(basis(j)).map { case (a, b) => a.toDouble * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-5, s"basis not orthonormal at ($i,$j): $dot")
+    }
+    assert(energy == energy.sortBy(-_), "energy fractions not descending")
+    assert(energy.forall(e => e >= 0 && e <= 1))
+    // complete basis captures all the corpus energy
+    val (_, full) = Similarity.pcaTrain(emb, 64)
+    assert(math.abs(full.sum - 1.0) < 1e-9, s"full-basis energy ${full.sum}")
+    // deterministic: content-hash sampling + driver Jacobi
+    val (basis2, _) = Similarity.pcaTrain(emb, 16)
+    assert(basis == basis2, "pcaTrain not deterministic")
+  }
+
+  test("PCA ANN: full basis reproduces brute force exactly; truncated basis holds usable recall; 80-row shape") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf)
+    val exactRows = Similarity.bruteForceTopK(emb, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // complete orthonormal basis preserves dots AND norms, so the
+    // projected shortlist is the exact top-50 and the rerank returns
+    // brute force row-for-row — the lossless end of the dial
+    val full = Similarity.annTopKPcaRerank(emb, 8, 10, dOut = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == exactRows, "full-dim PCA path != brute force")
+    val got = Similarity.annTopKPcaRerank(emb, 8, 10).collect()
+    assert(got.length == 80, s"expected 8x10 rows, got ${got.length}")
+    val exact = exactRows.map(r => (r._1, r._2))
+    val ann = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PCA ANN recall $recall at shipped dials (dOut=32, shortlist=100)")
+  }
+
+  test("robustOutliers: planted far vector flagged, tight cluster not; median/MAD exact on a hand fixture; real corpus shape") {
+    import spark.implicits._
+    // label 0: five near-identical vectors + one inverted outlier
+    def v(a: Float, b: Float) = Seq(a, b, 0f, 0f)
+    val emb = Seq(
+      (0L, v(1f, 0.00f), 0), (1L, v(1f, 0.01f), 0), (2L, v(1f, 0.02f), 0),
+      (3L, v(1f, 0.03f), 0), (4L, v(1f, 0.04f), 0), (5L, v(-1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.robustOutliers(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    assert(got.size == 6)
+    assert(got(5L)._4, s"inverted vector not flagged: ${got(5L)}")
+    assert((0L to 4L).forall(!got(_)._4), s"cluster member flagged: $got")
+    // low median = rank ceil(6/2)=3 ascending; all cluster cosines
+    // ~1e6, outlier ~-1e6 — median sits in the cluster
+    assert(got(0L)._2 > 900000L, s"median off: ${got(0L)}")
+    // real corpus: one row per vector, per-label med/mad agree on
+    // every row of the label, outliers are a minority
+    val real = Similarity.robustOutliers(
+      Tables.embeddings(spark, SharedSpark.sf)).collect()
+    val n = Tables.embeddings(spark, SharedSpark.sf).count()
+    assert(real.length == n)
+    val perLabel = real.groupBy(_.getInt(1))
+    assert(perLabel.values.forall(rs =>
+      rs.map(r => (r.getLong(3), r.getLong(4))).toSet.size == 1),
+      "med/mad not constant within a label")
+    val flagged = real.count(_.getBoolean(5))
+    assert(flagged < n / 4, s"$flagged of $n flagged — threshold degenerate")
+  }
 }

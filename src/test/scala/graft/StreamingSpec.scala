@@ -1007,6 +1007,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(IngestStreams.bm25Resolve(spark, s"$state-nope", terms).count() == 0)
   }
 
+  test("streamedWeightedSample == batch weightedSample bit-for-bit; per-batch deltas are k-bounded; replay no-ops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._4)
+    val streamed = asSeq(IngestStreams.streamedWeightedSample(spark, sf, 50))
+    val batch = asSeq(TextAnalysis.weightedSample(Tables.documents(spark, sf), 50))
+    assert(streamed == batch && streamed.size == 50)
+    // hand batches at k=2: deltas hold at most k rows, the global
+    // top-k folds across batches, replay is a no-op
+    def docs(rows: (Long, Long)*) = rows.toSeq.toDF("doc_id", "n_chars")
+    val state = java.nio.file.Files.createTempDirectory("graft-wsamp-replay-")
+      .toString + "/state"
+    IngestStreams.wsampleBatch(docs((1L, 10L), (2L, 10L), (3L, 10L)), 0L, state, k = 2)
+    assert(spark.read.parquet(s"$state/wsamp").count() == 2, "delta not k-bounded")
+    IngestStreams.wsampleBatch(docs((4L, 10L), (5L, 10L)), 1L, state, k = 2)
+    def res() = TextAnalysis.weightedSampleTop(
+      spark.read.parquet(s"$state/wsamp").select("doc_id", "weight", "key_nanos"), 2)
+    val want = asSeq(TextAnalysis.weightedSample(
+      docs((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L))
+        .withColumn("text", org.apache.spark.sql.functions.lit("")), 2))
+    assert(asSeq(res()) == want, s"fold != batch: ${asSeq(res())} vs $want")
+    val marker = new org.apache.hadoop.fs.Path(s"$state/_wsamp_commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.delete(marker, false))
+    IngestStreams.wsampleBatch(docs((4L, 10L), (5L, 10L)), 1L, state, k = 2)
+    assert(asSeq(res()) == want, "replay perturbed the reservoir")
+  }
+
+  test("streamedHybridRrf == batch hybridRrf: both maintained arms drain to the batch rankings; vec-store replay no-ops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val terms = Seq("spark", "window", "vector")
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._5)
+    val streamed = asSeq(IngestStreams.streamedHybridRrf(spark, sf, terms))
+    val batch = asSeq(TextAnalysis.hybridRrf(Tables.documents(spark, sf),
+      Tables.embeddings(spark, sf), terms))
+    assert(streamed == batch && streamed.nonEmpty)
+    // vec-store replay: marker + overwrite make it a no-op
+    val state = java.nio.file.Files.createTempDirectory("graft-vec-replay-")
+      .toString + "/state"
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    IngestStreams.vecStoreBatch(vecs((1L, Seq(1f, 0f))), 0L, state)
+    IngestStreams.vecStoreBatch(vecs((1L, Seq(1f, 0f))), 0L, state)
+    assert(spark.read.parquet(s"$state/vecs").count() == 1,
+      "replayed vec batch duplicated rows")
+  }
+
   test("streamedContamination == batch contamination; late eval shingle retro-flags stored train doc; replay no-ops") {
     import spark.implicits._
     import graft.operators.TextAnalysis
