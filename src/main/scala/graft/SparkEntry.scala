@@ -619,6 +619,15 @@ object SparkEntry {
     // float-candidate-set reason as the other ann entries
     "sim_ann_pca" -> ((s, dir) => Similarity.annTopKPcaRerank(
       Tables.embeddings(s, dir), 8, 10)),
+    // always-on audit over the maintained labeled store: resolve runs
+    // the same robustOutliers, bit-identical to the batch audit
+    "stream_outliers" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedOutliers(s, dir)),
+    // index training as maintained state: per-batch dim^2 Gram
+    // deltas fold into the basis at query time, no corpus re-scan;
+    // rows-only for the same float-basis reason as sim_ann_pca
+    "stream_ann_pca" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedAnnPca(s, dir)),
     "sim_kmeans" -> ((s, dir) => Similarity.kmeans(Tables.embeddings(s, dir), 16, 3)),
     // Deployed-index shape: the codebook is trained ONCE per corpus
     // (deterministic content-hash-sampled Lloyd) and reused by every
@@ -1691,6 +1700,41 @@ object SparkEntry {
     |SELECT doc_id, weight, key_nanos,
     |  CAST(row_number() OVER (ORDER BY key_nanos DESC, doc_id) AS BIGINT) AS rk
     |FROM w ORDER BY key_nanos DESC, doc_id LIMIT 50""".stripMargin
+
+  private val OutliersSql: String =
+    """WITH c AS (
+    |  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS ci
+    |  FROM embeddings, generate_series(1, 64) AS t(i)
+    |  GROUP BY label, i),
+    |cent AS (SELECT label, list(ci ORDER BY i) AS centroid FROM c GROUP BY label),
+    |scored AS (
+    |  SELECT e.vec_id, e.label,
+    |    CAST(floor((
+    |      list_sum([CAST(e.embedding[i] AS DOUBLE) * centroid[i]
+    |                FOR i IN generate_series(1, len(centroid))]) /
+    |      (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+    |                      FOR i IN generate_series(1, len(centroid))])) *
+    |       sqrt(list_sum([centroid[i] * centroid[i]
+    |                      FOR i IN generate_series(1, len(centroid))])))
+    |    ) * 1000000.0 + 0.5) AS BIGINT) AS c_micros
+    |  FROM embeddings e JOIN cent USING (label)),
+    |r1 AS (
+    |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY c_micros, vec_id) AS rn,
+    |    count(*) OVER (PARTITION BY label) AS cnt
+    |  FROM scored),
+    |med AS (SELECT label, c_micros AS med_micros FROM r1 WHERE rn = (cnt + 1) // 2),
+    |d AS (
+    |  SELECT s.vec_id, s.label, s.c_micros, m.med_micros,
+    |    abs(s.c_micros - m.med_micros) AS dev
+    |  FROM scored s JOIN med m USING (label)),
+    |r2 AS (
+    |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn,
+    |    count(*) OVER (PARTITION BY label) AS cnt
+    |  FROM d),
+    |mad AS (SELECT label, dev AS mad_micros FROM r2 WHERE rn = (cnt + 1) // 2)
+    |SELECT d.vec_id, d.label, d.c_micros, d.med_micros, mad.mad_micros,
+    |  (d.dev * 10000 > 44478 * mad.mad_micros) AS is_outlier
+    |FROM d JOIN mad USING (label)""".stripMargin
 
   private val Bm25Sql: String =
     """WITH toks AS (
@@ -3255,40 +3299,10 @@ object SparkEntry {
     // convention), the bruteforce gate's cosine arithmetic floored
     // to micros, LOW median + LOW MAD as integer window picks, and
     // a pure-integer Hampel threshold (3·1.4826 scaled to 10^4)
-    "sim_outliers" ->
-      """WITH c AS (
-        |  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS ci
-        |  FROM embeddings, generate_series(1, 64) AS t(i)
-        |  GROUP BY label, i),
-        |cent AS (SELECT label, list(ci ORDER BY i) AS centroid FROM c GROUP BY label),
-        |scored AS (
-        |  SELECT e.vec_id, e.label,
-        |    CAST(floor((
-        |      list_sum([CAST(e.embedding[i] AS DOUBLE) * centroid[i]
-        |                FOR i IN generate_series(1, len(centroid))]) /
-        |      (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-        |                      FOR i IN generate_series(1, len(centroid))])) *
-        |       sqrt(list_sum([centroid[i] * centroid[i]
-        |                      FOR i IN generate_series(1, len(centroid))])))
-        |    ) * 1000000.0 + 0.5) AS BIGINT) AS c_micros
-        |  FROM embeddings e JOIN cent USING (label)),
-        |r1 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY c_micros, vec_id) AS rn,
-        |    count(*) OVER (PARTITION BY label) AS cnt
-        |  FROM scored),
-        |med AS (SELECT label, c_micros AS med_micros FROM r1 WHERE rn = (cnt + 1) // 2),
-        |d AS (
-        |  SELECT s.vec_id, s.label, s.c_micros, m.med_micros,
-        |    abs(s.c_micros - m.med_micros) AS dev
-        |  FROM scored s JOIN med m USING (label)),
-        |r2 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn,
-        |    count(*) OVER (PARTITION BY label) AS cnt
-        |  FROM d),
-        |mad AS (SELECT label, dev AS mad_micros FROM r2 WHERE rn = (cnt + 1) // 2)
-        |SELECT d.vec_id, d.label, d.c_micros, d.med_micros, mad.mad_micros,
-        |  (d.dev * 10000 > 44478 * mad.mad_micros) AS is_outlier
-        |FROM d JOIN mad USING (label)""".stripMargin,
+    "sim_outliers" -> OutliersSql,
+    // the maintained labeled store drains to the same corpus and the
+    // resolve runs the same operator — oracle verbatim
+    "stream_outliers" -> OutliersSql,
     "sim_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -4625,6 +4639,7 @@ object SparkEntry {
     "sim_ann_pq" -> 80L,
     "sim_ann_ivfpq" -> 80L,
     "sim_ann_pca" -> 80L,
+    "stream_ann_pca" -> 80L,
     "sim_ann_ivfpq_res" -> 80L,
     "sim_ann_opq" -> 80L,
     "q_mst" -> 1999L,              // spanning forest: n_nodes - n_components

@@ -1684,7 +1684,11 @@ object Similarity {
     val dim = embDim(embeddings, "embedding")
     if (dim == 0) return (Seq.empty, Seq.empty)
     require(dOut > 0 && dOut <= dim, s"dOut $dOut not in (0, $dim]")
-    val gram = train.rdd.mapPartitions { it0 =>
+    // per-partition Gram blocks folded ON THE DRIVER in partition
+    // order — rdd.reduce merges results in ARRIVAL order, which
+    // varies run to run and would make the trained basis flap in its
+    // last ulp
+    val parts = train.rdd.mapPartitionsWithIndex { (idx, it0) =>
       val acc = Array.ofDim[Double](dim, dim)
       it0.foreach { x =>
         var i = 0
@@ -1697,17 +1701,27 @@ object Similarity {
           i += 1
         }
       }
-      Iterator.single(acc)
-    }.reduce { (a, b) =>
+      Iterator.single((idx, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val gram = Array.ofDim[Double](dim, dim)
+    parts.foreach { b =>
       var i = 0
       while (i < dim) {
         var j = i
-        while (j < dim) { a(i)(j) += b(i)(j); j += 1 }
+        while (j < dim) { gram(i)(j) += b(i)(j); j += 1 }
         i += 1
       }
-      a
     }
-    // mirror the upper triangle (only it was accumulated)
+    pcaBasisFromGram(gram, dOut)
+  }
+
+  /** Eigen-solve an (upper-triangular-accumulated) Gram matrix into
+    * (top-dOut basis rows, per-component energy fractions) — shared
+    * by [[pcaTrain]] and the maintained-Gram streamed face. Mutates
+    * its argument (mirrors the lower triangle). */
+  private[graft] def pcaBasisFromGram(gram: Array[Array[Double]],
+                                      dOut: Int): (Seq[Seq[Float]], Seq[Double]) = {
+    val dim = gram.length
     var i = 0
     while (i < dim) {
       var j = i + 1
@@ -1740,8 +1754,9 @@ object Similarity {
     */
   def annTopKPcaRerank(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
                        dOut: Int = 32, shortlist: Int = 100,
-                       sampleFraction: Double = 1.0): DataFrame = {
-    val (basis, _) = pcaTrain(embeddings, dOut, sampleFraction)
+                       sampleFraction: Double = 1.0,
+                       basisOpt: Option[Seq[Seq[Float]]] = None): DataFrame = {
+    val basis = basisOpt.getOrElse(pcaTrain(embeddings, dOut, sampleFraction)._1)
     val proj = pcaProject(embeddings, basis)
     val short = bruteForceTopK(proj, numQueries, shortlist)
       .select(col("query_id"), col("corpus_id"))

@@ -547,6 +547,133 @@ object IngestStreams {
     graft.operators.TextAnalysis.rrfFuse(lex, dense, k, 60)
   }
 
+  /** One labeled-embedding-store + Gram-delta micro-batch (shared by
+    * `stream_outliers` and `stream_ann_pca`): appends the batch's
+    * (vec_id, embedding, label) rows as an overwrite delta AND one
+    * dim²-double Gram row — the PCA training sufficient statistic is
+    * a pure SUM, so index training becomes maintained state: per
+    * batch O(dim²) delta bytes, resolve folds |batches| Gram rows
+    * and never re-scans the corpus. */
+  private[graft] def vecGramBatch(batch0: org.apache.spark.sql.DataFrame,
+                                  batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_vecg_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val rows = batch0.dropDuplicates("vec_id")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint(true)
+    try {
+      rows.write.mode("overwrite").parquet(s"$statePath/vecs/batch=$batchId")
+      val dim = rows.select(size(col("embedding"))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      // upper-triangle Gram block per partition, folded in partition
+      // order (the pcaTrain determinism discipline), one row per batch
+      val parts = rows.select("embedding").as[Seq[Float]].rdd
+        .mapPartitionsWithIndex { (idx, it0) =>
+          val acc = Array.ofDim[Double](dim, dim)
+          it0.foreach { x =>
+            var i = 0
+            while (i < dim) {
+              val xi = x(i).toDouble
+              if (xi != 0.0) {
+                var j = i
+                while (j < dim) { acc(i)(j) += xi * x(j).toDouble; j += 1 }
+              }
+              i += 1
+            }
+          }
+          Iterator.single((idx, acc))
+        }.collect().sortBy(_._1).map(_._2)
+      val flat = Array.ofDim[Double](dim * dim)
+      parts.foreach { b =>
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { flat(i * dim + j) += b(i)(j); j += 1 }
+          i += 1
+        }
+      }
+      Seq((dim, flat.toSeq)).toDF("dim", "gram")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$statePath/gram/batch=$batchId")
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { graft.operators.Checkpoints.free(rows); () }
+  }
+
+  private def driveVecGram(spark: SparkSession, dir: String): String = {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-vecg-ing-").toString
+    val incoming = s"$base/incoming"
+    vecs.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    vecs.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(vecs)
+    val state = s"$base/state"
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        vecGramBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    state
+  }
+
+  /** Streamed robust outlier audit (the `stream_outliers` entry):
+    * the always-on face of `sim_outliers` — embedding shards land in
+    * the maintained labeled store, and the audit runs the SAME
+    * [[graft.operators.Similarity.robustOutliers]] over the drained
+    * state, so the result is bit-identical to the batch audit
+    * (centroids, medians, and MADs are corpus statistics computed at
+    * resolve; ingest itself is a pure append). Shares
+    * `sim_outliers`' oracle verbatim. */
+  def streamedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val state = driveVecGram(spark, dir)
+    graft.operators.Similarity.robustOutliers(
+      spark.read.parquet(s"$state/vecs").select("vec_id", "embedding", "label"))
+  }
+
+  /** Streamed PCA ANN (the `stream_ann_pca` entry): index TRAINING
+    * as maintained state — each embedding shard contributes one
+    * dim²-double Gram delta (the sufficient statistic is a pure
+    * sum), and at query time the basis comes from folding the
+    * |batches| Gram rows + one driver Jacobi, with NO corpus
+    * re-scan. Query = project the maintained store, shortlist,
+    * exact-rerank (the batch `sim_ann_pca` path under the
+    * maintained-trained basis). */
+  def streamedAnnPca(spark: SparkSession, dir: String, numQueries: Int = 8,
+                     k: Int = 10, dOut: Int = 32,
+                     shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    val state = driveVecGram(spark, dir)
+    val grams = spark.read.parquet(s"$state/gram")
+      .orderBy(col("batch"))
+      .select("dim", "gram").as[(Int, Seq[Double])].collect()
+    val dim = grams.head._1
+    val gram = Array.ofDim[Double](dim, dim)
+    grams.foreach { case (_, flat) =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { gram(i)(j) += flat(i * dim + j); j += 1 }
+        i += 1
+      }
+    }
+    val (basis, _) = graft.operators.Similarity.pcaBasisFromGram(gram, dOut)
+    graft.operators.Similarity.annTopKPcaRerank(
+      spark.read.parquet(s"$state/vecs").select("vec_id", "embedding"),
+      numQueries, k, dOut, shortlist, basisOpt = Some(basis))
+  }
+
   /** One streamed-contamination micro-batch (the
     * `stream_contamination` state machine). Exact-once hit
     * attribution: a (train doc, shingle ∈ eval vocab) hit is counted

@@ -43,6 +43,9 @@ class EntrySpec extends AnyFunSuite {
       "sim_ann_pca", // driver-eigensolved float basis (the sim_kmeans
                      // reason); specs: full-dim path == brute force
                      // row-for-row, recall >= 0.8 at shipped dials
+      "stream_ann_pca", // streamed sim_ann_pca twin: Gram-delta fold
+                        // order differs from the batch pass by ulps,
+                        // so the same float-basis reason; parity spec
       "q_mst", // Borůvka union-find is not DuckDB-CTE-expressible without
                // path enumeration; local-Kruskal edge-set spec is the oracle
       "q_betweenness", // Brandes backward-pass delta ratios are rational

@@ -1007,6 +1007,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(IngestStreams.bm25Resolve(spark, s"$state-nope", terms).count() == 0)
   }
 
+  test("streamedOutliers == batch robustOutliers bit-for-bit; streamedAnnPca matches the batch PCA path; gram replay no-ops") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val streamed = IngestStreams.streamedOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val batch = Similarity.robustOutliers(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // PCA over the maintained Gram: basis differs from the batch pass
+    // only by fold-order ulps, so the 80-row result overlaps the
+    // batch path's near-perfectly (and exactly on this fixture)
+    val sAnn = IngestStreams.streamedAnnPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bAnn = Similarity.annTopKPcaRerank(Tables.embeddings(spark, sf), 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sAnn.size == 80, s"expected 80 rows, got ${sAnn.size}")
+    val overlap = (sAnn intersect bAnn).size.toDouble / bAnn.size
+    assert(overlap >= 0.9, s"maintained-Gram basis diverged: overlap $overlap")
+    // gram replay: marker + overwrite make it a no-op
+    val state = java.nio.file.Files.createTempDirectory("graft-vecg-replay-")
+      .toString + "/state"
+    def vecs(rows: (Long, Seq[Float], Int)*) =
+      rows.toSeq.toDF("vec_id", "embedding", "label")
+    IngestStreams.vecGramBatch(vecs((1L, Seq(1f, 2f), 0)), 0L, state)
+    IngestStreams.vecGramBatch(vecs((1L, Seq(1f, 2f), 0)), 0L, state)
+    assert(spark.read.parquet(s"$state/gram").count() == 1 &&
+      spark.read.parquet(s"$state/vecs").count() == 1,
+      "replayed gram batch duplicated state")
+    val g = spark.read.parquet(s"$state/gram")
+      .select("gram").as[Seq[Double]].head
+    assert(g == Seq(1.0, 2.0, 0.0, 4.0), s"gram upper triangle wrong: $g")
+  }
+
   test("streamedWeightedSample == batch weightedSample bit-for-bit; per-batch deltas are k-bounded; replay no-ops") {
     import spark.implicits._
     import graft.operators.TextAnalysis
