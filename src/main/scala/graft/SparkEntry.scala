@@ -765,6 +765,15 @@ object SparkEntry {
     "ta_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(Tables.documents(s, dir), 12)),
     "ta_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Seq("spark", "window", "vector"), 20)),
+    // exact positional phrase query: scan filter to the phrase terms,
+    // L-1 shifted equi-joins on (doc_id, pos - offset)
+    "ta_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(
+      Tables.documents(s, dir), Seq("fast", "table"))),
+    // the same maintained index 33m' builds serves the phrase query
+    // from stored position arrays — pruned buckets, shared core
+    "stream_phrase_search" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedPhraseSearch(
+        s, dir, Seq("fast", "table"))),
     // maintained inverted index: shards land as bucket-partitioned
     // posting deltas; the query is a pruned read of its terms'
     // buckets + the shared bm25ScorePostings core
@@ -1735,6 +1744,19 @@ object SparkEntry {
     |SELECT d.vec_id, d.label, d.c_micros, d.med_micros, mad.mad_micros,
     |  (d.dev * 10000 > 44478 * mad.mad_micros) AS is_outlier
     |FROM d JOIN mad USING (label)""".stripMargin
+
+  private val PhraseSql: String =
+    """WITH t AS (
+    |  SELECT doc_id, list_filter(list_transform(
+    |    regexp_split_to_array(text, '[^A-Za-z]+'), w -> lower(w)), w -> w <> '') AS ws
+    |  FROM documents),
+    |m AS (
+    |  SELECT doc_id, [i FOR i IN generate_series(1, len(ws) - 1)
+    |                  IF ws[i] = 'fast' AND ws[i+1] = 'table'] AS ps
+    |  FROM t)
+    |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_matches,
+    |  CAST(ps[1] AS BIGINT) AS first_pos
+    |FROM m WHERE len(ps) > 0""".stripMargin
 
   private val Bm25Sql: String =
     """WITH toks AS (
@@ -3798,6 +3820,12 @@ object SparkEntry {
     // per-doc sum (ta_surprisal pattern): the sum is then exact in any
     // reduction order and ranking compares integers only.
     "ta_bm25" -> Bm25Sql,
+    // 1-based positions over the same non-empty-token convention;
+    // occurrences as a position-comprehension per doc
+    "ta_phrase_search" -> PhraseSql,
+    // stored position arrays drain to the same token positions —
+    // oracle shared verbatim
+    "stream_phrase_search" -> PhraseSql,
     // the maintained inverted index drains to the same corpus: same
     // postings (batches are disjoint doc shards), same exact-integer
     // (n_docs, tot_dl) stats, same scoring core — oracle shared

@@ -1752,6 +1752,51 @@ object TextAnalysis {
     rrfFuse(lex, dense, k, rrfC)
   }
 
+  /** Exact phrase search (the `ta_phrase_search` entry): every
+    * document containing the literal word sequence, with occurrence
+    * count and first position — the positional-index query a search
+    * engine answers beside BM25. Positions are 1-based over the
+    * NON-EMPTY lowercased [A-Za-z]+ tokens (the ta_bm25 token
+    * convention), so the maintained positional index serves the
+    * same query from stored postings.
+    *
+    * Scale shape: only the phrase's terms survive the scan filter
+    * (the bm25TopK postings discipline), and adjacency is L−1 hash
+    * joins on (doc_id, pos − offset) — candidates bounded by the
+    * rarest term's posting list, never a corpus shuffle.
+    */
+  def phraseSearch(documents: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    phraseMatches(tokenPositions(documents), phrase)
+  }
+
+  /** (doc_id, pos, word): 1-based positions over non-empty lowercased
+    * tokens — shared by [[phraseSearch]] and the maintained index
+    * ingest ([[graft.streaming.IngestStreams.bm25IndexBatch]]). */
+  private[graft] def tokenPositions(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(expr(
+        "filter(transform(split(text, '[^A-Za-z]+'), w -> lower(w)), w -> w != '')")))
+      .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("pos"),
+        col("col").as("word"))
+
+  /** The adjacency core shared by the batch and maintained faces:
+    * term l's positions shift left by l, so a phrase occurrence is
+    * one (doc_id, p0) key surviving L−1 equi-joins. Repeated words
+    * in the phrase cost nothing special — each offset joins the same
+    * posting list at a different shift. */
+  private[graft] def phraseMatches(tokPos: DataFrame,
+                                   phrase: Seq[String]): DataFrame = {
+    val terms = phrase.map(_.toLowerCase)
+    val tok = tokPos.filter(col("word").isin(terms.distinct: _*))
+    val occ = terms.zipWithIndex.map { case (w, l) =>
+      tok.filter(col("word") === w)
+        .select(col("doc_id"), (col("pos") - lit(l.toLong)).as("p0"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+    occ.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
+  }
+
   /** The RRF fusion core shared by [[hybridRrf]] and the
     * maintained-store face ([[graft.streaming.IngestStreams
     * .streamedHybridRrf]]): fuse a lexical ranking (doc_id, rk_lex)

@@ -317,16 +317,20 @@ object IngestStreams {
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (cfs.exists(marker)) return
-    val toks = graft.operators.TextOps.tokens(
+    // positional tokens (the ta_phrase_search convention): tf falls
+    // out as the position count, and storing the sorted position
+    // array makes the maintained index serve PHRASE queries too
+    val toks = graft.operators.TextAnalysis.tokenPositions(
         batch0.dropDuplicates("doc_id").select(col("doc_id"), col("text")))
-      .select(col("doc_id"), lower(col("word")).as("word"))
       .persist()
     try {
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       // cluster by bucket before the partitioned write: one file per
       // (batch, bucket), not one per (task, bucket) — the fan-out
       // otherwise explodes to tasks×buckets tiny files per batch
-      toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      toks.groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
         .join(dl, "doc_id")
         .withColumn("bkt",
           pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
@@ -384,7 +388,10 @@ object IngestStreams {
     * corpus per query; this face pays tokenization ONCE at ingest
     * and amortizes it across every subsequent query. */
   def streamedBm25(spark: SparkSession, dir: String,
-                   queryTerms: Seq[String], k: Int = 20): DataFrame = {
+                   queryTerms: Seq[String], k: Int = 20): DataFrame =
+    bm25Resolve(spark, driveBm25Index(spark, dir), queryTerms, k)
+
+  private def driveBm25Index(spark: SparkSession, dir: String): String = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     val base = java.nio.file.Files.createTempDirectory("graft-bm25-ing-").toString
@@ -406,8 +413,41 @@ object IngestStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    bm25Resolve(spark, state, queryTerms, k)
+    state
   }
+
+  /** Phrase query against the maintained positional index: read ONLY
+    * the phrase terms' buckets (the bm25Resolve pruning), explode the
+    * stored position arrays, and run the SAME adjacency core the
+    * batch operator runs — docs are ingested whole, so stored
+    * positions are complete and the answer equals
+    * [[graft.operators.TextAnalysis.phraseSearch]] exactly. */
+  def phraseResolve(spark: SparkSession, statePath: String,
+                    phrase: Seq[String], nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty)
+    val terms = phrase.map(_.toLowerCase).distinct
+    if (!hasVisibleData(spark, s"$statePath/postings")) {
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_matches", "first_pos")
+    }
+    val qBkts = terms.toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val tokPos = spark.read.parquet(s"$statePath/postings")
+      .filter(col("bkt").isin(qBkts: _*) && col("word").isin(terms: _*))
+      .select(col("doc_id"), explode(col("positions")).as("pos"), col("word"))
+    graft.operators.TextAnalysis.phraseMatches(tokPos, phrase)
+  }
+
+  /** Streamed phrase search (the `stream_phrase_search` entry): the
+    * positional face of the 33m' maintained inverted index — the
+    * SAME ingested state serves BM25 ranking and exact phrase
+    * queries, which is what makes it an index rather than a cache.
+    * Shares `ta_phrase_search`'s oracle verbatim after the drain. */
+  def streamedPhraseSearch(spark: SparkSession, dir: String,
+                           phrase: Seq[String]): DataFrame =
+    phraseResolve(spark, driveBm25Index(spark, dir), phrase)
 
   /** One streamed weighted-reservoir micro-batch: the batch's OWN
     * top-k Efraimidis-Spirakis keys as a k-bounded overwrite delta

@@ -1007,6 +1007,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(IngestStreams.bm25Resolve(spark, s"$state-nope", terms).count() == 0)
   }
 
+  test("streamedPhraseSearch == batch phraseSearch: the maintained positional index answers phrase queries exactly") {
+    import graft.operators.TextAnalysis
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val phrase = Seq("fast", "table")
+    val streamed = asSet(IngestStreams.streamedPhraseSearch(spark, sf, phrase))
+    val batch = asSet(TextAnalysis.phraseSearch(
+      Tables.documents(spark, sf), phrase))
+    assert(streamed == batch && streamed.nonEmpty)
+    // empty state resolves empty
+    assert(IngestStreams.phraseResolve(spark, "/tmp/graft-nope-phrase", phrase)
+      .count() == 0)
+  }
+
   test("streamedOutliers == batch robustOutliers bit-for-bit; streamedAnnPca matches the batch PCA path; gram replay no-ops") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -907,6 +907,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       "sample never draws target docs")
   }
 
+  test("phraseSearch: adjacency exact, repeated words handled, punctuation splits positions, counts and first_pos pinned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),      // "alpha beta" twice
+      (2L, "alpha, beta! gamma"),               // punctuation tokenizes away
+      (3L, "beta alpha"),                       // reversed: no match
+      (4L, "alpha alpha beta"),                 // overlapping starts
+      (5L, "ALPHA Beta")).toDF("doc_id", "text")
+    def got(phrase: String*) = TextAnalysis.phraseSearch(docs, phrase)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("alpha", "beta") == Map(
+      1L -> ((2L, 1L)), 2L -> ((1L, 1L)), 4L -> ((1L, 2L)), 5L -> ((1L, 1L))),
+      s"2-gram: ${got("alpha", "beta")}")
+    // repeated-word phrase: "alpha alpha" matches only doc 4
+    assert(got("alpha", "alpha") == Map(4L -> ((1L, 1L))),
+      s"repeated-word: ${got("alpha", "alpha")}")
+    // 3-gram spans the whole doc
+    assert(got("alpha", "beta", "gamma") == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 1L))),
+      s"3-gram: ${got("alpha", "beta", "gamma")}")
+    // real fixture: nonzero hits for the registered phrase
+    val real = TextAnalysis.phraseSearch(
+      Tables.documents(spark, SharedSpark.sf), Seq("fast", "table")).collect()
+    assert(real.nonEmpty && real.forall(_.getLong(1) >= 1L))
+  }
+
   test("hybridRrf: both-arm doc beats single-arm tops; fusion micros exact; missing-embedding doc fuses from lexical alone") {
     import spark.implicits._
     // lexical: doc 2 matches two query terms (rank 1), doc 9 one
