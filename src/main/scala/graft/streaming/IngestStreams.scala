@@ -346,6 +346,86 @@ object IngestStreams {
     } finally { toks.unpersist(); () }
   }
 
+  /** Max batch id folded into `postings_base`, from the `_folded_max`
+    * manifest written INSIDE the base dir (atomic with the swap that
+    * installs it). −1 when no base exists. */
+  private def bm25FoldedMax(spark: SparkSession, statePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/postings_base/_folded_max")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+  }
+
+  /** The maintained index's postings as ONE frame: consolidated base
+    * (if a compaction installed one) plus the delta dirs of batches
+    * NEWER than the folded watermark. The watermark filter — not
+    * delta-dir deletion — is what excludes folded batches, so a
+    * crash between swap-install and space reclamation can only leave
+    * garbage bytes, never duplicate postings. */
+  private def bm25IndexPostings(spark: SparkSession,
+                                statePath: String): Option[DataFrame] = {
+    healSwap(spark, s"$statePath/postings_base")
+    val fm = bm25FoldedMax(spark, statePath)
+    val cols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt").map(col)
+    val base =
+      if (hasVisibleData(spark, s"$statePath/postings_base"))
+        Some(spark.read.parquet(s"$statePath/postings_base").select(cols: _*))
+      else None
+    val deltas =
+      if (hasVisibleData(spark, s"$statePath/postings"))
+        Some(spark.read.parquet(s"$statePath/postings")
+          .filter(col("batch") > fm).select(cols: _*))
+      else None
+    (base, deltas) match {
+      case (Some(b), Some(d)) => Some(b.unionByName(d))
+      case (b, d) => b.orElse(d)
+    }
+  }
+
+  /** Fold committed posting deltas into the consolidated base (the
+    * index-lifecycle step every LSM-shaped store needs): per-batch
+    * delta dirs accumulate one dir per shard forever, so a query
+    * eventually pays |batches| directory listings — compaction
+    * rewrites base ∪ committed deltas as ONE bucket-partitioned
+    * table via rename-aside ([[swapInstall]] — never
+    * delete-then-write), bumps the `_folded_max` watermark inside
+    * the staged dir (atomic with the install), and only then
+    * reclaims the folded delta dirs. Batches in the crash window
+    * (dir written, marker missing) are NEVER folded — the marker
+    * list, not the dir list, drives the fold, so a retried batch
+    * lands in the deltas the next compaction sees. Stats deltas stay
+    * unfolded (one row per batch — never the heavy state). */
+  def bm25Compact(spark: SparkSession, statePath: String): Unit = {
+    healSwap(spark, s"$statePath/postings_base")
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_bm25_commits")
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!cfs.exists(commitDir)) return
+    val fm = bm25FoldedMax(spark, statePath)
+    val newIds = cfs.listStatus(commitDir).map(_.getPath.getName.toLong)
+      .filter(_ > fm).sorted
+    if (newIds.isEmpty) return
+    val cols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt").map(col)
+    val base =
+      if (hasVisibleData(spark, s"$statePath/postings_base"))
+        Some(spark.read.parquet(s"$statePath/postings_base").select(cols: _*))
+      else None
+    val deltas = spark.read.parquet(s"$statePath/postings")
+      .filter(col("batch").isin(newIds: _*)).select(cols: _*)
+    val all = base.map(_.unionByName(deltas)).getOrElse(deltas)
+    val staging = new org.apache.hadoop.fs.Path(s"$statePath/postings_base_swap_staging")
+    cfs.delete(staging, true) // leftover from a crashed earlier attempt
+    all.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(staging.toString)
+    val mf = cfs.create(new org.apache.hadoop.fs.Path(staging, "_folded_max"), true)
+    try mf.write(newIds.max.toString.getBytes("UTF-8")) finally mf.close()
+    swapInstall(spark, s"$statePath/postings_base")
+    // space reclamation only — the watermark already excludes these
+    newIds.foreach { id =>
+      cfs.delete(new org.apache.hadoop.fs.Path(s"$statePath/postings/batch=$id"), true)
+    }
+  }
+
   /** Query the maintained inverted index: BM25 top-k for a literal
     * term set WITHOUT touching document text — the scatter-gather a
     * search engine does over a sharded index. Reads exactly the
@@ -373,9 +453,13 @@ object IngestStreams {
     val qBkts = queryTerms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val postings = spark.read.parquet(s"$statePath/postings")
-      .filter(col("bkt").isin(qBkts: _*) && col("word").isin(queryTerms: _*))
-      .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+    val postings = bm25IndexPostings(spark, statePath) match {
+      case Some(p) => p
+        .filter(col("bkt").isin(qBkts: _*) && col("word").isin(queryTerms: _*))
+        .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+      case None => return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("doc_id", "n_terms", "score", "rk")
+    }
     graft.operators.TextAnalysis.bm25ScorePostings(
       postings, stats.getLong(0), stats.getLong(1), k)
   }
@@ -427,14 +511,15 @@ object IngestStreams {
     import spark.implicits._
     require(phrase.nonEmpty)
     val terms = phrase.map(_.toLowerCase).distinct
-    if (!hasVisibleData(spark, s"$statePath/postings")) {
-      return Seq.empty[(Long, Long, Long)]
+    val all = bm25IndexPostings(spark, statePath) match {
+      case Some(p) => p
+      case None => return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "n_matches", "first_pos")
     }
     val qBkts = terms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val tokPos = spark.read.parquet(s"$statePath/postings")
+    val tokPos = all
       .filter(col("bkt").isin(qBkts: _*) && col("word").isin(terms: _*))
       .select(col("doc_id"), explode(col("positions")).as("pos"), col("word"))
     graft.operators.TextAnalysis.phraseMatches(tokPos, phrase)

@@ -1007,6 +1007,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(IngestStreams.bm25Resolve(spark, s"$state-nope", terms).count() == 0)
   }
 
+  test("bm25Compact: folded base + fresh deltas answer identically; watermark excludes folded dirs without deletion; crash-window batch never folds; healSwap restores a retired base") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val terms = Seq("spark", "window", "vector")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val b0 = docs((1L, "spark shuffle plan"), (3L, "spark window join"))
+    val b1 = docs((4L, "window frame"), (6L, "alpha beta gamma"))
+    val b2 = docs((8L, "vector spark window"))
+    val union = docs((1L, "spark shuffle plan"), (3L, "spark window join"),
+      (4L, "window frame"), (6L, "alpha beta gamma"), (8L, "vector spark window"))
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sortBy(_._4)
+    val state = java.nio.file.Files.createTempDirectory("graft-bm25-compact-")
+      .toString + "/state"
+    IngestStreams.bm25IndexBatch(b0, 0L, state)
+    IngestStreams.bm25IndexBatch(b1, 1L, state)
+    // plant a CRASH-WINDOW batch: dir written, marker missing — the
+    // fold must skip it (marker list drives the fold, not dirs)
+    IngestStreams.bm25IndexBatch(b2, 2L, state)
+    val m2 = new org.apache.hadoop.fs.Path(s"$state/_bm25_commits/2")
+    val fs = m2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(m2, false))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/stats/batch=2"), true)
+    IngestStreams.bm25Compact(spark, state)
+    // folded watermark covers 0..1, batch 2's dir survives unfolded
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/postings_base")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/postings/batch=0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/postings/batch=2")))
+    // retry of the crashed batch lands as a fresh delta; resolve
+    // reads base + delta and matches the batch operator exactly
+    IngestStreams.bm25IndexBatch(b2, 2L, state)
+    def res() = asSeq(IngestStreams.bm25Resolve(spark, state, terms, 20))
+    assert(res() == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "base + delta resolve != batch scoring")
+    // phrase face reads the same compacted state
+    val ph = IngestStreams.phraseResolve(spark, state, Seq("spark", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ph == Map(3L -> 1L, 8L -> 1L), s"phrase over compacted: $ph")
+    // duplicate-exclusion without deletion: a second compact folds
+    // batch 2; even though we resurrect a stale folded dir, the
+    // watermark filter keeps it out of every read
+    IngestStreams.bm25Compact(spark, state)
+    assert(res() == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "second compact changed answers")
+    // crash mid-swap: retire the base (install died before rename);
+    // healSwap on next entry restores it
+    val live = new org.apache.hadoop.fs.Path(s"$state/postings_base")
+    val retired = new org.apache.hadoop.fs.Path(s"$state/postings_base_swap_retired")
+    assert(fs.rename(live, retired))
+    assert(res() == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "healSwap did not restore the retired base")
+  }
+
   test("streamedPhraseSearch == batch phraseSearch: the maintained positional index answers phrase queries exactly") {
     import graft.operators.TextAnalysis
     def asSet(df: org.apache.spark.sql.DataFrame) =
