@@ -507,4 +507,68 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed pPpm=$pPpm")
     }
   }
+
+  test("phraseSearch == local sliding-window scan on 10 seeded random corpora (tiny vocab, repeated-word phrases)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val vocab = Seq("a", "b", "c", "d")
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to (3 + rnd.nextInt(8)).toLong).map { id =>
+        (id, Seq.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val phrase = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+      val want = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        val hits = ws.indices.filter(i =>
+          i + phrase.length <= ws.length && ws.slice(i, i + phrase.length) == phrase)
+        if (hits.isEmpty) None
+        else Some((id, hits.length.toLong, hits.head.toLong + 1))
+      }.toSet
+      val got = TextAnalysis.phraseSearch(docs.toDF("doc_id", "text"), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed phrase=$phrase")
+    }
+  }
+
+  test("robustOutliers == local median/MAD fold on 8 seeded random labeled vector sets") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 3 + rnd.nextInt(5)
+      val vecs = (1L to (6 + rnd.nextInt(30)).toLong).map { id =>
+        (id, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat), rnd.nextInt(3))
+      }
+      // independent local implementation: rounded centroid, double
+      // cosine, integer micros, low median/MAD, integer threshold
+      val byLabel = vecs.groupBy(_._3)
+      val want = byLabel.flatMap { case (label, ms) =>
+        val cent = (0 until dim).map(j =>
+          BigDecimal(ms.map(_._2(j).toDouble).sum / ms.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        def cmicros(v: Seq[Float]): Long = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          for (j <- 0 until dim) {
+            val x = v(j).toDouble; dot += x * cent(j); na += x * x
+            nb += cent(j) * cent(j)
+          }
+          math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+        }
+        val scored = ms.map { case (id, v, _) => (id, cmicros(v)) }
+        def lomed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+        val med = lomed(scored.map(_._2))
+        val mad = lomed(scored.map(s => math.abs(s._2 - med)))
+        scored.map { case (id, c) =>
+          (id, label, c, med, mad, math.abs(c - med) * 10000L > 44478L * mad)
+        }
+      }.toSet
+      val got = Similarity.robustOutliers(
+          vecs.toDF("vec_id", "embedding", "label")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(got == want, s"seed=$seed dim=$dim")
+    }
+  }
 }
