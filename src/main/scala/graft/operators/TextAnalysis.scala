@@ -1752,6 +1752,38 @@ object TextAnalysis {
     rrfFuse(lex, dense, k, rrfC)
   }
 
+  /** Per-segment language spans (the `ta_lang_spans` entry) — the
+    * code-switching detector: segment each document into fixed word
+    * windows, language-ID each window with the SAME [[langPred]]
+    * argmax the per-doc entry uses, and merge adjacent same-language
+    * windows into spans (the gaps-and-islands shape). A curation
+    * pipeline keeps a mixed document's target-language spans instead
+    * of dropping the whole document on its majority label — at
+    * web-crawl scale, boilerplate/navigation in one language wrapped
+    * around content in another is the NORM, not the exception.
+    *
+    * Scale shape: one scan + a bounded per-doc explosion
+    * (ceil(words/window) rows), then one window over (doc, win_idx)
+    * — doc partitions, never a global sort — and one aggregate.
+    * All-integer output + fixed-order argmax = hash-exact.
+    */
+  def langSpans(documents: DataFrame, window: Int = 20): DataFrame = {
+    val seg = documents
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, greatest(CAST(ceil(size(split(trim(text), '\\\\s+')) / $window.0) AS INT), 1)),
+           |  i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), (i-1)*$window+1, $window)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("win_idx"),
+        langPred(col("col")).as("lang"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val chg = when(lag(col("lang"), 1).over(byDoc) === col("lang"), lit(0L))
+      .otherwise(lit(1L))
+    seg.withColumn("span_idx", sum(chg).over(byDoc))
+      .groupBy("doc_id", "span_idx", "lang")
+      .agg(min(col("win_idx")).as("start_win"), max(col("win_idx")).as("end_win"),
+        count(lit(1)).as("n_windows"))
+  }
+
   /** Exact phrase search (the `ta_phrase_search` entry): every
     * document containing the literal word sequence, with occurrence
     * count and first position — the positional-index query a search

@@ -907,6 +907,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       "sample never draws target docs")
   }
 
+  test("langSpans: planted code-switching doc segments into en/de/en spans; merge, boundaries, und fallback pinned") {
+    import spark.implicits._
+    val en = "the cat and the dog of the house is that"  // 10 words, en stopwords
+    val de = "der hund und die katze ist von dem haus ein" // 10 words, de stopwords
+    val docs = Seq(
+      (1L, s"$en $de $en"),          // 30 words -> 3 windows of 10: en, de, en
+      (2L, s"$en $en $de"),          // adjacent en windows MERGE into one span
+      (3L, "xyz qrs tuv")).toDF("doc_id", "text") // no stopwords -> und
+    val got = TextAnalysis.langSpans(docs, window = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (1L, 1L, "en", 0L, 0L, 1L), (1L, 2L, "de", 1L, 1L, 1L),
+      (1L, 3L, "en", 2L, 2L, 1L),
+      (2L, 1L, "en", 0L, 1L, 2L), (2L, 2L, "de", 2L, 2L, 1L),
+      (3L, 1L, "und", 0L, 0L, 1L)), s"got $got")
+    // real fixture: spans tile each doc exactly (start/end contiguous,
+    // window counts sum to the doc's window count), no adjacent spans
+    // share a language (else they'd have merged)
+    val real = TextAnalysis.langSpans(Tables.documents(spark, SharedSpark.sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(real.nonEmpty)
+    real.groupBy(_._1).foreach { case (doc, spans) =>
+      val s = spans.sortBy(_._2)
+      assert(s.head._4 == 0L, s"doc $doc spans don't start at window 0")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._5 + 1, s"doc $doc gap between spans $a $b")
+          assert(a._3 != b._3, s"doc $doc unmerged adjacent spans $a $b")
+        case _ =>
+      }
+      assert(s.forall(x => x._6 == x._5 - x._4 + 1), s"doc $doc window counts")
+    }
+  }
+
   test("phraseSearch: adjacency exact, repeated words handled, punctuation splits positions, counts and first_pos pinned") {
     import spark.implicits._
     val docs = Seq(
