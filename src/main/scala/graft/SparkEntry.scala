@@ -653,6 +653,10 @@ object SparkEntry {
     // code-switching detector: windowed langPred + gaps-and-islands
     // merge into per-doc language spans
     "ta_lang_spans" -> ((s, dir) => TextAnalysis.langSpans(Tables.documents(s, dir))),
+    // stateless streamed face: shards segment at scan speed, spans
+    // final on landing
+    "stream_lang_spans" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedLangSpans(s, dir)),
     "ta_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // Gopher-rule keep/drop verdicts: every flag is a
     // cross-multiplied integer comparison — no float division
@@ -1760,6 +1764,41 @@ object SparkEntry {
     |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_matches,
     |  CAST(ps[1] AS BIGINT) AS first_pos
     |FROM m WHERE len(ps) > 0""".stripMargin
+
+  private val LangSpansSql: String =
+    """WITH n AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    |           FROM documents),
+    |w0 AS (SELECT doc_id,
+    |         [struct_pack(idx := i - 1,
+    |            wt := array_to_string(ws[(i-1)*20+1:(i-1)*20+20], ' '))
+    |          FOR i IN generate_series(1, greatest(CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))] AS wins
+    |       FROM n),
+    |w AS (SELECT doc_id, unnest(wins, recursive := true) FROM w0),
+    |sc AS (SELECT doc_id, idx AS win_idx,
+    |        len(regexp_extract_all(wt, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
+    |        len(regexp_extract_all(wt, '\b(el|la|de|que|y|los|las|un|una|por)\b')) AS s_es,
+    |        len(regexp_extract_all(wt, '\b(der|die|und|das|ist|von|mit|den|des|ein)\b')) AS s_de,
+    |        len(regexp_extract_all(wt, '\b(le|la|et|les|des|une|dans|est|pour|que)\b')) AS s_fr
+    |      FROM w),
+    |lp AS (SELECT doc_id, win_idx,
+    |        CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+    |             WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+    |             WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    |             WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+    |             ELSE 'und' END AS lang
+    |      FROM sc),
+    |isl AS (SELECT doc_id, win_idx, lang,
+    |         CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY win_idx) = lang
+    |              THEN 0 ELSE 1 END AS chg
+    |       FROM lp),
+    |sp AS (SELECT doc_id, win_idx, lang,
+    |        sum(chg) OVER (PARTITION BY doc_id ORDER BY win_idx) AS span_idx
+    |      FROM isl)
+    |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, lang,
+    |  CAST(min(win_idx) AS BIGINT) AS start_win,
+    |  CAST(max(win_idx) AS BIGINT) AS end_win,
+    |  CAST(count(*) AS BIGINT) AS n_windows
+    |FROM sp GROUP BY doc_id, span_idx, lang""".stripMargin
 
   private val Bm25Sql: String =
     """WITH toks AS (
@@ -3824,40 +3863,10 @@ object SparkEntry {
     // reduction order and ranking compares integers only.
     // windowed langPred (same stopword argmax, fixed tie order) +
     // the gaps-and-islands running-sum merge — all-integer spans
-    "ta_lang_spans" ->
-      """WITH n AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-        |           FROM documents),
-        |w0 AS (SELECT doc_id,
-        |         [struct_pack(idx := i - 1,
-        |            wt := array_to_string(ws[(i-1)*20+1:(i-1)*20+20], ' '))
-        |          FOR i IN generate_series(1, greatest(CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))] AS wins
-        |       FROM n),
-        |w AS (SELECT doc_id, unnest(wins, recursive := true) FROM w0),
-        |sc AS (SELECT doc_id, idx AS win_idx,
-        |        len(regexp_extract_all(wt, '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en,
-        |        len(regexp_extract_all(wt, '\b(el|la|de|que|y|los|las|un|una|por)\b')) AS s_es,
-        |        len(regexp_extract_all(wt, '\b(der|die|und|das|ist|von|mit|den|des|ein)\b')) AS s_de,
-        |        len(regexp_extract_all(wt, '\b(le|la|et|les|des|une|dans|est|pour|que)\b')) AS s_fr
-        |      FROM w),
-        |lp AS (SELECT doc_id, win_idx,
-        |        CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-        |             WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-        |             WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-        |             WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-        |             ELSE 'und' END AS lang
-        |      FROM sc),
-        |isl AS (SELECT doc_id, win_idx, lang,
-        |         CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY win_idx) = lang
-        |              THEN 0 ELSE 1 END AS chg
-        |       FROM lp),
-        |sp AS (SELECT doc_id, win_idx, lang,
-        |        sum(chg) OVER (PARTITION BY doc_id ORDER BY win_idx) AS span_idx
-        |      FROM isl)
-        |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, lang,
-        |  CAST(min(win_idx) AS BIGINT) AS start_win,
-        |  CAST(max(win_idx) AS BIGINT) AS end_win,
-        |  CAST(count(*) AS BIGINT) AS n_windows
-        |FROM sp GROUP BY doc_id, span_idx, lang""".stripMargin,
+    "ta_lang_spans" -> LangSpansSql,
+    // spans are per-document; the drained delta store equals the batch
+    // segmentation — oracle verbatim
+    "stream_lang_spans" -> LangSpansSql,
     "ta_bm25" -> Bm25Sql,
     // 1-based positions over the same non-empty-token convention;
     // occurrences as a position-comprehension per doc

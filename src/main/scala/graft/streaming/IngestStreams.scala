@@ -497,6 +497,11 @@ object IngestStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // fold the drained deltas so the entry's resolve exercises the
+    // compacted path (the IndexRehearsal finding: un-folded per-shard
+    // dirs cost more than they save — the deployed cadence is
+    // ingest → compact → query)
+    bm25Compact(spark, state)
     state
   }
 
@@ -976,6 +981,58 @@ object IngestStreams {
     q.awaitTermination()
     spark.read.parquet(s"$state/scored")
       .select("doc_id", "n_feats", "logit", "keep")
+  }
+
+  /** One streamed-language-span micro-batch: spans are a pure
+    * per-document function (windows within the doc — no corpus
+    * statistics), so each batch segments independently into
+    * overwrite delta dirs with commit markers (the
+    * qualityClassifyBatch shape). */
+  private[graft] def langSpansBatch(batch0: org.apache.spark.sql.DataFrame,
+                                    batchId: Long, statePath: String): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_lspan_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    graft.operators.TextAnalysis.langSpans(
+        batch0.select(col("doc_id"), col("text")).dropDuplicates("doc_id"))
+      .write.mode("overwrite").parquet(s"$statePath/spans/batch=$batchId")
+    cfs.mkdirs(commitDir)
+    cfs.create(marker, true).close()
+  }
+
+  /** Streamed language-span segmentation (the `stream_lang_spans`
+    * entry): the always-on face of `ta_lang_spans` — spans are
+    * per-document, so arriving shards segment at scan speed and the
+    * drained table equals the batch operator over the whole corpus
+    * (oracle shared verbatim). The deployment shape of span-level
+    * language curation: each shard's spans are final the moment it
+    * lands — no resolve-time recomputation at all. */
+  def streamedLangSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-lspan-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val state = s"$base/state"
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        langSpansBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$state/spans")
+      .select("doc_id", "span_idx", "lang", "start_win", "end_win", "n_windows")
   }
 
   /** Streamed top-p curation (the `stream_quality_topp` entry): the

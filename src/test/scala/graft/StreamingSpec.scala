@@ -1111,6 +1111,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(g == Seq(1.0, 2.0, 0.0, 4.0), s"gram upper triangle wrong: $g")
   }
 
+  test("streamedLangSpans == batch langSpans; replay no-ops (stateless per-doc segmentation)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val streamed = asSet(IngestStreams.streamedLangSpans(spark, sf))
+    val batch = asSet(TextAnalysis.langSpans(Tables.documents(spark, sf)))
+    assert(streamed == batch && streamed.nonEmpty)
+    val state = java.nio.file.Files.createTempDirectory("graft-lspan-replay-")
+      .toString + "/state"
+    val docs = Seq((1L, "the cat and the dog of the house is that"))
+      .toDF("doc_id", "text")
+    IngestStreams.langSpansBatch(docs, 0L, state)
+    IngestStreams.langSpansBatch(docs, 0L, state)
+    assert(spark.read.parquet(s"$state/spans").count() == 1,
+      "replayed span batch duplicated rows")
+  }
+
   test("streamedWeightedSample == batch weightedSample bit-for-bit; per-batch deltas are k-bounded; replay no-ops") {
     import spark.implicits._
     import graft.operators.TextAnalysis
