@@ -707,6 +707,10 @@ object SparkEntry {
     // the removal step after the audit: drop train docs at >= 50%
     // eval-shingle overlap (pre-round integer compare), per-source
     // funnel of what a pretraining run subtracts
+    // the capstone funnel: four gate families with precedence, one
+    // verdict per train doc, rolled up per source
+    "pipeline_scorecard" -> ((s, dir) =>
+      Pipeline.curationScorecard(Tables.documents(s, dir))),
     "pipeline_decontaminate" -> ((s, dir) =>
       Pipeline.decontaminate(Tables.documents(s, dir))),
     "ta_langid_eval" -> ((s, dir) => TextAnalysis.languageIdEval(Tables.documents(s, dir))),
@@ -1419,6 +1423,76 @@ object SparkEntry {
        |UNION ALL
        |SELECT doc_id, n_feats, round(lr, 4) AS logit, lr > 0 AS keep,
        |  CAST(2 AS BIGINT) AS weights_version FROM l2""".stripMargin
+
+  /** The capstone scorecard oracle: the gopher CTEs (train-scoped),
+    * the generated classifier scoring CTEs, the contamination CTEs,
+    * and the exact-dup election, joined with the same precedence
+    * CASE and rolled up per source. Every piece is textually the
+    * same arithmetic its own gate pins. */
+  private lazy val ScorecardSql: String =
+    s"""WITH ${clfScoreCtes("", graft.operators.TextAnalysis.qualityClfArtifact,
+        " WHERE doc_id % 50 <> 0")},
+      |gw AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |gwc AS (SELECT doc_id, w, count(*) AS c FROM gw GROUP BY doc_id, w),
+      |gst AS (SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_words,
+      |    CAST(sum(length(w) * c) AS BIGINT) AS tot_chars,
+      |    count(*) AS n_distinct,
+      |    max(c) AS max_cnt,
+      |    count(DISTINCT CASE WHEN w IN ('the','and','of','to','in','is',
+      |      'that','for','with','was') THEN w END) AS n_stop
+      |  FROM gwc GROUP BY doc_id),
+      |gp AS (SELECT doc_id,
+      |    (n_words >= 20 AND n_words <= 2000)
+      |      AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+      |      AND n_stop >= 2 AND 10 * max_cnt <= 3 * n_words
+      |      AND 2 * (n_words - n_distinct) <= n_words AS g_keep
+      |  FROM gst),
+      |clf AS (SELECT doc_id, lr > 0 AS c_keep FROM l),
+      |norm AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS ws
+      |  FROM documents),
+      |tsh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+      |  )) AS shingle FROM norm WHERE doc_id % 50 <> 0),
+      |esh AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(ws)-4, 1))]
+      |  )) AS shingle FROM norm WHERE doc_id % 50 = 0),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+      |hit AS (SELECT doc_id, count(*) AS n_c FROM tsh
+      |        WHERE shingle IN (SELECT shingle FROM esh) GROUP BY doc_id),
+      |ct AS (SELECT c.doc_id, COALESCE(n_c, 0) * 100 < 50 * c.n_sh AS t_keep
+      |       FROM cnt c LEFT JOIN hit USING (doc_id)),
+      |dh AS (SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |dk AS (SELECT h, min(doc_id) AS keep_id FROM dh GROUP BY h),
+      |du AS (SELECT doc_id, doc_id = keep_id AS d_keep FROM dh JOIN dk USING (h)),
+      |base AS (SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |vt AS (SELECT base.source, base.n_tokens,
+      |    CASE WHEN NOT g_keep THEN 'gopher'
+      |         WHEN NOT c_keep THEN 'classifier'
+      |         WHEN NOT t_keep THEN 'contaminated'
+      |         WHEN NOT d_keep THEN 'duplicate'
+      |         ELSE 'kept' END AS v
+      |  FROM base JOIN gp USING (doc_id) JOIN clf USING (doc_id)
+      |       JOIN ct USING (doc_id) JOIN du USING (doc_id))
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN v = 'gopher' THEN 1 ELSE 0 END) AS BIGINT) AS drop_gopher,
+      |  CAST(sum(CASE WHEN v = 'classifier' THEN 1 ELSE 0 END) AS BIGINT) AS drop_clf,
+      |  CAST(sum(CASE WHEN v = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS drop_contaminated,
+      |  CAST(sum(CASE WHEN v = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+      |  CAST(sum(CASE WHEN v = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN v = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM vt GROUP BY source""".stripMargin
 
   private lazy val QualityClfSql: String =
     qualityClfSqlFor(graft.operators.TextAnalysis.qualityClfArtifact)
@@ -3526,6 +3600,8 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, word, tf, df, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
     "ta_contamination" -> ContaminationSql,
+    // four gate families' own CTEs + the precedence CASE + one rollup
+    "pipeline_scorecard" -> ScorecardSql,
     // the maintained audit drains to the same train/eval split with
     // exact-once hit folding — oracle shared verbatim
     "stream_contamination" -> ContaminationSql,

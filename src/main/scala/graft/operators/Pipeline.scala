@@ -237,4 +237,59 @@ object Pipeline {
       .join(withMeta, "doc_id")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("shuffle_rank"))
   }
+
+  /** Per-source curation scorecard (the `pipeline_scorecard` entry) —
+    * the one-table answer to "where does each source's data go?":
+    * every TRAIN doc (the eval slice is the contamination reference,
+    * not pool) gets exactly one verdict under the pipeline's
+    * precedence — Gopher rules first (cheap scalar stats), then the
+    * learned classifier, then benchmark decontamination (≥
+    * thresholdPct% eval-shingle overlap), then exact-duplicate
+    * election (min-doc_id survivor per content hash within the
+    * pool) — rolled up per source with kept-token mass. Precedence
+    * means the columns PARTITION n_docs: a doc failing two gates is
+    * billed to the first, which is how a deployment reads a funnel
+    * (fix the biggest EARLIEST leak first).
+    *
+    * Scale shape: each gate is its own proven bounded plan (scalar
+    * projections + one agg; broadcast weights; broadcast eval
+    * vocabulary; one hash agg) joined back on doc_id, and the
+    * rollup is one low-cardinality aggregate. Nothing here is new
+    * machinery — the capstone composes four gate families the §2
+    * inventory already gates individually.
+    */
+  def curationScorecard(documents: DataFrame, evalMod: Int = 50, n: Int = 5,
+                        thresholdPct: Long = 50L): DataFrame = {
+    val train = documents.filter(col("doc_id") % evalMod =!= 0)
+    val base = train.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val g = TextAnalysis.gopherFlags(train)
+      .select(col("doc_id"), col("keep").as("g_keep"))
+    val c = TextAnalysis.qualityClassify(train)
+      .select(col("doc_id"), col("keep").as("c_keep"))
+    val t = TextAnalysis.contamination(documents, evalMod, n)
+      .select(col("doc_id"),
+        (col("n_contaminated") * lit(100L) < lit(thresholdPct) * col("n_sh"))
+          .as("t_keep"))
+    val hashed = train.select(col("doc_id"),
+      Dedup.contentHash(col("text")).as("h"))
+    val d = hashed
+      .join(hashed.groupBy("h").agg(min(col("doc_id")).as("keep_id")), "h")
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("d_keep"))
+    val verdict = when(!col("g_keep"), "gopher")
+      .when(!col("c_keep"), "classifier")
+      .when(!col("t_keep"), "contaminated")
+      .when(!col("d_keep"), "duplicate")
+      .otherwise("kept")
+    base.join(g, "doc_id").join(c, "doc_id").join(t, "doc_id").join(d, "doc_id")
+      .withColumn("v", verdict)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("v") === "gopher", 1L).otherwise(0L)).as("drop_gopher"),
+        sum(when(col("v") === "classifier", 1L).otherwise(0L)).as("drop_clf"),
+        sum(when(col("v") === "contaminated", 1L).otherwise(0L)).as("drop_contaminated"),
+        sum(when(col("v") === "duplicate", 1L).otherwise(0L)).as("drop_dup"),
+        sum(when(col("v") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("v") === "kept", col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+  }
 }

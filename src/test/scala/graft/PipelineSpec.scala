@@ -213,4 +213,75 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(kept.intersect(losers).isEmpty)
   }
+
+  test("curationScorecard: each gate bills exactly one verdict, precedence wins on multi-fail, columns partition n_docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a healthy doc that passes everything (enough words, stopwords,
+    // classifier-positive shape, no eval overlap, unique content)
+    val good = "the project and the teams of the cities is that plan " +
+      "for the reader with crisp detail was careful review documented " +
+      "throughout and the appendix holds examples that survive edits"
+    val evalTxt = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      (1L, good, "s1"),
+      (2L, "tiny", "s1"),                      // gopher: under minWords
+      // mostly-eval text with two stopwords appended: >= 50% of its
+      // shingles are eval shingles, gopher stats pass
+      (3L, s"$evalTxt the and", "s1"),
+      (4L, good, "s1"),                        // duplicate of 1 (loses to min id)
+      // multi-fail: too short AND duplicate of 2 — billed to gopher
+      (6L, "tiny", "s1"),
+      (50L, evalTxt, "s1")                     // eval slice, not in pool
+    )
+    val docs = rows.toDF("doc_id", "text", "source")
+    // independent composition oracle: run each GATE operator
+    // standalone, apply the precedence rule locally, aggregate
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val gk = TextAnalysis.gopherFlags(train).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(11)).toMap
+    val ck = TextAnalysis.qualityClassify(train).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val tk = TextAnalysis.contamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) * 100 < 50 * r.getLong(1))).toMap
+    val poolRows = rows.filter(_._1 % 50 != 0)
+    val minByHash = poolRows.groupBy(t0 => t0._2.toLowerCase.trim.replaceAll("\\s+", " "))
+      .map { case (_, ms) => ms.map(_._1).min }.toSet
+    def verdict(id: Long): String =
+      if (!gk(id)) "gopher" else if (!ck(id)) "classifier"
+      else if (!tk(id)) "contaminated" else if (!minByHash(id)) "duplicate"
+      else "kept"
+    val vs = poolRows.map(t0 => t0._1 -> verdict(t0._1)).toMap
+    assert(vs(2L) == "gopher" && vs(6L) == "gopher",
+      s"multi-fail must bill FIRST gate: $vs")
+    assert(vs(3L) == "contaminated", s"planted eval-heavy doc: $vs")
+    assert(vs(4L) == "duplicate" && vs(1L) == "kept", s"dup election: $vs")
+    val want = (
+      5L,
+      vs.values.count(_ == "gopher").toLong,
+      vs.values.count(_ == "classifier").toLong,
+      vs.values.count(_ == "contaminated").toLong,
+      vs.values.count(_ == "duplicate").toLong,
+      vs.values.count(_ == "kept").toLong)
+    val got = Pipeline.curationScorecard(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.length == 1)
+    val (_, nDocs, g, c, t, d, kept, tokKept) = got.head
+    assert((nDocs, g, c, t, d, kept) == want,
+      s"scorecard != gate composition: got ${got.head} want $want (verdicts $vs)")
+    assert(g + c + t + d + kept == nDocs, s"verdicts don't partition: $got")
+    assert(vs(1L) != "kept" || tokKept > 0)
+    // real fixture: partition identity + funnel consistency with the
+    // standalone decontaminate operator's dropped counts is NOT
+    // expected (different precedence) but totals must cover the pool
+    val real = Pipeline.curationScorecard(Tables.documents(spark, SharedSpark.sf))
+      .collect()
+    val pool = Tables.documents(spark, SharedSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0).count()
+    assert(real.map(_.getLong(1)).sum == pool)
+    assert(real.forall(r => r.getLong(1) ==
+      r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6)))
+  }
 }
