@@ -1757,6 +1757,14 @@ object Similarity {
                        sampleFraction: Double = 1.0,
                        basisOpt: Option[Seq[Seq[Float]]] = None): DataFrame = {
     val basis = basisOpt.getOrElse(pcaTrain(embeddings, dOut, sampleFraction)._1)
+    if (basis.isEmpty) {
+      // empty corpus trains an empty basis; a zero-column projection
+      // would type as array<void> and break analysis — stay total
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "corpus_id", "cosine", "rk")
+    }
     val proj = pcaProject(embeddings, basis)
     val short = bruteForceTopK(proj, numQueries, shortlist)
       .select(col("query_id"), col("corpus_id"))

@@ -275,4 +275,22 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(prof.length == 2 &&
       prof.forall(r => (1 to 4).forall(i => r.getLong(i) == 0L)), s"got ${prof.toSeq}")
   }
+
+  test("round-13 second-session operators return empty on empty inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "source", "n_chars")
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(TextAnalysis.phraseSearch(emptyDocs, Seq("a", "b")).count() == 0)
+    assert(TextAnalysis.langSpans(emptyDocs).count() == 0)
+    assert(TextAnalysis.hybridRrf(emptyDocs,
+      emptyEmb.select("vec_id", "embedding"), Seq("a")).count() == 0)
+    assert(Similarity.robustOutliers(emptyEmb).count() == 0)
+    // empty-corpus PCA trains an empty basis and the ANN path stays
+    // total (empty result, no throw)
+    assert(Similarity.annTopKPcaRerank(
+      emptyEmb.select("vec_id", "embedding")).count() == 0)
+    assert(Pipeline.curationScorecard(emptyDocs).count() == 0)
+  }
 }
