@@ -368,12 +368,15 @@ object IngestStreams {
     healSwap(spark, s"$statePath/postings_base")
     val fm = bm25FoldedMax(spark, statePath)
     val cols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt").map(col)
+    // hasDataFiles, not hasVisibleData: an all-empty-batches tree
+    // (every batch=N dir holding only _SUCCESS) must read as absent,
+    // not fail schema inference
     val base =
-      if (hasVisibleData(spark, s"$statePath/postings_base"))
+      if (StreamState.hasDataFiles(spark, s"$statePath/postings_base"))
         Some(spark.read.parquet(s"$statePath/postings_base").select(cols: _*))
       else None
     val deltas =
-      if (hasVisibleData(spark, s"$statePath/postings"))
+      if (StreamState.hasDataFiles(spark, s"$statePath/postings"))
         Some(spark.read.parquet(s"$statePath/postings")
           .filter(col("batch") > fm).select(cols: _*))
       else None
@@ -402,12 +405,21 @@ object IngestStreams {
     val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!cfs.exists(commitDir)) return
     val fm = bm25FoldedMax(spark, statePath)
+    // Fold ONLY the contiguous run of marker ids immediately above the
+    // watermark: folding past a gap (a batch whose commit marker lands
+    // AFTER a higher id folded — compaction racing a crash/replay
+    // window) would bump `_folded_max` over the late batch and the
+    // `batch > fm` visibility filter would exclude its postings
+    // forever, silently. The gapped batch's delta dir stays visible
+    // until its marker lands; the NEXT compaction folds it.
     val newIds = cfs.listStatus(commitDir).map(_.getPath.getName.toLong)
-      .filter(_ > fm).sorted
+      .filter(_ > fm).sorted.toSeq
+      .zipWithIndex.takeWhile { case (id, i) => id == fm + 1 + i }.map(_._1)
     if (newIds.isEmpty) return
+    if (!StreamState.hasDataFiles(spark, s"$statePath/postings")) return
     val cols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt").map(col)
     val base =
-      if (hasVisibleData(spark, s"$statePath/postings_base"))
+      if (StreamState.hasDataFiles(spark, s"$statePath/postings_base"))
         Some(spark.read.parquet(s"$statePath/postings_base").select(cols: _*))
       else None
     val deltas = spark.read.parquet(s"$statePath/postings")
@@ -785,10 +797,16 @@ object IngestStreams {
                      shortlist: Int = 100): DataFrame = {
     import spark.implicits._
     val state = driveVecGram(spark, dir)
+    // an empty micro-batch writes a (dim=0, empty) Gram row — skip
+    // those rather than letting a first-empty batch zero the basis or
+    // a later one index past an empty flat; all real dims must agree
     val grams = spark.read.parquet(s"$state/gram")
       .orderBy(col("batch"))
       .select("dim", "gram").as[(Int, Seq[Double])].collect()
-    val dim = grams.head._1
+      .filter { case (d, flat) => d > 0 && flat.nonEmpty }
+    val dim = if (grams.isEmpty) 0 else grams.map(_._1).max
+    require(grams.forall(_._1 == dim),
+      s"gram dimension mismatch across batches: ${grams.map(_._1).distinct.toSeq}")
     val gram = Array.ofDim[Double](dim, dim)
     grams.foreach { case (_, flat) =>
       var i = 0

@@ -30,6 +30,29 @@ private[streaming] object StreamState {
     }
   }
 
+  /** True iff `path` holds at least one actual data FILE (recursing
+    * through partition dirs). A zero-row `partitionBy` write leaves a
+    * `batch=N` dir containing only `_SUCCESS` — [[hasVisibleData]]
+    * counts that dir as visible, but `spark.read.parquet` on a tree
+    * with no data files fails schema inference ("Unable to infer
+    * schema"). Guard every read of a delta tree whose batches can
+    * legitimately be empty with THIS probe instead.
+    */
+  private[streaming] def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { s =>
+        visible(s.getPath) && (if (s.isDirectory) walk(s.getPath) else true)
+      }
+    walk(root)
+  }
+
   /** Crash recovery for a [[swapInstall]] that died between retiring
     * the live table and installing the staged one: the retired copy
     * IS the table — put it back. No-op in every other state. Call on

@@ -1061,6 +1061,96 @@ class StreamingSpec extends AnyFunSuite {
       "healSwap did not restore the retired base")
   }
 
+  test("bm25Compact folds ONLY the contiguous marker run above the watermark: a batch whose marker lands late (gap) is never silently excluded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val terms = Seq("spark", "window", "vector", "delta")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val b0 = docs((1L, "spark shuffle plan"))
+    val b1 = docs((3L, "spark window join"))
+    val b2 = docs((5L, "delta lake window"))
+    val b3 = docs((7L, "vector spark window"))
+    val union = docs((1L, "spark shuffle plan"), (3L, "spark window join"),
+      (5L, "delta lake window"), (7L, "vector spark window"))
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sortBy(_._4)
+    val state = java.nio.file.Files.createTempDirectory("graft-bm25-gap-")
+      .toString + "/state"
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L)).foreach { case (b, id) =>
+      IngestStreams.bm25IndexBatch(b, id, state)
+    }
+    // GAP: batch 2's marker lands late (compaction racing a
+    // crash/replay window) — markers present: {0, 1, 3}
+    val m2 = new org.apache.hadoop.fs.Path(s"$state/_bm25_commits/2")
+    val fs = m2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(m2, false))
+    IngestStreams.bm25Compact(spark, state)
+    // the fold must stop AT the gap: watermark 1, batch 3 unfolded —
+    // folding past it would bump the watermark over batch 2 and its
+    // postings would be invisible to every read forever
+    def foldedMax(): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/postings_base/_folded_max")
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    }
+    assert(foldedMax() == 1L, s"fold crossed the marker gap: ${foldedMax()}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/postings/batch=3")))
+    def res() = asSeq(IngestStreams.bm25Resolve(spark, state, terms, 20))
+    assert(res() == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "gapped fold lost a batch")
+    // batch 2's marker lands (replay); the NEXT compaction folds 2..3
+    IngestStreams.bm25IndexBatch(b2, 2L, state)
+    IngestStreams.bm25Compact(spark, state)
+    assert(foldedMax() == 3L)
+    assert(res() == asSeq(TextAnalysis.bm25TopK(union, terms)),
+      "post-gap fold changed answers")
+  }
+
+  test("maintained-index faces are total on an empty corpus: all-empty batches leave no posting data files and every resolve returns empty instead of failing schema inference") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-fix-").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(IngestStreams.streamedBm25(spark, dir, Seq("spark")).count() == 0)
+    assert(IngestStreams.streamedPhraseSearch(spark, dir, Seq("a", "b")).count() == 0)
+    assert(IngestStreams.streamedHybridRrf(spark, dir, Seq("spark")).count() == 0)
+    assert(IngestStreams.streamedOutliers(spark, dir).count() == 0)
+    assert(IngestStreams.streamedAnnPca(spark, dir).count() == 0)
+  }
+
+  test("streamedAnnPca skips empty-batch gram rows: an empty FIRST batch must not zero the basis, an empty LATER batch must not index past its empty flat") {
+    import spark.implicits._
+    def fixture(ids: Seq[Long]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pca-par-").toString
+      val rows = ids.map { i =>
+        (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11).toFloat - 5.0f), (i % 3).toInt)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    // all-ODD vec_ids: the even-parity shard is batch 0 → the (dim=0,
+    // empty) gram row comes FIRST (the silently-empty-basis case)
+    // queries are vec_id < numQueries, so with numQueries=6 the odd
+    // fixture serves {1,3,5} and the even fixture {2,4}
+    val oddRes = IngestStreams.streamedAnnPca(
+      spark, fixture((0 until 16).map(i => 2L * i + 1)),
+      numQueries = 6, k = 3, dOut = 4, shortlist = 8)
+    assert(oddRes.count() > 0, "empty-first gram row zeroed the basis")
+    assert(oddRes.select("query_id").distinct().count() == 3)
+    // all-EVEN vec_ids: the empty gram row comes SECOND (the
+    // IndexOutOfBounds case pre-fix)
+    val evenRes = IngestStreams.streamedAnnPca(
+      spark, fixture((1 to 16).map(i => 2L * i)),
+      numQueries = 6, k = 3, dOut = 4, shortlist = 8)
+    assert(evenRes.count() > 0)
+    assert(evenRes.select("query_id").distinct().count() == 2)
+  }
+
   test("streamedPhraseSearch == batch phraseSearch: the maintained positional index answers phrase queries exactly") {
     import graft.operators.TextAnalysis
     def asSet(df: org.apache.spark.sql.DataFrame) =
