@@ -535,6 +535,12 @@ object SparkEntry {
     // re-cleaning-cadence number; fully hash-oracled like its parent
     "stream_span_retro" -> ((s, dir) =>
       graft.streaming.IngestStreams.streamedSpanRetroAudit(s, dir)),
+    // streamed suffix profile: the maintained bootstrap-window store
+    // (span-store treatment — window deltas are not content-local),
+    // LSM-folded, resolved by the batch doubling core; shares
+    // dedup_suffix_profile's oracle verbatim
+    "stream_suffix_profile" -> ((s, dir) =>
+      graft.streaming.IngestStreams.streamedSuffixProfile(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max pairwise cosine ≈0.48), so a production 0.9 cut would make
@@ -2295,17 +2301,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_rev
         |FROM lineitem""".stripMargin,
     "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus))
+        |SELECT * FROM g WHERE EXISTS (SELECT 1 FROM lineitem)""".stripMargin,
     "q_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()))
+        |SELECT * FROM g WHERE EXISTS (SELECT 1 FROM lineitem)""".stripMargin,
     "q_hourly_active" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -2464,7 +2472,7 @@ object SparkEntry {
         |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
         |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
         |walk(node, dist) AS (
-        |  (SELECT min(a), 0 FROM und)
+        |  (SELECT min(a), 0 FROM und HAVING count(*) > 0)
         |  UNION
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
@@ -2543,7 +2551,7 @@ object SparkEntry {
         |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
         |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
         |walk1(node, dist) AS (
-        |  (SELECT min(a), 0 FROM und)
+        |  (SELECT min(a), 0 FROM und HAVING count(*) > 0)
         |  UNION
         |  SELECT u2.b, w.dist + 1 FROM walk1 w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30),
@@ -2558,7 +2566,8 @@ object SparkEntry {
         |SELECT (SELECT min(a) FROM und) AS seed,
         |       (SELECT CAST(max(dist) AS BIGINT) FROM d1) AS ecc_seed,
         |       (SELECT node FROM far) AS far_node,
-        |       (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb""".stripMargin,
+        |       (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb
+        |WHERE (SELECT count(*) FROM und) > 0""".stripMargin,
     // the streamed maintenance face converges to the SAME distances
     // as batch BFS over the union (dynamic-BFS exactness), so the
     // oracle is q_bfs's verbatim
@@ -2568,7 +2577,7 @@ object SparkEntry {
         |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
         |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
         |walk(node, dist) AS (
-        |  (SELECT min(a), 0 FROM und)
+        |  (SELECT min(a), 0 FROM und HAVING count(*) > 0)
         |  UNION
         |  SELECT u2.b, w.dist + 1 FROM walk w JOIN und u2 ON u2.a = w.node
         |  WHERE w.dist < 30)
@@ -2794,7 +2803,7 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM documents),
         |qs(q) AS (VALUES (500), (900), (990))
         |SELECT qs.q AS q_permille,
-        |  (SELECT min(bin) FROM cum WHERE cum >= (qs.q * n.n + 999) // 1000) * 20 + 20 AS est,
+        |  coalesce((SELECT min(bin) FROM cum WHERE cum >= (qs.q * n.n + 999) // 1000) * 20 + 20, 0) AS est,
         |  n.n AS n_total
         |FROM qs, n""".stripMargin,
     "q_snapshot_diff" ->
@@ -2878,11 +2887,12 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rk <= 3""".stripMargin,
     "q_cube" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+        |GROUP BY CUBE (l_returnflag, l_linestatus))
+        |SELECT * FROM g WHERE EXISTS (SELECT 1 FROM lineitem)""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
@@ -3120,6 +3130,9 @@ object SparkEntry {
     // different algorithm from the prefix-doubling rank chain,
     // agreeing on every integer (the q_triangles oracle philosophy)
     "dedup_suffix_profile" -> SuffixProfileSql,
+    // the streamed face resolves the SAME profile from its maintained
+    // window store — identical exact-integer core, identical oracle
+    "stream_suffix_profile" -> SuffixProfileSql,
     // election over the shared profile CTE: cheapest probed length
     // within the ppm budget, else the longest (fallback)
     "dedup_span_elect" ->
@@ -4121,10 +4134,10 @@ object SparkEntry {
         |k AS (SELECT
         |    sum(ct) OVER (ORDER BY x) AS cumT, sum(cv) OVER (ORDER BY x) AS cumV,
         |    sum(ct) OVER () AS nT, sum(cv) OVER () AS nV FROM c)
-        |SELECT CAST(max(nT) AS BIGINT) AS n_train,
-        |  CAST(max(nV) AS BIGINT) AS n_valid,
-        |  CAST(max(abs(cumT * nV - cumV * nT)) AS BIGINT) AS d_raw,
-        |  CAST(CASE WHEN max(nT) * max(nV) = 0 THEN 0
+        |SELECT CAST(coalesce(max(nT), 0) AS BIGINT) AS n_train,
+        |  CAST(coalesce(max(nV), 0) AS BIGINT) AS n_valid,
+        |  CAST(coalesce(max(abs(cumT * nV - cumV * nT)), 0) AS BIGINT) AS d_raw,
+        |  CAST(CASE WHEN coalesce(max(nT) * max(nV), 0) = 0 THEN 0
         |       ELSE max(abs(cumT * nV - cumV * nT)) * 1000000 // (max(nT) * max(nV))
         |       END AS BIGINT) AS d_ppm
         |FROM k""".stripMargin,

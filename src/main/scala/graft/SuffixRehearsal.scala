@@ -120,6 +120,39 @@ object SuffixRehearsal {
           s"L=$l: docs touched $nDocs != local-oracle $expDocs (carriers $carriers)")
       }
       println(f"[rehearsal] suffix profile over $totalChars%,d chars: $wall%.1f s — exact match with the local block-region oracle at every length")
+      // STREAMED leg: the same corpus through the maintained window
+      // store in 4 shards (suffixBatch driven directly — the
+      // IndexRehearsal convention), LSM fold halfway and at the end,
+      // resolve from state with NO corpus re-scan. The resolve must
+      // reproduce the (already locally-oracled) batch profile bit for
+      // bit; wall splits price ingest vs fold vs resolve for §5.
+      // minLen must be the smallest probed length (32 here).
+      val state = java.nio.file.Files.createTempDirectory("graft-sfx-reh-")
+        .toString + "/state"
+      val tIng0 = System.nanoTime()
+      (0 until 4).foreach { i =>
+        graft.streaming.IngestStreams.suffixBatch(
+          docs.filter(pmod(col("doc_id"), lit(4L)) === i), i.toLong, state,
+          minLen = lengths.min)
+        if (i == 1) graft.streaming.IngestStreams.suffixCompact(spark, state)
+      }
+      val tIng = (System.nanoTime() - tIng0) / 1e9
+      val tC0 = System.nanoTime()
+      graft.streaming.IngestStreams.suffixCompact(spark, state)
+      val tCompact = (System.nanoTime() - tC0) / 1e9
+      val tR0 = System.nanoTime()
+      val resolved = graft.streaming.IngestStreams
+        .suffixProfileResolve(spark, state, lengths, minLen = lengths.min)
+        .collect().map(r => r.getLong(0).toInt ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val tResolve = (System.nanoTime() - tR0) / 1e9
+      lengths.foreach { l =>
+        require(resolved(l) == profile(l),
+          s"L=$l: streamed resolve ${resolved(l)} != batch profile ${profile(l)}")
+      }
+      println(f"[rehearsal] streamed face: ingest(4 shards) $tIng%.1f s, " +
+        f"final fold $tCompact%.1f s, resolve $tResolve%.1f s — " +
+        f"resolve == batch profile at every length")
     } finally spark.stop()
   }
 }

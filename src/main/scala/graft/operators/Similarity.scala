@@ -126,6 +126,13 @@ object Similarity {
   def matryoshkaRecall(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
                        tiers: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     val dim = embDim(embeddings, "embedding")
+    if (dim == 0) {
+      // empty corpus: no dimension to truncate — empty audit, not a throw
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("dim_tier", "query_id", "n_overlap")
+    }
     require(tiers.forall(t => t > 0 && t < dim), s"tiers must be in (0, $dim)")
     val sel = (tiers :+ dim).map { t =>
       val trunc = embeddings.withColumn("embedding",

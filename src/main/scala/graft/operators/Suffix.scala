@@ -84,39 +84,66 @@ object Suffix {
   def dupMassProfile(documents: DataFrame,
                      lengths: Seq[Int] = Seq(8, 16, 32, 64, 128, 256),
                      broadcastKeyLimit: Long = 4000000L): DataFrame = {
-    require(lengths.nonEmpty && lengths.forall(l => l >= 2 && (l & (l - 1)) == 0),
-      s"lengths must be powers of two >= 2, got $lengths")
-    val spark = documents.sparkSession
-    val probed = lengths.distinct.sorted
+    val probed = probedLengths(lengths)
     val minLen = probed.min
-    val maxLen = probed.max
     // n_windows per probed length and the position-code budget, one
     // tiny aggregate over doc lengths
-    val (nWindows: Map[Int, Long], maxDocId: Long) = {
-      val docLens = documents.select(col("doc_id"),
-        length(col("text")).cast("long").as("len"))
-      val aggs = probed.map(l =>
-        sum(greatest(col("len") - lit(l.toLong) + 1L, lit(0L))).as(s"w$l"))
-      val r = docLens.agg(coalesce(max(col("doc_id")), lit(0L)).as("m"), aggs: _*).head()
-      (probed.zipWithIndex.map { case (l, i) =>
-        l -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
-      }.toMap, r.getLong(0))
-    }
-    require(maxDocId >= 0L && maxDocId < (1L << 31),
-      s"position code doc_id*2^32+pos needs doc_id < 2^31, got $maxDocId")
+    val docLens = documents.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val (nWindows, _) = windowBudget(docLens, probed)
     // bootstrap: exact Lmin-char windows (sequence+substr — the
     // fingerprint idiom; split-on-empty-pattern emits a leading
     // empty string and sequence(0, n<0) counts down, hence the shape)
-    // materialized once: both the label grouping and the join-back
-    // read it, and re-running the explode costs more than storing
-    // ~(Lmin + 16) bytes per position
     val windows = documents
       .filter(length(col("text")) >= minLen)
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, char_length(text) - $minLen), " +
           s"i -> substr(text, i + 1, $minLen))")).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("win"))
-      .localCheckpoint(true)
+    profileFromWindows(documents.sparkSession, windows, nWindows, probed,
+      broadcastKeyLimit)
+  }
+
+  private[graft] def probedLengths(lengths: Seq[Int]): Seq[Int] = {
+    require(lengths.nonEmpty && lengths.forall(l => l >= 2 && (l & (l - 1)) == 0),
+      s"lengths must be powers of two >= 2, got $lengths")
+    lengths.distinct.sorted
+  }
+
+  /** n_windows per probed length (Σ max(len−L+1, 0)) and the position
+    * -code budget check, one tiny aggregate over (doc_id, len) rows —
+    * shared by the batch operator (lengths from `documents`) and the
+    * streamed face (lengths from its maintained doc_lens store). */
+  private[graft] def windowBudget(docLens: DataFrame,
+                                  probed: Seq[Int]): (Map[Int, Long], Long) = {
+    val aggs = probed.map(l =>
+      sum(greatest(col("len") - lit(l.toLong) + 1L, lit(0L))).as(s"w$l"))
+    val r = docLens.agg(coalesce(max(col("doc_id")), lit(0L)).as("m"), aggs: _*).head()
+    val nWindows = probed.zipWithIndex.map { case (l, i) =>
+      l -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+    }.toMap
+    val maxDocId = r.getLong(0)
+    require(maxDocId >= 0L && maxDocId < (1L << 31),
+      s"position code doc_id*2^32+pos needs doc_id < 2^31, got $maxDocId")
+    (nWindows, maxDocId)
+  }
+
+  /** The doubling core over an already-materialized Lmin-window table
+    * (doc_id, pos, win) — the batch operator explodes `documents`
+    * into it per run; the streamed face maintains it as bucketed
+    * state and starts HERE at resolve, never re-scanning the corpus.
+    * Both faces therefore run the identical exact-integer rounds and
+    * share one oracle. The window table is materialized once: both
+    * the label grouping and the join-back read it, and re-running the
+    * explode costs more than storing ~(Lmin + 16) bytes per position. */
+  private[graft] def profileFromWindows(spark: org.apache.spark.sql.SparkSession,
+                                        windows0: DataFrame,
+                                        nWindows: Map[Int, Long],
+                                        probed: Seq[Int],
+                                        broadcastKeyLimit: Long = 4000000L): DataFrame = {
+    val minLen = probed.min
+    val maxLen = probed.max
+    val windows = windows0.localCheckpoint(true)
     val (labeled0, dupPos0, dupWin0, grp0) =
       labelRound(windows, Seq("win"), Seq("doc_id", "pos"), broadcastKeyLimit)
     val stats = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]

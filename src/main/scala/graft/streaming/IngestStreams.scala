@@ -346,97 +346,24 @@ object IngestStreams {
     } finally { toks.unpersist(); () }
   }
 
-  /** Max batch id folded into `postings_base`, from the `_folded_max`
-    * manifest written INSIDE the base dir (atomic with the swap that
-    * installs it). −1 when no base exists. */
-  private def bm25FoldedMax(spark: SparkSession, statePath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$statePath/postings_base/_folded_max")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return -1L
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-  }
+  private val Bm25PostingCols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt")
 
-  /** The maintained index's postings as ONE frame: consolidated base
-    * (if a compaction installed one) plus the delta dirs of batches
-    * NEWER than the folded watermark. The watermark filter — not
-    * delta-dir deletion — is what excludes folded batches, so a
-    * crash between swap-install and space reclamation can only leave
-    * garbage bytes, never duplicate postings. */
+  /** The maintained index's postings as ONE frame — the
+    * [[StreamState.lsmRead]] base ∪ unfolded-deltas contract. */
   private def bm25IndexPostings(spark: SparkSession,
-                                statePath: String): Option[DataFrame] = {
-    healSwap(spark, s"$statePath/postings_base")
-    val fm = bm25FoldedMax(spark, statePath)
-    val cols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt").map(col)
-    // hasDataFiles, not hasVisibleData: an all-empty-batches tree
-    // (every batch=N dir holding only _SUCCESS) must read as absent,
-    // not fail schema inference
-    val base =
-      if (StreamState.hasDataFiles(spark, s"$statePath/postings_base"))
-        Some(spark.read.parquet(s"$statePath/postings_base").select(cols: _*))
-      else None
-    val deltas =
-      if (StreamState.hasDataFiles(spark, s"$statePath/postings"))
-        Some(spark.read.parquet(s"$statePath/postings")
-          .filter(col("batch") > fm).select(cols: _*))
-      else None
-    (base, deltas) match {
-      case (Some(b), Some(d)) => Some(b.unionByName(d))
-      case (b, d) => b.orElse(d)
-    }
-  }
+                                statePath: String): Option[DataFrame] =
+    StreamState.lsmRead(spark, s"$statePath/postings",
+      s"$statePath/postings_base", Bm25PostingCols)
 
-  /** Fold committed posting deltas into the consolidated base (the
-    * index-lifecycle step every LSM-shaped store needs): per-batch
-    * delta dirs accumulate one dir per shard forever, so a query
-    * eventually pays |batches| directory listings — compaction
-    * rewrites base ∪ committed deltas as ONE bucket-partitioned
-    * table via rename-aside ([[swapInstall]] — never
-    * delete-then-write), bumps the `_folded_max` watermark inside
-    * the staged dir (atomic with the install), and only then
-    * reclaims the folded delta dirs. Batches in the crash window
-    * (dir written, marker missing) are NEVER folded — the marker
-    * list, not the dir list, drives the fold, so a retried batch
-    * lands in the deltas the next compaction sees. Stats deltas stay
-    * unfolded (one row per batch — never the heavy state). */
-  def bm25Compact(spark: SparkSession, statePath: String): Unit = {
-    healSwap(spark, s"$statePath/postings_base")
-    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_bm25_commits")
-    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!cfs.exists(commitDir)) return
-    val fm = bm25FoldedMax(spark, statePath)
-    // Fold ONLY the contiguous run of marker ids immediately above the
-    // watermark: folding past a gap (a batch whose commit marker lands
-    // AFTER a higher id folded — compaction racing a crash/replay
-    // window) would bump `_folded_max` over the late batch and the
-    // `batch > fm` visibility filter would exclude its postings
-    // forever, silently. The gapped batch's delta dir stays visible
-    // until its marker lands; the NEXT compaction folds it.
-    val newIds = cfs.listStatus(commitDir).map(_.getPath.getName.toLong)
-      .filter(_ > fm).sorted.toSeq
-      .zipWithIndex.takeWhile { case (id, i) => id == fm + 1 + i }.map(_._1)
-    if (newIds.isEmpty) return
-    if (!StreamState.hasDataFiles(spark, s"$statePath/postings")) return
-    val cols = Seq("doc_id", "word", "tf", "positions", "dl", "bkt").map(col)
-    val base =
-      if (StreamState.hasDataFiles(spark, s"$statePath/postings_base"))
-        Some(spark.read.parquet(s"$statePath/postings_base").select(cols: _*))
-      else None
-    val deltas = spark.read.parquet(s"$statePath/postings")
-      .filter(col("batch").isin(newIds: _*)).select(cols: _*)
-    val all = base.map(_.unionByName(deltas)).getOrElse(deltas)
-    val staging = new org.apache.hadoop.fs.Path(s"$statePath/postings_base_swap_staging")
-    cfs.delete(staging, true) // leftover from a crashed earlier attempt
-    all.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(staging.toString)
-    val mf = cfs.create(new org.apache.hadoop.fs.Path(staging, "_folded_max"), true)
-    try mf.write(newIds.max.toString.getBytes("UTF-8")) finally mf.close()
-    swapInstall(spark, s"$statePath/postings_base")
-    // space reclamation only — the watermark already excludes these
-    newIds.foreach { id =>
-      cfs.delete(new org.apache.hadoop.fs.Path(s"$statePath/postings/batch=$id"), true)
-    }
-  }
+  /** Fold committed posting deltas into the consolidated base — the
+    * [[StreamState.lsmFold]] contiguous-marker-run fold (crash-window
+    * batches never fold; a gapped late marker is never hidden). Stats
+    * deltas stay unfolded (one row per batch — never the heavy
+    * state). */
+  def bm25Compact(spark: SparkSession, statePath: String): Unit =
+    StreamState.lsmFold(spark, s"$statePath/postings",
+      s"$statePath/postings_base", s"$statePath/_bm25_commits",
+      Bm25PostingCols, "bkt")
 
   /** Query the maintained inverted index: BM25 top-k for a literal
     * term set WITHOUT touching document text — the scatter-gather a
@@ -1934,10 +1861,15 @@ object IngestStreams {
       val touched = batch.select(col("bucket").as[Long]).distinct().collect().toSeq
       if (touched.nonEmpty) {
         // partition pruning: only the touched bucket directories of
-        // the maintained table are ever read
-        val old = spark.read.parquet(tablePath)
-          .filter(col("bucket").isin(touched: _*))
-          .select(col("k"), col("oh"))
+        // the maintained table are ever read. An EMPTY maintained
+        // table (zero-row partitionBy write — only _SUCCESS on disk)
+        // must read as no old keys, not fail schema inference.
+        val old =
+          if (StreamState.hasDataFiles(spark, tablePath))
+            spark.read.parquet(tablePath)
+              .filter(col("bucket").isin(touched: _*))
+              .select(col("k"), col("oh"))
+          else Seq.empty[(Long, String)].toDF("k", "oh")
         val statuses = batch.select(col("k"), col("nh"), col("bucket"))
           .join(old, Seq("k"), "left")
           .select(col("k"),
@@ -1971,7 +1903,14 @@ object IngestStreams {
         import spark.implicits._
         Seq.empty[(Long, String)].toDF("k", "status")
       }
-    val removed = spark.read.parquet(tablePath).select(col("k"))
+    val oldKeys =
+      if (StreamState.hasDataFiles(spark, tablePath))
+        spark.read.parquet(tablePath).select(col("k"))
+      else {
+        import spark.implicits._
+        Seq.empty[Long].toDF("k")
+      }
+    val removed = oldKeys
       .join(seen.select(col("k")), Seq("k"), "left_anti")
       .agg(count(lit(1)).as("n"))
       .select(lit("removed").as("status"), col("n"))
@@ -2747,6 +2686,135 @@ object IngestStreams {
     graft.operators.Checkpoints.free(merged)
   }
 
+  /** One streamed suffix-profile micro-batch (the
+    * `stream_suffix_profile` state machine): the always-on face of
+    * [[graft.operators.Suffix.dupMassProfile]]. The batch operator's
+    * one corpus scan is the BOOTSTRAP — exploding documents into
+    * exact Lmin-char windows — and that is precisely the part a
+    * maintained face can pay incrementally: each arriving shard
+    * writes its own (position-code, window) rows as a
+    * bucket-partitioned overwrite delta (bkt = pmod(xxhash64(win)),
+    * so equal windows always share a bucket), plus a (doc_id, len)
+    * row per doc so resolve derives n_windows per probed length and
+    * the position-code budget without ever touching text again.
+    * Resolve then starts the doubling rounds from the maintained
+    * window store ([[graft.operators.Suffix.profileFromWindows]] —
+    * the SAME exact-integer core the batch operator runs, so the
+    * drained profile hash-checks against `dedup_suffix_profile`'s
+    * oracle verbatim).
+    *
+    * Window deltas are NOT content-local at window granularity (a
+    * window's duplicates may span every batch ever ingested), which
+    * is why this face maintains the bootstrap table rather than
+    * per-batch profile deltas — the span-store treatment, not the
+    * pure-delta one (SURVEY §2.7 note). Store cost is ~(Lmin+16)
+    * bytes per corpus character — the batch operator materializes
+    * the same table transiently per run; always-on span-cut cadence
+    * amortizes it across runs and [[suffixCompact]] keeps the dir
+    * count flat.
+    *
+    * Contract: corpus shards append-only and DISJOINT across batches
+    * (the house ingest contract); within a batch doc_id duplicates
+    * are dropped. Overwrite + commit marker make crash-window replay
+    * a no-op. */
+  private[graft] def suffixBatch(batch0: DataFrame, batchId: Long,
+                                 statePath: String, minLen: Int = 8,
+                                 nBuckets: Int = 32): Unit = {
+    val spark = batch0.sparkSession
+    val commitDir = new org.apache.hadoop.fs.Path(statePath, "_sfx_commits")
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    val cfs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(marker)) return
+    val docs = batch0.dropDuplicates("doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    try {
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$statePath/doc_lens/batch=$batchId")
+      docs.filter(length(col("text")) >= minLen)
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, char_length(text) - $minLen), " +
+            s"i -> substr(text, i + 1, $minLen))")).as(Seq("pos", "win")))
+        .select((col("doc_id") * lit(1L << 32) + col("pos").cast("long")).as("code"),
+          col("win"))
+        .withColumn("bkt", pmod(xxhash64(col("win")), lit(nBuckets.toLong)).cast("int"))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$statePath/windows/batch=$batchId")
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+    } finally { graft.operators.Checkpoints.free(docs); () }
+  }
+
+  /** Fold committed window deltas into the consolidated base — the
+    * [[StreamState.lsmFold]] contiguous-marker-run fold the bm25
+    * store pins (crash-window batches never fold; a gapped late
+    * marker is never hidden). doc_lens deltas stay unfolded (one
+    * tiny file per batch — never the heavy state). */
+  def suffixCompact(spark: SparkSession, statePath: String): Unit =
+    StreamState.lsmFold(spark, s"$statePath/windows",
+      s"$statePath/windows_base", s"$statePath/_sfx_commits",
+      Seq("code", "win", "bkt"), "bkt")
+
+  /** Profile the maintained window store: n_windows/position budget
+    * from the doc_lens deltas, then the batch operator's doubling
+    * core over base ∪ unfolded window deltas — NO corpus re-scan.
+    * The store is bootstrapped at `minLen`; resolving a smaller
+    * minimum than was ingested would need windows that were never
+    * stored, hence the require. */
+  def suffixProfileResolve(spark: SparkSession, statePath: String,
+                           lengths: Seq[Int] = Seq(8, 16, 32, 64, 128, 256),
+                           minLen: Int = 8): DataFrame = {
+    import spark.implicits._
+    val probed = graft.operators.Suffix.probedLengths(lengths)
+    require(probed.min == minLen,
+      s"store is bootstrapped at $minLen-char windows; cannot profile ${probed.min}")
+    val docLens =
+      if (StreamState.hasDataFiles(spark, s"$statePath/doc_lens"))
+        spark.read.parquet(s"$statePath/doc_lens").select(col("doc_id"), col("len"))
+      else Seq.empty[(Long, Long)].toDF("doc_id", "len")
+    val (nWindows, _) = graft.operators.Suffix.windowBudget(docLens, probed)
+    val windows = StreamState.lsmRead(spark, s"$statePath/windows",
+        s"$statePath/windows_base", Seq("code", "win")) match {
+      case Some(w) => w.select(
+          shiftright(col("code"), 32).as("doc_id"),
+          col("code").bitwiseAND(lit(0xFFFFFFFFL)).as("pos"),
+          col("win"))
+      case None => Seq.empty[(Long, Long, String)].toDF("doc_id", "pos", "win")
+    }
+    graft.operators.Suffix.profileFromWindows(spark, windows, nWindows, probed)
+  }
+
+  /** Streamed suffix profile (the `stream_suffix_profile` entry):
+    * even/odd two-batch ingest of the documents table, the LSM fold,
+    * then the resolve — the deployed cadence (ingest → compact →
+    * query, the IndexRehearsal finding). Shares
+    * `dedup_suffix_profile`'s oracle verbatim. */
+  def streamedSuffixProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-sfx-ing-").toString
+    val incoming = s"$base/incoming"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    graft.operators.Checkpoints.free(docs)
+    val state = s"$base/state"
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        suffixBatch(b, id, state)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    suffixCompact(spark, state)
+    suffixProfileResolve(spark, state)
+  }
+
   /** RETRO-FLAG AUDIT — the honest cost of append-only span ingest:
     * which already-shipped documents contain windows that BECAME
     * duplicated after they shipped (their copies arrived in later
@@ -2916,7 +2984,7 @@ object IngestStreams {
         .select(pmod(col("media_id"), lit(nBuckets.toLong)).as("bk"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val mediaPh =
-        (if (hasVisibleData(spark, phPath) && mediaBuckets.nonEmpty)
+        (if (StreamState.hasDataFiles(spark, phPath) && mediaBuckets.nonEmpty)
           newPh.unionByName(spark.read.parquet(phPath)
             .filter(col("bucket").isin(mediaBuckets: _*))
             .select("doc_id", "phash_bands"))
@@ -2932,7 +3000,7 @@ object IngestStreams {
         .select(pmod(col("doc_id"), lit(nBuckets.toLong)).as("bk"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val retro =
-        if (hasVisibleData(spark, pendingPath) && docBuckets.nonEmpty) {
+        if (StreamState.hasDataFiles(spark, pendingPath) && docBuckets.nonEmpty) {
           spark.read.parquet(pendingPath)
             .filter(col("mb").isin(docBuckets: _*))
             .select(col("caption_id"), col("media_id"), col("source"),
@@ -2978,13 +3046,13 @@ object IngestStreams {
     * whichever row a shuffle surfaced first. */
   def pairAuditResolve(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
-    if (!hasVisibleData(spark, s"$statePath/verdicts") &&
-        !hasVisibleData(spark, s"$statePath/pending")) {
+    if (!StreamState.hasDataFiles(spark, s"$statePath/verdicts") &&
+        !StreamState.hasDataFiles(spark, s"$statePath/pending")) {
       return Seq.empty[(String, Long, Long, Long, Long)]
         .toDF("source", "n_pairs", "n_match", "n_conflict", "n_orphan")
     }
     val verdicts =
-      if (hasVisibleData(spark, s"$statePath/verdicts"))
+      if (StreamState.hasDataFiles(spark, s"$statePath/verdicts"))
         spark.read.parquet(s"$statePath/verdicts")
           .groupBy("caption_id")
           .agg(min(struct(col("batch").cast("long").as("b"),
@@ -2993,7 +3061,7 @@ object IngestStreams {
             col("w.v").as("v"))
       else Seq.empty[(Long, String, String)].toDF("caption_id", "source", "v")
     val orphans =
-      if (hasVisibleData(spark, s"$statePath/pending"))
+      if (StreamState.hasDataFiles(spark, s"$statePath/pending"))
         spark.read.parquet(s"$statePath/pending")
           .select(col("caption_id"), col("source"))
           .dropDuplicates("caption_id")

@@ -69,6 +69,97 @@ private[streaming] object StreamState {
     }
   }
 
+  /** Max batch id folded into `basePath`, from the `_folded_max`
+    * manifest written INSIDE the base dir (atomic with the swap that
+    * installs it). −1 when no base exists. */
+  private[streaming] def foldedMax(spark: SparkSession, basePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/_folded_max")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+  }
+
+  /** An LSM-shaped maintained table as ONE frame: consolidated base
+    * (if a compaction installed one) plus the delta dirs of batches
+    * NEWER than the folded watermark. The watermark filter — not
+    * delta-dir deletion — is what excludes folded batches, so a crash
+    * between swap-install and space reclamation can only leave
+    * garbage bytes, never duplicate rows. Probes for actual data
+    * FILES ([[hasDataFiles]]): an all-empty-batches tree must read as
+    * absent, not fail schema inference. */
+  private[streaming] def lsmRead(spark: SparkSession, deltaPath: String,
+                                 basePath: String,
+                                 cols: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    healSwap(spark, basePath)
+    val fm = foldedMax(spark, basePath)
+    val base =
+      if (hasDataFiles(spark, basePath))
+        Some(spark.read.parquet(basePath).select(cols.map(col): _*))
+      else None
+    val deltas =
+      if (hasDataFiles(spark, deltaPath))
+        Some(spark.read.parquet(deltaPath)
+          .filter(col("batch") > fm).select(cols.map(col): _*))
+      else None
+    (base, deltas) match {
+      case (Some(b), Some(d)) => Some(b.unionByName(d))
+      case (b, d) => b.orElse(d)
+    }
+  }
+
+  /** Fold committed deltas into the consolidated base (the
+    * index-lifecycle step every LSM-shaped store needs): per-batch
+    * delta dirs accumulate one dir per shard forever, so a query
+    * eventually pays |batches| directory listings — compaction
+    * rewrites base ∪ committed deltas as ONE bucket-partitioned table
+    * via rename-aside ([[swapInstall]] — never delete-then-write),
+    * bumps the `_folded_max` watermark inside the staged dir (atomic
+    * with the install), and only then reclaims the folded delta dirs.
+    *
+    * Two fold disciplines, both spec-pinned on the bm25 store:
+    * batches in the crash window (dir written, marker missing) are
+    * NEVER folded — the marker list, not the dir list, drives the
+    * fold; and ONLY the contiguous run of marker ids immediately
+    * above the watermark folds — folding past a marker gap (a batch
+    * whose commit lands late, compaction racing a crash/replay
+    * window) would bump the watermark over the late batch and the
+    * `batch > fm` visibility filter would hide its rows forever. */
+  private[streaming] def lsmFold(spark: SparkSession, deltaPath: String,
+                                 basePath: String, commitDir: String,
+                                 cols: Seq[String], bucketCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    healSwap(spark, basePath)
+    val cd = new org.apache.hadoop.fs.Path(commitDir)
+    val cfs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!cfs.exists(cd)) return
+    val fm = foldedMax(spark, basePath)
+    val newIds = cfs.listStatus(cd).map(_.getPath.getName.toLong)
+      .filter(_ > fm).sorted.toSeq
+      .zipWithIndex.takeWhile { case (id, i) => id == fm + 1 + i }.map(_._1)
+    if (newIds.isEmpty) return
+    if (!hasDataFiles(spark, deltaPath)) return
+    val base =
+      if (hasDataFiles(spark, basePath))
+        Some(spark.read.parquet(basePath).select(cols.map(col): _*))
+      else None
+    val deltas = spark.read.parquet(deltaPath)
+      .filter(col("batch").isin(newIds: _*)).select(cols.map(col): _*)
+    val all = base.map(_.unionByName(deltas)).getOrElse(deltas)
+    val staging = new org.apache.hadoop.fs.Path(basePath + "_swap_staging")
+    cfs.delete(staging, true) // leftover from a crashed earlier attempt
+    all.repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(staging.toString)
+    val mf = cfs.create(new org.apache.hadoop.fs.Path(staging, "_folded_max"), true)
+    try mf.write(newIds.max.toString.getBytes("UTF-8")) finally mf.close()
+    swapInstall(spark, basePath)
+    // space reclamation only — the watermark already excludes these
+    newIds.foreach { id =>
+      cfs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/batch=$id"), true)
+    }
+  }
+
   /** Install an already-written `<livePath>_swap_staging` over the
     * live table via rename-aside, never delete-then-write: a crash
     * between a delete and the new write would silently EMPTY the

@@ -76,6 +76,16 @@ object VectorStreams {
     val arrived = batch0
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
+    // an empty micro-batch writes nothing (a zero-row partitionBy dir
+    // would hold only _SUCCESS and poison later schema inference), and
+    // must not evaluate the quantizer either — an empty corpus trains
+    // an EMPTY coarse list, which only a nonempty batch may reject
+    if (arrived.isEmpty) {
+      cfs.mkdirs(commitDir)
+      cfs.create(marker, true).close()
+      return
+    }
+    require(coarse.nonEmpty, "cannot ingest vectors through an untrained quantizer")
     val assigned = Similarity.cellAssign(arrived, "vec_id", "embedding", coarse, probes = 1)
     val rows = books match {
       case Some(b) =>
@@ -106,6 +116,12 @@ object VectorStreams {
                           probes: Int = 4, nBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.vecCosine
+    if (coarse.isEmpty || !StreamState.hasDataFiles(spark, s"$statePath/cells")) {
+      // nothing ingested (or nothing trainable): empty top-k, not a throw
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "corpus_id", "cosine", "rk")
+    }
     val qcells = Similarity.cellAssign(queries, "query_id", "q_emb", coarse, probes)
     val cbs = qcells.select(pmod(col("cell"), lit(nBuckets.toLong)).as("cb"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -143,6 +159,12 @@ object VectorStreams {
                             numQueries: Int = 8, k: Int = 10,
                             probes: Int = 4, shortlistFactor: Int = 5,
                             nBuckets: Int = 16): DataFrame = {
+    if (coarse.isEmpty || books.isEmpty ||
+        !StreamState.hasDataFiles(spark, s"$statePath/cells")) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "corpus_id", "cosine", "rk")
+    }
     val maintained = spark.read.parquet(s"$statePath/cells")
     val embeddings = maintained.select(col("vec_id"), col("embedding"))
     Similarity.adcResidualSearch(
@@ -162,6 +184,7 @@ object VectorStreams {
     */
   def cellStats(spark: SparkSession, statePath: String,
                 nCells: Int): (Long, Double, Double) = {
+    if (!StreamState.hasDataFiles(spark, s"$statePath/cells")) return (0L, 0.0, 0.0)
     val pops = spark.read.parquet(s"$statePath/cells")
       .groupBy("cell").count().collect().map(_.getLong(1))
     if (pops.isEmpty) return (0L, 0.0, 0.0)
@@ -189,6 +212,7 @@ object VectorStreams {
   def ivfCompact(spark: SparkSession, statePath: String,
                  newCoarse: Seq[(Long, Seq[Float])], nBuckets: Int = 16,
                  retrainBooks: Option[(Int, Int, Int)] = None): Option[Seq[Seq[Seq[Float]]]] = {
+    if (!StreamState.hasDataFiles(spark, s"$statePath/cells")) return None
     val all = spark.read.parquet(s"$statePath/cells")
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // materialize BEFORE touching the files the plan reads

@@ -42,7 +42,13 @@ object BloomPrune {
     * the subquery-result broadcast in Spark's injected filter.
     */
   def buildOver(dim: DataFrame, keyCol: String, expectedItems: Long, fpp: Double): Array[Byte] = {
-    val bf = dim.select(xxhash64(col(keyCol)).as("h")).stat.bloomFilter("h", expectedItems, fpp)
+    val hashed = dim.select(xxhash64(col(keyCol)).as("h"))
+    // stat.bloomFilter NPEs on an empty frame (null aggregation
+    // buffer); an empty build side is a valid filter that rejects
+    // every probe — stay total
+    val bf =
+      if (hashed.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else hashed.stat.bloomFilter("h", expectedItems, fpp)
     val out = new ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

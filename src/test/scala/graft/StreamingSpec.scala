@@ -1151,6 +1151,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(evenRes.select("query_id").distinct().count() == 2)
   }
 
+  test("streamedSuffixProfile == batch dupMassProfile row for row (the maintained window store resolves the identical profile)") {
+    import graft.operators.Suffix
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 6).map(r.getLong)).toSeq.sortBy(_.head)
+    val streamed = asSeq(IngestStreams.streamedSuffixProfile(spark, sf))
+    val batch = asSeq(Suffix.dupMassProfile(Tables.documents(spark, sf)))
+    assert(streamed == batch)
+    assert(streamed.exists(_(2) > 0L), "fixture has no duplication — vacuous")
+  }
+
+  test("suffix window store: a LATE batch introducing cross-batch duplication is counted by the maintained profile; compaction and replay change nothing") {
+    import spark.implicits._
+    import graft.operators.Suffix
+    // batch 0: two docs with no repeated 8-gram anywhere
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ!@#$"
+    val b0 = Seq((2L, a), (4L, "zyxwvutsrqponmlkjihgfedcba~%^&*()_+=")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-sfx-retro-")
+      .toString + "/state"
+    IngestStreams.suffixBatch(b0, 0L, state)
+    def prof() = IngestStreams.suffixProfileResolve(spark, state)
+      .collect().map(r => (0 until 6).map(r.getLong)).toSeq.sortBy(_.head)
+    assert(prof().forall(_(2) == 0L), "unique corpus must profile clean")
+    // batch 1: a doc duplicating a's 32-char prefix — dup mass appears
+    // at L=8/16/32 retroactively, counting BOTH positions of each pair
+    val b1 = Seq((5L, "PREFIX:" + a.substring(0, 32))).toDF("doc_id", "text")
+    IngestStreams.suffixBatch(b1, 1L, state)
+    val union = b0.unionByName(b1)
+    def asSeq(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 6).map(r.getLong)).toSeq.sortBy(_.head)
+    val want = asSeq(Suffix.dupMassProfile(union))
+    assert(prof() == want, "late-batch duplication not counted")
+    assert(want.exists(_(2) > 0L))
+    // the LSM fold is answer-invariant, and a replayed batch no-ops
+    IngestStreams.suffixCompact(spark, state)
+    assert(prof() == want, "compaction changed the profile")
+    IngestStreams.suffixBatch(b1, 1L, state)
+    assert(prof() == want, "replayed batch changed the profile")
+    // empty store resolves the all-zero profile, not a throw
+    assert(IngestStreams.suffixProfileResolve(spark, s"$state-nope")
+      .collect().forall(r => (1 until 6).forall(i => r.getLong(i) == 0L)))
+  }
+
   test("streamedPhraseSearch == batch phraseSearch: the maintained positional index answers phrase queries exactly") {
     import graft.operators.TextAnalysis
     def asSet(df: org.apache.spark.sql.DataFrame) =
