@@ -373,7 +373,10 @@ object GraphStreams {
       .parquet(incoming)
     val q = stream.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        sccMergeBatch(b, id, s"$base/labels", s"$base/merges", s"$base/qedges", nBuckets)
+        // cadence-triggered label compaction ON in the deployed drive
+        // (resolution-invariant, spec-pinned)
+        sccMergeBatch(b, id, s"$base/labels", s"$base/merges", s"$base/qedges",
+          nBuckets, autoCompact = Some((0.5, 256L)))
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -416,7 +419,10 @@ object GraphStreams {
       .parquet(incoming)
     val q = stream.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        sccMergeBatch(b, id, s"$base/labels", s"$base/merges", s"$base/qedges", nBuckets)
+        // cadence-triggered label compaction ON in the deployed drive
+        // (resolution-invariant, spec-pinned)
+        sccMergeBatch(b, id, s"$base/labels", s"$base/merges", s"$base/qedges",
+          nBuckets, autoCompact = Some((0.5, 256L)))
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -479,7 +485,8 @@ object GraphStreams {
   private[graft] def sccMergeBatch(batch0: org.apache.spark.sql.DataFrame,
                                    batchId: Long, labelsPath: String,
                                    mergesPath: String, qPath: String,
-                                   nBuckets: Int): Unit = {
+                                   nBuckets: Int,
+                                   autoCompact: Option[(Double, Long)] = None): Unit = {
     val spark = batch0.sparkSession
     import spark.implicits._
     val commitDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_commits")
@@ -581,6 +588,12 @@ object GraphStreams {
       graft.operators.Checkpoints.free(known)
       cur.unpersist()
       mark()
+      // scheduled maintenance rides the batch boundary: AFTER this
+      // batch's commit (a compaction crash can never reopen the
+      // window the batch just closed), on the sccStateStats cadence
+      autoCompact.foreach { case (ratio, minLog) =>
+        sccCompactIfDue(spark, labelsPath, mergesPath, nBuckets, ratio, minLog)
+      }
     } finally { b.unpersist(); () }
   }
 
@@ -642,6 +655,39 @@ object GraphStreams {
     def n(p: String) =
       if (hasVisibleData(spark, p)) spark.read.parquet(p).count() else 0L
     (n(labelsPath), n(mergesPath), n(qPath))
+  }
+
+  /** The cadence TRIGGER the [[sccStateStats]] metric exists for (the
+    * cellStats → ivfCompact pattern, wired): compact when the merge
+    * log has grown past `ratio` × labels, but never for a log smaller
+    * than `minLog` rows (closure folding below that is cheaper than
+    * any rewrite). Fires [[sccCompact]] — which still REFUSES inside
+    * an open crash window, so a due compaction under a crashed batch
+    * simply runs at the next cadence check after the retry (the
+    * deployment never has to order the two). Returns whether a
+    * compaction actually ran, so callers/specs can observe the
+    * cadence.
+    *
+    * Threshold basis (SccRehearsal, §5): every batch's resolve folds
+    * the closed merge map on the driver and broadcasts it, so
+    * per-batch cost grows linearly in log size while the compaction
+    * pays one labels rewrite — at ratio 0.5 the amortized fold cost
+    * crosses the rewrite cost measured at the 200k-edge rehearsal
+    * scale. */
+  def sccCompactIfDue(spark: SparkSession, labelsPath: String,
+                      mergesPath: String, nBuckets: Int = 16,
+                      ratio: Double = 0.5, minLog: Long = 256L): Boolean = {
+    def n(p: String) =
+      if (hasVisibleData(spark, p)) spark.read.parquet(p).count() else 0L
+    val labels = n(labelsPath)
+    val merges = n(mergesPath)
+    val due = merges >= math.max(minLog.toDouble, ratio * labels)
+    val pendingDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_pending")
+    val pfs = pendingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val windowOpen = pfs.exists(pendingDir) && pfs.listStatus(pendingDir).nonEmpty
+    val fired = due && !windowOpen
+    if (fired) sccCompact(spark, labelsPath, mergesPath, nBuckets)
+    fired
   }
 
   /** Current SCC label per node: the append-only labels resolved

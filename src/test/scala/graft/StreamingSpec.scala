@@ -1868,6 +1868,57 @@ class StreamingSpec extends AnyFunSuite {
     assert((s0.getLong(0), s0.getLong(1), s0.getLong(2)) == ((0L, 0L, 0L)))
   }
 
+  test("sccCompactIfDue cadence: the trigger fires once the merge log crosses the ratio, defers inside an open crash window, and the triggered drive resolves identically to the untriggered twin") {
+    import spark.implicits._
+    import graft.streaming.GraphStreams
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mkState() = {
+      val b = java.nio.file.Files.createTempDirectory("graft-scc-cad-").toString
+      (s"$b/labels", s"$b/merges", s"$b/qedges")
+    }
+    val (lbls, mrg, qe) = mkState()
+    val (lbls2, mrg2, qe2) = mkState() // untriggered twin
+    val cadence = Some((0.5, 4L))
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)), // 3-cycle: 2 merges — below minLog
+      Seq((4L, 5L), (5L, 6L), (6L, 4L))) // +2 merges: 4 >= max(4, 0.5*6) — due
+    batches.zipWithIndex.foreach { case (es, i) =>
+      GraphStreams.sccMergeBatch(es.toDF("u", "v"), i.toLong, lbls, mrg, qe, 4, cadence)
+      GraphStreams.sccMergeBatch(es.toDF("u", "v"), i.toLong, lbls2, mrg2, qe2, 4)
+    }
+    def res(l: String, m: String) = asMap(GraphStreams.sccResolve(spark, l, m).collect())
+    // the second batch tripped the cadence: log truncated, labels baked
+    val (nl, nm, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(nm == 0L, s"cadence did not fire: $nm merge rows remain")
+    assert(nl == 6L, s"labels not baked to one row per node: $nl")
+    val (_, nm2, _) = GraphStreams.sccStateStats(spark, lbls2, mrg2, qe2)
+    assert(nm2 == 4L, s"untriggered twin should keep its log: $nm2")
+    assert(res(lbls, mrg) == res(lbls2, mrg2) &&
+      res(lbls, mrg) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"triggered drive diverged: ${res(lbls, mrg)} vs ${res(lbls2, mrg2)}")
+    // deferral: a due compaction inside an open crash window must NOT
+    // fire (the r13 refusal, now observable through the trigger)
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((7L, 1L), (1L, 7L)).toDF("u", "v"), 2L,
+        lbls, mrg, qe, 4, cadence)
+    }
+    val (_, nmCrash, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(nmCrash > 0L)
+    assert(!GraphStreams.sccCompactIfDue(spark, lbls, mrg, 4, ratio = 0.0, minLog = 0L),
+      "due compaction fired inside an open crash window")
+    val (_, nmStill, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(nmStill == nmCrash, "deferred compaction still mutated the log")
+    // the retry closes the window; the next cadence check fires
+    GraphStreams.sccMergeBatch(Seq((7L, 1L), (1L, 7L)).toDF("u", "v"), 2L,
+      lbls, mrg, qe, 4, cadence)
+    assert(GraphStreams.sccCompactIfDue(spark, lbls, mrg, 4, ratio = 0.0, minLog = 0L)
+      || GraphStreams.sccStateStats(spark, lbls, mrg, qe)._2 == 0L)
+    assert(res(lbls, mrg) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 1L))
+  }
+
   test("scc crash window: merges appended but condensation stale — retry exact, later cycles still merge; sccCompact bakes labels, truncates the log, pruned closure reads") {
     import spark.implicits._
     import graft.streaming.{GraphStreams, MaintIO}
