@@ -39,6 +39,24 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"PLANS.md sections for queries that no longer exist: $stale")
   }
 
+  test("PLANS_STREAMED.md inventory is complete: every streamed query has a committed RESOLVE plan section") {
+    // same fail-loud guard as PLANS.md, for the ~60 streamed faces
+    // whose state-read scale risk lives in the resolve plan: a
+    // stream_* entry added without re-running
+    // `runMain graft.PlanNotes --streamed` fails here, and so does a
+    // stale section for a removed entry.
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS_STREAMED.md")), "UTF-8")
+    val sections = plans.linesIterator
+      .filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    val wanted = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
+    val missing = wanted -- sections
+    assert(missing.isEmpty,
+      s"streamed queries with no committed resolve plan (re-run `runMain graft.PlanNotes --streamed`): $missing")
+    val stale = sections -- wanted
+    assert(stale.isEmpty, s"PLANS_STREAMED.md sections for queries that no longer exist: $stale")
+  }
+
   test("q1_agg: filter pushed to parquet, columns pruned, partial agg before exchange") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
