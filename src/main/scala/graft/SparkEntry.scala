@@ -845,6 +845,25 @@ object SparkEntry {
     // machinery (rows-gated, same DCT-double reason)
     "stream_phash_decoded" -> ((s, dir) =>
       graft.streaming.IngestStreams.streamedPhashDecoded(s, dir)),
+    // the decoded path's HASH GATE (the ta_quality_clf_full
+    // local/distributed pattern): the full distributed render →
+    // ImageIO decode → DCT → band → df-cap → near-dup pipeline over
+    // the fixed planted corpus, pinned hash-exact against the
+    // plain-Scala local twin embedded in the oracle as VALUES — the
+    // integer-summary gate the rows-only DCT entries were missing
+    "mm_phash_decoded_gate" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.phashSummaryDecoded(
+        Multimodal.phashPlantedCorpus.toDF("doc_id", "text"))
+    }),
+    // the maintained twin over the same planted corpus: two-batch
+    // ingest, cumulative-df cap, resolve — must land on the SAME
+    // local-twin summary (streamed == batch == twin, one oracle)
+    "stream_phash_decoded_gate" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.IngestStreams.streamedPhashDecodedDocs(s,
+        Multimodal.phashPlantedCorpus.toDF("doc_id", "text"))
+    }),
     // CLIP-style caption↔media pair audit: per-source matched /
     // conflict / orphan counts in deterministic fingerprint space
     "mm_pair_audit" -> ((s, dir) => Multimodal.pairAudit(Tables.documents(s, dir))),
@@ -1508,6 +1527,23 @@ object SparkEntry {
     * hash compare IS the local/distributed bit-equality gate. */
   private lazy val QualityClfFullSql: String =
     qualityClfSqlFor(graft.operators.TextAnalysis.qualityClfFullArtifact)
+
+  /** The decoded-phash local twin's summary as literal VALUES — the
+    * render→decode→DCT→band→cap→near-dup chain run driver-side in
+    * plain Scala over the fixed planted corpus at map construction;
+    * the hash compare is then a distributed/local bit-equality gate
+    * for the whole decoded pipeline. */
+  private lazy val MmPhashDecodedGateSql: String = {
+    val rows = graft.operators.Multimodal.phashDecodedLocalTwin(
+        graft.operators.Multimodal.phashPlantedCorpus)
+      .map { case (id, bs, n) => s"($id, ${bs.mkString(", ")}, $n)" }
+      .mkString(", ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+       |  CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3,
+       |  CAST(n_near AS BIGINT) AS n_near
+       |FROM (VALUES $rows) AS t(doc_id, b0, b1, b2, b3, n_near)""".stripMargin
+  }
 
   /** Per-source KS drift alarm in SQL — shared verbatim by the batch
     * entry and its pure-delta streamed face (count merge is
@@ -3581,6 +3617,12 @@ object SparkEntry {
     // -> per-doc near-dup degree. Bands a doc never touches coalesce
     // to 0 (no hist rows -> no bits -> band value 0).
     "mm_phash_dedup" -> PhashSummarySql,
+    // the decoded-path gates: the local twin's integer summary rows
+    // embedded as VALUES (computed at map construction by
+    // Multimodal.phashDecodedLocalTwin — the qualityClfFullArtifact
+    // trainer-in-the-oracle pattern); both faces share it
+    "mm_phash_decoded_gate" -> MmPhashDecodedGateSql,
+    "stream_phash_decoded_gate" -> MmPhashDecodedGateSql,
     // the caption↔media audit recomputed end-to-end: the same
     // character-code band pipeline, the same residue-rule pair
     // fixture, the same hamming verdicts — all-integer per-source

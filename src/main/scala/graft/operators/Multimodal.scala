@@ -567,6 +567,70 @@ object Multimodal {
     * decode losslessness, hash determinism, and the planted-twin /
     * far-pair separations, and the row count is pinned for the
     * driver's rows-gate. */
+  /** Fixed planted corpus for the decoded-path HASH GATE (the
+    * clfPlantedCorpus pattern): a reversal pair (identical byte
+    * histogram → identical PNG → hamming 0, a guaranteed near-dup),
+    * a near-miss (one appended character), and distinct fillers with
+    * deliberately different byte distributions. Data-dir-independent
+    * so the local twin's summary can live INSIDE the oracle SQL. */
+  val phashPlantedCorpus: Seq[(Long, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog 0123456789 " * 4
+    Seq(
+      1L -> base,
+      2L -> base.reverse,
+      3L -> (base + "!"),
+      4L -> ("aaaabbbbccccdddd" * 12),
+      5L -> ("zyxw" * 40),
+      6L -> ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 3),
+      7L -> ("0101010101010101" * 10),
+      8L -> ("THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG " * 4),
+      9L -> ("mixed Case With Punctuation!!! ??? ;;; " * 5),
+      10L -> ("short"),
+      11L -> ("a slightly longer document with ordinary english words spread about " * 2),
+      12L -> ("9876543210" * 20)
+    )
+  }
+
+  /** Driver-side INDEPENDENT twin of [[phashSummaryDecoded]] over a
+    * small corpus: the per-doc hash is the same pure function chain
+    * (render → ImageIO decode → DCT — that chain IS what the gate
+    * verifies the cluster computes), but the banding, df cap,
+    * candidate generation, hamming filter, and degree count are
+    * re-implemented in plain Scala collections — a genuinely
+    * different execution of the near-dup semantics, the
+    * qualityClfFullArtifact local/distributed bit-equality pattern.
+    * Returns (doc_id, bands, n_near) rows for embedding as SQL
+    * VALUES. */
+  def phashDecodedLocalTwin(corpus: Seq[(Long, String)], nBands: Int = 4,
+                            maxHamming: Int = 3,
+                            maxBandDf: Int = 100): Seq[(Long, Seq[Long], Long)] = {
+    val bandWidth = 64 / nBands
+    val bands: Map[Long, Seq[Long]] = corpus.map { case (id, t) =>
+      val png = pngFromPayload(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hash = decodeImage(png) match {
+        case Some((w, h, px)) => dctPhash64(w, h, px)
+        case None => sys.error(s"planted doc $id must decode")
+      }
+      id -> (0 until nBands).map(b =>
+        (hash >>> (b * bandWidth)) & ((1L << bandWidth) - 1L))
+    }.toMap
+    val buckets = corpus.flatMap { case (id, _) =>
+      bands(id).zipWithIndex.map { case (v, b) => ((b, v), id) }
+    }.groupBy(_._1).values
+      .filter(g => g.size >= 2 && g.size <= maxBandDf)
+    val cand = buckets.flatMap { g =>
+      val ids = g.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+    }.toSet
+    val near = cand.filter { case (a, b) =>
+      bands(a).zip(bands(b)).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum <= maxHamming
+    }
+    val deg = near.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    corpus.map { case (id, _) => (id, bands(id), deg.getOrElse(id, 0L)) }
+  }
+
   def phashSummaryDecoded(documents: DataFrame, nBands: Int = 4,
                           maxHamming: Int = 3, maxBandDf: Int = 100): DataFrame = {
     val spark = documents.sparkSession

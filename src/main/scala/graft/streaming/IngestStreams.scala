@@ -1987,10 +1987,18 @@ object IngestStreams {
     * re-filter. Rows-only gate (the DCT-double reason); the spec
     * pins streamed == batch `phashSummaryDecoded`. */
   def streamedPhashDecoded(spark: SparkSession, dir: String,
-                           nBuckets: Int = 16): DataFrame = {
+                           nBuckets: Int = 16): DataFrame =
+    streamedPhashDecodedDocs(spark,
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      nBuckets)
+
+  /** The decoded-phash drive over an explicit (doc_id, text) frame —
+    * the `stream_phash_decoded_gate` entry runs it over the PLANTED
+    * corpus whose local-twin summary is embedded in the oracle. */
+  def streamedPhashDecodedDocs(spark: SparkSession, docs0: DataFrame,
+                               nBuckets: Int = 16): DataFrame = {
     import spark.implicits._
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    val docs = docs0
       .as[(Long, String)]
       .map { case (id, t) => (id, graft.operators.Multimodal.pngFromPayload(
         t.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }

@@ -232,4 +232,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(full.filter(col("n_pairs") =!=
       col("n_match") + col("n_conflict") + col("n_orphan")).isEmpty)
   }
+
+  test("decoded-phash hash gate: the distributed pipeline over the planted corpus equals the plain-Scala local twin, and the gate is non-vacuous (the reversal pair near-dups)") {
+    import spark.implicits._
+    val twin = Multimodal.phashDecodedLocalTwin(Multimodal.phashPlantedCorpus)
+      .map { case (id, bs, n) => (id, bs.toList, n) }.sortBy(_._1)
+    // non-vacuity: doc 2 is doc 1's reversal — identical byte
+    // histogram, identical PNG, hamming 0 — so the twin MUST pair them
+    val byId = twin.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == byId(2L)._2, "reversal pair lost hash equality")
+    assert(byId(1L)._3 >= 1L && byId(2L)._3 >= 1L,
+      s"gate is vacuous: no near-dups in the planted corpus ($twin)")
+    val spark2 = spark
+    val distributed = Multimodal.phashSummaryDecoded(
+        Multimodal.phashPlantedCorpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0),
+        List(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getLong(5)))
+      .toList.sortBy(_._1)
+    assert(distributed == twin,
+      "distributed decoded pipeline diverged from the local twin")
+  }
 }

@@ -2,15 +2,21 @@
 """Local replica of the driver's correctness gate (development aid only;
 the shipped Scala library does not depend on this).
 
-Usage: check_oracle.py <verify_out_dir> <sf_dir>
+Usage: check_oracle.py <verify_out_dir> <sf_dir> [--shard i/k] [--timeout-sec T]
 
 Reads each <name>/ parquet written by graft.Verify, runs the matching
 SQL from oracle_sql.json in DuckDB over the sf_dir tables, and compares
 schema-insensitively: columns sorted by name, rows sorted, values
 compared exactly (floats to 1e-9 relative, and also reported if not
 bit-equal, since the real driver may hash exact values).
+
+--shard i/k  run only queries with hash(name) % k == i (parallel sweeps
+             at big scale factors); --timeout-sec interrupts a DuckDB
+             query after T seconds and reports TIMEOUT instead of
+             hanging the sweep (expected for a few recursive oracles at
+             sf >= 1 — document them, per SURVEY §6).
 """
-import json, math, sys, glob, os
+import json, math, sys, glob, os, threading, zlib
 import duckdb
 import pyarrow.parquet as pq
 
@@ -41,24 +47,42 @@ def rows_of(cols, names):
     cols = [cols[i] for i in order]
     return sorted(zip(*[[norm(v) for v in c] for c in cols]), key=lambda r: tuple(sort_key(x) for x in r)), [names[i] for i in order]
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, shard=None, timeout_sec=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if shard:
+        i, k = map(int, shard.split("/"))
+        oracle = {n: s for n, s in oracle.items()
+                  if zlib.crc32(n.encode()) % k == i}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{outdir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+            print(f"FAIL {name}: no spark output", flush=True);  n_fail += 1;  continue
         st = pq.read_table(files[0])
+        timer = None
+        timed_out = []
+        if timeout_sec:
+            timer = threading.Timer(timeout_sec,
+                                    lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             dt = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}");  n_fail += 1;  continue
+            if timed_out:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s", flush=True)
+            else:
+                print(f"FAIL {name}: duckdb error: {e}", flush=True)
+                n_fail += 1
+            continue
+        finally:
+            if timer:
+                timer.cancel()
         s_rows, s_names = rows_of([c.to_pylist() for c in st.columns], list(st.schema.names))
         d_rows, d_names = rows_of([c.to_pylist() for c in dt.columns], list(dt.schema.names))
         if s_names != d_names:
@@ -112,4 +136,10 @@ def main(outdir, sfdir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    shard = timeout = None
+    args = sys.argv[1:]
+    if "--shard" in args:
+        i = args.index("--shard"); shard = args[i + 1]; del args[i:i + 2]
+    if "--timeout-sec" in args:
+        i = args.index("--timeout-sec"); timeout = float(args[i + 1]); del args[i:i + 2]
+    sys.exit(main(args[0], args[1], shard, timeout))
