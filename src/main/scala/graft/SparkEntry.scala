@@ -1638,33 +1638,40 @@ object SparkEntry {
 
   private val CdcChunksSql: String = CdcChunksBody
 
-  /** [[CdcChunksBody]] with the LBFS minimum-chunk fold: DuckDB's
-    * `reduce` replays the same sequential keep-if->=16-after-last
-    * rule Spark's `aggregate` runs (single-element lists so the
-    * accumulator seeds as [0]); the end cut appends unconditionally. */
-  private val CdcChunksMinBody: String =
-    """SELECT doc_id, chunk_idx, chunk_start, chunk_len,
-      |  md5(substr(text, CAST(chunk_start + 1 AS INT), CAST(chunk_len AS INT))) AS chunk_md5
-      |FROM (
-      |  SELECT doc_id, text,
-      |    CAST(j - 1 AS BIGINT) AS chunk_idx,
-      |    cuts[j] AS chunk_start,
-      |    cuts[j + 1] - cuts[j] AS chunk_len
-      |  FROM (
-      |    SELECT doc_id, text,
-      |      list_append(
-      |        reduce(
-      |          list_concat([[CAST(0 AS BIGINT)]],
-      |            list_transform(
-      |              [CAST(i AS BIGINT) FOR i IN generate_series(8, length(text))
-      |                IF ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT % 64 = 0
-      |                   AND i < length(text)],
-      |              b -> [b])),
-      |          (acc, x) -> CASE WHEN x[1] - acc[-1] >= 16 THEN list_concat(acc, x) ELSE acc END),
-      |        CAST(length(text) AS BIGINT)) AS cuts
-      |    FROM documents),
-      |  unnest(generate_series(1, len(cuts) - 1)) AS g(j))
-      |WHERE chunk_len > 0""".stripMargin
+  /** Shared candidate/length CTEs for the CDC fold oracles. The fold
+    * itself is a RECURSIVE walk over (doc_id, rn)-ordered candidates,
+    * NOT DuckDB `reduce`: the r14 sf1 sweep caught DuckDB 1.0.0's
+    * `reduce` returning context-dependent garbage for byte-identical
+    * rows within one single-threaded query (10 replicas of one doc:
+    * seven folded to a single spurious cut, three folded correctly —
+    * an independent Python referee sided with Spark on all ten).
+    * Recursion is the fold primitive this suite already trusts
+    * everywhere else (BFS/SSSP/SCC oracles). */
+  private val CdcCandCtes: String =
+    """cand0 AS (
+      |  SELECT doc_id, unnest([CAST(i AS BIGINT) FOR i IN generate_series(8, length(text))
+      |      IF ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT % 64 = 0
+      |         AND i < length(text)]) AS pos
+      |  FROM documents),
+      |cand AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |  FROM cand0),
+      |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents)""".stripMargin
+
+  /** Chunk rows from a per-doc cut set (adjacent ordered cuts). */
+  private val CdcChunksFromCuts: String =
+    """cl AS (
+      |  SELECT doc_id, cut,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cut) AS rn2,
+      |    lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS nxt
+      |  FROM cuts),
+      |ch AS (
+      |  SELECT cl.doc_id, CAST(rn2 - 1 AS BIGINT) AS chunk_idx,
+      |    cut AS chunk_start, nxt - cut AS chunk_len,
+      |    md5(substr(d.text, CAST(cut + 1 AS INT), CAST(nxt - cut AS INT))) AS chunk_md5
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+      |  WHERE nxt IS NOT NULL AND nxt - cut > 0)""".stripMargin
 
   /** Duplicated-chunk accounting over the CDC chunk table — shared
     * verbatim by the batch entry and its streamed chunk-store face
@@ -1675,55 +1682,74 @@ object SparkEntry {
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
 
-  /** [[CdcChunksMinBody]] plus the MAXIMUM rule: DuckDB `reduce`
-    * replays the same online walk (forced cuts at last + k*128 when a
-    * gap exceeds 128; a forced cut resets the min window), and the
-    * tail CASE forces cuts between the last kept boundary and the doc
-    * end — arithmetic identical to the Spark fold step for step. */
-  private val CdcChunksClampedBody: String =
-    """SELECT doc_id, chunk_idx, chunk_start, chunk_len,
-      |  md5(substr(text, CAST(chunk_start + 1 AS INT), CAST(chunk_len AS INT))) AS chunk_md5
-      |FROM (
-      |  SELECT doc_id, text,
-      |    CAST(j - 1 AS BIGINT) AS chunk_idx,
-      |    cuts[j] AS chunk_start,
-      |    cuts[j + 1] - cuts[j] AS chunk_len
-      |  FROM (
-      |    SELECT doc_id, text,
-      |      list_append(
-      |        CASE WHEN length(text) - fold0[-1] > 128
-      |             THEN list_concat(fold0, generate_series(fold0[-1] + 128, length(text) - 1, 128))
-      |             ELSE fold0 END,
-      |        CAST(length(text) AS BIGINT)) AS cuts
-      |    FROM (
-      |      SELECT doc_id, text,
-      |        reduce(
-      |          list_concat([[CAST(0 AS BIGINT)]],
-      |            list_transform(
-      |              [CAST(i AS BIGINT) FOR i IN generate_series(8, length(text))
-      |                IF ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT % 64 = 0
-      |                   AND i < length(text)],
-      |              b -> [b])),
-      |          (acc, x) -> CASE WHEN x[1] - acc[-1] > 128 THEN
-      |              (CASE WHEN x[1] - (acc[-1] + 128 * ((x[1] - 1 - acc[-1]) // 128)) >= 16
-      |                    THEN list_append(list_concat(acc, generate_series(acc[-1] + 128, x[1] - 1, 128)), x[1])
-      |                    ELSE list_concat(acc, generate_series(acc[-1] + 128, x[1] - 1, 128)) END)
-      |            ELSE
-      |              (CASE WHEN x[1] - acc[-1] >= 16 THEN list_append(acc, x[1]) ELSE acc END)
-      |            END)
-      |        AS fold0
-      |      FROM documents)),
-      |  unnest(generate_series(1, len(cuts) - 1)) AS g(j))
-      |WHERE chunk_len > 0""".stripMargin
-
-  private val CdcDedupClampedSql: String =
-    s"""WITH ch AS ($CdcChunksClampedBody)
+  /** The LBFS minimum-chunk fold as a recursive walk: keep a
+    * candidate iff it lands >= 16 past the last KEPT cut; `last`
+    * changes exactly at kept cuts, so the distinct `last` values ARE
+    * the cut set (plus the unconditional end cut). Step-identical to
+    * Spark's `aggregate` fold. */
+  private val CdcDedupMinSql: String =
+    s"""WITH RECURSIVE $CdcCandCtes,
+      |walk(doc_id, rn, last) AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT w.doc_id, w.rn + 1,
+      |    CASE WHEN c.pos - w.last >= 16 THEN c.pos ELSE w.last END
+      |  FROM walk w JOIN cand c ON c.doc_id = w.doc_id AND c.rn = w.rn + 1),
+      |anchors AS (SELECT DISTINCT doc_id, last AS a FROM walk),
+      |cuts AS (
+      |  SELECT doc_id, a AS cut FROM anchors
+      |  UNION ALL SELECT doc_id, len AS cut FROM dl),
+      |$CdcChunksFromCuts
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
 
-  private val CdcDedupMinSql: String =
-    s"""WITH ch AS ($CdcChunksMinBody)
+  /** The min fold plus the MAXIMUM rule, as the same recursive walk:
+    * when a candidate lands > 128 past `last`, cuts force at
+    * last + 128·k (the online walk — a forced cut resets the min
+    * window) and `last` jumps to the LAST forced position, keeping
+    * the candidate only if it lands >= 16 past it. Intermediate
+    * forced positions are recovered arithmetically OUTSIDE the walk:
+    * any gap > 128 between consecutive anchors is by construction a
+    * forced-fill run at a + 128·j (a kept candidate can never sit
+    * > 128 past its effective predecessor), and the doc tail forces
+    * the same way. Arithmetic identical to the Spark fold step for
+    * step. */
+  private val CdcDedupClampedSql: String =
+    s"""WITH RECURSIVE $CdcCandCtes,
+      |walk(doc_id, rn, last) AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT w.doc_id, w.rn + 1,
+      |    CASE WHEN c.pos - w.last > 128 THEN
+      |        (CASE WHEN c.pos - (w.last + 128 * ((c.pos - 1 - w.last) // 128)) >= 16
+      |              THEN c.pos
+      |              ELSE w.last + 128 * ((c.pos - 1 - w.last) // 128) END)
+      |      ELSE
+      |        (CASE WHEN c.pos - w.last >= 16 THEN c.pos ELSE w.last END)
+      |      END
+      |  FROM walk w JOIN cand c ON c.doc_id = w.doc_id AND c.rn = w.rn + 1),
+      |anchors AS (SELECT DISTINCT doc_id, last AS a FROM walk),
+      |gaps AS (
+      |  SELECT doc_id, a, lead(a) OVER (PARTITION BY doc_id ORDER BY a) AS b
+      |  FROM anchors),
+      |fills AS (
+      |  SELECT doc_id, a + 128 * j AS cut
+      |  FROM gaps, unnest(generate_series(1, CAST((b - a - 1) // 128 AS BIGINT))) AS g(j)
+      |  WHERE b IS NOT NULL AND b - a > 128),
+      |tails AS (
+      |  SELECT t.doc_id, t.a + 128 * j AS cut
+      |  FROM (SELECT anchors.doc_id, max(a) AS a, max(len) AS len
+      |        FROM anchors JOIN dl ON dl.doc_id = anchors.doc_id
+      |        GROUP BY anchors.doc_id) t,
+      |    unnest(generate_series(1, CAST((t.len - 1 - t.a) // 128 AS BIGINT))) AS g(j)
+      |  WHERE t.len - t.a > 128),
+      |cuts AS (
+      |  SELECT doc_id, a AS cut FROM anchors
+      |  UNION ALL SELECT doc_id, cut FROM fills
+      |  UNION ALL SELECT doc_id, cut FROM tails
+      |  UNION ALL SELECT doc_id, len AS cut FROM dl),
+      |$CdcChunksFromCuts
       |SELECT chunk_md5, min(doc_id) AS keep_doc_id,
       |  count(*) AS n_copies, min(chunk_len) AS chunk_len
       |FROM ch GROUP BY chunk_md5 HAVING count(*) >= 2""".stripMargin
