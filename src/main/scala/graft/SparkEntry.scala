@@ -886,6 +886,10 @@ object SparkEntry {
     "q_quantile_sketch" -> ((s, dir) => Sketches.quantileSketch(Tables.documents(s, dir))),
     "q_kll_sketch" -> ((s, dir) => Sketches.kllQuantiles(Tables.documents(s, dir))),
     "stream_kll" -> ((s, dir) => graft.streaming.IngestStreams.streamedKllQuantiles(s, dir)),
+    "q_kll_audit" -> ((s, dir) => Sketches.kllBoundAudit(
+      Sketches.kllQuantiles(Tables.documents(s, dir)))),
+    "stream_kll_audit" -> ((s, dir) => Sketches.kllBoundAudit(
+      graft.streaming.IngestStreams.streamedKllQuantiles(s, dir))),
     "q_join_size_est" -> ((s, dir) => Sketches.cmsJoinSizeEstimate(
       Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
     "q_count_min" -> ((s, dir) => Sketches.countMinWordFreq(
@@ -2868,6 +2872,27 @@ object SparkEntry {
         |  coalesce((SELECT min(bin) FROM cum WHERE cum >= (qs.q * n.n + 999) // 1000) * 20 + 20, 0) AS est,
         |  n.n AS n_total
         |FROM qs, n""".stripMargin,
+    // the KLL estimates are merge-order-dependent (rows-only entries
+    // q_kll_sketch / stream_kll), but the audit SUMMARY is not: the
+    // probe set, exact target ranks, and corpus count are
+    // oracle-computable, and `1 AS within_bound` pins the CLAIM that
+    // the measured rank error stays under the suite's 2% bound —
+    // a drifting sketch hash-mismatches here instead of hiding
+    // behind the rows-only gate
+    "q_kll_audit" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+        |qs(q) AS (VALUES (10), (250), (500), (750), (900), (990))
+        |SELECT qs.q AS q_permille,
+        |  CAST((qs.q * n.n_total + 999) // 1000 AS BIGINT) AS target_rank,
+        |  n.n_total AS n_total, CAST(1 AS BIGINT) AS within_bound
+        |FROM qs, n WHERE n.n_total > 0""".stripMargin,
+    "stream_kll_audit" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+        |qs(q) AS (VALUES (10), (250), (500), (750), (900), (990))
+        |SELECT qs.q AS q_permille,
+        |  CAST((qs.q * n.n_total + 999) // 1000 AS BIGINT) AS target_rank,
+        |  n.n_total AS n_total, CAST(1 AS BIGINT) AS within_bound
+        |FROM qs, n WHERE n.n_total > 0""".stripMargin,
     "q_snapshot_diff" ->
       """WITH vold AS (
         |  SELECT doc_id AS k, md5(text) AS oh FROM documents WHERE doc_id % 41 <> 0),

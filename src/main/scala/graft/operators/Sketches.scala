@@ -294,6 +294,23 @@ object Sketches {
     kllProbeAudit(documents, valueCol, merged, qPermille)
   }
 
+  /** Hash-exact companion gate for the rows-only KLL entries (the
+    * q_mst_summary precedent: the estimates themselves depend on
+    * partial-merge order, but an INTEGER summary of the audit does
+    * not have to). Projects the [[kllProbeAudit]] frame down to the
+    * columns the DuckDB oracle reproduces exactly — the probe set,
+    * the exact target rank ⌈q·n/1000⌉, the corpus count — plus a
+    * 0/1 `within_bound` indicator of the measured rank error against
+    * the suite's 2 % bound (SketchesSpec's bound for k=256, whose
+    * ~1/k guarantee holds for EVERY merge order, so the indicator is
+    * merge-order-invariant even though the estimate is not). The
+    * oracle pins the CLAIM (`1 AS within_bound`): any run whose
+    * sketch drifts past the bound hash-mismatches in the driver's
+    * gate instead of hiding behind a rows-only check. */
+  def kllBoundAudit(audit: DataFrame, boundPpm: Long = 20000L): DataFrame =
+    audit.select(col("q_permille"), col("target_rank"), col("n_total"),
+      when(col("rank_err_ppm") <= boundPpm, 1L).otherwise(0L).as("within_bound"))
+
   /** Probe + exact-rank-audit tail of [[kllQuantiles]], shared with
     * the streamed sketch-store face so the output contract cannot
     * drift: each permille estimate from the merged sketch beside the

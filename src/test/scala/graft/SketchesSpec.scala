@@ -454,4 +454,34 @@ class SketchesSpec extends AnyFunSuite {
     val empty = docs.filter(org.apache.spark.sql.functions.lit(false))
     assert(Sketches.kllQuantiles(empty).count() == 0)
   }
+
+  test("kllBoundAudit: oracle-shape projection, indicator semantics, empty totality") {
+    import spark.implicits._
+    // indicator semantics on a hand-built audit frame: exactly the
+    // rows at err <= bound flag 1, everything else 0
+    val audit = Seq(
+      (500, 0L, 3L, 2L),      // err 0  -> within at any bound
+      (900, 19999L, 9L, 2L),  // just under the default 2% bound
+      (990, 20001L, 10L, 2L)  // just over
+    ).toDF("q_permille", "rank_err_ppm", "target_rank", "n_total")
+    val flags = Sketches.kllBoundAudit(audit).orderBy("q_permille")
+      .select("q_permille", "within_bound").as[(Int, Long)].collect()
+    assert(flags.toSeq == Seq((500, 1L), (900, 1L), (990, 0L)))
+    // end-to-end on the corpus: one row per probe, the
+    // oracle-checkable columns match exact arithmetic, every
+    // indicator is 1 (SketchesSpec's own 2% bound, any merge order)
+    val n = docs.count()
+    val out = Sketches.kllBoundAudit(Sketches.kllQuantiles(docs)).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val q = r.getInt(0)
+      assert(r.getLong(1) == (q.toLong * n + 999L) / 1000L)
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == 1L, s"q=$q drifted past the 2% bound")
+    }
+    // empty corpus: zero rows (the oracle's WHERE n_total > 0 guard
+    // pins the same shape), not a degenerate summary
+    val empty = docs.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Sketches.kllBoundAudit(Sketches.kllQuantiles(empty)).count() == 0)
+  }
 }

@@ -52,6 +52,8 @@ class TotalitySpec extends AnyFunSuite {
     "q_triangles_approx_p2" -> 1L,
     "q_clustering" -> 1L,        // the five-zero summary row
     "q_null_semantics" -> 1L,    // the semantics pin is data-independent
+    "mm_phash_decoded_gate" -> 12L,     // planted-corpus gate: data-independent
+    "stream_phash_decoded_gate" -> 12L, // (oracle embeds the same fixture)
     "dedup_suffix_profile" -> 6L, // one row per probed length, all zero
     "stream_suffix_profile" -> 6L,
     "dedup_span_elect" -> 1L,    // election falls back to the longest length
