@@ -25,7 +25,13 @@ object Verify {
         new Directory(target).deleteRecursively()
       }
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce folds into the
+        // parent stage, so a shuffle-free plan (scan→filter→project)
+        // would execute the ENTIRE query in one task — measured at
+        // sf1 as a single thread md5-filtering the whole corpus for
+        // minutes. repartition adds one exchange: upstream stays
+        // parallel, only the single-file write is serial.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         rowCounts(name) = spark.read.parquet(s"$outDir/$name").count()
       } catch { case e: Throwable =>

@@ -320,10 +320,14 @@ object Similarity {
     * The cosine is bit-identical to [[vecCosine]] (left-to-right
     * double accumulation of dot and both norms, same zero guard,
     * same division shape), so all three assignment paths are
-    * ROW-IDENTICAL — spec-pinned. HOFs are CodegenFallback: the
-    * scoring loop is interpreted, the price of the O(1) plan; the
-    * arithmetic volume (rows × nCells × dim) is the same as the
-    * broadcast join's, minus its exchange.
+    * ROW-IDENTICAL — spec-pinned. HOFs are CodegenFallback, the price
+    * of the O(1) plan — but the per-cell score inside the lambda is
+    * the NATIVE [[vecCosine]] kernel (one primitive loop via its
+    * interpreted eval), so only the nCells outer iteration pays
+    * interpreter dispatch, not every one of nCells × dim element ops
+    * (the sf1 lesson: the all-HOF form spent minutes per query in
+    * `ArrayAggregate.eval`); the arithmetic volume (rows × nCells ×
+    * dim) is the same as the broadcast join's, minus its exchange.
     */
   /** Single-nearest-cell assignment as a pure COLUMN — the probes=1
     * matrix form ([[ivfCellsMatrix]]) packaged so a caller can attach
@@ -335,9 +339,10 @@ object Similarity {
     *
     * Bit-identity: the score is the same left-to-right double
     * accumulation, zero guard, and (cosine desc, cell asc) comparator
-    * as the three assignment paths — ‖x‖² is bound ONCE per row via a
-    * single-element `transform` lambda (the `_na` column trick in
-    * expression form), so the arithmetic is the matrix path's exactly.
+    * as the three assignment paths — the [[vecCosine]] kernel computes
+    * dot and both norms in one index-ordered loop, so each accumulator
+    * sees the identical addition sequence the separate HOF aggregates
+    * produced.
     */
   def cellAssignColumn(embCol: Column, coarse: Seq[(Long, Seq[Float])]): Column = {
     require(coarse.nonEmpty, "cellAssignColumn needs a trained quantizer")
@@ -345,32 +350,24 @@ object Similarity {
     val n = seedRows.size
     val cellsLit = typedlit(seedRows.map(_._1))
     val embsLit = typedlit(seedRows.map(_._2))
-    val nbLit = typedlit(seedRows.map(
-      _._2.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
-    val naExpr = aggregate(
-      transform(embCol, v => v.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
     val cmp = (l: Column, r: Column) =>
       when(l.getField("c") > r.getField("c"), -1)
         .when(l.getField("c") < r.getField("c"), 1)
         .when(l.getField("cell") < r.getField("cell"), -1)
         .when(l.getField("cell") > r.getField("cell"), 1)
         .otherwise(0)
-    element_at(
-      transform(array(naExpr), na => {
-        val scored = transform(sequence(lit(0), lit(n - 1)), i => {
-          val dot = aggregate(
-            zip_with(embCol, element_at(embsLit, i + 1),
-              (a, b) => a.cast("double") * b.cast("double")),
-            lit(0.0), (acc, v) => acc + v)
-          val nb = element_at(nbLit, i + 1)
-          struct(
-            when(na === 0.0 || nb === 0.0, lit(0.0))
-              .otherwise(dot / (sqrt(na) * sqrt(nb))).as("c"),
-            element_at(cellsLit, i + 1).as("cell"))
-        })
-        element_at(array_sort(scored, cmp), 1).getField("cell")
-      }), 1)
+    // the score is the NATIVE kernel ([[vecCosine]]) nested inside the
+    // HOF lambda: the surrounding transform stays interpreted (the O(1)
+    // plan), but each cosine is one tight primitive loop instead of
+    // dim element-wise lambda dispatches — measured at sf1 as the
+    // difference between minutes and seconds of quantizer work. Same
+    // left-to-right double accumulation and zero guard, so the score
+    // is bit-identical to the HOF composition it replaces.
+    val scored = transform(sequence(lit(0), lit(n - 1)), i =>
+      struct(
+        vecCosine(embCol, element_at(embsLit, i + 1)).as("c"),
+        element_at(cellsLit, i + 1).as("cell")))
+    element_at(array_sort(scored, cmp), 1).getField("cell")
   }
 
   def ivfCellsMatrix(df: DataFrame, idCol: String, embCol: String, seeds: DataFrame,
@@ -385,23 +382,16 @@ object Similarity {
     val n = seedRows.size
     val cellsLit = typedlit(seedRows.map(_._1))
     val embsLit = typedlit(seedRows.map(_._2))
-    val nbLit = typedlit(seedRows.map(
-      _._2.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
     val x = col(embCol)
-    val naExpr = aggregate(
-      transform(x, v => v.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val scored = transform(sequence(lit(0), lit(n - 1)), i => {
-      val dot = aggregate(
-        zip_with(x, element_at(embsLit, i + 1),
-          (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val nb = element_at(nbLit, i + 1)
+    // native [[vecCosine]] kernel inside the interpreted HOF (see
+    // [[cellAssignColumn]]): bit-identical score — vecCosine's single
+    // loop accumulates dot/‖x‖²/‖c‖² each in the same left-to-right
+    // double order as the separate HOF aggregates it replaces, with
+    // the same zero guard — at ~dim× less interpreter dispatch
+    val scored = transform(sequence(lit(0), lit(n - 1)), i =>
       struct(
-        when(col("_na") === 0.0 || nb === 0.0, lit(0.0))
-          .otherwise(dot / (sqrt(col("_na")) * sqrt(nb))).as("c"),
-        element_at(cellsLit, i + 1).as("cell"))
-    })
+        vecCosine(x, element_at(embsLit, i + 1)).as("c"),
+        element_at(cellsLit, i + 1).as("cell")))
     val cmp = (l: Column, r: Column) =>
       when(l.getField("c") > r.getField("c"), -1)
         .when(l.getField("c") < r.getField("c"), 1)
@@ -409,9 +399,8 @@ object Similarity {
         .when(l.getField("cell") > r.getField("cell"), 1)
         .otherwise(0)
     val nearest = slice(array_sort(scored, cmp), 1, probes)
-    df.withColumn("_na", naExpr)
-      .select(col(idCol), col(embCol),
-        explode(transform(nearest, s => s.getField("cell"))).as("cell"))
+    df.select(col(idCol), col(embCol),
+      explode(transform(nearest, s => s.getField("cell"))).as("cell"))
   }
 
   /** IVF-bucketed ANN top-k (the prompt's "IVF variant as the scale
@@ -796,9 +785,12 @@ object Similarity {
     val biasLit = typedlit(books.map(_.map(c => c.map(x => x.toDouble * x).sum / 2.0)))
     transform(sequence(lit(0), lit(m - 1)), s => {
       val sub = slice(embCol, s * dsub + 1, lit(dsub))
+      // native vecDot kernel inside the HOF lambda (the
+      // cellAssignColumn treatment): same left-to-right double
+      // accumulation as the aggregate∘zip_with it replaces, one tight
+      // loop instead of dsub interpreted lambda dispatches per code
       val scores = zip_with(element_at(booksLit, s + 1), element_at(biasLit, s + 1),
-        (c, b) => aggregate(zip_with(sub, c, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v) - b)
+        (c, b) => vecDot(sub, c) - b)
       array_position(scores, array_max(scores)) - 1
     })
   }
