@@ -28,6 +28,10 @@ object BenchOne {
         .foreach(_.unpersist(blocking = false))
       t
     }
+    // host-speed index first (Bench's probe): every BenchOne log line
+    // set is interpretable against another host/run without guessing
+    val cal = Bench.calibrationProbe(spark)
+    println(f"[benchone] calibration: $cal%.2f s")
     if (warmup) {
       val t = timeOnce(SparkEntry.queries("q1_agg"))
       println(f"[benchone] warmup q1_agg: $t%.2f s")

@@ -306,6 +306,19 @@ object SparkEntry {
     // delta-fixpoint, never a recompute from raw edges
     "stream_topo_layers" -> ((s, dir) =>
       graft.streaming.GraphStreams.streamedTopoLayers(s, dir)),
+    // sf1-capable gates for the SCC/topo family (closure-free
+    // oracles — VERDICT r14 item 2): the flood certificate checks
+    // the REAL batch / maintained SCC labels; the level-DAG layers
+    // run the real topoLayers machinery at bounded depth
+    "q_scc_flood" -> ((s, dir) => Graph.sccFloodGate(
+      Graph.itemSequenceEdges(Tables.lineitem(s, dir)),
+      Graph.stronglyConnectedComponents(
+        Graph.itemSequenceEdges(Tables.lineitem(s, dir))))),
+    "stream_scc_flood" -> ((s, dir) => Graph.sccFloodGate(
+      Graph.itemSequenceEdges(Tables.lineitem(s, dir)),
+      graft.streaming.GraphStreams.streamedScc(s, dir))),
+    "q_topo_layers_dag" -> ((s, dir) => Graph.topoLayers(
+      Graph.levelDag(Graph.itemSequenceEdges(Tables.lineitem(s, dir))))),
     // Peeling at k=70 erodes the co-purchase graph's low-degree tail
     // (29 of 2000 parts cascade out at sf0.01) — the community-core
     // primitive; 8 unrolled rounds in the oracle, identical by
@@ -319,6 +332,21 @@ object SparkEntry {
     // (GraphSpec pins both)
     "q_kcore_approx" -> ((s, dir) => Graph.kCoreApprox(
       Graph.coPurchaseEdges(Tables.lineitem(s, dir)), 70, 8)),
+    // sf1-capable SAMPLED gates (the q_scc_condensation md5-sampling
+    // trick): same operators, md5-thresholded edge subset sized so
+    // the unrolled oracle ladders stay affordable at 10× data; k
+    // rescaled with the sampled degree (70 × 0.2)
+    "q_kcore_approx_sample" -> ((s, dir) => Graph.kCoreApprox(
+      Graph.sampleEdges(Graph.coPurchaseEdges(Tables.lineitem(s, dir)),
+        200, "kcs:"), 14, 8)),
+    "q_pagerank_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.pagerankMicros(
+        Graph.sampleEdges(Graph.coPurchaseEdges(Tables.lineitem(s, dir)),
+          100, "prs:")
+          .select(col("u").as("doc_a"), col("v").as("doc_b")), 10)
+        .select(col("doc_id").as("part_id"), col("pr"))
+    }),
     // standalone integer PageRank over the co-purchase graph (the
     // same bit-exact fixed-point iteration dedup_apply_pagerank uses
     // as a survivor policy, surfaced as the graph-analytics query):
@@ -575,6 +603,21 @@ object SparkEntry {
     // exact-equality spec vs an independent implementation
     "dedup_apply_pagerank" -> ((s, dir) => Dedup.applyNearDupDedupPagerank(
       Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2))),
+    // sf1-capable BOUNDED gates for the closure family: exactly-K-round
+    // labels replay as K linear CTEs in the oracle at any scale (the
+    // converged oracles' recursive walk stops being computable at sf1),
+    // driving the SAME election/apply pipeline via compsOf
+    "dedup_components_bounded" -> ((s, dir) => Dedup.boundedComponents(
+      Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2), 6)),
+    "dedup_apply_bounded" -> ((s, dir) => Dedup.applyNearDupDedup(
+      Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2),
+      p => Dedup.boundedComponents(p, 6))),
+    "dedup_apply_central_bounded" -> ((s, dir) => Dedup.applyNearDupDedupCentral(
+      Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2),
+      p => Dedup.boundedComponents(p, 6))),
+    "dedup_apply_pagerank_bounded" -> ((s, dir) => Dedup.applyNearDupDedupPagerank(
+      Tables.documents(s, dir), Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.2),
+      10, p => Dedup.boundedComponents(p, 6))),
     // §2.4 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 8, 10)),
     // MRL truncation evaluation: per prefix-dim tier, overlap@10 of
@@ -1292,7 +1335,9 @@ object SparkEntry {
     * ladder, so the adaptive shrink reproduces bit-for-bit including
     * the extra collisions a narrower late-round sketch takes.
     */
-  private val KcoreApproxRoundCtes: String = (1 to 8).map { i =>
+  private val KcoreApproxRoundCtes: String = kcoreApproxRoundCtes(70)
+
+  private def kcoreApproxRoundCtes(k: Int): String = (1 to 8).map { i =>
     val w = s"(SELECT w FROM w$i)"
     s"""w$i AS MATERIALIZED (
        |  SELECT CASE WHEN need <= 512 THEN 512 WHEN need <= 1024 THEN 1024
@@ -1316,7 +1361,7 @@ object SparkEntry {
        |  SELECT e.u, e.v FROM ae${i - 1} e
        |  JOIN est$i a ON a.n = e.u
        |  JOIN est$i b ON b.n = e.v
-       |  WHERE a.est >= 70 AND b.est >= 70)""".stripMargin
+       |  WHERE a.est >= $k AND b.est >= $k)""".stripMargin
   }.mkString(",\n")
 
   /** The sliding-horizon theta oracle at window width `w` — shared by
@@ -1778,6 +1823,75 @@ object SparkEntry {
         |mm AS (SELECT a, min(b) AS mb FROM mutual GROUP BY a)
         |SELECT node, CAST(least(node, coalesce(mm.mb, node)) AS BIGINT) AS scc_label
         |FROM n LEFT JOIN mm ON mm.a = n.node""".stripMargin
+
+  /** The sf1-capable SCC gate in SQL: 8 unrolled LINEAR min-label
+    * flood rounds per direction — never a transitive closure, so
+    * this stays O(rounds·|E|) at every scale where [[SccSql]]'s
+    * reach set (component size²) stops being computable around sf1.
+    * Pins `1 AS label_match`: the Spark side checks every
+    * fmin = bmin certificate node against the REAL SCC labels, so a
+    * wrong decomposition hash-mismatches here even though the oracle
+    * itself never computes an SCC. Shared verbatim by the batch gate
+    * and the maintained-store gate. */
+  private val SccFloodSql: String = {
+    def rounds(pfx: String, srcC: String, dstC: String) = (1 to 8).map { i =>
+      s"""$pfx$i AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (
+         |  SELECT node, lab FROM $pfx${i - 1}
+         |  UNION ALL
+         |  SELECT e.$dstC AS node, s.lab FROM e JOIN $pfx${i - 1} s ON s.node = e.$srcC)
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
+       |n AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
+       |f0 AS (SELECT node, node AS lab FROM n),
+       |b0 AS (SELECT node, node AS lab FROM n),
+       |${rounds("f", "u", "v")},
+       |${rounds("b", "v", "u")}
+       |SELECT n.node, f8.lab AS fmin, b8.lab AS bmin, CAST(1 AS BIGINT) AS label_match
+       |FROM n JOIN f8 ON f8.node = n.node JOIN b8 ON b8.node = n.node""".stripMargin
+  }
+
+  /** Longest-path layers over the md5-LEVELED DAG (depth < 16 BY
+    * CONSTRUCTION, so the ladder is 15 fixed rounds at any scale) —
+    * the sf1-capable companion exercising the same topoLayers
+    * machinery whose condensation-based face needs the SCC closure
+    * the oracle cannot afford at sf1. */
+  private val TopoDagSql: String = {
+    def lvl(x: String) =
+      s"(('0x' || substr(md5('lvl:' || CAST($x AS VARCHAR)), 1, 4))::BIGINT % 16)"
+    val rounds = (1 to 15).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, max(depth) AS depth FROM (
+         |  SELECT node, depth FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT g.v AS node, s.depth + 1 AS depth FROM g JOIN d${i - 1} s ON s.node = g.u)
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1 WHERE a.p <> b.p),
+       |g AS MATERIALIZED (SELECT u, v FROM e0 WHERE ${lvl("u")} < ${lvl("v")}),
+       |n AS (SELECT DISTINCT node FROM (SELECT u AS node FROM g UNION ALL SELECT v FROM g)),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS depth FROM n),
+       |$rounds
+       |SELECT node, depth FROM d15""".stripMargin
+  }
+
+  /** `rounds` unrolled symmetric min-label propagation rounds over
+    * the `edges` CTE (symmetric jp pairs) — the LINEAR replay of
+    * [[graft.operators.Dedup.boundedComponents]], vs the recursive
+    * walk the converged components oracle needs (closure dies at sf1
+    * on ×10 clone cliques). */
+  private def boundedCompCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (
+         |  SELECT node, lab FROM c${i - 1}
+         |  UNION ALL
+         |  SELECT e.b AS node, s.lab FROM edges e JOIN c${i - 1} s ON s.node = e.a)
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
 
   /** Temperature mixing in SQL — shared verbatim by the batch entry
     * and its pure-delta streamed face. */
@@ -2509,6 +2623,11 @@ object SparkEntry {
     // the maintained condensation lays out to the same waves after
     // the drain (committed batches keep qPath in current label space)
     "stream_topo_layers" -> TopoLayersSql,
+    // closure-free sf1 gates: linear flood rounds + the pinned
+    // label_match certificate (batch and maintained labels share it)
+    "q_scc_flood" -> SccFloodSql,
+    "stream_scc_flood" -> SccFloodSql,
+    "q_topo_layers_dag" -> TopoDagSql,
     // the PagerankRoundCtes ladder over the co-purchase graph: same
     // integer fixed-point arithmetic, so pr10 is bit-identical
     "q_pagerank" ->
@@ -2516,6 +2635,20 @@ object SparkEntry {
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
         |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |$PagerankRoundCtes
+        |SELECT doc_id AS part_id, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin,
+    // same ladder over the md5-sampled edge set (100 permille ->
+    // first 4 md5 hex chars < '1999'): the oracle at sf1 costs what
+    // the full ladder costs at sf0.1
+    "q_pagerank_sample" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |es AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE substr(md5('prs:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '1999'),
+        |edges AS (SELECT u AS a, v AS b FROM es UNION SELECT v, u FROM es),
         |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
         |$PagerankRoundCtes
@@ -2696,6 +2829,20 @@ object SparkEntry {
         |ae0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
         |$KcoreApproxRoundCtes
+        |SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM ae8 UNION ALL SELECT v FROM ae8)
+        |GROUP BY node""".stripMargin,
+    // the sketch-peel ladder over the md5-sampled edge set (200
+    // permille -> '3333'), k rescaled to the sampled degree — the
+    // sf1-affordable gate for the CMS peel machinery
+    "q_kcore_approx_sample" ->
+      s"""WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |sed AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |ae0 AS MATERIALIZED (SELECT u, v FROM sed
+        |  WHERE substr(md5('kcs:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '3333'),
+        |${kcoreApproxRoundCtes(14)}
         |SELECT node, count(*) AS deg FROM (
         |  SELECT u AS node FROM ae8 UNION ALL SELECT v FROM ae8)
         |GROUP BY node""".stripMargin,
@@ -3518,6 +3665,67 @@ object SparkEntry {
         |  UNION
         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
         |comp AS (SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node),
+        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |$PagerankRoundCtes,
+        |best AS (
+        |  SELECT component_id, max(pr) AS pmax
+        |  FROM comp JOIN pr10 USING (doc_id) GROUP BY 1),
+        |surv AS (
+        |  SELECT component_id, min(doc_id) AS survivor
+        |  FROM comp JOIN pr10 USING (doc_id) JOIN best USING (component_id)
+        |  WHERE pr = pmax GROUP BY 1),
+        |dropped AS (
+        |  SELECT c.doc_id FROM comp c JOIN surv s
+        |    ON c.component_id = s.component_id AND c.doc_id <> s.survivor)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
+    // the BOUNDED family: exactly-6-round linear min-label ladders in
+    // place of the recursive walk — computable at sf1, where the
+    // closure oracles above time out (SURVEY §6)
+    "dedup_components_bounded" ->
+      s"""WITH $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |${boundedCompCtes(6)}
+        |SELECT node AS doc_id, lab AS component_id FROM c6""".stripMargin,
+    "dedup_apply_bounded" ->
+      s"""WITH $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |${boundedCompCtes(6)},
+        |comp AS (SELECT node AS doc_id, lab AS component_id FROM c6)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id)""".stripMargin,
+    "dedup_apply_central_bounded" ->
+      s"""WITH $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |${boundedCompCtes(6)},
+        |comp AS (SELECT node AS doc_id, lab AS component_id FROM c6),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)
+        |  GROUP BY 1),
+        |best AS (
+        |  SELECT component_id, max(degree) AS dmax
+        |  FROM comp JOIN deg USING (doc_id) GROUP BY 1),
+        |surv AS (
+        |  SELECT component_id, min(doc_id) AS survivor
+        |  FROM comp JOIN deg USING (doc_id) JOIN best USING (component_id)
+        |  WHERE degree = dmax GROUP BY 1),
+        |dropped AS (
+        |  SELECT c.doc_id FROM comp c JOIN surv s
+        |    ON c.component_id = s.component_id AND c.doc_id <> s.survivor)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
+    "dedup_apply_pagerank_bounded" ->
+      s"""WITH $NgramPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |${boundedCompCtes(6)},
+        |comp AS (SELECT node AS doc_id, lab AS component_id FROM c6),
         |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
         |$PagerankRoundCtes,

@@ -30,7 +30,11 @@ object Verify {
         // would execute the ENTIRE query in one task — measured at
         // sf1 as a single thread md5-filtering the whole corpus for
         // minutes. repartition adds one exchange: upstream stays
-        // parallel, only the single-file write is serial.
+        // parallel, only the single-file write is serial. The
+        // round-robin exchange DOES change row order vs coalesce(1);
+        // that is immaterial only because the driver's gate sorts
+        // rows before the exact compare — a consumer of these parquet
+        // dumps must not assume deterministic row order.
         fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         rowCounts(name) = spark.read.parquet(s"$outDir/$name").count()

@@ -460,6 +460,63 @@ object Dedup {
     (out, rounds)
   }
 
+  /** EXACTLY-K-round bounded min-label components — the sf1-capable
+    * twin of [[connectedComponents]]: each node's label after `rounds`
+    * symmetric min-propagation rounds, with NO convergence
+    * requirement. The bounded result is a well-defined deterministic
+    * function of (pairs, rounds) that an independent engine replays
+    * as `rounds` unrolled LINEAR joins — where the converged
+    * operator's oracle needs a transitive-closure walk whose
+    * node×reach set stops being computable around sf1 (×10 clone
+    * cliques square it). On any graph whose diameter ≤ rounds the
+    * output IS the converged decomposition (DedupSpec pins both
+    * equality there and the deliberate difference on a longer
+    * chain). Early exit on saturation is sound: extra rounds are
+    * no-ops, so ≤rounds equals exactly-rounds.
+    *
+    * Output contract of [[connectedComponents]]: (doc_id,
+    * component_id) for every doc in ≥ 1 pair.
+    */
+  def boundedComponents(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    Checkpoints.free(p)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val viaNeighbors = edges
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("n_comp"))
+      val next = labels
+        .join(viaNeighbors, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      Checkpoints.free(labels)
+      labels = next
+      r += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .localCheckpoint(true)
+    Checkpoints.free(labels)
+    Checkpoints.free(edges)
+    out
+  }
+
   /** Alternating large-star/small-star connected components (the
     * MapReduce-native CC family; see Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SOCC'14): converges in
@@ -558,12 +615,16 @@ object Dedup {
     * docs in no cluster survive untouched). left_anti against the
     * small non-canonical set — no row multiplication.
     */
-  def applyNearDupDedup(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    // connectedComponents returns a materialized, lineage-truncated
+  def applyNearDupDedup(documents: DataFrame, pairs: DataFrame,
+                        compsOf: DataFrame => DataFrame = connectedComponents): DataFrame = {
+    // the components builder returns a materialized, lineage-truncated
     // frame, so the drop list below is a cheap scan of it — the
     // pair-generation + iterative CC work is paid exactly once, not
-    // re-run inside this query's lineage.
-    val dropList = connectedComponents(pairs)
+    // re-run inside this query's lineage. `compsOf` defaults to the
+    // converged decomposition; the bounded sf1 gate passes
+    // [[boundedComponents]] instead — the SAME election/anti-join
+    // pipeline under a different label table.
+    val dropList = compsOf(pairs)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("drop_id"))
     // The non-canonical set is bounded by the duplicated fraction of
@@ -589,12 +650,13 @@ object Dedup {
     * member — both bounded by the duplicated fraction, never the
     * corpus.
     */
-  def applyNearDupDedupCentral(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def applyNearDupDedupCentral(documents: DataFrame, pairs: DataFrame,
+                               compsOf: DataFrame => DataFrame = connectedComponents): DataFrame = {
     // pair generation is paid exactly once, shared by CC and the
     // degree count (this family of builders runs eagerly, like the
     // iterative CC itself — documented in PlanNotes)
     val p = pairs.localCheckpoint(true)
-    val comps = connectedComponents(p)
+    val comps = compsOf(p)
     // symmetric directed edge list (input pairs are distinct with
     // doc_a < doc_b, so the union has no duplicates): degree = count
     val degrees = p.select(col("doc_a").as("doc_id"))
@@ -672,9 +734,10 @@ object Dedup {
     * applies).
     */
   def applyNearDupDedupPagerank(documents: DataFrame, pairs: DataFrame,
-                                iters: Int = 10): DataFrame = {
+                                iters: Int = 10,
+                                compsOf: DataFrame => DataFrame = connectedComponents): DataFrame = {
     val p = pairs.localCheckpoint(true)
-    val comps = connectedComponents(p)
+    val comps = compsOf(p)
     val pr = pagerankMicros(p, iters)
     // comps and pr are both materialized eager checkpoints; the raw
     // pair snapshot has no remaining consumer

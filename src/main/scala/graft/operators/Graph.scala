@@ -854,8 +854,14 @@ object Graph {
   private def mergeMapping(cand: DataFrame, threshold: Long = 2000000L): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    if (cand.count() <= threshold) {
-      val pairs = cand.select(col("cu").as[Long], col("cv").as[Long]).collect()
+    // ONE action decides the branch AND feeds the driver path:
+    // collect at most threshold+1 rows — exactly threshold+1 means
+    // "too big, go distributed" without ever paying a separate
+    // count() job over the same frame (a per-Borůvka-round cost).
+    val probe = cand.select(col("cu").as[Long], col("cv").as[Long])
+      .limit(threshold.toInt + 1).collect()
+    if (probe.length <= threshold) {
+      val pairs = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -1329,6 +1335,112 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
   }
+
+  /** K-round directed min-label flood signature: for every node of
+    * the directed graph, `fmin` = the smallest node id that reaches
+    * it within ≤ `rounds` hops (itself included) and `bmin` = the
+    * smallest node id it reaches within ≤ `rounds` hops. Each round
+    * is ONE linear join + min-aggregate per direction — never a
+    * transitive closure — so an independent engine can replay it as
+    * `rounds` unrolled linear CTEs at ANY scale, which is exactly
+    * why it exists: the closure-based SCC oracle stops being
+    * computable around sf1 (reach pairs grow with component size²),
+    * while this signature stays O(rounds · |E|) everywhere. The
+    * result is deterministic whether or not the flood has saturated:
+    * both engines run the SAME round budget.
+    */
+  def minLabelFlood(edges0: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    def flood(srcCol: String, dstCol: String): DataFrame = {
+      var lab = nodes.select(col("node"), col("node").as("lab"))
+        .localCheckpoint(true)
+      var r = 0
+      var converged = false
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(lab)
+      // early exit on saturation is sound: further rounds are no-ops,
+      // so the ≤rounds result equals the exactly-rounds result the
+      // oracle unrolls (the kCore budget discipline)
+      while (r < rounds && !converged) {
+        val pushed = lab.join(edges, lab("node") === edges(srcCol))
+          .select(edges(dstCol).as("node"), col("lab"))
+        val next = lab.unionByName(pushed)
+          .groupBy("node").agg(min("lab").as("lab"))
+          .localCheckpoint(true)
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
+        Checkpoints.free(lab)
+        lab = next
+        r += 1
+      }
+      lab
+    }
+    val f = flood("u", "v").withColumnRenamed("lab", "fmin")
+    val b = flood("v", "u").withColumnRenamed("lab", "bmin")
+    val out = f.join(b, Seq("node")).localCheckpoint(true)
+    Checkpoints.free(f)
+    Checkpoints.free(b)
+    Checkpoints.free(edges)
+    Checkpoints.free(nodes)
+    out
+  }
+
+  /** The sf1-capable SCC gate built on [[minLabelFlood]] (the
+    * kllBoundAudit claim-pin pattern): alongside each node's flood
+    * signature, a 0/1 `label_match` that checks the REAL SCC
+    * decomposition against the flood's certificate. Whenever
+    * fmin = bmin = m, node and m provably sit in the same SCC
+    * (m reaches node and node reaches m within the budget), so
+    * scc_label(node) must equal scc_label(m); rows with fmin ≠ bmin
+    * are vacuously 1. The oracle recomputes the flood exactly
+    * (linear rounds) and pins `1 AS label_match` — a wrong SCC label
+    * on any certificate node hash-mismatches in the driver gate,
+    * with no transitive closure anywhere in the oracle.
+    */
+  def sccFloodGate(edges0: DataFrame, sccLabels: DataFrame,
+                   rounds: Int = 8): DataFrame = {
+    val flood = minLabelFlood(edges0, rounds)
+    val lab = sccLabels.select(col("node"), col("scc_label"))
+      .localCheckpoint(true)
+    val labOfMin = lab.select(col("node").as("fmin"),
+      col("scc_label").as("scc_of_fmin"))
+    val out = flood.join(lab, Seq("node"))
+      .join(labOfMin, Seq("fmin"))
+      .select(col("node"), col("fmin"), col("bmin"),
+        when(col("fmin") =!= col("bmin"), 1L)
+          .otherwise(when(col("scc_label") === col("scc_of_fmin"), 1L)
+            .otherwise(0L)).as("label_match"))
+      .localCheckpoint(true)
+    Checkpoints.free(flood)
+    Checkpoints.free(lab)
+    out
+  }
+
+  /** Deterministic md5 level in 0..levels-1 per node id — the
+    * structurally-bounded-depth DAG builder behind
+    * `q_topo_layers_dag`: keeping only edges whose endpoints' levels
+    * strictly increase yields an acyclic subgraph with longest path
+    * ≤ levels−1 BY CONSTRUCTION, so the longest-path oracle unrolls
+    * a fixed, scale-independent ladder (where the condensation-based
+    * layering needs the SCC closure the oracle cannot afford at
+    * sf1). Same md5 convention as [[sampleEdges]]; reproduces
+    * character-for-character in SQL.
+    */
+  def hashLevel(node: Column, levels: Int = 16, salt: String = "lvl:"): Column =
+    conv(substring(md5(concat(lit(salt), node.cast("string"))), 1, 4),
+      16, 10).cast("long") % levels
+
+  /** The level-DAG restriction of a directed edge set: edges whose
+    * [[hashLevel]] strictly increases. Acyclic with depth < levels. */
+  def levelDag(edges0: DataFrame, levels: Int = 16): DataFrame =
+    edges0.filter(hashLevel(col("u"), levels) < hashLevel(col("v"), levels))
 
   /** Strongly connected components by iterated FORWARD-coloring /
     * BACKWARD-confirmation (the FW-BW / ColorSCC family — Fleischer,

@@ -301,15 +301,26 @@ object Sketches {
     * columns the DuckDB oracle reproduces exactly — the probe set,
     * the exact target rank ⌈q·n/1000⌉, the corpus count — plus a
     * 0/1 `within_bound` indicator of the measured rank error against
-    * the suite's 2 % bound (SketchesSpec's bound for k=256, whose
-    * ~1/k guarantee holds for EVERY merge order, so the indicator is
-    * merge-order-invariant even though the estimate is not). The
+    * the suite's 2 % bound ([[KllBoundPpm]] — SketchesSpec's bound
+    * for k=256). The bound is an EMPIRICAL margin, spec-gated: KLL's
+    * ~1/k rank-error guarantee is probabilistic over compaction
+    * coins, and with the suite's deterministic splitmix64 coins the
+    * 2 % line sits ~8× above typical measured error rather than
+    * being a worst-case invariant over every merge order. The
     * oracle pins the CLAIM (`1 AS within_bound`): any run whose
     * sketch drifts past the bound hash-mismatches in the driver's
-    * gate instead of hiding behind a rows-only check. */
-  def kllBoundAudit(audit: DataFrame, boundPpm: Long = 20000L): DataFrame =
+    * gate instead of hiding behind a rows-only check — and per
+    * SURVEY §6, a `within_bound` mismatch means SKETCH-ACCURACY
+    * DRIFT at the new data/merge schedule, not an engine bug. */
+  def kllBoundAudit(audit: DataFrame): DataFrame =
     audit.select(col("q_permille"), col("target_rank"), col("n_total"),
-      when(col("rank_err_ppm") <= boundPpm, 1L).otherwise(0L).as("within_bound"))
+      when(col("rank_err_ppm") <= KllBoundPpm, 1L).otherwise(0L).as("within_bound"))
+
+  /** The KLL-family rank-error bound (ppm of n) that [[kllBoundAudit]]
+    * gates against and the DuckDB oracle's `1 AS within_bound` claim
+    * encodes. One shared constant: the oracle hard-pins the claim, so
+    * a per-call bound parameter would silently diverge from it. */
+  val KllBoundPpm: Long = 20000L
 
   /** Probe + exact-rank-audit tail of [[kllQuantiles]], shared with
     * the streamed sketch-store face so the output contract cannot

@@ -553,12 +553,20 @@ object GraphStreams {
       val qAll = qOld.unionByName(mapped).distinct().localCheckpoint(true)
       val scc = graft.operators.Graph.stronglyConnectedComponents(qAll)
         .localCheckpoint(true)
-      // open the crash window: state mutations start here
+      // the cadence manifest's baseline, read BEFORE any mutation
+      // (exact on the happy path; a fallback recount after a crash)
+      val (baseLabels, baseMerges) = sccCounts(spark, labelsPath, mergesPath)
+      // open the crash window: state mutations start here — and the
+      // counts manifest stops being trustworthy until the commit
+      // below rewrites it, so delete it first (a crashed batch must
+      // leave the prober on real counts, never a stale manifest)
       cfs.mkdirs(pendingDir)
       cfs.create(new org.apache.hadoop.fs.Path(pendingDir, batchId.toString), true).close()
+      deleteSccCounts(spark, mergesPath)
       val newMerges = scc.filter(col("node") =!= col("scc_label"))
         .select(col("node").as("old_comp"), col("scc_label").as("new_comp"))
-      if (!newMerges.isEmpty) appendMerges(newMerges, mergesPath, nBuckets)
+      val nNewMerges = newMerges.count()
+      if (nNewMerges > 0) appendMerges(newMerges, mergesPath, nBuckets)
       if (sccFailAfterMerges) {
         sccFailAfterMerges = false
         throw new IllegalStateException(
@@ -569,7 +577,9 @@ object GraphStreams {
         .join(scc, Seq("node"), "left")
         .select(col("node"), coalesce(col("scc_label"), col("node")).as("scc_id"))
         .withColumn("bucket", pmod(col("node"), lit(nBuckets.toLong)))
-      if (!lbl.isEmpty) lbl.write.mode("append").partitionBy("bucket").parquet(labelsPath)
+        .localCheckpoint(true)
+      val nNewLabels = lbl.count()
+      if (nNewLabels > 0) lbl.write.mode("append").partitionBy("bucket").parquet(labelsPath)
       // rewrite the condensation in the new label space, intra-SCC
       // edges dropped (materialized BEFORE overwriting what it reads)
       val su = scc.select(col("node").as("u"), col("scc_label").as("lu"))
@@ -582,10 +592,16 @@ object GraphStreams {
       relabeled.write.mode("overwrite").parquet(qPath)
       // condensation caught up with the merge log: close the window
       cfs.delete(pendingDir, true)
+      // reinstate the cadence manifest with this batch's deltas folded
+      // in — a crash before this line leaves it absent (fallback), a
+      // crash after leaves it exact; never stale either way
+      writeSccCounts(spark, mergesPath,
+        baseLabels + nNewLabels, baseMerges + nNewMerges)
       graft.operators.Checkpoints.free(relabeled)
       graft.operators.Checkpoints.free(qAll)
       graft.operators.Checkpoints.free(scc)
       graft.operators.Checkpoints.free(known)
+      graft.operators.Checkpoints.free(lbl)
       cur.unpersist()
       mark()
       // scheduled maintenance rides the batch boundary: AFTER this
@@ -630,6 +646,10 @@ object GraphStreams {
     // rename-aside swap: an in-place overwrite would lose ALL label
     // state on a crash mid-rewrite while the merge log below is
     // about to be consumed (the mstBatch/semanticPairCompact window)
+    // the rewrite invalidates the cadence manifest until the final
+    // write below re-pins it at (resolved labels, empty log)
+    deleteSccCounts(spark, mergesPath)
+    val nResolved = resolved.count()
     resolved.write.mode("overwrite").partitionBy("bucket")
       .parquet(labelsPath + "_swap_staging")
     swapInstall(spark, labelsPath)
@@ -642,6 +662,7 @@ object GraphStreams {
         if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(s.getPath, true)
       }
     }
+    writeSccCounts(spark, mergesPath, nResolved, 0L)
   }
 
   /** SCC state sizes — the compaction-cadence metric (the
@@ -677,10 +698,7 @@ object GraphStreams {
   def sccCompactIfDue(spark: SparkSession, labelsPath: String,
                       mergesPath: String, nBuckets: Int = 16,
                       ratio: Double = 0.5, minLog: Long = 256L): Boolean = {
-    def n(p: String) =
-      if (hasVisibleData(spark, p)) spark.read.parquet(p).count() else 0L
-    val labels = n(labelsPath)
-    val merges = n(mergesPath)
+    val (labels, merges) = sccCounts(spark, labelsPath, mergesPath)
     val due = merges >= math.max(minLog.toDouble, ratio * labels)
     val pendingDir = new org.apache.hadoop.fs.Path(mergesPath, "_scc_pending")
     val pfs = pendingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -688,6 +706,49 @@ object GraphStreams {
     val fired = due && !windowOpen
     if (fired) sccCompact(spark, labelsPath, mergesPath, nBuckets)
     fired
+  }
+
+  /** (label rows, merge-log rows) for the cadence probe — METADATA
+    * FIRST: the happy path reads the `_scc_counts` manifest the batch
+    * commit and [[sccCompact]] maintain (one tiny file), so an
+    * always-on drive's per-batch "is compaction due?" check costs
+    * zero state-scan jobs. The manifest is DELETED when a batch opens
+    * its crash window (state is about to drift from it) and only
+    * rewritten at the next successful commit, so a crashed batch can
+    * never leave a stale manifest anchoring the cadence: absent
+    * manifest → fall back to real counts (spec-pinned via
+    * [[MaintIO.stateCountScans]]). */
+  private[graft] def sccCounts(spark: SparkSession, labelsPath: String,
+                               mergesPath: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(mergesPath, "_scc_counts")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val parts =
+        try new String(in.readAllBytes(), "UTF-8").trim.split(" ")
+        finally in.close()
+      (parts(0).toLong, parts(1).toLong)
+    } else {
+      MaintIO.stateCountScans.incrementAndGet()
+      def n(path: String) =
+        if (hasVisibleData(spark, path)) spark.read.parquet(path).count() else 0L
+      (n(labelsPath), n(mergesPath))
+    }
+  }
+
+  private def writeSccCounts(spark: SparkSession, mergesPath: String,
+                             labels: Long, merges: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(mergesPath, "_scc_counts")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$labels $merges".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def deleteSccCounts(spark: SparkSession, mergesPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(mergesPath, "_scc_counts")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
   }
 
   /** Current SCC label per node: the append-only labels resolved

@@ -13,6 +13,11 @@ private[graft] object MaintIO {
   val distBucketReads = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Merge-log bucket partitions read (the pruned closure walker). */
   val mergeBucketReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Full state-store count() jobs paid by a compaction-cadence probe
+    * (the manifest-miss fallback). A healthy always-on drive pins
+    * this at zero per not-due batch: the `_scc_counts` manifest, not
+    * a pair of table scans, answers "is compaction due?". */
+  val stateCountScans = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Shared state-store probes for the streaming maintenance modules. */

@@ -128,6 +128,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("boundedComponents: equals converged CC whenever diameter <= rounds; exactly-K semantics pinned on a longer chain; drives the apply family identically there") {
+    import spark.implicits._
+    // short-diameter shapes: bounded(6) == converged
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)),
+      Seq((3L, 2L), (2L, 1L), (1L, 3L), (9L, 7L)),
+      Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 2L), (11L, 21L)))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((edges, gi) <- shapes.zipWithIndex) {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      assert(asMap(Dedup.boundedComponents(pairs, 6)) ==
+        asMap(Dedup.connectedComponents(pairs)), s"shape $gi diverged")
+    }
+    // chain 0-1-...-10: after exactly 6 rounds, node i has label
+    // max(0, i-6) — deterministic, NOT the converged all-zeros
+    val chain = Seq.tabulate(10)(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val b6 = asMap(Dedup.boundedComponents(chain, 6))
+    assert(b6 == (0L to 10L).map(i => i -> math.max(0L, i - 6L)).toMap,
+      s"exactly-6-round chain labels wrong: $b6")
+    // the bounded apply elects the same survivors as the converged
+    // apply on the short-diameter corpus shapes
+    val docs = (1L to 30L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    for ((edges, gi) <- shapes.zipWithIndex) {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids(Dedup.applyNearDupDedup(docs, pairs,
+          p => Dedup.boundedComponents(p, 6))) ==
+        ids(Dedup.applyNearDupDedup(docs, pairs)), s"apply shape $gi")
+      assert(ids(Dedup.applyNearDupDedupCentral(docs, pairs,
+          p => Dedup.boundedComponents(p, 6))) ==
+        ids(Dedup.applyNearDupDedupCentral(docs, pairs)), s"central shape $gi")
+      assert(ids(Dedup.applyNearDupDedupPagerank(docs, pairs, 10,
+          p => Dedup.boundedComponents(p, 6))) ==
+        ids(Dedup.applyNearDupDedupPagerank(docs, pairs)), s"pagerank shape $gi")
+    }
+    // empty totality
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.boundedComponents(empty, 6).count() == 0)
+  }
+
   test("alternating large-star/small-star CC equals min-label propagation on varied topologies") {
     import spark.implicits._
     val graphs = Seq(

@@ -671,6 +671,69 @@ class GraphSpec extends AnyFunSuite {
     } finally we.unpersist()
   }
 
+  test("minLabelFlood: hand-checked fmin/bmin on a planted digraph; budget semantics exact; saturation early-exit is a no-op") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 4 (chain) plus a 2-cycle 5 <-> 6
+    val e = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L)))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // saturated (rounds >= diameter): fmin = min ancestor, bmin = min descendant
+    val full = asMap(Graph.minLabelFlood(e, 8))
+    assert(full == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L)), 4L -> ((1L, 4L)),
+      5L -> ((5L, 5L)), 6L -> ((5L, 5L))))
+    // bounded below the diameter: node 4 sees only 2 hops back (label 2)
+    val two = asMap(Graph.minLabelFlood(e, 2))
+    assert(two(4L) == ((2L, 4L)) && two(3L) == ((1L, 3L)))
+    // extra rounds past saturation change nothing
+    assert(asMap(Graph.minLabelFlood(e, 20)) == full)
+  }
+
+  test("sccFloodGate: correct labels pin label_match=1 everywhere; a wrong label on a certificate node flips it to 0") {
+    import spark.implicits._
+    val e = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L), (6L, 5L)))
+    val good = Graph.stronglyConnectedComponents(e)
+    val gated = Graph.sccFloodGate(e, good, 8)
+    assert(gated.filter(col("label_match") =!= 1L).isEmpty,
+      "correct decomposition must pass the certificate everywhere")
+    // all of {1,2,3} and {5,6} are certificate nodes (fmin = bmin)
+    assert(gated.filter(col("fmin") === col("bmin")).count() >= 5)
+    // corrupt one certificate node's label: 2 moved to its own SCC
+    val bad = good.withColumn("scc_label",
+      when(col("node") === 2L, lit(99L)).otherwise(col("scc_label")))
+    assert(Graph.sccFloodGate(e, bad, 8)
+      .filter(col("label_match") === 0L).count() >= 1,
+      "a wrong SCC label on a certificate node must flip label_match")
+  }
+
+  test("levelDag: strictly-increasing md5 levels make an acyclic subgraph; topoLayers converges within levels-1 rounds; level reproduces the SQL convention") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, SharedSpark.sf)
+    val e = Graph.itemSequenceEdges(li)
+    val dag = Graph.levelDag(e).cache()
+    try {
+      // acyclicity via the construction invariant itself
+      val lv = dag.select(Graph.hashLevel(col("u")).as("lu"),
+        Graph.hashLevel(col("v")).as("lv"))
+      assert(lv.filter(col("lu") >= col("lv")).isEmpty)
+      // depth bounded by levels-1 on both topoLayers paths
+      val depths = Graph.topoLayers(dag)
+      assert(depths.agg(max("depth")).head().getLong(0) <= 15L)
+      val dist = Graph.topoLayers(dag, driverGate = 0L)
+      assert(depths.exceptAll(dist).isEmpty && dist.exceptAll(depths).isEmpty,
+        "driver and distributed layering disagree on the level DAG")
+      // the md5 level matches the oracle's ('0x'||substr(md5,1,4))::BIGINT % 16
+      val probe = Seq(0L, 1L, 7L, 12345L, 999999L).toDF("x")
+        .select(col("x"), Graph.hashLevel(col("x")).as("l")).collect()
+      probe.foreach { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lvl:${r.getLong(0)}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 4)
+        assert(r.getLong(1) == java.lang.Long.parseLong(hex, 16) % 16)
+      }
+    } finally dag.unpersist()
+  }
+
   test("co-purchase edges are canonical (u < v), distinct, and order-bounded") {
     val li = Tables.lineitem(spark, SharedSpark.sf)
     val e = Graph.coPurchaseEdges(li).cache()

@@ -1919,6 +1919,45 @@ class StreamingSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 1L))
   }
 
+  test("sccCompactIfDue probe is metadata-only: a not-due batch pays zero state-store count scans, the manifest tracks real counts exactly, and a crash falls back to recounting") {
+    import spark.implicits._
+    import graft.streaming.{GraphStreams, MaintIO}
+    val base = java.nio.file.Files.createTempDirectory("graft-scc-meta-").toString
+    val (lbls, mrg, qe) = (s"$base/labels", s"$base/merges", s"$base/qedges")
+    val cadence = Some((0.5, 1000000L)) // never due: the probe still runs each batch
+    // batch 0 on a fresh store: one fallback recount (no manifest yet)
+    GraphStreams.sccMergeBatch(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v"),
+      0L, lbls, mrg, qe, 4, cadence)
+    // steady state: batch + its cadence probe read ONLY the manifest
+    val before = MaintIO.stateCountScans.get()
+    GraphStreams.sccMergeBatch(Seq((4L, 5L), (5L, 6L), (6L, 4L)).toDF("u", "v"),
+      1L, lbls, mrg, qe, 4, cadence)
+    assert(MaintIO.stateCountScans.get() == before,
+      "a not-due batch paid a state-store count scan — the probe is not metadata-only")
+    // the manifest is not a guess: it matches the real table counts
+    val (nl, nm, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(GraphStreams.sccCounts(spark, lbls, mrg) == ((nl, nm)),
+      s"manifest drifted from real counts: ${GraphStreams.sccCounts(spark, lbls, mrg)} vs ($nl, $nm)")
+    // a crashed batch deletes the manifest: the next probe recounts
+    // (never trusts a stale manifest) and the retry re-pins it
+    GraphStreams.sccFailAfterMerges = true
+    intercept[IllegalStateException] {
+      GraphStreams.sccMergeBatch(Seq((7L, 1L), (1L, 7L)).toDF("u", "v"), 2L,
+        lbls, mrg, qe, 4, cadence)
+    }
+    val crashedProbe = MaintIO.stateCountScans.get()
+    val afterCrash = GraphStreams.sccCounts(spark, lbls, mrg)
+    assert(MaintIO.stateCountScans.get() == crashedProbe + 1,
+      "post-crash probe did not fall back to a real recount")
+    val (cl, cm, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(afterCrash == ((cl, cm)), "fallback recount wrong after crash")
+    GraphStreams.sccMergeBatch(Seq((7L, 1L), (1L, 7L)).toDF("u", "v"), 2L,
+      lbls, mrg, qe, 4, cadence)
+    val (rl, rm, _) = GraphStreams.sccStateStats(spark, lbls, mrg, qe)
+    assert(GraphStreams.sccCounts(spark, lbls, mrg) == ((rl, rm)),
+      "retry did not re-pin the manifest to real counts")
+  }
+
   test("scc crash window: merges appended but condensation stale — retry exact, later cycles still merge; sccCompact bakes labels, truncates the log, pruned closure reads") {
     import spark.implicits._
     import graft.streaming.{GraphStreams, MaintIO}
