@@ -678,6 +678,35 @@ object SparkEntry {
     "stream_ann_pca" -> ((s, dir) =>
       graft.streaming.IngestStreams.streamedAnnPca(s, dir)),
     "sim_kmeans" -> ((s, dir) => Similarity.kmeans(Tables.embeddings(s, dir), 16, 3)),
+    // Planted-corpus HASH GATES for the ANN rows-only family (the
+    // decoded-phash gate pattern): the full seed-draw → Lloyd →
+    // assignment → probe → rank trajectory over a fixed orthogonal
+    // corpus, pinned integer-for-integer against a plain-Scala local
+    // twin embedded in the oracle as VALUES; batch == streamed ==
+    // twin under one oracle
+    "sim_kmeans_gate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Similarity.annPlantedCorpus.toDF("vec_id", "embedding")
+      val coarse = Similarity.trainCoarseQuantizer(emb, nCells = 4, iters = 3,
+        seedByHash = false)
+      Similarity.cellAssign(emb, "vec_id", "embedding", coarse, probes = 1)
+        .withColumn("cell_n",
+          count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .select(col("vec_id"), col("cell"), col("cell_n"))
+    }),
+    "sim_ann_ivf_gate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val emb = Similarity.annPlantedCorpus.toDF("vec_id", "embedding")
+      val coarse = Similarity.trainCoarseQuantizer(emb, nCells = 4)
+      Similarity.annTopKIvf(emb, numQueries = 4, k = 5, nCells = 4,
+          probes = 2, coarse = Some(coarse))
+        .select(col("query_id"), col("corpus_id"), col("rk"))
+    }),
+    "stream_ann_ivf_gate" -> ((s, dir) =>
+      graft.streaming.VectorStreams.streamedAnnIvfGate(s)),
     // Deployed-index shape: the codebook is trained ONCE per corpus
     // (deterministic content-hash-sampled Lloyd) and reused by every
     // later search — the in-JVM analogue of pqSaveCodebook/pqLoadCodebook.
@@ -1582,6 +1611,28 @@ object SparkEntry {
     * plain Scala over the fixed planted corpus at map construction;
     * the hash compare is then a distributed/local bit-equality gate
     * for the whole decoded pipeline. */
+  /** The ANN k-means gate's local twin as oracle VALUES (the
+    * MmPhashDecodedGateSql pattern): integers only, computed by
+    * [[graft.operators.Similarity.kmeansGateLocalTwin]]. */
+  private lazy val SimKmeansGateSql: String = {
+    val rows = graft.operators.Similarity.kmeansGateLocalTwin()
+      .map { case (id, c, n) => s"($id, $c, $n)" }.mkString(", ")
+    s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |  CAST(cell AS BIGINT) AS cell, CAST(cell_n AS BIGINT) AS cell_n
+       |FROM (VALUES $rows) AS t(vec_id, cell, cell_n)""".stripMargin
+  }
+
+  /** The IVF search gate's local twin as oracle VALUES — shared by
+    * the batch gate and the maintained-table gate (streamed == batch
+    * == twin under one oracle). */
+  private lazy val AnnIvfGateSql: String = {
+    val rows = graft.operators.Similarity.ivfGateLocalTwin()
+      .map { case (q, c, r) => s"($q, $c, $r)" }.mkString(", ")
+    s"""SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(corpus_id AS BIGINT) AS corpus_id, CAST(rk AS BIGINT) AS rk
+       |FROM (VALUES $rows) AS t(query_id, corpus_id, rk)""".stripMargin
+  }
+
   private lazy val MmPhashDecodedGateSql: String = {
     val rows = graft.operators.Multimodal.phashDecodedLocalTwin(
         graft.operators.Multimodal.phashPlantedCorpus)
@@ -3882,6 +3933,11 @@ object SparkEntry {
     // trainer-in-the-oracle pattern); both faces share it
     "mm_phash_decoded_gate" -> MmPhashDecodedGateSql,
     "stream_phash_decoded_gate" -> MmPhashDecodedGateSql,
+    // ANN planted-corpus gates: trajectory integers vs the embedded
+    // plain-Scala twins (VERDICT r14 item 3)
+    "sim_kmeans_gate" -> SimKmeansGateSql,
+    "sim_ann_ivf_gate" -> AnnIvfGateSql,
+    "stream_ann_ivf_gate" -> AnnIvfGateSql,
     // the caption↔media audit recomputed end-to-end: the same
     // character-code band pipeline, the same residue-rule pair
     // fixture, the same hamming verdicts — all-integer per-source

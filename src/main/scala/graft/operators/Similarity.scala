@@ -1769,4 +1769,158 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"))
     rerankExact(embeddings, short, numQueries, k)
   }
+
+  // ---- Planted-corpus HASH GATES for the ANN rows-only family (the
+  // phashDecodedLocalTwin / qualityClfFull pattern): a fixed,
+  // data-dir-independent corpus whose k-means trajectory and IVF
+  // search are reproduced bit-for-bit by a plain-Scala local twin
+  // embedded in the oracle as VALUES. The corpus is built so every
+  // integer the gates emit is UNCONDITIONALLY stable: four mutually
+  // ORTHOGONAL planted clusters (cross-cluster cosine exactly 0),
+  // within-cluster jitters strictly increasing (no cosine ties
+  // anywhere), the hash-drawn seeds forced into four DISTINCT
+  // clusters (every Lloyd boundary runs between clusters, so
+  // float-summation-order noise in the distributed centroid means
+  // can never flip an assignment), and queries 0..3 one per cluster.
+  // The gates emit INTEGERS ONLY (cells, counts, ranks): the float
+  // cosine values are already gate-proven against DuckDB by
+  // sim_bruteforce_topk; what was rows-only here is the TRAJECTORY
+  // (seed draw → Lloyd → assignment → probe → rank), and that is
+  // exactly what the integers pin. ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** The local twin of [[graft.functions.VectorFunctions.vecCosine]]:
+    * same left-to-right double accumulation over float inputs, same
+    * zero guard — bit-identical by construction. */
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Fixed planted ANN corpus: 48 vectors, dim 8, four orthogonal
+    * clusters (cluster c lives on axes 2c, 2c+1). Ids 0..3 are the
+    * query convention's queries, pinned one per cluster; the four
+    * smallest-md5("cqseed:"‖id) ids (the trainCoarseQuantizer seed
+    * draw) are forced into four distinct clusters; all other ids go
+    * id mod 4. Jitter on the secondary axis strictly increases with
+    * the member's rank inside its cluster, so all within-cluster
+    * cosines are distinct and all cross-cluster cosines are exactly
+    * zero. */
+  val annPlantedCorpus: Seq[(Long, Seq[Float])] = {
+    val ids = (0L until 48L).toSeq
+    val seedIds = ids.sortBy(id => (md5hex("cqseed:" + id), id)).take(4)
+    val forced = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    seedIds.filter(_ < 4L).foreach(s => forced(s) = s.toInt)
+    var used = forced.values.toSet
+    seedIds.filterNot(_ < 4L).foreach { s =>
+      val c = (0 until 4).find(c => !used(c)).get
+      forced(s) = c
+      used += c
+    }
+    def cluster(id: Long): Int =
+      forced.getOrElse(id, if (id < 4L) id.toInt else (id % 4L).toInt)
+    val rank: Map[Long, Int] = ids.groupBy(cluster).valuesIterator
+      .flatMap(ms => ms.sorted.zipWithIndex).toMap
+    ids.map { id =>
+      val c = cluster(id)
+      val emb = Array.fill(8)(0.0f)
+      emb(2 * c) = 1.0f
+      emb(2 * c + 1) = 0.01f * (rank(id) + 1)
+      (id, emb.toSeq)
+    }
+  }
+
+  /** Plain-Scala independent twin of [[trainCoarseQuantizer]] over a
+    * small corpus: same seed draw (md5 order or first-by-id), same
+    * Lloyd rounds with the (cosine desc, cell asc) assignment
+    * tie-break, same empty-cell reseed rule — sequential-double means
+    * instead of the distributed aggregator, which on the orthogonal
+    * planted corpus provably lands every assignment identically. */
+  def coarseLocalTwin(corpus: Seq[(Long, Seq[Float])], nCells: Int,
+                      iters: Int, seedByHash: Boolean): Seq[(Long, Seq[Float])] = {
+    val seedOrdered =
+      if (seedByHash) corpus.sortBy { case (id, _) => (md5hex("cqseed:" + id), id) }
+      else corpus.sortBy(_._1)
+    var cents: Seq[(Long, Seq[Float])] =
+      seedOrdered.take(nCells).sortBy(_._1)
+    if (cents.isEmpty) return Seq.empty
+    def assignOf(cs: Seq[(Long, Seq[Float])])(emb: Seq[Float]): Long =
+      cs.map { case (cell, ce) => (-cosLocal(emb, ce), cell) }.min._2
+    for (_ <- 0 until iters) {
+      val asg = corpus.map { case (id, emb) => (id, emb, assignOf(cents)(emb)) }
+      val byCell = asg.groupBy(_._3)
+      val means = byCell.map { case (cell, ms) =>
+        val dim = ms.head._2.length
+        val acc = Array.fill(dim)(0.0)
+        ms.foreach { case (_, emb, _) =>
+          var i = 0; while (i < dim) { acc(i) += emb(i); i += 1 } }
+        cell -> acc.map(v => (v / ms.size).toFloat).toSeq
+      }
+      val empty = cents.map(_._1).filterNot(means.contains).sorted
+      val donors: Map[Long, Seq[Float]] =
+        if (empty.isEmpty) Map.empty
+        else {
+          val donorCells = byCell.toSeq
+            .sortBy { case (cell, ms) => (-ms.size.toLong, cell) }
+            .take(empty.size).map(_._1)
+          val picked = donorCells.map { cell =>
+            cell -> byCell(cell)
+              .minBy { case (id, _, _) => (md5hex("split:" + id), id) }._2
+          }.toMap
+          empty.zip(donorCells.flatMap(picked.get)).toMap
+        }
+      cents = cents.map { case (cell, old) =>
+        (cell, donors.getOrElse(cell, means.getOrElse(cell, old)))
+      }
+    }
+    cents
+  }
+
+  /** Local twin of the `sim_kmeans_gate` integers: (vec_id, cell,
+    * cell_n) under the [[kmeans]] convention (first-rows seeding,
+    * iters=3). */
+  def kmeansGateLocalTwin(corpus: Seq[(Long, Seq[Float])] = annPlantedCorpus,
+                          nCells: Int = 4,
+                          iters: Int = 3): Seq[(Long, Long, Long)] = {
+    val cents = coarseLocalTwin(corpus, nCells, iters, seedByHash = false)
+    val asg = corpus.map { case (id, emb) =>
+      (id, cents.map { case (cell, ce) => (-cosLocal(emb, ce), cell) }.min._2)
+    }
+    val sizes = asg.groupBy(_._2).map { case (c, ms) => c -> ms.size.toLong }
+    asg.map { case (id, c) => (id, c, sizes(c)) }.sortBy(_._1)
+  }
+
+  /** Local twin of the IVF search integers: (query_id, corpus_id, rk)
+    * under the DEPLOYED quantizer convention (hash seeding, iters=2)
+    * — probe order (cosine desc, cell asc), candidate rank (cosine
+    * desc, corpus_id asc), self excluded: [[annTopKIvf]]'s exact
+    * semantics. */
+  def ivfGateLocalTwin(corpus: Seq[(Long, Seq[Float])] = annPlantedCorpus,
+                       nCells: Int = 4, probes: Int = 2, k: Int = 5,
+                       numQueries: Int = 4): Seq[(Long, Long, Long)] = {
+    val cents = coarseLocalTwin(corpus, nCells, iters = 2, seedByHash = true)
+    def topCells(emb: Seq[Float], p: Int): Seq[Long] =
+      cents.map { case (cell, ce) => (-cosLocal(emb, ce), cell) }
+        .sorted.take(p).map(_._2)
+    val corpusCell = corpus.map { case (id, emb) =>
+      (id, emb, topCells(emb, 1).head) }
+    corpus.filter(_._1 < numQueries).flatMap { case (qid, qemb) =>
+      val probed = topCells(qemb, probes).toSet
+      corpusCell
+        .filter { case (cid, _, cell) => cid != qid && probed(cell) }
+        .map { case (cid, cemb, _) => (-cosLocal(qemb, cemb), cid) }
+        .sorted.take(k).zipWithIndex
+        .map { case ((_, cid), i) => (qid, cid, i.toLong + 1L) }
+    }.sortBy(t => (t._1, t._3))
+  }
 }

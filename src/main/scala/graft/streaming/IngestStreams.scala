@@ -415,27 +415,44 @@ object IngestStreams {
     bm25Resolve(spark, driveBm25Index(spark, dir), queryTerms, k)
 
   private def driveBm25Index(spark: SparkSession, dir: String): String = {
+    import graft.sources.{ReplayLog, ReplayStream}
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     val base = java.nio.file.Files.createTempDirectory("graft-bm25-ing-").toString
-    val incoming = s"$base/incoming"
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
-    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    // Ingest via the REPLAYABLE-OFFSET source (§2.8 row 41g'), not the
+    // file source: docs land in the log as two immutable segments (the
+    // same even/odd split the file drive sharded by) and the drive
+    // reads format(ReplayLog.FORMAT) under a seq bound sized to one
+    // segment per micro-batch — so the deployed entry exercises the
+    // replay contract (offset ranges, segment pruning, kill-and-resume
+    // semantics proven in ReplaySourceSpec) on every driver-gate run,
+    // while the maintained-index state machinery and the oracle stay
+    // byte-identical to the file-source drive it replaces.
+    // the collect is the simulated PRODUCER (in a deployment the log
+    // is written by the upstream system; the engine only reads it) —
+    // the engine-side path below stays fully distributed
+    val log = s"$base/log"
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     graft.operators.Checkpoints.free(docs)
-    val stream = spark.readStream
-      .schema(StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(incoming)
+    if (even.nonEmpty) ReplayLog.append(log, even)
+    if (odd.nonEmpty) ReplayLog.append(log, odd)
+    val perTrigger = math.max(1L, math.max(even.size, odd.size).toLong)
     val state = s"$base/state"
-    val q = stream.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        bm25IndexBatch(b, id, state)
-      }
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    if (even.nonEmpty || odd.nonEmpty) {
+      val q = ReplayStream.read(spark, log, Some(perTrigger))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          bm25IndexBatch(
+            b.select(col("key").as("doc_id"), col("value").as("text")), id, state)
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // fold the drained deltas so the entry's resolve exercises the
     // compacted path (the IndexRehearsal finding: un-folded per-shard
     // dirs cost more than they save — the deployed cadence is

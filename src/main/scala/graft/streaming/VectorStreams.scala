@@ -636,6 +636,43 @@ object VectorStreams {
   }
 
   /** Shared two-shard ingest used by the end-to-end entries. */
+  /** Planted-corpus HASH GATE drive for the maintained IVF index (the
+    * `stream_ann_ivf_gate` entry; stream_phash_decoded_gate pattern):
+    * train the deployed-convention quantizer on
+    * [[Similarity.annPlantedCorpus]], ingest the corpus through the
+    * REAL two-micro-batch ivfIngest machinery, search the maintained
+    * table — and emit INTEGERS ONLY (query_id, corpus_id, rk). Must
+    * land row-for-row on [[Similarity.ivfGateLocalTwin]]'s VALUES,
+    * the same oracle the batch gate pins: streamed == batch == twin.
+    */
+  def streamedAnnIvfGate(spark: SparkSession, numQueries: Int = 4, k: Int = 5,
+                         probes: Int = 2, nBuckets: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Similarity.annPlantedCorpus.toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val coarse = Similarity.trainCoarseQuantizer(emb, nCells = 4)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-gate-").toString
+    val incoming = s"$base/incoming"
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(incoming)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(incoming)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    ivfIngest(stream, s"$base/state", s"$base/ckpt", coarse, nBuckets, None)
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // materialize BEFORE freeing the corpus checkpoint the query
+    // plan still references (lazy consumers run after this returns)
+    val out = ivfSearchMaintained(spark, s"$base/state", coarse, queries,
+        k, probes, nBuckets)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+      .localCheckpoint(true)
+    graft.operators.Checkpoints.free(emb)
+    out
+  }
+
   private def ingestShards(spark: SparkSession, dir: String,
                            coarse: Seq[(Long, Seq[Float])], nBuckets: Int,
                            books: Option[Seq[Seq[Seq[Float]]]]): String = {

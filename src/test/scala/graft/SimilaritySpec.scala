@@ -657,4 +657,48 @@ class SimilaritySpec extends AnyFunSuite {
     val flagged = real.count(_.getBoolean(5))
     assert(flagged < n / 4, s"$flagged of $n flagged — threshold degenerate")
   }
+
+  test("ANN planted corpus: orthogonal clusters, tie-free cosines, hash seeds in distinct clusters; Spark gates land integer-for-integer on the local twins") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = Similarity.annPlantedCorpus
+    assert(corpus.size == 48 && corpus.map(_._1).distinct.size == 48)
+    def axes(e: Seq[Float]): Set[Int] = e.indices.filter(e(_) != 0f).toSet
+    def cluster(e: Seq[Float]): Int = e.indexWhere(_ == 1.0f) / 2
+    // every vector lives on exactly its cluster pair of axes
+    corpus.foreach { case (id, e) =>
+      val c = cluster(e)
+      assert(axes(e) == Set(2 * c, 2 * c + 1), s"vec $id off-pair")
+    }
+    // cross-cluster cosine is exactly zero; within-cluster tie-free
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byCluster = corpus.groupBy { case (_, e) => cluster(e) }
+    assert(byCluster.keySet == Set(0, 1, 2, 3))
+    byCluster.values.foreach { ms =>
+      val jit = ms.map { case (_, e) => e(e.indexWhere(_ == 1.0f) + 1) }
+      assert(jit.distinct.size == jit.size, "within-cluster jitter tie")
+    }
+    // queries one per cluster; the 4 smallest-md5 seed ids in 4 clusters
+    assert((0 until 4).forall(q => cluster(corpus(q)._2) == q))
+    val seedIds = corpus.map(_._1)
+      .sortBy(id => (md5hex("cqseed:" + id), id)).take(4)
+    assert(seedIds.map(id => cluster(corpus.find(_._1 == id).get._2))
+      .distinct.size == 4, "hash seeds collided in a cluster")
+    // Spark trajectory == local twin (the oracle pins this too; this
+    // is the fast in-suite witness)
+    val emb = corpus.toDF("vec_id", "embedding")
+    val kCoarse = Similarity.trainCoarseQuantizer(emb, nCells = 4, iters = 3,
+      seedByHash = false)
+    val sparkKm = Similarity.cellAssign(emb, "vec_id", "embedding", kCoarse, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val twinKm = Similarity.kmeansGateLocalTwin()
+      .map { case (id, c, _) => id -> c }.toMap
+    assert(sparkKm == twinKm, "kmeans gate: Spark != twin")
+    val sCoarse = Similarity.trainCoarseQuantizer(emb, nCells = 4)
+    val sparkIvf = Similarity.annTopKIvf(emb, 4, 5, 4, 2, Some(sCoarse))
+      .select("query_id", "corpus_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sparkIvf == Similarity.ivfGateLocalTwin().toSet, "ivf gate: Spark != twin")
+  }
 }
