@@ -174,9 +174,22 @@ object Bench {
     // cold vs 4.3 s steady at sf0.1). Steady-state is the number that
     // predicts cluster throughput, where cold-start amortizes to zero
     // over a 100 TB run; min-of-2 after a full warmup measures that.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      clearPersisted()
+    //
+    // SPARK_GRAFT_BENCH_WARMUP: "full" (default — the sweep above) or
+    // "probe" — skip the per-query warmup and rely on the calibration
+    // probe having initialized codegen/shuffle/parquet paths. The sf1
+    // gate runs probe-mode: at 10× data a full untimed sweep costs
+    // more wall-clock than the timed one it de-noises, and per-query
+    // times in the tens of seconds dwarf the few-hundred-ms residual
+    // cold-start. The "warmup" field in the artifact discloses the
+    // mode, so a reader never compares probe-mode numbers against
+    // full-warmup ones without knowing.
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "full")
+    if (warmupMode != "probe") {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        clearPersisted()
+      }
     }
     val baselineFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_out.json")
     val baseline =
@@ -184,10 +197,16 @@ object Bench {
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselineFile)),
         java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => Map.empty[String, Double] }
+    // SPARK_GRAFT_BENCH_PASSES (default 2): timed passes after the
+    // full untimed warmup. The sf0.1 artifact of record stays
+    // min-of-2; the sf1 gate runs passes=1 — at 10× data a second
+    // full sweep buys noise reduction the wall-clock budget can't
+    // afford, and the warmup pass already amortized cold-start.
+    // The `passes` array in the artifact discloses which was run.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      (name, if (a < 0 || b < 0) -1.0 else math.min(a, b), Seq(a, b))
+      val ps = (0 until math.max(1, nPasses)).map(_ => timeOnce(fn))
+      (name, if (ps.exists(_ < 0)) -1.0 else ps.min, ps)
     }
     // third pass of flagged windows at session end: a contention
     // window that has since passed exonerates itself here. The noisy
@@ -216,7 +235,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cs = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs,"passes":$ps,"contaminated":$cs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"warmup":"$warmupMode","queries":$qs,"passes":$ps,"contaminated":$cs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line: harness stdout capture truncates long
     // tails (BENCH_r04 lost the 14 alphabetically-first queries), so the

@@ -1039,24 +1039,33 @@ object SparkEntry {
     * `keep`/`capped` CTEs mirror the operator's maxShingleDf=100
     * candidate cap, so the oracle pins the CAPPED semantics even on
     * data whose max shingle df exceeds the cap.
+    *
+    * The multi-referenced members (`sh` ×3, `cnt` ×2, `capped` ×2,
+    * `jp` ×2+, and downstream `edges`/`c0`) are MATERIALIZED: DuckDB
+    * inlines plain CTEs per reference (the q_kcore §2 lesson), so
+    * without the hint the bounded 6-round ladder re-evaluated the
+    * whole shingle→pair pipeline once per round — measured at sf1 as
+    * a >35 GB spill on `dedup_apply_bounded` before the hint vs a
+    * single pipeline pass after. MATERIALIZED is an evaluation hint
+    * only; results are identical at every scale.
     */
   private val NgramPairsCte: String =
     """norm AS (
       |  SELECT doc_id, regexp_split_to_array(
       |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS ws
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(ws)-2, 1))]
       |  )) AS shingle FROM norm),
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
-      |capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+      |capped AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |jp AS (
+      |jp AS MATERIALIZED (
       |  SELECT doc_a, doc_b,
       |    round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
       |  FROM pairs
@@ -1366,8 +1375,17 @@ object SparkEntry {
     */
   private val KcoreApproxRoundCtes: String = kcoreApproxRoundCtes(70)
 
+  // The per-round width `w` rides along as a CROSS JOIN against the
+  // one-row w$i table so the cms/est cell expressions are computed in
+  // PROJECTIONS and the est-join keys are plain columns. The previous
+  // form embedded `(SELECT w FROM w$i)` inside the JOIN condition,
+  // which DuckDB cannot hash-join on — it fell back to a blockwise
+  // nested-loop join costing O(nodes × depth × depth·width) md5
+  // evaluations PER ROUND (found when q_kcore_approx_sample, whose
+  // k=14 peel keeps the graph populated through all 8 rounds, ground
+  // for >10 min at sf0.01 while the k=70 variant hid the cost by
+  // emptying the graph after round 1).
   private def kcoreApproxRoundCtes(k: Int): String = (1 to 8).map { i =>
-    val w = s"(SELECT w FROM w$i)"
     s"""w$i AS MATERIALIZED (
        |  SELECT CASE WHEN need <= 512 THEN 512 WHEN need <= 1024 THEN 1024
        |              WHEN need <= 2048 THEN 2048 WHEN need <= 4096 THEN 4096
@@ -1375,16 +1393,18 @@ object SparkEntry {
        |  FROM (SELECT 8 * count(*) AS need FROM ae${i - 1})),
        |cms$i AS MATERIALIZED (
        |  SELECT r.j,
-       |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(n AS VARCHAR)), 1, 12))::BIGINT % $w AS cell,
+       |    ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(n AS VARCHAR)), 1, 12))::BIGINT % wi.w AS cell,
        |    count(*) AS c
-       |  FROM (SELECT u AS n FROM ae${i - 1} UNION ALL SELECT v FROM ae${i - 1}) CROSS JOIN rows_ r
+       |  FROM (SELECT u AS n FROM ae${i - 1} UNION ALL SELECT v FROM ae${i - 1}) CROSS JOIN rows_ r CROSS JOIN w$i wi
        |  GROUP BY 1, 2),
        |est$i AS MATERIALIZED (
        |  SELECT nd.n, min(c.c) AS est
-       |  FROM (SELECT DISTINCT u AS n FROM ae${i - 1} UNION SELECT DISTINCT v AS n FROM ae${i - 1}) nd
-       |  CROSS JOIN rows_ r
-       |  JOIN cms$i c ON c.j = r.j
-       |   AND c.cell = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(nd.n AS VARCHAR)), 1, 12))::BIGINT % $w
+       |  FROM (
+       |    SELECT nodes.n, r.j,
+       |      ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(nodes.n AS VARCHAR)), 1, 12))::BIGINT % wi.w AS cell
+       |    FROM (SELECT DISTINCT u AS n FROM ae${i - 1} UNION SELECT DISTINCT v AS n FROM ae${i - 1}) nodes
+       |    CROSS JOIN rows_ r CROSS JOIN w$i wi) nd
+       |  JOIN cms$i c ON c.j = nd.j AND c.cell = nd.cell
        |  GROUP BY nd.n),
        |ae$i AS MATERIALIZED (
        |  SELECT e.u, e.v FROM ae${i - 1} e
@@ -2685,8 +2705,8 @@ object SparkEntry {
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-        |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
-        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |edges AS MATERIALIZED (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |deg AS MATERIALIZED (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
         |$PagerankRoundCtes
         |SELECT doc_id AS part_id, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin,
@@ -2699,8 +2719,8 @@ object SparkEntry {
         |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
         |es AS MATERIALIZED (SELECT u, v FROM e0
         |  WHERE substr(md5('prs:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '1999'),
-        |edges AS (SELECT u AS a, v AS b FROM es UNION SELECT v, u FROM es),
-        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |edges AS MATERIALIZED (SELECT u AS a, v AS b FROM es UNION SELECT v, u FROM es),
+        |deg AS MATERIALIZED (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
         |$PagerankRoundCtes
         |SELECT doc_id AS part_id, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin,
@@ -3649,7 +3669,7 @@ object SparkEntry {
         |WHERE levenshtein(a.title, b.title) <= 8""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -3659,7 +3679,7 @@ object SparkEntry {
     // so the two-micro-batch maintained table shares batch CC's oracle
     "stream_cc" ->
       s"""WITH RECURSIVE $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -3667,7 +3687,7 @@ object SparkEntry {
         |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
     "dedup_components_fast" ->
       s"""WITH RECURSIVE $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -3675,7 +3695,7 @@ object SparkEntry {
         |SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node""".stripMargin,
     "dedup_apply" ->
       s"""WITH RECURSIVE $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -3686,7 +3706,7 @@ object SparkEntry {
         |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id)""".stripMargin,
     "dedup_apply_central" ->
       s"""WITH RECURSIVE $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -3710,13 +3730,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
     "dedup_apply_pagerank" ->
       s"""WITH RECURSIVE $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
         |walk(node, reach) AS (
         |  SELECT a, a FROM edges
         |  UNION
         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
         |comp AS (SELECT node AS doc_id, min(reach) AS component_id FROM walk GROUP BY node),
-        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |deg AS MATERIALIZED (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
         |$PagerankRoundCtes,
         |best AS (
@@ -3736,14 +3756,14 @@ object SparkEntry {
     // closure oracles above time out (SURVEY §6)
     "dedup_components_bounded" ->
       s"""WITH $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
-        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
         |${boundedCompCtes(6)}
         |SELECT node AS doc_id, lab AS component_id FROM c6""".stripMargin,
     "dedup_apply_bounded" ->
       s"""WITH $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
-        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
         |${boundedCompCtes(6)},
         |comp AS (SELECT node AS doc_id, lab AS component_id FROM c6)
         |SELECT d.doc_id, d.n_chars FROM documents d
@@ -3751,8 +3771,8 @@ object SparkEntry {
         |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id)""".stripMargin,
     "dedup_apply_central_bounded" ->
       s"""WITH $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
-        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
         |${boundedCompCtes(6)},
         |comp AS (SELECT node AS doc_id, lab AS component_id FROM c6),
         |deg AS (
@@ -3773,11 +3793,11 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
     "dedup_apply_pagerank_bounded" ->
       s"""WITH $NgramPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
-        |c0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |c0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
         |${boundedCompCtes(6)},
         |comp AS (SELECT node AS doc_id, lab AS component_id FROM c6),
-        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+        |deg AS MATERIALIZED (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
         |$PagerankRoundCtes,
         |best AS (

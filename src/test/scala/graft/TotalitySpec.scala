@@ -54,6 +54,9 @@ class TotalitySpec extends AnyFunSuite {
     "q_null_semantics" -> 1L,    // the semantics pin is data-independent
     "mm_phash_decoded_gate" -> 12L,     // planted-corpus gate: data-independent
     "stream_phash_decoded_gate" -> 12L, // (oracle embeds the same fixture)
+    "sim_kmeans_gate" -> 48L,           // planted ANN corpus: one row per vector
+    "sim_ann_ivf_gate" -> 20L,          // 4 queries x k=5 ranks
+    "stream_ann_ivf_gate" -> 20L,       // maintained-table twin, same shape
     "dedup_suffix_profile" -> 6L, // one row per probed length, all zero
     "stream_suffix_profile" -> 6L,
     "dedup_span_elect" -> 1L,    // election falls back to the longest length
