@@ -126,14 +126,18 @@ object Bench {
     */
   def calibrationProbe(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
+    // All arithmetic must survive ANSI mode (the deployment default):
+    // two chained xxhash64 rounds mix the ids without a raw multiply
+    // (which overflows Long and THROWS under ANSI), and the per-bucket
+    // sum aggregates pmod-reduced values so 2^25 summands can never
+    // overflow either.
     def once(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 1L << 25, 1L, 32)
-        .select((col("id") * lit(-7046029254386353131L) +
-          lit(0x9E3779B97F4A7C15L)).as("h"))
+        .select(xxhash64(col("id")).as("h"))
         .select(xxhash64(col("h")).as("h"))
         .groupBy(pmod(col("h"), lit(1024L)).as("b"))
-        .agg(sum("h").as("s"), count(lit(1)).as("c"))
+        .agg(sum(pmod(col("h"), lit(1000000007L))).as("s"), count(lit(1)).as("c"))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
