@@ -75,12 +75,12 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double").as("total_value"))
-    val q = agg.writeStream
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(agg.writeStream
       .format("memory")
       .queryName(qname)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
@@ -102,12 +102,12 @@ object EventStreams {
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double").as("total_value"))
-    val q = agg.writeStream
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(agg.writeStream
       .format("memory")
       .queryName(qname)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname).select(
       unix_micros(col("window.start")).as("ws_us"),
@@ -128,7 +128,7 @@ object EventStreams {
     */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val qname = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = readEventStream(spark, dir)
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(readEventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
@@ -138,7 +138,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
   }
@@ -156,7 +156,7 @@ object EventStreams {
     val qname = "graft_stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val dim = broadcast(graft.Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
-    val q = readEventStream(spark, dir)
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(readEventStream(spark, dir)
       .join(dim, "user_id")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
@@ -166,7 +166,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
   }
@@ -240,7 +240,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_scap_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = docStream
+    val q = StreamState.withSizedStatePartitions(docStream)(docStream
       .select(col("doc_id").as[Long], col("source").as[String])
       .as[(Long, String)]
       .groupByKey(_._2)
@@ -250,7 +250,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
     val out = spark.table(qname)
@@ -337,7 +337,7 @@ object EventStreams {
       out.iterator
     }
     val qname = "graft_stream_trans_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withEventTs(events)
+    val q = StreamState.withSizedStatePartitions(withEventTs(events))(withEventTs(events)
       .withWatermark("ts", watermarkDelay)
       // watermarked ts must reach the stateful operator's input
       .select(col("ts").as[java.sql.Timestamp], col("user_id").as[Long],
@@ -354,7 +354,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     (spark.table(qname)
       .groupBy(col("from_type"), col("to_type"))
@@ -399,7 +399,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = readEventStream(spark, dir)
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(readEventStream(spark, dir)
       .select(col("user_id").as[Long], col("ts_ns").as[Long],
         col("event_id").as[Long], col("value").as[Double])
       .as[(Long, Long, Long, Double)]
@@ -412,7 +412,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     // Update-mode emissions APPEND to the memory sink, so when
     // AvailableNow splits the source into >1 micro-batch a session can
@@ -463,7 +463,7 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
@@ -475,7 +475,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
   }
@@ -513,7 +513,7 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_ojoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
@@ -528,7 +528,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
   }
@@ -564,7 +564,7 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_fjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
@@ -580,7 +580,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
   }
@@ -612,7 +612,7 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
@@ -623,7 +623,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
   }
@@ -724,7 +724,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_anom_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
+    val q = StreamState.withSizedStatePartitions(events)(events
       .select(col("event_type").as[String], col("ts_ns").as[Long])
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -736,7 +736,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(qname)
       .select(col("event_type"), col("h"), col("cnt"), col("is_anomaly"))
@@ -812,7 +812,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
+    val q = StreamState.withSizedStatePartitions(events)(events
       .withWatermark("ts", "1 hour")
       .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long],
         col("event_type").as[String])
@@ -826,7 +826,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     // keep only each hour's final (max-total) board
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
@@ -950,7 +950,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withEventTs(events)
+    val q = StreamState.withSizedStatePartitions(withEventTs(events))(withEventTs(events)
       .withWatermark("ts", watermarkDelay)
       // the watermarked ts column must reach the stateful operator's
       // input (Spark's event-time-timeout check), hence the 4-tuple
@@ -967,7 +967,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     // stage is monotone non-decreasing in events folded, so the final
     // stage per user is simply the max emission
@@ -1054,7 +1054,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_ret_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withEventTs(events)
+    val q = StreamState.withSizedStatePartitions(withEventTs(events))(withEventTs(events)
       .withWatermark("ts", watermarkDelay)
       // watermarked ts must reach the stateful operator's input
       .select(col("ts").as[java.sql.Timestamp], col("user_id").as[Long],
@@ -1070,7 +1070,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     // final per user = the max-seen emission (monotone), then the
     // cohort roll-up the batch twin computes
@@ -1164,7 +1164,7 @@ object EventStreams {
 
     val qname = "graft_stream_qtl_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val binCol = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(maxBin))
-    val q = events
+    val q = StreamState.withSizedStatePartitions(events)(events
       .withWatermark("ts", "1 hour")
       .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long], binCol.as[Long])
       .as[(java.sql.Timestamp, Long, Long)]
@@ -1177,7 +1177,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val out = spark.table(qname)
@@ -1332,7 +1332,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_theta_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
+    val q = StreamState.withSizedStatePartitions(events)(events
       .withWatermark("ts", "1 hour")
       .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long],
         col("user_id").cast("string").as[String])
@@ -1346,7 +1346,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     // final sketch per hour = the snapshot at the max running count
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
@@ -1439,7 +1439,7 @@ object EventStreams {
     }
 
     val qname = "graft_stream_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
+    val q = StreamState.withSizedStatePartitions(events)(events
       .withWatermark("ts", "1 hour")
       .select(col("ts").as[java.sql.Timestamp], col("ts_ns").as[Long],
         col("event_type").as[String])
@@ -1453,7 +1453,7 @@ object EventStreams {
       .queryName(qname)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val out = spark.table(qname)

@@ -22,6 +22,68 @@ private[graft] object MaintIO {
 
 /** Shared state-store probes for the streaming maintenance modules. */
 private[streaming] object StreamState {
+  /** Target post-shuffle/state partition size for stateful streaming
+    * queries (guide §2.2's 100 MB–1 GB band, taken at the low end
+    * because state-store rows are richer than shuffle rows).
+    * Overridable for deployments via `spark.graft.stream.targetPartitionBytes`. */
+  private val DefaultTargetPartitionBytes = 64L << 20
+
+  /** Total bytes under `paths` (files only; 0 for absent paths). */
+  private[streaming] def inputBytes(spark: SparkSession, paths: Seq[String]): Long =
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }.sum
+
+  /** Run `body` (which starts and drains one stateful streaming
+    * query) with `spark.sql.shuffle.partitions` derived from the
+    * query's INPUT SIZE instead of the session's static value, then
+    * restore the session conf.
+    *
+    * Why: AQE cannot resize stateful streaming plans (Spark disables
+    * it), so the state-store partition count — and with it the number
+    * of per-micro-batch state files written, committed and re-listed —
+    * is pinned at the static shuffle.partitions for the life of the
+    * checkpoint. A 32-way state layout over a few MB of input pays
+    * 32× the per-partition commit overhead for zero parallelism win
+    * (measured: the four stream-stream interval joins spend ~2.5 s
+    * per micro-batch in 32-partition state commits on a 2 MB fixture);
+    * at real scale the same rule sizes partitions UP to the target
+    * bytes and is capped by the session's configured parallelism, so
+    * a deployment keeps its tuned value. Correctness is partitioning-
+    * invariant for every operator run under this (hash-partitioned
+    * aggregates, stream-stream joins, dropDuplicates, per-group
+    * mapGroupsWithState) — the same rows land in the same groups,
+    * only the group→partition assignment changes; the suite's
+    * streamed==batch parity specs and the driver's oracle gate
+    * re-prove it every run.
+    */
+  /** [[withSizedStatePartitions]] with the input paths derived from
+    * the streaming frame's own file-source relations (absent for
+    * non-file sources, e.g. MemoryStream in specs → sized to 1 — the
+    * right answer for an in-memory fixture). */
+  private[streaming] def withSizedStatePartitions[T](df: org.apache.spark.sql.DataFrame)(body: => T): T = {
+    val paths = df.queryExecution.logical.collect {
+      case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+        sr.dataSource.options.get("path")
+    }.flatten
+    withSizedStatePartitions(df.sparkSession, paths)(body)
+  }
+
+  private[streaming] def withSizedStatePartitions[T](spark: SparkSession,
+                                                     inPaths: Seq[String])(body: => T): T =
+    spark.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val target = spark.conf.getOption("spark.graft.stream.targetPartitionBytes")
+        .map(_.toLong).getOrElse(DefaultTargetPartitionBytes)
+      val bytes = inputBytes(spark, inPaths)
+      val sized = math.min(prev.toLong,
+        math.max(1L, (bytes + target - 1) / target)).toInt
+      spark.conf.set(key, sized.toString)
+      try body finally spark.conf.set(key, prev)
+    }
   /** True iff `path` holds at least one visible (non-underscore,
     * non-dot) entry — a dir containing only commit markers reads as
     * absent.
