@@ -10,8 +10,13 @@ import java.util.concurrent.ConcurrentHashMap
 object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1)
+    val noAqe = args.contains("--noaqe")
+    val names = args.drop(1).filterNot(_ == "--noaqe")
     val spark = GraftSession.local()
+    // measurement-only A/B flag: how much of a fixpoint loop's cost is
+    // AQE stage-materialization job overhead (never used by the
+    // deployed mains — AQE stays on in GraftSession)
+    if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
     case class J(start: Long, var end: Long = -1L, var stages: Int = 0,
                  var tasks: Int = 0, site: String)
     // per-job "what action was this" label: the name of the job's

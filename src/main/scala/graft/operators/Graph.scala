@@ -481,13 +481,31 @@ object Graph {
     * values pinned). Output: top-k by (rounded centrality, node).
     */
   def betweennessApprox(edges0: DataFrame, k: Int = 4, topK: Int = 20,
-                        maxRounds: Int = 30): DataFrame = {
+                        maxRounds: Int = 30,
+                        driverGate: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = edges0.sparkSession
     import spark.implicits._
     val und = edges0.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges0.select(col("v").as("a"), col("u").as("b")))
       .distinct().localCheckpoint(true)
+    // Bounded-size gate (the stronglyConnectedComponents / topoLayers
+    // / mergeMapping convention): under the gate, k-source Brandes is
+    // O(k·(V+E)) driver work — sub-second — while the distributed
+    // two-pass fixpoint pays 2·diameter rounds of join/aggregate job
+    // overhead for the same answer. One collect of a provably bounded
+    // edge set; past the gate the level-synchronous path below is the
+    // scale story. The 2M-edge default is a driver-budget number, not
+    // a fixture number: a 4M-row bidirectional collect is ~64 MB raw
+    // (~300 MB with adjacency structures), inside the deployment's 8g
+    // driver with wide margin, and k·(V+E) steps at that size run in
+    // well under a second. driverGate = 0 forces the distributed path
+    // (the invariance spec pins both paths on the same graphs).
+    if (driverGate > 0L && und.count() <= 2L * driverGate) {
+      val pairs = und.select(col("a").as[Long], col("b").as[Long]).collect()
+      Checkpoints.free(und)
+      return driverBrandes(spark, pairs, k, topK, maxRounds)
+    }
     val srcs = und.select(col("a").as("node")).distinct()
       .orderBy(col("node")).limit(k)
     // forward: (src, node, dist, sigma) level by level
@@ -576,6 +594,106 @@ object Graph {
     Checkpoints.free(dm)
     Checkpoints.free(und)
     res
+  }
+
+  /** Driver-tail k-source Brandes for [[betweennessApprox]]'s bounded
+    * gate: the same sampled source set (k smallest node ids), the
+    * same level cap, the same σ-overflow guard, the same
+    * (round(bc, 4) desc, node) top-k — one local pass instead of
+    * 2·diameter distributed rounds. */
+  private def driverBrandes(spark: org.apache.spark.sql.SparkSession,
+                            und: Array[(Long, Long)], k: Int, topK: Int,
+                            maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    if (und.isEmpty) {
+      return spark.emptyDataset[(Long, Double, Long)].toDF("node", "bc", "rk")
+    }
+    // dense-int renumbering + CSR adjacency: the boxed-Map version of
+    // this pass cost more driver seconds than the distributed rounds
+    // it replaced — primitive arrays keep the whole gate sub-second
+    val m = und.length
+    val ids = new Array[Long](m)
+    var i = 0
+    while (i < m) { ids(i) = und(i)._1; i += 1 }
+    val nodeIds = ids.distinct.sorted // every node appears as a source side of und
+    val n = nodeIds.length
+    val idOf = new scala.collection.mutable.LongMap[Int](n * 2)
+    i = 0
+    while (i < n) { idOf(nodeIds(i)) = i; i += 1 }
+    val deg = new Array[Int](n)
+    i = 0
+    while (i < m) { deg(idOf(und(i)._1)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      val a = idOf(und(i)._1)
+      nbr(fill(a)) = idOf(und(i)._2)
+      fill(a) += 1
+      i += 1
+    }
+    val sources = nodeIds.take(k).indices.map(j => idOf(nodeIds(j))).toArray
+    val reached = new Array[Boolean](n)
+    val bc = new Array[Double](n)
+    val dist = new Array[Int](n)
+    val sigma = new Array[Long](n)
+    val delta = new Array[Double](n)
+    val order = new Array[Int](n)
+    sources.foreach { s =>
+      java.util.Arrays.fill(dist, -1)
+      java.util.Arrays.fill(sigma, 0L)
+      java.util.Arrays.fill(delta, 0.0)
+      dist(s) = 0; sigma(s) = 1L; order(0) = s
+      var qh = 0
+      var qt = 1
+      while (qh < qt) {
+        val u = order(qh); qh += 1
+        val du = dist(u)
+        if (du < maxRounds) {
+          var e = off(u)
+          val end = off(u + 1)
+          while (e < end) {
+            val v = nbr(e)
+            if (dist(v) < 0) { dist(v) = du + 1; order(qt) = v; qt += 1 }
+            if (dist(v) == du + 1) {
+              sigma(v) += sigma(u)
+              if (sigma(v) > (1L << 52)) throw new IllegalStateException(
+                s"betweennessApprox: path count ${sigma(v)} exceeds the " +
+                  "exact-Long/double-mantissa budget — sample fewer sources " +
+                  "or a sparser graph")
+            }
+            e += 1
+          }
+        }
+      }
+      var oi = qt - 1
+      while (oi >= 0) {
+        val w = order(oi); oi -= 1
+        var e = off(w)
+        val end = off(w + 1)
+        while (e < end) {
+          val u = nbr(e)
+          if (dist(u) == dist(w) - 1)
+            delta(u) += sigma(u).toDouble / sigma(w) * (1.0 + delta(w))
+          e += 1
+        }
+        if (w != s) { bc(w) += delta(w); reached(w) = true }
+      }
+    }
+    // the distributed dm carries a row for every node some source
+    // reached (minus same-source pairs) — `reached` mirrors that
+    // output domain exactly, zero-delta nodes included
+    val top = (0 until n).iterator.filter(reached)
+      .map { j =>
+        (nodeIds(j),
+          BigDecimal(bc(j)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      .sortBy { case (nd, v) => (-v, nd) }.take(topK)
+      .zipWithIndex.map { case ((nd, v), j) => (nd, v, (j + 1).toLong) }
+    top.toDF("node", "bc", "rk")
   }
 
   /** Shared multi-source BFS: exact hop distances from the k smallest
@@ -1236,6 +1354,21 @@ object Graph {
     val spark = edges0.sparkSession
     var edges = edges0.localCheckpoint(true)
     var prev = edges.count()
+    // CPU-grain re-split (guide §2.5 input-skew corollary): every
+    // round evaluates depth md5 probes PER ENDPOINT over all edges —
+    // microseconds-per-row work, so a partitioning that AQE coalesced
+    // by BYTES (a few MB of longs → 1-2 partitions) serializes the
+    // whole peel. Re-split once from the ROW count (~64k rows ≈
+    // sub-second tasks at md5 cost), capped at the session's
+    // parallelism; the filter rounds below preserve the layout.
+    // Pure repartition — results are partitioning-invariant.
+    val cpuGrain = math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, prev / 65536L)).toInt
+    if (edges.rdd.getNumPartitions < cpuGrain) {
+      val superseded0 = edges
+      edges = edges.repartition(cpuGrain).localCheckpoint(true)
+      Checkpoints.free(superseded0)
+    }
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -1356,40 +1489,49 @@ object Graph {
     val nodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
-    def flood(srcCol: String, dstCol: String): DataFrame = {
-      var lab = nodes.select(col("node"), col("node").as("lab"))
-        .localCheckpoint(true)
-      var r = 0
-      var converged = false
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
-      var prevSum = labelSum(lab)
-      // early exit on saturation is sound: further rounds are no-ops,
-      // so the ≤rounds result equals the exactly-rounds result the
-      // oracle unrolls (the kCore budget discipline)
-      while (r < rounds && !converged) {
-        val pushed = lab.join(edges, lab("node") === edges(srcCol))
-          .select(edges(dstCol).as("node"), col("lab"))
-        val next = lab.unionByName(pushed)
-          .groupBy("node").agg(min("lab").as("lab"))
-          .localCheckpoint(true)
-        val s = labelSum(next)
-        converged = s == prevSum
-        prevSum = s
-        Checkpoints.free(lab)
-        lab = next
-        r += 1
-      }
-      lab
+    // Both directions flood in ONE fused round loop: each round is a
+    // single union + min-aggregate + checkpoint carrying (fmin, bmin)
+    // side by side, instead of two sequential single-label loops —
+    // same joins, same per-round bytes, HALF the per-round
+    // materializations and convergence probes (the fixed cost each
+    // round actually pays). The directions stay independent — the
+    // forward push carries a null bmin and vice versa, min() ignores
+    // nulls, and the standing lab row anchors both columns — so the
+    // fused fixpoint is row-for-row the pair of single-direction
+    // fixpoints (spec-pinned against hand values either way). Early
+    // exit only when BOTH directions saturate; extra rounds for an
+    // already-saturated direction are no-ops, so budget semantics
+    // are unchanged.
+    var lab = nodes.select(col("node"), col("node").as("fmin"),
+        col("node").as("bmin"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): (Long, Long) = {
+      val row = df.agg(coalesce(sum(col("fmin")), lit(0L)),
+        coalesce(sum(col("bmin")), lit(0L))).head
+      (row.getLong(0), row.getLong(1))
     }
-    val f = flood("u", "v").withColumnRenamed("lab", "fmin")
-    val b = flood("v", "u").withColumnRenamed("lab", "bmin")
-    val out = f.join(b, Seq("node")).localCheckpoint(true)
-    Checkpoints.free(f)
-    Checkpoints.free(b)
+    var prevSum = labelSum(lab)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val nullL = lit(null).cast("long")
+      val pushedF = lab.join(edges, lab("node") === edges("u"))
+        .select(edges("v").as("node"), col("fmin"), nullL.as("bmin"))
+      val pushedB = lab.join(edges, lab("node") === edges("v"))
+        .select(edges("u").as("node"), nullL.as("fmin"), col("bmin"))
+      val next = lab.unionByName(pushedF).unionByName(pushedB)
+        .groupBy("node").agg(min("fmin").as("fmin"), min("bmin").as("bmin"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      Checkpoints.free(lab)
+      lab = next
+      r += 1
+    }
     Checkpoints.free(edges)
     Checkpoints.free(nodes)
-    out
+    lab
   }
 
   /** The sf1-capable SCC gate built on [[minLabelFlood]] (the

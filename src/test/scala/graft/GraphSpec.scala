@@ -322,6 +322,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("betweennessApprox: driver-gated and distributed paths agree (r15 gate invariance)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(900 + seed)
+      val es = (1 to 60).map(_ =>
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+          .sortBy(_._3)
+      val gated = asMap(Graph.betweennessApprox(es.toDF("u", "v"), 4, topK = 100))
+      val dist = asMap(Graph.betweennessApprox(es.toDF("u", "v"), 4, topK = 100,
+        driverGate = 0L))
+      assert(gated.length == dist.length, s"seed=$seed row counts differ")
+      gated.zip(dist).foreach { case ((n1, b1, r1), (n2, b2, r2)) =>
+        assert(r1 == r2 && n1 == n2 && math.abs(b1 - b2) < 1e-3,
+          s"seed=$seed rank $r1: gated=($n1,$b1) dist=($n2,$b2)")
+      }
+    }
+  }
+
   test("bfsHops: a ring is walked in both directions (true shortest hops, not traversal order)") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("u", "v")
