@@ -11,7 +11,8 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val noAqe = args.contains("--noaqe")
-    val names = args.drop(1).filterNot(_ == "--noaqe")
+    val timeline = args.contains("--timeline")
+    val names = args.drop(1).filterNot(a => a == "--noaqe" || a == "--timeline")
     val spark = GraftSession.local()
     // measurement-only A/B flag: how much of a fixpoint loop's cost is
     // AQE stage-materialization job overhead (never used by the
@@ -48,6 +49,9 @@ object JobProfile {
       val js = order.asScala.toSeq.flatMap(id => Option(jobs.get(id)).map(id -> _))
       val totalJob = js.map { case (_, j) => math.max(0L, j.end - j.start) }.sum / 1e3
       println(f"[jobprofile] ===== $n wall=$wall%.2f s, jobs=${js.size}, sum(job)=$totalJob%.2f s =====")
+      if (timeline) js.foreach { case (id, j) =>
+        println(f"[jobprofile]   #$id%-4d ${math.max(0L, j.end - j.start) / 1e3}%7.2f s tasks=${j.tasks}%-5d ${j.site}")
+      }
       // aggregate by callsite
       js.groupBy(_._2.site).toSeq
         .map { case (s, g) => (s, g.size, g.map(x => math.max(0L, x._2.end - x._2.start)).sum / 1e3,

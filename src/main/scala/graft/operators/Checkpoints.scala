@@ -26,4 +26,22 @@ private[graft] object Checkpoints {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _ => ()
   }
+
+  /** Raise a frame's partition count to the session's parallelism
+    * before CPU-heavy per-row work (window explodes, md5 probe
+    * filters). Byte-based split sizing (`maxPartitionBytes`, AQE
+    * advisory bytes) under-parallelizes operators whose per-row cost
+    * dwarfs their per-row bytes — a single small parquet file scans
+    * as ONE task, and a 35×-row explode or a per-row digest then
+    * serializes on it (measured: the suffix bootstrap explode ran
+    * 2.2 s single-task at sf0.1). No-op when the frame already has
+    * at least the session's parallelism (a real at-scale scan), so
+    * this never repartitions DOWN and never adds a shuffle where
+    * parallelism already exists. Results are partitioning-invariant
+    * at every call site (explode → groupBy, filter).
+    */
+  def cpuSplit(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -1063,7 +1063,7 @@ object Dedup {
       "element_at(cuts, j) AS chunk_start, " +
       "element_at(cuts, j + 1) - element_at(cuts, j) AS chunk_len)), " +
       "c -> c.chunk_len > 0)"
-    documents
+    Checkpoints.cpuSplit(documents)
       .select(col("doc_id"), col("text"), expr(cuts).as("cuts"))
       .select(col("doc_id"), col("text"), explode(expr(chunks)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
@@ -1119,7 +1119,7 @@ object Dedup {
       "element_at(cuts, j) AS chunk_start, " +
       "element_at(cuts, j + 1) - element_at(cuts, j) AS chunk_len)), " +
       "c -> c.chunk_len > 0)"
-    documents
+    Checkpoints.cpuSplit(documents)
       .select(col("doc_id"), col("text"), expr(cuts).as("cuts"))
       .select(col("doc_id"), col("text"), explode(expr(chunks)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
@@ -1183,7 +1183,7 @@ object Dedup {
       "element_at(cuts, j) AS chunk_start, " +
       "element_at(cuts, j + 1) - element_at(cuts, j) AS chunk_len)), " +
       "c -> c.chunk_len > 0)"
-    documents
+    Checkpoints.cpuSplit(documents)
       .select(col("doc_id"), col("text"), expr(folded).as("fold0"))
       .select(col("doc_id"), col("text"), expr(cuts).as("cuts"))
       .select(col("doc_id"), col("text"), explode(expr(chunks)).as("c"))

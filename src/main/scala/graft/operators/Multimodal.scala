@@ -539,8 +539,8 @@ object Multimodal {
     val bandWidth = 64 / nBands
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads
-      .select(col("doc_id"), col("payload"))
+    graft.operators.Checkpoints.cpuSplit(payloads
+        .select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val bs = decodeImage(bytes) match {

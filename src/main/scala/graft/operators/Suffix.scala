@@ -94,8 +94,8 @@ object Suffix {
     // bootstrap: exact Lmin-char windows (sequence+substr — the
     // fingerprint idiom; split-on-empty-pattern emits a leading
     // empty string and sequence(0, n<0) counts down, hence the shape)
-    val windows = documents
-      .filter(length(col("text")) >= minLen)
+    val windows = Checkpoints.cpuSplit(documents
+        .filter(length(col("text")) >= minLen))
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, char_length(text) - $minLen), " +
           s"i -> substr(text, i + 1, $minLen))")).as(Seq("pos", "win")))

@@ -2015,7 +2015,7 @@ object IngestStreams {
   def streamedPhashDecodedDocs(spark: SparkSession, docs0: DataFrame,
                                nBuckets: Int = 16): DataFrame = {
     import spark.implicits._
-    val docs = docs0
+    val docs = graft.operators.Checkpoints.cpuSplit(docs0)
       .as[(Long, String)]
       .map { case (id, t) => (id, graft.operators.Multimodal.pngFromPayload(
         t.getBytes(java.nio.charset.StandardCharsets.UTF_8))) }
@@ -2757,7 +2757,8 @@ object IngestStreams {
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$statePath/doc_lens/batch=$batchId")
-      docs.filter(length(col("text")) >= minLen)
+      graft.operators.Checkpoints.cpuSplit(
+          docs.filter(length(col("text")) >= minLen))
         .select(col("doc_id"),
           posexplode(expr(s"transform(sequence(0, char_length(text) - $minLen), " +
             s"i -> substr(text, i + 1, $minLen))")).as(Seq("pos", "win")))
