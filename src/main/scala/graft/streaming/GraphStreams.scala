@@ -1057,34 +1057,22 @@ object GraphStreams {
       // ONLY the buckets its candidate nodes fall in — a
       // distance-neutral batch touches the batch-endpoint buckets
       // and nothing else, never the whole store.
-      //
-      // The current-best view is a LAZY min-fold over checkpointed
-      // PARTS (bucket loads + this batch's improvement waves) instead
-      // of a per-round rewritten table: the old shape paid one full
-      // dist re-materialization (anti-join + union + checkpoint) per
-      // relaxation round — O(rounds × state) materialized bytes and
-      // one extra job per round — where the fold view costs the same
-      // shuffle the join already paid and nothing else. Exactness is
-      // the store's own contract: claims resolve min-per-node at
-      // every read ([[bfsResolve]]), so folding parts at use is the
-      // identical semantics.
       val distStoreExists = hasVisibleData(spark, distPath)
       val loaded = scala.collection.mutable.Set.empty[Long]
-      val distParts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-      val emptyDist = Seq.empty[(Long, Long)].toDF("node", "dist")
-      def distView(): org.apache.spark.sql.DataFrame =
-        if (distParts.isEmpty) emptyDist
-        else if (distParts.length == 1) distParts.head
-        else distParts.reduce(_ unionAll _).groupBy("node").agg(min("dist").as("dist"))
+      var dist = Seq.empty[(Long, Long)].toDF("node", "dist")
+      var distCp: org.apache.spark.sql.DataFrame = null
       def ensureLoaded(buckets: Seq[Long]): Unit = {
         val need = buckets.filterNot(loaded)
         if (need.nonEmpty) {
           if (distStoreExists) {
             MaintIO.distBucketReads.addAndGet(need.size.toLong)
-            distParts += spark.read.parquet(distPath)
+            val add = spark.read.parquet(distPath)
               .filter(col("db").isin(need: _*))
               .groupBy("node").agg(min("dist").as("dist"))
-              .localCheckpoint(true)
+            val superseded = distCp
+            dist = dist.unionAll(add).localCheckpoint(true)
+            distCp = dist
+            if (superseded != null) graft.operators.Checkpoints.free(superseded)
           }
           loaded ++= need
         }
@@ -1104,7 +1092,7 @@ object GraphStreams {
       // Initial claims: the standing seed claim (first batch, or a
       // no-op improvement afterwards) + one-hop relaxations of the
       // NEW edges from currently-known distances.
-      val hop = distView().join(bidir(batch), col("node") === col("a"))
+      val hop = dist.join(bidir(batch), col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("dist"))
       var cand = Seq((seed, 0L)).toDF("node", "dist").unionAll(hop)
@@ -1121,7 +1109,7 @@ object GraphStreams {
           candCp
         } else cand
         val improved = candEval
-          .join(distView().withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+          .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
           .filter(col("old").isNull || col("dist") < col("old"))
           .select("node", "dist")
           .localCheckpoint(true)
@@ -1130,7 +1118,11 @@ object GraphStreams {
           continue = false
         } else {
           claimParts += improved
-          distParts += improved
+          val superseded = distCp
+          dist = dist.join(improved, Seq("node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+          distCp = dist
+          if (superseded != null) graft.operators.Checkpoints.free(superseded)
           cand = improved.join(adj(), col("node") === col("a"))
             .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
             .groupBy("node").agg(min("nd").as("dist"))
@@ -1146,7 +1138,7 @@ object GraphStreams {
         val lastCand = cand.localCheckpoint(true)
         if (trackingNeeded) ensureLoaded(bucketsOf(lastCand.select("node")))
         val leftover = lastCand
-          .join(distView().withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+          .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
           .filter(col("old").isNull || col("dist") < col("old"))
           .limit(1).count()
         graft.operators.Checkpoints.free(lastCand)
@@ -1163,9 +1155,10 @@ object GraphStreams {
           .repartition(col("db"))
           .write.mode("append").partitionBy("db").parquet(distPath)
       }
-      distParts.foreach(graft.operators.Checkpoints.free)
+      claimParts.foreach(graft.operators.Checkpoints.free)
       if (candCp != null) graft.operators.Checkpoints.free(candCp)
       if (und != null) graft.operators.Checkpoints.free(und)
+      if (distCp != null) graft.operators.Checkpoints.free(distCp)
       cfs.mkdirs(commitDir)
       cfs.create(marker, true).close()
     } finally batch.unpersist()
