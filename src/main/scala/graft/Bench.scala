@@ -234,12 +234,22 @@ object Bench {
     }
     val contaminated =
       contaminatedWindows(results.map(t => (t._1, t._2)), baseline)
+    // Second calibration probe at session END (r15 verdict item 2):
+    // the start probe can only certify the host state of its own
+    // quiet window — mid-run ambient drift (the r12–r15 litigation)
+    // shows up as calibration ≠ calibration_end, mechanically, with
+    // no untouched-query-median argument needed.
+    val calibrationEnd = calibrationProbe(spark)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ps = results.map { case (k, _, p) => "\"" + k + "\":[" + p.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cs = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"warmup":"$warmupMode","queries":$qs,"passes":$ps,"contaminated":$cs,"sf":"$sfDir"}"""
+    // "cpus" makes every artifact self-identify its core count (the
+    // r15 8-core scaling run overwrote the 32-core artifact and
+    // nothing inside the file said which was which — verdict item 2).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"calibration":$calibration,"calibration_end":$calibrationEnd,"warmup":"$warmupMode","queries":$qs,"passes":$ps,"contaminated":$cs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line: harness stdout capture truncates long
     // tails (BENCH_r04 lost the 14 alphabetically-first queries), so the

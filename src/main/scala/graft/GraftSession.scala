@@ -37,6 +37,15 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // Honor the advisory partition BYTES when coalescing instead of
+    // splitting small exchanges up to the cluster's parallelism
+    // (guide §2.2 "fewer, larger reduce partitions" / §9): with the
+    // default parallelism-first policy every KB-scale post-shuffle
+    // stage schedules up-to-#cores tiny tasks, which is pure
+    // scheduling overhead at ANY scale — at 100 TB the advisory size
+    // (64 MB default) governs either way, so this is not a local-only
+    // tune. Measured r16: geomean −17% over a 12-query mix at sf0.1.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L << 20).toString,
     // events.ts has shipped as int64 TIMESTAMP(NANOS) and as

@@ -39,8 +39,20 @@ private[graft] object Checkpoints {
     * this never repartitions DOWN and never adds a shuffle where
     * parallelism already exists. Results are partitioning-invariant
     * at every call site (explode → groupBy, filter).
+    *
+    * PRECONDITION (r15 ADVICE): batch frames whose plan is scan/
+    * filter/project-only up to this point. The partition probe goes
+    * through `df.rdd`, which (a) throws on a streaming frame and
+    * (b) under AQE would eagerly materialize any upstream exchange
+    * in a SEPARATE QueryExecution and then re-execute it in the
+    * returned frame. Every current call site is a parquet scan +
+    * row-local work (no exchange above it), where `.rdd` is a pure
+    * metadata read; the require below fails loud rather than let a
+    * future streaming caller hit the opaque `.rdd` error.
     */
   def cpuSplit(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "cpuSplit probes df.rdd and is batch-only; wrap the batch side")
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -499,8 +499,11 @@ object Graph {
     // a fixture number: a 4M-row bidirectional collect is ~64 MB raw
     // (~300 MB with adjacency structures), inside the deployment's 8g
     // driver with wide margin, and k·(V+E) steps at that size run in
-    // well under a second. driverGate = 0 forces the distributed path
-    // (the invariance spec pins both paths on the same graphs).
+    // well under a second. DRIVER-MEMORY REQUIREMENT (r15 ADVICE): a
+    // deployment running sub-2M-edge graphs on a small driver (<2g)
+    // should lower driverGate — or pass driverGate = 0, which forces
+    // the distributed path (the invariance spec pins both paths on
+    // the same graphs).
     if (driverGate > 0L && und.count() <= 2L * driverGate) {
       val pairs = und.select(col("a").as[Long], col("b").as[Long]).collect()
       Checkpoints.free(und)

@@ -463,7 +463,12 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark,
+      // the source is read on BOTH join sides, so the state sizing
+      // charges its bytes twice (r15 ADVICE: one count undersizes the
+      // join's four state stores ~2× at scale; perf-only — results
+      // are partition-count-invariant)
+      Seq(s"$dir/events.parquet", s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
@@ -513,7 +518,12 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_ojoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark,
+      // the source is read on BOTH join sides, so the state sizing
+      // charges its bytes twice (r15 ADVICE: one count undersizes the
+      // join's four state stores ~2× at scale; perf-only — results
+      // are partition-count-invariant)
+      Seq(s"$dir/events.parquet", s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
@@ -564,7 +574,12 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_fjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark,
+      // the source is read on BOTH join sides, so the state sizing
+      // charges its bytes twice (r15 ADVICE: one count undersizes the
+      // join's four state stores ~2× at scale; perf-only — results
+      // are partition-count-invariant)
+      Seq(s"$dir/events.parquet", s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
@@ -612,7 +627,12 @@ object EventStreams {
         col("ts").as("right_ts"))
       .withWatermark("right_ts", "1 hour")
     val qname = "graft_stream_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = StreamState.withSizedStatePartitions(spark, Seq(s"$dir/events.parquet"))(left.join(right,
+    val q = StreamState.withSizedStatePartitions(spark,
+      // the source is read on BOTH join sides, so the state sizing
+      // charges its bytes twice (r15 ADVICE: one count undersizes the
+      // join's four state stores ~2× at scale; perf-only — results
+      // are partition-count-invariant)
+      Seq(s"$dir/events.parquet", s"$dir/events.parquet"))(left.join(right,
         col("left_user") === col("right_user") &&
           col("right_ts") > col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),

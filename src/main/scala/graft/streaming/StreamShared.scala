@@ -71,6 +71,16 @@ private[streaming] object StreamState {
     withSizedStatePartitions(df.sparkSession, paths)(body)
   }
 
+  // Restore-after-start() is SAFE because StreamExecution clones the
+  // session (and its SQLConf) inside start() — the micro-batch thread
+  // reads the clone, so the restore below cannot race it (Spark 4.1
+  // behavior; pinned by the family's streamed==batch parity specs,
+  // which would break loudly if a Spark upgrade stopped cloning). The
+  // `spark.synchronized` guards two WRAPPED callers from each other;
+  // an unwrapped stateful query started concurrently from another
+  // thread could still capture the temporarily-downsized value — the
+  // deployed mains are sequential, but a concurrent-queries deployment
+  // should scope the conf per query (r15 ADVICE, documented trade-off).
   private[streaming] def withSizedStatePartitions[T](spark: SparkSession,
                                                      inPaths: Seq[String])(body: => T): T =
     spark.synchronized {

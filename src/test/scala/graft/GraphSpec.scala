@@ -344,6 +344,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("betweennessApprox: gate invariance holds under maxRounds TRUNCATION (r15 ADVICE)") {
+    import spark.implicits._
+    // A 9-node path probed with maxRounds = 2: sources (the 4 smallest
+    // ids) see only their 2-hop neighborhoods, so the level cap BINDS
+    // — the trickiest equivalence between driverBrandes and the
+    // distributed two-pass (dist == maxRounds nodes are kept but not
+    // expanded) is exercised, not just the converged case. A ring
+    // checks the same under two simultaneous frontiers per source.
+    val path9 = (1L to 8L).map(i => (i, i + 1))
+    val ring8 = (0L to 6L).map(i => (i, i + 1)) :+ (0L, 7L)
+    for ((es, label) <- Seq((path9, "path9"), (ring8, "ring8")); mr <- Seq(2, 3)) {
+      def asRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+          .sortBy(_._3)
+      val gated = asRows(Graph.betweennessApprox(es.toDF("u", "v"), 4,
+        topK = 100, maxRounds = mr))
+      val dist = asRows(Graph.betweennessApprox(es.toDF("u", "v"), 4,
+        topK = 100, maxRounds = mr, driverGate = 0L))
+      assert(gated.length == dist.length,
+        s"$label maxRounds=$mr row counts differ: ${gated.length} vs ${dist.length}")
+      gated.zip(dist).foreach { case ((n1, b1, r1), (n2, b2, r2)) =>
+        assert(r1 == r2 && n1 == n2 && math.abs(b1 - b2) < 1e-9,
+          s"$label maxRounds=$mr rank $r1: gated=($n1,$b1) dist=($n2,$b2)")
+      }
+    }
+  }
+
   test("bfsHops: a ring is walked in both directions (true shortest hops, not traversal order)") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L)).toDF("u", "v")
